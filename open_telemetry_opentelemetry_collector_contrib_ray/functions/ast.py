@@ -1,0 +1,548 @@
+"""OTTL-lite: lexer + recursive-descent parser + vectorized evaluator.
+
+A from-scratch, columnar re-expression of the OpenTelemetry
+Transformation Language subset used by transformprocessor /
+filterprocessor / routingconnector.  Reference semantics (not code):
+
+- grammar: ``editor(args...) [where <bool expr>]`` —
+  /root/reference/pkg/ottl/grammar.go:15-19 (ParsedStatement),
+  boolean expressions :106-180, math :194-266.
+- comparison coercion (mixed int/float compared as float, nil
+  comparisons false, strings bytewise): pkg/ottl/LANGUAGE.md:261-286.
+- error modes ignore/silent/propagate: pkg/ottl/parser.go:306-392.
+
+Execution model difference (the point of this project): OTTL
+interprets each statement per record against a mutable object tree;
+here a statement COMPILES to vectorized pyarrow.compute kernels over
+whole Arrow record batches, evaluated inside ``Dataset.map_batches``.
+
+Path model: the engine runs over flat Arrow tables.  OTTL paths map
+to columns:
+
+    text / body               -> column "text"
+    attributes["k"]           -> column "attr_k"   (promoted typed column)
+    resource.attributes["k"]  -> column "res_k"
+    cache["k"]                -> column "cache_k"  (dropped at stage end)
+    anything else             -> column of the same (dotted->underscored) name
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<float>-?\d+\.\d*(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+)
+  | (?P<int>-?\d+)
+  | (?P<op>==|!=|<=|>=|&&|\|\||[<>+\-*/%(),\[\]\.])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "where", "true", "false", "nil"}
+
+
+@dataclass
+class Tok:
+    kind: str  # 'string' | 'int' | 'float' | 'op' | 'ident' | 'kw' | 'eof'
+    val: Any
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"bad token at {pos}: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        v: Any = m.group()
+        if kind == "string":
+            v = v[1:-1].encode().decode("unicode_escape")
+        elif kind == "int":
+            v = int(v)
+        elif kind == "float":
+            v = float(v)
+        elif kind == "ident" and v in _KEYWORDS:
+            kind = "kw"
+        toks.append(Tok(kind, v, m.start()))
+    toks.append(Tok("eof", None, len(src)))
+    return toks
+
+
+# ---------------------------------------------------------------- AST
+
+NULL_MEANS_FALSE = True
+
+
+class Node:
+    def eval(self, ctx: "ExprContext") -> Any:  # pa array | python scalar
+        raise NotImplementedError
+
+
+@dataclass
+class Literal(Node):
+    value: Any  # str | int | float | bool | None | list
+
+    def eval(self, ctx):
+        if isinstance(self.value, list):
+            return [v.eval(ctx) if isinstance(v, Node) else v for v in self.value]
+        return self.value
+
+
+@dataclass
+class Path(Node):
+    """A field path; resolves to one column of the batch."""
+
+    segments: tuple[str, ...]
+
+    @property
+    def column(self) -> str:
+        s = self.segments
+        if s[0] in ("body", "text"):
+            rest = s[1:]
+            return "_".join(("text",) + rest) if rest else "text"
+        if s[0] == "attributes":
+            return "attr_" + "_".join(s[1:])
+        if s[0] == "resource":
+            rest = s[1:]
+            if rest and rest[0] == "attributes":
+                rest = rest[1:]
+            return "res_" + "_".join(rest) if rest else "res"
+        if s[0] == "cache":
+            return "cache_" + "_".join(s[1:])
+        if s[0] == "instrumentation_scope":
+            return "scope_" + "_".join(s[1:])
+        return "_".join(s)
+
+    def eval(self, ctx):
+        col = ctx.get_col(self.column)
+        if col is None:
+            return pa.nulls(ctx.n)
+        return col
+
+
+@dataclass
+class Call(Node):
+    name: str
+    args: list[Node]
+
+    def eval(self, ctx):
+        from .registry import get_function
+
+        kind, fn = get_function(self.name)
+        if kind != "converter":
+            raise TypeError(f"{self.name} is an editor, not usable in an expression")
+        return fn(ctx, self.args)
+
+
+@dataclass
+class Index(Node):
+    """Postfix ["key"] / [int] on an expression result (struct field / list item)."""
+
+    base: Node
+    key: Any
+
+    def eval(self, ctx):
+        v = as_array(self.base.eval(ctx), ctx.n)
+        if isinstance(self.key, str):
+            if pa.types.is_struct(v.type):
+                return pc.struct_field(v, self.key)
+            if pa.types.is_map(v.type):
+                # map lookup: rebuild per-row; rare path
+                py = v.to_pylist()
+                return pa.array([dict(x or {}).get(self.key) for x in py])
+            raise TypeError(f"cannot index {v.type} with string key")
+        if pa.types.is_list(v.type) or pa.types.is_large_list(v.type):
+            return pc.list_element(v, self.key)
+        raise TypeError(f"cannot index {v.type} with int")
+
+
+@dataclass
+class Unary(Node):
+    op: str  # 'not' | '-'
+    operand: Node
+
+    def eval(self, ctx):
+        v = self.operand.eval(ctx)
+        if self.op == "not":
+            arr = as_bool(v, ctx.n)
+            return pc.invert(arr)
+        if isinstance(v, (int, float)):
+            return -v
+        return pc.negate(as_array(v, ctx.n))
+
+
+_CMP = {"==": "equal", "!=": "not_equal", "<": "less", "<=": "less_equal",
+        ">": "greater", ">=": "greater_equal"}
+_MATH = {"+": "add", "-": "subtract", "*": "multiply", "/": "divide", "%": "mod"}
+
+
+@dataclass
+class Binary(Node):
+    op: str
+    left: Node
+    right: Node
+
+    def eval(self, ctx):
+        op = self.op
+        if op in ("and", "or"):
+            l = as_bool(self.left.eval(ctx), ctx.n)
+            r = as_bool(self.right.eval(ctx), ctx.n)
+            return pc.and_(l, r) if op == "and" else pc.or_(l, r)
+        l, r = self.left.eval(ctx), self.right.eval(ctx)
+        if op in _CMP:
+            return compare(l, r, op, ctx.n)
+        # math
+        if isinstance(l, (int, float)) and isinstance(r, (int, float)):
+            return {"+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
+                    "/": lambda: l / r, "%": lambda: l % r}[op]()
+        la, ra = as_array(l, ctx.n), as_array(r, ctx.n)
+        if op == "+" and pa.types.is_string(la.type):
+            return pc.binary_join_element_wise(la, as_array(r, ctx.n).cast(pa.string()), "")
+        fn = getattr(pc, _MATH[op])
+        try:
+            return fn(la, ra)
+        except pa.ArrowNotImplementedError:
+            return fn(la.cast(pa.float64()), ra.cast(pa.float64()))
+
+
+# ------------------------------------------------------------ eval helpers
+
+
+def as_array(v: Any, n: int) -> pa.ChunkedArray | pa.Array:
+    """Broadcast python scalars to length-n arrays; pass arrays through."""
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    if v is None:
+        return pa.nulls(n)
+    if isinstance(v, bool):
+        return pa.array([v] * n, type=pa.bool_())
+    if isinstance(v, int):
+        return pa.array([v] * n, type=pa.int64())
+    if isinstance(v, float):
+        return pa.array([v] * n, type=pa.float64())
+    if isinstance(v, str):
+        return pa.repeat(pa.scalar(v), n) if n else pa.array([], type=pa.string())
+    raise TypeError(f"cannot broadcast {type(v)}")
+
+
+def as_bool(v: Any, n: int) -> pa.ChunkedArray | pa.Array:
+    """Boolean mask with OTTL nil semantics: null comparisons are false."""
+    arr = as_array(v, n)
+    if not pa.types.is_boolean(arr.type):
+        raise TypeError(f"expected boolean expression, got {arr.type}")
+    return pc.fill_null(arr, False)
+
+
+def compare(l: Any, r: Any, op: str, n: int):
+    """OTTL comparison: mixed int/float as double; nil -> false (== nil true);
+    incompatible types -> false for ==, true for !=, false for orderings
+    (LANGUAGE.md:261-286)."""
+    kernel = getattr(pc, _CMP[op])
+    # nil literal comparisons -> is_null checks
+    if l is None or r is None:
+        other = r if l is None else l
+        arr = as_array(other, n)
+        isnull = pc.is_null(arr)
+        if op == "==":
+            return isnull
+        if op == "!=":
+            return pc.invert(isnull)
+        return pa.array([False] * n, type=pa.bool_())
+    la, ra = as_array(l, n), as_array(r, n)
+    lt, rt = la.type, ra.type
+    num = lambda t: pa.types.is_integer(t) or pa.types.is_floating(t)
+    try:
+        if num(lt) and num(rt) and lt != rt:
+            la, ra = la.cast(pa.float64()), ra.cast(pa.float64())
+        out = kernel(la, ra)
+        return pc.fill_null(out, False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        const = op == "!="  # incompatible types: != true, everything else false
+        return pa.array([const] * n, type=pa.bool_())
+
+
+# ---------------------------------------------------------------- context
+
+
+class ExprContext:
+    """Wraps one Arrow batch during statement evaluation.
+
+    Mirrors ottllog.TransformContext (record+resource+cache in one
+    bundle — reference pkg/ottl/contexts/ottllog/log.go:34-41) except
+    the "record" is a whole columnar batch.
+    """
+
+    def __init__(self, table: pa.Table):
+        self.table = table
+        self.n = table.num_rows
+
+    def get_col(self, name: str):
+        if name in self.table.column_names:
+            return self.table.column(name)
+        return None
+
+    def set_col(self, name: str, value: Any, mask=None) -> None:
+        arr = as_array(value, self.n)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if mask is not None:
+            existing = self.get_col(name)
+            if existing is None:
+                existing = pa.nulls(self.n, type=arr.type)
+            else:
+                if isinstance(existing, pa.ChunkedArray):
+                    existing = existing.combine_chunks()
+                if existing.type != arr.type:
+                    try:
+                        existing = existing.cast(arr.type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        existing = pa.nulls(self.n, type=arr.type)
+            arr = pc.if_else(mask, arr, existing)
+        if name in self.table.column_names:
+            i = self.table.column_names.index(name)
+            self.table = self.table.set_column(i, name, arr)
+        else:
+            self.table = self.table.append_column(name, arr)
+
+    def drop_cols(self, names: list[str]) -> None:
+        keep = [c for c in self.table.column_names if c not in set(names)]
+        self.table = self.table.select(keep)
+
+    def attr_cols(self) -> list[str]:
+        return [c for c in self.table.column_names if c.startswith("attr_")]
+
+
+# ---------------------------------------------------------------- parser
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: Any = None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (val is not None and t.val != val):
+            raise SyntaxError(f"expected {val or kind}, got {t.val!r} at {t.pos}")
+        return t
+
+    def at_op(self, *vals: str) -> bool:
+        t = self.peek()
+        return t.kind == "op" and t.val in vals
+
+    def at_kw(self, *vals: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.val in vals
+
+    # expr := or_expr
+    def parse_expr(self) -> Node:
+        return self._or()
+
+    def _or(self) -> Node:
+        left = self._and()
+        while self.at_kw("or") or self.at_op("||"):
+            self.next()
+            left = Binary("or", left, self._and())
+        return left
+
+    def _and(self) -> Node:
+        left = self._not()
+        while self.at_kw("and") or self.at_op("&&"):
+            self.next()
+            left = Binary("and", left, self._not())
+        return left
+
+    def _not(self) -> Node:
+        if self.at_kw("not"):
+            self.next()
+            return Unary("not", self._not())
+        return self._cmp()
+
+    def _cmp(self) -> Node:
+        left = self._add()
+        if self.at_op("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().val
+            return Binary(op, left, self._add())
+        return left
+
+    def _add(self) -> Node:
+        left = self._mul()
+        while self.at_op("+", "-"):
+            op = self.next().val
+            left = Binary(op, left, self._mul())
+        return left
+
+    def _mul(self) -> Node:
+        left = self._unary()
+        while self.at_op("*", "/", "%"):
+            op = self.next().val
+            left = Binary(op, left, self._unary())
+        return left
+
+    def _unary(self) -> Node:
+        if self.at_op("-"):
+            self.next()
+            return Unary("-", self._unary())
+        return self._postfix()
+
+    def _postfix(self) -> Node:
+        node = self._primary()
+        while True:
+            if self.at_op("["):
+                # postfix index on non-path expressions
+                if isinstance(node, Path):
+                    self.next()
+                    t = self.next()
+                    if t.kind not in ("string", "int"):
+                        raise SyntaxError(f"bad index at {t.pos}")
+                    self.expect("op", "]")
+                    if t.kind == "string":
+                        node = Path(node.segments + (t.val,))
+                    else:
+                        node = Index(node, t.val)
+                else:
+                    self.next()
+                    t = self.next()
+                    if t.kind not in ("string", "int"):
+                        raise SyntaxError(f"bad index at {t.pos}")
+                    self.expect("op", "]")
+                    node = Index(node, t.val)
+            elif self.at_op(".") and isinstance(node, Path):
+                self.next()
+                t = self.expect("ident")
+                node = Path(node.segments + (t.val,))
+            else:
+                return node
+
+    def _primary(self) -> Node:
+        t = self.peek()
+        if t.kind in ("string", "int", "float"):
+            self.next()
+            return Literal(t.val)
+        if t.kind == "kw" and t.val in ("true", "false"):
+            self.next()
+            return Literal(t.val == "true")
+        if t.kind == "kw" and t.val == "nil":
+            self.next()
+            return Literal(None)
+        if self.at_op("("):
+            self.next()
+            node = self.parse_expr()
+            self.expect("op", ")")
+            return node
+        if self.at_op("["):
+            self.next()
+            items: list[Node] = []
+            if not self.at_op("]"):
+                items.append(self.parse_expr())
+                while self.at_op(","):
+                    self.next()
+                    items.append(self.parse_expr())
+            self.expect("op", "]")
+            return Literal(items)
+        if t.kind == "ident":
+            self.next()
+            if self.at_op("("):
+                self.next()
+                args: list[Node] = []
+                if not self.at_op(")"):
+                    args.append(self.parse_expr())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self.parse_expr())
+                self.expect("op", ")")
+                return Call(t.val, args)
+            return Path((t.val,))
+        raise SyntaxError(f"unexpected {t.val!r} at {t.pos}")
+
+
+@dataclass
+class Statement:
+    """editor(args...) [where cond] — compiled once, applied per batch."""
+
+    editor: str
+    args: list[Node]
+    where: Node | None
+    source: str
+
+    def apply(self, table: pa.Table, error_mode: str = "propagate") -> pa.Table:
+        from .registry import get_function
+
+        ctx = ExprContext(table)
+        try:
+            mask = None
+            if self.where is not None:
+                mask = as_bool(self.where.eval(ctx), ctx.n)
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+            kind, fn = get_function(self.editor)
+            if kind != "editor":
+                raise TypeError(f"{self.editor} is not an editor")
+            fn(ctx, self.args, mask)
+            return ctx.table
+        except Exception:
+            if error_mode in ("ignore", "silent"):
+                return table
+            raise
+
+
+def parse_statement(src: str) -> Statement:
+    p = Parser(src)
+    t = p.expect("ident")
+    p.expect("op", "(")
+    args: list[Node] = []
+    if not p.at_op(")"):
+        args.append(p.parse_expr())
+        while p.at_op(","):
+            p.next()
+            args.append(p.parse_expr())
+    p.expect("op", ")")
+    where = None
+    if p.at_kw("where"):
+        p.next()
+        where = p.parse_expr()
+    if p.peek().kind != "eof":
+        bad = p.peek()
+        raise SyntaxError(f"trailing input at {bad.pos}: {bad.val!r}")
+    return Statement(t.val, args, where, src)
+
+
+def parse_condition(src: str) -> Callable[[pa.Table], pa.Array]:
+    """Compile a boolean OTTL expression to mask(table) -> BooleanArray."""
+    p = Parser(src)
+    node = p.parse_expr()
+    if p.peek().kind != "eof":
+        bad = p.peek()
+        raise SyntaxError(f"trailing input at {bad.pos}: {bad.val!r}")
+
+    def mask(table: pa.Table):
+        ctx = ExprContext(table)
+        m = as_bool(node.eval(ctx), ctx.n)
+        return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+
+    mask.source = src  # type: ignore[attr-defined]
+    return mask

@@ -1,0 +1,659 @@
+"""OTTL-lite function registry: converters (pure) + editors (mutating).
+
+Re-expresses the reference's function library
+(/root/reference/pkg/ottl/ottlfuncs/, ~80 documented functions — see
+pkg/ottl/ottlfuncs/README.md:46-60) as vectorized Arrow kernels.  Each
+function takes the whole column (batch) at once instead of one record;
+editors additionally honor the statement's ``where`` mask, which is the
+columnar equivalent of OTTL executing a statement only on records whose
+condition matched (pkg/ottl/parser.go:31 Statement.Execute).
+
+User extension surface (mirrors the reference's custom-function map,
+pkg/ottl/LANGUAGE.md:21-38): ``register_converter`` /
+``register_editor`` decorators add entries; ``register_row_converter``
+wraps a plain python row function for non-vectorizable logic.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import hashlib
+import json
+import re
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .ast import ExprContext, Node, Path, as_array
+from .grok import expand_grok
+
+_REGISTRY: dict[str, tuple[str, Callable]] = {}
+
+
+def register_converter(name: str):
+    def deco(fn):
+        _REGISTRY[name] = ("converter", fn)
+        return fn
+
+    return deco
+
+
+def register_editor(name: str):
+    def deco(fn):
+        _REGISTRY[name] = ("editor", fn)
+        return fn
+
+    return deco
+
+
+def register_row_converter(name: str, fn: Callable[..., Any]):
+    """Fallback path for non-vectorizable user functions: fn(*scalar_args) per row."""
+
+    @register_converter(name)
+    def _wrapped(ctx: ExprContext, args: list[Node], _fn=fn):
+        cols = [as_array(a.eval(ctx), ctx.n).to_pylist() for a in args]
+        return pa.array([_fn(*vals) for vals in zip(*cols)] if cols else
+                        [_fn() for _ in range(ctx.n)])
+
+
+def get_function(name: str) -> tuple[str, Callable]:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown OTTL function {name!r}")
+    return _REGISTRY[name]
+
+
+def registered_functions() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ------------------------------------------------------------ helpers
+
+
+def _ev(ctx, node):
+    return node.eval(ctx)
+
+
+def _ev_arr(ctx, node):
+    v = as_array(node.eval(ctx), ctx.n)
+    return v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+
+
+def _ev_scalar(node, ctx) -> Any:
+    v = node.eval(ctx)
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        raise TypeError("expected a literal argument")
+    return v
+
+
+def _str(arr):
+    return arr if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) \
+        else arr.cast(pa.string())
+
+
+def _map_prefix(node: Node) -> str:
+    """attributes -> attr_, resource[.attributes] -> res_, cache -> cache_."""
+    if not isinstance(node, Path):
+        raise TypeError("expected a map path (attributes / resource / cache)")
+    s = node.segments
+    if s[0] == "attributes":
+        return "attr_"
+    if s[0] == "resource":
+        return "res_"
+    if s[0] == "cache":
+        return "cache_"
+    raise TypeError(f"not a map path: {'.'.join(s)}")
+
+
+def _go_repl(repl: str) -> str:
+    """Go/RE2 $1-style replacement -> RE2 rewrite \\1 style used by Arrow."""
+    return re.sub(r"\$(\d+)", r"\\\1", repl)
+
+
+# ------------------------------------------------------------ string converters
+
+
+@register_converter("Concat")
+def _concat(ctx, args):
+    # Concat([parts...], delimiter) — ref func_concat.go
+    parts = args[0].eval(ctx)
+    if not isinstance(parts, list):
+        raise TypeError("Concat expects a list first argument")
+    delim = _ev_scalar(args[1], ctx) if len(args) > 1 else ""
+    arrs = [_str(as_array(p, ctx.n)) for p in parts]
+    return pc.binary_join_element_wise(*arrs, delim)
+
+
+@register_converter("Split")
+def _split(ctx, args):
+    return pc.split_pattern(_str(_ev_arr(ctx, args[0])), _ev_scalar(args[1], ctx))
+
+
+@register_converter("Substring")
+def _substring(ctx, args):
+    start = _ev_scalar(args[1], ctx)
+    length = _ev_scalar(args[2], ctx)
+    return pc.utf8_slice_codeunits(_str(_ev_arr(ctx, args[0])), start, start + length)
+
+
+@register_converter("ConvertCase")
+def _convert_case(ctx, args):
+    arr = _str(_ev_arr(ctx, args[0]))
+    mode = _ev_scalar(args[1], ctx)
+    if mode == "lower":
+        return pc.utf8_lower(arr)
+    if mode == "upper":
+        return pc.utf8_upper(arr)
+    if mode == "snake":
+        py = arr.to_pylist()
+        out = [None if s is None else re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", s).lower().replace("-", "_").replace(" ", "_") for s in py]
+        return pa.array(out, type=pa.string())
+    raise ValueError(f"ConvertCase mode {mode!r}")
+
+
+@register_converter("Trim")
+def _trim(ctx, args):
+    chars = _ev_scalar(args[1], ctx) if len(args) > 1 else " "
+    return pc.utf8_trim(_str(_ev_arr(ctx, args[0])), chars)
+
+
+@register_converter("Len")
+def _len(ctx, args):
+    arr = _ev_arr(ctx, args[0])
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return pc.utf8_length(arr)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        return pc.list_value_length(arr)
+    return pc.binary_length(arr)
+
+
+@register_converter("Format")
+def _format(ctx, args):
+    # Format(fmt, [args...]) — ref func_format.go (Sprintf); row loop (rare in hot paths)
+    fmt = _ev_scalar(args[0], ctx)
+    vals = args[1].eval(ctx)
+    if not isinstance(vals, list):
+        raise TypeError("Format expects a list second argument")
+    cols = [as_array(v, ctx.n).to_pylist() for v in vals]
+    return pa.array([fmt % tuple(row) for row in zip(*cols)], type=pa.string())
+
+
+# ------------------------------------------------------------ type converters / checks
+
+
+@register_converter("Int")
+def _int(ctx, args):
+    arr = _ev_arr(ctx, args[0])
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # Go strconv-ish: invalid -> null (ignore mode handles the error)
+        f = pc.cast(arr, pa.float64(), safe=False)
+        return pc.cast(pc.trunc(f), pa.int64(), safe=False)
+    if pa.types.is_floating(arr.type):
+        return pc.cast(pc.trunc(arr), pa.int64(), safe=False)
+    return arr.cast(pa.int64())
+
+
+@register_converter("Double")
+def _double(ctx, args):
+    return pc.cast(_ev_arr(ctx, args[0]), pa.float64(), safe=False)
+
+
+@register_converter("String")
+def _string(ctx, args):
+    arr = _ev_arr(ctx, args[0])
+    if pa.types.is_timestamp(arr.type):
+        return pc.strftime(arr, format="%Y-%m-%dT%H:%M:%S.%fZ")
+    if pa.types.is_boolean(arr.type):
+        return pc.if_else(arr, "true", "false")
+    return arr.cast(pa.string())
+
+
+@register_converter("IsMatch")
+def _is_match(ctx, args):
+    return pc.match_substring_regex(_str(_ev_arr(ctx, args[0])), _ev_scalar(args[1], ctx))
+
+
+def _type_check(pred):
+    def fn(ctx, args):
+        arr = _ev_arr(ctx, args[0])
+        ok = pred(arr.type)
+        return pc.and_(pc.is_valid(arr), pa.array([ok] * ctx.n, type=pa.bool_()))
+
+    return fn
+
+
+_REGISTRY["IsString"] = ("converter", _type_check(lambda t: pa.types.is_string(t) or pa.types.is_large_string(t)))
+_REGISTRY["IsInt"] = ("converter", _type_check(pa.types.is_integer))
+_REGISTRY["IsDouble"] = ("converter", _type_check(pa.types.is_floating))
+_REGISTRY["IsBool"] = ("converter", _type_check(pa.types.is_boolean))
+_REGISTRY["IsMap"] = ("converter", _type_check(lambda t: pa.types.is_struct(t) or pa.types.is_map(t)))
+_REGISTRY["IsList"] = ("converter", _type_check(lambda t: pa.types.is_list(t) or pa.types.is_large_list(t)))
+
+
+# ------------------------------------------------------------ hash converters
+
+
+def _hex_digest(algo: str):
+    def fn(ctx, args):
+        py = _str(_ev_arr(ctx, args[0])).to_pylist()
+        h = getattr(hashlib, algo)
+        return pa.array(
+            [None if s is None else h(s.encode()).hexdigest() for s in py],
+            type=pa.string(),
+        )
+
+    return fn
+
+
+_REGISTRY["SHA256"] = ("converter", _hex_digest("sha256"))
+_REGISTRY["SHA1"] = ("converter", _hex_digest("sha1"))
+_REGISTRY["MD5"] = ("converter", _hex_digest("md5"))
+
+
+@register_converter("FNV")
+def _fnv(ctx, args):
+    # FNV-1a 64-bit (ref func_fnv.go uses 64-bit sum); row loop — use for
+    # small/cold paths; the sampler stage has a vectorized variant.
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+            continue
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
+    return pa.array(out, type=pa.int64())
+
+
+@register_converter("Hex")
+def _hex(ctx, args):
+    arr = _ev_arr(ctx, args[0]).cast(pa.int64())
+    return pa.array(
+        [None if v is None else format(v, "x") for v in arr.to_pylist()],
+        type=pa.string(),
+    )
+
+
+@register_converter("MD5Number")
+def _md5_number(ctx, args):
+    """Lower 64 bits of md5 as uint64-in-int64 — matches DuckDB md5_number_lower
+    (little-endian of the first 8 digest bytes) for oracle parity."""
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+        else:
+            v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            out.append(v)
+    return pa.array(out, type=pa.uint64())
+
+
+# ------------------------------------------------------------ time converters
+
+_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)")
+_DUR_US = {"ns": 1e-3, "us": 1.0, "µs": 1.0, "ms": 1e3, "s": 1e6, "m": 6e7, "h": 3.6e9, "d": 8.64e10}
+
+
+def parse_duration_us(s: str) -> int:
+    total = 0.0
+    pos = 0
+    for m in _DUR_RE.finditer(s):
+        if m.start() != pos:
+            raise ValueError(f"bad duration {s!r}")
+        total += float(m.group(1)) * _DUR_US[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise ValueError(f"bad duration {s!r}")
+    return int(total)
+
+
+@register_converter("Duration")
+def _duration(ctx, args):
+    return pa.scalar(parse_duration_us(_ev_scalar(args[0], ctx)), pa.duration("us"))
+
+
+@register_converter("Time")
+def _time(ctx, args):
+    # Time(target, strptime_format) — ref func_time.go (ctime layout)
+    return pc.strptime(_str(_ev_arr(ctx, args[0])), format=_ev_scalar(args[1], ctx),
+                       unit="us", error_is_null=True)
+
+
+@register_converter("UnixSeconds")
+def _unix_seconds(ctx, args):
+    return pc.divide(_ev_arr(ctx, args[0]).cast(pa.int64()), 1_000_000)
+
+
+@register_converter("UnixMilli")
+def _unix_milli(ctx, args):
+    return pc.divide(_ev_arr(ctx, args[0]).cast(pa.int64()), 1_000)
+
+
+@register_converter("UnixMicro")
+def _unix_micro(ctx, args):
+    return _ev_arr(ctx, args[0]).cast(pa.int64())
+
+
+@register_converter("UnixNano")
+def _unix_nano(ctx, args):
+    return pc.multiply(_ev_arr(ctx, args[0]).cast(pa.int64()), 1_000)
+
+
+@register_converter("TruncateTime")
+def _truncate_time(ctx, args):
+    arr = _ev_arr(ctx, args[0])
+    us = parse_duration_us(_ev_scalar(args[1], ctx))
+    ints = arr.cast(pa.int64())
+    return pc.multiply(pc.divide(ints, us), us).cast(arr.type)
+
+
+for _name, _kern in [("Hour", "hour"), ("Minute", "minute"), ("Second", "second"),
+                     ("Day", "day"), ("Month", "month"), ("Year", "year")]:
+    def _mk(kern):
+        def fn(ctx, args):
+            return getattr(pc, kern)(_ev_arr(ctx, args[0])).cast(pa.int64())
+        return fn
+    _REGISTRY[_name] = ("converter", _mk(_kern))
+
+
+# ------------------------------------------------------------ parse converters
+
+
+@register_converter("ExtractPatterns")
+def _extract_patterns(ctx, args):
+    # named capture groups -> struct (ref func_extract_patterns.go)
+    return pc.extract_regex(_str(_ev_arr(ctx, args[0])), _ev_scalar(args[1], ctx))
+
+
+@register_converter("ExtractGrokPatterns")
+def _extract_grok(ctx, args):
+    pattern = _ev_scalar(args[1], ctx)
+    named_only = _ev_scalar(args[2], ctx) if len(args) > 2 else True
+    regex = expand_grok(pattern, named_captures_only=named_only)
+    return pc.extract_regex(_str(_ev_arr(ctx, args[0])), regex)
+
+
+@register_converter("ParseJSON")
+def _parse_json(ctx, args):
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            v = json.loads(s)
+            out.append(v if isinstance(v, dict) else None)
+        except (ValueError, TypeError):
+            out.append(None)
+    try:
+        return pa.array(out)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # heterogeneous values: stringify to map<string,string>
+        norm = [None if d is None else {k: json.dumps(v) if not isinstance(v, str) else v
+                                        for k, v in d.items()} for d in out]
+        return pa.array(norm, type=pa.map_(pa.string(), pa.string()))
+
+
+@register_converter("ParseKeyValue")
+def _parse_kv(ctx, args):
+    kv_sep = _ev_scalar(args[1], ctx) if len(args) > 1 else "="
+    pair_sep = _ev_scalar(args[2], ctx) if len(args) > 2 else " "
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+            continue
+        d = {}
+        for pair in s.split(pair_sep):
+            if kv_sep in pair:
+                k, _, v = pair.partition(kv_sep)
+                if k.strip():
+                    d[k.strip()] = v.strip()
+        out.append(d)
+    return pa.array(out, type=pa.map_(pa.string(), pa.string()))
+
+
+@register_converter("ParseCSV")
+def _parse_csv(ctx, args):
+    header = _ev_scalar(args[1], ctx)
+    delim = _ev_scalar(args[2], ctx) if len(args) > 2 else ","
+    names = header.split(delim)
+    arr = _str(_ev_arr(ctx, args[0]))
+    parts = pc.split_pattern(arr, delim, max_splits=len(names) - 1)
+    fields = [pc.list_element(pc.list_slice(parts, i, i + 1, return_fixed_size_list=True), 0)
+              for i in range(len(names))]
+    return pc.make_struct(*fields, field_names=names)
+
+
+@register_converter("UUID")
+def _uuid(ctx, args):
+    import uuid
+
+    return pa.array([str(uuid.uuid4()) for _ in range(ctx.n)], type=pa.string())
+
+
+# ------------------------------------------------------------ editors
+
+
+def _combine_masks(mask, extra):
+    if mask is None:
+        return extra
+    if extra is None:
+        return mask
+    return pc.and_(mask, extra)
+
+
+@register_editor("set")
+def _set(ctx: ExprContext, args: list[Node], mask):
+    target = args[0]
+    if not isinstance(target, Path):
+        raise TypeError("set target must be a path")
+    value = args[1].eval(ctx)
+    ctx.set_col(target.column, value, mask)
+
+
+@register_editor("delete_key")
+def _delete_key(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    key = args[1].eval(ctx)
+    col = prefix + str(key)
+    if col not in ctx.table.column_names:
+        return
+    if mask is None:
+        ctx.drop_cols([col])
+    else:
+        existing = ctx.table.column(col)
+        ctx.set_col(col, pc.if_else(mask, pa.nulls(ctx.n, existing.type), existing))
+
+
+@register_editor("delete_matching_keys")
+def _delete_matching_keys(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    pat = re.compile(str(args[1].eval(ctx)))
+    for col in list(ctx.table.column_names):
+        if col.startswith(prefix) and pat.search(col[len(prefix):]):
+            if mask is None:
+                ctx.drop_cols([col])
+            else:
+                existing = ctx.table.column(col)
+                ctx.set_col(col, pc.if_else(mask, pa.nulls(ctx.n, existing.type), existing))
+
+
+@register_editor("keep_keys")
+def _keep_keys(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    keep = {prefix + str(k) for k in args[1].eval(ctx)}
+    drop = [c for c in ctx.table.column_names if c.startswith(prefix) and c not in keep]
+    if mask is None:
+        ctx.drop_cols(drop)
+    else:
+        for col in drop:
+            existing = ctx.table.column(col)
+            ctx.set_col(col, pc.if_else(mask, pa.nulls(ctx.n, existing.type), existing))
+
+
+@register_editor("keep_matching_keys")
+def _keep_matching_keys(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    pat = re.compile(str(args[1].eval(ctx)))
+    drop = [c for c in ctx.table.column_names
+            if c.startswith(prefix) and not pat.search(c[len(prefix):])]
+    if mask is None:
+        ctx.drop_cols(drop)
+    else:
+        for col in drop:
+            existing = ctx.table.column(col)
+            ctx.set_col(col, pc.if_else(mask, pa.nulls(ctx.n, existing.type), existing))
+
+
+@register_editor("replace_pattern")
+def _replace_pattern(ctx, args, mask):
+    target = args[0]
+    if not isinstance(target, Path):
+        raise TypeError("replace_pattern target must be a path")
+    arr = ctx.get_col(target.column)
+    if arr is None:
+        return
+    out = pc.replace_substring_regex(_str(arr), pattern=str(args[1].eval(ctx)),
+                                     replacement=_go_repl(str(args[2].eval(ctx))))
+    ctx.set_col(target.column, out, mask)
+
+
+@register_editor("replace_match")
+def _replace_match(ctx, args, mask):
+    target = args[0]
+    if not isinstance(target, Path):
+        raise TypeError("replace_match target must be a path")
+    arr = ctx.get_col(target.column)
+    if arr is None:
+        return
+    glob = str(args[1].eval(ctx))
+    repl = str(args[2].eval(ctx))
+    hit = pc.match_like(_str(arr), glob.replace("*", "%").replace("?", "_"))
+    m = _combine_masks(mask, pc.fill_null(hit, False))
+    ctx.set_col(target.column, pa.repeat(pa.scalar(repl), ctx.n), m)
+
+
+@register_editor("replace_all_patterns")
+def _replace_all_patterns(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    mode = str(args[1].eval(ctx))  # "key" | "value"
+    pat, repl = str(args[2].eval(ctx)), _go_repl(str(args[3].eval(ctx)))
+    for col in list(ctx.table.column_names):
+        if not col.startswith(prefix):
+            continue
+        if mode == "value":
+            arr = ctx.table.column(col)
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                ctx.set_col(col, pc.replace_substring_regex(arr, pattern=pat, replacement=repl), mask)
+        else:  # key rename ($1-style backrefs already converted to \1 by _go_repl)
+            key = col[len(prefix):]
+            new = re.sub(pat, repl, key)
+            if new != key:
+                ctx.table = ctx.table.rename_columns(
+                    [prefix + new if c == col else c for c in ctx.table.column_names])
+
+
+@register_editor("replace_all_matches")
+def _replace_all_matches(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    glob = str(args[1].eval(ctx))
+    repl = str(args[2].eval(ctx))
+    like = glob.replace("*", "%").replace("?", "_")
+    for col in list(ctx.table.column_names):
+        if col.startswith(prefix):
+            arr = ctx.table.column(col)
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                hit = pc.fill_null(pc.match_like(arr, like), False)
+                ctx.set_col(col, pa.repeat(pa.scalar(repl), ctx.n), _combine_masks(mask, hit))
+
+
+@register_editor("truncate_all")
+def _truncate_all(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    limit = int(args[1].eval(ctx))
+    for col in list(ctx.table.column_names):
+        if col.startswith(prefix):
+            arr = ctx.table.column(col)
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                ctx.set_col(col, pc.utf8_slice_codeunits(arr, 0, limit), mask)
+
+
+@register_editor("limit")
+def _limit(ctx, args, mask):
+    prefix = _map_prefix(args[0])
+    n = int(args[1].eval(ctx))
+    priority = [prefix + str(k) for k in (args[2].eval(ctx) if len(args) > 2 else [])]
+    cols = [c for c in ctx.table.column_names if c.startswith(prefix)]
+    keep = [c for c in priority if c in cols]
+    for c in cols:
+        if len(keep) >= n:
+            break
+        if c not in keep:
+            keep.append(c)
+    ctx.drop_cols([c for c in cols if c not in keep])
+
+
+@register_editor("merge_maps")
+def _merge_maps(ctx, args, mask):
+    """merge_maps(attributes, <struct/map expr>, "insert"|"update"|"upsert")
+    — ref func_merge_maps.go; writes each source field to its promoted column."""
+    prefix = _map_prefix(args[0])
+    src = as_array(args[1].eval(ctx), ctx.n)
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    strategy = str(args[2].eval(ctx)) if len(args) > 2 else "upsert"
+    if pa.types.is_struct(src.type):
+        fields = {f.name: pc.struct_field(src, f.name) for f in src.type}
+    elif pa.types.is_map(src.type):
+        keys = set()
+        py = src.to_pylist()
+        for d in py:
+            if d:
+                keys.update(k for k, _ in (d.items() if isinstance(d, dict) else d))
+        fields = {}
+        for k in sorted(keys):
+            fields[k] = pa.array(
+                [dict(d or {}).get(k) for d in py], type=pa.string())
+    else:
+        raise TypeError(f"merge_maps source must be struct/map, got {src.type}")
+    for name, arr in fields.items():
+        col = prefix + name
+        current = ctx.get_col(col)
+        m = mask
+        if strategy == "insert" and current is not None:
+            m = _combine_masks(m, pc.is_null(current))
+        elif strategy == "update":
+            if current is None:
+                continue
+            m = _combine_masks(m, pc.is_valid(current))
+        # also never overwrite with null from a non-matching source row
+        m = _combine_masks(m, pc.is_valid(arr))
+        ctx.set_col(col, arr, m)
+
+
+@register_editor("append")
+def _append(ctx, args, mask):
+    target = args[0]
+    if not isinstance(target, Path):
+        raise TypeError("append target must be a path")
+    col = target.column
+    value = args[1].eval(ctx)
+    current = ctx.get_col(col)
+    if current is None:
+        ctx.set_col(col, value, mask)
+        return
+    cur = _str(current.combine_chunks() if isinstance(current, pa.ChunkedArray) else current)
+    val = _str(as_array(value, ctx.n))
+    ctx.set_col(col, pc.binary_join_element_wise(cur, val, ""), mask)
+
+
+@register_editor("flatten")
+def _flatten(ctx, args, mask):
+    # flat columnar model: attributes are already flat columns — no-op
+    return

@@ -1,0 +1,179 @@
+"""OTTL-lite conformance tests.
+
+Modeled on the reference's e2e corpus
+(/root/reference/pkg/ottl/e2e/e2e_test.go): a table of
+(statement, input, expected mutation) cases, evaluated here against
+columnar batches instead of single records.
+"""
+
+import pyarrow as pa
+import pytest
+
+from open_telemetry_opentelemetry_collector_contrib_ray.functions import (
+    parse_condition,
+    parse_statement,
+    registered_functions,
+)
+
+
+def tbl(**cols):
+    return pa.table(cols)
+
+
+BASE = {
+    "text": ["alpha beta", "timeout error", "", None],
+    "role": ["user", "tool", "assistant", "tool"],
+    "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+    "attr_status": ["ok", "error", None, "error"],
+    "attr_latency_ms": pa.array([10, 600, None, 70], pa.int64()),
+}
+
+
+# ---- condition cases: (expr, expected mask) ------------------------------
+CONDITIONS = [
+    ('role == "tool"', [False, True, False, True]),
+    ('role != "tool"', [True, False, True, False]),
+    ("turn_idx >= 2", [False, False, True, True]),
+    ("turn_idx < 1", [True, False, False, False]),
+    # mixed int/float compared as float (LANGUAGE.md:261-286)
+    ("turn_idx == 2.0", [False, False, True, False]),
+    ("turn_idx * 2 + 1 == 7", [False, False, False, True]),
+    ('attributes["latency_ms"] > 500', [False, True, False, False]),
+    # nil semantics: null comparisons false; == nil is an is-null check
+    ('attributes["status"] == nil', [False, False, True, False]),
+    ('attributes["status"] != nil', [True, True, False, True]),
+    ('attributes["missing"] > 5', [False, False, False, False]),
+    # incompatible types: == false, != true
+    ('turn_idx == "2"', [False, False, False, False]),
+    ('turn_idx != "2"', [True, True, True, True]),
+    ('role == "tool" and attributes["status"] == "error"', [False, True, False, True]),
+    ('role == "user" or turn_idx == 3', [True, False, False, True]),
+    ('not (role == "user")', [False, True, True, True]),
+    ('IsMatch(text, "^time")', [False, True, False, False]),
+    ('IsMatch(text, "(?i)TIMEOUT")', [False, True, False, False]),
+    ("IsString(text)", [True, True, True, False]),
+    ("IsInt(turn_idx)", [True, True, True, True]),
+    ('Len(text) == 0', [False, False, True, False]),
+    ('Substring(text, 0, 5) == "alpha"', [True, False, False, False]),
+    ('ConvertCase(role, "upper") == "TOOL"', [False, True, False, True]),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CONDITIONS, ids=[c[0] for c in CONDITIONS])
+def test_condition(expr, expected):
+    got = parse_condition(expr)(tbl(**BASE)).to_pylist()
+    assert got == expected
+
+
+# ---- statement cases: (statement, column, expected values) ----------------
+STATEMENTS = [
+    ('set(attributes["x"], "v")', "attr_x", ["v"] * 4),
+    ('set(attributes["x"], "v") where role == "tool"', "attr_x", [None, "v", None, "v"]),
+    ('set(attributes["x"], turn_idx * 10)', "attr_x", [0, 10, 20, 30]),
+    ('set(attributes["x"], attributes["status"]) where attributes["status"] != nil',
+     "attr_x", ["ok", "error", None, "error"]),
+    # update semantics via where on presence
+    ('set(attributes["status"], "seen") where attributes["status"] != nil',
+     "attr_status", ["seen", "seen", None, "seen"]),
+    ('set(text, Concat([role, text], ":"))', "text",
+     ["user:alpha beta", "tool:timeout error", "assistant:", None]),
+    ('replace_pattern(text, "[aeiou]", "_")', "text",
+     ["_lph_ b_t_", "t_m___t _rr_r", "", None]),
+    ('replace_match(text, "timeout*", "REDACTED")', "text",
+     ["alpha beta", "REDACTED", "", None]),
+    ('set(attributes["h"], Substring(text, 0, 3)) where Len(text) >= 3',
+     "attr_h", ["alp", "tim", None, None]),
+    ('truncate_all(attributes, 2)', "attr_status", ["ok", "er", None, "er"]),
+    ('set(attributes["sha"], SHA256(role))', "attr_sha",
+     # sha256("user"), sha256("tool") ... spot check first only below
+     None),
+    ('set(cache["tmp"], 1)', "cache_tmp", [1, 1, 1, 1]),
+    ('append(text, "!") where role == "user"', "text",
+     ["alpha beta!", "timeout error", "", None]),
+]
+
+
+@pytest.mark.parametrize("stmt,col,expected", STATEMENTS, ids=[s[0][:40] for s in STATEMENTS])
+def test_statement(stmt, col, expected):
+    out = parse_statement(stmt).apply(tbl(**BASE))
+    got = out.column(col).to_pylist()
+    if expected is not None:
+        assert got == expected
+    else:
+        import hashlib
+
+        assert got[0] == hashlib.sha256(b"user").hexdigest()
+
+
+def test_delete_and_keep_keys():
+    t = tbl(**BASE)
+    out = parse_statement('delete_key(attributes, "status")').apply(t)
+    assert "attr_status" not in out.column_names
+    out = parse_statement('keep_keys(attributes, ["status"])').apply(t)
+    assert out.column_names.count("attr_latency_ms") == 0
+    assert "attr_status" in out.column_names
+    out = parse_statement('delete_matching_keys(attributes, "^lat")').apply(t)
+    assert "attr_latency_ms" not in out.column_names
+    assert "attr_status" in out.column_names
+
+
+def test_merge_maps_strategies():
+    t = tbl(text=["a=1 b=2", "a=9", None], attr_a=pa.array(["keep", None, None]))
+    ins = parse_statement('merge_maps(attributes, ParseKeyValue(text), "insert")').apply(t)
+    assert ins.column("attr_a").to_pylist() == ["keep", "9", None]
+    ups = parse_statement('merge_maps(attributes, ParseKeyValue(text), "upsert")').apply(t)
+    assert ups.column("attr_a").to_pylist() == ["1", "9", None]
+    assert ups.column("attr_b").to_pylist() == ["2", None, None]
+    upd = parse_statement('merge_maps(attributes, ParseKeyValue(text), "update")').apply(t)
+    assert upd.column("attr_a").to_pylist() == ["1", None, None]
+    assert "attr_b" not in upd.column_names
+
+
+def test_grok_and_extract():
+    t = tbl(text=["2023-11-14T22:13:58Z ERROR tool=calc status=error latency_ms=13 msg=x y",
+                  "corrupted line"])
+    out = parse_statement(
+        'merge_maps(attributes, ExtractGrokPatterns(text, '
+        '"%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} tool=%{WORD:tool} '
+        'status=%{WORD:status} latency_ms=%{INT:latency_ms} msg=%{GREEDYDATA:msg}"), "upsert")'
+    ).apply(t)
+    assert out.column("attr_level").to_pylist() == ["ERROR", None]
+    assert out.column("attr_latency_ms").to_pylist() == ["13", None]
+    assert out.column("attr_msg").to_pylist() == ["x y", None]
+
+
+def test_error_modes():
+    t = tbl(**BASE)
+    bad = parse_statement('set(attributes["x"], UnknownFn(text))')
+    with pytest.raises(KeyError):
+        bad.apply(t, error_mode="propagate")
+    out = bad.apply(t, error_mode="ignore")
+    assert out.equals(t)  # unchanged
+
+
+def test_time_functions():
+    t = tbl(ts=pa.array([1_700_000_000_000_000, 1_700_000_123_456_789], pa.timestamp("us")))
+    out = parse_statement('set(attributes["s"], UnixSeconds(ts))').apply(t)
+    assert out.column("attr_s").to_pylist() == [1_700_000_000, 1_700_000_123]
+    out = parse_statement('set(attributes["t"], TruncateTime(ts, "1h"))').apply(t)
+    trunc = out.column("attr_t").to_pylist()
+    assert trunc[0] == trunc[1]
+    out = parse_statement('set(attributes["h"], Hour(ts))').apply(t)
+    assert out.column("attr_h").to_pylist() == [22, 22]
+
+
+def test_registry_surface():
+    fns = registered_functions()
+    for must in ["set", "merge_maps", "ExtractGrokPatterns", "IsMatch", "SHA256",
+                 "ParseJSON", "ParseKeyValue", "Concat", "Int", "TruncateTime"]:
+        assert must in fns
+
+
+def test_user_registered_function():
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions import (
+        register_row_converter,
+    )
+
+    register_row_converter("ReverseStr", lambda s: None if s is None else s[::-1])
+    out = parse_statement('set(attributes["r"], ReverseStr(role))').apply(tbl(**BASE))
+    assert out.column("attr_r").to_pylist() == ["resu", "loot", "tnatsissa", "loot"]
