@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship parse->enrich->route->aggregate pipeline on
+  /root/testdata/sf0.001 transcripts; returns per-sink grouped counts.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 (see pipelines/queries.py for the catalog).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query.  Transcript
+  queries read the deterministic synthesized corpus from
+  /tmp/graft_transcripts/<sf>/ — ``queries()`` pre-generates the
+  sf0.01 corpus so the oracle's read_parquet path always exists.
 """
 
 from __future__ import annotations
@@ -20,25 +20,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines import (
+        flagship_sink_counts,
+    )
+
+    return flagship_sink_counts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines import queries as q
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources import (
+        ensure_transcripts,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # the oracle SQL reads this path; make sure it exists before any compare
+    ensure_transcripts("/root/testdata/sf0.01")
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines import queries as q
+
+    return q.oracle_sql()

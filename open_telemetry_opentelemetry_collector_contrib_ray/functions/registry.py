@@ -286,7 +286,7 @@ def _md5_number(ctx, args):
         if s is None:
             out.append(None)
         else:
-            v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
             out.append(v)
     return pa.array(out, type=pa.uint64())
 

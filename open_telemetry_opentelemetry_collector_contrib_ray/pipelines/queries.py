@@ -1,0 +1,443 @@
+"""Named query/pipeline catalog + matching DuckDB oracle SQL.
+
+Each entry is one operator/pipeline from SURVEY.md §2 exercised
+end-to-end on real tables: the Ray Data implementation and (where
+SQL-expressible) an ANSI-SQL equivalent the driver runs side-by-side
+at sf=0.01.  Column names are identical on both sides by construction.
+
+Transcript queries read the deterministic synthesized corpus (cached
+parquet under /tmp/graft_transcripts/<sf>/ — same files for Ray and
+DuckDB, so text equality is bit-exact).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.transcripts import TOOL_CATALOG, ensure_transcripts, read_transcripts
+from ..stages.aggregate import (
+    dedup_exact,
+    delta_to_cumulative,
+    grouped_agg,
+    grouped_count,
+    grouped_sum,
+    histogram_agg,
+    recombine,
+)
+from ..stages.enrich import LookupEnricher
+from ..stages.parse import JsonParser, SeverityParser, make_tool_log_parser
+from ..stages.route import Route, RouteIdStage
+from ..stages.sample import ProbabilisticSampler
+from ..stages.transform import FilterStage, KeepStage, TransformStage
+
+# ---------------------------------------------------------------- helpers
+
+TOOL_LINE_SQL_PAT = r"^(\S+) ([A-Z]+) tool=(\w+) status=(\w+) latency_ms=(\d+) msg=(.*)$"
+_T = "read_parquet('/tmp/graft_transcripts/sf0.01/*.parquet')"  # oracle runs at sf0.01
+
+# first-match-wins routing table (FIXTURES.md F3) with its SQL mirrors
+_ERR_SQL = f"(role = 'tool' AND regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 4) = 'error')"
+_SLOW_SQL = (f"(role = 'tool' AND try_cast(nullif(regexp_extract(text, "
+             f"'{TOOL_LINE_SQL_PAT}', 5), '') AS BIGINT) > 500)")
+_TIMEOUT_SQL = "regexp_matches(text, '(?i)timeout')"
+ROUTE_SQL_CASE = (
+    f"CASE WHEN {_ERR_SQL} THEN 'errors' "
+    f"WHEN {_SLOW_SQL} THEN 'slow' "
+    f"WHEN {_TIMEOUT_SQL} THEN 'timeouts' ELSE 'default' END"
+)
+
+ROUTES = [
+    Route("errors", 'attributes["status"] == "error"'),
+    Route("slow", 'role == "tool" and attributes["latency_ms"] > 500'),
+    Route("timeouts", 'IsMatch(text, "(?i)timeout")'),
+]
+
+
+def _rd(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _parsed(sf_dir: str):
+    ds = read_transcripts(sf_dir)
+    return ds.map_batches(make_tool_log_parser(), batch_format="pyarrow")
+
+
+def _routed(sf_dir: str):
+    ds = _parsed(sf_dir)
+    return ds.map_batches(RouteIdStage(ROUTES, default="default"), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_parse_tool_logs(sf_dir: str):
+    """Regex/grok parse of tool log lines -> typed attribute columns
+    (stanza regex_parser, parser/regex/parser.go:30-62)."""
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "level": t.column("attr_level"),
+            "status": t.column("attr_status"),
+            "latency_ms": t.column("attr_latency_ms"),
+            "msg": t.column("attr_msg"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_parse_failures(sf_dir: str):
+    """on_error=send path: malformed rows kept + flagged (lineage metric)
+    (stanza helper/parser.go:101-126)."""
+    ds = _parsed(sf_dir)
+    return grouped_count(
+        ds, ["role"], conditions=["parse_failure == true"], alias="n_failures")
+
+
+def q_route_counts(sf_dir: str):
+    """routingconnector match_once first-match-wins route sizes
+    (connector/routingconnector/logs.go:63-117)."""
+    return grouped_count(_routed(sf_dir), ["route_id"], alias="n")
+
+
+def q_routed_rows_errors(sf_dir: str):
+    """Routed-row equality, 'errors' sink (MOVE semantics)."""
+    ds = _routed(sf_dir)
+    ds = ds.map_batches(KeepStage('route_id == "errors"'), batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["conv_id", "turn_idx", "text"]),
+                          batch_format="pyarrow")
+
+
+def q_routed_rows_timeouts(sf_dir: str):
+    """Routed-row equality, 'timeouts' sink — rows NOT taken by the two
+    higher-priority routes (order-of-evaluation is observable)."""
+    ds = _routed(sf_dir)
+    ds = ds.map_batches(KeepStage('route_id == "timeouts"'), batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["conv_id", "turn_idx", "text"]),
+                          batch_format="pyarrow")
+
+
+def q_count_by_role(sf_dir: str):
+    """countconnector grouped counts (counter.go:38-128)."""
+    return grouped_count(read_transcripts(sf_dir), ["role"], alias="n")
+
+
+def q_sum_latency_by_tool(sf_dir: str):
+    """sumconnector: sum of a numeric source attribute per group
+    (connector/sumconnector/config.go:19-30)."""
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('not (parse_failure == true) and role == "tool"'),
+                        batch_format="pyarrow")
+    return grouped_sum(ds, ["attr_tool_name"], "attr_latency_ms", alias="total_latency_ms") \
+        .map_batches(lambda t: t.rename_columns(["tool_name", "total_latency_ms"]),
+                     batch_format="pyarrow")
+
+
+def q_dedup_turns(sf_dir: str):
+    """logdedup: identical (conv_id, role, text) -> representative +
+    log_count + first/last observed ts (logdedupprocessor/counter.go:63-130)."""
+    return dedup_exact(read_transcripts(sf_dir), ["conv_id", "role", "text"])
+
+
+def q_recombine_conversations(sf_dir: str):
+    """recombine: stitch turns per conversation in stable turn_idx order
+    (stanza recombine/transformer.go:97-151)."""
+    return recombine(read_transcripts(sf_dir), sep="\n")
+
+
+def q_sample_10pct(sf_dir: str):
+    """probabilistic sampler: deterministic hash verdict per conv_id
+    (probabilisticsamplerprocessor/logsprocessor.go:122-141)."""
+    ds = read_transcripts(sf_dir)
+    ds = ds.map_batches(ProbabilisticSampler(10.0, "conv_id"), batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["conv_id", "turn_idx"]),
+                          batch_format="pyarrow")
+
+
+def q_severity_counts(sf_dir: str):
+    """severity parser: text -> 24-level enum, counted
+    (converter.go:166-220 mapping)."""
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(SeverityParser(parse_from="attr_level"), batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    return grouped_count(ds, ["severity_number"], alias="n")
+
+
+def q_text_len_by_role(sf_dir: str):
+    """transformprocessor OTTL statement (set + Len) feeding an aggregate."""
+    ds = read_transcripts(sf_dir)
+    ds = ds.map_batches(TransformStage(['set(attributes["text_len"], Len(text))']),
+                        batch_format="pyarrow")
+    return grouped_sum(ds, ["role"], "attr_text_len", alias="total_chars")
+
+
+def q_tool_category_counts(sf_dir: str):
+    """lookup enrich (k8sattributes-style broadcast dict) + count."""
+    ds = read_transcripts(sf_dir)
+    ds = ds.map_batches(
+        LookupEnricher,
+        fn_constructor_kwargs=dict(lookup=TOOL_CATALOG, key_col="tool",
+                                   defaults={"tool_category": "other"}),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return grouped_count(ds, ["attr_tool_category"], alias="n").map_batches(
+        lambda t: t.rename_columns(["tool_category", "n"]), batch_format="pyarrow")
+
+
+def q_latency_histogram(sf_dir: str):
+    """spanmetrics explicit-bucket histogram of tool latencies
+    (spanmetricsconnector/connector.go:305-335)."""
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    return histogram_agg(ds, ["attr_tool_name"], "attr_latency_ms",
+                         [100, 500, 1000, 5000], alias="n").map_batches(
+        lambda t: t.rename_columns(["tool_name", "le", "n"]), batch_format="pyarrow")
+
+
+def q_cumulative_value_by_user(sf_dir: str):
+    """deltatocumulative: keyed running sums in time order
+    (deltatocumulativeprocessor/processor.go:25-63).  Values in integer
+    cents so the running sum is exact."""
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64())
+        return t.append_column("cents", cents)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    # delta_to_cumulative with an explicit (ts, event_id) tie-break so the
+    # running-sum order is deterministic
+    import pandas as pd
+
+    def fix_ties(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["cumulative_cents"] = g["cents"].cumsum()
+        return g[["event_id", "user_id", "cumulative_cents"]]
+
+    ds2 = ds.groupby("user_id").map_groups(fix_ties, batch_format="pandas")
+    return ds2
+
+
+def q_json_props_sum(sf_dir: str):
+    """stanza json_parser on the events.props JSON column + grouped sum."""
+    ds = _rd(sf_dir, "events", columns=["event_type", "props"])
+    ds = ds.map_batches(JsonParser(parse_from="props", keys=["k"]), batch_format="pyarrow")
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return t.append_column("k_int", pc.cast(t.column("attr_k"), pa.int64(), safe=False))
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow")
+    return grouped_sum(ds, ["event_type"], "k_int", alias="k_total")
+
+
+def q_filter_events(sf_dir: str):
+    """filterprocessor: drop on OR'd OTTL conditions (logs.go:30-107)."""
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(FilterStage(['event_type == "error"', "value < 50.0"]),
+                        batch_format="pyarrow")
+    return grouped_count(ds, ["event_type"], alias="n")
+
+
+def q_doc_token_counts(sf_dir: str):
+    """token counting (whitespace tokenizer) over documents — vectorized."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        parts = pc.split_pattern_regex(trimmed, r"\s+")
+        n = pc.list_value_length(parts).cast(pa.int64())
+        empty = pc.equal(trimmed, "")
+        n = pc.if_else(pc.fill_null(empty, True), pa.scalar(0, pa.int64()), n)
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": n})
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow")
+
+
+def q_doc_exact_dups(sf_dir: str):
+    """exact dedup by content hash: md5(text) groups with >1 doc."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        h = [hashlib.md5(s.encode()).hexdigest() if s is not None else None
+             for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "text_md5": pa.array(h)})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    # one representative (min doc_id) + count per content hash == the
+    # hash-partition exact-dedup primitive; groups with n_docs > 1 are dups
+    return grouped_agg(hashed, ["text_md5"],
+                       [("count", None, "n_docs"), ("min", "doc_id", "first_doc_id")])
+
+
+def q_embedding_knn(sf_dir: str):
+    """brute-force cosine top-k over the embedding column: broadcast query
+    vector, numpy matmul per batch, global top-k via sort+limit."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qtbl.column("embedding").to_pylist()[0], dtype=np.float64)
+    qnorm = np.linalg.norm(qvec)
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        sims = (mat @ qvec) / (np.linalg.norm(mat, axis=1) * qnorm)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "sim": pa.array(sims, type=pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    scored = scored.map_batches(lambda t: t.filter(pc.not_equal(t.column("vec_id"), 0)),
+                                batch_format="pyarrow")
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+    return top.map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- catalogs
+
+
+def queries():
+    return {
+        "parse_tool_logs": q_parse_tool_logs,
+        "parse_failures": q_parse_failures,
+        "route_counts": q_route_counts,
+        "routed_rows_errors": q_routed_rows_errors,
+        "routed_rows_timeouts": q_routed_rows_timeouts,
+        "count_by_role": q_count_by_role,
+        "sum_latency_by_tool": q_sum_latency_by_tool,
+        "dedup_turns": q_dedup_turns,
+        "recombine_conversations": q_recombine_conversations,
+        "sample_10pct": q_sample_10pct,
+        "severity_counts": q_severity_counts,
+        "text_len_by_role": q_text_len_by_role,
+        "tool_category_counts": q_tool_category_counts,
+        "latency_histogram": q_latency_histogram,
+        "cumulative_value_by_user": q_cumulative_value_by_user,
+        "json_props_sum": q_json_props_sum,
+        "filter_events": q_filter_events,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_exact_dups": q_doc_exact_dups,
+        "embedding_knn": q_embedding_knn,
+    }
+
+
+def oracle_sql():
+    cat_vals = ", ".join(
+        f"('{k}', '{v['tool_category']}')" for k, v in sorted(TOOL_CATALOG.items()))
+    sev_case = ("CASE lower(regexp_extract(text, '" + TOOL_LINE_SQL_PAT + "', 2)) "
+                "WHEN 'trace' THEN 1 WHEN 'debug' THEN 5 WHEN 'info' THEN 9 "
+                "WHEN 'warn' THEN 13 WHEN 'error' THEN 17 WHEN 'fatal' THEN 21 END")
+    return {
+        "parse_tool_logs": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 2) AS level,
+                   regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 4) AS status,
+                   CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS latency_ms,
+                   regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 6) AS msg
+            FROM {_T}
+            WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')""",
+        "parse_failures": f"""
+            SELECT role, count(*) AS n_failures FROM {_T}
+            WHERE role = 'tool' AND NOT regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
+            GROUP BY role""",
+        "route_counts": f"""
+            SELECT {ROUTE_SQL_CASE} AS route_id, count(*) AS n
+            FROM {_T} GROUP BY 1""",
+        "routed_rows_errors": f"""
+            SELECT conv_id, turn_idx, text FROM {_T} WHERE {_ERR_SQL}""",
+        "routed_rows_timeouts": f"""
+            SELECT conv_id, turn_idx, text FROM {_T}
+            WHERE {_TIMEOUT_SQL} AND NOT {_ERR_SQL} AND NOT coalesce({_SLOW_SQL}, false)""",
+        "count_by_role": f"SELECT role, count(*) AS n FROM {_T} GROUP BY role",
+        "sum_latency_by_tool": f"""
+            SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                   sum(CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT)) AS total_latency_ms
+            FROM {_T}
+            WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
+            GROUP BY 1""",
+        "dedup_turns": f"""
+            SELECT conv_id, role, text, count(*) AS log_count,
+                   min(ts) AS first_observed, max(ts) AS last_observed,
+                   min(turn_idx) AS representative_turn_idx
+            FROM {_T} GROUP BY conv_id, role, text""",
+        "recombine_conversations": f"""
+            SELECT conv_id,
+                   string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS combined,
+                   count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
+            FROM {_T} GROUP BY conv_id""",
+        "sample_10pct": f"""
+            SELECT conv_id, turn_idx FROM {_T}
+            WHERE md5_number_lower(conv_id) % 10000 < 1000""",
+        "severity_counts": f"""
+            SELECT {sev_case} AS severity_number, count(*) AS n
+            FROM {_T}
+            WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
+            GROUP BY 1""",
+        "text_len_by_role": f"""
+            SELECT role, sum(length(text)) AS total_chars FROM {_T} GROUP BY role""",
+        "tool_category_counts": f"""
+            SELECT coalesce(m.cat, 'other') AS tool_category, count(*) AS n
+            FROM {_T} t LEFT JOIN (VALUES {cat_vals}) AS m(tool, cat)
+              ON t.tool = m.tool
+            GROUP BY 1""",
+        "latency_histogram": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT tool_name,
+                   CASE WHEN lat <= 100 THEN '100' WHEN lat <= 500 THEN '500'
+                        WHEN lat <= 1000 THEN '1000' WHEN lat <= 5000 THEN '5000'
+                        ELSE 'inf' END AS le,
+                   count(*) AS n
+            FROM parsed GROUP BY 1, 2""",
+        "cumulative_value_by_user": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cumulative_cents
+            FROM events""",
+        "json_props_sum": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total
+            FROM events GROUP BY event_type""",
+        "filter_events": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE NOT (event_type = 'error' OR value < 50.0)
+            GROUP BY event_type""",
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+            FROM documents""",
+        "doc_exact_dups": """
+            SELECT md5(text) AS text_md5, count(*) AS n_docs,
+                   min(doc_id) AS first_doc_id
+            FROM documents GROUP BY 1""",
+        "embedding_knn": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+            LIMIT 10""",
+    }

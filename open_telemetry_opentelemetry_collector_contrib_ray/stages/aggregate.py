@@ -1,0 +1,215 @@
+"""Grouping / aggregation stages.
+
+Reference semantics (not code):
+- countconnector: optional OTTL conditions, group-by attributes, emit
+  counts per group — /root/reference/connector/countconnector/
+  counter.go:38-128, config.go:29-51.
+- sumconnector: sums a source attribute — connector/sumconnector/config.go:19-30.
+- logdedupprocessor: aggregate identical records, emit representative +
+  log_count + first/last observed timestamps —
+  processor/logdedupprocessor/processor.go:85-125, counter.go:63-130.
+- spanmetricsconnector: grouped counts + explicit-bucket duration
+  histograms — connector/spanmetricsconnector/connector.go:37-151.
+- deltatocumulativeprocessor: keyed running sums —
+  processor/deltatocumulativeprocessor/processor.go:25-63.
+- recombine (multiline stitch, ordered within source) —
+  pkg/stanza/operator/transformer/recombine/transformer.go:97-151.
+
+Scale design: every grouped aggregate here is TWO-PHASE — a vectorized
+per-batch partial aggregate inside ``map_batches`` (pyarrow
+``Table.group_by``) shrinks the data BEFORE the all-to-all shuffle;
+the global ``Dataset.groupby().aggregate()`` then combines partials.
+At 100 TB the shuffle moves one row per (key, batch), not per record.
+The streaming window of the reference (dedup interval, flush timers)
+maps to the run/partition being the window (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.ast import parse_condition
+
+# (op, source_col, alias); op in count/sum/min/max/mean
+AggSpec = tuple[str, str | None, str]
+
+
+class _PartialAgg:
+    """Per-batch partial aggregation (phase 1)."""
+
+    def __init__(self, keys: Sequence[str], specs: Sequence[AggSpec],
+                 conditions: Sequence[str] | None = None):
+        self.keys = list(keys)
+        self.specs = list(specs)
+        self.masks = [parse_condition(c) for c in (conditions or [])]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.masks:  # OR semantics, like countconnector conditions
+            m = pc.fill_null(self.masks[0](batch), False)
+            for extra in self.masks[1:]:
+                m = pc.or_(m, pc.fill_null(extra(batch), False))
+            batch = batch.filter(m)
+        if batch.num_rows == 0:
+            return self._empty()
+        needed: dict[tuple, None] = {}
+        for op, col, alias in self.specs:
+            if op == "count":
+                needed[("", "count_all")] = None
+            elif op == "mean":
+                needed[(col, "sum")] = None
+                needed[(col, "count")] = None
+            else:
+                needed[(col, op)] = None
+        pa_aggs = [([] if c == "" else c, op) for c, op in needed]
+        gb = batch.group_by(self.keys).aggregate(pa_aggs)
+        out_cols = {}
+        for k in self.keys:
+            out_cols[k] = gb.column(k)
+        for op, col, alias in self.specs:
+            if op == "count":
+                out_cols[f"__p_{alias}"] = gb.column("count_all").cast(pa.int64())
+            elif op == "mean":
+                out_cols[f"__ps_{alias}"] = gb.column(f"{col}_sum")
+                out_cols[f"__pc_{alias}"] = gb.column(f"{col}_count").cast(pa.int64())
+            else:
+                out_cols[f"__p_{alias}"] = gb.column(f"{col}_{op}")
+        return pa.table(out_cols)
+
+    def _empty(self) -> pa.Table:
+        cols = {k: pa.array([], type=pa.string()) for k in self.keys}
+        for op, col, alias in self.specs:
+            if op == "mean":
+                cols[f"__ps_{alias}"] = pa.array([], type=pa.float64())
+                cols[f"__pc_{alias}"] = pa.array([], type=pa.int64())
+            else:
+                cols[f"__p_{alias}"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+
+
+def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
+                conditions: Sequence[str] | None = None):
+    """Two-phase grouped aggregate -> Dataset with keys + aliased agg columns."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = ds.map_batches(_PartialAgg(keys, specs, conditions),
+                             batch_format="pyarrow")
+    ray_aggs = []
+    for op, col, alias in specs:
+        if op in ("count", "sum"):
+            ray_aggs.append(Sum(f"__p_{alias}", alias_name=alias))
+        elif op == "min":
+            ray_aggs.append(Min(f"__p_{alias}", alias_name=alias))
+        elif op == "max":
+            ray_aggs.append(Max(f"__p_{alias}", alias_name=alias))
+        elif op == "mean":
+            ray_aggs.append(Sum(f"__ps_{alias}", alias_name=f"__s_{alias}"))
+            ray_aggs.append(Sum(f"__pc_{alias}", alias_name=f"__c_{alias}"))
+    out = partial.groupby(list(keys)).aggregate(*ray_aggs)
+    mean_aliases = [alias for op, _, alias in specs if op == "mean"]
+    if mean_aliases:
+        def finish(t: pa.Table) -> pa.Table:
+            for alias in mean_aliases:
+                mean = pc.divide(pc.cast(t.column(f"__s_{alias}"), pa.float64()),
+                                 pc.cast(t.column(f"__c_{alias}"), pa.float64()))
+                t = t.append_column(alias, mean)
+            return t.select([c for c in t.column_names if not c.startswith("__")])
+        out = out.map_batches(finish, batch_format="pyarrow")
+    return out
+
+
+def grouped_count(ds, keys: Sequence[str], conditions: Sequence[str] | None = None,
+                  alias: str = "count"):
+    """countconnector analog: per-group record counts (delta sums)."""
+    return grouped_agg(ds, keys, [("count", None, alias)], conditions)
+
+
+def grouped_sum(ds, keys: Sequence[str], source_col: str,
+                conditions: Sequence[str] | None = None, alias: str = "total"):
+    """sumconnector analog: per-group sum of a numeric source attribute."""
+    return grouped_agg(ds, keys, [("sum", source_col, alias)], conditions)
+
+
+def dedup_exact(ds, key_cols: Sequence[str], ts_col: str = "ts",
+                order_col: str = "turn_idx", conditions: Sequence[str] | None = None):
+    """logdedupprocessor analog: one representative per identical record set
+    + log_count + first/last observed timestamps.
+
+    The representative is the FIRST record in stable (order_col) order —
+    the reference keeps the first seen in its interval window; the whole
+    run is the window here (SURVEY.md §2.10).
+    """
+    specs: list[AggSpec] = [
+        ("count", None, "log_count"),
+        ("min", ts_col, "first_observed"),
+        ("max", ts_col, "last_observed"),
+        ("min", order_col, "representative_" + order_col),
+    ]
+    return grouped_agg(ds, key_cols, specs, conditions)
+
+
+def histogram_agg(ds, keys: Sequence[str], value_col: str, buckets: Sequence[float],
+                  alias: str = "bucket_count"):
+    """spanmetricsconnector explicit-bucket histogram: one output row per
+    (keys..., le) where le is the inclusive upper bound label ('inf' last).
+
+    Vectorized np.digitize per batch -> partial counts -> global sum."""
+    edges = list(buckets)
+    labels = [str(b) for b in edges] + ["inf"]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({**{k: pa.array([], type=pa.string()) for k in keys},
+                             "le": pa.array([], type=pa.string()),
+                             "__p_cnt": pa.array([], type=pa.int64())})
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.digitize(vals, edges, right=True)
+        lab = pa.array(np.array(labels, dtype=object)[idx])
+        t = batch.select(list(keys)).append_column("le", lab)
+        gb = t.group_by(list(keys) + ["le"]).aggregate([([], "count_all")])
+        return pa.table({**{k: gb.column(k) for k in keys}, "le": gb.column("le"),
+                         "__p_cnt": gb.column("count_all").cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(bucketize, batch_format="pyarrow")
+    return partial.groupby(list(keys) + ["le"]).aggregate(Sum("__p_cnt", alias_name=alias))
+
+
+def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
+              text_col: str = "text", sep: str = "\n", out_col: str = "combined"):
+    """stanza recombine analog: stitch a conversation's texts in stable
+    order into one record per group.  The shuffle IS the wait window
+    (groupbytrace analog); intra-group order comes from order_col, never
+    arrival order."""
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col)
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            out_col: [sep.join(g[text_col].fillna(""))],
+            "n_turns": [len(g)],
+            "first_ts": [g["ts"].min()] if "ts" in g else [None],
+            "last_ts": [g["ts"].max()] if "ts" in g else [None],
+        })
+
+    return ds.groupby(group_col).map_groups(stitch, batch_format="pandas")
+
+
+def delta_to_cumulative(ds, key_cols: Sequence[str], value_col: str,
+                        order_col: str = "ts", out_col: str = "cumulative"):
+    """deltatocumulativeprocessor analog: per-key running sum in time order.
+    Batch translation of the streaming keyed state: co-locate each key via
+    the groupby shuffle, then a vectorized cumsum over the sorted group."""
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        g[out_col] = g[value_col].cumsum()
+        return g
+
+    return ds.groupby(list(key_cols)[0] if len(key_cols) == 1 else list(key_cols)) \
+             .map_groups(cumsum, batch_format="pandas")

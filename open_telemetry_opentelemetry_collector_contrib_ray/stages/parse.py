@@ -1,0 +1,334 @@
+"""Parse stages: stanza-parser semantics over Arrow batches.
+
+Reference semantics (not code):
+- ParserOperator scaffold — parse_from/parse_to, on_error modes
+  (send/drop, +quiet), skip-if predicate:
+  /root/reference/pkg/stanza/operator/helper/parser.go:20-32,101-190.
+- regex parser with named capture groups:
+  pkg/stanza/operator/parser/regex/parser.go:30-62.
+- severity text->24-level enum mapping:
+  pkg/stanza/adapter/converter.go:166-220.
+- time parser strptime/epoch layouts: pkg/stanza/operator/helper/time.go:19-42.
+
+Execution model: every parser is a callable usable in
+``Dataset.map_batches(fn_or_cls, batch_format="pyarrow")``.  Regex /
+grok patterns compile ONCE (class __init__ == once per actor; plain
+function closures compile at construction on the driver and ship
+pickled).  A failed parse never throws per-row: on_error="send" keeps
+the row and flags ``parse_failure`` (feeding lineage metrics),
+"drop" removes it — mirroring the reference's modes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.ast import parse_condition
+from ..functions.grok import expand_grok
+
+ON_ERROR_MODES = ("send", "send_quiet", "drop", "drop_quiet", "propagate")
+
+
+def _mask_or_none(condition: str | None):
+    return parse_condition(condition) if condition else None
+
+
+class RegexParser:
+    """Named-capture regex parse of one string column into attr_* columns.
+
+    parse_from: source column (default "text" == OTTL body).
+    Matches stanza regex_parser (parser.go:30-62): named groups become
+    attributes; non-matching rows follow on_error.
+    """
+
+    def __init__(
+        self,
+        pattern: str,
+        parse_from: str = "text",
+        prefix: str = "attr_",
+        on_error: str = "send",
+        if_condition: str | None = None,
+        types: dict[str, pa.DataType] | None = None,
+    ):
+        if on_error not in ON_ERROR_MODES:
+            raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
+        self.pattern = pattern
+        self.names = list(re.compile(pattern).groupindex)
+        if not self.names:
+            raise ValueError("pattern needs named capture groups")
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.on_error = on_error
+        self.skip_unless = _mask_or_none(if_condition)
+        self.types = types or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column(self.parse_from)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        struct = pc.extract_regex(src, self.pattern)  # null where no match
+        matched = pc.is_valid(struct)
+        apply_mask = None
+        if self.skip_unless is not None:
+            apply_mask = pc.fill_null(self.skip_unless(batch), False)
+            matched = pc.and_(matched, apply_mask)
+        out = batch
+        for name in self.names:
+            vals = pc.struct_field(struct, name)
+            typ = self.types.get(name)
+            if typ is not None:
+                vals = pc.cast(vals, typ, safe=False)
+            if apply_mask is not None:
+                vals = pc.if_else(apply_mask, vals, pa.nulls(len(vals), vals.type))
+            col = self.prefix + name
+            if col in out.column_names:
+                out = out.set_column(out.column_names.index(col), col, vals)
+            else:
+                out = out.append_column(col, vals)
+        failure = pc.invert(matched)
+        if apply_mask is not None:
+            # rows the if-condition skipped are not failures
+            failure = pc.and_(failure, apply_mask)
+        if "parse_failure" in out.column_names:
+            failure = pc.or_(failure, pc.fill_null(out.column("parse_failure"), False))
+            out = out.set_column(out.column_names.index("parse_failure"), "parse_failure", failure)
+        else:
+            out = out.append_column("parse_failure", failure)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(pc.fill_null(failure, False)))
+        elif self.on_error == "propagate":
+            if pc.any(failure).as_py():
+                raise ValueError(f"{pc.sum(failure).as_py()} rows failed to parse")
+        return out
+
+
+class GrokParser(RegexParser):
+    """Grok-expression parse (ExtractGrokPatterns analog,
+    ref pkg/ottl/ottlfuncs/func_extract_grok_patterns.go:17-89).
+    Grok -> regex expansion happens here, once, not per batch."""
+
+    def __init__(self, grok_pattern: str, definitions: dict[str, str] | None = None,
+                 named_captures_only: bool = True, **kw):
+        super().__init__(expand_grok(grok_pattern, definitions, named_captures_only), **kw)
+
+
+class JsonParser:
+    """JSON body -> attr_* columns (stanza json_parser analog)."""
+
+    def __init__(self, parse_from: str = "text", prefix: str = "attr_",
+                 on_error: str = "send", keys: list[str] | None = None):
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.on_error = on_error
+        self.keys = keys  # known keys -> stable schema; None = infer from batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column(self.parse_from).combine_chunks() if \
+            isinstance(batch.column(self.parse_from), pa.ChunkedArray) else batch.column(self.parse_from)
+        py = src.to_pylist()
+        parsed: list[dict | None] = []
+        for s in py:
+            if s is None:
+                parsed.append(None)
+                continue
+            try:
+                v = json.loads(s)
+                parsed.append(v if isinstance(v, dict) else None)
+            except (ValueError, TypeError):
+                parsed.append(None)
+        keys = self.keys
+        if keys is None:
+            seen: dict[str, None] = {}
+            for d in parsed:
+                if d:
+                    for k in d:
+                        seen.setdefault(k)
+            keys = list(seen)
+        out = batch
+        n = len(py)
+        for k in keys:
+            vals = [d.get(k) if d else None for d in parsed]
+            try:
+                arr = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                arr = pa.array([None if v is None else (v if isinstance(v, str) else json.dumps(v))
+                                for v in vals], type=pa.string())
+            col = self.prefix + k
+            if col in out.column_names:
+                out = out.set_column(out.column_names.index(col), col, arr)
+            else:
+                out = out.append_column(col, arr)
+        failure = pa.array([d is None for d in parsed], type=pa.bool_())
+        if "parse_failure" in out.column_names:
+            failure = pc.or_(failure, pc.fill_null(out.column("parse_failure"), False))
+            out = out.set_column(out.column_names.index("parse_failure"), "parse_failure", failure)
+        else:
+            out = out.append_column("parse_failure", failure)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(failure))
+        return out
+
+
+class KeyValueParser:
+    """k=v pair parse (stanza key_value_parser analog) — vectorized for the
+    common "all keys known" case via one regex per key."""
+
+    def __init__(self, keys: list[str], parse_from: str = "text", prefix: str = "attr_",
+                 kv_sep: str = "=", pair_sep: str = " "):
+        self.keys = keys
+        self.parse_from = parse_from
+        self.prefix = prefix
+        sep = re.escape(kv_sep)
+        stop = re.escape(pair_sep)
+        self.patterns = {
+            k: f"(?:^|{stop}){re.escape(k)}{sep}(?P<v>[^{stop}]*)" for k in keys
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column(self.parse_from)
+        out = batch
+        for k, pat in self.patterns.items():
+            struct = pc.extract_regex(src, pat)
+            vals = pc.struct_field(struct, "v")
+            col = self.prefix + k
+            if col in out.column_names:
+                out = out.set_column(out.column_names.index(col), col, vals)
+            else:
+                out = out.append_column(col, vals)
+        return out
+
+
+class CsvParser:
+    """Delimited text -> named columns (stanza csv_parser analog)."""
+
+    def __init__(self, header: list[str], parse_from: str = "text",
+                 prefix: str = "attr_", delimiter: str = ","):
+        self.header = header
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.delimiter = delimiter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column(self.parse_from)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        parts = pc.split_pattern(src, self.delimiter, max_splits=len(self.header) - 1)
+        lens = pc.list_value_length(parts)
+        out = batch
+        for i, name in enumerate(self.header):
+            ok = pc.fill_null(pc.greater(lens, i), False)
+            safe = pc.if_else(ok, parts, pa.nulls(len(parts), parts.type))
+            vals = pc.list_flatten(pc.list_slice(safe, i, i + 1))
+            if len(vals) != len(parts):
+                # ragged rows: fall back to padded python path
+                py = parts.to_pylist()
+                vals = pa.array([r[i] if r is not None and len(r) > i else None for r in py],
+                                type=pa.string())
+            out = out.append_column(self.prefix + name, vals)
+        return out
+
+
+# Severity mapping — the standard OTel severity model (24 levels), as used by
+# the stanza converter (converter.go:166-220).  Text aliases -> number.
+SEVERITY_NUMBER = {
+    "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
+    "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
+    "info": 9, "info2": 10, "info3": 11, "info4": 12,
+    "notice": 10,
+    "warn": 13, "warning": 13, "warn2": 14, "warn3": 15, "warn4": 16,
+    "error": 17, "err": 17, "error2": 18, "error3": 19, "error4": 20,
+    "fatal": 21, "critical": 21, "crit": 21, "fatal2": 22, "fatal3": 23, "fatal4": 24,
+    "emergency": 24, "emerg": 24, "severe": 17,
+}
+SEVERITY_TEXT = {
+    1: "TRACE", 2: "TRACE2", 3: "TRACE3", 4: "TRACE4",
+    5: "DEBUG", 6: "DEBUG2", 7: "DEBUG3", 8: "DEBUG4",
+    9: "INFO", 10: "INFO2", 11: "INFO3", 12: "INFO4",
+    13: "WARN", 14: "WARN2", 15: "WARN3", 16: "WARN4",
+    17: "ERROR", 18: "ERROR2", 19: "ERROR3", 20: "ERROR4",
+    21: "FATAL", 22: "FATAL2", 23: "FATAL3", 24: "FATAL4",
+}
+
+
+class SeverityParser:
+    """Map a severity-text column to the 24-level enum via dictionary lookup
+    (pc.index_in + take — no per-row python)."""
+
+    def __init__(self, parse_from: str = "attr_level",
+                 out_number: str = "severity_number", out_text: str = "severity_text"):
+        self.parse_from = parse_from
+        self.out_number = out_number
+        self.out_text = out_text
+        keys = list(SEVERITY_NUMBER)
+        self._keys = pa.array(keys, type=pa.string())
+        self._nums = pa.array([SEVERITY_NUMBER[k] for k in keys], type=pa.int32())
+        canon = [SEVERITY_TEXT[SEVERITY_NUMBER[k]] for k in keys]
+        self._texts = pa.array(canon, type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.parse_from not in batch.column_names:
+            return batch
+        src = pc.utf8_lower(batch.column(self.parse_from).cast(pa.string()))
+        idx = pc.index_in(src, value_set=self._keys)
+        nums = pc.take(self._nums, idx)
+        texts = pc.take(self._texts, idx)
+        out = batch
+        for col, arr in ((self.out_number, nums), (self.out_text, texts)):
+            if col in out.column_names:
+                out = out.set_column(out.column_names.index(col), col, arr)
+            else:
+                out = out.append_column(col, arr)
+        return out
+
+
+class TimeParser:
+    """strptime / epoch time parse into a timestamp column
+    (stanza time parser layouts — helper/time.go:19-42)."""
+
+    def __init__(self, parse_from: str, layout_type: str = "strptime",
+                 layout: str = "%Y-%m-%dT%H:%M:%SZ", out: str = "time"):
+        if layout_type not in ("strptime", "epoch_s", "epoch_ms", "epoch_us", "epoch_ns"):
+            raise ValueError(layout_type)
+        self.parse_from = parse_from
+        self.layout_type = layout_type
+        self.layout = layout
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.parse_from not in batch.column_names:
+            return batch
+        src = batch.column(self.parse_from)
+        if self.layout_type == "strptime":
+            ts = pc.strptime(src.cast(pa.string()), format=self.layout, unit="us",
+                             error_is_null=True)
+        else:
+            mult = {"epoch_s": 1_000_000, "epoch_ms": 1_000, "epoch_us": 1, "epoch_ns": 1}[self.layout_type]
+            ints = pc.cast(src, pa.int64(), safe=False)
+            if self.layout_type == "epoch_ns":
+                ints = pc.divide(ints, 1_000)
+            else:
+                ints = pc.multiply(ints, mult)
+            ts = ints.cast(pa.timestamp("us"))
+        if self.out in batch.column_names:
+            return batch.set_column(batch.column_names.index(self.out), self.out, ts)
+        return batch.append_column(self.out, ts)
+
+
+def make_tool_log_parser(on_error: str = "send") -> RegexParser:
+    """The flagship transcript parser: tool log lines -> typed attributes.
+
+    Only runs on role=="tool" rows (skip-if, like stanza's transformer
+    `if` predicate — helper/transformer.go:30,55-60)."""
+    return RegexParser(
+        r"^(?P<log_ts>\S+) (?P<level>[A-Z]+) tool=(?P<tool_name>\w+) "
+        r"status=(?P<status>\w+) latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$",
+        parse_from="text",
+        on_error=on_error,
+        if_condition='role == "tool"',
+        types={"latency_ms": pa.int64()},
+    )

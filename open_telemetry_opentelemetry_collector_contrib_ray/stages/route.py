@@ -1,0 +1,100 @@
+"""Routing stage: predicate fan-out to named sinks.
+
+Reference semantics (/root/reference/connector/routingconnector):
+- routing table of (condition, pipelines), evaluated in order
+  (config.go:24-110);
+- match_once=true: sequential first-match-wins, matched rows MOVED out
+  (logs.go:63-117 switchLogs);
+- match_once=false: every matching route receives a COPY
+  (logs.go:119-153 matchAllLogs);
+- rows matching nothing go to default_pipelines; error_mode=ignore
+  sends condition-eval failures to the default route.
+
+Columnar re-expression: ONE pass computes a ``route_id`` column
+(priority-ordered first-match) — no per-route rescan; the partitioned
+Parquet write (fileexporter group_by analog,
+exporter/fileexporter/grouping_file_exporter.go:116-152) then splits by
+``route_id`` in the same pass.  `match_all` necessarily copies rows and
+is provided as per-route filtered datasets sharing the parent plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.ast import parse_condition
+
+
+@dataclass
+class Route:
+    name: str
+    condition: str
+
+
+class RouteIdStage:
+    """Adds `route_id` via priority-ordered first-match-wins (match_once)."""
+
+    def __init__(self, routes: list[Route], default: str = "default",
+                 error_mode: str = "ignore"):
+        self.routes = [(r.name, parse_condition(r.condition)) for r in routes]
+        self.default = default
+        self.error_mode = error_mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        route = pa.repeat(pa.scalar(self.default), n)
+        assigned = pa.array([False] * n, type=pa.bool_())
+        for name, cond in self.routes:
+            try:
+                m = pc.fill_null(cond(batch), False)
+            except Exception:
+                if self.error_mode == "ignore":
+                    continue  # eval failure -> rows stay on default route
+                raise
+            first = pc.and_(m, pc.invert(assigned))
+            route = pc.if_else(first, pa.repeat(pa.scalar(name), n), route)
+            assigned = pc.or_(assigned, first)
+        if "route_id" in batch.column_names:
+            return batch.set_column(batch.column_names.index("route_id"), "route_id", route)
+        return batch.append_column("route_id", route)
+
+
+def split_match_once(ds, routes: list[Route], default: str = "default"):
+    """match_once fan-out -> {sink_name: Dataset}. One route_id computation,
+    each sink filters on it (lazy; sharing the parent plan)."""
+    stage = RouteIdStage(routes, default)
+    routed = ds.map_batches(stage, batch_format="pyarrow")
+    names = [r.name for r in routes] + [default]
+    out = {}
+    for name in names:
+        out[name] = routed.filter(expr=f"route_id == '{name}'")
+    return out
+
+
+def split_match_all(ds, routes: list[Route], default: str = "default"):
+    """match_all fan-out: every matching route gets a COPY of the row;
+    non-matching rows -> default (routingconnector logs.go:119-153)."""
+    conds = [(r.name, r.condition) for r in routes]
+    out = {}
+    for name, cond in conds:
+        mask = parse_condition(cond)
+        out[name] = ds.map_batches(
+            lambda t, m=mask: t.filter(pc.fill_null(m(t), False)), batch_format="pyarrow")
+    all_conds = " or ".join(f"({c})" for _, c in conds) or "false"
+    none_mask = parse_condition(all_conds)
+    out[default] = ds.map_batches(
+        lambda t, m=none_mask: t.filter(pc.invert(pc.fill_null(m(t), False))),
+        batch_format="pyarrow")
+    return out
+
+
+def write_routed(ds, out_dir: str, routes: list[Route], default: str = "default"):
+    """Single-pass routed sink: compute route_id once, write Parquet
+    partitioned by route_id (one subdir per sink — the reference's
+    fileexporter group_by layout)."""
+    routed = ds.map_batches(RouteIdStage(routes, default), batch_format="pyarrow")
+    routed.write_parquet(out_dir, partition_cols=["route_id"])
+    return out_dir

@@ -1,0 +1,76 @@
+"""Transform stage: a list of OTTL-lite statements applied per batch.
+
+Analog of the transformprocessor
+(/root/reference/processor/transformprocessor/internal/logs/processor.go:53-66):
+statements run in order against each batch, with error_mode
+ignore/silent/propagate (pkg/ottl/parser.go:306-392).  Statements are
+compiled once in ``__init__`` (== once per actor when used with
+``concurrency=``), then applied vectorized.
+
+Scratch ``cache["k"]`` columns (ottllog TransformContext cache,
+contexts/ottllog/log.go:34-41) live only for the duration of the
+statement list and are dropped afterwards.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.ast import Statement, parse_statement
+
+
+class TransformStage:
+    def __init__(self, statements: list[str], error_mode: str = "propagate",
+                 keep_cache: bool = False):
+        if error_mode not in ("ignore", "silent", "propagate"):
+            raise ValueError(error_mode)
+        self.compiled: list[Statement] = [parse_statement(s) for s in statements]
+        self.error_mode = error_mode
+        self.keep_cache = keep_cache
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch
+        for stmt in self.compiled:
+            t = stmt.apply(t, error_mode=self.error_mode)
+        if not self.keep_cache:
+            cache_cols = [c for c in t.column_names if c.startswith("cache_")]
+            if cache_cols:
+                t = t.select([c for c in t.column_names if c not in set(cache_cols)])
+        return t
+
+
+class FilterStage:
+    """filterprocessor analog: DROP rows matching any condition (OR semantics)
+    — /root/reference/processor/filterprocessor/logs.go:30-107."""
+
+    def __init__(self, drop_conditions: list[str]):
+        from ..functions.ast import parse_condition
+
+        self.masks = [parse_condition(c) for c in drop_conditions]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not self.masks or batch.num_rows == 0:
+            return batch
+        drop = self.masks[0](batch)
+        for m in self.masks[1:]:
+            drop = pc.or_(drop, m(batch))
+        return batch.filter(pc.invert(pc.fill_null(drop, False)))
+
+
+class KeepStage:
+    """Inverse filter: KEEP rows matching the condition (include-mode
+    filterconfig analog)."""
+
+    def __init__(self, condition: str):
+        from ..functions.ast import parse_condition
+
+        self.mask = parse_condition(condition)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pc.fill_null(self.mask(batch), False))

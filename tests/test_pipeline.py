@@ -1,0 +1,100 @@
+"""End-to-end pipeline tests under the session Ray: routed-row equality
+and per-sink aggregate-count equality — the round-trip gates from
+BASELINE.md, modeled on the reference's routingconnector split tests
+(connector/routingconnector/logs_test.go:80,235,471)."""
+
+import pandas as pd
+import pyarrow.compute as pc
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_route(df: pd.DataFrame) -> pd.Series:
+    """Slow row-wise reference interpreter for the flagship routing table
+    (FIXTURES.md F3 golden-path)."""
+    import re
+
+    pat = re.compile(
+        r"^(\S+) ([A-Z]+) tool=(\w+) status=(\w+) latency_ms=(\d+) msg=(.*)$")
+
+    def route(row):
+        m = pat.match(row.text) if row.role == "tool" and row.text else None
+        status = m.group(4) if m else None
+        lat = int(m.group(5)) if m else None
+        if status == "error":
+            return "errors"
+        if row.role == "tool" and lat is not None and lat > 500:
+            return "slow"
+        if row.text and re.search("(?i)timeout", row.text):
+            return "timeouts"
+        return "default"
+
+    return df.apply(route, axis=1)
+
+
+def test_flagship_routing_row_equality():
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines import build_flagship
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources import read_transcripts
+
+    got = build_flagship(SF).to_pandas()[["conv_id", "turn_idx", "text", "route_id"]]
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    raw = read_transcripts(SF).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    expected = _ref_route(raw)
+    # per-turn text equality under stable (conv_id, turn_idx) order
+    assert (got["text"].fillna("") == raw["text"].fillna("")).all()
+    assert (got["route_id"] == expected).all()
+
+
+def test_per_sink_counts_match_reference_interpreter():
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines import (
+        flagship_sink_counts,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources import read_transcripts
+
+    counts = flagship_sink_counts(SF).to_pandas()
+    raw = read_transcripts(SF).to_pandas()
+    raw["route_id"] = _ref_route(raw)
+    exp = raw.groupby(["route_id", "role"]).size().rename("n").reset_index()
+    m = counts.merge(exp, on=["route_id", "role"], how="outer", suffixes=("_got", "_exp"))
+    assert (m["n_got"].fillna(-1) == m["n_exp"].fillna(-1)).all(), m
+
+
+def test_routed_write_partitions(tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines import run_flagship
+    import os
+
+    out = run_flagship(SF, str(tmp_path / "routed"))
+    subdirs = sorted(os.listdir(out))
+    assert any(d.startswith("route_id=") for d in subdirs)
+    import pyarrow.dataset as pads
+
+    back = pads.dataset(out, partitioning="hive").to_table()
+    assert back.num_rows == 2000
+
+
+def test_grouped_agg_two_phase():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import grouped_agg
+
+    ds = rd.from_items([{"k": "a", "v": i} for i in range(10)] +
+                       [{"k": "b", "v": 100}])
+    out = grouped_agg(ds, ["k"], [("count", None, "n"), ("sum", "v", "total"),
+                                  ("min", "v", "lo"), ("max", "v", "hi"),
+                                  ("mean", "v", "avg")]).to_pandas()
+    a = out[out.k == "a"].iloc[0]
+    assert a.n == 10 and a.total == 45 and a.lo == 0 and a.hi == 9 and a.avg == 4.5
+
+
+def test_recombine_order():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import recombine
+
+    ds = rd.from_items([
+        {"conv_id": "c", "turn_idx": 2, "text": "third", "ts": 3},
+        {"conv_id": "c", "turn_idx": 0, "text": "first", "ts": 1},
+        {"conv_id": "c", "turn_idx": 1, "text": "second", "ts": 2},
+    ])
+    out = recombine(ds, sep=" ").to_pandas()
+    assert out.combined.iloc[0] == "first second third"

@@ -1,0 +1,153 @@
+"""Stage-level tests over small in-memory tables (no Ray needed for the
+pure-batch stages; Ray only for Dataset-level ops)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from open_telemetry_opentelemetry_collector_contrib_ray.sources import TOOL_CATALOG
+from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+    AttributesStage,
+    CsvParser,
+    JsonParser,
+    KeyValueParser,
+    LookupEnricher,
+    ProbabilisticSampler,
+    RegexParser,
+    Route,
+    RouteIdStage,
+    SeverityParser,
+    TimeParser,
+    make_tool_log_parser,
+)
+
+
+def _tool_batch():
+    return pa.table({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+        "role": ["tool", "user", "tool", "tool"],
+        "text": [
+            "2023-11-14T22:13:58Z ERROR tool=calc status=error latency_ms=1356 msg=a b",
+            "hello there",
+            "corrupted gibberish",
+            "2023-11-14T22:14:58Z INFO tool=search status=ok latency_ms=20 msg=ok",
+        ],
+        "tool": ["calc", "", "shell", "search"],
+        "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+    })
+
+
+def test_tool_log_parser_on_error_send():
+    out = make_tool_log_parser()(_tool_batch())
+    assert out.num_rows == 4  # send keeps malformed rows
+    assert out.column("attr_status").to_pylist() == ["error", None, None, "ok"]
+    assert out.column("attr_latency_ms").to_pylist() == [1356, None, None, 20]
+    # user row is skipped (if_condition), not a failure; corrupted tool row is
+    assert out.column("parse_failure").to_pylist() == [False, False, True, False]
+
+
+def test_tool_log_parser_on_error_drop():
+    out = make_tool_log_parser(on_error="drop")(_tool_batch())
+    assert out.num_rows == 3
+    assert out.column("conv_id").to_pylist() == ["c1", "c1", "c2"]
+
+
+def test_regex_parser_propagate_raises():
+    import pytest
+
+    p = RegexParser(r"^(?P<a>\d+)$", on_error="propagate")
+    with pytest.raises(ValueError):
+        p(pa.table({"text": ["1", "x"]}))
+
+
+def test_severity_parser():
+    t = pa.table({"attr_level": ["INFO", "error", "Warning", "bogus", None]})
+    out = SeverityParser()(t)
+    assert out.column("severity_number").to_pylist() == [9, 17, 13, None, None]
+    assert out.column("severity_text").to_pylist() == ["INFO", "ERROR", "WARN", None, None]
+
+
+def test_time_parser_strptime_and_epoch():
+    t = pa.table({"attr_log_ts": ["2023-11-14T22:13:58Z", "bad"]})
+    out = TimeParser("attr_log_ts")(t)
+    vals = out.column("time").to_pylist()
+    assert vals[0] is not None and vals[1] is None
+    t2 = pa.table({"epoch": pa.array([1_700_000_000], pa.int64())})
+    out2 = TimeParser("epoch", layout_type="epoch_s")(t2)
+    assert out2.column("time").to_pylist()[0].year == 2023
+
+
+def test_json_and_kv_and_csv_parsers():
+    jt = pa.table({"text": ['{"a": 1, "b": "x"}', "notjson", None]})
+    out = JsonParser()(jt)
+    assert out.column("attr_a").to_pylist() == [1, None, None]
+    assert out.column("parse_failure").to_pylist() == [False, True, True]
+
+    kt = pa.table({"text": ["a=1 b=2", "b=9", ""]})
+    out = KeyValueParser(["a", "b"])(kt)
+    assert out.column("attr_a").to_pylist() == ["1", None, None]
+    assert out.column("attr_b").to_pylist() == ["2", "9", None]
+
+    ct = pa.table({"text": ["x,1,z", "only,two"]})
+    out = CsvParser(["c1", "c2", "c3"])(ct)
+    assert out.column("attr_c1").to_pylist() == ["x", "only"]
+    assert out.column("attr_c3").to_pylist() == ["z", None]
+
+
+def test_lookup_enricher_defaults():
+    out = LookupEnricher(TOOL_CATALOG, key_col="tool",
+                         defaults={"tool_category": "other", "risk_level": 0})(_tool_batch())
+    # "calc" and "shell" are NOT in the catalog -> defaults (insert-if-absent)
+    assert out.column("attr_tool_category").to_pylist() == ["other", "other", "other", "retrieval"]
+
+
+def test_attributes_stage_actions():
+    t = pa.table({"attr_a": ["1", None], "attr_b": ["x", "y"], "role": ["u", "t"]})
+    stage = AttributesStage([
+        {"action": "insert", "key": "a", "value": "ins"},
+        {"action": "upsert", "key": "c", "from_attribute": "b"},
+        {"action": "convert", "key": "a", "converted_type": "int"},
+        {"action": "hash", "key": "b"},
+        {"action": "delete", "key": "c"},
+    ])
+    out = stage(t)
+    assert out.column("attr_a").to_pylist() == [1, None]  # insert only filled null... then convert
+    assert "attr_c" not in out.column_names
+    import hashlib
+
+    assert out.column("attr_b").to_pylist()[0] == hashlib.sha256(b"x").hexdigest()
+
+
+def test_attributes_insert_semantics():
+    t = pa.table({"attr_a": ["keep", None]})
+    out = AttributesStage([{"action": "insert", "key": "a", "value": "new"}])(t)
+    assert out.column("attr_a").to_pylist() == ["keep", "new"]
+    out = AttributesStage([{"action": "update", "key": "a", "value": "upd"}])(t)
+    assert out.column("attr_a").to_pylist() == ["upd", None]
+
+
+def test_route_first_match_wins():
+    t = pa.table({
+        "role": ["tool", "tool", "user", "user"],
+        "attr_status": ["error", "ok", None, None],
+        "attr_latency_ms": pa.array([2000, 800, None, None], pa.int64()),
+        "text": ["x", "y", "timeout here", "fine"],
+    })
+    stage = RouteIdStage([
+        Route("errors", 'attributes["status"] == "error"'),
+        Route("slow", 'attributes["latency_ms"] > 500'),
+        Route("timeouts", 'IsMatch(text, "timeout")'),
+    ])
+    out = stage(t)
+    # row0 matches errors AND slow -> errors (priority / MOVE semantics)
+    assert out.column("route_id").to_pylist() == ["errors", "slow", "timeouts", "default"]
+
+
+def test_sampler_deterministic():
+    t = pa.table({"conv_id": [f"conv-{i:06d}" for i in range(1000)]})
+    s = ProbabilisticSampler(10.0, "conv_id")
+    a, b = s(t), s(t)
+    assert a.num_rows == b.num_rows
+    assert 50 < a.num_rows < 200  # ~10%
+    inv = ProbabilisticSampler(10.0, "conv_id", invert=True)
+    assert inv(t).num_rows == 1000 - a.num_rows
