@@ -40,27 +40,40 @@ FLAGSHIP_STATEMENTS = [
 ]
 
 
+class FlagshipStage:
+    """All five per-batch stages fused into one callable: parse ->
+    severity -> enrich -> transform -> route.
+
+    One map_batches operator instead of five: fewer per-batch function
+    hops and intermediate table rebuilds.  Still a class so the compiled
+    regexes / catalog arrays / compiled statements build once per worker
+    (task-pool) or per actor (pass ``concurrency=`` to map_batches for an
+    actor pool — the geoip/k8sattributes pattern for heavyweight assets;
+    this catalog is small enough for task mode)."""
+
+    def __init__(self, lookup=None):
+        self.stages = [
+            make_tool_log_parser(),
+            SeverityParser(parse_from="attr_level"),
+            LookupEnricher(
+                lookup or TOOL_CATALOG,
+                key_col="tool",
+                defaults={"tool_category": "other", "owner": "unknown", "risk_level": 0},
+            ),
+            TransformStage(FLAGSHIP_STATEMENTS, error_mode="ignore"),
+            RouteIdStage(FLAGSHIP_ROUTES, default="default"),
+        ]
+
+    def __call__(self, batch):
+        for stage in self.stages:
+            batch = stage(batch)
+        return batch
+
+
 def build_flagship(sf_dir: str, parallelism_hint: int | None = None):
     """The routed dataset (lazy) with all stages applied."""
     ds = read_transcripts(sf_dir)
-    ds = ds.map_batches(make_tool_log_parser(), batch_format="pyarrow")
-    ds = ds.map_batches(SeverityParser(parse_from="attr_level"), batch_format="pyarrow")
-    # enrichment is a stateful actor-pool stage: catalog loaded once per actor
-    ds = ds.map_batches(
-        LookupEnricher,
-        fn_constructor_kwargs=dict(
-            lookup=TOOL_CATALOG,
-            key_col="tool",
-            defaults={"tool_category": "other", "owner": "unknown", "risk_level": 0},
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-    ds = ds.map_batches(TransformStage(FLAGSHIP_STATEMENTS, error_mode="ignore"),
-                        batch_format="pyarrow")
-    ds = ds.map_batches(RouteIdStage(FLAGSHIP_ROUTES, default="default"),
-                        batch_format="pyarrow")
-    return ds
+    return ds.map_batches(FlagshipStage(), batch_format="pyarrow")
 
 
 def flagship_sink_counts(sf_dir: str):
@@ -71,8 +84,28 @@ def flagship_sink_counts(sf_dir: str):
     return grouped_count(ds, ["route_id", "role"], alias="n")
 
 
-def run_flagship(sf_dir: str, out_dir: str):
-    """Full pipeline with routed partitioned sink; returns output dir."""
-    ds = build_flagship(sf_dir)
+def run_flagship(sf_dir: str, out_dir: str, lineage: bool = True):
+    """Full pipeline with routed partitioned sink + per-batch lineage
+    sidecars; returns (out_dir, lineage_dir).  Per-sink counts come free
+    from the lineage (counts_from_lineage) — one pass over the data."""
+    from ..state.lineage import LineageRecorder
+
+    ds = read_transcripts(sf_dir)
+    stage = FlagshipStage()
+    lineage_dir = out_dir + "_lineage"
+    fn = LineageRecorder(stage, lineage_dir) if lineage else stage
+    ds = ds.map_batches(fn, batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["route_id"])
-    return out_dir
+    return out_dir, lineage_dir
+
+
+def sink_counts_from_output(out_dir: str):
+    """countconnector counts computed FROM the routed sink: a
+    column-pruned read-back of (route_id via hive partition, role) —
+    avoids re-executing the whole DAG just to count it."""
+    import ray.data as rd
+
+    from ..stages.aggregate import grouped_count
+
+    ds = rd.read_parquet(out_dir, columns=["role", "route_id"])
+    return grouped_count(ds, ["route_id", "role"], alias="n")

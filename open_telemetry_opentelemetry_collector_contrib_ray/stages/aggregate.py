@@ -92,12 +92,53 @@ class _PartialAgg:
 
 
 def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
-                conditions: Sequence[str] | None = None):
-    """Two-phase grouped aggregate -> Dataset with keys + aliased agg columns."""
+                conditions: Sequence[str] | None = None,
+                combine: str = "shuffle"):
+    """Two-phase grouped aggregate -> Dataset with keys + aliased agg columns.
+
+    combine="shuffle" (default): global Dataset.groupby over the partials —
+    right when key cardinality is large (dedup keys, per-conversation).
+    combine="driver": the partials (one row per key per batch) are collected
+    and merged on the driver with one pyarrow group_by — right when key
+    cardinality is SMALL (roles, routes, severities): it skips the
+    all-to-all shuffle entirely, the tree-reduce pattern of the
+    countconnector's in-memory counter map (counter.go:38-106)."""
     from ray.data.aggregate import Max, Min, Sum
 
     partial = ds.map_batches(_PartialAgg(keys, specs, conditions),
                              batch_format="pyarrow")
+    if combine == "driver":
+        import ray
+
+        refs = partial.to_arrow_refs()
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            tables = [_PartialAgg(keys, specs, conditions)._empty()]
+        merged = pa.concat_tables(tables, promote_options="permissive")
+        pa_aggs, renames = [], {}
+        for op, col, alias in specs:
+            if op in ("count", "sum"):
+                pa_aggs.append((f"__p_{alias}", "sum"))
+                renames[f"__p_{alias}_sum"] = alias
+            elif op in ("min", "max"):
+                pa_aggs.append((f"__p_{alias}", op))
+                renames[f"__p_{alias}_{op}"] = alias
+            elif op == "mean":
+                pa_aggs.append((f"__ps_{alias}", "sum"))
+                pa_aggs.append((f"__pc_{alias}", "sum"))
+        out = merged.group_by(list(keys)).aggregate(pa_aggs)
+        cols = {k: out.column(k) for k in keys}
+        for op, col, alias in specs:
+            if op == "mean":
+                cols[alias] = pc.divide(
+                    pc.cast(out.column(f"__ps_{alias}_sum"), pa.float64()),
+                    pc.cast(out.column(f"__pc_{alias}_sum"), pa.float64()))
+            else:
+                src = [k for k, v in renames.items() if v == alias][0]
+                cols[alias] = out.column(src)
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(cols))
     ray_aggs = []
     for op, col, alias in specs:
         if op in ("count", "sum"):
@@ -123,15 +164,18 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
 
 
 def grouped_count(ds, keys: Sequence[str], conditions: Sequence[str] | None = None,
-                  alias: str = "count"):
-    """countconnector analog: per-group record counts (delta sums)."""
-    return grouped_agg(ds, keys, [("count", None, alias)], conditions)
+                  alias: str = "count", combine: str = "driver"):
+    """countconnector analog: per-group record counts (delta sums).
+    Defaults to driver combine — count group-bys are low-cardinality."""
+    return grouped_agg(ds, keys, [("count", None, alias)], conditions, combine=combine)
 
 
 def grouped_sum(ds, keys: Sequence[str], source_col: str,
-                conditions: Sequence[str] | None = None, alias: str = "total"):
+                conditions: Sequence[str] | None = None, alias: str = "total",
+                combine: str = "driver"):
     """sumconnector analog: per-group sum of a numeric source attribute."""
-    return grouped_agg(ds, keys, [("sum", source_col, alias)], conditions)
+    return grouped_agg(ds, keys, [("sum", source_col, alias)], conditions,
+                       combine=combine)
 
 
 def dedup_exact(ds, key_cols: Sequence[str], ts_col: str = "ts",
@@ -153,7 +197,7 @@ def dedup_exact(ds, key_cols: Sequence[str], ts_col: str = "ts",
 
 
 def histogram_agg(ds, keys: Sequence[str], value_col: str, buckets: Sequence[float],
-                  alias: str = "bucket_count"):
+                  alias: str = "bucket_count", combine: str = "driver"):
     """spanmetricsconnector explicit-bucket histogram: one output row per
     (keys..., le) where le is the inclusive upper bound label ('inf' last).
 
@@ -177,6 +221,20 @@ def histogram_agg(ds, keys: Sequence[str], value_col: str, buckets: Sequence[flo
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(bucketize, batch_format="pyarrow")
+    if combine == "driver":
+        import ray
+        import ray.data as rd
+
+        tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return rd.from_arrow(pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys},
+                 "le": pa.array([], pa.string()), alias: pa.array([], pa.int64())}))
+        merged = pa.concat_tables(tables, promote_options="permissive")
+        out = merged.group_by(list(keys) + ["le"]).aggregate([("__p_cnt", "sum")])
+        cols = {k: out.column(k) for k in list(keys) + ["le"]}
+        cols[alias] = out.column("__p_cnt_sum")
+        return rd.from_arrow(pa.table(cols))
     return partial.groupby(list(keys) + ["le"]).aggregate(Sum("__p_cnt", alias_name=alias))
 
 

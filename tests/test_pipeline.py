@@ -65,13 +65,25 @@ def test_routed_write_partitions(tmp_path):
     from open_telemetry_opentelemetry_collector_contrib_ray.pipelines import run_flagship
     import os
 
-    out = run_flagship(SF, str(tmp_path / "routed"))
+    out, lineage_dir = run_flagship(SF, str(tmp_path / "routed"))
     subdirs = sorted(os.listdir(out))
     assert any(d.startswith("route_id=") for d in subdirs)
     import pyarrow.dataset as pads
 
     back = pads.dataset(out, partitioning="hive").to_table()
     assert back.num_rows == 2000
+    # lineage sidecars: totals + per-sink counts match the data
+    from open_telemetry_opentelemetry_collector_contrib_ray.state.lineage import (
+        counts_from_lineage,
+        summarize_lineage,
+    )
+
+    total = summarize_lineage(lineage_dir)
+    assert total["rows_in"] == total["rows_out"] == 2000
+    assert total["parse_failures"] > 0
+    counts = counts_from_lineage(lineage_dir).to_pandas()
+    assert counts["n"].sum() == 2000
+    assert set(counts.columns) == {"route_id", "role", "n"}
 
 
 def test_grouped_agg_two_phase():
