@@ -311,6 +311,223 @@ def q_embedding_knn(sf_dir: str):
     return top.map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
 
 
+def q_tokens_est(sf_dir: str):
+    """BPE-ish token estimate (TokenCount stage) over documents."""
+    from ..stages.textstats import TokenCount
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(TokenCount(), batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["doc_id", "n_tokens_est"]),
+                          batch_format="pyarrow")
+
+
+def q_cumulative_to_delta(sf_dir: str):
+    """cumulativetodelta analog: per-user lag difference of integer cents."""
+    from ..stages.aggregate import cumulative_to_delta
+    import pandas as pd
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64())
+        return t.append_column("cents", cents)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["delta_cents"] = g["cents"].diff()
+        return g[["event_id", "user_id", "delta_cents"]]
+
+    return ds.groupby("user_id").map_groups(diff, batch_format="pandas")
+
+
+def q_tail_sampling_errors(sf_dir: str):
+    """tailsampling: keep whole conversations containing >=1 error turn."""
+    from ..stages.aggregate import conversation_policy_filter
+
+    ds = _parsed(sf_dir)
+    kept = conversation_policy_filter(ds, 'attributes["status"] == "error"')
+    return kept.map_batches(lambda t: t.select(["conv_id", "turn_idx"]),
+                            batch_format="pyarrow")
+
+
+def q_attr_hash_extract(sf_dir: str):
+    """attributesprocessor action list: upsert-from-attribute + sha256 hash
+    (attraction.go insert/hash actions)."""
+    from ..stages.enrich import AttributesStage
+
+    ds = read_transcripts(sf_dir)
+    stage = AttributesStage([
+        {"action": "upsert", "key": "tool_copy", "from_attribute": "__tool"},
+        {"action": "hash", "key": "tool_copy"},
+    ], prefix="attr_")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("attr___tool", t.column("tool"))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").map_batches(stage, batch_format="pyarrow")
+    return grouped_count(ds, ["attr_tool_copy"], alias="n").map_batches(
+        lambda t: t.rename_columns(["tool_sha256", "n"]), batch_format="pyarrow")
+
+
+def q_replace_pattern(sf_dir: str):
+    """OTTL replace_pattern editor (func_replace_pattern.go): global regex
+    replacement over the body, verified row-for-row."""
+    ds = read_transcripts(sf_dir)
+    ds = ds.map_batches(TransformStage(
+        ['replace_pattern(text, "latency_ms=\\\\d+", "latency_ms=REDACTED")']),
+        batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["conv_id", "turn_idx", "text"]),
+                          batch_format="pyarrow")
+
+
+def q_match_all_route_counts(sf_dir: str):
+    """routingconnector match_once=false COPY semantics: every matching
+    route receives the row (logs.go:119-153); per-sink counts."""
+    from ..stages.route import split_match_all
+
+    ds = _parsed(sf_dir)
+    sinks = split_match_all(ds, ROUTES, default="default")
+    rows = []
+    for name, sub in sinks.items():
+        rows.append({"sink": name, "n": sub.count()})
+    import pandas as pd
+
+    return pd.DataFrame(sorted(rows, key=lambda r: r["sink"]))[["sink", "n"]]
+
+
+# ---- rows-only operators (no SQL oracle; driver records row counts) ------
+
+
+def _planted_dup_docs(sf_dir: str):
+    """documents + deterministic near-duplicate copies (doc_id + 100000,
+    every 8th word dropped) — planted ground truth for near-dup ops."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    texts = tbl.column("text").to_pylist()
+    ids = tbl.column("doc_id").to_pylist()
+    pert, pert_ids = [], []
+    for i, t in zip(ids, texts):
+        if i % 5 == 0:  # plant dups for 20% of docs
+            words = (t or "").split()
+            pert.append(" ".join(w for j, w in enumerate(words) if j % 8 != 7))
+            pert_ids.append(i + 100_000)
+    merged = pa.table({
+        "doc_id": pa.array(ids + pert_ids, pa.int64()),
+        "text": pa.array(texts + pert, pa.string()),
+    })
+    return rd.from_arrow(merged)
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup pairs over documents with planted duplicates."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _planted_dup_docs(sf_dir)
+    return minhash_lsh_pairs(ds, threshold=0.6)
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs (banded 64-bit signatures)."""
+    from ..stages.dedup import simhash_pairs
+
+    ds = _planted_dup_docs(sf_dir)
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup (random-hyperplane LSH buckets) with
+    planted noisy copies."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ..stages.dedup import embedding_neardup_pairs
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    rng = np.random.RandomState(13)
+    planted = vecs[::5] + rng.standard_normal(vecs[::5].shape).astype(np.float32) * 0.01
+    pids = [i + 100_000 for i in ids[::5]]
+    allv = np.concatenate([vecs, planted])
+    merged = pa.table({
+        "vec_id": pa.array(ids + pids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(allv.reshape(-1), pa.float32()), allv.shape[1]),
+    })
+    return embedding_neardup_pairs(rd.from_arrow(merged), threshold=0.98)
+
+
+def q_doc_language_id(sf_dir: str):
+    """Heuristic language ID over documents (rows-only)."""
+    from ..stages.textstats import LanguageId
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(LanguageId(), batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["doc_id", "lang_guess"]),
+                          batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring columns over documents (rows-only)."""
+    from ..stages.textstats import QualityScore
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprints (rows-only; deterministic)."""
+    from ..stages.textstats import Fingerprint
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint(), batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["doc_id", "fingerprint"]),
+                          batch_format="pyarrow")
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-k (scale path of similarity search; rows-only —
+    approximate results have no exact SQL oracle)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ..stages.similarity import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 3)])
+    queries = np.asarray(qtbl.column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
+
+
+def q_multimodal_pipeline(sf_dir: str):
+    """Multimodal plumbing: binary payload -> decode (stub) -> features ->
+    frame sampling (rows-only; deterministic fake decode)."""
+    import ray.data as rd
+    from ..stages.multimodal import (
+        FrameSampler,
+        ImageDecoder,
+        ImageFeatureExtractor,
+        synth_image_table,
+    )
+
+    ds = rd.from_arrow(synth_image_table(200))
+    ds = ds.map_batches(ImageDecoder, batch_format="pyarrow", batch_size=32,
+                        concurrency=(1, 2))
+    ds = ds.map_batches(ImageFeatureExtractor(dim=16), batch_format="pyarrow",
+                        batch_size=32)
+    frames = ds.map_batches(FrameSampler(frames_per_item=4), batch_format="pyarrow",
+                            batch_size=32)
+    return frames.map_batches(lambda t: t.select(["item_id", "frame_idx"]),
+                              batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -336,6 +553,20 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "tokens_est": q_tokens_est,
+        "cumulative_to_delta": q_cumulative_to_delta,
+        "tail_sampling_errors": q_tail_sampling_errors,
+        "attr_hash_extract": q_attr_hash_extract,
+        "replace_pattern": q_replace_pattern,
+        "match_all_route_counts": q_match_all_route_counts,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "doc_language_id": q_doc_language_id,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_ivf": q_knn_ivf,
+        "multimodal_pipeline": q_multimodal_pipeline,
     }
 
 
@@ -440,4 +671,34 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "tokens_est": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(floor(greatest(
+                               len(string_split_regex(trim(text), '\s+')),
+                               length(text) / 4.0)) AS BIGINT) END AS n_tokens_est
+            FROM documents""",
+        "cumulative_to_delta": """
+            SELECT event_id, user_id,
+                   CAST(CAST(round(value * 100) AS BIGINT)
+                        - lag(CAST(round(value * 100) AS BIGINT))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS DOUBLE) AS delta_cents
+            FROM events""",
+        "tail_sampling_errors": f"""
+            SELECT conv_id, turn_idx FROM {_T}
+            WHERE conv_id IN (SELECT DISTINCT conv_id FROM {_T} WHERE {_ERR_SQL})""",
+        "attr_hash_extract": f"""
+            SELECT sha256(tool) AS tool_sha256, count(*) AS n
+            FROM {_T} GROUP BY 1""",
+        "replace_pattern": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_replace(text, 'latency_ms=\\d+', 'latency_ms=REDACTED', 'g') AS text
+            FROM {_T}""",
+        "match_all_route_counts": f"""
+            SELECT 'default' AS sink, count(*) AS n FROM {_T}
+              WHERE NOT ({_ERR_SQL} OR coalesce({_SLOW_SQL}, false) OR {_TIMEOUT_SQL})
+            UNION ALL SELECT 'errors', count(*) FROM {_T} WHERE {_ERR_SQL}
+            UNION ALL SELECT 'slow', count(*) FROM {_T} WHERE coalesce({_SLOW_SQL}, false)
+            UNION ALL SELECT 'timeouts', count(*) FROM {_T} WHERE {_TIMEOUT_SQL}""",
     }

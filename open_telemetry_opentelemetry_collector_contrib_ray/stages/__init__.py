@@ -27,3 +27,19 @@ from .route import (  # noqa: F401
 )
 from .sample import HashBucketStage, ProbabilisticSampler  # noqa: F401
 from .transform import FilterStage, KeepStage, TransformStage  # noqa: F401
+from .dedup import (  # noqa: F401
+    MinHasher,
+    SimHasher,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_verify,
+    simhash_pairs,
+)
+from .multimodal import (  # noqa: F401
+    FrameSampler,
+    ImageDecoder,
+    ImageFeatureExtractor,
+    synth_image_table,
+)
+from .similarity import brute_force_topk, ivf_topk  # noqa: F401
+from .textstats import Fingerprint, LanguageId, QualityScore, TokenCount  # noqa: F401

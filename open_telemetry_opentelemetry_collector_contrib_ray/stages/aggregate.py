@@ -271,3 +271,52 @@ def delta_to_cumulative(ds, key_cols: Sequence[str], value_col: str,
 
     return ds.groupby(list(key_cols)[0] if len(key_cols) == 1 else list(key_cols)) \
              .map_groups(cumsum, batch_format="pandas")
+
+
+def cumulative_to_delta(ds, key_cols: Sequence[str], value_col: str,
+                        order_col: str = "ts", out_col: str = "delta"):
+    """cumulativetodeltaprocessor analog: per-key lag difference in time
+    order (processor/cumulativetodeltaprocessor/).  First point per key
+    emits null (the reference drops/holds the first cumulative point)."""
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        g[out_col] = g[value_col].diff()
+        return g
+
+    key = list(key_cols)[0] if len(key_cols) == 1 else list(key_cols)
+    return ds.groupby(key).map_groups(diff, batch_format="pandas")
+
+
+def conversation_policy_filter(ds, condition: str, group_col: str = "conv_id"):
+    """tailsamplingprocessor analog: keep ENTIRE conversations where any
+    turn matches the policy condition (config.go:12-69; policies under
+    internal/sampling).  The decision wait window == the full run.
+
+    Scale path: the per-group decision is an aggregate over a hashed
+    group key; the winning key set is broadcast (ray.put) and applied as
+    a semi-join filter — conversations never shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.ast import parse_condition
+
+    mask = parse_condition(condition)
+
+    def matching_keys(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(mask(batch), False)
+        keys = pc.unique(batch.filter(m).column(group_col))
+        return pa.table({group_col: keys})
+
+    key_tables = ds.map_batches(matching_keys, batch_format="pyarrow").take_all()
+    keys = sorted({r[group_col] for r in key_tables})
+    keys_ref = ray.put(pa.array(keys))
+
+    class SemiJoin:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column(group_col), value_set=self.keys))
+
+    return ds.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 4))

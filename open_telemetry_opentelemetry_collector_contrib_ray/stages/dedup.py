@@ -1,0 +1,335 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Exact dedup lives in aggregate.dedup_exact (hash-partition + per-group
+first, the logdedup analog).  This module adds the near-duplicate
+family — each designed Ray-Data-first:
+
+- MinHash + LSH:  shingle -> minhash signature (vectorized numpy
+  universal hashing) per batch -> explode to (band_id, band_hash,
+  doc_id) rows -> groupby bands (the ONLY shuffle, and it moves just
+  ids+hashes, never documents) -> candidate pairs -> estimated Jaccard
+  verify from signatures.
+- SimHash: 64-bit signature per doc; banded into 16-bit chunks for the
+  same bucket-groupby candidate generation; Hamming-distance verify.
+- n-gram Jaccard verify: exact similarity for a (small) candidate set,
+  texts broadcast via ray.put.
+- Embedding cosine near-dup: random-hyperplane LSH buckets, pairwise
+  cosine inside buckets.
+
+At 100 TB the signature tables are ~1000x smaller than the corpus, so
+every shuffle here is over signatures, not text.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """Distinct w-word shingle hashes (uint64) of one document."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < w:
+        shingles = {" ".join(toks)} if toks else set()
+    else:
+        shingles = {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+    if not shingles:
+        return np.zeros(1, dtype=np.uint64)
+    import hashlib
+
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+    return out
+
+
+class MinHasher:
+    """Per-batch minhash signatures (stateful stage: permutation params
+    generated once from a fixed seed in __init__ — actor-pool friendly)."""
+
+    def __init__(self, num_perm: int = 128, shingle_w: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text", seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_w = shingle_w
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_w)
+        # universal hashing (a*x + b) mod p, min over shingles, per permutation
+        vals = (self.a[None, :] * h[:, None] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col)
+        sigs = np.stack([self.signature(t or "") for t in texts]) if texts else \
+            np.zeros((0, self.num_perm), dtype=np.uint64)
+        return pa.table({
+            self.id_col: ids,
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perm),
+        })
+
+
+class BandExploder:
+    """signature row -> one row per LSH band: (band_id, band_hash, id)."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({self.id_col: batch.column(self.id_col),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64())})
+        sigs = np.asarray(batch.column("minhash").combine_chunks().flatten()) \
+            .reshape(n, -1)
+        r = self.rows_per_band
+        # hash each band's r values to one uint64 (vectorized mix)
+        band_vals = sigs.reshape(n, self.bands, r)
+        mix = np.uint64(0xff51afd7ed558ccd)
+        h = np.zeros((n, self.bands), dtype=np.uint64)
+        for j in range(r):
+            h = (h ^ band_vals[:, :, j]) * mix
+        ids = np.repeat(np.asarray(batch.column(self.id_col)), self.bands)
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        return pa.table({self.id_col: pa.array(ids),
+                         "band_id": pa.array(band_id),
+                         "band_hash": pa.array(h.reshape(-1))})
+
+
+def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 128, bands: int = 32, shingle_w: int = 3,
+                      threshold: float = 0.7):
+    """Near-duplicate candidate pairs with minhash-estimated Jaccard.
+
+    Returns Dataset(doc_a, doc_b, est_jaccard) with est_jaccard >= threshold.
+    """
+    sigs = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm, shingle_w=shingle_w,
+                                              id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    # carry signatures through the band shuffle so the verify step needs no join
+    exploded = sigs.map_batches(_BandsWithSig(num_perm, bands, id_col),
+                                batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sig = np.stack(g["minhash"].to_numpy())
+        out_a, out_b, est = [], [], []
+        for i in range(len(ids)):
+            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
+            hit = np.nonzero(eq >= threshold)[0]
+            for j in hit:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                est.append(float(eq[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": est})
+
+    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # a pair can surface from several bands -> dedupe (small table)
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+class _BandsWithSig(BandExploder):
+    """BandExploder that also carries the signature list per row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        n = batch.num_rows
+        if n == 0:
+            return out.append_column("minhash", batch.column("minhash"))
+        sigs = np.asarray(batch.column("minhash").combine_chunks().flatten()) \
+            .reshape(n, -1)
+        rep = np.repeat(sigs, self.bands, axis=0)
+        return out.append_column(
+            "minhash", pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.reshape(-1), type=pa.uint64()), sigs.shape[1]))
+
+
+# ------------------------------------------------------------------ simhash
+
+
+class SimHasher:
+    """64-bit SimHash per document (token-hash sign aggregation)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        import hashlib
+
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = np.array([self.simhash64(t or "") for t in texts], dtype=np.uint64)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "simhash": pa.array(sigs)})
+
+
+def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3):
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4 x 16-bit
+    chunks (a pair within Hamming distance 3 must agree on >=1 chunk),
+    bucket-groupby, verify Hamming distance inside buckets."""
+    sigs = ds.map_batches(SimHasher(id_col=id_col, text_col=text_col),
+                          batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        s = np.asarray(batch.column("simhash"))
+        chunks = np.stack([(s >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+                           for i in range(4)], axis=1)
+        ids = np.repeat(np.asarray(batch.column(id_col)), 4)
+        return pa.table({id_col: pa.array(ids),
+                         "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                         "chunk_val": pa.array(chunks.reshape(-1)),
+                         "simhash": pa.array(np.repeat(s, 4))})
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        s = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, ham = [], [], []
+        for i in range(len(ids)):
+            x = s[i + 1:] ^ s[i]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            hit = np.nonzero(d <= max_hamming)[0]
+            for j in hit:
+                out_a.append(ids[i]); out_b.append(ids[i + 1 + j]); ham.append(int(d[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": ham})
+
+    cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
+        pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ------------------------------------------------------- exact jaccard verify
+
+
+def ngram_jaccard_verify(ds_pairs, docs_lookup, id_col: str = "doc_id",
+                         shingle_w: int = 3, threshold: float = 0.5):
+    """Exact n-gram Jaccard for candidate pairs.
+
+    docs_lookup: dict id->text, or a ray.ObjectRef of one (broadcast —
+    candidates are a tiny fraction of the corpus; at larger candidate
+    volumes switch to a co-partitioned join on doc id)."""
+
+    class Verify:
+        def __init__(self):
+            import ray
+
+            lk = docs_lookup
+            if isinstance(lk, ray.ObjectRef):
+                lk = ray.get(lk)
+            self.lookup = lk
+            self.cache: dict = {}
+
+        def _sh(self, i):
+            if i not in self.cache:
+                self.cache[i] = set(_shingle_hashes(self.lookup.get(i, ""), shingle_w).tolist())
+            return self.cache[i]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").to_pylist()
+            b = batch.column("doc_b").to_pylist()
+            jac = []
+            for x, y in zip(a, b):
+                sa, sb = self._sh(x), self._sh(y)
+                u = len(sa | sb)
+                jac.append(len(sa & sb) / u if u else 0.0)
+            out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+            import pyarrow.compute as pc
+
+            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return ds_pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ------------------------------------------------- embedding-space near-dup
+
+
+def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+                            dim: int | None = None, n_planes: int = 12,
+                            threshold: float = 0.95, seed: int = 11):
+    """Cosine near-duplicates via random-hyperplane LSH buckets.
+
+    Sign pattern over n_planes hyperplanes = bucket key (one shuffle of
+    (bucket, id, vector)); exact pairwise cosine inside each bucket.
+    Trades recall for scale like any single-probe LSH; run with several
+    seeds and union for higher recall."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table({id_col: batch.column(id_col),
+                             "bucket": pa.array([], pa.uint64()),
+                             emb_col: batch.column(emb_col)})
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((mat.shape[1], n_planes))
+        signs = (mat @ planes) > 0
+        bucket = np.zeros(len(mat), dtype=np.uint64)
+        for j in range(n_planes):
+            bucket |= signs[:, j].astype(np.uint64) << np.uint64(j)
+        return pa.table({id_col: batch.column(id_col),
+                         "bucket": pa.array(bucket),
+                         emb_col: batch.column(emb_col)})
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        m = mat / norm
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[hit]], "id_b": ids[ib[hit]],
+                             "cosine": sims[ia[hit], ib[hit]]})
+
+    return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,186 @@
+"""Dedup / text-analysis / similarity / multimodal / checkpoint tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_dups():
+    import ray.data as rd
+
+    rng = np.random.RandomState(0)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts, ids = [], []
+    for i in range(40):
+        words = [vocab[rng.randint(len(vocab))] for _ in range(40)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # planted near-dups: drop every 10th word
+    for i in range(0, 40, 4):
+        words = texts[i].split()
+        texts.append(" ".join(w for j, w in enumerate(words) if j % 10 != 9))
+        ids.append(i + 1000)
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts)}))
+
+
+def test_minhash_lsh_finds_planted_dups():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_with_dups(), threshold=0.5).to_pandas()
+    planted = {(i, i + 1000) for i in range(0, 40, 4)}
+    found = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.8, (recall, found)
+
+
+def test_simhash_finds_planted_dups():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import simhash_pairs
+
+    pairs = simhash_pairs(_docs_with_dups(), max_hamming=8).to_pandas()
+    planted = {(i, i + 1000) for i in range(0, 40, 4)}
+    found = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert len(planted & found) / len(planted) >= 0.6
+
+
+def test_ngram_jaccard_verify():
+    import ray
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    ds = _docs_with_dups()
+    docs = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    verified = ngram_jaccard_verify(pairs, ray.put(docs), threshold=0.5).to_pandas()
+    assert len(verified) > 0
+    assert (verified.jaccard >= 0.5).all()
+
+
+def test_embedding_neardup():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal((50, 16))
+    noisy = base[:10] + rng.standard_normal((10, 16)) * 0.01
+    vecs = np.concatenate([base, noisy])
+    ids = list(range(50)) + [i + 1000 for i in range(10)]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(vecs.reshape(-1), pa.float64()), 16)})
+    pairs = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.98).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    planted = {(i, i + 1000) for i in range(10)}
+    assert len(planted & found) >= 7  # single-probe LSH: high but not full recall
+
+
+def test_brute_force_vs_ivf_topk():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(2)
+    vecs = rng.standard_normal((300, 8))
+    t = pa.table({"vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(vecs.reshape(-1), pa.float64()), 8)})
+    q = vecs[:2]
+    exact = brute_force_topk(rd.from_arrow(t), q, k=5, exclude_ids={0, 1}).to_pandas()
+    # exact: query vector's own nearest (excluding itself) must have sim < 1
+    assert set(exact.query_idx) == {0, 1}
+    assert (exact.groupby("query_idx").size() == 5).all()
+    approx = ivf_topk(rd.from_arrow(t), q, k=5, n_centroids=8, n_probe=4,
+                      exclude_ids={0, 1}).to_pandas()
+    # IVF with half the lists probed should recover most of the exact top-5
+    overlap = len(set(map(tuple, exact[["query_idx", "vec_id"]].values))
+                  & set(map(tuple, approx[["query_idx", "vec_id"]].values)))
+    assert overlap >= 6  # of 10
+
+
+def test_textstats_stages():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        Fingerprint,
+        LanguageId,
+        QualityScore,
+        TokenCount,
+    )
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["the quick brown fox and the lazy dog in a field",
+                           "el perro y el gato en la casa que se ve",
+                           "这是中文文本的一个例子",
+                           ""]})
+    lang = LanguageId()(t).column("lang_guess").to_pylist()
+    assert lang[0] == "en" and lang[1] == "es" and lang[2] == "zh" and lang[3] == "unknown"
+    q = QualityScore()(t)
+    assert q.column("q_n_tokens").to_pylist()[0] == 11
+    assert q.column("q_stop_ratio").to_pylist()[3] == 0.0
+    tc = TokenCount()(t).column("n_tokens_est").to_pylist()
+    assert tc[3] == 0 and tc[0] >= 11
+    fp = Fingerprint()(t).column("fingerprint").to_pylist()
+    assert fp[0] != fp[1]
+    assert Fingerprint()(t).column("fingerprint").to_pylist() == fp  # deterministic
+    # whitespace-normalization invariance
+    t2 = pa.table({"doc_id": [1], "text": ["the  quick\tbrown fox and the lazy dog in a  field"]})
+    assert Fingerprint()(t2).column("fingerprint").to_pylist()[0] == fp[0]
+
+
+def test_multimodal_plumbing():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        FrameSampler,
+        ImageDecoder,
+        ImageFeatureExtractor,
+        synth_image_table,
+    )
+
+    ds = rd.from_arrow(synth_image_table(20))
+    dec = ds.map_batches(ImageDecoder, batch_format="pyarrow", batch_size=8,
+                         concurrency=1)
+    feat = dec.map_batches(ImageFeatureExtractor(dim=8), batch_format="pyarrow")
+    rows = feat.take_all()
+    assert len(rows) == 20
+    assert len(rows[0]["features"]) == 8
+    frames = ds.map_batches(FrameSampler(frames_per_item=3), batch_format="pyarrow")
+    assert frames.count() == 60
+
+
+def test_checkpoint_resume(tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_ray.state import run_resumable
+
+    calls = []
+
+    def run_shard(files, out_dir):
+        calls.append(list(files))
+        with open(f"{out_dir}/out.txt", "w") as f:
+            f.write(",".join(files))
+        return {"n_files": len(files)}
+
+    files = [f"f{i:02d}" for i in range(8)]
+    s1 = run_resumable(files, str(tmp_path / "out"), run_shard, n_shards=4)
+    assert s1["shards_run"] == 4 and s1["shards_skipped"] == 0
+    # resume: nothing re-runs
+    s2 = run_resumable(files, str(tmp_path / "out"), run_shard, n_shards=4)
+    assert s2["shards_run"] == 0 and s2["shards_skipped"] == 4
+    assert len(calls) == 4
+
+
+def test_conversation_policy_filter():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        conversation_policy_filter,
+    )
+
+    ds = rd.from_items([
+        {"conv_id": "a", "turn_idx": 0, "attr_status": "ok"},
+        {"conv_id": "a", "turn_idx": 1, "attr_status": "error"},
+        {"conv_id": "b", "turn_idx": 0, "attr_status": "ok"},
+    ])
+    kept = conversation_policy_filter(ds, 'attributes["status"] == "error"').to_pandas()
+    assert set(kept.conv_id) == {"a"} and len(kept) == 2
