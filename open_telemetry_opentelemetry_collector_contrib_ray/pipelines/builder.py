@@ -1,0 +1,123 @@
+"""Declarative pipeline builder: a config list of steps -> a Dataset plan.
+
+Analog of the collector's YAML pipeline config + stanza operator lists
+(/root/reference/cmd/otelcontribcol/builder-config.yaml; stanza
+operators register by type in a global registry,
+pkg/stanza/operator/registry.go + config.go init() pattern).
+
+A pipeline is a list of step dicts: {"type": <registered step>, ...params}.
+`STEP_REGISTRY` is the user extension surface — register_step() adds
+custom step types, exactly like operator.Register in stanza.
+
+Example:
+
+    steps = [
+        {"type": "regex_parser", "pattern": "...", "if": 'role == "tool"'},
+        {"type": "severity_parser", "parse_from": "attr_level"},
+        {"type": "lookup_enrich", "lookup": {...}, "key_col": "tool"},
+        {"type": "transform", "statements": ['set(attributes["x"], 1)']},
+        {"type": "filter", "drop": ['attributes["x"] == nil']},
+        {"type": "router", "routes": [["errors", '...cond...']], "default": "default"},
+    ]
+    ds = build_pipeline(read_transcripts(sf), steps)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from ..stages.enrich import AttributesStage, LookupEnricher, ResourceStamper
+from ..stages.parse import (
+    CsvParser,
+    GrokParser,
+    JsonParser,
+    KeyValueParser,
+    RegexParser,
+    SeverityParser,
+    TimeParser,
+)
+from ..stages.route import Route, RouteIdStage
+from ..stages.sample import HashBucketStage, ProbabilisticSampler
+from ..stages.transform import FilterStage, KeepStage, TransformStage
+
+STEP_REGISTRY: dict[str, Callable[[dict], Any]] = {}
+
+
+def register_step(name: str):
+    """User extension surface: add a step type (stanza operator.Register)."""
+
+    def deco(factory: Callable[[dict], Any]):
+        STEP_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def _opts(cfg: dict) -> dict:
+    """map_batches kwargs carried on any step config."""
+    out: dict = {}
+    if "batch_size" in cfg:
+        out["batch_size"] = cfg["batch_size"]
+    if "concurrency" in cfg:
+        c = cfg["concurrency"]
+        out["concurrency"] = tuple(c) if isinstance(c, list) else c
+    if "num_cpus" in cfg:
+        out["num_cpus"] = cfg["num_cpus"]
+    return out
+
+
+register_step("regex_parser")(lambda c: RegexParser(
+    c["pattern"], parse_from=c.get("parse_from", "text"),
+    on_error=c.get("on_error", "send"), if_condition=c.get("if")))
+register_step("grok_parser")(lambda c: GrokParser(
+    c["pattern"], definitions=c.get("definitions"),
+    named_captures_only=c.get("named_captures_only", True),
+    parse_from=c.get("parse_from", "text"), on_error=c.get("on_error", "send"),
+    if_condition=c.get("if")))
+register_step("json_parser")(lambda c: JsonParser(
+    parse_from=c.get("parse_from", "text"), on_error=c.get("on_error", "send"),
+    keys=c.get("keys")))
+register_step("keyvalue_parser")(lambda c: KeyValueParser(
+    c["keys"], parse_from=c.get("parse_from", "text"),
+    kv_sep=c.get("kv_sep", "="), pair_sep=c.get("pair_sep", " ")))
+register_step("csv_parser")(lambda c: CsvParser(
+    c["header"], parse_from=c.get("parse_from", "text"),
+    delimiter=c.get("delimiter", ",")))
+register_step("time_parser")(lambda c: TimeParser(
+    c["parse_from"], layout_type=c.get("layout_type", "strptime"),
+    layout=c.get("layout", "%Y-%m-%dT%H:%M:%SZ"), out=c.get("out", "time")))
+register_step("severity_parser")(lambda c: SeverityParser(
+    parse_from=c.get("parse_from", "attr_level")))
+register_step("transform")(lambda c: TransformStage(
+    c["statements"], error_mode=c.get("error_mode", "propagate")))
+register_step("attributes")(lambda c: AttributesStage(
+    c["actions"], include=c.get("include"), exclude=c.get("exclude")))
+register_step("lookup_enrich")(lambda c: LookupEnricher(
+    c["lookup"], key_col=c.get("key_col", "tool"), defaults=c.get("defaults")))
+register_step("resource_stamp")(lambda c: ResourceStamper(c["resource"]))
+register_step("filter")(lambda c: FilterStage(c["drop"]))
+register_step("keep")(lambda c: KeepStage(c["condition"]))
+register_step("sampler")(lambda c: ProbabilisticSampler(
+    c["percentage"], attribute_source=c.get("attribute_source", "conv_id"),
+    invert=c.get("invert", False)))
+register_step("hash_bucket")(lambda c: HashBucketStage(
+    source=c.get("source", "conv_id"), num_buckets=c.get("num_buckets", 64)))
+register_step("router")(lambda c: RouteIdStage(
+    [Route(*r) if isinstance(r, (list, tuple)) else Route(r["name"], r["condition"])
+     for r in c["routes"]],
+    default=c.get("default", "default"),
+    error_mode=c.get("error_mode", "ignore")))
+
+
+def build_pipeline(ds, steps: list[dict]):
+    """Apply a config list of per-batch steps to a Dataset (all steps are
+    map_batches over zero-copy Arrow; per-step batch_size/concurrency/
+    num_cpus pass straight through to the scheduler)."""
+    for cfg in steps:
+        kind = cfg["type"]
+        if kind not in STEP_REGISTRY:
+            raise KeyError(f"unknown pipeline step type {kind!r}; "
+                           f"registered: {sorted(STEP_REGISTRY)}")
+        stage = STEP_REGISTRY[kind](cfg)
+        ds = ds.map_batches(stage, batch_format="pyarrow", **_opts(cfg))
+    return ds

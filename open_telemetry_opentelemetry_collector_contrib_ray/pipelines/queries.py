@@ -397,6 +397,94 @@ def q_match_all_route_counts(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["sink"]))[["sink", "n"]]
 
 
+def q_recombine_salted(sf_dir: str):
+    """Hot-key-salted recombine: two-level stitch (segments then merge).
+    Same oracle as recombine_conversations — proves salting preserves
+    semantics (associative concat in salt order)."""
+    from ..stages.aggregate import recombine_salted
+
+    return recombine_salted(read_transcripts(sf_dir), sep="\n", salt_rows=64)
+
+
+def q_interval_counts(sf_dir: str):
+    """intervalprocessor analog: tumbling 1-hour event-time windows per
+    event_type (batch mode: the window key is a truncated-ts column;
+    Streaming guide 'GROUP BY key, floor(ts/size)')."""
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts"])
+
+    def window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("window_start", w)
+
+    ds = ds.map_batches(window, batch_format="pyarrow")
+    return grouped_count(ds, ["event_type", "window_start"], alias="n")
+
+
+def q_relabel_aggregate(sf_dir: str):
+    """metricstransformprocessor analog: rename label values (strict
+    match), then aggregate away a label (aggregate_labels sum)
+    (processor/metricstransformprocessor/config.go:59-230)."""
+    ds = _rd(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(TransformStage([
+        'set(event_type, "page_view") where event_type == "view"',
+        'set(event_type, "page_click") where event_type == "click"',
+    ], error_mode="ignore"), batch_format="pyarrow")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64()))
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    return grouped_sum(ds, ["event_type"], "cents", alias="total_cents")
+
+
+def q_red_metrics(sf_dir: str):
+    """spanmetricsconnector RED metrics: per (tool, status) call count +
+    total latency + error count (connector.go:37-151), from parsed tool
+    turns."""
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    out = grouped_agg(ds, ["attr_tool_name", "attr_status"],
+                      [("count", None, "calls"),
+                       ("sum", "attr_latency_ms", "total_latency_ms"),
+                       ("max", "attr_latency_ms", "max_latency_ms")],
+                      combine="driver")
+    return out.map_batches(
+        lambda t: t.rename_columns(["tool_name", "status", "calls",
+                                    "total_latency_ms", "max_latency_ms"]),
+        batch_format="pyarrow")
+
+
+def q_hash_bucket_counts(sf_dir: str):
+    """loadbalancingexporter consistent-hash analog: rows per hash bucket
+    of conv_id (the partition key for sharded sinks / co-located
+    shuffles); md5-based so the oracle reproduces the placement."""
+    from ..stages.sample import HashBucketStage
+
+    ds = read_transcripts(sf_dir)
+    ds = ds.map_batches(HashBucketStage("conv_id", num_buckets=16),
+                        batch_format="pyarrow")
+    return grouped_count(ds, ["bucket"], alias="n")
+
+
+def q_groupbyattrs_promote(sf_dir: str):
+    """groupbyattrsprocessor analog: promote a record attribute to
+    resource level and compact records under each (resource) group
+    (processor/groupbyattrsprocessor/processor.go:63-100) — flat-columnar
+    it's a rename + grouped compaction count."""
+    ds = _parsed(sf_dir)
+
+    def promote(t: pa.Table) -> pa.Table:
+        # record attr attr_tool_name -> resource column res_tool_name
+        names = [("res_tool_name" if c == "attr_tool_name" else c)
+                 for c in t.column_names]
+        return t.rename_columns(names)
+
+    ds = ds.map_batches(promote, batch_format="pyarrow")
+    return grouped_count(ds, ["res_tool_name"], alias="n_records")
+
+
 # ---- rows-only operators (no SQL oracle; driver records row counts) ------
 
 
@@ -553,6 +641,12 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "recombine_salted": q_recombine_salted,
+        "interval_counts": q_interval_counts,
+        "relabel_aggregate": q_relabel_aggregate,
+        "red_metrics": q_red_metrics,
+        "hash_bucket_counts": q_hash_bucket_counts,
+        "groupbyattrs_promote": q_groupbyattrs_promote,
         "tokens_est": q_tokens_est,
         "cumulative_to_delta": q_cumulative_to_delta,
         "tail_sampling_errors": q_tail_sampling_errors,
@@ -671,6 +765,39 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "recombine_salted": f"""
+            SELECT conv_id,
+                   string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS combined,
+                   count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
+            FROM {_T} GROUP BY conv_id""",
+        "interval_counts": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2""",
+        "relabel_aggregate": """
+            SELECT CASE event_type WHEN 'view' THEN 'page_view'
+                        WHEN 'click' THEN 'page_click' ELSE event_type END AS event_type,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+            FROM events GROUP BY 1""",
+        "red_metrics": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 4) AS status,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT tool_name, status, count(*) AS calls,
+                   sum(lat) AS total_latency_ms, max(lat) AS max_latency_ms
+            FROM parsed GROUP BY 1, 2""",
+        "hash_bucket_counts": f"""
+            SELECT CAST(md5_number_lower(conv_id) % 16 AS INT) AS bucket,
+                   count(*) AS n
+            FROM {_T} GROUP BY 1""",
+        "groupbyattrs_promote": f"""
+            SELECT CASE WHEN role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
+                        THEN regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) END AS res_tool_name,
+                   count(*) AS n_records
+            FROM {_T} GROUP BY 1""",
         "tokens_est": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

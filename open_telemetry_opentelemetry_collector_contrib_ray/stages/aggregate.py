@@ -258,6 +258,51 @@ def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
     return ds.groupby(group_col).map_groups(stitch, batch_format="pandas")
 
 
+def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
+                     text_col: str = "text", sep: str = "\n", out_col: str = "combined",
+                     salt_rows: int = 1024):
+    """Skew-defused recombine: two-level stitch for hot conversations.
+
+    The flagship corpus plants one conversation holding ~10% of all rows
+    (FIXTURES.md F6); a plain groupby sends all of it to ONE reducer.
+    Here each group key is salted with order_col // salt_rows, so a hot
+    conversation splits into bounded segments stitched in parallel;
+    a second (tiny) groupby merges segments in salt order.  String
+    concatenation is associative, so output == plain recombine.
+    This is the north rule's "explicit salting of hot conversations".
+    """
+
+    def stitch_segment(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col)
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "_salt": [g["_salt"].iloc[0]],
+            out_col: [sep.join(g[text_col].fillna(""))],
+            "n_turns": [len(g)],
+            "first_ts": [g["ts"].min()] if "ts" in g else [None],
+            "last_ts": [g["ts"].max()] if "ts" in g else [None],
+        })
+
+    def merge_segments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_salt")
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            out_col: [sep.join(g[out_col])],
+            "n_turns": [int(g["n_turns"].sum())],
+            "first_ts": [g["first_ts"].min()],
+            "last_ts": [g["last_ts"].max()],
+        })
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = pc.cast(pc.divide(t.column(order_col), salt_rows), pa.int32())
+        return t.append_column("_salt", salt)
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    segments = salted.groupby([group_col, "_salt"]).map_groups(
+        stitch_segment, batch_format="pandas")
+    return segments.groupby(group_col).map_groups(merge_segments, batch_format="pandas")
+
+
 def delta_to_cumulative(ds, key_cols: Sequence[str], value_col: str,
                         order_col: str = "ts", out_col: str = "cumulative"):
     """deltatocumulativeprocessor analog: per-key running sum in time order.
