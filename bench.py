@@ -136,29 +136,29 @@ def run_queries() -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        # N vs 4N parallelism levels (the north rule's two cluster sizes,
+        # evidenced in-sandbox per BASELINE.md).  Default 2 vs 8; override
+        # with GRAFT_SCALE_CPUS="8,32".
+        lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(","))
         results = {}
-        for ncpu in (8, 32):
+        for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1",
-                       GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "3"))
+                       GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "1"))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                                  capture_output=True, text=True, check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
             results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-        t8, t32 = results[8]["value"], results[32]["value"]
-        c8, c32 = results[8]["compute_sec"], results[32]["compute_sec"]
+        ratio = hi / lo
+        tl, th = results[lo]["value"], results[hi]["value"]
+        cl, ch = results[lo]["compute_sec"], results[hi]["compute_sec"]
         print(json.dumps({
-            "metric": "flagship parse→enrich→route→aggregate scaling (8 vs 32 cpus)",
-            "sec_8": t8, "sec_32": t32,
-            "turns_per_sec_8": results[8]["turns_per_sec"],
-            "turns_per_sec_32": results[32]["turns_per_sec"],
-            "scaling_efficiency_full": round((t8 / t32) / 4.0, 3),
-            "compute_sec_8": c8, "compute_sec_32": c32,
-            "compute_turns_per_sec_8": results[8]["compute_turns_per_sec"],
-            "compute_turns_per_sec_32": results[32]["compute_turns_per_sec"],
-            "scaling_efficiency": round((c8 / c32) / 4.0, 3),
-            "note": ("full includes the routed parquet sink on ONE local disk "
-                     "(sandbox artifact; distributed storage scales with nodes); "
-                     "scaling_efficiency is measured on the compute+shuffle DAG"),
+            "metric": f"flagship parse→enrich→route→aggregate scaling ({lo} vs {hi} cpus)",
+            f"sec_{lo}": tl, f"sec_{hi}": th,
+            f"turns_per_sec_{lo}": results[lo]["turns_per_sec"],
+            f"turns_per_sec_{hi}": results[hi]["turns_per_sec"],
+            "scaling_efficiency": round((tl / th) / ratio, 3),
+            f"compute_sec_{lo}": cl, f"compute_sec_{hi}": ch,
+            "compute_scaling_efficiency": round((cl / ch) / ratio, 3),
             "sf": SF_DIR, "unit": "sec",
         }))
         return

@@ -185,12 +185,12 @@ def q_text_len_by_role(sf_dir: str):
 def q_tool_category_counts(sf_dir: str):
     """lookup enrich (k8sattributes-style broadcast dict) + count."""
     ds = read_transcripts(sf_dir)
+    # small catalog -> stateless tasks (instance pickles once); reserve the
+    # actor-pool form (class + concurrency) for heavyweight lookup assets
     ds = ds.map_batches(
-        LookupEnricher,
-        fn_constructor_kwargs=dict(lookup=TOOL_CATALOG, key_col="tool",
-                                   defaults={"tool_category": "other"}),
+        LookupEnricher(TOOL_CATALOG, key_col="tool",
+                       defaults={"tool_category": "other"}),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return grouped_count(ds, ["attr_tool_category"], alias="n").map_batches(
         lambda t: t.rename_columns(["tool_category", "n"]), batch_format="pyarrow")
