@@ -109,6 +109,55 @@ register_step("router")(lambda c: RouteIdStage(
     error_mode=c.get("error_mode", "ignore")))
 
 
+from ..stages.enrich import RedactionStage  # noqa: E402
+
+register_step("redaction")(lambda c: RedactionStage(
+    allowed_keys=c.get("allowed_keys"),
+    blocked_value_patterns=c.get("blocked_values"),
+    mask=c.get("mask", "****"), summary=c.get("summary", True)))
+
+
+# stanza transformer operators (pkg/stanza/operator/transformer/{add,copy,
+# move,remove,retain}) — thin sugar over OTTL-lite statements
+def _stanza_transformer(c: dict):
+    kind = c["type"]
+    if kind == "add":
+        stmts = [f'set({c["field"]}, {_lit(c["value"])})']
+    elif kind == "copy":
+        stmts = [f'set({c["to"]}, {c["from"]})']
+    elif kind == "move":
+        stmts = [f'set({c["to"]}, {c["from"]})']
+        src = c["from"]
+        if src.startswith("attributes["):
+            key = src[len('attributes["'):-2]
+            stmts.append(f'delete_key(attributes, "{key}")')
+    elif kind == "remove":
+        field = c["field"]
+        if field.startswith("attributes["):
+            key = field[len('attributes["'):-2]
+            stmts = [f'delete_key(attributes, "{key}")']
+        else:
+            raise ValueError("remove supports attributes[...] fields")
+    elif kind == "retain":
+        keys = ", ".join(f'"{k}"' for k in c["fields"])
+        stmts = [f"keep_keys(attributes, [{keys}])"]
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    return TransformStage(stmts, error_mode=c.get("error_mode", "propagate"))
+
+
+def _lit(v) -> str:
+    if isinstance(v, str):
+        return '"' + v.replace('"', '\\"') + '"'
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+for _name in ("add", "copy", "move", "remove", "retain"):
+    STEP_REGISTRY[_name] = _stanza_transformer
+
+
 def build_pipeline(ds, steps: list[dict]):
     """Apply a config list of per-batch steps to a Dataset (all steps are
     map_batches over zero-copy Arrow; per-step batch_size/concurrency/

@@ -99,6 +99,34 @@ def run_flagship(sf_dir: str, out_dir: str, lineage: bool = True):
     return out_dir, lineage_dir
 
 
+def run_flagship_resumable(sf_dir: str, out_root: str, n_shards: int = 8):
+    """Checkpoint-resumable flagship: input parquet files are sharded;
+    each shard runs the full pipeline into its own atomically-renamed
+    directory with a manifest + lineage — a rerun skips finished shards
+    (north rule: resumable from checkpoint with per-partition lineage)."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.transcripts import ensure_transcripts
+    from ..state.checkpoint import run_resumable
+    from ..state.lineage import LineageRecorder, summarize_lineage
+
+    path = ensure_transcripts(sf_dir)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+
+    def run_shard(shard_files: list[str], tmp_dir: str) -> dict:
+        lineage_dir = os.path.join(tmp_dir, "_lineage")
+        ds = rd.read_parquet(shard_files)
+        ds = ds.map_batches(LineageRecorder(FlagshipStage(), lineage_dir),
+                            batch_format="pyarrow")
+        ds.write_parquet(os.path.join(tmp_dir, "data"), partition_cols=["route_id"])
+        return summarize_lineage(lineage_dir)
+
+    return run_resumable(files, out_root, run_shard, n_shards=n_shards)
+
+
 def sink_counts_from_output(out_dir: str):
     """countconnector counts computed FROM the routed sink: a
     column-pruned read-back of (route_id via hive partition, role) —

@@ -397,6 +397,47 @@ def q_match_all_route_counts(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["sink"]))[["sink", "n"]]
 
 
+def q_redact_latency(sf_dir: str):
+    """redactionprocessor analog: mask attribute values matching a
+    blocklist regex; count masked per row (summary attrs)."""
+    from ..stages.enrich import RedactionStage
+    from ..stages.parse import RegexParser
+
+    ds = read_transcripts(sf_dir)
+    # untyped parse: latency stays a string so the value-blocklist sees it
+    parser = RegexParser(
+        r"^(?P<log_ts>\S+) (?P<level>[A-Z]+) tool=(?P<tool_name>\w+) "
+        r"status=(?P<status>\w+) latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$",
+        if_condition='role == "tool"')
+    ds = ds.map_batches(parser, batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(RedactionStage(blocked_value_patterns=[r"^\d+$"]),
+                        batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "latency_masked": t.column("attr_latency_ms"),
+                         "masked_count": t.column("redaction_masked_count")})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_time_parse(sf_dir: str):
+    """stanza time_parser: strptime layout parse of the extracted log
+    timestamp into a typed timestamp column (helper/time.go:19-42)."""
+    from ..stages.parse import TimeParser
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(TimeParser("attr_log_ts", layout="%Y-%m-%dT%H:%M:%SZ"),
+                        batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["conv_id", "turn_idx", "time"]),
+                          batch_format="pyarrow")
+
+
 def q_recombine_salted(sf_dir: str):
     """Hot-key-salted recombine: two-level stitch (segments then merge).
     Same oracle as recombine_conversations — proves salting preserves
@@ -641,6 +682,8 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "redact_latency": q_redact_latency,
+        "time_parse": q_time_parse,
         "recombine_salted": q_recombine_salted,
         "interval_counts": q_interval_counts,
         "relabel_aggregate": q_relabel_aggregate,
@@ -765,6 +808,18 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "redact_latency": f"""
+            SELECT conv_id, turn_idx,
+                   '****' AS latency_masked,
+                   CAST(1 AS BIGINT) AS masked_count
+            FROM {_T}
+            WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')""",
+        "time_parse": f"""
+            SELECT conv_id, turn_idx,
+                   strptime(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 1),
+                            '%Y-%m-%dT%H:%M:%SZ') AS time
+            FROM {_T}
+            WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')""",
         "recombine_salted": f"""
             SELECT conv_id,
                    string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS combined,

@@ -106,6 +106,54 @@ class ResourceStamper:
         return out
 
 
+class RedactionStage:
+    """redactionprocessor analog (processor/redactionprocessor/config.go:10-31):
+    allowlist of attribute keys (others deleted), blocklist of value
+    regexes (matches masked), plus summary attributes naming what was
+    redacted/deleted."""
+
+    def __init__(self, allowed_keys: list[str] | None = None,
+                 blocked_value_patterns: list[str] | None = None,
+                 mask: str = "****", prefix: str = "attr_", summary: bool = True):
+        self.allowed = set(allowed_keys or [])
+        self.blocked = list(blocked_value_patterns or [])
+        self.mask = mask
+        self.prefix = prefix
+        self.summary = summary
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        n = batch.num_rows
+        deleted = []
+        if self.allowed:
+            drop = [c for c in out.column_names
+                    if c.startswith(self.prefix) and c[len(self.prefix):] not in self.allowed]
+            deleted = [c[len(self.prefix):] for c in drop]
+            out = out.select([c for c in out.column_names if c not in set(drop)])
+        masked_counts = None
+        for pat in self.blocked:
+            for c in list(out.column_names):
+                if not c.startswith(self.prefix):
+                    continue
+                arr = out.column(c)
+                if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+                    continue
+                hit = pc.fill_null(pc.match_substring_regex(arr, pat), False)
+                masked = pc.if_else(hit, pa.repeat(pa.scalar(self.mask), n), arr)
+                out = out.set_column(out.column_names.index(c), c, masked)
+                hits = pc.cast(hit, pa.int64())
+                masked_counts = hits if masked_counts is None else pc.add(masked_counts, hits)
+        if self.summary:
+            out = out.append_column(
+                "redaction_masked_count",
+                masked_counts if masked_counts is not None
+                else pa.array([0] * n, pa.int64()))
+            out = out.append_column(
+                "redaction_deleted_keys",
+                pa.repeat(pa.scalar(",".join(sorted(deleted))), n))
+        return out
+
+
 class AttributesStage:
     """attributesprocessor: ordered action list over attr_* columns.
 

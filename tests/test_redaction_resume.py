@@ -1,0 +1,61 @@
+import pyarrow as pa
+
+
+def test_redaction_stage():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.enrich import (
+        RedactionStage,
+    )
+
+    t = pa.table({
+        "attr_card": ["4111111111111111", "visa"],
+        "attr_note": ["hello", "4222222222222"],
+        "attr_secret": ["x", "y"],
+    })
+    out = RedactionStage(allowed_keys=["card", "note"],
+                         blocked_value_patterns=[r"^\d{13,16}$"])(t)
+    assert "attr_secret" not in out.column_names
+    assert out.column("attr_card").to_pylist() == ["****", "visa"]
+    assert out.column("attr_note").to_pylist() == ["hello", "****"]
+    assert out.column("redaction_masked_count").to_pylist() == [1, 1]
+    assert out.column("redaction_deleted_keys").to_pylist() == ["secret", "secret"]
+
+
+def test_stanza_transformer_steps():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.builder import (
+        build_pipeline,
+    )
+
+    ds = rd.from_arrow(pa.table({"attr_a": ["1", "2"], "attr_b": ["x", "y"]}))
+    steps = [
+        {"type": "add", "field": 'attributes["c"]', "value": "cv"},
+        {"type": "copy", "from": 'attributes["a"]', "to": 'attributes["a2"]'},
+        {"type": "move", "from": 'attributes["b"]', "to": 'attributes["b2"]'},
+        {"type": "retain", "fields": ["a", "a2", "b2", "c"]},
+    ]
+    out = build_pipeline(ds, steps).to_pandas()
+    assert out.attr_c.tolist() == ["cv", "cv"]
+    assert out.attr_a2.tolist() == ["1", "2"]
+    assert out.attr_b2.tolist() == ["x", "y"]
+    assert "attr_b" not in out.columns
+
+
+def test_run_flagship_resumable(tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.flagship import (
+        run_flagship_resumable,
+    )
+
+    out_root = str(tmp_path / "resumable")
+    s1 = run_flagship_resumable("/root/testdata/sf0.001", out_root, n_shards=2)
+    assert s1["shards_run"] >= 1 and s1["shards_skipped"] == 0
+    total_rows = sum(m["stats"]["rows_out"] for m in s1["stats"])
+    assert total_rows == 2000
+    # rerun: everything skipped
+    s2 = run_flagship_resumable("/root/testdata/sf0.001", out_root, n_shards=2)
+    assert s2["shards_run"] == 0
+    assert s2["shards_skipped"] == s1["shards_run"]
+    # output readable as one hive dataset per shard
+    import glob
+
+    files = glob.glob(f"{out_root}/shard=*/data/**/*.parquet", recursive=True)
+    assert files
