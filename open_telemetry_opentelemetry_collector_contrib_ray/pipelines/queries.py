@@ -397,6 +397,47 @@ def q_match_all_route_counts(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["sink"]))[["sink", "n"]]
 
 
+def q_sessionize_events(sf_dir: str):
+    """Session windows per user (30-min gap) — intervalprocessor /
+    groupbytrace time-window family; session count per user."""
+    from ..stages.aggregate import sessionize
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    s = sessionize(ds, "user_id", gap_us=1_800_000_000)
+
+    def per_user(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["user_id"]).aggregate([("session_id", "max")])
+        return pa.table({"user_id": gb.column("user_id"),
+                         "n_sessions": pc.add(gb.column("session_id_max"), 1)})
+
+    return s.map_batches(per_user, batch_format="pyarrow")
+
+
+def q_turn_transitions(sf_dir: str):
+    """servicegraph-style edge metrics: (role -> next role) transition
+    counts within conversations (stream-stream self-join on the
+    conversation key, vectorized as a shift over the sorted group)."""
+    from ..stages.aggregate import adjacent_pairs
+
+    ds = read_transcripts(sf_dir)
+    pairs = adjacent_pairs(ds, cols=("role",))
+    return grouped_count(pairs, ["role", "next_role"], alias="n")
+
+
+def q_top_users_by_value(sf_dir: str):
+    """top-k heavy hitters: 10 users by total event value (integer cents),
+    deterministic tie-break by user_id."""
+    ds = _rd(sf_dir, "events", columns=["user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64()))
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    totals = grouped_sum(ds, ["user_id"], "cents", alias="total_cents")
+    return totals.sort(["total_cents", "user_id"], descending=[True, False]).limit(10)
+
+
 def q_redact_latency(sf_dir: str):
     """redactionprocessor analog: mask attribute values matching a
     blocklist regex; count masked per row (summary attrs)."""
@@ -682,6 +723,9 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "sessionize_events": q_sessionize_events,
+        "turn_transitions": q_turn_transitions,
+        "top_users_by_value": q_top_users_by_value,
         "redact_latency": q_redact_latency,
         "time_parse": q_time_parse,
         "recombine_salted": q_recombine_salted,
@@ -808,6 +852,26 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000 THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id""",
+        "turn_transitions": f"""
+            WITH nxt AS (
+              SELECT role,
+                     lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+              FROM {_T})
+            SELECT role, next_role, count(*) AS n
+            FROM nxt WHERE next_role IS NOT NULL GROUP BY 1, 2""",
+        "top_users_by_value": """
+            SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+            FROM events GROUP BY user_id
+            ORDER BY total_cents DESC, user_id LIMIT 10""",
         "redact_latency": f"""
             SELECT conv_id, turn_idx,
                    '****' AS latency_masked,

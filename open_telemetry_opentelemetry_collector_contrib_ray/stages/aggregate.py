@@ -397,6 +397,44 @@ def cumulative_to_delta(ds, key_cols: Sequence[str], value_col: str,
     return ds.groupby(key).map_groups(diff, batch_format="pandas")
 
 
+def sessionize(ds, key_col: str, ts_col: str = "ts", gap_us: int = 1_800_000_000,
+               out_col: str = "session_id"):
+    """Session windows per key: a new session starts when the gap since the
+    previous event exceeds gap_us (Streaming guide: windows as
+    groupby(key).map_groups over the sorted group; no watermarks in batch
+    mode — the run is the horizon)."""
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col] + [c for c in ("event_id",) if c in g],
+                          kind="stable")
+        ts = g[ts_col].astype("int64")
+        new = (ts.diff() > gap_us).fillna(False)
+        g[out_col] = new.cumsum().astype("int64")
+        return g
+
+    return ds.groupby(key_col).map_groups(assign, batch_format="pandas")
+
+
+def adjacent_pairs(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
+                   cols: Sequence[str] = ("role", "tool")):
+    """servicegraphconnector analog (client↔server span pairing ->
+    edge metrics): pair each turn with its successor inside the
+    conversation.  The groupby shuffle co-locates the conversation; the
+    'join' is a vectorized shift over the sorted group — no pairwise
+    explosion, no second pass."""
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        out = {group_col: g[group_col].iloc[:-1].to_numpy() if len(g) > 1 else []}
+        out[order_col] = g[order_col].iloc[:-1].to_numpy() if len(g) > 1 else []
+        for c in cols:
+            out[c] = g[c].iloc[:-1].to_numpy() if len(g) > 1 else []
+            out["next_" + c] = g[c].iloc[1:].to_numpy() if len(g) > 1 else []
+        return pd.DataFrame(out)
+
+    return ds.groupby(group_col).map_groups(pair, batch_format="pandas")
+
+
 def conversation_policy_filter(ds, condition: str, group_col: str = "conv_id"):
     """tailsamplingprocessor analog: keep ENTIRE conversations where any
     turn matches the policy condition (config.go:12-69; policies under
