@@ -168,7 +168,11 @@ class Index(Node):
                 return pa.array([dict(x or {}).get(self.key) for x in py])
             raise TypeError(f"cannot index {v.type} with string key")
         if pa.types.is_list(v.type) or pa.types.is_large_list(v.type):
-            return pc.list_element(v, self.key)
+            # out-of-bounds -> null (OTTL errors per record; ignore-mode
+            # equivalent), via a null-padded fixed-size slice
+            sliced = pc.list_slice(v, self.key, self.key + 1,
+                                   return_fixed_size_list=True)
+            return pc.list_element(sliced, 0)
         raise TypeError(f"cannot index {v.type} with int")
 
 
@@ -214,6 +218,12 @@ class Binary(Node):
         la, ra = as_array(l, ctx.n), as_array(r, ctx.n)
         if op == "+" and pa.types.is_string(la.type):
             return pc.binary_join_element_wise(la, as_array(r, ctx.n).cast(pa.string()), "")
+        if op == "%":
+            # Go-style truncated modulo: a - trunc(a/b)*b
+            q = pc.divide(la, ra)  # integer divide truncates for ints
+            if pa.types.is_floating(q.type):
+                q = pc.trunc(q)
+            return pc.subtract(la, pc.multiply(q, ra))
         fn = getattr(pc, _MATH[op])
         try:
             return fn(la, ra)

