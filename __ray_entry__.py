@@ -33,8 +33,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_transcripts,
     )
 
-    # the oracle SQL reads this path; make sure it exists before any compare
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.textlog import (
+        synth_log_file,
+    )
+
+    # the oracle SQL reads these paths; make sure they exist before any compare
     ensure_transcripts("/root/testdata/sf0.01")
+    synth_log_file()
     return q.queries()
 
 

@@ -397,6 +397,24 @@ def q_match_all_route_counts(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["sink"]))[["sink", "n"]]
 
 
+def q_filelog_severity_counts(sf_dir: str):
+    """filelogreceiver path: read_text over synthetic log files -> regex
+    parse -> severity mapping -> counts (the full stanza ingest DAG,
+    SURVEY §3.2, from plain text files)."""
+    from ..sources.textlog import read_log_lines, synth_log_file
+    from ..stages.parse import RegexParser, SeverityParser
+
+    log_dir = synth_log_file()
+    ds = read_log_lines(log_dir)
+    parser = RegexParser(
+        r"^(?P<log_ts>\S+) (?P<level>[A-Z]+) tool=(?P<tool_name>\w+) "
+        r"status=(?P<status>\w+) latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$")
+    ds = ds.map_batches(parser, batch_format="pyarrow")
+    ds = ds.map_batches(SeverityParser(parse_from="attr_level"), batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage("not (parse_failure == true)"), batch_format="pyarrow")
+    return grouped_count(ds, ["severity_text"], alias="n")
+
+
 def q_orders_per_nation(sf_dir: str):
     """Large✕large join via explicit hash co-partitioning
     (stages/join.bucketed_hash_join): orders ⋈ customer on custkey, then
@@ -762,6 +780,7 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "filelog_severity_counts": q_filelog_severity_counts,
         "orders_per_nation": q_orders_per_nation,
         "sessionize_events": q_sessionize_events,
         "turn_transitions": q_turn_transitions,
@@ -892,6 +911,19 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "filelog_severity_counts": f"""
+            WITH lines AS (
+              SELECT text FROM read_csv('/tmp/graft_textlogs/n5000-s21/*.log',
+                     columns={{'text': 'VARCHAR'}}, delim='\x01', header=false, quote='')),
+            parsed AS (
+              SELECT upper(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 2)) AS lvl
+              FROM lines WHERE regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT CASE lvl WHEN 'TRACE' THEN 'TRACE' WHEN 'DEBUG' THEN 'DEBUG'
+                        WHEN 'INFO' THEN 'INFO' WHEN 'WARN' THEN 'WARN'
+                        WHEN 'ERROR' THEN 'ERROR' WHEN 'FATAL' THEN 'FATAL' END
+                     AS severity_text,
+                   count(*) AS n
+            FROM parsed GROUP BY 1""",
         "orders_per_nation": """
             SELECT n.n_name AS nation_name, count(*) AS n_orders,
                    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
