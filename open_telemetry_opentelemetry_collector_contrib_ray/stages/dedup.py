@@ -128,27 +128,48 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     exploded = sigs.map_batches(_BandsWithSig(num_perm, bands, id_col),
                                 batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # shuffle by hash-bucket of the band key, NOT one group per band:
+    # inside a bucket, singleton bands are dropped vectorized and only the
+    # (rare) multi-doc bands loop — thousands of python calls become ~16
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        h = np.asarray(t.column("band_hash"), dtype=np.uint64)
+        b = np.asarray(t.column("band_id"), dtype=np.uint64)
+        return t.append_column(
+            "__bucket", pa.array(((h ^ (b * np.uint64(0x9E3779B97F4A7C15))) % 16)
+                                 .astype(np.int32)))
+
+    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["minhash"].to_numpy())
+            return empty
+        g = g.drop_duplicates(subset=["band_id", "band_hash", id_col])
+        sizes = g.groupby(["band_id", "band_hash"])[id_col].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
         out_a, out_b, est = [], [], []
-        for i in range(len(ids)):
-            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for j in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                est.append(float(eq[j]))
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            sig = np.stack(sub["minhash"].to_numpy())
+            for i in range(len(ids)):
+                eq = (sig[i + 1:] == sig[i]).mean(axis=1)
+                hit = np.nonzero(eq >= threshold)[0]
+                for j in hit:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+                    est.append(float(eq[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": est})
 
-    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # a pair can surface from several bands -> dedupe (small table)
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket,
+                                                   batch_format="pandas")
+    return _dedupe_pairs(cand)
 
 
 class _BandsWithSig(BandExploder):
@@ -165,6 +186,24 @@ class _BandsWithSig(BandExploder):
         return out.append_column(
             "minhash", pa.FixedSizeListArray.from_arrays(
                 pa.array(rep.reshape(-1), type=pa.uint64()), sigs.shape[1]))
+
+
+def _dedupe_pairs(cand, n_buckets: int = 16):
+    """A pair can surface from several bands/chunks: drop duplicates with
+    one bucketed shuffle + a vectorized drop_duplicates per bucket (never
+    one python call per pair)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("doc_a"), dtype=np.uint64) if t.num_rows else \
+            np.zeros(0, np.uint64)
+        return t.append_column("__bucket", pa.array((a % n_buckets).astype(np.int32)))
+
+    bucketed = cand.map_batches(add_bucket, batch_format="pyarrow")
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["doc_a", "doc_b"]).drop(columns="__bucket")
+
+    return bucketed.groupby("__bucket").map_groups(dedupe, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ simhash
@@ -240,8 +279,7 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
         pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return _dedupe_pairs(cand)
 
 
 # ------------------------------------------------------- exact jaccard verify
