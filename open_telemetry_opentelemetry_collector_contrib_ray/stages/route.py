@@ -91,6 +91,37 @@ def split_match_all(ds, routes: list[Route], default: str = "default"):
     return out
 
 
+def round_robin_split(ds, n: int, out: str = "rr_sink"):
+    """roundrobinconnector analog (/root/reference/connector/
+    roundrobinconnector): spread rows evenly across n pipelines.  In a
+    deterministic batch engine "round robin" is a uniform deterministic
+    assignment — row-index-within-batch modulo n (load-spreading without
+    any key affinity)."""
+    import numpy as np
+
+    def assign(t: pa.Table) -> pa.Table:
+        idx = np.arange(t.num_rows, dtype=np.int64) % n
+        return t.append_column(out, pa.array(idx))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def failover_write(ds, sink_fns: list, max_attempts: int | None = None):
+    """failoverconnector analog (/root/reference/connector/
+    failoverconnector): try sinks in priority order; first success wins.
+    sink_fns: callables ds -> None (e.g. lambda d: d.write_parquet(p)).
+    Ray task retries handle transient failures inside a sink; this
+    handles a sink being down entirely."""
+    errors = []
+    for i, fn in enumerate(sink_fns[:max_attempts]):
+        try:
+            fn(ds)
+            return i
+        except Exception as ex:  # noqa: BLE001 — priority failover by design
+            errors.append(ex)
+    raise RuntimeError(f"all {len(sink_fns)} sinks failed: {errors}")
+
+
 def write_routed(ds, out_dir: str, routes: list[Route], default: str = "default"):
     """Single-pass routed sink: compute route_id once, write Parquet
     partitioned by route_id (one subdir per sink — the reference's

@@ -110,3 +110,53 @@ def test_recombine_order():
     ])
     out = recombine(ds, sep=" ").to_pandas()
     assert out.combined.iloc[0] == "first second third"
+
+
+def test_round_robin_and_failover(tmp_path):
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.route import (
+        failover_write,
+        round_robin_split,
+    )
+
+    ds = rd.range(100)
+    out = round_robin_split(ds, 4).to_pandas()
+    assert out.rr_sink.value_counts().tolist() == [25, 25, 25, 25]
+
+    calls = []
+
+    def bad(d):
+        calls.append("bad")
+        raise OSError("sink down")
+
+    def good(d):
+        calls.append("good")
+        d.write_parquet(str(tmp_path / "fo"))
+
+    winner = failover_write(rd.range(10), [bad, good])
+    assert winner == 1 and calls == ["bad", "good"]
+
+
+def test_split_match_once_and_match_all_datasets():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.route import (
+        Route,
+        split_match_all,
+        split_match_once,
+    )
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({
+        "x": [1, 2, 3, 4],
+        "text": ["err slow", "err", "slow", "fine"],
+    }))
+    routes = [Route("errors", 'IsMatch(text, "err")'),
+              Route("slow", 'IsMatch(text, "slow")')]
+    once = {k: sorted(r["x"] for r in v.take_all())
+            for k, v in split_match_once(ds, routes).items()}
+    # MOVE: row 1 matches both but lands only on the first route
+    assert once == {"errors": [1, 2], "slow": [3], "default": [4]}
+    alldup = {k: sorted(r["x"] for r in v.take_all())
+              for k, v in split_match_all(ds, routes).items()}
+    # COPY: row 1 appears in both routes
+    assert alldup == {"errors": [1, 2], "slow": [1, 3], "default": [4]}
