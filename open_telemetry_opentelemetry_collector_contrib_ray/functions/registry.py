@@ -437,6 +437,119 @@ def _uuid(ctx, args):
     return pa.array([str(uuid.uuid4()) for _ in range(ctx.n)], type=pa.string())
 
 
+# ------------------------------------------------------------ misc converters
+
+
+@register_converter("Base64Decode")
+def _base64_decode(ctx, args):
+    import base64
+
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            out.append(base64.b64decode(s, validate=True).decode("utf-8", "replace"))
+        except Exception:
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+@register_converter("Decode")
+def _decode(ctx, args):
+    # Decode(target, encoding) — ref func_decode.go (base64 variants / hex)
+    enc = _ev_scalar(args[1], ctx)
+    import base64
+    import binascii
+
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            if enc in ("base64", "base64-standard"):
+                out.append(base64.b64decode(s, validate=True).decode("utf-8", "replace"))
+            elif enc == "base64url":
+                out.append(base64.urlsafe_b64decode(s + "=" * (-len(s) % 4)).decode("utf-8", "replace"))
+            elif enc == "hex":
+                out.append(binascii.unhexlify(s).decode("utf-8", "replace"))
+            elif enc in ("us-ascii", "utf-8"):
+                out.append(s)
+            else:
+                out.append(None)
+        except Exception:
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+@register_converter("URL")
+def _url(ctx, args):
+    # URL(target) -> struct of components — ref func_url.go
+    from urllib.parse import urlparse
+
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    fields = {"scheme": [], "domain": [], "path": [], "query": [], "port": []}
+    for s in py:
+        try:
+            u = urlparse(s or "")
+            fields["scheme"].append(u.scheme or None)
+            fields["domain"].append(u.hostname)
+            fields["path"].append(u.path or None)
+            fields["query"].append(u.query or None)
+            fields["port"].append(u.port)
+        except Exception:
+            for v in fields.values():
+                v.append(None)
+    return pc.make_struct(
+        pa.array(fields["scheme"], pa.string()), pa.array(fields["domain"], pa.string()),
+        pa.array(fields["path"], pa.string()), pa.array(fields["query"], pa.string()),
+        pa.array(fields["port"], pa.int64()),
+        field_names=["scheme", "domain", "path", "query", "port"])
+
+
+@register_converter("UserAgent")
+def _user_agent(ctx, args):
+    # UserAgent(target) -> struct — ref func_useragent.go (ua-parser);
+    # heuristic regex fallback (no ua lib in this container)
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    names, versions, oss = [], [], []
+    browser_re = re.compile(
+        r"(Firefox|Chrome|Safari|Edge|Opera|MSIE|curl|wget|python-requests)[/ ]?([\d.]*)",
+        re.I)
+    os_re = re.compile(r"\((Windows[^;)]*|Macintosh[^;)]*|Linux[^;)]*|Android[^;)]*|iPhone[^;)]*)")
+    for s in py:
+        if not s:
+            names.append(None); versions.append(None); oss.append(None)
+            continue
+        m = browser_re.search(s)
+        names.append(m.group(1) if m else "Other")
+        versions.append(m.group(2) or None if m else None)
+        mo = os_re.search(s)
+        oss.append(mo.group(1) if mo else None)
+    return pc.make_struct(pa.array(names, pa.string()), pa.array(versions, pa.string()),
+                          pa.array(oss, pa.string()),
+                          field_names=["name", "version", "os"])
+
+
+for _name, _kern in [("Sqrt", "sqrt"), ("Abs", "abs"), ("Ceil", "ceil"),
+                     ("Floor", "floor"), ("Round", "round")]:
+    def _mk_math(kern):
+        def fn(ctx, args):
+            return getattr(pc, kern)(pc.cast(_ev_arr(ctx, args[0]), pa.float64(),
+                                             safe=False))
+        return fn
+    _REGISTRY[_name] = ("converter", _mk_math(_kern))
+
+
+@register_converter("Log")
+def _log(ctx, args):
+    return pc.ln(pc.cast(_ev_arr(ctx, args[0]), pa.float64(), safe=False))
+
+
 # ------------------------------------------------------------ editors
 
 

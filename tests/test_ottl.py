@@ -275,3 +275,35 @@ def test_user_registered_function():
     register_row_converter("ReverseStr", lambda s: None if s is None else s[::-1])
     out = parse_statement('set(attributes["r"], ReverseStr(role))').apply(tbl(**BASE))
     assert out.column("attr_r").to_pylist() == ["resu", "loot", "tnatsissa", "loot"]
+
+
+def test_url_useragent_decode():
+    t = tbl(u=["https://example.com:8443/a/b?q=1", "not a url"],
+            b64=["aGVsbG8=", "!!!"],
+            ua=["Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/120.0.0.0", "curl/8.1"])
+    out = parse_statement('merge_maps(attributes, URL(u), "upsert")').apply(t)
+    assert out.column("attr_domain").to_pylist() == ["example.com", None]
+    assert out.column("attr_port").to_pylist() == [8443, None]
+    out2 = parse_statement('set(attributes["d"], Base64Decode(b64))').apply(t)
+    assert out2.column("attr_d").to_pylist() == ["hello", None]
+    out3 = parse_statement('set(attributes["d"], Decode(b64, "base64"))').apply(t)
+    assert out3.column("attr_d").to_pylist() == ["hello", None]
+    out4 = parse_statement('merge_maps(attributes, UserAgent(ua), "upsert")').apply(t)
+    assert out4.column("attr_name").to_pylist() == ["Chrome", "curl"]
+    assert out4.column("attr_os").to_pylist()[0].startswith("Windows")
+
+
+def test_math_converters():
+    t = tbl(n=pa.array([4.0, -2.25, 9.0], pa.float64()))
+    for stmt, exp in [
+        ('set(attributes["o"], Sqrt(n))', [2.0, None, 3.0]),
+        ('set(attributes["o"], Abs(n))', [4.0, 2.25, 9.0]),
+        ('set(attributes["o"], Floor(n))', [4.0, -3.0, 9.0]),
+        ('set(attributes["o"], Ceil(n))', [4.0, -2.0, 9.0]),
+    ]:
+        got = parse_statement(stmt).apply(t, error_mode="ignore").column("attr_o").to_pylist()
+        if "Sqrt" in stmt:
+            import math
+            assert got[0] == 2.0 and got[2] == 3.0 and (got[1] is None or math.isnan(got[1]))
+        else:
+            assert got == exp, (stmt, got)
