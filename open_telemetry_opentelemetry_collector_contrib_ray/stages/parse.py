@@ -38,6 +38,20 @@ def _mask_or_none(condition: str | None):
     return parse_condition(condition) if condition else None
 
 
+def _scatter(values: pa.Array, indices: pa.Array, n: int, typ: pa.DataType) -> pa.Array:
+    """Place values[i] at position indices[i] in a length-n null array."""
+    import numpy as np
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    pos = np.asarray(indices, dtype=np.int64)
+    # build a take-index: null (-1 via mask) everywhere except selected rows
+    take_idx = np.full(n, -1, dtype=np.int64)
+    take_idx[pos] = np.arange(len(pos))
+    take = pa.array(take_idx, mask=(take_idx < 0))
+    return pc.take(values, take)
+
+
 class RegexParser:
     """Named-capture regex parse of one string column into attr_* columns.
 
@@ -71,20 +85,32 @@ class RegexParser:
         src = batch.column(self.parse_from)
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
-        struct = pc.extract_regex(src, self.pattern)  # null where no match
-        matched = pc.is_valid(struct)
         apply_mask = None
+        idx = None
         if self.skip_unless is not None:
+            # run the regex ONLY on rows the if-condition selects, then
+            # scatter results back — on mixed corpora this cuts regex work
+            # to the matching fraction (e.g. only tool turns)
             apply_mask = pc.fill_null(self.skip_unless(batch), False)
-            matched = pc.and_(matched, apply_mask)
+            if isinstance(apply_mask, pa.ChunkedArray):
+                apply_mask = apply_mask.combine_chunks()
+            idx = pc.indices_nonzero(apply_mask)
+            sub = pc.take(src, idx)
+            struct_sub = pc.extract_regex(sub, self.pattern)
+            matched_sub = pc.is_valid(struct_sub)
+            matched = _scatter(matched_sub, idx, batch.num_rows, pa.bool_())
+            matched = pc.fill_null(matched, False)
+        else:
+            struct_sub = pc.extract_regex(src, self.pattern)  # null where no match
+            matched = pc.is_valid(struct_sub)
         out = batch
         for name in self.names:
-            vals = pc.struct_field(struct, name)
+            vals = pc.struct_field(struct_sub, name)
             typ = self.types.get(name)
             if typ is not None:
                 vals = pc.cast(vals, typ, safe=False)
-            if apply_mask is not None:
-                vals = pc.if_else(apply_mask, vals, pa.nulls(len(vals), vals.type))
+            if idx is not None:
+                vals = _scatter(vals, idx, batch.num_rows, vals.type)
             col = self.prefix + name
             if col in out.column_names:
                 out = out.set_column(out.column_names.index(col), col, vals)
