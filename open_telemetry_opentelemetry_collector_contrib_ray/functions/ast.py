@@ -113,6 +113,10 @@ class Path(Node):
     @property
     def column(self) -> str:
         s = self.segments
+        # context prefixes (transformprocessor statement contexts,
+        # internal/common/config.go:14-20): log.X / span.X / datapoint.X == X
+        if s[0] in ("log", "span", "spanevent", "datapoint", "metric") and len(s) > 1:
+            s = s[1:]
         if s[0] in ("body", "text"):
             rest = s[1:]
             return "_".join(("text",) + rest) if rest else "text"

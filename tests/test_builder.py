@@ -47,3 +47,21 @@ def test_register_custom_step():
     ds = rd.from_arrow(pa.table({"x": [1, 2]}))
     out = build_pipeline(ds, [{"type": "add_constant", "name": "k", "value": "v"}])
     assert out.to_pandas().k.tolist() == ["v", "v"]
+
+
+def test_bench_smoke_subprocess():
+    """The driver runs bench.py every round — keep its contract green."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, GRAFT_SF_DIR="/root/testdata/sf0.001",
+               RAY_GRAFT_CPUS="4", GRAFT_BENCH_HEADLINE_ONLY="1",
+               GRAFT_BENCH_REPEAT="1")
+    out = subprocess.run([sys.executable, "/root/repo/bench.py"], env=env,
+                         capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["unit"] == "sec" and rec["turns"] == 2000
+    assert rec["value"] > 0 and rec["turns_per_sec"] > 0

@@ -307,3 +307,9 @@ def test_math_converters():
             assert got[0] == 2.0 and got[2] == 3.0 and (got[1] is None or math.isnan(got[1]))
         else:
             assert got == exp, (stmt, got)
+
+
+def test_context_prefixed_paths():
+    t = tbl(**BASE)
+    out = parse_statement('set(log.attributes["x"], log.body) where log.attributes["status"] == "error"').apply(t)
+    assert out.column("attr_x").to_pylist() == [None, "timeout error", None, None]
