@@ -34,12 +34,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     from open_telemetry_opentelemetry_collector_contrib_ray.sources.textlog import (
+        synth_container_log_file,
         synth_log_file,
     )
 
     # the oracle SQL reads these paths; make sure they exist before any compare
     ensure_transcripts("/root/testdata/sf0.01")
     synth_log_file()
+    synth_container_log_file()
     return q.queries()
 
 

@@ -415,6 +415,21 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_container_log_parse(sf_dir: str):
+    """Container-format heavy parse (stanza `container` parser analog):
+    mixed docker-json / CRI lines -> per-stream counts of successfully
+    parsed full lines."""
+    from ..sources.textlog import read_log_lines, synth_container_log_file
+    from ..stages.parse import ContainerParser
+
+    log_dir = synth_container_log_file()
+    ds = read_log_lines(log_dir)
+    ds = ds.map_batches(ContainerParser(), batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage('not (parse_failure == true)'), batch_format="pyarrow")
+    return grouped_count(ds, ["attr_stream", "attr_logtag"], alias="n").map_batches(
+        lambda t: t.rename_columns(["stream", "logtag", "n"]), batch_format="pyarrow")
+
+
 def q_orders_per_nation(sf_dir: str):
     """Large✕large join via explicit hash co-partitioning
     (stages/join.bucketed_hash_join): orders ⋈ customer on custkey, then
@@ -780,6 +795,7 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "container_log_parse": q_container_log_parse,
         "filelog_severity_counts": q_filelog_severity_counts,
         "orders_per_nation": q_orders_per_nation,
         "sessionize_events": q_sessionize_events,
@@ -911,6 +927,23 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "container_log_parse": """
+            WITH lines AS (
+              SELECT text FROM read_csv('/tmp/graft_textlogs/container-n4000-s33/*.log',
+                     columns={'text': 'VARCHAR'}, delim='\x01', header=false, quote='')),
+            parsed AS (
+              SELECT CASE WHEN starts_with(text, '{')
+                          THEN json_extract_string(text, '$.stream')
+                          ELSE regexp_extract(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$', 2)
+                     END AS stream,
+                     CASE WHEN starts_with(text, '{') THEN 'F'
+                          ELSE regexp_extract(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$', 3)
+                     END AS logtag,
+                     (starts_with(text, '{') AND json_valid(text))
+                       OR regexp_matches(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$') AS ok
+              FROM lines)
+            SELECT stream, logtag, count(*) AS n
+            FROM parsed WHERE ok GROUP BY 1, 2""",
         "filelog_severity_counts": f"""
             WITH lines AS (
               SELECT text FROM read_csv('/tmp/graft_textlogs/n5000-s21/*.log',

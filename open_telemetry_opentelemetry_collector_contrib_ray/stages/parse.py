@@ -345,6 +345,95 @@ class TimeParser:
         return batch.append_column(self.out, ts)
 
 
+CRI_RE = (r"^(?P<cri_time>\S+) (?P<stream>stdout|stderr) "
+          r"(?P<logtag>[PF]) ?(?P<log>.*)$")
+
+
+class ContainerParser:
+    """Container log-format parse (stanza `container` parser analog —
+    the reference's heavy-parse benchmark scenario, testbed
+    log_test.go:70-114): auto-detects docker json-file lines
+    (``{"log":...,"stream":...,"time":...}``) vs containerd/cri-o CRI
+    lines (``<rfc3339> stdout|stderr P|F msg``) per row and extracts
+    log/stream/time (+ logtag for CRI).
+
+    Partial-line (logtag=P) reassembly composes with the recombine stage
+    (group by source, ordered stitch) — not done here, matching stanza
+    where recombine is a separate operator."""
+
+    def __init__(self, parse_from: str = "text", prefix: str = "attr_",
+                 on_error: str = "send"):
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column(self.parse_from)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        is_docker = pc.starts_with(pc.fill_null(src, ""), "{")
+        n = batch.num_rows
+        # CRI path (vectorized regex on all rows; docker rows won't match)
+        cri = pc.extract_regex(src, CRI_RE)
+        cri_ok = pc.is_valid(cri)
+        # docker path (json per matching row)
+        d_idx = [i for i, v in enumerate(is_docker.to_pylist()) if v]
+        d_log = [None] * n
+        d_stream = [None] * n
+        d_time = [None] * n
+        d_ok = [False] * n
+        if d_idx:
+            texts = src.to_pylist()
+            for i in d_idx:
+                try:
+                    rec = json.loads(texts[i])
+                    d_log[i] = rec.get("log", "").rstrip("\n")
+                    d_stream[i] = rec.get("stream")
+                    d_time[i] = rec.get("time")
+                    d_ok[i] = True
+                except (ValueError, TypeError):
+                    pass
+        d_ok_arr = pa.array(d_ok)
+        log = pc.if_else(d_ok_arr, pa.array(d_log, pa.string()),
+                         pc.struct_field(cri, "log"))
+        stream = pc.if_else(d_ok_arr, pa.array(d_stream, pa.string()),
+                            pc.struct_field(cri, "stream"))
+        time_s = pc.if_else(d_ok_arr, pa.array(d_time, pa.string()),
+                            pc.struct_field(cri, "cri_time"))
+        logtag = pc.if_else(d_ok_arr, pa.repeat(pa.scalar("F"), n),
+                            pc.struct_field(cri, "logtag"))
+        out = batch
+        for name, arr in [("log", log), ("stream", stream),
+                          ("log_time", time_s), ("logtag", logtag)]:
+            out = out.append_column(self.prefix + name, arr)
+        failure = pc.invert(pc.or_(pc.fill_null(cri_ok, False), d_ok_arr))
+        out = out.append_column("parse_failure", failure)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(failure))
+        return out
+
+
+class SyslogParser(RegexParser):
+    """RFC3164-ish syslog parse (stanza syslog parser analog):
+    ``<pri>Mon dd hh:mm:ss host app[pid]: msg``."""
+
+    def __init__(self, **kw):
+        super().__init__(
+            r"^<(?P<priority>\d+)>(?P<syslog_ts>\w{3} [ \d]\d \d{2}:\d{2}:\d{2}) "
+            r"(?P<hostname>\S+) (?P<appname>[\w.-]+)(?:\[(?P<pid>\d+)\])?: ?(?P<message>.*)$",
+            **kw)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        if self.prefix + "priority" in out.column_names:
+            pri = pc.cast(out.column(self.prefix + "priority"), pa.int64(), safe=False)
+            # severity = pri % 8, facility = pri // 8 (RFC5424 §6.2.1)
+            out = out.append_column(self.prefix + "facility", pc.divide(pri, 8))
+            out = out.append_column(self.prefix + "syslog_severity",
+                                    pc.subtract(pri, pc.multiply(pc.divide(pri, 8), 8)))
+        return out
+
+
 def make_tool_log_parser(on_error: str = "send") -> RegexParser:
     """The flagship transcript parser: tool log lines -> typed attributes.
 

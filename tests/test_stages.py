@@ -151,3 +151,41 @@ def test_sampler_deterministic():
     assert 50 < a.num_rows < 200  # ~10%
     inv = ProbabilisticSampler(10.0, "conv_id", invert=True)
     assert inv(t).num_rows == 1000 - a.num_rows
+
+
+def test_container_parser_mixed_formats():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        ContainerParser,
+    )
+
+    t = pa.table({"text": [
+        '{"log":"docker line\\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}',
+        "2024-01-01T00:00:02.000000000Z stderr F cri full line",
+        "2024-01-01T00:00:03.000000000Z stdout P cri partial",
+        "garbage that matches neither",
+    ]})
+    out = ContainerParser()(t)
+    assert out.column("attr_log").to_pylist() == [
+        "docker line", "cri full line", "cri partial", None]
+    assert out.column("attr_stream").to_pylist() == ["stdout", "stderr", "stdout", None]
+    assert out.column("attr_logtag").to_pylist() == ["F", "F", "P", None]
+    assert out.column("parse_failure").to_pylist() == [False, False, False, True]
+
+
+def test_syslog_parser():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        SyslogParser,
+    )
+
+    t = pa.table({"text": [
+        "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+        "<13>Feb  5 17:32:18 host app: simple message",
+        "not syslog",
+    ]})
+    out = SyslogParser()(t)
+    assert out.column("attr_hostname").to_pylist() == ["mymachine", "host", None]
+    # Arrow extract_regex yields "" for optional non-participating groups
+    assert out.column("attr_pid").to_pylist() == ["230", "", None]
+    assert out.column("attr_facility").to_pylist() == [4, 1, None]
+    assert out.column("attr_syslog_severity").to_pylist() == [2, 5, None]
+    assert out.column("parse_failure").to_pylist() == [False, False, True]
