@@ -437,6 +437,40 @@ def _uuid(ctx, args):
     return pa.array([str(uuid.uuid4()) for _ in range(ctx.n)], type=pa.string())
 
 
+@register_converter("ParseXML")
+def _parse_xml(ctx, args):
+    """XML string -> map of tag/attr -> text (flattened one level, the
+    ParseSimplifiedXML shape — ref func_parse_simplified_xml.go).  Malformed
+    -> null (on_error handles it)."""
+    import xml.etree.ElementTree as ET
+
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            root = ET.fromstring(s)
+            d: dict[str, str] = {}
+            for k, v in root.attrib.items():
+                d[k] = v
+            for child in root:
+                if child.text and child.text.strip():
+                    d[child.tag] = child.text.strip()
+                for k, v in child.attrib.items():
+                    d[f"{child.tag}_{k}"] = v
+            if root.text and root.text.strip() and not d:
+                d["_text"] = root.text.strip()
+            out.append(d)
+        except ET.ParseError:
+            out.append(None)
+    return pa.array(out, type=pa.map_(pa.string(), pa.string()))
+
+
+_REGISTRY["ParseSimplifiedXML"] = _REGISTRY["ParseXML"]
+
+
 # ------------------------------------------------------------ misc converters
 
 

@@ -704,6 +704,16 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(rd.from_arrow(merged), threshold=0.98)
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
+    (doc_id, cluster_id) with min-id canonical representative."""
+    from ..stages.dedup import dedup_clusters, minhash_lsh_pairs
+
+    ds = _planted_dup_docs(sf_dir)
+    pairs = minhash_lsh_pairs(ds, threshold=0.6)
+    return dedup_clusters(pairs)
+
+
 def q_doc_language_id(sf_dir: str):
     """Heuristic language ID over documents (rows-only)."""
     from ..stages.textstats import LanguageId
@@ -816,6 +826,7 @@ def queries():
         "replace_pattern": q_replace_pattern,
         "match_all_route_counts": q_match_all_route_counts,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "doc_language_id": q_doc_language_id,

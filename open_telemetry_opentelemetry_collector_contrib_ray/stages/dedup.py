@@ -28,6 +28,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
@@ -280,6 +281,122 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
         pairs, batch_format="pandas")
     return _dedupe_pairs(cand)
+
+
+def dedup_clusters(pairs_ds, max_driver_pairs: int = 5_000_000,
+                   max_rounds: int = 20):
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc id in the component (the canonical
+    representative; everything else in the cluster is a duplicate).
+
+    Candidate pairs are a small fraction of the corpus (the guide's
+    premise for LSH dedup), so the default path pulls the edge list to
+    the driver and runs union-find — O(pairs α).  Past
+    ``max_driver_pairs`` it switches to distributed min-label
+    propagation: iterate label = min(label of neighbors) via groupby
+    rounds until a round changes nothing (converges in O(diameter)
+    rounds; near-dup components are tiny, so 2-3 rounds typical)."""
+    import ray.data as rd
+
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "cluster_id": pa.array([], pa.int64())}))
+    if n_pairs <= max_driver_pairs:
+        rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = find(r["doc_a"]), find(r["doc_b"])
+            if a != b:
+                if b < a:
+                    a, b = b, a
+                parent[b] = a
+        items = sorted((node, find(node)) for node in parent)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([i for i, _ in items], pa.int64()),
+            "cluster_id": pa.array([c for _, c in items], pa.int64())}))
+
+    # distributed min-label propagation
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table({"src": t.column("doc_a"), "dst": t.column("doc_b")}),
+        batch_format="pyarrow")
+    edges = edges.union(edges.map_batches(
+        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+        batch_format="pyarrow"))
+    from ray.data.aggregate import Min
+
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    labels = labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("src"),
+                            "label": pc.min_element_wise(t.column("src"),
+                                                         t.column("label"))}),
+        batch_format="pyarrow")
+    for _ in range(max_rounds):
+        lab_edges = bucketless_join_labels(edges, labels)
+        new_labels = lab_edges.groupby("dst").aggregate(Min("src_label", alias_name="nl"))
+        merged = bucketless_merge(labels, new_labels)
+        changed = merged.map_batches(
+            lambda t: pa.table({"c": pc.cast(
+                pc.not_equal(t.column("label"), t.column("new_label")), pa.int64())}),
+            batch_format="pyarrow").sum("c")
+        labels = merged.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "label": pc.min_element_wise(t.column("label"),
+                                                              t.column("new_label"))}),
+            batch_format="pyarrow")
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "cluster_id": t.column("label")}),
+        batch_format="pyarrow")
+
+
+def bucketless_join_labels(edges, labels):
+    """(src,dst) ⋈ (doc_id,label) on src — small-side broadcast."""
+    import ray
+
+    lab = labels.to_pandas()
+    ref = ray.put(dict(zip(lab["doc_id"], lab["label"])))
+
+    class Attach:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            src = t.column("src").to_pylist()
+            sl = [self.m.get(s, s) for s in src]
+            return t.append_column("src_label", pa.array(sl))
+
+    return edges.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def bucketless_merge(labels, new_labels):
+    import ray
+
+    nl = new_labels.to_pandas()
+    ref = ray.put(dict(zip(nl["dst"], nl["nl"])))
+
+    class Merge:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            cur = t.column("label").to_pylist()
+            new = [min(c, self.m.get(i, c)) for i, c in zip(ids, cur)]
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "label": t.column("label"),
+                             "new_label": pa.array(new)})
+
+    return labels.map_batches(Merge, batch_format="pyarrow", concurrency=(1, 4))
 
 
 # ------------------------------------------------------- exact jaccard verify

@@ -184,3 +184,35 @@ def test_conversation_policy_filter():
     ])
     kept = conversation_policy_filter(ds, 'attributes["status"] == "error"').to_pandas()
     assert set(kept.conv_id) == {"a"} and len(kept) == 2
+
+
+def test_dedup_clusters_union_find():
+    import ray.data as rd
+    import pyarrow as pa
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 10, 11, 20], pa.int64()),
+        "doc_b": pa.array([2, 3, 11, 12, 21], pa.int64()),
+    }))
+    out = dedup_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"].to_dict()
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_label_propagation():
+    import ray.data as rd
+    import pyarrow as pa
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 forces multiple propagation rounds
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 3], pa.int64()),
+        "doc_b": pa.array([2, 3, 4], pa.int64()),
+    }))
+    out = dedup_clusters(pairs, max_driver_pairs=0).to_pandas() \
+        .set_index("doc_id")["cluster_id"].to_dict()
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}

@@ -313,3 +313,12 @@ def test_context_prefixed_paths():
     t = tbl(**BASE)
     out = parse_statement('set(log.attributes["x"], log.body) where log.attributes["status"] == "error"').apply(t)
     assert out.column("attr_x").to_pylist() == [None, "timeout error", None, None]
+
+
+def test_parse_xml():
+    t = tbl(x=['<event id="7"><name>boot</name><level>info</level></event>',
+               "not xml"])
+    out = parse_statement('merge_maps(attributes, ParseXML(x), "upsert")').apply(t)
+    assert out.column("attr_id").to_pylist() == ["7", None]
+    assert out.column("attr_name").to_pylist() == ["boot", None]
+    assert out.column("attr_level").to_pylist() == ["info", None]
