@@ -95,7 +95,7 @@ def run_flagship(sf_dir: str, out_dir: str, lineage: bool = True):
     lineage_dir = out_dir + "_lineage"
     fn = LineageRecorder(stage, lineage_dir) if lineage else stage
     ds = ds.map_batches(fn, batch_format="pyarrow")
-    ds.write_parquet(out_dir, partition_cols=["route_id"])
+    ds.write_parquet(out_dir, partition_cols=["route_id"], compression="zstd")
     return out_dir, lineage_dir
 
 
@@ -121,7 +121,7 @@ def run_flagship_resumable(sf_dir: str, out_root: str, n_shards: int = 8):
         ds = rd.read_parquet(shard_files)
         ds = ds.map_batches(LineageRecorder(FlagshipStage(), lineage_dir),
                             batch_format="pyarrow")
-        ds.write_parquet(os.path.join(tmp_dir, "data"), partition_cols=["route_id"])
+        ds.write_parquet(os.path.join(tmp_dir, "data"), partition_cols=["route_id"], compression="zstd")
         return summarize_lineage(lineage_dir)
 
     return run_resumable(files, out_root, run_shard, n_shards=n_shards)

@@ -413,6 +413,47 @@ class ContainerParser:
         return out
 
 
+def reassemble_container_partials(ds, source_cols=("attr_stream",),
+                                  order_col: str = "attr_log_time",
+                                  log_col: str = "attr_log",
+                                  tag_col: str = "attr_logtag"):
+    """Reassemble CRI partial lines (logtag=P ... then F) into full log
+    records — stanza container parser's recombine step
+    (pkg/stanza/operator/parser/container joins partials per source).
+
+    Partitioning contract: rows for one (source...) stream are grouped by
+    the shuffle and stitched in ``order_col`` order; each maximal run of
+    P-lines followed by an F-line becomes one record.  A trailing run
+    with no F flushes as-is (the reference's force-flush timeout analog).
+    """
+    import pandas as pd
+
+    keys = list(source_cols)
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        is_full = (g[tag_col] != "P").to_numpy()
+        # segment id: a segment ENDS at each full line -> id = cumsum of
+        # full-flags shifted by one
+        import numpy as np
+
+        seg = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            seg[1:] = np.cumsum(is_full[:-1])
+        g = g.assign(__seg=seg)
+        gb = g.groupby("__seg", sort=True)
+        out = pd.DataFrame({
+            **{k: gb[k].first() for k in keys},
+            order_col: gb[order_col].first(),
+            log_col: gb[log_col].apply(lambda s: "".join(s.fillna(""))),
+            "n_partials": gb.size(),
+        })
+        return out.reset_index(drop=True)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        stitch, batch_format="pandas")
+
+
 class SyslogParser(RegexParser):
     """RFC3164-ish syslog parse (stanza syslog parser analog):
     ``<pri>Mon dd hh:mm:ss host app[pid]: msg``."""

@@ -127,5 +127,5 @@ def write_routed(ds, out_dir: str, routes: list[Route], default: str = "default"
     partitioned by route_id (one subdir per sink — the reference's
     fileexporter group_by layout)."""
     routed = ds.map_batches(RouteIdStage(routes, default), batch_format="pyarrow")
-    routed.write_parquet(out_dir, partition_cols=["route_id"])
+    routed.write_parquet(out_dir, partition_cols=["route_id"], compression="zstd")
     return out_dir

@@ -189,3 +189,29 @@ def test_syslog_parser():
     assert out.column("attr_facility").to_pylist() == [4, 1, None]
     assert out.column("attr_syslog_severity").to_pylist() == [2, 5, None]
     assert out.column("parse_failure").to_pylist() == [False, False, True]
+
+
+def test_reassemble_container_partials():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        ContainerParser,
+        reassemble_container_partials,
+    )
+
+    t = pa.table({"text": [
+        "2024-01-01T00:00:01.0Z stdout P part one ",
+        "2024-01-01T00:00:02.0Z stdout P part two ",
+        "2024-01-01T00:00:03.0Z stdout F done",
+        "2024-01-01T00:00:04.0Z stdout F single full line",
+        "2024-01-01T00:00:05.0Z stderr F other stream",
+    ]})
+    parsed = ContainerParser()(t)
+    import ray.data as rd
+
+    ds = rd.from_arrow(parsed)
+    out = reassemble_container_partials(ds).to_pandas().sort_values("attr_log_time")
+    logs = out.attr_log.tolist()
+    assert "part one part two done" in logs
+    assert "single full line" in logs
+    assert "other stream" in logs
+    assert out[out.attr_log == "part one part two done"].n_partials.iloc[0] == 3
