@@ -33,8 +33,12 @@ BENCH_QUERIES = [
     "sum_latency_by_tool",
     "dedup_turns",
     "recombine_conversations",
+    "recombine_salted",
     "latency_histogram",
     "tool_category_counts",
+    "sessionize_events",
+    "orders_per_nation",
+    "embedding_knn",
 ]
 
 
