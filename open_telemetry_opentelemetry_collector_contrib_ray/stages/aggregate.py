@@ -336,35 +336,55 @@ def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx"
     This is the north rule's "explicit salting of hot conversations".
     """
 
-    def stitch_segment(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col)
-        return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            "_salt": [g["_salt"].iloc[0]],
-            out_col: [sep.join(g[text_col].fillna(""))],
-            "n_turns": [len(g)],
-            "first_ts": [g["ts"].min()] if "ts" in g else [None],
-            "last_ts": [g["ts"].max()] if "ts" in g else [None],
-        })
-
-    def merge_segments(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_salt")
-        return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            out_col: [sep.join(g[out_col])],
-            "n_turns": [int(g["n_turns"].sum())],
-            "first_ts": [g["first_ts"].min()],
-            "last_ts": [g["last_ts"].max()],
-        })
+    from .sample import _md5_lower64
 
     def add_salt(t: pa.Table) -> pa.Table:
         salt = pc.cast(pc.divide(t.column(order_col), salt_rows), pa.int32())
-        return t.append_column("_salt", salt)
+        t = t.append_column("_salt", salt)
+        # phase-1 shuffle key: hash(group, salt) — a hot conversation's
+        # segments land on DIFFERENT reducers (the whole point of salting)
+        key = pc.binary_join_element_wise(
+            t.column(group_col).cast(pa.string()), salt.cast(pa.string()), "#")
+        b = (_md5_lower64(key.to_pylist()) % np.uint64(64)).astype(np.int32)
+        return t.append_column("__b1", pa.array(b))
+
+    def stitch_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL (group, salt) segments in the bucket
+        g = g.sort_values([group_col, "_salt", order_col], kind="stable")
+        keys = [g[group_col], g["_salt"]]
+        gb = g.groupby([group_col, "_salt"], sort=False)
+        out = pd.DataFrame({
+            out_col: g[text_col].fillna("").groupby(keys, sort=False).agg(sep.join),
+            "n_turns": gb.size(),
+        })
+        if "ts" in g:
+            out["first_ts"] = gb["ts"].min()
+            out["last_ts"] = gb["ts"].max()
+        else:
+            out["first_ts"] = None
+            out["last_ts"] = None
+        return out.reset_index()
+
+    def add_bucket2(t: pa.Table) -> pa.Table:
+        b = (_md5_lower64(t.column(group_col).to_pylist()) % np.uint64(64)) \
+            .astype(np.int32)
+        return t.append_column("__b2", pa.array(b))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "_salt"], kind="stable")
+        gb = g.groupby(group_col, sort=False)
+        out = pd.DataFrame({
+            out_col: g[out_col].groupby(g[group_col], sort=False).agg(sep.join),
+            "n_turns": gb["n_turns"].sum().astype("int64"),
+            "first_ts": gb["first_ts"].min(),
+            "last_ts": gb["last_ts"].max(),
+        })
+        return out.reset_index()
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
-    segments = salted.groupby([group_col, "_salt"]).map_groups(
-        stitch_segment, batch_format="pandas")
-    return segments.groupby(group_col).map_groups(merge_segments, batch_format="pandas")
+    segments = salted.groupby("__b1").map_groups(stitch_bucket, batch_format="pandas")
+    segments = segments.map_batches(add_bucket2, batch_format="pyarrow")
+    return segments.groupby("__b2").map_groups(merge_bucket, batch_format="pandas")
 
 
 def delta_to_cumulative(ds, key_cols: Sequence[str], value_col: str,
