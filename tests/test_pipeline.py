@@ -160,3 +160,24 @@ def test_split_match_once_and_match_all_datasets():
               for k, v in split_match_all(ds, routes).items()}
     # COPY: row 1 appears in both routes
     assert alldup == {"errors": [1, 2], "slow": [1, 3], "default": [4]}
+
+
+def test_flagship_actor_pool_variant():
+    """The stateful-stage contract: FlagshipStage as an actor pool
+    (concurrency=) must produce identical results to task mode."""
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.flagship import (
+        FlagshipStage,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources import (
+        read_transcripts,
+    )
+
+    task_mode = read_transcripts(SF).map_batches(
+        FlagshipStage(), batch_format="pyarrow").to_pandas()
+    actor_mode = read_transcripts(SF).map_batches(
+        FlagshipStage, batch_format="pyarrow", concurrency=2).to_pandas()
+    t = task_mode.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    a = actor_mode.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (t["route_id"] == a["route_id"]).all()
+    assert (t["text"].fillna("") == a["text"].fillna("")).all()
