@@ -415,6 +415,24 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_error_fingerprints(sf_dir: str):
+    """exceptionsconnector analog (connector/exceptionsconnector): group
+    error events by a stable fingerprint of their message (md5 of msg) +
+    tool, emit counts + first/last seen — error aggregation for triage."""
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('attributes["status"] == "error"'),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(TransformStage(
+        ['set(attributes["msg_fp"], MD5(attributes["msg"]))'], error_mode="ignore"),
+        batch_format="pyarrow")
+    out = grouped_agg(ds, ["attr_tool_name", "attr_msg_fp"],
+                      [("count", None, "n"), ("min", "ts", "first_seen"),
+                       ("max", "ts", "last_seen")], combine="bucket")
+    return out.map_batches(
+        lambda t: t.rename_columns(["tool_name", "msg_fp", "n", "first_seen", "last_seen"]),
+        batch_format="pyarrow")
+
+
 def q_container_log_parse(sf_dir: str):
     """Container-format heavy parse (stanza `container` parser analog):
     mixed docker-json / CRI lines -> per-stream counts of successfully
@@ -805,6 +823,7 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "error_fingerprints": q_error_fingerprints,
         "container_log_parse": q_container_log_parse,
         "filelog_severity_counts": q_filelog_severity_counts,
         "orders_per_nation": q_orders_per_nation,
@@ -938,6 +957,14 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "error_fingerprints": f"""
+            SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                   md5(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 6)) AS msg_fp,
+                   count(*) AS n, min(ts) AS first_seen, max(ts) AS last_seen
+            FROM {_T}
+            WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
+              AND regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 4) = 'error'
+            GROUP BY 1, 2""",
         "container_log_parse": """
             WITH lines AS (
               SELECT text FROM read_csv('/tmp/graft_textlogs/container-n4000-s33/*.log',
