@@ -34,21 +34,55 @@ _MERSENNE = (1 << 61) - 1
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
-def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """Distinct w-word shingle hashes (uint64) of one document."""
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < w:
-        shingles = {" ".join(toks)} if toks else set()
-    else:
-        shingles = {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
-    if not shingles:
-        return np.zeros(1, dtype=np.uint64)
-    import hashlib
+class _TokenHasher:
+    """md5-based 64-bit token hashes with a per-worker cache (natural-text
+    vocabularies are tiny relative to token counts, so the md5 cost
+    amortizes to ~zero after warmup)."""
 
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-    return out
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, toks: list[str]) -> np.ndarray:
+        import hashlib
+
+        cache = self.cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                cache[t] = h
+            out[i] = h
+        return out
+
+
+_P1, _P2, _P3 = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+                 np.uint64(0x165667B19E3779F9))
+
+
+def _shingle_hashes(text: str, w: int = 3,
+                    token_hasher: _TokenHasher | None = None) -> np.ndarray:
+    """Distinct w-word shingle hashes (uint64) of one document —
+    vectorized rolling combine over cached token hashes (no per-shingle
+    string building or hashing)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    th = token_hasher or _TokenHasher()
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    h = th(toks)
+    if len(h) < w:
+        acc = np.uint64(0xCBF29CE484222325)
+        for v in h:
+            acc = (acc ^ v) * _P1
+        return np.array([acc], dtype=np.uint64)
+    # position-salted xor combine of w consecutive token hashes
+    sh = h[: len(h) - w + 1] * _P1
+    sh = sh ^ (h[1: len(h) - w + 2] * _P2)
+    if w >= 3:
+        sh = sh ^ (h[2: len(h) - w + 3] * _P3)
+    for j in range(3, w):
+        sh = sh ^ (h[j: len(h) - w + 1 + j] * np.uint64(2 * j + 1))
+    return np.unique(sh)
 
 
 class MinHasher:
@@ -64,9 +98,10 @@ class MinHasher:
         self.shingle_w = shingle_w
         self.id_col = id_col
         self.text_col = text_col
+        self.token_hasher = _TokenHasher()
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_w)
+        h = _shingle_hashes(text, self.shingle_w, self.token_hasher)
         # universal hashing (a*x + b) mod p, min over shingles, per permutation
         vals = (self.a[None, :] * h[:, None] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0).astype(np.uint64)
@@ -216,24 +251,20 @@ class SimHasher:
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
+        self.token_hasher = _TokenHasher()
 
-    @staticmethod
-    def simhash64(text: str) -> int:
-        import hashlib
-
+    def simhash64(self, text: str) -> int:
         toks = _TOKEN_RE.findall(text.lower())
         if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v
+        h = self.token_hasher(toks)  # (n_tok,) uint64
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        v = np.uint64(0)
+        pos = np.nonzero(acc > 0)[0]
+        for i in pos:
+            v |= np.uint64(1) << np.uint64(i)
+        return int(v)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
