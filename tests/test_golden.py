@@ -75,3 +75,24 @@ def test_golden_per_sink_counts():
     exp_map = {(sink, role): n for sink, roles in exp.items()
                for role, n in roles.items()}
     assert got_map == exp_map
+
+
+def test_golden_dedup_equality():
+    """logdedup golden (processor/logdedupprocessor/processor_test.go:153-171
+    analog): engine dedup output == python dict interpreter output."""
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        dedup_exact,
+    )
+
+    case = os.path.join(os.path.dirname(__file__), "golden", "dedup_2k")
+    ds = rd.read_parquet(os.path.join(case, "input.parquet"))
+    got = dedup_exact(ds, ["conv_id", "role", "text"]).to_pandas()
+    exp = pq.read_table(os.path.join(case, "expected_dedup.parquet")).to_pandas()
+    key = ["conv_id", "role", "text"]
+    cols = key + ["log_count", "first_observed", "last_observed",
+                  "representative_turn_idx"]
+    got = got[cols].sort_values(key).reset_index(drop=True)
+    exp = exp[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

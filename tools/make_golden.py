@@ -84,5 +84,36 @@ def make_case_routing(case: str = "routing_2k") -> str:
     return case_dir
 
 
+def make_case_dedup(case: str = "dedup_2k") -> str:
+    """logdedup golden: identical (conv_id, role, text) -> one
+    representative + log_count + first/last observed ts, computed with a
+    plain python dict interpreter."""
+    case_dir = os.path.join(GOLDEN_ROOT, case)
+    os.makedirs(case_dir, exist_ok=True)
+    table = synth_transcripts(2_000)
+    pq.write_table(table, os.path.join(case_dir, "input.parquet"))
+    groups: dict = {}
+    for row in table.to_pylist():
+        k = (row["conv_id"], row["role"], row["text"])
+        g = groups.get(k)
+        if g is None:
+            groups[k] = {"log_count": 1, "first_observed": row["ts"],
+                         "last_observed": row["ts"],
+                         "representative_turn_idx": row["turn_idx"]}
+        else:
+            g["log_count"] += 1
+            g["first_observed"] = min(g["first_observed"], row["ts"])
+            g["last_observed"] = max(g["last_observed"], row["ts"])
+            g["representative_turn_idx"] = min(g["representative_turn_idx"],
+                                               row["turn_idx"])
+    rows = [{"conv_id": k[0], "role": k[1], "text": k[2], **v}
+            for k, v in groups.items()]
+    rows.sort(key=lambda r: (r["conv_id"], r["representative_turn_idx"]))
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(case_dir, "expected_dedup.parquet"))
+    return case_dir
+
+
 if __name__ == "__main__":
     print(make_case_routing())
+    print(make_case_dedup())
