@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<float>-?\d+\.\d*(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+)
   | (?P<int>-?\d+)
-  | (?P<op>==|!=|<=|>=|&&|\|\||[<>+\-*/%(),\[\]\.])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[<>+\-*/%(),\[\]\.{}:])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -138,6 +138,24 @@ class Path(Node):
         if col is None:
             return pa.nulls(ctx.n)
         return col
+
+
+@dataclass
+class MapLiteral(Node):
+    """OTTL map literal {"k": expr, ...} -> struct array (grammar.go
+    mapValue production)."""
+
+    items: list[tuple[str, Node]]
+
+    def eval(self, ctx):
+        arrays, names = [], []
+        for k, node in self.items:
+            v = as_array(node.eval(ctx), ctx.n)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            arrays.append(v)
+            names.append(k)
+        return pc.make_struct(*arrays, field_names=names)
 
 
 @dataclass
@@ -478,6 +496,20 @@ class Parser:
                     items.append(self.parse_expr())
             self.expect("op", "]")
             return Literal(items)
+        if t.kind == "op" and t.val == "{":
+            self.next()
+            entries: list[tuple[str, Node]] = []
+            if not (self.peek().kind == "op" and self.peek().val == "}"):
+                while True:
+                    k = self.expect("string").val
+                    self.expect("op", ":")
+                    entries.append((k, self.parse_expr()))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+            self.expect("op", "}")
+            return MapLiteral(entries)
         if t.kind == "ident":
             self.next()
             if self.at_op("("):

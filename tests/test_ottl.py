@@ -322,3 +322,13 @@ def test_parse_xml():
     assert out.column("attr_id").to_pylist() == ["7", None]
     assert out.column("attr_name").to_pylist() == ["boot", None]
     assert out.column("attr_level").to_pylist() == ["info", None]
+
+
+def test_map_literal():
+    t = tbl(role=["user", "tool"], turn_idx=pa.array([1, 2], pa.int32()))
+    out = parse_statement(
+        'merge_maps(attributes, {"who": role, "idx2": turn_idx * 2, "k": "const"}, "upsert")'
+    ).apply(t)
+    assert out.column("attr_who").to_pylist() == ["user", "tool"]
+    assert out.column("attr_idx2").to_pylist() == [2, 4]
+    assert out.column("attr_k").to_pylist() == ["const", "const"]
