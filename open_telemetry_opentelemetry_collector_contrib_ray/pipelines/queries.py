@@ -415,6 +415,29 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_approx_top_tools(sf_dir: str):
+    """Space-saving heavy-hitter sketch: top-5 tools by turn count.
+    Mergeable per-batch summaries; key cardinality here is far below the
+    sketch capacity, so counts are EXACT and the SQL oracle applies."""
+    from ..stages.sketch import approx_top_k
+
+    ds = read_transcripts(sf_dir)
+    ds = ds.map_batches(KeepStage('not (tool == "")'), batch_format="pyarrow")
+    return approx_top_k(ds, "tool", k=5, capacity=256)
+
+
+def q_approx_distinct_convs(sf_dir: str):
+    """HyperLogLog distinct-conversation estimate (rows-only: approximate
+    by design; the test bound lives in tests/test_dedup_textstats.py)."""
+    import pandas as pd
+
+    from ..stages.sketch import approx_distinct
+
+    ds = read_transcripts(sf_dir)
+    est = approx_distinct(ds, "conv_id", p=12)
+    return pd.DataFrame({"metric": ["approx_distinct_conv_id"], "estimate": [est]})
+
+
 def q_error_fingerprints(sf_dir: str):
     """exceptionsconnector analog (connector/exceptionsconnector): group
     error events by a stable fingerprint of their message (md5 of msg) +
@@ -823,6 +846,8 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "approx_top_tools": q_approx_top_tools,
+        "approx_distinct_convs": q_approx_distinct_convs,
         "error_fingerprints": q_error_fingerprints,
         "container_log_parse": q_container_log_parse,
         "filelog_severity_counts": q_filelog_severity_counts,
@@ -957,6 +982,10 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "approx_top_tools": f"""
+            SELECT tool, count(*) AS est_count FROM {_T}
+            WHERE tool <> ''
+            GROUP BY tool ORDER BY est_count DESC, tool LIMIT 5""",
         "error_fingerprints": f"""
             SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
                    md5(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 6)) AS msg_fp,

@@ -1,0 +1,152 @@
+"""Mergeable sketch aggregates: approximate heavy hitters + distinct counts.
+
+The scale pattern (Aggregation guide): emit ONE serialized sketch per
+batch inside map_batches, merge the (tiny) sketches in a second stage —
+sketches are designed to be mergeable, so the shuffle moves kilobytes
+regardless of input size.
+
+- SpaceSaving (Metwally et al.'s deterministic heavy-hitter summary):
+  capacity-bounded counter map; merge = counter addition + re-prune.
+  Guarantee: any key with true count > N/capacity is retained, and
+  estimates overshoot by at most the minimum evicted count.
+- HyperLogLog (Flajolet et al.): 2^p registers of leading-zero maxima;
+  merge = element-wise max; ~1.04/sqrt(2^p) relative error.
+
+Both serialize to plain python structures (dict / bytes) inside an Arrow
+binary column so they flow through the object store like any block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64(values: list) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(md5(str(v).encode()).digest()[8:16], "little")
+    return out
+
+
+# ----------------------------------------------------------- space-saving
+
+
+def _ss_add(counters: dict, key, inc: int, capacity: int):
+    if key in counters:
+        counters[key] += inc
+    elif len(counters) < capacity:
+        counters[key] = inc
+    else:
+        m_key = min(counters, key=counters.get)
+        m = counters.pop(m_key)
+        counters[key] = m + inc  # overestimates by at most m
+
+
+def _ss_merge(a: dict, b: dict, capacity: int) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    if len(out) > capacity:
+        keep = sorted(out.items(), key=lambda kv: -kv[1])[:capacity]
+        out = dict(keep)
+    return out
+
+
+def approx_top_k(ds, col: str, k: int = 10, capacity: int = 256):
+    """Approximate top-k heavy hitters of a column.
+
+    Per-batch SpaceSaving summaries (vectorized pre-count per batch, then
+    bounded counter update) -> driver merge -> top-k.  Returns a pyarrow
+    Table (key, est_count) sorted desc.  Exact for any key whose count
+    exceeds N/capacity."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by([col]).aggregate([([], "count_all")])
+        counters: dict = {}
+        keys = gb.column(col).to_pylist()
+        counts = gb.column("count_all").to_pylist()
+        for key, cnt in zip(keys, counts):
+            _ss_add(counters, key, cnt, capacity)
+        return pa.table({"sketch": pa.array([pickle.dumps(counters)], pa.binary())})
+
+    import ray
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    merged: dict = {}
+    for row in parts:
+        merged = _ss_merge(merged, pickle.loads(row["sketch"]), capacity)
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+    return pa.table({col: pa.array([t[0] for t in top]),
+                     "est_count": pa.array([t[1] for t in top], pa.int64())})
+
+
+# ----------------------------------------------------------- hyperloglog
+
+
+class HLL:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        rank = np.zeros(len(h), dtype=np.uint8)
+        remaining = rest
+        mask = np.uint64(1) << np.uint64(63)
+        val = remaining.copy()
+        lz = np.full(len(h), 64 - self.p, dtype=np.uint8)
+        nz = val != 0
+        if nz.any():
+            # position of highest set bit via float log2 (exact for < 2^53
+            # after shifting; use bit-length via np.log2 on float is risky —
+            # compute with a loop over 64 bits vectorized by halving)
+            v = val[nz]
+            pos = np.zeros(len(v), dtype=np.uint8)
+            for shift in (32, 16, 8, 4, 2, 1):
+                big = v >= (np.uint64(1) << np.uint64(shift))
+                pos[big] += shift
+                v = np.where(big, v >> np.uint64(shift), v)
+            lz_nz = (63 - pos).astype(np.uint8)
+            lz[nz] = np.minimum(lz_nz, 64 - self.p)
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HLL") -> None:
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # small-range correction
+        return float(e)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): one HLL per batch, merged on the
+    driver (the mergeable-sketch tree-reduce)."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_hashes(_hash64(batch.column(col).to_pylist()))
+        return pa.table({"sketch": pa.array([h.registers.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    acc = HLL(p)
+    for row in parts:
+        other = HLL(p)
+        other.registers = np.frombuffer(row["sketch"], dtype=np.uint8).copy()
+        acc.merge(other)
+    return acc.estimate()

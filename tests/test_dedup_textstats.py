@@ -216,3 +216,34 @@ def test_dedup_clusters_label_propagation():
     out = dedup_clusters(pairs, max_driver_pairs=0).to_pandas() \
         .set_index("doc_id")["cluster_id"].to_dict()
     assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_approx_top_k_matches_exact_for_heavy_hitters():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        approx_top_k,
+    )
+
+    rng = np.random.RandomState(4)
+    # zipf-ish: key i appears ~ 5000/i times
+    keys = []
+    for i in range(1, 60):
+        keys += [f"k{i:02d}"] * (5000 // i)
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(8)
+    top = approx_top_k(ds, "k", k=5, capacity=64).to_pylist()
+    assert [t["k"] for t in top] == ["k01", "k02", "k03", "k04", "k05"]
+    # heavy keys above N/capacity are exact
+    assert top[0]["est_count"] == 5000
+
+
+def test_approx_distinct_within_error():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        approx_distinct,
+    )
+
+    n = 20_000
+    ds = rd.from_arrow(pa.table({"v": [f"item-{i}" for i in range(n)]})).repartition(8)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - n) / n < 0.05  # ~1.6% expected at p=12
