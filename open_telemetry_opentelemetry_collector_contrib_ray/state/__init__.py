@@ -4,3 +4,4 @@ from .lineage import (  # noqa: F401
     counts_from_lineage,
     summarize_lineage,
 )
+from .epochs import dedup_epoch, dedup_state_view, list_epochs  # noqa: F401

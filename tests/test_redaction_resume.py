@@ -59,3 +59,49 @@ def test_run_flagship_resumable(tmp_path):
 
     files = glob.glob(f"{out_root}/shard=*/data/**/*.parquet", recursive=True)
     assert files
+
+
+def test_incremental_epoch_dedup_equals_full_batch(tmp_path):
+    """Two arrival epochs merged == one full-batch dedup (the streaming
+    window -> batch epoch equivalence, SURVEY §2.10)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources import (
+        ensure_transcripts,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        dedup_exact,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.state.epochs import (
+        dedup_epoch,
+        dedup_state_view,
+    )
+
+    import pyarrow.parquet as pq
+
+    path = ensure_transcripts("/root/testdata/sf0.01")
+    src = sorted(os.path.join(path, f) for f in os.listdir(path)
+                 if f.endswith(".parquet"))
+    tbl = pq.read_table(src[0]) if len(src) == 1 else None
+    if tbl is not None:  # split one file into two arrival epochs
+        half = tbl.num_rows // 2
+        f0, f1 = str(tmp_path / "e0.parquet"), str(tmp_path / "e1.parquet")
+        pq.write_table(tbl.slice(0, half), f0)
+        pq.write_table(tbl.slice(half), f1)
+        files, ep0, ep1 = [f0, f1], [f0], [f1]
+    else:
+        files = src
+        ep0, ep1 = src[: len(src) // 2], src[len(src) // 2:]
+    state = str(tmp_path / "dedup_state")
+    keys = ["conv_id", "role", "text"]
+    assert dedup_epoch(state, ep0, keys) == 0
+    assert dedup_epoch(state, ep1, keys) == 1
+
+    merged = dedup_state_view(state, keys).to_pandas() \
+        .sort_values(keys).reset_index(drop=True)
+    full = dedup_exact(rd.read_parquet(files), keys).to_pandas()[merged.columns] \
+        .sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, full, check_dtype=False)
