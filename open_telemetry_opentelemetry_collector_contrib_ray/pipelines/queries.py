@@ -149,6 +149,16 @@ def q_dedup_turns(sf_dir: str):
     return dedup_exact(read_transcripts(sf_dir), ["conv_id", "role", "text"])
 
 
+def q_dedup_turns_sorted(sf_dir: str):
+    """Locality-aware dedup (dedup_exact_sorted): group-contiguous layout
+    means only batch-boundary conversations shuffle — same result as
+    dedup_turns, ~2.5x faster at 60M rows (BASELINE.md)."""
+    from ..stages.aggregate import dedup_exact_sorted
+
+    return dedup_exact_sorted(lambda: read_transcripts(sf_dir),
+                              ["conv_id", "role", "text"])
+
+
 def q_recombine_conversations(sf_dir: str):
     """recombine: stitch turns per conversation in stable turn_idx order
     (stanza recombine/transformer.go:97-151)."""
@@ -834,6 +844,7 @@ def queries():
         "count_by_role": q_count_by_role,
         "sum_latency_by_tool": q_sum_latency_by_tool,
         "dedup_turns": q_dedup_turns,
+        "dedup_turns_sorted": q_dedup_turns_sorted,
         "recombine_conversations": q_recombine_conversations,
         "sample_10pct": q_sample_10pct,
         "severity_counts": q_severity_counts,
@@ -916,6 +927,11 @@ def oracle_sql():
             WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
             GROUP BY 1""",
         "dedup_turns": f"""
+            SELECT conv_id, role, text, count(*) AS log_count,
+                   min(ts) AS first_observed, max(ts) AS last_observed,
+                   min(turn_idx) AS representative_turn_idx
+            FROM {_T} GROUP BY conv_id, role, text""",
+        "dedup_turns_sorted": f"""
             SELECT conv_id, role, text, count(*) AS log_count,
                    min(ts) AS first_observed, max(ts) AS last_observed,
                    min(turn_idx) AS representative_turn_idx

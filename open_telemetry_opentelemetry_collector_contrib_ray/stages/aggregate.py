@@ -281,6 +281,69 @@ def histogram_agg(ds, keys: Sequence[str], value_col: str, buckets: Sequence[flo
     return partial.groupby(list(keys) + ["le"]).aggregate(Sum("__p_cnt", alias_name=alias))
 
 
+def dedup_exact_sorted(ds_factory, key_cols: Sequence[str],
+                       group_col: str = "conv_id", ts_col: str = "ts",
+                       order_col: str = "turn_idx"):
+    """Locality-aware exact dedup for GROUP-CONTIGUOUS inputs.
+
+    Precondition: the input is laid out so each batch is a contiguous
+    slice of the (group_col)-sorted order — true for this corpus (files
+    are written in (conv_id, turn_idx) order) and for any partitioned
+    lake keyed on the group.  Then a group that is neither the first nor
+    the last group of its batch is FULLY contained in that batch, so its
+    within-batch aggregate is already final — no shuffle.  Only the
+    boundary groups (~2 per batch, plus hot groups spanning batches) go
+    through the global merge.
+
+    At 60M rows this turns a 9 GB full-text all-to-all into three cheap
+    scans plus a shuffle of a few thousand rows (~6x faster; see
+    BASELINE.md).  ds_factory: zero-arg callable returning a fresh
+    Dataset per pass (three passes, each its own lazy plan).
+    """
+    import ray
+
+    specs: list[AggSpec] = [
+        ("count", None, "log_count"),
+        ("min", ts_col, "first_observed"),
+        ("max", ts_col, "last_observed"),
+        ("min", order_col, "representative_" + order_col),
+    ]
+
+    # pass 1: boundary group ids (first/last group of every batch) — tiny
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string())})
+        col = t.column(group_col)
+        return pa.table({group_col: pa.array([col[0].as_py(), col[-1].as_py()])})
+
+    rows = ds_factory().map_batches(bounds, batch_format="pyarrow").take_all()
+    boundary = sorted({r[group_col] for r in rows})
+    bset = pa.array(boundary)
+    bref = ray.put(bset)
+
+    # pass 2: interior groups — per-batch aggregate IS final
+    partial_stage = _PartialAgg(key_cols, specs)
+    rename = {f"__p_{alias}": alias for _, _, alias in specs}
+
+    def interior(t: pa.Table) -> pa.Table:
+        p = partial_stage(t)
+        keep = pc.invert(pc.is_in(p.column(group_col), value_set=ray.get(bref)))
+        p = p.filter(pc.fill_null(keep, False))
+        return p.rename_columns([rename.get(c, c) for c in p.column_names])
+
+    interior_ds = ds_factory().map_batches(interior, batch_format="pyarrow")
+
+    # pass 3: boundary groups only — early filter, tiny global merge
+    def only_boundary(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column(group_col), value_set=ray.get(bref))
+        return t.filter(pc.fill_null(keep, False))
+
+    boundary_ds = ds_factory().map_batches(only_boundary, batch_format="pyarrow")
+    boundary_agg = grouped_agg(boundary_ds, key_cols, specs, combine="bucket",
+                               n_buckets=8)
+    return interior_ds.union(boundary_agg)
+
+
 def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
               text_col: str = "text", sep: str = "\n", out_col: str = "combined",
               n_buckets: int = 64):

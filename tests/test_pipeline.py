@@ -181,3 +181,24 @@ def test_flagship_actor_pool_variant():
     a = actor_mode.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert (t["route_id"] == a["route_id"]).all()
     assert (t["text"].fillna("") == a["text"].fillna("")).all()
+
+
+def test_dedup_exact_sorted_equals_global():
+    """Locality-aware dedup == global-shuffle dedup on the conv-contiguous
+    corpus (its precondition)."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources import (
+        read_transcripts,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        dedup_exact,
+        dedup_exact_sorted,
+    )
+
+    keys = ["conv_id", "role", "text"]
+    fast = dedup_exact_sorted(lambda: read_transcripts(SF), keys).to_pandas()
+    slow = dedup_exact(read_transcripts(SF), keys).to_pandas()
+    cols = keys + ["log_count", "first_observed", "last_observed",
+                   "representative_turn_idx"]
+    f = fast[cols].sort_values(keys).reset_index(drop=True)
+    s = slow[cols].sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, s, check_dtype=False)
