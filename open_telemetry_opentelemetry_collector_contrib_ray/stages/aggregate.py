@@ -316,7 +316,7 @@ def dedup_exact_sorted(ds_factory, key_cols: Sequence[str],
         col = t.column(group_col)
         return pa.table({group_col: pa.array([col[0].as_py(), col[-1].as_py()])})
 
-    rows = ds_factory().map_batches(bounds, batch_format="pyarrow").take_all()
+    rows = ds_factory().map_batches(bounds, batch_format="pyarrow", batch_size=None).take_all()
     boundary = sorted({r[group_col] for r in rows})
     bset = pa.array(boundary)
     bref = ray.put(bset)
@@ -331,14 +331,14 @@ def dedup_exact_sorted(ds_factory, key_cols: Sequence[str],
         p = p.filter(pc.fill_null(keep, False))
         return p.rename_columns([rename.get(c, c) for c in p.column_names])
 
-    interior_ds = ds_factory().map_batches(interior, batch_format="pyarrow")
+    interior_ds = ds_factory().map_batches(interior, batch_format="pyarrow", batch_size=None)
 
     # pass 3: boundary groups only — early filter, tiny global merge
     def only_boundary(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t.column(group_col), value_set=ray.get(bref))
         return t.filter(pc.fill_null(keep, False))
 
-    boundary_ds = ds_factory().map_batches(only_boundary, batch_format="pyarrow")
+    boundary_ds = ds_factory().map_batches(only_boundary, batch_format="pyarrow", batch_size=None)
     boundary_agg = grouped_agg(boundary_ds, key_cols, specs, combine="bucket",
                                n_buckets=8)
     return interior_ds.union(boundary_agg)
@@ -383,6 +383,60 @@ def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
         return out.reset_index().rename(columns={"index": group_col})
 
     return bucketed.groupby("__bucket").map_groups(stitch_bucket, batch_format="pandas")
+
+
+def recombine_sorted(ds_factory, group_col: str = "conv_id",
+                     order_col: str = "turn_idx", text_col: str = "text",
+                     sep: str = "\n", out_col: str = "combined",
+                     n_buckets: int = 64):
+    """Locality-aware recombine for group-contiguous inputs (same
+    precondition and 3-pass structure as dedup_exact_sorted): interior
+    conversations stitch entirely inside their batch — vectorized, no
+    shuffle; only batch-boundary conversations take the bucketed global
+    stitch."""
+    import ray
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string())})
+        col = t.column(group_col)
+        return pa.table({group_col: pa.array([col[0].as_py(), col[-1].as_py()])})
+
+    rows = ds_factory().map_batches(bounds, batch_format="pyarrow", batch_size=None).take_all()
+    bset = pa.array(sorted({r[group_col] for r in rows}))
+    bref = ray.put(bset)
+
+    def stitch_interior(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column(group_col), value_set=ray.get(bref)))
+        t = t.filter(pc.fill_null(keep, False))
+        g = t.to_pandas()
+        if g.empty:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             out_col: pa.array([], pa.string()),
+                             "n_turns": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.timestamp("us")),
+                             "last_ts": pa.array([], pa.timestamp("us"))})
+        g = g.sort_values([group_col, order_col], kind="stable")
+        gb = g.groupby(group_col, sort=False)
+        out = pd.DataFrame({
+            out_col: g[text_col].fillna("").groupby(g[group_col], sort=False).agg(sep.join),
+            "n_turns": gb.size().astype("int64"),
+            "first_ts": gb["ts"].min() if "ts" in g else None,
+            "last_ts": gb["ts"].max() if "ts" in g else None,
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    interior = ds_factory().map_batches(stitch_interior, batch_format="pyarrow", batch_size=None)
+
+    def only_boundary(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column(group_col), value_set=ray.get(bref))
+        return t.filter(pc.fill_null(keep, False))
+
+    boundary_src = ds_factory().map_batches(only_boundary, batch_format="pyarrow", batch_size=None)
+    boundary = recombine(boundary_src, group_col=group_col, order_col=order_col,
+                         text_col=text_col, sep=sep, out_col=out_col,
+                         n_buckets=n_buckets)
+    return interior.union(boundary)
 
 
 def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx",

@@ -202,3 +202,20 @@ def test_dedup_exact_sorted_equals_global():
     f = fast[cols].sort_values(keys).reset_index(drop=True)
     s = slow[cols].sort_values(keys).reset_index(drop=True)
     pd.testing.assert_frame_equal(f, s, check_dtype=False)
+
+
+def test_recombine_sorted_equals_global():
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources import (
+        read_transcripts,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        recombine,
+        recombine_sorted,
+    )
+
+    fast = recombine_sorted(lambda: read_transcripts(SF), sep="\n").to_pandas()
+    slow = recombine(read_transcripts(SF), sep="\n").to_pandas()
+    cols = ["conv_id", "combined", "n_turns", "first_ts", "last_ts"]
+    f = fast[cols].sort_values("conv_id").reset_index(drop=True)
+    s = slow[cols].sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, s, check_dtype=False)
