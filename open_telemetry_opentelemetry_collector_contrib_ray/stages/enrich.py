@@ -106,6 +106,19 @@ class ResourceStamper:
         return out
 
 
+class SchemaRenameStage:
+    """schemaprocessor analog (processor/schemaprocessor/): translate
+    between semantic-convention versions by renaming attribute keys
+    (flat-columnar: a column rename map, applied only where present)."""
+
+    def __init__(self, renames: Mapping[str, str], prefix: str = "attr_"):
+        self.renames = {prefix + k: prefix + v for k, v in renames.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = [self.renames.get(c, c) for c in batch.column_names]
+        return batch.rename_columns(names)
+
+
 class RedactionStage:
     """redactionprocessor analog (processor/redactionprocessor/config.go:10-31):
     allowlist of attribute keys (others deleted), blocklist of value

@@ -215,3 +215,15 @@ def test_reassemble_container_partials():
     assert "single full line" in logs
     assert "other stream" in logs
     assert out[out.attr_log == "part one part two done"].n_partials.iloc[0] == 3
+
+
+def test_schema_rename_stage():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.enrich import (
+        SchemaRenameStage,
+    )
+
+    t = pa.table({"attr_net_peer_name": ["h"], "attr_keep": ["x"], "other": ["y"]})
+    out = SchemaRenameStage({"net_peer_name": "server_address"})(t)
+    assert "attr_server_address" in out.column_names
+    assert "attr_net_peer_name" not in out.column_names
+    assert out.column("attr_keep").to_pylist() == ["x"]
