@@ -448,6 +448,28 @@ def q_approx_distinct_convs(sf_dir: str):
     return pd.DataFrame({"metric": ["approx_distinct_conv_id"], "estimate": [est]})
 
 
+def q_reassemble_partials(sf_dir: str):
+    """CRI partial-line reassembly: P-runs stitch into one record per
+    (stream, segment) in strict timestamp order; verified row-for-row
+    against a SQL window-function oracle."""
+    from ..sources.textlog import read_log_lines, synth_container_log_file
+    from ..stages.parse import ContainerParser, reassemble_container_partials
+
+    log_dir = synth_container_log_file()
+    ds = read_log_lines(log_dir)
+    ds = ds.map_batches(ContainerParser(), batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage('not (parse_failure == true)'), batch_format="pyarrow")
+    out = reassemble_container_partials(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"stream": t.column("attr_stream"),
+                         "log_time": t.column("attr_log_time"),
+                         "log": t.column("attr_log"),
+                         "n_partials": t.column("n_partials").cast(pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_error_fingerprints(sf_dir: str):
     """exceptionsconnector analog (connector/exceptionsconnector): group
     error events by a stable fingerprint of their message (md5 of msg) +
@@ -857,6 +879,7 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
+        "reassemble_partials": q_reassemble_partials,
         "approx_top_tools": q_approx_top_tools,
         "approx_distinct_convs": q_approx_distinct_convs,
         "error_fingerprints": q_error_fingerprints,
@@ -998,6 +1021,38 @@ def oracle_sql():
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
             LIMIT 10""",
+        "reassemble_partials": """
+            WITH lines AS (
+              SELECT text FROM read_csv('/tmp/graft_textlogs/container-n4000-s33/*.log',
+                     columns={'text': 'VARCHAR'}, delim='\x01', header=false, quote='')),
+            parsed AS (
+              SELECT CASE WHEN starts_with(text, '{')
+                          THEN json_extract_string(text, '$.stream')
+                          ELSE regexp_extract(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$', 2)
+                     END AS stream,
+                     CASE WHEN starts_with(text, '{') THEN 'F'
+                          ELSE regexp_extract(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$', 3)
+                     END AS logtag,
+                     CASE WHEN starts_with(text, '{')
+                          THEN json_extract_string(text, '$.time')
+                          ELSE regexp_extract(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$', 1)
+                     END AS t,
+                     CASE WHEN starts_with(text, '{')
+                          THEN rtrim(json_extract_string(text, '$.log'), chr(10))
+                          ELSE regexp_extract(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$', 4)
+                     END AS log,
+                     (starts_with(text, '{') AND json_valid(text))
+                       OR regexp_matches(text, '^(\\S+) (stdout|stderr) ([PF]) ?(.*)$') AS ok
+              FROM lines),
+            seg AS (
+              SELECT *, coalesce(sum(CASE WHEN logtag = 'P' THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY stream ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segid
+              FROM parsed WHERE ok)
+            SELECT stream, min(t) AS log_time,
+                   string_agg(log, '' ORDER BY t) AS log,
+                   count(*) AS n_partials
+            FROM seg GROUP BY stream, segid""",
         "approx_top_tools": f"""
             SELECT tool, count(*) AS est_count FROM {_T}
             WHERE tool <> ''

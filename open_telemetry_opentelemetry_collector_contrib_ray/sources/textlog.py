@@ -67,7 +67,7 @@ def synth_container_log_file(n_lines: int = 4_000, seed: int = 33,
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     rng = np.random.Generator(np.random.PCG64(seed))
-    ts_us = 1_700_000_000_000_000 + np.cumsum(rng.integers(0, 500_000, size=n_lines))
+    ts_us = 1_700_000_000_000_000 + np.cumsum(rng.integers(1, 500_000, size=n_lines))
     ts = pd.to_datetime(ts_us, unit="us", utc=True).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
     stream = np.where(rng.random(n_lines) < 0.8, "stdout", "stderr")
     msg = _sentences(rng, n_lines, 3, 10)
