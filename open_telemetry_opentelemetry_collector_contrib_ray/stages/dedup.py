@@ -75,13 +75,12 @@ def _shingle_hashes(text: str, w: int = 3,
         for v in h:
             acc = (acc ^ v) * _P1
         return np.array([acc], dtype=np.uint64)
-    # position-salted xor combine of w consecutive token hashes
-    sh = h[: len(h) - w + 1] * _P1
-    sh = sh ^ (h[1: len(h) - w + 2] * _P2)
-    if w >= 3:
-        sh = sh ^ (h[2: len(h) - w + 3] * _P3)
-    for j in range(3, w):
-        sh = sh ^ (h[j: len(h) - w + 1 + j] * np.uint64(2 * j + 1))
+    # position-salted xor combine of w consecutive token hashes (any w >= 1)
+    salts = [_P1, _P2, _P3] + [np.uint64(2 * j + 1) for j in range(3, w)]
+    m = len(h) - w + 1
+    sh = np.zeros(m, dtype=np.uint64)
+    for j in range(w):
+        sh = sh ^ (h[j:j + m] * salts[j])
     return np.unique(sh)
 
 

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): the vectorized engine vs naive
+row-wise python interpretations on randomized inputs.
+
+These complement the fixed conformance tables: hypothesis explores odd
+inputs (empty strings, unicode, nulls, extreme ints) that enumerated
+cases miss."""
+
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_telemetry_opentelemetry_collector_contrib_ray.functions import (
+    parse_condition,
+    parse_statement,
+)
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.route import (
+    Route,
+    RouteIdStage,
+)
+
+texts = st.one_of(st.none(), st.text(max_size=30))
+ints = st.one_of(st.none(), st.integers(min_value=-10**9, max_value=10**9))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(texts, ints), min_size=1, max_size=20))
+def test_condition_matches_rowwise(rows):
+    t = pa.table({"text": pa.array([r[0] for r in rows], pa.string()),
+                  "n": pa.array([r[1] for r in rows], pa.int64())})
+    got = parse_condition('n > 100 and IsMatch(text, "a")')(t).to_pylist()
+    exp = [bool(n is not None and n > 100 and s is not None and re.search("a", s))
+           for s, n in rows]
+    assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(texts, ints), min_size=1, max_size=20))
+def test_set_where_matches_rowwise(rows):
+    t = pa.table({"text": pa.array([r[0] for r in rows], pa.string()),
+                  "n": pa.array([r[1] for r in rows], pa.int64())})
+    out = parse_statement('set(attributes["y"], n * 2) where n >= 0').apply(t)
+    got = out.column("attr_y").to_pylist()
+    exp = [n * 2 if (n is not None and n >= 0) else None for _, n in rows]
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "ab", ""]), ints),
+                min_size=1, max_size=30))
+def test_routing_first_match_wins_property(rows):
+    t = pa.table({"text": pa.array([r[0] for r in rows], pa.string()),
+                  "n": pa.array([r[1] for r in rows], pa.int64())})
+    stage = RouteIdStage([Route("has_a", 'IsMatch(text, "a")'),
+                          Route("big", "n > 0"),
+                          Route("has_b", 'IsMatch(text, "b")')])
+    got = stage(t).column("route_id").to_pylist()
+
+    def ref(s, n):
+        if s is not None and "a" in s:
+            return "has_a"
+        if n is not None and n > 0:
+            return "big"
+        if s is not None and "b" in s:
+            return "has_b"
+        return "default"
+
+    assert got == [ref(s, n) for s, n in rows]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abc \n", max_size=20), min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=5))
+def test_shingle_jaccard_symmetry_and_identity(texts_list, w):
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+        _shingle_hashes,
+    )
+
+    for s in texts_list:
+        a = set(_shingle_hashes(s, w).tolist())
+        b = set(_shingle_hashes(s, w).tolist())
+        assert a == b  # deterministic
+    if len(texts_list) >= 2:
+        x, y = texts_list[0], texts_list[1]
+        sx = set(_shingle_hashes(x, w).tolist())
+        sy = set(_shingle_hashes(y, w).tolist())
+        # Jaccard symmetric and within [0, 1]
+        u = len(sx | sy)
+        j = len(sx & sy) / u if u else 0.0
+        assert 0.0 <= j <= 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200),
+       st.integers(min_value=2, max_value=16))
+def test_space_saving_heavy_guarantee(vals, capacity):
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        _ss_add,
+        _ss_merge,
+    )
+
+    counters: dict = {}
+    for v in vals:
+        _ss_add(counters, v, 1, capacity)
+    # any key with true count > n/capacity must be present
+    from collections import Counter
+
+    true = Counter(vals)
+    n = len(vals)
+    for k, c in true.items():
+        if c > n / capacity:
+            assert k in counters
+        if k in counters:
+            assert counters[k] >= c  # estimates never undercount
+    # merge keeps the bound
+    merged = _ss_merge(counters, counters, capacity)
+    for k in merged:
+        assert merged[k] >= counters.get(k, 0)
