@@ -155,9 +155,13 @@ def main():
         # evidenced in-sandbox per BASELINE.md).  Default 2 vs 8; override
         # with GRAFT_SCALE_CPUS="8,32".
         lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(","))
+        # scaling needs a job where compute dominates fixed costs: default to
+        # the 6M-turn corpus (synthesized+cached) unless explicitly overridden
+        scale_sf = os.environ.get("GRAFT_SCALE_SF_DIR", "/root/testdata/sf1")
         results = {}
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1",
+                       GRAFT_SF_DIR=scale_sf,
                        GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "1"))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                                  capture_output=True, text=True, check=True,
@@ -174,7 +178,7 @@ def main():
             "scaling_efficiency": round((tl / th) / ratio, 3),
             f"compute_sec_{lo}": cl, f"compute_sec_{hi}": ch,
             "compute_scaling_efficiency": round((cl / ch) / ratio, 3),
-            "sf": SF_DIR, "unit": "sec",
+            "sf": scale_sf, "unit": "sec",
         }))
         return
 
