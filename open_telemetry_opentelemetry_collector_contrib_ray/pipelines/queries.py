@@ -352,6 +352,32 @@ def q_cumulative_to_delta(sf_dir: str):
     return ds.groupby("user_id").map_groups(diff, batch_format="pandas")
 
 
+def q_delta_to_rate(sf_dir: str):
+    """deltatorateprocessor analog (processor/deltatorateprocessor/
+    processor.go:17-30): per-key value delta divided by the time delta,
+    in integer micro-units for exact oracle comparison."""
+    import pandas as pd
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64())
+        return t.append_column("cents", cents)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def rate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        dv = g["cents"].diff()
+        dt_us = g["ts"].astype("int64").diff()
+        # integer micro-cents-per-second; null on first point or zero dt
+        out = (dv * 1_000_000 // dt_us).where(dt_us > 0)
+        g["rate_micro"] = out
+        return g[["event_id", "user_id", "rate_micro"]]
+
+    return ds.groupby("user_id").map_groups(rate, batch_format="pandas")
+
+
 def q_tail_sampling_errors(sf_dir: str):
     """tailsampling: keep whole conversations containing >=1 error turn."""
     from ..stages.aggregate import conversation_policy_filter
@@ -899,6 +925,7 @@ def queries():
         "groupbyattrs_promote": q_groupbyattrs_promote,
         "tokens_est": q_tokens_est,
         "cumulative_to_delta": q_cumulative_to_delta,
+        "delta_to_rate": q_delta_to_rate,
         "tail_sampling_errors": q_tail_sampling_errors,
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
@@ -1181,6 +1208,19 @@ def oracle_sql():
                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         AS DOUBLE) AS delta_cents
             FROM events""",
+        "delta_to_rate": """
+            WITH d AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT)
+                       - lag(CAST(round(value * 100) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt_us
+              FROM events)
+            SELECT event_id, user_id,
+                   CASE WHEN dt_us > 0
+                        THEN CAST(floor(dv * 1000000.0 / dt_us) AS BIGINT) END AS rate_micro
+            FROM d""",
         "tail_sampling_errors": f"""
             SELECT conv_id, turn_idx FROM {_T}
             WHERE conv_id IN (SELECT DISTINCT conv_id FROM {_T} WHERE {_ERR_SQL})""",
