@@ -376,23 +376,48 @@ class ContainerParser:
         # CRI path (vectorized regex on all rows; docker rows won't match)
         cri = pc.extract_regex(src, CRI_RE)
         cri_ok = pc.is_valid(cri)
-        # docker path (json per matching row)
-        d_idx = [i for i, v in enumerate(is_docker.to_pylist()) if v]
+        # docker path: batch the json lines through Arrow's C++ JSON reader
+        # (one ndjson parse for the whole subset instead of per-row loads)
+        d_idx_arr = pc.indices_nonzero(pc.fill_null(is_docker, False))
         d_log = [None] * n
         d_stream = [None] * n
         d_time = [None] * n
         d_ok = [False] * n
-        if d_idx:
-            texts = src.to_pylist()
-            for i in d_idx:
-                try:
-                    rec = json.loads(texts[i])
-                    d_log[i] = rec.get("log", "").rstrip("\n")
-                    d_stream[i] = rec.get("stream")
-                    d_time[i] = rec.get("time")
+        if len(d_idx_arr):
+            import io
+
+            import pyarrow.json as pajson
+
+            sub = pc.take(src, d_idx_arr)
+            payload = "\n".join(s.replace("\n", "\\n") for s in sub.to_pylist())
+            positions = d_idx_arr.to_pylist()
+            try:
+                jt = pajson.read_json(
+                    io.BytesIO(payload.encode()),
+                    parse_options=pajson.ParseOptions(
+                        explicit_schema=pa.schema([("log", pa.string()),
+                                                   ("stream", pa.string()),
+                                                   ("time", pa.string())]),
+                        unexpected_field_behavior="ignore"))
+                logs = jt.column("log").to_pylist() if "log" in jt.column_names else [None] * len(positions)
+                streams = jt.column("stream").to_pylist() if "stream" in jt.column_names else [None] * len(positions)
+                times = jt.column("time").to_pylist() if "time" in jt.column_names else [None] * len(positions)
+                for j, i in enumerate(positions):
+                    d_log[i] = (logs[j] or "").rstrip("\n")
+                    d_stream[i] = streams[j]
+                    d_time[i] = times[j]
                     d_ok[i] = True
-                except (ValueError, TypeError):
-                    pass
+            except pa.ArrowInvalid:
+                # a malformed json line poisons the block parse: fall back row-wise
+                for j, i in enumerate(positions):
+                    try:
+                        rec = json.loads(sub[j].as_py())
+                        d_log[i] = rec.get("log", "").rstrip("\n")
+                        d_stream[i] = rec.get("stream")
+                        d_time[i] = rec.get("time")
+                        d_ok[i] = True
+                    except (ValueError, TypeError):
+                        pass
         d_ok_arr = pa.array(d_ok)
         log = pc.if_else(d_ok_arr, pa.array(d_log, pa.string()),
                          pc.struct_field(cri, "log"))
