@@ -332,3 +332,86 @@ def test_map_literal():
     assert out.column("attr_who").to_pylist() == ["user", "tool"]
     assert out.column("attr_idx2").to_pylist() == [2, 4]
     assert out.column("attr_k").to_pylist() == ["const", "const"]
+
+
+def test_nested_converters_and_contexts():
+    t = tbl(text=["Hello World Foo", "x", None],
+            role=["tool", "user", "tool"])
+    cases = [
+        # nested converter calls
+        ('set(attributes["a"], ConvertCase(Substring(text, 0, 5), "upper"))',
+         "attr_a", ["HELLO", "X", None]),
+        ('set(attributes["b"], Len(Split(text, " ")))', "attr_b", [3, 1, None]),
+        ('set(attributes["c"], SHA256(Concat([role, "x"], "-")))', "attr_c", None),
+        # resource context writes res_ columns
+        ('set(resource.attributes["svc"], "transcripts")', "res_svc",
+         ["transcripts"] * 3),
+        ('set(resource["env"], "prod")', "res_env", ["prod"] * 3),
+        # cache as scratch then read back in same statement list is covered
+        # by TransformStage; single-statement write:
+        ('set(cache["tmp2"], Len(text))', "cache_tmp2", [15, 1, None]),
+    ]
+    for stmt, col, expected in cases:
+        out = parse_statement(stmt).apply(t)
+        got = out.column(col).to_pylist()
+        if expected is not None:
+            assert got == expected, (stmt, got)
+        else:
+            import hashlib
+
+            assert got[0] == hashlib.sha256(b"tool-x").hexdigest()
+
+
+def test_cache_across_statements_and_cleanup():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.transform import (
+        TransformStage,
+    )
+
+    t = tbl(text=["abc", "defg"])
+    stage = TransformStage([
+        'set(cache["n"], Len(text))',
+        'set(attributes["doubled"], cache["n"] * 2)',
+    ])
+    out = stage(t)
+    assert out.column("attr_doubled").to_pylist() == [6, 8]
+    assert not any(c.startswith("cache_") for c in out.column_names)  # dropped
+
+
+def test_grok_custom_definitions():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import GrokParser
+
+    p = GrokParser("%{MYID:req_id} %{GREEDYDATA:rest}",
+                   definitions={"MYID": r"req-\d{4}"})
+    t = tbl(text=["req-0042 hello there", "nope"])
+    out = p(t)
+    assert out.column("attr_req_id").to_pylist() == ["req-0042", None]
+    assert out.column("parse_failure").to_pylist() == [False, True]
+
+
+def test_kv_parser_custom_separators():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        KeyValueParser,
+    )
+
+    t = tbl(text=["a:1;b:2", "b:9"])
+    out = KeyValueParser(["a", "b"], kv_sep=":", pair_sep=";")(t)
+    assert out.column("attr_a").to_pylist() == ["1", None]
+    assert out.column("attr_b").to_pylist() == ["2", "9"]
+
+
+def test_severity_alias_boundaries():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        SeverityParser,
+    )
+
+    t = pa.table({"attr_level": ["critical", "emerg", "notice", "err", "severe",
+                                 "trace4", "fatal4"]})
+    out = SeverityParser()(t)
+    assert out.column("severity_number").to_pylist() == [21, 24, 10, 17, 17, 4, 24]
+
+
+def test_where_with_converters_both_sides():
+    t = tbl(text=["short", "a much longer text here"], n=pa.array([5, 1], pa.int64()))
+    out = parse_statement(
+        'set(attributes["flag"], true) where Len(text) > n * 2').apply(t)
+    assert out.column("attr_flag").to_pylist() == [None, True]
