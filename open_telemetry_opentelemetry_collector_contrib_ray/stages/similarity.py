@@ -89,21 +89,18 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
     return c
 
 
-def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-             n_probe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
-             sample_size: int = 2048, exclude_ids: set | None = None):
-    """IVF approximate top-k: assign vectors to centroid lists, probe only
-    the n_probe nearest lists per query."""
+def ivf_build(ds, n_centroids: int = 16, emb_col: str = "embedding",
+              sample_size: int = 2048):
+    """IVF index build (the one-time cost): train centroids on a sample,
+    assign every vector to its nearest list, MATERIALIZE the assigned
+    dataset (in real use: a partitioned parquet write by list_id so
+    queries read only probed lists).  Returns (assigned_ds, unit_centroids)."""
     import ray
 
     sample_rows = ds.limit(sample_size).to_pandas()
     sample = np.stack(sample_rows[emb_col].to_numpy()).astype(np.float64)
     cents = train_centroids(sample, n_centroids)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    # lists each query probes
-    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (nq, n_probe)
-    probed_lists = set(probes.reshape(-1).tolist())
     cref = ray.put(cn)
 
     class Assign:
@@ -118,13 +115,75 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             assign = ((mat / norms) @ self.c.T).argmax(1).astype(np.int32)
             return batch.append_column("list_id", pa.array(assign))
 
-    assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
-    # prune to probed lists BEFORE scoring (the point of IVF)
+    assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                              concurrency=(1, 8)).materialize()
+    return assigned, cn
+
+
+def ivf_query(assigned, cn: np.ndarray, queries: np.ndarray, k: int = 10,
+              n_probe: int = 4, id_col: str = "vec_id",
+              emb_col: str = "embedding", exclude_ids: set | None = None):
+    """Query a prebuilt IVF index: prune to the n_probe nearest lists per
+    query, then exact scoring on the pruned fraction."""
     import pyarrow.compute as pc
 
-    probe_arr = pa.array(sorted(probed_lists), pa.int32())
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
+    probe_arr = pa.array(sorted(set(probes.reshape(-1).tolist())), pa.int32())
     pruned = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t.column("list_id"), value_set=probe_arr)),
         batch_format="pyarrow")
     return brute_force_topk(pruned, queries, k=k, id_col=id_col, emb_col=emb_col,
                             exclude_ids=exclude_ids)
+
+
+def ivf_build_partitioned(ds, out_dir: str, n_centroids: int = 16,
+                          emb_col: str = "embedding", sample_size: int = 2048):
+    """The real IVF scale path: persist the assigned vectors PARTITIONED BY
+    list_id (one directory per inverted list) so queries physically read
+    only the probed lists.  Returns unit centroids (also saved)."""
+    import numpy as _np
+
+    assigned, cn = ivf_build(ds, n_centroids=n_centroids, emb_col=emb_col,
+                             sample_size=sample_size)
+    # few large files per list: probing cost is per-file open, not per-row
+    assigned.write_parquet(out_dir, partition_cols=["list_id"],
+                           min_rows_per_file=200_000)
+    _np.save(out_dir + "/centroids.npy", cn)
+    return cn
+
+
+def ivf_query_partitioned(out_dir: str, queries: np.ndarray, k: int = 10,
+                          n_probe: int = 4, id_col: str = "vec_id",
+                          emb_col: str = "embedding",
+                          exclude_ids: set | None = None):
+    """Query a partitioned IVF index: list directories outside the probe
+    set are never read from storage."""
+    import os
+
+    import numpy as _np
+    import ray.data as rd
+
+    cn = _np.load(out_dir + "/centroids.npy")
+    qn = queries / _np.maximum(_np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    probes = _np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
+    import glob as _glob
+
+    lists = sorted(set(probes.reshape(-1).tolist()))
+    files = []
+    for i in lists:
+        files.extend(_glob.glob(os.path.join(out_dir, f"list_id={i}", "*.parquet")))
+    pruned = rd.read_parquet(files)
+    return brute_force_topk(pruned, queries, k=k, id_col=id_col, emb_col=emb_col,
+                            exclude_ids=exclude_ids)
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
+             sample_size: int = 2048, exclude_ids: set | None = None):
+    """IVF approximate top-k: build (once) + query.  For repeated query
+    batches, call ivf_build once and ivf_query per batch."""
+    assigned, cn = ivf_build(ds, n_centroids=n_centroids, emb_col=emb_col,
+                             sample_size=sample_size)
+    return ivf_query(assigned, cn, queries, k=k, n_probe=n_probe, id_col=id_col,
+                     emb_col=emb_col, exclude_ids=exclude_ids)
