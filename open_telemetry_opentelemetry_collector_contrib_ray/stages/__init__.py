@@ -1,21 +1,38 @@
 from .aggregate import (  # noqa: F401
+    adjacent_pairs,
+    conversation_policy_filter,
+    cumulative_to_delta,
     dedup_exact,
+    dedup_exact_sorted,
     delta_to_cumulative,
     grouped_agg,
     grouped_count,
     grouped_sum,
     histogram_agg,
     recombine,
+    recombine_salted,
+    recombine_sorted,
+    sessionize,
 )
-from .enrich import AttributesStage, LookupEnricher, ResourceStamper  # noqa: F401
+from .enrich import (  # noqa: F401
+    AttributesStage,
+    LookupEnricher,
+    RedactionStage,
+    ResourceStamper,
+    SchemaRenameStage,
+)
+from .join import bucketed_hash_join  # noqa: F401
 from .parse import (  # noqa: F401
+    ContainerParser,
     CsvParser,
     GrokParser,
     JsonParser,
     KeyValueParser,
     RegexParser,
     SeverityParser,
+    SyslogParser,
     TimeParser,
+    reassemble_container_partials,
     make_tool_log_parser,
 )
 from .route import (  # noqa: F401
@@ -41,5 +58,13 @@ from .multimodal import (  # noqa: F401
     ImageFeatureExtractor,
     synth_image_table,
 )
-from .similarity import brute_force_topk, ivf_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_build,
+    ivf_build_partitioned,
+    ivf_query,
+    ivf_query_partitioned,
+    ivf_topk,
+)
+from .sketch import HLL, approx_distinct, approx_top_k  # noqa: F401
 from .textstats import Fingerprint, LanguageId, QualityScore, TokenCount  # noqa: F401
