@@ -117,3 +117,22 @@ def test_space_saving_heavy_guarantee(vals, capacity):
     merged = _ss_merge(counters, counters, capacity)
     for k in merged:
         assert merged[k] >= counters.get(k, 0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=10))
+def test_md5_lower64_matches_duckdb(strings):
+    """The sampler/bucket hash must stay bit-exact with DuckDB's
+    md5_number_lower forever — the whole oracle story depends on it."""
+    import duckdb
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        _md5_lower64,
+    )
+
+    ours = _md5_lower64(strings)
+    con = duckdb.connect()
+    for s, h in zip(strings, ours):
+        d = con.sql("select md5_number_lower(?)", params=[s]).fetchone()[0]
+        assert int(h) == int(d), s
+    con.close()
