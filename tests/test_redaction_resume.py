@@ -105,3 +105,21 @@ def test_incremental_epoch_dedup_equals_full_batch(tmp_path):
     full = dedup_exact(rd.read_parquet(files), keys).to_pandas()[merged.columns] \
         .sort_values(keys).reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, full, check_dtype=False)
+
+
+def test_run_job_script_resumes(tmp_path):
+    """tools/run_job.py (the ray-job-submit entry) completes and resumes."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "job")
+    cmd = [sys.executable, "/root/repo/tools/run_job.py",
+           "--sf-dir", "/root/testdata/sf0.001", "--out", out, "--shards", "2"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["rows_out"] == 2000 and s1["shards_run"] >= 1
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["shards_run"] == 0 and s2["shards_skipped"] == s1["shards_run"]
