@@ -234,7 +234,7 @@ def q_cumulative_value_by_user(sf_dir: str):
 
     def fix_ties(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["cumulative_cents"] = g["cents"].cumsum()
+        g["cumulative_cents"] = g["cents"].cumsum().astype("int64")
         return g[["event_id", "user_id", "cumulative_cents"]]
 
     ds2 = ds.groupby("user_id").map_groups(fix_ties, batch_format="pandas")
@@ -346,7 +346,7 @@ def q_cumulative_to_delta(sf_dir: str):
 
     def diff(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["delta_cents"] = g["cents"].diff()
+        g["delta_cents"] = g["cents"].diff().astype("Int64")
         return g[["event_id", "user_id", "delta_cents"]]
 
     return ds.groupby("user_id").map_groups(diff, batch_format="pandas")
@@ -372,7 +372,7 @@ def q_delta_to_rate(sf_dir: str):
         dt_us = g["ts"].astype("int64").diff()
         # integer micro-cents-per-second; null on first point or zero dt
         out = (dv * 1_000_000 // dt_us).where(dt_us > 0)
-        g["rate_micro"] = out
+        g["rate_micro"] = out.astype("Int64")  # nullable int, matches BIGINT-null
         return g[["event_id", "user_id", "rate_micro"]]
 
     return ds.groupby("user_id").map_groups(rate, batch_format="pandas")
