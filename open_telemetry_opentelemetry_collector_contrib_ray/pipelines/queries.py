@@ -346,7 +346,7 @@ def q_cumulative_to_delta(sf_dir: str):
 
     def diff(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["delta_cents"] = g["cents"].diff().astype("Int64")
+        g["delta_cents"] = g["cents"].diff()
         return g[["event_id", "user_id", "delta_cents"]]
 
     return ds.groupby("user_id").map_groups(diff, batch_format="pandas")
@@ -372,7 +372,7 @@ def q_delta_to_rate(sf_dir: str):
         dt_us = g["ts"].astype("int64").diff()
         # integer micro-cents-per-second; null on first point or zero dt
         out = (dv * 1_000_000 // dt_us).where(dt_us > 0)
-        g["rate_micro"] = out.astype("Int64")  # nullable int, matches BIGINT-null
+        g["rate_micro"] = out  # float64 with NaN; oracle casts to DOUBLE
         return g[["event_id", "user_id", "rate_micro"]]
 
     return ds.groupby("user_id").map_groups(rate, batch_format="pandas")
@@ -1219,7 +1219,7 @@ def oracle_sql():
               FROM events)
             SELECT event_id, user_id,
                    CASE WHEN dt_us > 0
-                        THEN CAST(floor(dv * 1000000.0 / dt_us) AS BIGINT) END AS rate_micro
+                        THEN CAST(floor(dv * 1000000.0 / dt_us) AS DOUBLE) END AS rate_micro
             FROM d""",
         "tail_sampling_errors": f"""
             SELECT conv_id, turn_idx FROM {_T}
