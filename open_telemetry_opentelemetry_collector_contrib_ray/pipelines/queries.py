@@ -972,7 +972,7 @@ def oracle_sql():
         "count_by_role": f"SELECT role, count(*) AS n FROM {_T} GROUP BY role",
         "sum_latency_by_tool": f"""
             SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
-                   sum(CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT)) AS total_latency_ms
+                   CAST(sum(CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT)) AS BIGINT) AS total_latency_ms
             FROM {_T}
             WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
             GROUP BY 1""",
@@ -1000,7 +1000,7 @@ def oracle_sql():
             WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
             GROUP BY 1""",
         "text_len_by_role": f"""
-            SELECT role, sum(length(text)) AS total_chars FROM {_T} GROUP BY role""",
+            SELECT role, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM {_T} GROUP BY role""",
         "tool_category_counts": f"""
             SELECT coalesce(m.cat, 'other') AS tool_category, count(*) AS n
             FROM {_T} t LEFT JOIN (VALUES {cat_vals}) AS m(tool, cat)
@@ -1020,13 +1020,13 @@ def oracle_sql():
             FROM parsed GROUP BY 1, 2""",
         "cumulative_value_by_user": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100) AS BIGINT))
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS cumulative_cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_cents
             FROM events""",
         "json_props_sum": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
             FROM events GROUP BY event_type""",
         "filter_events": """
             SELECT event_type, count(*) AS n FROM events
@@ -1124,7 +1124,7 @@ def oracle_sql():
             FROM parsed GROUP BY 1""",
         "orders_per_nation": """
             SELECT n.n_name AS nation_name, count(*) AS n_orders,
-                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1146,7 +1146,7 @@ def oracle_sql():
             SELECT role, next_role, count(*) AS n
             FROM nxt WHERE next_role IS NOT NULL GROUP BY 1, 2""",
         "top_users_by_value": """
-            SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+            SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events GROUP BY user_id
             ORDER BY total_cents DESC, user_id LIMIT 10""",
         "redact_latency": f"""
@@ -1173,7 +1173,7 @@ def oracle_sql():
         "relabel_aggregate": """
             SELECT CASE event_type WHEN 'view' THEN 'page_view'
                         WHEN 'click' THEN 'page_click' ELSE event_type END AS event_type,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events GROUP BY 1""",
         "red_metrics": f"""
             WITH parsed AS (
@@ -1183,7 +1183,7 @@ def oracle_sql():
               FROM {_T}
               WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
             SELECT tool_name, status, count(*) AS calls,
-                   sum(lat) AS total_latency_ms, max(lat) AS max_latency_ms
+                   CAST(sum(lat) AS BIGINT) AS total_latency_ms, max(lat) AS max_latency_ms
             FROM parsed GROUP BY 1, 2""",
         "hash_bucket_counts": f"""
             SELECT CAST(md5_number_lower(conv_id) % 16 AS INT) AS bucket,

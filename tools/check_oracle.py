@@ -80,6 +80,15 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: rows {len(g)} vs {len(x)}")
             continue
+        # the driver hashes raw values after a column sort: an int64 Ray column vs a
+        # float64 oracle column (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64) hash-
+        # mismatches even when values are numerically equal.  Flag kind mismatches.
+        kind_bad = [c for c in g.columns if g[c].dtype.kind != x[c].dtype.kind]
+        if kind_bad:
+            failures.append(name)
+            print(f"FAIL {name}: dtype-kind mismatch (driver hash risk): "
+                  f"{[(c, str(g[c].dtype), str(x[c].dtype)) for c in kind_bad]}")
+            continue
         try:
             pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=False,
                                           rtol=1e-6, atol=1e-9)
