@@ -228,17 +228,16 @@ def q_cumulative_value_by_user(sf_dir: str):
         return t.append_column("cents", cents)
 
     ds = ds.map_batches(to_cents, batch_format="pyarrow")
-    # delta_to_cumulative with an explicit (ts, event_id) tie-break so the
-    # running-sum order is deterministic
-    import pandas as pd
-
-    def fix_ties(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["cumulative_cents"] = g["cents"].cumsum().astype("int64")
-        return g[["event_id", "user_id", "cumulative_cents"]]
-
-    ds2 = ds.groupby("user_id").map_groups(fix_ties, batch_format="pandas")
-    return ds2
+    # (ts, event_id) tie-break keeps the running-sum order deterministic
+    ds2 = delta_to_cumulative(ds, ["user_id"], "cents",
+                              order_col=["ts", "event_id"],
+                              out_col="cumulative_cents")
+    return ds2.map_batches(
+        lambda t: pa.table({"event_id": t.column("event_id"),
+                            "user_id": t.column("user_id"),
+                            "cumulative_cents": t.column("cumulative_cents")
+                                                 .cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 def q_json_props_sum(sf_dir: str):
@@ -343,13 +342,12 @@ def q_cumulative_to_delta(sf_dir: str):
         return t.append_column("cents", cents)
 
     ds = ds.map_batches(to_cents, batch_format="pyarrow")
-
-    def diff(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["delta_cents"] = g["cents"].diff()
-        return g[["event_id", "user_id", "delta_cents"]]
-
-    return ds.groupby("user_id").map_groups(diff, batch_format="pandas")
+    ds2 = cumulative_to_delta(ds, ["user_id"], "cents",
+                              order_col=["ts", "event_id"],
+                              out_col="delta_cents")
+    return ds2.map_batches(
+        lambda t: t.select(["event_id", "user_id", "delta_cents"]),
+        batch_format="pyarrow")
 
 
 def q_delta_to_rate(sf_dir: str):
@@ -367,15 +365,18 @@ def q_delta_to_rate(sf_dir: str):
     ds = ds.map_batches(to_cents, batch_format="pyarrow")
 
     def rate(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        dv = g["cents"].diff()
-        dt_us = g["ts"].astype("int64").diff()
+        # vectorized across ALL users in the bucket
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        key = g["user_id"]
+        dv = g["cents"].groupby(key, sort=False).diff()
+        dt_us = g["ts"].astype("int64").groupby(key, sort=False).diff()
         # integer micro-cents-per-second; null on first point or zero dt
-        out = (dv * 1_000_000 // dt_us).where(dt_us > 0)
-        g["rate_micro"] = out  # float64 with NaN; oracle casts to DOUBLE
+        g["rate_micro"] = (dv * 1_000_000 // dt_us).where(dt_us > 0)
         return g[["event_id", "user_id", "rate_micro"]]
 
-    return ds.groupby("user_id").map_groups(rate, batch_format="pandas")
+    from ..stages.aggregate import bucketed_group_transform
+
+    return bucketed_group_transform(ds, ["user_id"], rate)
 
 
 def q_tail_sampling_errors(sf_dir: str):

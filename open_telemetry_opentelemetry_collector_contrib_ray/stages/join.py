@@ -25,7 +25,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .sample import _md5_lower64
+from .sample import bucket_column
+
+
+def _pa_schema(ds) -> pa.Schema:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(sch.names, sch.types)))
 
 
 def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
@@ -40,38 +48,36 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
 
     left_cols = left.schema().names
     right_cols = right.schema().names
-    clash = (set(left_cols) & set(right_cols)) - set(on)
 
-    # pad both sides to one union schema (missing cols -> nulls) so union()
-    # sees a single schema; the merge step selects each side's real columns
+    # pad both sides to one union schema (missing cols -> TYPED nulls, so
+    # every block carries the identical schema and union() never degrades
+    # to schema-less RefBundles); the merge step selects each side's real
+    # columns
+    types: dict[str, pa.DataType] = {}
+    for f in list(_pa_schema(left)) + list(_pa_schema(right)):
+        types.setdefault(f.name, f.type)
     all_cols = list(dict.fromkeys(left_cols + right_cols))
 
-    def tag(side: str, own_schema: pa.Schema, other_cols: list[str]):
+    def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            key = t.column(on[0]).cast(pa.string())
-            if len(on) > 1:
-                parts = []
-                sep = pa.repeat(pa.scalar("\x1f"), t.num_rows)
-                for k in on:
-                    parts.extend([t.column(k).cast(pa.string()), sep])
-                key = pc.binary_join_element_wise(*parts[:-1], "")
-            b = (_md5_lower64(key.to_pylist()) % np.uint64(n_buckets)).astype(np.int32)
-            cols = {c: (t.column(c) if c in t.column_names else pa.nulls(t.num_rows))
+            cols = {c: (t.column(c).cast(types[c]) if c in t.column_names
+                        else pa.nulls(t.num_rows, type=types[c]))
                     for c in all_cols}
-            cols["__bucket"] = pa.array(b)
-            cols["__side"] = pa.repeat(pa.scalar(side), t.num_rows)
+            # hash AFTER the cast to the unified key types: an int32 key on
+            # one side must bucket identically to the int64 twin on the other
+            b = bucket_column(pa.table({k: cols[k] for k in on}), n_buckets, on)
+            cols["__bucket"] = b
+            cols["__side"] = pa.array(np.full(t.num_rows, side == "l"), pa.bool_())
             return pa.table(cols)
 
         return fn
 
-    tagged = left.map_batches(tag("l", None, right_cols), batch_format="pyarrow").union(
-        right.map_batches(tag("r", None, left_cols), batch_format="pyarrow"))
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][left_cols]
-        rg = g[g["__side"] == "r"][right_cols]
+        lg = g[g["__side"]][left_cols]
+        rg = g[~g["__side"]][right_cols]
         return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")

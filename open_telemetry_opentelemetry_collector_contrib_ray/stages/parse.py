@@ -451,32 +451,35 @@ def reassemble_container_partials(ds, source_cols=("attr_stream",),
     P-lines followed by an F-line becomes one record.  A trailing run
     with no F flushes as-is (the reference's force-flush timeout analog).
     """
+    import numpy as np
     import pandas as pd
+
+    from .aggregate import bucketed_group_transform
 
     keys = list(source_cols)
 
     def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="stable")
+        # ONE vectorized pass over every stream in the bucket: after the
+        # (keys, order) sort, a global running count of full lines gives a
+        # segment id whose (keys, seg) pairs are unique per segment — no
+        # per-key reset needed because the count is nondecreasing and
+        # increments after every full line inside a key.
+        g = g.sort_values(keys + [order_col], kind="stable")
         is_full = (g[tag_col] != "P").to_numpy()
-        # segment id: a segment ENDS at each full line -> id = cumsum of
-        # full-flags shifted by one
-        import numpy as np
-
         seg = np.zeros(len(g), dtype=np.int64)
         if len(g) > 1:
             seg[1:] = np.cumsum(is_full[:-1])
         g = g.assign(__seg=seg)
-        gb = g.groupby("__seg", sort=True)
+        g[log_col] = g[log_col].fillna("")
+        gb = g.groupby(keys + ["__seg"], sort=False)
         out = pd.DataFrame({
-            **{k: gb[k].first() for k in keys},
             order_col: gb[order_col].first(),
-            log_col: gb[log_col].apply(lambda s: "".join(s.fillna(""))),
+            log_col: gb[log_col].agg("".join),
             "n_partials": gb.size(),
-        })
-        return out.reset_index(drop=True)
+        }).reset_index().drop(columns="__seg")
+        return out
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        stitch, batch_format="pandas")
+    return bucketed_group_transform(ds, keys, stitch)
 
 
 class SyslogParser(RegexParser):

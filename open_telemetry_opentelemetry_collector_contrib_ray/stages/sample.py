@@ -25,6 +25,48 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def hash64(data, cols=None, seed: int = 0) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash for INTERNAL shuffle bucketing.
+
+    `data` is a pyarrow Array/ChunkedArray (single key) or a pyarrow Table
+    with `cols` naming the key columns (multi-column keys hash row-wise,
+    no string concatenation).  Uses polars' Rust hash kernels — zero
+    Python objects, ~200x faster than a per-row md5 loop — and is
+    deterministic across processes for a fixed polars version, which is
+    all bucketing needs (every task in a job agrees on the bucket of a
+    key).  Oracle-visible hashes (ProbabilisticSampler, HashBucketStage)
+    must keep md5 for bit-parity with DuckDB's md5_number_lower; never
+    swap this in there.
+    """
+    try:
+        import polars as pl
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        import pandas as pd
+
+        if isinstance(data, pa.Table):
+            out = np.zeros(data.num_rows, dtype=np.uint64)
+            for c in cols:
+                out = out * np.uint64(1099511628211) ^ pd.util.hash_array(
+                    data.column(c).to_numpy(zero_copy_only=False))
+            return out
+        return pd.util.hash_array(np.asarray(data.to_numpy(zero_copy_only=False)))
+    if isinstance(data, pa.Table):
+        df = pl.from_arrow(data.select(list(cols)))
+        return df.hash_rows(seed=seed).to_numpy()
+    if isinstance(data, pa.ChunkedArray) and data.num_chunks != 1:
+        data = data.combine_chunks()
+    return pl.from_arrow(data).hash(seed=seed).to_numpy()
+
+
+def bucket_column(data, n_buckets: int, cols=None) -> pa.Array:
+    """hash64 % n_buckets as an int32 arrow array (the shuffle key)."""
+    n = data.num_rows if isinstance(data, pa.Table) else len(data)
+    if n == 0:
+        return pa.array([], pa.int32())
+    b = (hash64(data, cols) % np.uint64(n_buckets)).astype(np.int32)
+    return pa.array(b)
+
+
 def _md5_lower64(values: list) -> np.ndarray:
     out = np.empty(len(values), dtype=np.uint64)
     md5 = hashlib.md5
