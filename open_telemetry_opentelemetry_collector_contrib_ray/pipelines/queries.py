@@ -145,18 +145,25 @@ def q_sum_latency_by_tool(sf_dir: str):
 
 def q_dedup_turns(sf_dir: str):
     """logdedup: identical (conv_id, role, text) -> representative +
-    log_count + first/last observed ts (logdedupprocessor/counter.go:63-130)."""
-    return dedup_exact(read_transcripts(sf_dir), ["conv_id", "role", "text"])
+    log_count + first/last observed ts (logdedupprocessor/counter.go:63-130).
+
+    DEFAULT path is the locality-aware file-granular dedup: the corpus is
+    written group-contiguously, so interior conversations aggregate in
+    place and only file-edge rows shuffle.  dedup_exact (the full
+    hash-partition path for non-contiguous inputs) stays available and
+    is exercised by doc_exact_dups + unit tests."""
+    from ..sources.transcripts import transcript_files
+    from ..stages.aggregate import dedup_exact_sorted
+
+    return dedup_exact_sorted(transcript_files(sf_dir),
+                              ["conv_id", "role", "text"])
 
 
 def q_dedup_turns_sorted(sf_dir: str):
-    """Locality-aware dedup (dedup_exact_sorted): group-contiguous layout
-    means only batch-boundary conversations shuffle — same result as
-    dedup_turns, ~2.5x faster at 60M rows (BASELINE.md)."""
-    from ..stages.aggregate import dedup_exact_sorted
-
-    return dedup_exact_sorted(lambda: read_transcripts(sf_dir),
-                              ["conv_id", "role", "text"])
+    """The general hash-partition dedup (dedup_exact, bucketed combine) —
+    the fallback when the input is NOT group-contiguous; kept
+    oracle-checked so both paths stay verified against the same SQL."""
+    return dedup_exact(read_transcripts(sf_dir), ["conv_id", "role", "text"])
 
 
 def q_recombine_conversations(sf_dir: str):

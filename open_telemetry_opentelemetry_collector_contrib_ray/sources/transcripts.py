@@ -255,12 +255,18 @@ def ensure_transcripts(sf_dir: str, files_hint: int | None = None) -> str:
     return out_dir
 
 
+def transcript_files(sf_dir: str) -> list[str]:
+    """Sorted parquet file list of the (cached) transcript corpus — the
+    stable physical units the locality-aware (``*_sorted``) operators
+    partition by."""
+    path = ensure_transcripts(sf_dir)
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     """ray.data.read_parquet over the (cached) transcript corpus for sf_dir."""
     import ray.data as rd
 
-    path = ensure_transcripts(sf_dir)
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-    )
-    return rd.read_parquet(files, columns=columns)
+    return rd.read_parquet(transcript_files(sf_dir), columns=columns)

@@ -271,26 +271,56 @@ def histogram_agg(ds, keys: Sequence[str], value_col: str, buckets: Sequence[flo
     return partial.groupby(list(keys) + ["le"]).aggregate(Sum("__p_cnt", alias_name=alias))
 
 
-def dedup_exact_sorted(ds_factory, key_cols: Sequence[str],
+def _paths_ds(paths: Sequence[str]):
+    """Dataset of file paths, one block per file so every map task owns
+    whole files (the stable physical unit of group-contiguity)."""
+    import ray.data as rd
+
+    paths = list(paths)
+    return rd.from_items([{"path": p} for p in paths],
+                         override_num_blocks=max(1, len(paths)))
+
+
+def _file_edge_groups(path: str, group_col: str):
+    """First and last group value of a parquet file, reading only the
+    first and last row group of the group column (metadata-cheap)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    first = pf.read_row_group(0, columns=[group_col]).column(0)[0].as_py()
+    lastcol = pf.read_row_group(pf.num_row_groups - 1,
+                                columns=[group_col]).column(0)
+    return first, lastcol[len(lastcol) - 1].as_py()
+
+
+def dedup_exact_sorted(paths: Sequence[str], key_cols: Sequence[str],
                        group_col: str = "conv_id", ts_col: str = "ts",
                        order_col: str = "turn_idx"):
-    """Locality-aware exact dedup for GROUP-CONTIGUOUS inputs.
+    """Locality-aware exact dedup over GROUP-CONTIGUOUS parquet files.
 
-    Precondition: the input is laid out so each batch is a contiguous
-    slice of the (group_col)-sorted order — true for this corpus (files
-    are written in (conv_id, turn_idx) order) and for any partitioned
-    lake keyed on the group.  Then a group that is neither the first nor
-    the last group of its batch is FULLY contained in that batch, so its
-    within-batch aggregate is already final — no shuffle.  Only the
-    boundary groups (~2 per batch, plus hot groups spanning batches) go
-    through the global merge.
+    Precondition: the file sequence is a partition of a group-clustered
+    global order (every group lives in one file, except a group at a
+    file edge may continue into the adjacent file) — true for this
+    corpus (files written in (conv_id, turn_idx) order) and for any
+    lake partitioned/clustered on the group key.
 
-    At 60M rows this turns a 9 GB full-text all-to-all into three cheap
-    scans plus a shuffle of a few thousand rows (~6x faster; see
-    BASELINE.md).  ds_factory: zero-arg callable returning a fresh
-    Dataset per pass (three passes, each its own lazy plan).
+    Then any group of file k that spans files must be the FIRST or LAST
+    group of file k, so classification is per file with no cross-pass
+    coordination: the unit of work is the physical FILE, not a Ray batch
+    (batch splits are not stable across separately-built plans — deriving
+    boundaries in one pass and applying them in another silently breaks
+    groups; files are stable).
+
+    Per file (one task, one read): rows of the two edge groups take the
+    global merge; everything else aggregates in place — final, no
+    shuffle.  The boundary pass re-reads only row groups containing edge
+    groups (parquet predicate pushdown).  At 60M rows this replaces a
+    9 GB full-text all-to-all with a shuffle of the edge rows only.
+    A hot group spanning many files is the skew ceiling: its rows all
+    ship to the merge, which hash-buckets by full key, so the merge
+    itself stays parallel.
     """
-    import ray
+    import pyarrow.parquet as pq
 
     specs: list[AggSpec] = [
         ("count", None, "log_count"),
@@ -298,37 +328,33 @@ def dedup_exact_sorted(ds_factory, key_cols: Sequence[str],
         ("max", ts_col, "last_observed"),
         ("min", order_col, "representative_" + order_col),
     ]
-
-    # pass 1: boundary group ids (first/last group of every batch) — tiny
-    def bounds(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({group_col: pa.array([], pa.string())})
-        col = t.column(group_col)
-        return pa.table({group_col: pa.array([col[0].as_py(), col[-1].as_py()])})
-
-    rows = ds_factory().map_batches(bounds, batch_format="pyarrow", batch_size=None).take_all()
-    boundary = sorted({r[group_col] for r in rows})
-    bset = pa.array(boundary)
-    bref = ray.put(bset)
-
-    # pass 2: interior groups — per-batch aggregate IS final
+    cols = list(dict.fromkeys(list(key_cols) + [group_col, ts_col, order_col]))
     partial_stage = _PartialAgg(key_cols, specs)
     rename = {f"__p_{alias}": alias for _, _, alias in specs}
 
-    def interior(t: pa.Table) -> pa.Table:
-        p = partial_stage(t)
-        keep = pc.invert(pc.is_in(p.column(group_col), value_set=ray.get(bref)))
-        p = p.filter(pc.fill_null(keep, False))
-        return p.rename_columns([rename.get(c, c) for c in p.column_names])
+    def interior(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            first, last = _file_edge_groups(p, group_col)
+            t = pq.read_table(p, columns=cols)
+            keep = pc.invert(pc.is_in(t.column(group_col),
+                                      value_set=pa.array([first, last])))
+            pt = partial_stage(t.filter(pc.fill_null(keep, False)))
+            out.append(pt.rename_columns(
+                [rename.get(c, c) for c in pt.column_names]))
+        return pa.concat_tables(out)
 
-    interior_ds = ds_factory().map_batches(interior, batch_format="pyarrow", batch_size=None)
+    interior_ds = _paths_ds(paths).map_batches(interior, batch_format="pyarrow")
 
-    # pass 3: boundary groups only — early filter, tiny global merge
-    def only_boundary(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t.column(group_col), value_set=ray.get(bref))
-        return t.filter(pc.fill_null(keep, False))
+    def edges(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            first, last = _file_edge_groups(p, group_col)
+            out.append(pq.read_table(
+                p, columns=cols, filters=[(group_col, "in", [first, last])]))
+        return pa.concat_tables(out)
 
-    boundary_ds = ds_factory().map_batches(only_boundary, batch_format="pyarrow", batch_size=None)
+    boundary_ds = _paths_ds(paths).map_batches(edges, batch_format="pyarrow")
     boundary_agg = grouped_agg(boundary_ds, key_cols, specs, combine="bucket",
                                n_buckets=8)
     return interior_ds.union(boundary_agg)
@@ -374,54 +400,59 @@ def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
     return bucketed.groupby("__bucket").map_groups(stitch_bucket, batch_format="pandas")
 
 
-def recombine_sorted(ds_factory, group_col: str = "conv_id",
+def recombine_sorted(paths: Sequence[str], group_col: str = "conv_id",
                      order_col: str = "turn_idx", text_col: str = "text",
                      sep: str = "\n", out_col: str = "combined",
                      n_buckets: int = 64):
-    """Locality-aware recombine for group-contiguous inputs (same
-    precondition and 3-pass structure as dedup_exact_sorted): interior
-    conversations stitch entirely inside their batch — vectorized, no
-    shuffle; only batch-boundary conversations take the bucketed global
-    stitch."""
-    import ray
+    """Locality-aware recombine over group-contiguous parquet files (same
+    precondition and per-file structure as dedup_exact_sorted): interior
+    conversations stitch entirely inside their file — vectorized, no
+    shuffle; only the two edge conversations of each file take the
+    bucketed global stitch."""
+    import pyarrow.parquet as pq
 
-    def bounds(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({group_col: pa.array([], pa.string())})
-        col = t.column(group_col)
-        return pa.table({group_col: pa.array([col[0].as_py(), col[-1].as_py()])})
+    cols = list(dict.fromkeys([group_col, order_col, text_col, "ts"]))
 
-    rows = ds_factory().map_batches(bounds, batch_format="pyarrow", batch_size=None).take_all()
-    bset = pa.array(sorted({r[group_col] for r in rows}))
-    bref = ray.put(bset)
-
-    def stitch_interior(t: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.is_in(t.column(group_col), value_set=ray.get(bref)))
-        t = t.filter(pc.fill_null(keep, False))
-        g = t.to_pandas()
-        if g.empty:
+    def stitch_interior(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch.column("path").to_pylist():
+            first, last = _file_edge_groups(p, group_col)
+            t = pq.read_table(p, columns=cols)
+            keep = pc.invert(pc.is_in(t.column(group_col),
+                                      value_set=pa.array([first, last])))
+            g = t.filter(pc.fill_null(keep, False)).to_pandas()
+            if g.empty:
+                continue
+            g = g.sort_values([group_col, order_col], kind="stable")
+            gb = g.groupby(group_col, sort=False)
+            out = pd.DataFrame({
+                out_col: g[text_col].fillna("")
+                          .groupby(g[group_col], sort=False).agg(sep.join),
+                "n_turns": gb.size().astype("int64"),
+                "first_ts": gb["ts"].min() if "ts" in g else None,
+                "last_ts": gb["ts"].max() if "ts" in g else None,
+            }).reset_index()
+            outs.append(pa.Table.from_pandas(out, preserve_index=False))
+        if not outs:
             return pa.table({group_col: pa.array([], pa.string()),
                              out_col: pa.array([], pa.string()),
                              "n_turns": pa.array([], pa.int64()),
                              "first_ts": pa.array([], pa.timestamp("us")),
                              "last_ts": pa.array([], pa.timestamp("us"))})
-        g = g.sort_values([group_col, order_col], kind="stable")
-        gb = g.groupby(group_col, sort=False)
-        out = pd.DataFrame({
-            out_col: g[text_col].fillna("").groupby(g[group_col], sort=False).agg(sep.join),
-            "n_turns": gb.size().astype("int64"),
-            "first_ts": gb["ts"].min() if "ts" in g else None,
-            "last_ts": gb["ts"].max() if "ts" in g else None,
-        }).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.concat_tables(outs)
 
-    interior = ds_factory().map_batches(stitch_interior, batch_format="pyarrow", batch_size=None)
+    interior = _paths_ds(paths).map_batches(stitch_interior,
+                                            batch_format="pyarrow")
 
-    def only_boundary(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t.column(group_col), value_set=ray.get(bref))
-        return t.filter(pc.fill_null(keep, False))
+    def edges(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch.column("path").to_pylist():
+            first, last = _file_edge_groups(p, group_col)
+            outs.append(pq.read_table(
+                p, columns=cols, filters=[(group_col, "in", [first, last])]))
+        return pa.concat_tables(outs)
 
-    boundary_src = ds_factory().map_batches(only_boundary, batch_format="pyarrow", batch_size=None)
+    boundary_src = _paths_ds(paths).map_batches(edges, batch_format="pyarrow")
     boundary = recombine(boundary_src, group_col=group_col, order_col=order_col,
                          text_col=text_col, sep=sep, out_col=out_col,
                          n_buckets=n_buckets)

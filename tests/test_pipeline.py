@@ -189,13 +189,16 @@ def test_dedup_exact_sorted_equals_global():
     from open_telemetry_opentelemetry_collector_contrib_ray.sources import (
         read_transcripts,
     )
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.transcripts import (
+        transcript_files,
+    )
     from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
         dedup_exact,
         dedup_exact_sorted,
     )
 
     keys = ["conv_id", "role", "text"]
-    fast = dedup_exact_sorted(lambda: read_transcripts(SF), keys).to_pandas()
+    fast = dedup_exact_sorted(transcript_files(SF), keys).to_pandas()
     slow = dedup_exact(read_transcripts(SF), keys).to_pandas()
     cols = keys + ["log_count", "first_observed", "last_observed",
                    "representative_turn_idx"]
@@ -208,12 +211,15 @@ def test_recombine_sorted_equals_global():
     from open_telemetry_opentelemetry_collector_contrib_ray.sources import (
         read_transcripts,
     )
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.transcripts import (
+        transcript_files,
+    )
     from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
         recombine,
         recombine_sorted,
     )
 
-    fast = recombine_sorted(lambda: read_transcripts(SF), sep="\n").to_pandas()
+    fast = recombine_sorted(transcript_files(SF), sep="\n").to_pandas()
     slow = recombine(read_transcripts(SF), sep="\n").to_pandas()
     cols = ["conv_id", "combined", "n_turns", "first_ts", "last_ts"]
     f = fast[cols].sort_values("conv_id").reset_index(drop=True)
