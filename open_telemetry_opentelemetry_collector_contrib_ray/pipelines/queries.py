@@ -396,6 +396,62 @@ def q_tail_sampling_errors(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def q_tail_sampling_policies(sf_dir: str):
+    """tailsampling OR'd policy set: latency + span_count + probabilistic
+    (internal/sampling/latency.go, span_count_sampler.go,
+    probabilistic.go) — keep whole conversations sampled by ANY policy."""
+    from ..stages.tailsampling import tail_sample
+
+    ds = read_transcripts(sf_dir)
+    kept = tail_sample(ds, [
+        {"type": "latency", "threshold_ms": 300_000},
+        {"type": "span_count", "min_spans": 30},
+        {"type": "probabilistic", "percent": 5.0},
+    ])
+    return kept.map_batches(lambda t: t.select(["conv_id", "turn_idx"]),
+                            batch_format="pyarrow")
+
+
+def q_tail_sampling_and(sf_dir: str):
+    """tailsampling AND policy (internal/sampling/and.go): conversation
+    must contain a slow turn AND an error turn."""
+    from ..stages.tailsampling import tail_sample
+
+    ds = _parsed(sf_dir)
+    kept = tail_sample(ds, [
+        {"type": "and", "policies": [
+            {"type": "numeric_attribute",
+             "key": 'attributes["latency_ms"]', "min_value": 2000},
+            {"type": "string_attribute",
+             "key": 'attributes["status"]', "values": ["error"]},
+        ]},
+    ])
+    return kept.map_batches(lambda t: t.select(["conv_id", "turn_idx"]),
+                            batch_format="pyarrow")
+
+
+def q_tail_sampling_composite(sf_dir: str):
+    """tailsampling composite rate-budgeted policy (composite.go:78-120):
+    error conversations first, then slow ones, within per-second span
+    budgets.  Greedy token-bucket admission is order-dependent state — not
+    expressible in one SQL pass, so this query is rows-only for the driver
+    and bit-verified against a sequential reference in pytest."""
+    from ..stages.tailsampling import tail_sample
+
+    ds = _parsed(sf_dir)
+    kept = tail_sample(ds, [
+        {"type": "composite", "max_total_spans_per_second": 200,
+         "subpolicies": [
+             {"type": "string_attribute", "key": 'attributes["status"]',
+              "values": ["error"], "max_spans_per_second": 120},
+             {"type": "numeric_attribute", "key": 'attributes["latency_ms"]',
+              "min_value": 500, "max_spans_per_second": 80},
+         ]},
+    ])
+    return kept.map_batches(lambda t: t.select(["conv_id", "turn_idx"]),
+                            batch_format="pyarrow")
+
+
 def q_attr_hash_extract(sf_dir: str):
     """attributesprocessor action list: upsert-from-attribute + sha256 hash
     (attraction.go insert/hash actions)."""
@@ -935,6 +991,9 @@ def queries():
         "cumulative_to_delta": q_cumulative_to_delta,
         "delta_to_rate": q_delta_to_rate,
         "tail_sampling_errors": q_tail_sampling_errors,
+        "tail_sampling_policies": q_tail_sampling_policies,
+        "tail_sampling_and": q_tail_sampling_and,
+        "tail_sampling_composite": q_tail_sampling_composite,
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
         "match_all_route_counts": q_match_all_route_counts,
@@ -1232,6 +1291,20 @@ def oracle_sql():
         "tail_sampling_errors": f"""
             SELECT conv_id, turn_idx FROM {_T}
             WHERE conv_id IN (SELECT DISTINCT conv_id FROM {_T} WHERE {_ERR_SQL})""",
+        "tail_sampling_policies": f"""
+            SELECT conv_id, turn_idx FROM {_T} WHERE conv_id IN (
+              SELECT conv_id FROM {_T} GROUP BY conv_id
+              HAVING (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 >= 300000
+                  OR count(*) >= 30
+                  OR md5_number_lower(conv_id) % 10000 < 500)""",
+        "tail_sampling_and": f"""
+            SELECT conv_id, turn_idx FROM {_T} WHERE conv_id IN (
+              SELECT conv_id FROM {_T} GROUP BY conv_id
+              HAVING max(CASE WHEN role = 'tool'
+                          AND try_cast(nullif(regexp_extract(text,
+                              '{TOOL_LINE_SQL_PAT}', 5), '') AS BIGINT) >= 2000
+                         THEN 1 ELSE 0 END) = 1
+                 AND max(CASE WHEN {_ERR_SQL} THEN 1 ELSE 0 END) = 1)""",
         "attr_hash_extract": f"""
             SELECT sha256(tool) AS tool_sha256, count(*) AS n
             FROM {_T} GROUP BY 1""",

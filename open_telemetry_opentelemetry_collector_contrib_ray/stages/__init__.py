@@ -22,6 +22,10 @@ from .enrich import (  # noqa: F401
     SchemaRenameStage,
 )
 from .join import bucketed_hash_join  # noqa: F401
+from .tailsampling import (  # noqa: F401
+    tail_sample,
+    tail_sample_decisions,
+)
 from .parse import (  # noqa: F401
     ContainerParser,
     CsvParser,
