@@ -270,6 +270,8 @@ def as_array(v: Any, n: int) -> pa.ChunkedArray | pa.Array:
         return pa.array([v] * n, type=pa.float64())
     if isinstance(v, str):
         return pa.repeat(pa.scalar(v), n) if n else pa.array([], type=pa.string())
+    if isinstance(v, pa.Scalar):  # e.g. Duration(...) literals
+        return pa.repeat(v, n) if n else pa.array([], type=v.type)
     raise TypeError(f"cannot broadcast {type(v)}")
 
 

@@ -247,6 +247,7 @@ def _hex_digest(algo: str):
 
 _REGISTRY["SHA256"] = ("converter", _hex_digest("sha256"))
 _REGISTRY["SHA1"] = ("converter", _hex_digest("sha1"))
+_REGISTRY["SHA512"] = ("converter", _hex_digest("sha512"))  # func_sha512.go
 _REGISTRY["MD5"] = ("converter", _hex_digest("md5"))
 
 
@@ -359,6 +360,29 @@ for _name, _kern in [("Hour", "hour"), ("Minute", "minute"), ("Second", "second"
     _REGISTRY[_name] = ("converter", _mk(_kern))
 
 
+# duration components over a duration value (internally microseconds):
+# Hours/Minutes/Seconds return float64, Milliseconds/Microseconds/
+# Nanoseconds return int64 — matching Go time.Duration accessors used by
+# func_hours.go, func_minutes.go, func_seconds.go, func_milliseconds.go,
+# func_microseconds.go, func_nanoseconds.go
+def _mk_dur(div: float, as_float: bool):
+    def fn(ctx, args):
+        us = _ev_arr(ctx, args[0]).cast(pa.int64())
+        if as_float:
+            return pc.divide(pc.cast(us, pa.float64()), div)
+        if div >= 1:
+            return pc.divide(us, int(div))
+        return pc.multiply(us, int(round(1 / div)))
+    return fn
+
+
+for _name, _div, _f in [("Hours", 3.6e9, True), ("Minutes", 6e7, True),
+                        ("Seconds", 1e6, True), ("Milliseconds", 1e3, False),
+                        ("Microseconds", 1.0, False),
+                        ("Nanoseconds", 1e-3, False)]:
+    _REGISTRY[_name] = ("converter", _mk_dur(_div, _f))
+
+
 # ------------------------------------------------------------ parse converters
 
 
@@ -386,7 +410,9 @@ def _parse_json(ctx, args):
             continue
         try:
             v = json.loads(s)
-            out.append(v if isinstance(v, dict) else None)
+            # objects -> map, arrays -> slice (func_parse_json.go handles
+            # both); scalars are not a valid ParseJSON target
+            out.append(v if isinstance(v, (dict, list)) else None)
         except (ValueError, TypeError):
             out.append(None)
     try:
@@ -469,6 +495,220 @@ def _parse_xml(ctx, args):
 
 
 _REGISTRY["ParseSimplifiedXML"] = _REGISTRY["ParseXML"]
+
+
+@register_converter("Sort")
+def _sort_converter(ctx, args):
+    """Sort(target, order) — per-row ascending/descending sort of a list
+    value (ref func_sort.go:30-75; mixed primitive types compare after
+    string/float coercion there, here within the list's Arrow type).
+    Vectorized via polars list.sort; pylist fallback."""
+    arr = _ev_arr(ctx, args[0])
+    order = _ev_scalar(args[1], ctx) if len(args) > 1 else "asc"
+    if order not in ("asc", "desc"):
+        raise ValueError(f"Sort order must be asc|desc, got {order!r}")
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        arr = arr.cast(pa.list_(t.value_type))
+        t = arr.type
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        raise TypeError("Sort target is not a list")
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(arr)
+        return s.list.sort(descending=(order == "desc")).to_arrow()
+    except ImportError:  # pragma: no cover
+        py = arr.to_pylist()
+        return pa.array(
+            [None if v is None
+             else sorted(v, reverse=(order == "desc")) for v in py], type=t)
+
+
+@register_converter("ToKeyValueString")
+def _to_key_value_string(ctx, args):
+    """ToKeyValueString(target, delimiter="=", pair_delimiter=" ",
+    sort_output=false) — ref func_to_key_value_string.go.  Target is a
+    map path (attributes/resource/cache — joined from its promoted
+    columns, fully vectorized) or a map-typed expression (row loop)."""
+    delim = _ev_scalar(args[1], ctx) if len(args) > 1 else "="
+    pair_delim = _ev_scalar(args[2], ctx) if len(args) > 2 else " "
+    sort_output = bool(_ev_scalar(args[3], ctx)) if len(args) > 3 else False
+    if delim == pair_delim:
+        raise ValueError("pair delimiter cannot equal delimiter")
+    tgt = args[0]
+    if isinstance(tgt, Path):
+        prefix = _map_prefix(tgt)
+        cols = [c for c in ctx.table.column_names if c.startswith(prefix)]
+        if sort_output:
+            cols = sorted(cols)
+        parts = []
+        for c in cols:
+            key = c[len(prefix):]
+            v = _str(as_array(ctx.get_col(c), ctx.n))
+            parts.append(pc.binary_join_element_wise(
+                pa.repeat(pa.scalar(key + delim), ctx.n), v, ""))
+        if not parts:
+            return pa.repeat(pa.scalar(""), ctx.n)
+        return pc.binary_join_element_wise(*parts, pair_delim,
+                                           null_handling="skip")
+    py = _ev_arr(ctx, tgt).to_pylist()
+    out = []
+    for d in py:
+        if d is None:
+            out.append(None)
+            continue
+        items = d.items() if isinstance(d, dict) else d
+        if sort_output:
+            items = sorted(items)
+        out.append(pair_delim.join(f"{k}{delim}{v}" for k, v in items))
+    return pa.array(out, type=pa.string())
+
+
+@register_converter("SliceToMap")
+def _slice_to_map(ctx, args):
+    """SliceToMap(target, [key_path...], [value_path...]) — ref
+    func_slice_to_map.go:40-80: a slice of maps becomes a map keyed by
+    the element's key_path value; value is the whole element or its
+    value_path.  Inherently nested-value work: row loop."""
+    key_path = args[1].eval(ctx)
+    value_path = args[2].eval(ctx) if len(args) > 2 else None
+    if not isinstance(key_path, list) or not key_path:
+        raise ValueError("key path must contain at least one element")
+
+    def extract(d, path):
+        for seg in path:
+            if not isinstance(d, dict) or seg not in d:
+                raise KeyError(seg)
+            d = d[seg]
+        return d
+
+    py = _ev_arr(ctx, args[0]).to_pylist()
+    out = []
+    for row in py:
+        if row is None:
+            out.append(None)
+            continue
+        m = {}
+        ok = True
+        for elem in row:
+            if isinstance(elem, (list, tuple)):
+                elem = dict(elem)
+            if not isinstance(elem, dict):
+                ok = False
+                break
+            try:
+                k = extract(elem, key_path)
+                v = elem if value_path is None else extract(elem, value_path)
+            except KeyError:
+                ok = False
+                break
+            if not isinstance(k, str):
+                ok = False
+                break
+            m[k] = v if isinstance(v, str) else json.dumps(v)
+        out.append(m if ok else None)
+    return pa.array(out, type=pa.map_(pa.string(), pa.string()))
+
+
+# --- XML edit family (ref func_get_xml.go / func_insert_xml.go /
+# func_remove_xml.go use a full XPath engine; this engine supports the
+# ElementTree XPath subset: relative paths, //descendant, [@attr='v']
+# predicates, plus absolute paths rooted at the document element and a
+# trailing /@attr for attribute removal).  XML is inherently per-row.
+
+
+def _et_parse(s):
+    import xml.etree.ElementTree as ET
+
+    try:
+        return ET.fromstring(s)
+    except ET.ParseError:
+        return None
+
+
+def _et_query(root, xpath):
+    if xpath.startswith("//"):
+        return root.findall("." + xpath)
+    if xpath.startswith("/"):
+        parts = [p for p in xpath.split("/") if p]
+        if not parts or parts[0] != root.tag:
+            return []
+        if len(parts) == 1:
+            return [root]
+        return root.findall("./" + "/".join(parts[1:]))
+    return root.findall(xpath)
+
+
+@register_converter("GetXML")
+def _get_xml(ctx, args):
+    """Serialized concatenation of elements matched by the XPath."""
+    import xml.etree.ElementTree as ET
+
+    xpath = _ev_scalar(args[1], ctx)
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        root = None if s is None else _et_parse(s)
+        if root is None:
+            out.append(None)
+            continue
+        out.append("".join(
+            ET.tostring(e, encoding="unicode") for e in _et_query(root, xpath)))
+    return pa.array(out, type=pa.string())
+
+
+@register_converter("InsertXML")
+def _insert_xml(ctx, args):
+    """Insert a sub-document into every element matched by the XPath,
+    returning the edited document."""
+    import copy as _copy
+    import xml.etree.ElementTree as ET
+
+    xpath = _ev_scalar(args[1], ctx)
+    subs = _str(_ev_arr(ctx, args[2])).to_pylist()
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s, sub in zip(py, subs):
+        root = None if s is None else _et_parse(s)
+        subroot = None if sub is None else _et_parse(sub)
+        if root is None or subroot is None:
+            out.append(None)
+            continue
+        for e in _et_query(root, xpath):
+            e.append(_copy.deepcopy(subroot))
+        out.append(ET.tostring(root, encoding="unicode"))
+    return pa.array(out, type=pa.string())
+
+
+@register_converter("RemoveXML")
+def _remove_xml(ctx, args):
+    """Remove every element (or /@attribute) matched by the XPath,
+    returning the edited document."""
+    import xml.etree.ElementTree as ET
+
+    xpath = _ev_scalar(args[1], ctx)
+    attr = None
+    if "/@" in xpath:
+        xpath, _, attr = xpath.rpartition("/@")
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        root = None if s is None else _et_parse(s)
+        if root is None:
+            out.append(None)
+            continue
+        matched = _et_query(root, xpath)
+        if attr is not None:
+            for e in matched:
+                e.attrib.pop(attr, None)
+        else:
+            parents = {c: p for p in root.iter() for c in p}
+            for e in matched:
+                if e in parents:
+                    parents[e].remove(e)
+        out.append(ET.tostring(root, encoding="unicode"))
+    return pa.array(out, type=pa.string())
 
 
 # ------------------------------------------------------------ misc converters

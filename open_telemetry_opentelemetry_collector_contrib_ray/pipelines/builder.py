@@ -30,11 +30,14 @@ from ..stages.enrich import AttributesStage, LookupEnricher, ResourceStamper
 from ..stages.parse import (
     CsvParser,
     GrokParser,
+    JsonArrayParser,
     JsonParser,
     KeyValueParser,
     RegexParser,
+    ScopeParser,
     SeverityParser,
     TimeParser,
+    TraceParser,
 )
 from ..stages.route import Route, RouteIdStage
 from ..stages.sample import HashBucketStage, ProbabilisticSampler
@@ -86,6 +89,14 @@ register_step("csv_parser")(lambda c: CsvParser(
 register_step("time_parser")(lambda c: TimeParser(
     c["parse_from"], layout_type=c.get("layout_type", "strptime"),
     layout=c.get("layout", "%Y-%m-%dT%H:%M:%SZ"), out=c.get("out", "time")))
+register_step("jsonarray_parser")(lambda c: JsonArrayParser(
+    parse_from=c.get("parse_from", "text"), header=c.get("header"),
+    prefix=c.get("prefix", "attr_"), on_error=c.get("on_error", "send")))
+register_step("trace_parser")(lambda c: TraceParser(
+    trace_id_from=c.get("trace_id_from", "attr_trace_id"),
+    span_id_from=c.get("span_id_from", "attr_span_id"),
+    flags_from=c.get("flags_from", "attr_trace_flags")))
+register_step("scope_parser")(lambda c: ScopeParser(c["parse_from"]))
 register_step("severity_parser")(lambda c: SeverityParser(
     parse_from=c.get("parse_from", "attr_level")))
 register_step("transform")(lambda c: TransformStage(
@@ -156,6 +167,83 @@ def _lit(v) -> str:
 
 for _name in ("add", "copy", "move", "remove", "retain"):
     STEP_REGISTRY[_name] = _stanza_transformer
+
+
+def _field_col(field: str) -> str:
+    """stanza field path -> promoted column name."""
+    if field.startswith('attributes["'):
+        return "attr_" + field[len('attributes["'):-2]
+    if field.startswith('resource["'):
+        return "res_" + field[len('resource["'):-2]
+    if field in ("body", "text"):
+        return "text"
+    return field
+
+
+@register_step("assign_keys")
+def _assign_keys(c: dict):
+    """stanza assign_keys transformer
+    (pkg/stanza/operator/transformer/assignkeys/transformer.go:30-58):
+    a list-valued field + keys -> one attr column per key, positionally.
+    Short lists null-pad (the reference errors; on_error=send analog)."""
+    import pyarrow.compute as pc
+
+    col = _field_col(c["field"])
+    keys = list(c["keys"])
+    prefix = c.get("prefix", "attr_")
+
+    def stage(t):
+        src = t.column(col)
+        out = t
+        for i, k in enumerate(keys):
+            vals = pc.list_element(
+                pc.list_slice(src, i, i + 1, return_fixed_size_list=True), 0)
+            out = out.append_column(prefix + k, vals)
+        return out
+
+    return stage
+
+
+@register_step("unquote")
+def _unquote(c: dict):
+    """stanza unquote transformer
+    (pkg/stanza/operator/transformer/unquote/transformer.go:30-43,
+    strconv.Unquote semantics): double-quoted strings unescape,
+    backquoted strings strip raw, single-quoted single runes unwrap;
+    anything else is left unchanged (on_error=send analog)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    col = _field_col(c["field"])
+
+    def unquote_one(s):
+        if s is None or len(s) < 2:
+            return s
+        if s[0] == s[-1] == '"':
+            try:
+                v = _json.loads(s)
+                return v if isinstance(v, str) else s
+            except ValueError:
+                return s
+        if s[0] == s[-1] == "`" and "`" not in s[1:-1]:
+            return s[1:-1]
+        if s[0] == s[-1] == "'" and len(s[1:-1]) == 1:
+            return s[1:-1]
+        return s
+
+    def stage(t):
+        vals = pa.array([unquote_one(s) for s in t.column(col).to_pylist()],
+                        type=pa.string())
+        return t.set_column(t.column_names.index(col), col, vals)
+
+    return stage
+
+
+@register_step("noop")
+def _noop(c: dict):
+    """stanza noop transformer — identity passthrough."""
+    return lambda t: t
 
 
 def build_pipeline(ds, steps: list[dict]):

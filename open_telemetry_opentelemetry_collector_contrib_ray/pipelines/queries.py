@@ -224,6 +224,21 @@ def q_latency_histogram(sf_dir: str):
         lambda t: t.rename_columns(["tool_name", "le", "n"]), batch_format="pyarrow")
 
 
+def q_exp_histogram(sf_dir: str):
+    """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
+    bucket k holds latencies in (2^k, 2^(k+1)]
+    (connector/spanmetricsconnector/connector.go:305-335)."""
+    from ..stages.aggregate import exp_histogram_agg
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    return exp_histogram_agg(ds, ["attr_tool_name"], "attr_latency_ms",
+                             scale=0, alias="n").map_batches(
+        lambda t: t.rename_columns(["tool_name", "bucket", "n"]),
+        batch_format="pyarrow")
+
+
 def q_cumulative_value_by_user(sf_dir: str):
     """deltatocumulative: keyed running sums in time order
     (deltatocumulativeprocessor/processor.go:25-63).  Values in integer
@@ -963,6 +978,7 @@ def queries():
         "text_len_by_role": q_text_len_by_role,
         "tool_category_counts": q_tool_category_counts,
         "latency_histogram": q_latency_histogram,
+        "exp_histogram": q_exp_histogram,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -1083,6 +1099,18 @@ def oracle_sql():
                    CASE WHEN lat <= 100 THEN '100' WHEN lat <= 500 THEN '500'
                         WHEN lat <= 1000 THEN '1000' WHEN lat <= 5000 THEN '5000'
                         ELSE 'inf' END AS le,
+                   count(*) AS n
+            FROM parsed GROUP BY 1, 2""",
+        "exp_histogram": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT tool_name,
+                   CAST(CASE WHEN lat <= 0 THEN NULL
+                             WHEN lat = 1 THEN -1
+                             ELSE length(bin(lat - 1)) - 1 END AS BIGINT) AS bucket,
                    count(*) AS n
             FROM parsed GROUP BY 1, 2""",
         "cumulative_value_by_user": """

@@ -30,12 +30,15 @@ from .parse import (  # noqa: F401
     ContainerParser,
     CsvParser,
     GrokParser,
+    JsonArrayParser,
     JsonParser,
     KeyValueParser,
     RegexParser,
+    ScopeParser,
     SeverityParser,
     SyslogParser,
     TimeParser,
+    TraceParser,
     reassemble_container_partials,
     make_tool_log_parser,
 )

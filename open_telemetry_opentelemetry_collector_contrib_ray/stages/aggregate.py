@@ -293,6 +293,68 @@ def _file_edge_groups(path: str, group_col: str):
     return first, lastcol[len(lastcol) - 1].as_py()
 
 
+def exp_histogram_agg(ds, keys: Sequence[str], value_col: str, scale: int = 0,
+                      alias: str = "n", combine: str = "driver"):
+    """spanmetrics exponential-bucket histogram mode
+    (connector/spanmetricsconnector/connector.go:305-335, OTel base-2
+    exponential buckets): bucket index k holds values in
+    (base^k, base^(k+1)] with base = 2^(2^-scale); values <= 0 land in
+    the zero bucket (index null, the reference's zero_count).
+
+    scale=0 uses an EXACT integer mapping (index = bit_length(v-1) - 1,
+    via np.frexp) so boundary values never ride on float log precision;
+    other scales use the standard ceil(log2(v) * 2^scale) - 1 mapping.
+    Two-phase: vectorized np bucketing + per-batch partial counts, then
+    a small combine — same shape as histogram_agg."""
+    factor = float(2 ** scale)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({**{k: pa.array([], type=pa.string()) for k in keys},
+                             "bucket": pa.array([], type=pa.int64()),
+                             "__p_cnt": pa.array([], type=pa.int64())})
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+        idx = np.full(len(vals), np.iinfo(np.int64).min, dtype=np.int64)
+        pos = vals > 0
+        if scale == 0 and np.all(vals[pos] == np.floor(vals[pos])):
+            v = vals.astype(np.int64)
+            _, e = np.frexp(np.maximum(v - 1, 1))
+            idx[pos] = np.where(v[pos] <= 1, -1, e[pos].astype(np.int64) - 1)
+        else:
+            idx[pos] = np.ceil(np.log2(vals[pos]) * factor).astype(np.int64) - 1
+        arr = pa.array(idx, type=pa.int64())
+        # sentinel -> null = zero bucket
+        arr = pc.if_else(pc.equal(arr, np.iinfo(np.int64).min),
+                         pa.nulls(len(vals), pa.int64()), arr)
+        t = batch.select(list(keys)).append_column("bucket", arr)
+        gb = t.group_by(list(keys) + ["bucket"]).aggregate([([], "count_all")])
+        return pa.table({**{k: gb.column(k) for k in keys},
+                         "bucket": gb.column("bucket"),
+                         "__p_cnt": gb.column("count_all").cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(bucketize, batch_format="pyarrow")
+    if combine == "driver":
+        import ray
+        import ray.data as rd
+
+        tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return rd.from_arrow(pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys},
+                 "bucket": pa.array([], pa.int64()),
+                 alias: pa.array([], pa.int64())}))
+        merged = pa.concat_tables(tables, promote_options="permissive")
+        out = merged.group_by(list(keys) + ["bucket"]).aggregate([("__p_cnt", "sum")])
+        cols = {k: out.column(k) for k in list(keys) + ["bucket"]}
+        cols[alias] = out.column("__p_cnt_sum")
+        return rd.from_arrow(pa.table(cols))
+    return partial.groupby(list(keys) + ["bucket"]).aggregate(
+        Sum("__p_cnt", alias_name=alias))
+
+
 def dedup_exact_sorted(paths: Sequence[str], key_cols: Sequence[str],
                        group_col: str = "conv_id", ts_col: str = "ts",
                        order_col: str = "turn_idx"):

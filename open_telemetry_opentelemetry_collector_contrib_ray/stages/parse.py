@@ -25,6 +25,7 @@ import json
 import re
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -198,6 +199,134 @@ class JsonParser:
         if self.on_error.startswith("drop"):
             out = out.filter(pc.invert(failure))
         return out
+
+
+class JsonArrayParser:
+    """JSON-array line -> columns (stanza jsonarray_parser analog,
+    pkg/stanza/operator/parser/jsonarray/parser.go:29-90): with a
+    ``header`` the array values map positionally onto named attr_*
+    columns; without one the parsed list lands in a single column.
+    Nested objects stringify (the reference does the same — "nested
+    objects handled as a string")."""
+
+    def __init__(self, parse_from: str = "text", header: list[str] | str | None = None,
+                 prefix: str = "attr_", to: str = "parsed",
+                 on_error: str = "send"):
+        if isinstance(header, str):
+            header = header.split(",")
+        self.header = header
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.to = to
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        py = batch.column(self.parse_from).to_pylist()
+        parsed: list[list | None] = []
+        for s in py:
+            if s is None:
+                parsed.append(None)
+                continue
+            try:
+                v = json.loads(s)
+                parsed.append(v if isinstance(v, list) else None)
+            except (ValueError, TypeError):
+                parsed.append(None)
+
+        def norm(v):
+            if v is None or isinstance(v, (str, int, float, bool)):
+                return v
+            return json.dumps(v)
+
+        out = batch
+        if self.header is not None:
+            bad = [v is not None and len(v) != len(self.header) for v in parsed]
+            for i, k in enumerate(self.header):
+                vals = [norm(v[i]) if (v is not None and not b) else None
+                        for v, b in zip(parsed, bad)]
+                try:
+                    arr = pa.array(vals)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    arr = pa.array([None if x is None else str(x) for x in vals],
+                                   type=pa.string())
+                out = out.append_column(self.prefix + k, arr)
+            failure = pa.array([(v is None) or b for v, b in zip(parsed, bad)],
+                               type=pa.bool_())
+        else:
+            vals = [None if v is None else [norm(x) for x in v] for v in parsed]
+            try:
+                arr = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                arr = pa.array(
+                    [None if v is None else [None if x is None else str(x) for x in v]
+                     for v in vals], type=pa.list_(pa.string()))
+            out = out.append_column(self.prefix + self.to, arr)
+            failure = pa.array([v is None for v in parsed], type=pa.bool_())
+        if "parse_failure" in out.column_names:
+            failure = pc.or_(failure, pc.fill_null(out.column("parse_failure"), False))
+            out = out.set_column(out.column_names.index("parse_failure"),
+                                 "parse_failure", failure)
+        else:
+            out = out.append_column("parse_failure", failure)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(failure))
+        return out
+
+
+class TraceParser:
+    """stanza trace_parser analog (pkg/stanza/operator/helper/trace.go):
+    validates/normalizes hex trace_id (32 hex chars), span_id (16) and
+    trace_flags (2) from attr columns into canonical lowercase columns;
+    invalid values null out and flag parse_failure."""
+
+    _SPECS = {"trace_id": 32, "span_id": 16, "trace_flags": 2}
+
+    def __init__(self, trace_id_from: str = "attr_trace_id",
+                 span_id_from: str = "attr_span_id",
+                 flags_from: str = "attr_trace_flags"):
+        self.sources = {"trace_id": trace_id_from, "span_id": span_id_from,
+                        "trace_flags": flags_from}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        bad = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        for name, width in self._SPECS.items():
+            src = self.sources[name]
+            if src not in batch.column_names:
+                continue
+            col = pc.utf8_lower(pc.cast(batch.column(src), pa.string()))
+            ok = pc.match_substring_regex(col, f"^[0-9a-f]{{{width}}}$")
+            valid = pc.fill_null(ok, False)
+            vals = pc.if_else(valid, col, pa.nulls(batch.num_rows, pa.string()))
+            # a present-but-invalid value is a parse failure; absent is not
+            bad = pc.or_(bad, pc.and_(pc.is_valid(batch.column(src)),
+                                      pc.invert(valid)))
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, vals)
+            else:
+                out = out.append_column(name, vals)
+        if "parse_failure" in out.column_names:
+            bad = pc.or_(bad, pc.fill_null(out.column("parse_failure"), False))
+            out = out.set_column(out.column_names.index("parse_failure"),
+                                 "parse_failure", bad)
+        else:
+            out = out.append_column("parse_failure", bad)
+        return out
+
+
+class ScopeParser:
+    """stanza scope_name parser analog (pkg/stanza/operator/parser/scope):
+    copies a field into the entry's scope_name."""
+
+    def __init__(self, parse_from: str):
+        self.parse_from = parse_from
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch.column(self.parse_from), pa.string())
+        if "scope_name" in batch.column_names:
+            return batch.set_column(batch.column_names.index("scope_name"),
+                                    "scope_name", vals)
+        return batch.append_column("scope_name", vals)
 
 
 class KeyValueParser:

@@ -415,3 +415,77 @@ def test_where_with_converters_both_sides():
     out = parse_statement(
         'set(attributes["flag"], true) where Len(text) > n * 2').apply(t)
     assert out.column("attr_flag").to_pylist() == [None, True]
+
+
+def test_sha512_and_duration_components():
+    t = tbl(s=["abc"])
+    out = parse_statement('set(attributes["h"], SHA512(s))').apply(t)
+    import hashlib
+
+    assert out.column("attr_h").to_pylist() == [hashlib.sha512(b"abc").hexdigest()]
+    # duration components match Go time.Duration accessors (func_hours.go etc.)
+    t2 = tbl(x=[1])
+    out = parse_statement('set(attributes["h"], Hours(Duration("90m")))').apply(t2)
+    assert out.column("attr_h").to_pylist() == [1.5]
+    out = parse_statement('set(attributes["m"], Minutes(Duration("90m")))').apply(t2)
+    assert out.column("attr_m").to_pylist() == [90.0]
+    out = parse_statement('set(attributes["s"], Seconds(Duration("1500ms")))').apply(t2)
+    assert out.column("attr_s").to_pylist() == [1.5]
+    out = parse_statement('set(attributes["ms"], Milliseconds(Duration("1500ms")))').apply(t2)
+    assert out.column("attr_ms").to_pylist() == [1500]
+    out = parse_statement('set(attributes["us"], Microseconds(Duration("2ms")))').apply(t2)
+    assert out.column("attr_us").to_pylist() == [2000]
+    out = parse_statement('set(attributes["ns"], Nanoseconds(Duration("2us")))').apply(t2)
+    assert out.column("attr_ns").to_pylist() == [2000]
+
+
+def test_sort_converter():
+    t = tbl(s=["b,a,c", "z,x", ""])
+    out = parse_statement('set(attributes["sorted"], Sort(Split(s, ","), "asc"))').apply(t)
+    assert out.column("attr_sorted").to_pylist() == [["a", "b", "c"], ["x", "z"], [""]]
+    out = parse_statement('set(attributes["sorted"], Sort(Split(s, ","), "desc"))').apply(t)
+    assert out.column("attr_sorted").to_pylist() == [["c", "b", "a"], ["z", "x"], [""]]
+
+
+def test_to_key_value_string():
+    t = tbl(text=["x"], attr_b=["2"], attr_a=["1"])
+    out = parse_statement(
+        'set(attributes["kv"], ToKeyValueString(attributes, "=", " ", true))').apply(t)
+    assert out.column("attr_kv").to_pylist() == ["a=1 b=2 kv="] or \
+        out.column("attr_kv").to_pylist() == ["a=1 b=2"]
+    # null-valued keys are skipped
+    t2 = tbl(text=["x", "y"], attr_a=["1", None], attr_b=[None, "2"])
+    out = parse_statement(
+        'set(attributes["kv"], ToKeyValueString(attributes, ":", ",", true))').apply(t2)
+    assert out.column("attr_kv").to_pylist() == ["a:1", "b:2"]
+
+
+def test_slice_to_map():
+    t = tbl(s=['[{"name":"a","value":1},{"name":"b","value":2}]', "junk"])
+    out = parse_statement(
+        'set(attributes["m"], SliceToMap(ParseJSON(s), ["name"], ["value"]))'
+    ).apply(t)
+    vals = out.column("attr_m").to_pylist()
+    assert dict(vals[0]) == {"a": "1", "b": "2"}
+    assert vals[1] is None
+
+
+def test_xml_edit_family():
+    doc = "<a><b>1</b><c k=\"v\">2</c></a>"
+    t = tbl(x=[doc, "not xml"])
+    out = parse_statement('set(attributes["g"], GetXML(x, "//b"))').apply(t)
+    assert out.column("attr_g").to_pylist() == ["<b>1</b>", None]
+    out = parse_statement(
+        'set(attributes["i"], InsertXML(x, "/a", "<d>3</d>"))').apply(t)
+    assert "<d>3</d>" in out.column("attr_i").to_pylist()[0]
+    out = parse_statement('set(attributes["r"], RemoveXML(x, "//b"))').apply(t)
+    assert "<b>" not in out.column("attr_r").to_pylist()[0]
+    out = parse_statement('set(attributes["r"], RemoveXML(x, "//c/@k"))').apply(t)
+    assert 'k="v"' not in out.column("attr_r").to_pylist()[0]
+    assert "<c>2</c>" in out.column("attr_r").to_pylist()[0]
+
+
+def test_registry_function_count():
+    # converter-tail completion: the registry now carries the documented
+    # function surface (pkg/ottl/ottlfuncs/README.md lists ~80)
+    assert len(registered_functions()) >= 75

@@ -1,6 +1,7 @@
 """Stage-level tests over small in-memory tables (no Ray needed for the
 pure-batch stages; Ray only for Dataset-level ops)."""
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -227,3 +228,103 @@ def test_schema_rename_stage():
     assert "attr_server_address" in out.column_names
     assert "attr_net_peer_name" not in out.column_names
     assert out.column("attr_keep").to_pylist() == ["x"]
+
+
+def test_jsonarray_parser_header_and_list():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        JsonArrayParser,
+    )
+
+    t = pa.table({"text": ['["a", 1, true, {"x": 2}]', "junk", None,
+                           '["b", 2, false, null]']})
+    out = JsonArrayParser(header=["name", "num", "flag", "obj"])(t)
+    assert out.column("attr_name").to_pylist() == ["a", None, None, "b"]
+    assert out.column("attr_num").to_pylist() == [1, None, None, 2]
+    assert out.column("attr_flag").to_pylist() == [True, None, None, False]
+    # nested objects stringify, like the reference (jsonarray/parser.go)
+    assert out.column("attr_obj").to_pylist()[0] == '{"x": 2}'
+    assert out.column("parse_failure").to_pylist() == [False, True, True, False]
+    # no header -> one list column
+    out2 = JsonArrayParser()(pa.table({"text": ['["a","b"]', "junk"]}))
+    assert out2.column("attr_parsed").to_pylist() == [["a", "b"], None]
+
+
+def test_trace_and_scope_parsers():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        ScopeParser,
+        TraceParser,
+    )
+
+    t = pa.table({
+        "attr_trace_id": ["0123456789ABCDEF0123456789abcdef", "xyz", None],
+        "attr_span_id": ["0123456789abcdef", "0123", "aaaaaaaaaaaaaaaa"],
+        "attr_trace_flags": ["01", "01", "zz"],
+        "svc": ["s1", "s2", "s3"],
+    })
+    out = TraceParser()(t)
+    assert out.column("trace_id").to_pylist() == [
+        "0123456789abcdef0123456789abcdef", None, None]
+    assert out.column("span_id").to_pylist() == [
+        "0123456789abcdef", None, "aaaaaaaaaaaaaaaa"]
+    assert out.column("trace_flags").to_pylist() == ["01", "01", None]
+    assert out.column("parse_failure").to_pylist() == [False, True, True]
+    out2 = ScopeParser("svc")(t)
+    assert out2.column("scope_name").to_pylist() == ["s1", "s2", "s3"]
+
+
+def test_assign_keys_unquote_noop_steps():
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.builder import (
+        STEP_REGISTRY,
+    )
+
+    import pyarrow.compute as pc
+
+    t = pa.table({"attr_vals": pc.split_pattern(
+        pa.array(["1,2,3", "x,y", ""]), ",")})
+    stage = STEP_REGISTRY["assign_keys"](
+        {"type": "assign_keys", "field": 'attributes["vals"]',
+         "keys": ["a", "b", "c"]})
+    out = stage(t)
+    assert out.column("attr_a").to_pylist() == ["1", "x", ""]
+    assert out.column("attr_b").to_pylist() == ["2", "y", None]
+    assert out.column("attr_c").to_pylist() == ["3", None, None]
+
+    t2 = pa.table({"text": ['"hello\\nworld"', "`raw text`", "'c'",
+                            "plain", None]})
+    out = STEP_REGISTRY["unquote"]({"type": "unquote", "field": "body"})(t2)
+    assert out.column("text").to_pylist() == [
+        "hello\nworld", "raw text", "c", "plain", None]
+
+    out = STEP_REGISTRY["noop"]({"type": "noop"})(t2)
+    assert out is t2
+
+
+def test_exp_histogram_exact_vs_log_mapping():
+    """scale=0 integer fast path == OTel ceil(log2(v))-1 mapping, incl.
+    power-of-two boundaries where float log could drift."""
+    import math
+
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        exp_histogram_agg,
+    )
+
+    vals = [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 1023, 1024, 1025, 0]
+    ds = rd.from_arrow(pa.table({"k": ["x"] * len(vals),
+                                 "v": pa.array(vals, pa.int64())}))
+    out = exp_histogram_agg(ds, ["k"], "v", scale=0).to_pandas()
+    got = {row["bucket"] if not pd.isna(row["bucket"]) else None: row["n"]
+           for _, row in out.iterrows()}
+
+    def ref_idx(v):
+        if v <= 0:
+            return None
+        if v == 1:
+            return -1
+        return math.ceil(math.log2(v)) - 1
+
+    import collections
+
+    exp = collections.Counter(ref_idx(v) for v in vals)
+    assert {k: int(c) for k, c in got.items()} == dict(exp)
