@@ -305,6 +305,14 @@ def compare(l: Any, r: Any, op: str, n: int):
         if num(lt) and num(rt) and lt != rt:
             la, ra = la.cast(pa.float64()), ra.cast(pa.float64())
         out = kernel(la, ra)
+        # null-operand semantics (compare.go invalidComparison +
+        # LANGUAGE.md table): nil vs value -> false for ==/orderings,
+        # TRUE for !=; nil vs nil -> true for ==, false for !=
+        if op in ("==", "!="):
+            both_null = pc.and_(pc.is_null(la), pc.is_null(ra))
+            eq_null = op == "=="
+            out = pc.if_else(both_null, pa.scalar(eq_null), out)
+            return pc.fill_null(out, not eq_null)
         return pc.fill_null(out, False)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
         const = op == "!="  # incompatible types: != true, everything else false
@@ -537,25 +545,41 @@ class Statement:
     where: Node | None
     source: str
 
-    def apply(self, table: pa.Table, error_mode: str = "propagate") -> pa.Table:
+    def _apply_once(self, table: pa.Table) -> pa.Table:
         from .registry import get_function
 
         ctx = ExprContext(table)
+        mask = None
+        if self.where is not None:
+            mask = as_bool(self.where.eval(ctx), ctx.n)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+        kind, fn = get_function(self.editor)
+        if kind != "editor":
+            raise TypeError(f"{self.editor} is not an editor")
+        fn(ctx, self.args, mask)
+        return ctx.table
+
+    def apply(self, table: pa.Table, error_mode: str = "propagate") -> pa.Table:
         try:
-            mask = None
-            if self.where is not None:
-                mask = as_bool(self.where.eval(ctx), ctx.n)
-                if isinstance(mask, pa.ChunkedArray):
-                    mask = mask.combine_chunks()
-            kind, fn = get_function(self.editor)
-            if kind != "editor":
-                raise TypeError(f"{self.editor} is not an editor")
-            fn(ctx, self.args, mask)
-            return ctx.table
+            return self._apply_once(table)
         except Exception:
-            if error_mode in ("ignore", "silent"):
+            if error_mode not in ("ignore", "silent"):
+                raise
+            # per-RECORD ignore semantics (parser.go:338-341 skips only the
+            # failing record): binary split-retry so one bad value leaves
+            # the rest of the batch transformed; a failing half keeps its
+            # original columns and the permissive concat null-pads any
+            # column the succeeding half added.
+            if table.num_rows <= 1:
                 return table
-            raise
+            mid = table.num_rows // 2
+            halves = [self.apply(table.slice(0, mid), error_mode),
+                      self.apply(table.slice(mid), error_mode)]
+            try:
+                return pa.concat_tables(halves, promote_options="permissive")
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                return table
 
 
 def parse_statement(src: str) -> Statement:

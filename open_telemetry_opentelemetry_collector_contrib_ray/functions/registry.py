@@ -181,13 +181,23 @@ def _format(ctx, args):
 # ------------------------------------------------------------ type converters / checks
 
 
+def _coerce_float(arr: pa.Array) -> pa.Array:
+    """String -> float64 with invalid values as NULL, per row (vectorized
+    pd.to_numeric coerce).  safe=False casts RAISE on bad strings, which
+    would revert the statement for the whole batch under error_mode
+    ignore; per-row nulling keeps results independent of batch splits
+    (engine convention — Time() already nulls via error_is_null)."""
+    import pandas as pd
+
+    f = pd.to_numeric(arr.to_pandas(), errors="coerce")
+    return pa.array(f, type=pa.float64(), from_pandas=True)
+
+
 @register_converter("Int")
 def _int(ctx, args):
     arr = _ev_arr(ctx, args[0])
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        # Go strconv-ish: invalid -> null (ignore mode handles the error)
-        f = pc.cast(arr, pa.float64(), safe=False)
-        return pc.cast(pc.trunc(f), pa.int64(), safe=False)
+        return pc.cast(pc.trunc(_coerce_float(arr)), pa.int64(), safe=False)
     if pa.types.is_floating(arr.type):
         return pc.cast(pc.trunc(arr), pa.int64(), safe=False)
     return arr.cast(pa.int64())
@@ -195,7 +205,10 @@ def _int(ctx, args):
 
 @register_converter("Double")
 def _double(ctx, args):
-    return pc.cast(_ev_arr(ctx, args[0]), pa.float64(), safe=False)
+    arr = _ev_arr(ctx, args[0])
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return _coerce_float(arr)
+    return pc.cast(arr, pa.float64(), safe=False)
 
 
 @register_converter("String")

@@ -330,7 +330,9 @@ def q_embedding_knn(sf_dir: str):
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        from ..stages.similarity import _to_mat
+
+        mat = _to_mat(t.column("embedding"))
         sims = (mat @ qvec) / (np.linalg.norm(mat, axis=1) * qnorm)
         return pa.table({"vec_id": t.column("vec_id"),
                          "sim": pa.array(sims, type=pa.float64())})
@@ -500,16 +502,10 @@ def q_replace_pattern(sf_dir: str):
 def q_match_all_route_counts(sf_dir: str):
     """routingconnector match_once=false COPY semantics: every matching
     route receives the row (logs.go:119-153); per-sink counts."""
-    from ..stages.route import split_match_all
+    from ..stages.route import match_all_counts
 
     ds = _parsed(sf_dir)
-    sinks = split_match_all(ds, ROUTES, default="default")
-    rows = []
-    for name, sub in sinks.items():
-        rows.append({"sink": name, "n": sub.count()})
-    import pandas as pd
-
-    return pd.DataFrame(sorted(rows, key=lambda r: r["sink"]))[["sink", "n"]]
+    return match_all_counts(ds, ROUTES, default="default").to_pandas()
 
 
 def q_filelog_severity_counts(sf_dir: str):

@@ -117,6 +117,34 @@ def _merge_partials(merged: pa.Table, keys: Sequence[str],
     return pa.table(cols)
 
 
+def _merge_partials_keep_partial(t: pa.Table, keys: Sequence[str],
+                                 specs: Sequence[AggSpec]) -> pa.Table:
+    """Merge partial rows by key, KEEPING the partial column naming, so
+    the result can feed another merge level (a tree reduce)."""
+    if t.num_rows == 0:
+        return t
+    pa_aggs = []
+    for op, col, alias in specs:
+        if op in ("count", "sum"):
+            pa_aggs.append((f"__p_{alias}", "sum"))
+        elif op in ("min", "max"):
+            pa_aggs.append((f"__p_{alias}", op))
+        elif op == "mean":
+            pa_aggs.append((f"__ps_{alias}", "sum"))
+            pa_aggs.append((f"__pc_{alias}", "sum"))
+    gb = t.group_by(list(keys)).aggregate(pa_aggs)
+    cols = {k: gb.column(k) for k in keys}
+    for op, col, alias in specs:
+        if op in ("count", "sum"):
+            cols[f"__p_{alias}"] = gb.column(f"__p_{alias}_sum")
+        elif op in ("min", "max"):
+            cols[f"__p_{alias}"] = gb.column(f"__p_{alias}_{op}")
+        elif op == "mean":
+            cols[f"__ps_{alias}"] = gb.column(f"__ps_{alias}_sum")
+            cols[f"__pc_{alias}"] = gb.column(f"__pc_{alias}_sum")
+    return pa.table(cols)
+
+
 def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
                 conditions: Sequence[str] | None = None,
                 combine: str = "shuffle", n_buckets: int = 64):
@@ -142,7 +170,18 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
     if combine == "driver":
         import ray
 
-        refs = partial.to_arrow_refs()
+        # intermediate tree level: re-batch many per-block partial tables
+        # and merge them in the WORKERS before anything reaches the
+        # driver.  Without this, the driver collects one row per (key,
+        # input batch) — at 100 TB (millions of batches) even 5 keys
+        # means millions of driver rows; with it, each 64Ki-row re-batch
+        # collapses to one row per distinct key.
+        def pre_reduce(t: pa.Table) -> pa.Table:
+            return _merge_partials_keep_partial(t, keys, specs)
+
+        reduced = partial.map_batches(pre_reduce, batch_format="pyarrow",
+                                      batch_size=65536)
+        refs = reduced.to_arrow_refs()
         tables = [t for t in ray.get(refs) if t.num_rows]
         if not tables:
             tables = [_PartialAgg(keys, specs, conditions)._empty()]

@@ -353,80 +353,58 @@ def dedup_clusters(pairs_ds, max_driver_pairs: int = 5_000_000,
             "doc_id": pa.array([i for i, _ in items], pa.int64()),
             "cluster_id": pa.array([c for _, c in items], pa.int64())}))
 
-    # distributed min-label propagation
+    # distributed min-label propagation over CO-PARTITIONED hash joins:
+    # the label table lives in the object store, partitioned by the join
+    # hash, and never materializes on the driver (the earlier broadcast
+    # variant pulled every label to the driver each round, contradicting
+    # the >max_driver_pairs trigger that selected this path).
+    from ray.data.aggregate import Min
+
+    from .join import bucketed_hash_join
+
     edges = pairs_ds.map_batches(
         lambda t: pa.table({"src": t.column("doc_a"), "dst": t.column("doc_b")}),
         batch_format="pyarrow")
     edges = edges.union(edges.map_batches(
         lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
-        batch_format="pyarrow"))
-    from ray.data.aggregate import Min
+        batch_format="pyarrow")).materialize()
 
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
     labels = labels.map_batches(
         lambda t: pa.table({"doc_id": t.column("src"),
                             "label": pc.min_element_wise(t.column("src"),
                                                          t.column("label"))}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     for _ in range(max_rounds):
-        lab_edges = bucketless_join_labels(edges, labels)
-        new_labels = lab_edges.groupby("dst").aggregate(Min("src_label", alias_name="nl"))
-        merged = bucketless_merge(labels, new_labels)
-        changed = merged.map_batches(
-            lambda t: pa.table({"c": pc.cast(
-                pc.not_equal(t.column("label"), t.column("new_label")), pa.int64())}),
-            batch_format="pyarrow").sum("c")
-        labels = merged.map_batches(
-            lambda t: pa.table({"doc_id": t.column("doc_id"),
-                                "label": pc.min_element_wise(t.column("label"),
-                                                              t.column("new_label"))}),
+        lab = labels.map_batches(
+            lambda t: pa.table({"src": t.column("doc_id"),
+                                "src_label": t.column("label")}),
             batch_format="pyarrow")
+        lab_edges = bucketed_hash_join(edges, lab, on=["src"])
+        new_labels = lab_edges.groupby("dst").aggregate(
+            Min("src_label", alias_name="nl"))
+        nl = new_labels.map_batches(
+            lambda t: pa.table({"doc_id": t.column("dst"),
+                                "nl": t.column("nl")}),
+            batch_format="pyarrow")
+        merged = bucketed_hash_join(labels, nl, on=["doc_id"],
+                                    how="left").materialize()
+
+        def step(t: pa.Table) -> pa.Table:
+            new = pc.min_element_wise(t.column("label"), t.column("nl"))
+            return pa.table({"doc_id": t.column("doc_id"), "label": new,
+                             "__chg": pc.cast(pc.not_equal(t.column("label"),
+                                                           new), pa.int64())})
+
+        stepped = merged.map_batches(step, batch_format="pyarrow").materialize()
+        changed = stepped.sum("__chg")
+        labels = stepped.drop_columns(["__chg"]).materialize()
         if not changed:
             break
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t.column("doc_id"),
                             "cluster_id": t.column("label")}),
         batch_format="pyarrow")
-
-
-def bucketless_join_labels(edges, labels):
-    """(src,dst) ⋈ (doc_id,label) on src — small-side broadcast."""
-    import ray
-
-    lab = labels.to_pandas()
-    ref = ray.put(dict(zip(lab["doc_id"], lab["label"])))
-
-    class Attach:
-        def __init__(self):
-            self.m = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            src = t.column("src").to_pylist()
-            sl = [self.m.get(s, s) for s in src]
-            return t.append_column("src_label", pa.array(sl))
-
-    return edges.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4))
-
-
-def bucketless_merge(labels, new_labels):
-    import ray
-
-    nl = new_labels.to_pandas()
-    ref = ray.put(dict(zip(nl["dst"], nl["nl"])))
-
-    class Merge:
-        def __init__(self):
-            self.m = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            cur = t.column("label").to_pylist()
-            new = [min(c, self.m.get(i, c)) for i, c in zip(ids, cur)]
-            return pa.table({"doc_id": t.column("doc_id"),
-                             "label": t.column("label"),
-                             "new_label": pa.array(new)})
-
-    return labels.map_batches(Merge, batch_format="pyarrow", concurrency=(1, 4))
 
 
 # ------------------------------------------------------- exact jaccard verify
@@ -485,7 +463,9 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
     seeds and union for higher recall."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        from .similarity import _to_mat
+
+        mat = _to_mat(batch.column(emb_col))
         if mat.size == 0:
             return pa.table({id_col: batch.column(id_col),
                              "bucket": pa.array([], pa.uint64()),

@@ -91,6 +91,39 @@ def split_match_all(ds, routes: list[Route], default: str = "default"):
     return out
 
 
+def match_all_counts(ds, routes: list[Route], default: str = "default"):
+    """Per-sink row counts under match_all COPY semantics in ONE pass:
+    each batch evaluates every route mask once and emits one tiny
+    (sink, count) partial table; the driver sums the partials.  Replaces
+    the N+1-full-scans shape (one .count() per sink) — the input is read
+    and parsed exactly once."""
+    import numpy as np
+    import ray
+
+    conds = [(r.name, parse_condition(r.condition)) for r in routes]
+    all_conds = " or ".join(f"({r.condition})" for r in routes) or "false"
+    none_mask = parse_condition(all_conds)
+    names = [r.name for r in routes] + [default]
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        counts = []
+        for _, mask in conds:
+            counts.append(pc.sum(pc.fill_null(mask(t), False)).as_py() or 0)
+        matched = pc.fill_null(none_mask(t), False)
+        counts.append(t.num_rows - (pc.sum(matched).as_py() or 0))
+        return pa.table({"sink": pa.array(names),
+                         "__p_n": pa.array(np.asarray(counts, dtype=np.int64))})
+
+    partial = ds.map_batches(count_batch, batch_format="pyarrow")
+    tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables(tables) if tables else pa.table(
+        {"sink": pa.array(names),
+         "__p_n": pa.array(np.zeros(len(names), dtype=np.int64))})
+    out = merged.group_by(["sink"]).aggregate([("__p_n", "sum")])
+    return pa.table({"sink": out.column("sink"),
+                     "n": out.column("__p_n_sum").cast(pa.int64())})
+
+
 def round_robin_split(ds, n: int, out: str = "rr_sink"):
     """roundrobinconnector analog (/root/reference/connector/
     roundrobinconnector): spread rows evenly across n pipelines.  In a

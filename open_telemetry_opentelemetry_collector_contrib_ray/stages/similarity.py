@@ -18,8 +18,19 @@ import pyarrow as pa
 
 
 def _to_mat(col) -> np.ndarray:
-    vals = col.to_pylist()
-    return np.asarray(vals, dtype=np.float64) if vals else np.zeros((0, 1))
+    """(n, d) float64 matrix from a fixed-width list column, zero-copy
+    from the Arrow buffer (flatten + reshape) — never via Python lists."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 1))
+    flat = arr.flatten()
+    if len(flat) % n == 0 and len(flat) > 0:
+        vals = flat.to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(vals.reshape(n, len(flat) // n),
+                                    dtype=np.float64)
+    # ragged fallback (not expected for embedding columns)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,

@@ -54,8 +54,22 @@ def run_resumable(
     for sid, shard_files in enumerate(shards):
         final_dir = os.path.join(out_root, f"shard={sid:05d}")
         if os.path.exists(_manifest_path(final_dir)):
-            summary["shards_skipped"] += 1
-            continue
+            # a manifest proves SOME run completed this shard id — only
+            # skip if it covered the SAME input files (file list or
+            # n_shards changes remap shard ids; stale outputs must rerun)
+            try:
+                with open(_manifest_path(final_dir)) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                prev = {}
+            if prev.get("input_files") == list(shard_files):
+                summary["shards_skipped"] += 1
+                continue
+            import warnings
+
+            warnings.warn(
+                f"shard {sid}: manifest input_files mismatch "
+                f"(inputs or n_shards changed) — rerunning", stacklevel=2)
         shutil.rmtree(final_dir, ignore_errors=True)  # partial leftovers
         tmp_dir = os.path.join(out_root, f".tmp-shard={sid:05d}")
         shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -52,10 +52,23 @@ class LineageRecorder:
                 ],
             }
         os.makedirs(self.lineage_dir, exist_ok=True)  # worker-side (shared fs on a cluster)
-        path = os.path.join(self.lineage_dir, f"batch-{uuid.uuid4().hex}.json")
-        with open(path + ".tmp", "w") as f:
+        # sidecar name derives from the INPUT batch's content, so a Ray
+        # task retry / speculative re-execution of the same batch
+        # OVERWRITES its sidecar instead of double-counting rows in the
+        # lineage totals (uuid names accumulated one file per attempt)
+        try:
+            from ..stages.sample import hash64
+
+            digest = int(hash64(batch, batch.column_names).sum()) \
+                if batch.num_rows else 0
+            name = f"batch-{batch.num_rows}-{digest & 0xFFFFFFFFFFFFFFFF:016x}"
+        except Exception:  # unhashable column types: fall back to random
+            name = f"batch-{uuid.uuid4().hex}"
+        path = os.path.join(self.lineage_dir, f"{name}.json")
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"  # unique tmp: concurrent retries
+        with open(tmp, "w") as f:
             json.dump(rec, f)
-        os.rename(path + ".tmp", path)
+        os.rename(tmp, path)
         return out
 
 

@@ -489,3 +489,54 @@ def test_registry_function_count():
     # converter-tail completion: the registry now carries the documented
     # function surface (pkg/ottl/ottlfuncs/README.md lists ~80)
     assert len(registered_functions()) >= 75
+
+
+def test_neq_null_semantics():
+    # compare.go invalidComparison / LANGUAGE.md: nil != "v" is TRUE; the
+    # columnar engine must not fill null comparison results with False
+    # for '!=' (round-2 advice)
+    t = tbl(attr_x=["a", None, "v"], attr_y=[None, None, "v"])
+    m = parse_condition('attributes["x"] != "v"')(t)
+    assert m.to_pylist() == [True, True, False]
+    m = parse_condition('attributes["x"] == "v"')(t)
+    assert m.to_pylist() == [False, False, True]
+    # column-vs-column: null==null is true, null!=valid is true
+    m = parse_condition('attributes["x"] == attributes["y"]')(t)
+    assert m.to_pylist() == [False, True, True]
+    m = parse_condition('attributes["x"] != attributes["y"]')(t)
+    assert m.to_pylist() == [True, False, False]
+    # orderings on null stay false
+    m = parse_condition('attributes["x"] > "a"')(t)
+    assert m.to_pylist() == [False, False, True]
+
+
+def test_int_double_invalid_strings_null_per_row():
+    # one bad value must not revert the statement for the whole batch
+    # (round-2 advice: results were batch-boundary-dependent)
+    t = tbl(s=["12", "abc", "3.9", None, "7"])
+    out = parse_statement('set(attributes["i"], Int(s))').apply(t, "ignore")
+    assert out.column("attr_i").to_pylist() == [12, None, 3, None, 7]
+    out = parse_statement('set(attributes["d"], Double(s))').apply(t, "ignore")
+    assert out.column("attr_d").to_pylist() == [12.0, None, 3.9, None, 7.0]
+
+
+def test_error_mode_split_retry_per_record():
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.registry import (
+        register_row_converter,
+    )
+
+    def boomer(s):
+        if s == "boom":
+            raise ValueError("boom")
+        return s.upper()
+
+    register_row_converter("TestBoom", boomer)
+    t = tbl(s=["a", "boom", "c", "d"])
+    stmt = parse_statement('set(attributes["u"], TestBoom(s))')
+    # propagate mode raises
+    with pytest.raises(Exception):
+        stmt.apply(t, "propagate")
+    # ignore mode: only the failing record is left untouched
+    out = stmt.apply(t, "ignore")
+    assert out.column("attr_u").to_pylist() == ["A", None, "C", "D"]
+    assert out.column("s").to_pylist() == ["a", "boom", "c", "d"]

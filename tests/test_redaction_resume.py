@@ -123,3 +123,66 @@ def test_run_job_script_resumes(tmp_path):
     r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["shards_run"] == 0 and s2["shards_skipped"] == s1["shards_run"]
+
+
+def test_resume_reruns_on_input_file_mismatch(tmp_path):
+    """A manifest only skips a shard when it covered the SAME input files
+    (round-2 advice: changed file lists / n_shards remap shard ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.state.checkpoint import (
+        run_resumable,
+    )
+
+    files = []
+    for i in range(4):
+        p = tmp_path / f"in-{i}.parquet"
+        pq.write_table(pa.table({"x": [i]}), p)
+        files.append(str(p))
+
+    calls = []
+
+    def run_shard(shard_files, out_dir):
+        calls.append(list(shard_files))
+        return {"rows": len(shard_files)}
+
+    out = str(tmp_path / "out")
+    s1 = run_resumable(files, out, run_shard, n_shards=2)
+    assert s1["shards_run"] == 2
+    # same inputs -> all skipped
+    s2 = run_resumable(files, out, run_shard, n_shards=2)
+    assert s2["shards_skipped"] == 2 and s2["shards_run"] == 0
+    # reordered input list -> same sorted shards -> still skipped
+    s2b = run_resumable(files[::-1], out, run_shard, n_shards=2)
+    assert s2b["shards_skipped"] == 2 and s2b["shards_run"] == 0
+    # different shard mapping (n_shards changed) -> stale manifests must
+    # NOT be trusted: shard 0 now covers all four files
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s3 = run_resumable(files, out, run_shard, n_shards=1)
+    assert s3["shards_run"] == 1
+
+
+def test_lineage_sidecars_idempotent_on_retry(tmp_path):
+    """Re-processing the same batch (task retry) overwrites its sidecar
+    instead of double-counting (round-2 advice)."""
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.state.lineage import (
+        LineageRecorder,
+        summarize_lineage,
+    )
+
+    d = str(tmp_path / "lineage")
+    rec = LineageRecorder(None, d)
+    batch = pa.table({"conv_id": ["a", "b"], "turn_idx": [0, 1]})
+    rec(batch)
+    rec(batch)  # simulated retry of the SAME batch
+    other = pa.table({"conv_id": ["c", "d"], "turn_idx": [0, 1]})
+    rec(other)
+    total = summarize_lineage(d)
+    assert total["batches"] == 2
+    assert total["rows_in"] == 4
