@@ -37,6 +37,8 @@ class LanguageId:
         self.out_col = out_col
 
     def guess(self, text: str) -> str:
+        """Row reference implementation (same semantics as the vectorized
+        batch path: distinct-stopword overlap, first language wins ties)."""
         if not text:
             return "unknown"
         if _CJK.search(text):
@@ -52,9 +54,30 @@ class LanguageId:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        return batch.append_column(
-            self.out_col, pa.array([self.guess(t or "") for t in texts], pa.string()))
+        col = batch.column(self.text_col)
+        n = batch.num_rows
+        lower = pc.utf8_lower(pc.fill_null(col, ""))
+        # distinct-stopword votes, one vectorized RE2 scan per stopword
+        # (not per row): boolean presence preserves the set-overlap
+        # semantics of the row reference impl
+        votes = np.zeros((n, len(_LANG_PROFILES)), dtype=np.int32)
+        for j, (lang, stops) in enumerate(_LANG_PROFILES.items()):
+            for w in stops:
+                hit = pc.match_substring_regex(lower, rf"\b{w}\b")
+                votes[:, j] += pc.fill_null(hit, False).to_numpy(
+                    zero_copy_only=False)
+        langs = np.array(list(_LANG_PROFILES), dtype=object)
+        best = langs[np.argmax(votes, axis=1)]  # argmax = first max = tie rule
+        best = np.where(votes.max(axis=1) > 0, best, "unknown")
+        is_cjk = pc.fill_null(pc.match_substring_regex(col, _CJK.pattern),
+                              False).to_numpy(zero_copy_only=False)
+        is_cyr = pc.fill_null(pc.match_substring_regex(col, _CYRILLIC.pattern),
+                              False).to_numpy(zero_copy_only=False)
+        best = np.where(is_cjk, "zh", np.where(is_cyr, "ru", best))
+        empty = pc.fill_null(pc.equal(col, ""), True).to_numpy(
+            zero_copy_only=False)
+        best = np.where(empty, "unknown", best)
+        return batch.append_column(self.out_col, pa.array(best, pa.string()))
 
 
 class QualityScore:
@@ -69,32 +92,51 @@ class QualityScore:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.text_col)
-        n_chars = pc.utf8_length(col).cast(pa.int64())
-        texts = col.to_pylist()
-        n = len(texts)
-        n_tokens = np.zeros(n, np.int64)
-        mean_wl = np.zeros(n, np.float64)
-        stop_ratio = np.zeros(n, np.float64)
-        distinct_ratio = np.zeros(n, np.float64)
-        digit_ratio = np.zeros(n, np.float64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = _WORD_RE.findall(t.lower())
-            if toks:
-                n_tokens[i] = len(toks)
-                mean_wl[i] = sum(map(len, toks)) / len(toks)
-                stop_ratio[i] = sum(1 for w in toks if w in self.stop) / len(toks)
-                distinct_ratio[i] = len(set(toks)) / len(toks)
-            digits = sum(c.isdigit() for c in t)
-            digit_ratio[i] = digits / len(t)
+        n = batch.num_rows
+        n_chars = pc.utf8_length(pc.fill_null(col, "")).cast(pa.int64())
+        lower = pc.utf8_lower(pc.fill_null(col, ""))
+        # fully vectorized: RE2 match counts for token/word-char/digit
+        # metrics, polars extract_all for the distinct-token ratio (the
+        # one metric that needs per-row token multisets)
+        n_tokens = pc.count_substring_regex(lower, r"\w+") \
+                     .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # word chars = total chars minus chars left after deleting \w+ runs
+        # (one run-wise regex pass; counting single-char \w matches is 3x
+        # slower because every character is a match)
+        stripped = pc.replace_substring_regex(lower, r"\w+", "")
+        word_chars = pc.subtract(
+            pc.utf8_length(lower), pc.utf8_length(stripped)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        stop_alt = r"\b(" + "|".join(sorted(self.stop)) + r")\b"
+        stop_hits = pc.count_substring_regex(lower, stop_alt) \
+                      .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        digits = pc.count_substring_regex(lower, r"\d") \
+                   .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        try:
+            import polars as pl
+
+            toks = pl.from_arrow(
+                lower.combine_chunks() if isinstance(lower, pa.ChunkedArray)
+                else lower).str.extract_all(r"\w+")
+            n_distinct = toks.list.n_unique().to_numpy().astype(np.int64)
+        except ImportError:  # pragma: no cover
+            n_distinct = np.array(
+                [len(set(_WORD_RE.findall(t or ""))) for t in lower.to_pylist()],
+                dtype=np.int64)
+        nt = np.maximum(n_tokens, 1).astype(np.float64)
+        has = n_tokens > 0
+        chars = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1) \
+                  .astype(np.float64)
         out = batch
         p = self.prefix
-        for name, arr in [("n_chars", n_chars), ("n_tokens", pa.array(n_tokens)),
-                          ("mean_word_len", pa.array(mean_wl)),
-                          ("stop_ratio", pa.array(stop_ratio)),
-                          ("distinct_ratio", pa.array(distinct_ratio)),
-                          ("digit_ratio", pa.array(digit_ratio))]:
+        for name, arr in [
+            ("n_chars", n_chars),
+            ("n_tokens", pa.array(n_tokens)),
+            ("mean_word_len", pa.array(np.where(has, word_chars / nt, 0.0))),
+            ("stop_ratio", pa.array(np.where(has, stop_hits / nt, 0.0))),
+            ("distinct_ratio", pa.array(np.where(has, n_distinct / nt, 0.0))),
+            ("digit_ratio", pa.array(digits / chars)),
+        ]:
             out = out.append_column(p + name, arr)
         return out
 
@@ -123,16 +165,22 @@ class TokenCount:
 
 
 class Fingerprint:
-    """64-bit rolling-hash document fingerprint (content-defined): a
-    polynomial rolling hash over the normalized text — stable across
-    whitespace differences, usable as an exact-dup key."""
+    """64-bit document fingerprint over whitespace-normalized lowercase
+    text — stable across whitespace differences, usable as an exact-dup
+    key.  Normalization is vectorized Arrow (regex collapse + trim +
+    lower); the hash is polars' Rust 64-bit kernel (algo="fast",
+    default) or the byte-wise FNV-1a reference (algo="fnv1a", per-row
+    Python — keep for cross-system reproducibility needs)."""
 
-    def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
+    def __init__(self, text_col: str = "text", out_col: str = "fingerprint",
+                 algo: str = "fast"):
         self.text_col = text_col
         self.out_col = out_col
+        self.algo = algo
 
     @staticmethod
     def fp64(text: str) -> int:
+        """FNV-1a reference fingerprint of one normalized text."""
         norm = " ".join(text.split()).lower()
         h = np.uint64(1469598103934665603)
         p = np.uint64(1099511628211)
@@ -140,7 +188,23 @@ class Fingerprint:
             h = np.uint64((int(h) ^ b) * int(p) & 0xFFFFFFFFFFFFFFFF)
         return int(h)
 
+    def _normalize(self, col) -> pa.Array:
+        col = pc.fill_null(col, "")
+        collapsed = pc.replace_substring_regex(col, r"\s+", " ")
+        return pc.utf8_lower(pc.utf8_trim_whitespace(collapsed))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        fps = np.array([self.fp64(t or "") for t in texts], dtype=np.uint64)
-        return batch.append_column(self.out_col, pa.array(fps))
+        norm = self._normalize(batch.column(self.text_col))
+        if self.algo == "fnv1a":
+            fps = np.array([self.fp64(t) for t in norm.to_pylist()],
+                           dtype=np.uint64)
+            return batch.append_column(self.out_col, pa.array(fps))
+        try:
+            from .sample import hash64
+
+            fps = hash64(norm)
+        except ImportError:  # pragma: no cover
+            fps = np.array([self.fp64(t) for t in norm.to_pylist()],
+                           dtype=np.uint64)
+        return batch.append_column(self.out_col,
+                                   pa.array(fps.astype(np.uint64)))
