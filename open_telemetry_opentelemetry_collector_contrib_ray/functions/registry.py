@@ -22,6 +22,7 @@ import json
 import re
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -798,28 +799,101 @@ def _url(ctx, args):
         field_names=["scheme", "domain", "path", "query", "port"])
 
 
+# Ordered browser-family rules in the uap-core style (the PUBLIC
+# ua-parser project's priority ordering: forks and embedded tokens
+# before the engines they embed — Edge/OPR before Chrome, CriOS/FxiOS
+# before Safari, Version/..Safari after everything Chrome-like).
+# Compact hand-written subset, not a copy of uap-core's regexes.yaml.
+_UA_RULES: list[tuple[str, str | None]] = [
+    (r"(?P<f>Googlebot|bingbot|Baiduspider|YandexBot|DuckDuckBot|Slurp|"
+     r"facebookexternalhit)(?:[/ ](?P<v1>\d+)(?:\.(?P<v2>\d+))?)?", None),
+    (r"(?:Edge|Edg|EdgiOS|EdgA)/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?",
+     "Edge"),
+    (r"OPR/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?", "Opera"),
+    (r"Opera[/ ](?P<v1>\d+)(?:\.(?P<v2>\d+))?", "Opera"),
+    (r"SamsungBrowser/(?P<v1>\d+)(?:\.(?P<v2>\d+))?", "Samsung Internet"),
+    (r"YaBrowser/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?",
+     "Yandex Browser"),
+    (r"Vivaldi/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?", "Vivaldi"),
+    (r"CriOS/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?",
+     "Chrome Mobile iOS"),
+    (r"FxiOS/(?P<v1>\d+)(?:\.(?P<v2>\d+))?", "Firefox iOS"),
+    (r"Chromium/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?", "Chromium"),
+    (r"Chrome/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?(?:\.\d+)?"
+     r"(?: Mobile)? Safari", "Chrome"),
+    (r"Chrome/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?", "Chrome"),
+    (r"Firefox/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?", "Firefox"),
+    (r"Version/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?"
+     r"(?: Mobile(?:/\w+)?) Safari/", "Mobile Safari"),
+    (r"Version/(?P<v1>\d+)(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))? .*Safari/",
+     "Safari"),
+    (r"MSIE (?P<v1>\d+)(?:\.(?P<v2>\d+))?", "IE"),
+    (r"Trident/.*rv:(?P<v1>\d+)(?:\.(?P<v2>\d+))?", "IE"),
+    (r"(?P<f>curl|Wget|python-requests|Go-http-client|okhttp|"
+     r"Apache-HttpClient|Java|aiohttp|libwww-perl)[/ ](?P<v1>\d+)"
+     r"(?:\.(?P<v2>\d+))?(?:\.(?P<v3>\d+))?", None),
+]
+
+_UA_OS_RULES: list[tuple[str, str | None]] = [
+    (r"Windows NT (?P<v1>\d+)\.(?P<v2>\d+)", "Windows"),
+    (r"iPhone OS (?P<v1>\d+)[._](?P<v2>\d+)", "iOS"),
+    (r"CPU OS (?P<v1>\d+)[._](?P<v2>\d+)", "iOS"),
+    (r"Mac OS X (?P<v1>\d+)[._](?P<v2>\d+)(?:[._](?P<v3>\d+))?", "Mac OS X"),
+    (r"Android (?P<v1>\d+)(?:\.(?P<v2>\d+))?", "Android"),
+    (r"(?P<f>Linux|CrOS|Ubuntu|FreeBSD)", None),
+]
+
+
+def _ua_apply_rules(col, rules):
+    """First-matching-rule extraction, one vectorized RE2 pass per rule."""
+    n = len(col)
+    fam = np.full(n, None, dtype=object)
+    ver = np.full(n, None, dtype=object)
+    unmatched = np.ones(n, dtype=bool)
+    for pattern, family in rules:
+        if not unmatched.any():
+            break
+        struct = pc.extract_regex(col, pattern)
+        valid = pc.is_valid(struct).to_numpy(zero_copy_only=False)
+        sel = valid & unmatched
+        if not sel.any():
+            continue
+        names = {f.name for f in struct.type}
+        f_arr = (pc.struct_field(struct, "f").to_numpy(zero_copy_only=False)
+                 if "f" in names else None)
+        vs = [pc.struct_field(struct, g).to_numpy(zero_copy_only=False)
+              for g in ("v1", "v2", "v3") if g in names]
+        idx = np.nonzero(sel)[0]
+        for i in idx:
+            fam[i] = family if family is not None else f_arr[i]
+            # unmatched optional groups come back as "" from extract_regex
+            parts = [v[i] for v in vs if v[i]]
+            ver[i] = ".".join(parts) if parts else None
+        unmatched &= ~sel
+    return fam, ver, unmatched
+
+
 @register_converter("UserAgent")
 def _user_agent(ctx, args):
-    # UserAgent(target) -> struct — ref func_useragent.go (ua-parser);
-    # heuristic regex fallback (no ua lib in this container)
-    py = _str(_ev_arr(ctx, args[0])).to_pylist()
-    names, versions, oss = [], [], []
-    browser_re = re.compile(
-        r"(Firefox|Chrome|Safari|Edge|Opera|MSIE|curl|wget|python-requests)[/ ]?([\d.]*)",
-        re.I)
-    os_re = re.compile(r"\((Windows[^;)]*|Macintosh[^;)]*|Linux[^;)]*|Android[^;)]*|iPhone[^;)]*)")
-    for s in py:
-        if not s:
-            names.append(None); versions.append(None); oss.append(None)
-            continue
-        m = browser_re.search(s)
-        names.append(m.group(1) if m else "Other")
-        versions.append(m.group(2) or None if m else None)
-        mo = os_re.search(s)
-        oss.append(mo.group(1) if mo else None)
-    return pc.make_struct(pa.array(names, pa.string()), pa.array(versions, pa.string()),
-                          pa.array(oss, pa.string()),
-                          field_names=["name", "version", "os"])
+    """UserAgent(target) -> struct{name, version, os, original} — ref
+    func_useragent.go returns the semconv triple (name/version/original)
+    from ua-parser; this engine adds an `os` field as an extension.
+    Ordered rule table, vectorized one RE2 pass per rule; unmatched
+    family is "Other" like ua-parser."""
+    arr = _str(_ev_arr(ctx, args[0]))
+    col = pc.fill_null(arr, "")
+    fam, ver, unmatched = _ua_apply_rules(col, _UA_RULES)
+    fam[unmatched] = "Other"
+    osf, osv, os_unmatched = _ua_apply_rules(col, _UA_OS_RULES)
+    oss = np.full(len(col), None, dtype=object)
+    for i in np.nonzero(~os_unmatched)[0]:
+        oss[i] = f"{osf[i]} {osv[i]}" if osv[i] else osf[i]
+    isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    fam[isnull] = None
+    return pc.make_struct(
+        pa.array(fam, pa.string()), pa.array(ver, pa.string()),
+        pa.array(oss, pa.string()), arr,
+        field_names=["name", "version", "os", "original"])
 
 
 for _name, _kern in [("Sqrt", "sqrt"), ("Abs", "abs"), ("Ceil", "ceil"),

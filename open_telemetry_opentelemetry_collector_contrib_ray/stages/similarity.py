@@ -74,7 +74,10 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                              "sim": pa.array(sv, pa.float64())})
 
     partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk(partials, k, id_col)
 
+
+def _merge_topk(partials, k: int, id_col: str):
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
@@ -131,11 +134,74 @@ def ivf_build(ds, n_centroids: int = 16, emb_col: str = "embedding",
     return assigned, cn
 
 
+def _routed_topk(pruned, qn: np.ndarray, probes: np.ndarray, k: int,
+                 id_col: str, emb_col: str, exclude_ids: set | None):
+    """Score each list ONLY against the queries that probed it (per-query
+    probe routing).  Without this, a batch of queries unions its probe
+    sets and every query scores every probed list — at nq queries x
+    n_probe lists that is an nq-fold blowup of useless work.  `pruned`
+    must carry a list_id column."""
+    import ray
+
+    probe_of: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for lid in row:
+            probe_of.setdefault(int(lid), []).append(qi)
+    qref = ray.put(qn)
+    pref = ray.put({lid: np.asarray(v, dtype=np.int64)
+                    for lid, v in probe_of.items()})
+    excl = exclude_ids or set()
+
+    class RoutedScore:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.routes = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_idx": pa.array([], pa.int32()),
+                              id_col: pa.array([], pa.int64()),
+                              "sim": pa.array([], pa.float64())})
+            if batch.num_rows == 0:
+                return empty
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            lids = batch.column("list_id").to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+            mat = _to_mat(batch.column(emb_col))
+            keep = ~np.isin(ids, list(excl)) if excl else np.ones(len(ids), bool)
+            ids, lids, mat = ids[keep], lids[keep], mat[keep]
+            if not len(ids):
+                return empty
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            unit = mat / norms
+            qi_out, vi_out, sv_out = [], [], []
+            for lid in np.unique(lids):
+                qidx = self.routes.get(int(lid))
+                if qidx is None:
+                    continue
+                rows = lids == lid
+                sub_ids = ids[rows]
+                sims = unit[rows] @ self.q[qidx].T  # (n_rows, nq_probing)
+                kk = min(k, len(sub_ids))
+                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                for j, qg in enumerate(qidx):
+                    sel = part[:, j]
+                    qi_out.extend([qg] * len(sel))
+                    vi_out.extend(sub_ids[sel])
+                    sv_out.extend(sims[sel, j])
+            return pa.table({"query_idx": pa.array(qi_out, pa.int32()),
+                             id_col: pa.array(vi_out),
+                             "sim": pa.array(sv_out, pa.float64())})
+
+    partials = pruned.map_batches(RoutedScore, batch_format="pyarrow",
+                                  concurrency=(1, 8))
+    return _merge_topk(partials, k, id_col)
+
+
 def ivf_query(assigned, cn: np.ndarray, queries: np.ndarray, k: int = 10,
               n_probe: int = 4, id_col: str = "vec_id",
               emb_col: str = "embedding", exclude_ids: set | None = None):
-    """Query a prebuilt IVF index: prune to the n_probe nearest lists per
-    query, then exact scoring on the pruned fraction."""
+    """Query a prebuilt IVF index: prune to the union of probed lists,
+    then route each list's rows only to the queries probing it."""
     import pyarrow.compute as pc
 
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
@@ -144,8 +210,7 @@ def ivf_query(assigned, cn: np.ndarray, queries: np.ndarray, k: int = 10,
     pruned = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t.column("list_id"), value_set=probe_arr)),
         batch_format="pyarrow")
-    return brute_force_topk(pruned, queries, k=k, id_col=id_col, emb_col=emb_col,
-                            exclude_ids=exclude_ids)
+    return _routed_topk(pruned, qn, probes, k, id_col, emb_col, exclude_ids)
 
 
 def ivf_build_partitioned(ds, out_dir: str, n_centroids: int = 16,
@@ -184,9 +249,15 @@ def ivf_query_partitioned(out_dir: str, queries: np.ndarray, k: int = 10,
     files = []
     for i in lists:
         files.extend(_glob.glob(os.path.join(out_dir, f"list_id={i}", "*.parquet")))
+    # hive partitioning restores the list_id column for per-query routing
     pruned = rd.read_parquet(files)
-    return brute_force_topk(pruned, queries, k=k, id_col=id_col, emb_col=emb_col,
-                            exclude_ids=exclude_ids)
+    if "list_id" not in pruned.schema().names:
+        import pyarrow.compute as _pc
+
+        def stamp(t, _files=files):  # pragma: no cover - hive usually present
+            raise RuntimeError("list_id partition column missing from read")
+        pruned = pruned.map_batches(stamp, batch_format="pyarrow")
+    return _routed_topk(pruned, qn, probes, k, id_col, emb_col, exclude_ids)
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,

@@ -540,3 +540,46 @@ def test_error_mode_split_retry_per_record():
     out = stmt.apply(t, "ignore")
     assert out.column("attr_u").to_pylist() == ["A", None, "C", "D"]
     assert out.column("s").to_pylist() == ["a", "boom", "c", "d"]
+
+
+UA_CASES = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36",
+     "Chrome", "120.0.6099", "Windows 10.0"),
+    ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+     "Edge", "120.0.2210", "Windows 10.0"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+     "Safari", "17.1", "Mac OS X 10.15.7"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+     "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 "
+     "Safari/604.1", "Mobile Safari", "17.1", "iOS 17.1"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+     "AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/120.0.6099.119 "
+     "Mobile/15E148 Safari/604.1", "Chrome Mobile iOS", "120.0.6099", "iOS 17.1"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+     "Firefox", "115.0", "Linux"),
+    ("Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; rv:11.0) like Gecko",
+     "IE", "11.0", "Windows 10.0"),
+    ("curl/8.4.0", "curl", "8.4.0", None),
+    ("Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/120.0.0.0 Mobile Safari/537.36 "
+     "OPR/76.2.4027.73374", "Opera", "76.2.4027", "Android 13"),
+    ("Googlebot/2.1 (+http://www.google.com/bot.html)", "Googlebot", "2.1", None),
+    ("weird thing", "Other", None, None),
+]
+
+
+def test_user_agent_rule_table():
+    """ua-parser-ordered rule table: forks/embedded tokens before the
+    engines they embed (func_useragent.go returns the semconv
+    name/version/original triple; os is this engine's extension)."""
+    t = tbl(ua=[c[0] for c in UA_CASES])
+    out = parse_statement('set(attributes["p"], UserAgent(ua))').apply(t)
+    rows = out.column("attr_p").to_pylist()
+    for (ua, name, ver, os_), row in zip(UA_CASES, rows):
+        assert row["name"] == name, (ua, row)
+        assert row["version"] == ver, (ua, row)
+        assert row["os"] == os_, (ua, row)
+        assert row["original"] == ua
