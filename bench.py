@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "tool_category_counts",
     "sessionize_events",
     "orders_per_nation",
+    "orders_per_nation_native",
     "embedding_knn",
 ]
 

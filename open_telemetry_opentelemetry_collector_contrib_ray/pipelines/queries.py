@@ -643,6 +643,47 @@ def q_orders_per_nation(sf_dir: str):
                        combine="driver")
 
 
+def q_orders_per_nation_native(sf_dir: str):
+    """Same join expressed with Ray Data's built-in hash-shuffle join
+    (stages/join.native_join wrapping Dataset.join) — oracle-checked
+    against the identical SQL as orders_per_nation so both join paths
+    stay verified; per-round benchmark decides the recommended default."""
+    from ..stages.enrich import LookupEnricher
+    from ..stages.join import native_join
+
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _rd(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    orders = orders.map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "o_totalprice"])
+                   .rename_columns(["custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    customer = customer.map_batches(
+        lambda t: t.select(["c_custkey", "c_nationkey"])
+                   .rename_columns(["custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    joined = native_join(orders, customer, on=["custkey"], num_partitions=16)
+
+    import pyarrow.parquet as pq
+
+    ntbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"])
+    lookup = {int(k): {"nation_name": v} for k, v in
+              zip(ntbl.column("n_nationkey").to_pylist(), ntbl.column("n_name").to_pylist())}
+    joined = joined.map_batches(
+        LookupEnricher(lookup, key_col="c_nationkey", prefix=""),
+        batch_format="pyarrow")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100)), pa.int64()))
+
+    joined = joined.map_batches(to_cents, batch_format="pyarrow")
+    return grouped_agg(joined, ["nation_name"],
+                       [("count", None, "n_orders"), ("sum", "cents", "total_cents")],
+                       combine="driver")
+
+
 def q_sessionize_events(sf_dir: str):
     """Session windows per user (30-min gap) — intervalprocessor /
     groupbytrace time-window family; session count per user."""
@@ -988,6 +1029,7 @@ def queries():
         "container_log_parse": q_container_log_parse,
         "filelog_severity_counts": q_filelog_severity_counts,
         "orders_per_nation": q_orders_per_nation,
+        "orders_per_nation_native": q_orders_per_nation_native,
         "sessionize_events": q_sessionize_events,
         "turn_transitions": q_turn_transitions,
         "top_users_by_value": q_top_users_by_value,
@@ -1214,6 +1256,13 @@ def oracle_sql():
                    count(*) AS n
             FROM parsed GROUP BY 1""",
         "orders_per_nation": """
+            SELECT n.n_name AS nation_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1""",
+        "orders_per_nation_native": """
             SELECT n.n_name AS nation_name, count(*) AS n_orders,
                    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders o

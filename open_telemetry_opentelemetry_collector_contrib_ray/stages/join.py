@@ -75,9 +75,23 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401
         lg = g[g["__side"]][left_cols]
         rg = g[~g["__side"]][right_cols]
         return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def native_join(left, right, on: Sequence[str], how: str = "inner",
+                num_partitions: int = 32, suffix: str = "_r"):
+    """Ray Data's built-in hash-shuffle join (Dataset.join) — the same
+    co-partitioning idea as bucketed_hash_join executed by Ray's join
+    operator.  Prefer this when both sides are large and the Ray version
+    provides it; bucketed_hash_join stays as the portable, inspectable
+    fallback (and the one that supports arbitrary key types uniformly).
+    Benchmark note (BASELINE.md): measured head-to-head on the
+    orders x customer join at sf0.1 per round so the default stays
+    evidence-based."""
+    return left.join(right, join_type=how, num_partitions=num_partitions,
+                     on=tuple(on), right_suffix=suffix)
