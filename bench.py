@@ -95,7 +95,10 @@ def run_headline() -> dict:
     )
 
     repeats = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
-    out_dir = f"/tmp/bench_routed_{NUM_CPUS}"
+    # GRAFT_BENCH_OUT_ROOT=/dev/shm points the routed sink at tmpfs to
+    # isolate the single-local-disk bottleneck (BASELINE.md scaling table)
+    out_root = os.environ.get("GRAFT_BENCH_OUT_ROOT", "/tmp")
+    out_dir = f"{out_root}/bench_routed_{NUM_CPUS}"
 
     def full():  # parse→enrich→route→aggregate + routed partitioned parquet sink
         shutil.rmtree(out_dir, ignore_errors=True)

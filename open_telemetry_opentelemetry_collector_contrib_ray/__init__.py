@@ -13,4 +13,12 @@ columnar Arrow engine.  See SURVEY.md for the semantic mapping.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# polars sizes its Rust thread pool to ALL cores per process; under Ray's
+# one-process-per-cpu worker model that oversubscribes the node 32x.  One
+# thread per worker is correct — parallelism comes from Ray tasks.  Must
+# be set before the first polars import anywhere in the process.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 from . import functions, pipelines, sources, stages, state  # noqa: F401

@@ -36,6 +36,7 @@ from ..stages.parse import (
     RegexParser,
     ScopeParser,
     SeverityParser,
+    UriParser,
     TimeParser,
     TraceParser,
 )
@@ -97,6 +98,9 @@ register_step("trace_parser")(lambda c: TraceParser(
     span_id_from=c.get("span_id_from", "attr_span_id"),
     flags_from=c.get("flags_from", "attr_trace_flags")))
 register_step("scope_parser")(lambda c: ScopeParser(c["parse_from"]))
+register_step("uri_parser")(lambda c: UriParser(
+    parse_from=c.get("parse_from", "text"), prefix=c.get("prefix", "attr_"),
+    on_error=c.get("on_error", "send")))
 register_step("severity_parser")(lambda c: SeverityParser(
     parse_from=c.get("parse_from", "attr_level")))
 register_step("transform")(lambda c: TransformStage(

@@ -39,6 +39,7 @@ from .parse import (  # noqa: F401
     SyslogParser,
     TimeParser,
     TraceParser,
+    UriParser,
     reassemble_container_partials,
     make_tool_log_parser,
 )

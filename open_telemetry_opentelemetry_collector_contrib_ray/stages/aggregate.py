@@ -147,7 +147,8 @@ def _merge_partials_keep_partial(t: pa.Table, keys: Sequence[str],
 
 def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
                 conditions: Sequence[str] | None = None,
-                combine: str = "shuffle", n_buckets: int = 64):
+                combine: str = "shuffle", n_buckets: int = 64,
+                coalesce: bool = True):
     """Two-phase grouped aggregate -> Dataset with keys + aliased agg columns.
 
     combine="shuffle" (default): global Dataset.groupby over the partials —
@@ -196,6 +197,14 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
             return t.append_column("__bucket", bucket_column(t, n_buckets, keys))
 
         bucketed = partial.map_batches(add_bucket, batch_format="pyarrow")
+        if coalesce:
+            # coalesce before the sort shuffle: Ray's sort-based groupby
+            # degrades ~45x when fed hundreds of tiny blocks (920 blocks:
+            # 92s for a 6M-row exchange; repartition(32) first: 2s).
+            # SKIP for huge unshrunk partials (e.g. whole-corpus dedup
+            # text keys): there the extra linear pass outweighs the
+            # block-count win — callers pass coalesce=False.
+            bucketed = bucketed.repartition(n_buckets)
 
         def merge_bucket(t: pa.Table) -> pa.Table:
             t = t.select([c for c in t.column_names if c != "__bucket"])
@@ -265,7 +274,9 @@ def dedup_exact(ds, key_cols: Sequence[str], ts_col: str = "ts",
         ("min", order_col, "representative_" + order_col),
     ]
     return grouped_agg(ds, key_cols, specs, conditions,
-                       combine="bucket" if hash_shuffle else "shuffle")
+                       combine="bucket" if hash_shuffle else "shuffle",
+                       coalesce=False)  # whole-corpus text partials: the
+    # coalesce pass moves ~all bytes again for no block-count win
 
 
 def histogram_agg(ds, keys: Sequence[str], value_col: str, buckets: Sequence[float],
@@ -456,8 +467,10 @@ def dedup_exact_sorted(paths: Sequence[str], key_cols: Sequence[str],
         return pa.concat_tables(out)
 
     boundary_ds = _paths_ds(paths).map_batches(edges, batch_format="pyarrow")
+    # 64 buckets: a hot group spanning many files routes ALL its rows here
+    # (10% of the corpus in this fixture) — the merge must parallelize
     boundary_agg = grouped_agg(boundary_ds, key_cols, specs, combine="bucket",
-                               n_buckets=8)
+                               n_buckets=64)
     return interior_ds.union(boundary_agg)
 
 
@@ -640,6 +653,8 @@ def bucketed_group_transform(ds, key_cols: Sequence[str], fn,
         return t.append_column("__bucket", bucket_column(t, n_buckets, key_cols))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # coalesce before the sort shuffle (see grouped_agg bucket combine)
+    bucketed = bucketed.repartition(n_buckets)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns="__bucket"))

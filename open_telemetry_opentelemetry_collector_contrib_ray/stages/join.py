@@ -43,7 +43,13 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     Both sides are tagged (side, bucket) and unioned; ONE shuffle
     co-locates each bucket; a pandas merge joins inside the bucket.
     Returns a Dataset with left columns + right non-key columns
-    (clashes suffixed)."""
+    (clashes suffixed).
+
+    Sizing contract: one bucket = one reduce task holding BOTH sides'
+    bucket slices in memory — size n_buckets to ~total_join_bytes /
+    256 MB (and at least the cluster's core count) so no single bucket
+    exceeds a worker heap; salt hot keys upstream if one key dominates
+    a bucket."""
     on = list(on)
 
     left_cols = left.schema().names
@@ -73,7 +79,8 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
         return fn
 
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
-        right.map_batches(tag("r"), batch_format="pyarrow"))
+        right.map_batches(tag("r"), batch_format="pyarrow")) \
+        .repartition(n_buckets)  # coalesce: Ray's sort shuffle degrades on many tiny blocks
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401
         lg = g[g["__side"]][left_cols]

@@ -329,6 +329,60 @@ class ScopeParser:
         return batch.append_column("scope_name", vals)
 
 
+class UriParser:
+    """stanza uri_parser analog (pkg/stanza/operator/parser/uri):
+    splits a URI field into scheme/host/port/path/query attr columns
+    plus a query-parameter map column.  Malformed URIs flag
+    parse_failure (on_error=send semantics)."""
+
+    def __init__(self, parse_from: str = "text", prefix: str = "attr_",
+                 on_error: str = "send"):
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from urllib.parse import parse_qsl, urlparse
+
+        py = batch.column(self.parse_from).to_pylist()
+        scheme, host, port, path, query, params, bad = [], [], [], [], [], [], []
+        for s in py:
+            try:
+                u = urlparse(s or "")
+                ok = bool(u.scheme or u.netloc or u.path)
+                scheme.append(u.scheme or None)
+                host.append(u.hostname)
+                port.append(u.port)
+                path.append(u.path or None)
+                query.append(u.query or None)
+                params.append(dict(parse_qsl(u.query)) if u.query else None)
+                bad.append(not ok)
+            except ValueError:
+                for col in (scheme, host, port, path, query, params):
+                    col.append(None)
+                bad.append(True)
+        out = batch
+        p = self.prefix
+        for name, arr in [("scheme", pa.array(scheme, pa.string())),
+                          ("host", pa.array(host, pa.string())),
+                          ("port", pa.array(port, pa.int64())),
+                          ("path", pa.array(path, pa.string())),
+                          ("query", pa.array(query, pa.string())),
+                          ("query_params",
+                           pa.array(params, pa.map_(pa.string(), pa.string())))]:
+            out = out.append_column(p + name, arr)
+        failure = pa.array(bad, pa.bool_())
+        if "parse_failure" in out.column_names:
+            failure = pc.or_(failure, pc.fill_null(out.column("parse_failure"), False))
+            out = out.set_column(out.column_names.index("parse_failure"),
+                                 "parse_failure", failure)
+        else:
+            out = out.append_column("parse_failure", failure)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(failure))
+        return out
+
+
 class KeyValueParser:
     """k=v pair parse (stanza key_value_parser analog) — vectorized for the
     common "all keys known" case via one regex per key."""

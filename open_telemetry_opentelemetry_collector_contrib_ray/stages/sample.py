@@ -39,6 +39,12 @@ def hash64(data, cols=None, seed: int = 0) -> np.ndarray:
     swap this in there.
     """
     try:
+        import os as _os
+
+        # one Rust thread per Ray worker: polars defaults its pool to ALL
+        # cores PER PROCESS, so 32 single-cpu Ray tasks would run 32x32
+        # threads and thrash the node (must be set before first import)
+        _os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
     except ImportError:  # pragma: no cover - polars is baked into the env
         import pandas as pd

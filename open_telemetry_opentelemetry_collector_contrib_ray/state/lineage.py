@@ -59,7 +59,12 @@ class LineageRecorder:
         try:
             from ..stages.sample import hash64
 
-            digest = int(hash64(batch, batch.column_names).sum()) \
+            # identity from the cheap stable id columns when present —
+            # hashing full text per batch would tax the hot path
+            id_cols = [c for c in ("conv_id", "turn_idx", "event_id",
+                                   "doc_id", "vec_id", "ts")
+                       if c in batch.column_names] or batch.column_names
+            digest = int(hash64(batch, id_cols).sum()) \
                 if batch.num_rows else 0
             name = f"batch-{batch.num_rows}-{digest & 0xFFFFFFFFFFFFFFFF:016x}"
         except Exception:  # unhashable column types: fall back to random

@@ -328,3 +328,19 @@ def test_exp_histogram_exact_vs_log_mapping():
 
     exp = collections.Counter(ref_idx(v) for v in vals)
     assert {k: int(c) for k, c in got.items()} == dict(exp)
+
+
+def test_uri_parser():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        UriParser,
+    )
+
+    t = pa.table({"text": ["https://example.com:8443/a/b?x=1&y=two",
+                           "http://host/path", "", None]})
+    out = UriParser()(t)
+    assert out.column("attr_scheme").to_pylist() == ["https", "http", None, None]
+    assert out.column("attr_host").to_pylist() == ["example.com", "host", None, None]
+    assert out.column("attr_port").to_pylist() == [8443, None, None, None]
+    assert out.column("attr_path").to_pylist() == ["/a/b", "/path", None, None]
+    assert dict(out.column("attr_query_params").to_pylist()[0]) == {"x": "1", "y": "two"}
+    assert out.column("parse_failure").to_pylist() == [False, False, True, True]
