@@ -19,6 +19,7 @@ import os as _os
 # one-process-per-cpu worker model that oversubscribes the node 32x.  One
 # thread per worker is correct — parallelism comes from Ray tasks.  Must
 # be set before the first polars import anywhere in the process.
-_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+if _os.environ.get("GRAFT_POLARS_CAP", "1") == "1":
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 from . import functions, pipelines, sources, stages, state  # noqa: F401
