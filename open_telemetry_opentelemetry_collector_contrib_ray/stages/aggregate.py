@@ -612,10 +612,13 @@ def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx"
         else:
             out["first_ts"] = None
             out["last_ts"] = None
-        return out.reset_index()
-
-    def add_bucket2(t: pa.Table) -> pa.Table:
-        return t.append_column("__b2", bucket_column(t.column(group_col), 64))
+        out = out.reset_index()
+        # a segment is its conversation's ONLY segment iff it is the
+        # salt-0 segment AND shorter than a full salt window (order_col is
+        # dense 0..k-1 within a group, so no higher-salt rows can exist) —
+        # those segments are FINAL and can bypass the merge exchange
+        out["__multi"] = (out["_salt"] > 0) | (out["n_turns"] >= salt_rows)
+        return out
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col, "_salt"], kind="stable")
@@ -628,10 +631,29 @@ def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx"
         })
         return out.reset_index()
 
+    final_cols = [group_col, out_col, "n_turns", "first_ts", "last_ts"]
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
-    segments = salted.groupby("__b1").map_groups(stitch_bucket, batch_format="pandas")
-    segments = segments.map_batches(add_bucket2, batch_format="pyarrow")
-    return segments.groupby("__b2").map_groups(merge_bucket, batch_format="pandas")
+    # materialize the segments so the single/multi split below reads them
+    # once instead of re-running phase 1 per consumer
+    segments = salted.groupby("__b1").map_groups(
+        stitch_bucket, batch_format="pandas").materialize()
+
+    singles = segments.map_batches(
+        lambda t: t.filter(pc.invert(pc.fill_null(t.column("__multi"), False)))
+                   .select(final_cols),
+        batch_format="pyarrow")
+    multi = segments.map_batches(
+        lambda t: t.filter(pc.fill_null(t.column("__multi"), False)),
+        batch_format="pyarrow")
+    # the merge exchange now moves ONLY multi-segment conversations (the
+    # hot ones + full salt windows) — a tiny fraction of the segments
+    multi = multi.map_batches(
+        lambda t: t.append_column("__b2", bucket_column(t.column(group_col), 64)),
+        batch_format="pyarrow").repartition(64)
+    merged = multi.groupby("__b2").map_groups(merge_bucket, batch_format="pandas")
+    merged = merged.map_batches(lambda t: t.select(final_cols),
+                                batch_format="pyarrow")
+    return singles.union(merged)
 
 
 def bucketed_group_transform(ds, key_cols: Sequence[str], fn,
