@@ -625,6 +625,69 @@ def _slice_to_map(ctx, args):
     return pa.array(out, type=pa.map_(pa.string(), pa.string()))
 
 
+@register_converter("Now")
+def _now(ctx, args):
+    """Now() -> current timestamp (func_now.go).  Honors GRAFT_FIXED_NOW
+    (epoch microseconds) so deterministic pipelines/tests can pin the
+    clock — the engine's batch model otherwise avoids wall time."""
+    import os as _os
+    import time as _time
+
+    fixed = _os.environ.get("GRAFT_FIXED_NOW")
+    us = int(fixed) if fixed else int(_time.time() * 1e6)
+    return pa.scalar(us, pa.timestamp("us"))
+
+
+@register_converter("Unix")
+def _unix(ctx, args):
+    """Unix(seconds, [nanoseconds]) -> timestamp (func_unix.go)."""
+    sec = _ev_arr(ctx, args[0]).cast(pa.int64())
+    us = pc.multiply(sec, 1_000_000)
+    if len(args) > 1:
+        ns = _ev_arr(ctx, args[1]).cast(pa.int64())
+        us = pc.add(us, pc.divide(ns, 1_000))
+    return us.cast(pa.timestamp("us"))
+
+
+def _id_from_bytes(args, ctx, width: int, what: str):
+    vals = args[0].eval(ctx)
+    if not isinstance(vals, list):
+        raise TypeError(f"{what} expects a byte list literal")
+    b = [int(_ev_scalar(v, ctx) if isinstance(v, Node) else v) for v in vals] \
+        if vals and isinstance(vals[0], Node) else [int(v) for v in vals]
+    if len(b) != width:
+        raise ValueError(f"{what.lower()}s must be {width} bytes")
+    return pa.scalar(bytes(b).hex(), pa.string())
+
+
+@register_converter("TraceID")
+def _trace_id_fn(ctx, args):
+    """TraceID([bytes...]) -> 32-hex-char id (func_trace_id.go:34-40;
+    this engine's columnar id representation is lowercase hex)."""
+    return _id_from_bytes(args, ctx, 16, "TraceID")
+
+
+@register_converter("SpanID")
+def _span_id_fn(ctx, args):
+    """SpanID([bytes...]) -> 16-hex-char id (func_span_id.go)."""
+    return _id_from_bytes(args, ctx, 8, "SpanID")
+
+
+@register_converter("IsRootSpan")
+def _is_root_span(ctx, args):
+    """IsRootSpan() — true when parent_span_id is empty/null
+    (func_is_root_span.go:28-32)."""
+    col = ctx.get_col("parent_span_id")
+    if col is None:
+        return pa.array([True] * ctx.n, pa.bool_())
+    arr = as_array(col, ctx.n)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    empty = pc.or_(pc.is_null(arr),
+                   pc.equal(pc.cast(arr, pa.string()), ""))
+    return pc.fill_null(empty, True)
+
+
 # --- XML edit family (ref func_get_xml.go / func_insert_xml.go /
 # func_remove_xml.go use a full XPath engine; this engine supports the
 # ElementTree XPath subset: relative paths, //descendant, [@attr='v']
@@ -691,6 +754,70 @@ def _insert_xml(ctx, args):
             continue
         for e in _et_query(root, xpath):
             e.append(_copy.deepcopy(subroot))
+        out.append(ET.tostring(root, encoding="unicode"))
+    return pa.array(out, type=pa.string())
+
+
+@register_converter("ConvertAttributesToElementsXML")
+def _convert_attrs_to_elements_xml(ctx, args):
+    """Attributes of matched elements become last child elements
+    (func_convert_attributes_to_elements_xml.go:43-60; default = every
+    element's attributes)."""
+    import xml.etree.ElementTree as ET
+
+    xpath = _ev_scalar(args[1], ctx) if len(args) > 1 else None
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        root = None if s is None else _et_parse(s)
+        if root is None:
+            out.append(None)
+            continue
+        targets = list(root.iter()) if not xpath else _et_query(root, xpath)
+        for e in targets:
+            for k, v in sorted(e.attrib.items()):
+                child = ET.SubElement(e, k)
+                child.text = v
+            e.attrib.clear()
+        out.append(ET.tostring(root, encoding="unicode"))
+    return pa.array(out, type=pa.string())
+
+
+@register_converter("ConvertTextToElementsXML")
+def _convert_text_to_elements_xml(ctx, args):
+    """Wrap extraneous text nodes (text inside elements that also have
+    children) in a dedicated element
+    (func_convert_text_to_elements_xml.go:46-60; default element name
+    "value", default scope the whole document)."""
+    import xml.etree.ElementTree as ET
+
+    xpath = _ev_scalar(args[1], ctx) if len(args) > 1 else None
+    elem_name = _ev_scalar(args[2], ctx) if len(args) > 2 else "value"
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+
+    def fix(e):
+        if len(e) and e.text and e.text.strip():
+            w = ET.Element(elem_name)
+            w.text = e.text.strip()
+            e.text = None
+            e.insert(0, w)
+        for c in list(e):
+            if c.tail and c.tail.strip():
+                w = ET.Element(elem_name)
+                w.text = c.tail.strip()
+                c.tail = None
+                e.insert(list(e).index(c) + 1, w)
+            fix(c)
+
+    out = []
+    for s in py:
+        root = None if s is None else _et_parse(s)
+        if root is None:
+            out.append(None)
+            continue
+        targets = [root] if not xpath else _et_query(root, xpath)
+        for e in targets:
+            fix(e)
         out.append(ET.tostring(root, encoding="unicode"))
     return pa.array(out, type=pa.string())
 

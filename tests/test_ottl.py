@@ -583,3 +583,43 @@ def test_user_agent_rule_table():
         assert row["version"] == ver, (ua, row)
         assert row["os"] == os_, (ua, row)
         assert row["original"] == ua
+
+
+def test_final_converter_set():
+    import os
+
+    os.environ["GRAFT_FIXED_NOW"] = "1700000000000000"
+    try:
+        t = tbl(x=[1, 2])
+        out = parse_statement('set(attributes["now"], Now())').apply(t)
+        v = out.column("attr_now").to_pylist()
+        assert v[0] == v[1] and v[0].year == 2023
+    finally:
+        del os.environ["GRAFT_FIXED_NOW"]
+    t = tbl(sec=pa.array([1700000000, 0], pa.int64()),
+            ns=pa.array([500_000_000, 0], pa.int64()))
+    out = parse_statement('set(attributes["t"], Unix(sec, ns))').apply(t)
+    v = out.column("attr_t").to_pylist()
+    assert v[0].microsecond == 500000 and v[1].year == 1970
+    # TraceID/SpanID byte-list constructors -> hex (func_trace_id.go)
+    out = parse_statement(
+        'set(attributes["tid"], TraceID([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,255]))'
+    ).apply(tbl(x=[1]))
+    assert out.column("attr_tid").to_pylist() == ["000102030405060708090a0b0c0d0eff"]
+    out = parse_statement(
+        'set(attributes["sid"], SpanID([1,2,3,4,5,6,7,8]))').apply(tbl(x=[1]))
+    assert out.column("attr_sid").to_pylist() == ["0102030405060708"]
+    # IsRootSpan: empty/null parent span id
+    t = tbl(parent_span_id=["", None, "0102030405060708"])
+    m = parse_condition("IsRootSpan()")(t)
+    assert m.to_pylist() == [True, True, False]
+    # XML conversions
+    t = tbl(x=['<a foo="bar">hi<b>1</b>tail</a>'])
+    out = parse_statement(
+        'set(attributes["e"], ConvertAttributesToElementsXML(x))').apply(t)
+    s = out.column("attr_e").to_pylist()[0]
+    assert "<foo>bar</foo>" in s and 'foo="bar"' not in s
+    out = parse_statement(
+        'set(attributes["w"], ConvertTextToElementsXML(x))').apply(t)
+    s = out.column("attr_w").to_pylist()[0]
+    assert "<value>hi</value>" in s and "<value>tail</value>" in s
