@@ -102,6 +102,16 @@ def _leaf_condition(policy: dict) -> str | None:
     if t == "boolean_attribute":
         key, v = policy["key"], policy["value"]
         return f"{key} == {'true' if v else 'false'}"
+    if t == "trace_state":
+        # trace_state_filter.go: sample when the W3C tracestate header
+        # (comma-separated key=value list) carries key with one of the
+        # values; the header lives in a promoted column here
+        key = policy["key"]
+        col = policy.get("source", 'attributes["trace_state"]')
+        import re as _re
+
+        alts = "|".join(_re.escape(v) for v in policy["values"])
+        return f'IsMatch({col}, "(^|,){_re.escape(key)}=({alts})($|,)")'
     return None
 
 

@@ -149,3 +149,16 @@ def test_always_and_empty_policy_behavior():
     rows = _conv("a", 2, 0)
     d = _decisions(_mk_ds(rows), [{"type": "always"}])
     assert d == {"a": True}
+
+
+def test_trace_state_policy():
+    # trace_state_filter.go: key=value match inside the W3C tracestate list
+    rows = []
+    for cid, ts_val in [("a", "vendor=alpha,other=x"), ("b", "other=x"),
+                        ("c", "vendor=beta"), ("d", None)]:
+        r = _conv(cid, 1, 0)
+        r[0]["attr_trace_state"] = ts_val
+        rows.append(r[0])
+    d = _decisions(_mk_ds(rows), [
+        {"type": "trace_state", "key": "vendor", "values": ["alpha", "beta"]}])
+    assert d == {"a": True, "b": False, "c": True, "d": False}
