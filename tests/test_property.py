@@ -136,3 +136,57 @@ def test_md5_lower64_matches_duckdb(strings):
         d = con.sql("select md5_number_lower(?)", params=[s]).fetchone()[0]
         assert int(h) == int(d), s
     con.close()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_dedup_sorted_equals_global_on_random_layouts(conv_sizes, n_files, seed):
+    """dedup_exact_sorted == dedup_exact for ANY group-contiguous file
+    layout: random conversation sizes, random file splits (a conversation
+    may span several adjacent files, incl. a file fully inside one
+    conversation), duplicate rows planted."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import os
+    import tempfile
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        dedup_exact,
+        dedup_exact_sorted,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    rows = []
+    for ci, size in enumerate(conv_sizes):
+        for ti in range(size):
+            # plant duplicates: every third row repeats the previous text
+            txt = f"msg-{ci}-{ti if ti % 3 else max(ti - 1, 0)}"
+            rows.append({"conv_id": f"c{ci:03d}", "turn_idx": ti,
+                         "role": "user" if ti % 2 else "tool", "text": txt,
+                         "ts": 1_700_000_000_000_000 + ci * 1000 + ti})
+    tbl = pa.Table.from_pylist(rows)
+    n = tbl.num_rows
+    cuts = sorted(rng.choice(range(1, n), size=min(n_files - 1, n - 1),
+                             replace=False).tolist()) if n > 1 and n_files > 1 else []
+    bounds = [0] + cuts + [n]
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(len(bounds) - 1):
+            p = os.path.join(d, f"part-{i:03d}.parquet")
+            pq.write_table(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+            paths.append(p)
+        keys = ["conv_id", "role", "text"]
+        fast = dedup_exact_sorted(paths, keys).to_pandas()
+        slow = dedup_exact(rd.read_parquet(paths), keys).to_pandas()
+    cols = keys + ["log_count", "first_observed", "last_observed",
+                   "representative_turn_idx"]
+    f = fast[cols].sort_values(keys).reset_index(drop=True)
+    s = slow[cols].sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, s, check_dtype=False)
