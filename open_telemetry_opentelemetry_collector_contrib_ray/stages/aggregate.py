@@ -333,10 +333,13 @@ def _paths_ds(paths: Sequence[str]):
 
 def _file_edge_groups(path: str, group_col: str):
     """First and last group value of a parquet file, reading only the
-    first and last row group of the group column (metadata-cheap)."""
+    first and last row group of the group column (metadata-cheap).
+    Empty files have no edge groups (None, None)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
+    if pf.num_row_groups == 0 or pf.metadata.num_rows == 0:
+        return None, None
     first = pf.read_row_group(0, columns=[group_col]).column(0)[0].as_py()
     lastcol = pf.read_row_group(pf.num_row_groups - 1,
                                 columns=[group_col]).column(0)
@@ -448,6 +451,8 @@ def dedup_exact_sorted(paths: Sequence[str], key_cols: Sequence[str],
         out = []
         for p in batch.column("path").to_pylist():
             first, last = _file_edge_groups(p, group_col)
+            if first is None:  # empty file
+                continue
             t = pq.read_table(p, columns=cols)
             keep = pc.invert(pc.is_in(t.column(group_col),
                                       value_set=pa.array([first, last])))
@@ -462,9 +467,12 @@ def dedup_exact_sorted(paths: Sequence[str], key_cols: Sequence[str],
         out = []
         for p in batch.column("path").to_pylist():
             first, last = _file_edge_groups(p, group_col)
+            if first is None:  # empty file
+                continue
             out.append(pq.read_table(
                 p, columns=cols, filters=[(group_col, "in", [first, last])]))
-        return pa.concat_tables(out)
+        return pa.concat_tables(out) if out else \
+            pq.read_table(batch.column("path")[0].as_py(), columns=cols).slice(0, 0)
 
     boundary_ds = _paths_ds(paths).map_batches(edges, batch_format="pyarrow")
     # 64 buckets: a hot group spanning many files routes ALL its rows here
@@ -531,6 +539,8 @@ def recombine_sorted(paths: Sequence[str], group_col: str = "conv_id",
         outs = []
         for p in batch.column("path").to_pylist():
             first, last = _file_edge_groups(p, group_col)
+            if first is None:  # empty file
+                continue
             t = pq.read_table(p, columns=cols)
             keep = pc.invert(pc.is_in(t.column(group_col),
                                       value_set=pa.array([first, last])))
@@ -562,9 +572,12 @@ def recombine_sorted(paths: Sequence[str], group_col: str = "conv_id",
         outs = []
         for p in batch.column("path").to_pylist():
             first, last = _file_edge_groups(p, group_col)
+            if first is None:  # empty file
+                continue
             outs.append(pq.read_table(
                 p, columns=cols, filters=[(group_col, "in", [first, last])]))
-        return pa.concat_tables(outs)
+        return pa.concat_tables(outs) if outs else \
+            pq.read_table(batch.column("path")[0].as_py(), columns=cols).slice(0, 0)
 
     boundary_src = _paths_ds(paths).map_batches(edges, batch_format="pyarrow")
     boundary = recombine(boundary_src, group_col=group_col, order_col=order_col,

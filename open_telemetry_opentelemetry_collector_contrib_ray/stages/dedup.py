@@ -71,9 +71,11 @@ def _shingle_hashes(text: str, w: int = 3,
         return np.zeros(1, dtype=np.uint64)
     h = th(toks)
     if len(h) < w:
-        acc = np.uint64(0xCBF29CE484222325)
+        # python-int math: np scalar multiply emits overflow warnings even
+        # though uint64 wraparound is the intended behavior
+        acc = 0xCBF29CE484222325
         for v in h:
-            acc = (acc ^ v) * _P1
+            acc = ((acc ^ int(v)) * int(_P1)) & 0xFFFFFFFFFFFFFFFF
         return np.array([acc], dtype=np.uint64)
     # position-salted xor combine of w consecutive token hashes (any w >= 1)
     salts = [_P1, _P2, _P3] + [np.uint64(2 * j + 1) for j in range(3, w)]
