@@ -929,6 +929,43 @@ def q_neardup_clusters(sf_dir: str):
     return dedup_clusters(pairs)
 
 
+def q_neardup_dedup_docs(sf_dir: str):
+    """The full training-data near-dup REMOVAL pipeline in one plan:
+    MinHash+LSH candidate pairs -> n-gram Jaccard verify -> connected
+    components -> drop every non-representative -> surviving documents.
+    Composition of the individual stages this catalog verifies one by
+    one; rows-only for the driver (MinHash is not SQL-expressible), with
+    invariants asserted in pytest (survivors = docs - (cluster members -
+    representatives))."""
+    import ray
+    from ..stages.dedup import dedup_clusters, minhash_lsh_pairs, ngram_jaccard_verify
+
+    ds = _planted_dup_docs(sf_dir)
+    pairs = minhash_lsh_pairs(ds, threshold=0.6)
+    # exact-jaccard verify the candidates (broadcast texts: candidates
+    # touch a tiny fraction of the corpus)
+    texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
+    verified = ngram_jaccard_verify(pairs, ray.put(texts), threshold=0.5)
+    clusters = dedup_clusters(verified)
+    # drop non-representatives: cluster members whose id != cluster_id
+    drop = clusters.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("doc_id"),
+                                              t.column("cluster_id"))))
+                   .select(["doc_id"]),
+        batch_format="pyarrow").take_all()
+    drop_ref = ray.put(pa.array(sorted(r["doc_id"] for r in drop)))
+
+    class DropDups:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=self.drop))
+            return t.filter(keep).select(["doc_id"])
+
+    return ds.map_batches(DropDups, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def q_doc_language_id(sf_dir: str):
     """Heuristic language ID over documents (rows-only)."""
     from ..stages.textstats import LanguageId
@@ -1053,6 +1090,7 @@ def queries():
         "match_all_route_counts": q_match_all_route_counts,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
+        "neardup_dedup_docs": q_neardup_dedup_docs,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "doc_language_id": q_doc_language_id,
