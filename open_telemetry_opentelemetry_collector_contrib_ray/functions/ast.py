@@ -573,6 +573,13 @@ class Statement:
             # column the succeeding half added.
             if table.num_rows <= 1:
                 return table
+            # data-INDEPENDENT errors (unknown function, bad arguments)
+            # fail identically on an empty slice — probe once instead of
+            # recursing through O(2n) failing sub-applies
+            try:
+                self._apply_once(table.slice(0, 0))
+            except Exception:
+                return table
             mid = table.num_rows // 2
             halves = [self.apply(table.slice(0, mid), error_mode),
                       self.apply(table.slice(mid), error_mode)]

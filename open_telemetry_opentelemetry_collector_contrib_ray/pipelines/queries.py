@@ -953,7 +953,8 @@ def q_neardup_dedup_docs(sf_dir: str):
                                               t.column("cluster_id"))))
                    .select(["doc_id"]),
         batch_format="pyarrow").take_all()
-    drop_ref = ray.put(pa.array(sorted(r["doc_id"] for r in drop)))
+    drop_ref = ray.put(pa.array(sorted(r["doc_id"] for r in drop),
+                                type=pa.int64()))  # typed: empty stays usable in is_in
 
     class DropDups:
         def __init__(self):

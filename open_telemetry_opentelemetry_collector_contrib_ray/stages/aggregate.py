@@ -459,6 +459,10 @@ def dedup_exact_sorted(paths: Sequence[str], key_cols: Sequence[str],
             pt = partial_stage(t.filter(pc.fill_null(keep, False)))
             out.append(pt.rename_columns(
                 [rename.get(c, c) for c in pt.column_names]))
+        if not out:  # path batch held only empty files
+            pt = partial_stage._empty()
+            out = [pt.rename_columns(
+                [rename.get(c, c) for c in pt.column_names])]
         return pa.concat_tables(out)
 
     interior_ds = _paths_ds(paths).map_batches(interior, batch_format="pyarrow")
@@ -588,7 +592,7 @@ def recombine_sorted(paths: Sequence[str], group_col: str = "conv_id",
 
 def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
                      text_col: str = "text", sep: str = "\n", out_col: str = "combined",
-                     salt_rows: int = 1024):
+                     salt_rows: int = 1024, dense_order: bool = True):
     """Skew-defused recombine: two-level stitch for hot conversations.
 
     The flagship corpus plants one conversation holding ~10% of all rows
@@ -627,10 +631,14 @@ def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx"
             out["last_ts"] = None
         out = out.reset_index()
         # a segment is its conversation's ONLY segment iff it is the
-        # salt-0 segment AND shorter than a full salt window (order_col is
-        # dense 0..k-1 within a group, so no higher-salt rows can exist) —
-        # those segments are FINAL and can bypass the merge exchange
-        out["__multi"] = (out["_salt"] > 0) | (out["n_turns"] >= salt_rows)
+        # salt-0 segment AND shorter than a full salt window — valid ONLY
+        # when order_col is dense 0..k-1 within a group (dense_order=True;
+        # after upstream filtering/dedup gaps appear, pass
+        # dense_order=False and every segment takes the merge)
+        if dense_order:
+            out["__multi"] = (out["_salt"] > 0) | (out["n_turns"] >= salt_rows)
+        else:
+            out["__multi"] = True
         return out
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -182,6 +182,8 @@ class JsonParser:
             vals = [d.get(k) if d else None for d in parsed]
             try:
                 arr = pa.array(vals)
+                if pa.types.is_null(arr.type):  # all-failed batch: stable schema
+                    arr = arr.cast(pa.string())
             except (pa.ArrowInvalid, pa.ArrowTypeError):
                 arr = pa.array([None if v is None else (v if isinstance(v, str) else json.dumps(v))
                                 for v in vals], type=pa.string())
@@ -246,6 +248,8 @@ class JsonArrayParser:
                         for v, b in zip(parsed, bad)]
                 try:
                     arr = pa.array(vals)
+                    if pa.types.is_null(arr.type):  # all-failed batch:
+                        arr = arr.cast(pa.string())  # keep a stable schema
                 except (pa.ArrowInvalid, pa.ArrowTypeError):
                     arr = pa.array([None if x is None else str(x) for x in vals],
                                    type=pa.string())

@@ -43,8 +43,10 @@ def hash64(data, cols=None, seed: int = 0) -> np.ndarray:
 
         # one Rust thread per Ray worker: polars defaults its pool to ALL
         # cores PER PROCESS, so 32 single-cpu Ray tasks would run 32x32
-        # threads and thrash the node (must be set before first import)
-        _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        # threads and thrash the node (must be set before first import;
+        # GRAFT_POLARS_CAP=0 opts out, same switch as the package init)
+        if _os.environ.get("GRAFT_POLARS_CAP", "1") == "1":
+            _os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
     except ImportError:  # pragma: no cover - polars is baked into the env
         import pandas as pd

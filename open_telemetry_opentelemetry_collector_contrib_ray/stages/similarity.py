@@ -19,11 +19,29 @@ import pyarrow as pa
 
 def _to_mat(col) -> np.ndarray:
     """(n, d) float64 matrix from a fixed-width list column, zero-copy
-    from the Arrow buffer (flatten + reshape) — never via Python lists."""
+    from the Arrow buffer (flatten + reshape) — never via Python lists.
+    Null rows become zero vectors (flatten() DROPS nulls, so a naive
+    reshape would misalign every following row)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     if n == 0:
         return np.zeros((0, 1))
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        sub = arr.drop_null()
+        m = len(sub)
+        if m == 0:
+            return np.zeros((n, 1))
+        flat = sub.flatten()
+        if len(flat) % m:
+            raise ValueError("ragged embedding column")
+        d = len(flat) // m
+        out = np.zeros((n, d), dtype=np.float64)
+        out[np.nonzero(valid)[0]] = np.asarray(
+            flat.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(m, d)
+        return out
     flat = arr.flatten()
     if len(flat) % n == 0 and len(flat) > 0:
         vals = flat.to_numpy(zero_copy_only=False)

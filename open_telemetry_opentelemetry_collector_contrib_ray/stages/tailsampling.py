@@ -311,6 +311,10 @@ def tail_sample(ds, policies: Sequence[dict], group_col: str = "conv_id",
         lambda t: t.filter(pc.equal(t.column("sampled"), True))
                    .select([group_col]),
         batch_format="pyarrow").take_all()
+    if not kept:
+        # no group sampled: empty result (an empty key list would build a
+        # NULL-typed array that pc.is_in rejects against a typed column)
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     keys_ref = ray.put(pa.array(sorted(r[group_col] for r in kept)))
 
     class SemiJoin:

@@ -29,10 +29,18 @@ class LineageRecorder:
     """Wraps a per-batch callable; records counters per processed batch."""
 
     def __init__(self, inner: Callable[[pa.Table], pa.Table], lineage_dir: str,
-                 count_keys: tuple[str, ...] = ("route_id", "role")):
+                 count_keys: tuple[str, ...] = ("route_id", "role"),
+                 naming: str = "content"):
+        """naming="content" (default): sidecar names derive from batch
+        content so task retries overwrite instead of double-counting —
+        the tradeoff is that two GENUINELY IDENTICAL batches (possible
+        in duplicate-heavy corpora when batches align exactly) collide
+        and undercount; naming="random" keeps one sidecar per attempt
+        (retries double-count, distinct batches never collide)."""
         self.inner = inner
         self.lineage_dir = lineage_dir
         self.count_keys = list(count_keys)
+        self.naming = naming
         os.makedirs(lineage_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -56,6 +64,14 @@ class LineageRecorder:
         # task retry / speculative re-execution of the same batch
         # OVERWRITES its sidecar instead of double-counting rows in the
         # lineage totals (uuid names accumulated one file per attempt)
+        if self.naming == "random":
+            name = f"batch-{uuid.uuid4().hex}"
+            path = os.path.join(self.lineage_dir, f"{name}.json")
+            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, path)
+            return out
         try:
             from ..stages.sample import hash64
 

@@ -623,3 +623,25 @@ def test_final_converter_set():
         'set(attributes["w"], ConvertTextToElementsXML(x))').apply(t)
     s = out.column("attr_w").to_pylist()[0]
     assert "<value>hi</value>" in s and "<value>tail</value>" in s
+
+
+def test_error_mode_data_independent_error_probes_once():
+    """An unknown function fails on ANY slice — ignore mode must return
+    the batch untouched after one empty-slice probe, not recurse through
+    O(2n) failing sub-applies (code-review finding)."""
+    t = tbl(s=[str(i) for i in range(512)])
+    stmt = parse_statement('set(attributes["x"], NoSuchFn(s))')
+    calls = {"n": 0}
+    orig = type(stmt)._apply_once
+
+    def counting(self, table):
+        calls["n"] += 1
+        return orig(self, table)
+
+    type(stmt)._apply_once = counting
+    try:
+        out = stmt.apply(t, "ignore")
+    finally:
+        type(stmt)._apply_once = orig
+    assert out is t  # untouched
+    assert calls["n"] <= 3  # whole batch + empty-slice probe

@@ -344,3 +344,46 @@ def test_uri_parser():
     assert out.column("attr_path").to_pylist() == ["/a/b", "/path", None, None]
     assert dict(out.column("attr_query_params").to_pylist()[0]) == {"x": "1", "y": "two"}
     assert out.column("parse_failure").to_pylist() == [False, False, True, True]
+
+
+def test_to_mat_null_rows_stay_aligned():
+    """flatten() drops nulls — a naive reshape misaligns every following
+    row (code-review finding): null embeddings must become zero vectors."""
+    import numpy as np
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.similarity import (
+        _to_mat,
+    )
+
+    col = pa.array([[1.0, 2.0, 3.0, 4.0], None, [5.0, 6.0, 7.0, 8.0], None],
+                   type=pa.list_(pa.float64()))
+    m = _to_mat(col)
+    assert m.shape == (4, 4)
+    assert (m[0] == [1, 2, 3, 4]).all() and (m[2] == [5, 6, 7, 8]).all()
+    assert (m[1] == 0).all() and (m[3] == 0).all()
+
+
+def test_tail_sample_nothing_matches_returns_empty():
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.tailsampling import (
+        tail_sample,
+    )
+
+    ds = rd.from_arrow(pa.table({"conv_id": ["a", "b"], "turn_idx": [0, 0],
+                                 "ts": [0, 1]}))
+    out = tail_sample(ds, [{"type": "span_count", "min_spans": 10**6}])
+    assert out.count() == 0
+
+
+def test_jsonarray_all_failed_batch_keeps_string_schema():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        JsonArrayParser,
+        JsonParser,
+    )
+
+    t = pa.table({"text": ["junk", "also junk"]})
+    out = JsonArrayParser(header=["a"])(t)
+    assert pa.types.is_string(out.column("attr_a").type)
+    out = JsonParser(keys=["k"])(t)
+    assert pa.types.is_string(out.column("attr_k").type)
