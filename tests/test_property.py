@@ -190,3 +190,56 @@ def test_dedup_sorted_equals_global_on_random_layouts(conv_sizes, n_files, seed)
     f = fast[cols].sort_values(keys).reset_index(drop=True)
     s = slow[cols].sort_values(keys).reset_index(drop=True)
     pd.testing.assert_frame_equal(f, s, check_dtype=False)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(min_value=1, max_value=8),   # spans per conv
+                       st.integers(min_value=0, max_value=3),   # start second
+                       st.booleans()),                          # has error turn
+            min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=12),                     # rate budget
+)
+def test_tailsampling_matches_sequential_reference(convs, budget):
+    """Distributed decisions == a sequential simulation of the reference
+    evaluators (rate_limiting.go strict-<, per-second reset; span_count;
+    string attribute OR) on randomized conversations."""
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.tailsampling import (
+        tail_sample_decisions,
+    )
+
+    US = 1_000_000
+    rows = []
+    for ci, (n, sec, has_err) in enumerate(convs):
+        for ti in range(n):
+            rows.append({"conv_id": f"c{ci:02d}", "turn_idx": ti,
+                         "attr_status": "error" if (has_err and ti == 0) else "ok",
+                         "ts": sec * US + ci * 100 + ti})
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    policies = [{"type": "span_count", "min_spans": 4},
+                {"type": "string_attribute", "key": 'attributes["status"]',
+                 "values": ["error"]},
+                {"type": "rate_limiting", "spans_per_second": budget}]
+    got = {r["conv_id"]: r["sampled"]
+           for r in tail_sample_decisions(ds, policies, ts_col="ts").take_all()}
+
+    # sequential reference: convs ordered by (decision second, min_ts, id)
+    meta = []
+    for ci, (n, sec, has_err) in enumerate(convs):
+        meta.append((sec, sec * US + ci * 100, f"c{ci:02d}", n, has_err))
+    meta.sort()
+    taken, cur = 0, None
+    expect = {}
+    for sec, _, cid, n, has_err in meta:
+        sampled = n >= 4 or has_err
+        if cur != sec:
+            cur, taken = sec, 0
+        if taken + n < budget:  # strict <, rate_limiting.go:46
+            taken += n
+            sampled = True
+        expect[cid] = sampled
+    assert got == expect
