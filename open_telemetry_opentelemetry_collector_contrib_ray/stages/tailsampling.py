@@ -302,7 +302,12 @@ def tail_sample_decisions(ds, policies: Sequence[dict], group_col: str = "conv_i
 def tail_sample(ds, policies: Sequence[dict], group_col: str = "conv_id",
                 ts_col: str = "ts", n_buckets: int = 64):
     """Filter ds to entire groups sampled by ANY policy (the processor's
-    keep rule).  Winning keys broadcast once; rows never shuffle."""
+    keep rule).  Winning keys broadcast once; rows never shuffle.
+
+    Scale note: the winning-key set is collected to the driver and
+    ray.put once — fine up to millions of keys (ids are small).  At
+    extreme sampled-group cardinality, write `tail_sample_decisions`
+    to parquet instead and semi-join via `bucketed_hash_join`."""
     import ray
 
     decisions = tail_sample_decisions(ds, policies, group_col, ts_col,
