@@ -66,6 +66,8 @@ class LookupEnricher:
             for f, v in lookup[k].items():
                 fields.setdefault(f, [])
         self.defaults = dict(defaults or {})
+        for f in self.defaults:  # default-only fields still become columns
+            fields.setdefault(f, [])
         for f in fields:
             fields[f] = [lookup[k].get(f, self.defaults.get(f)) for k in keys]
         self._keys = pa.array(keys)  # key type inferred (string tool names, int ids, ...)
@@ -102,7 +104,12 @@ class ResourceStamper:
         out = batch
         n = batch.num_rows
         for k, v in self.resource.items():
-            out = out.append_column(self.prefix + k, pa.repeat(pa.scalar(v), n))
+            name = self.prefix + k
+            col = pa.repeat(pa.scalar(v), n)
+            if name in out.column_names:  # idempotent re-stamp
+                out = out.set_column(out.column_names.index(name), name, col)
+            else:
+                out = out.append_column(name, col)
         return out
 
 
@@ -184,7 +191,7 @@ class AttributesStage:
 
     def __init__(self, actions: list[dict], include: str | None = None,
                  exclude: str | None = None, prefix: str = "attr_"):
-        self.actions = actions
+        self.actions = [dict(a) for a in actions]  # never mutate caller config
         self.prefix = prefix
         self.include = parse_condition(include) if include else None
         self.exclude = parse_condition(exclude) if exclude else None
@@ -253,7 +260,9 @@ class AttributesStage:
                         out = out.select([c for c in out.column_names if c != key])
                     else:
                         cur = out.column(key).combine_chunks()
-                        setcol(key, pa.nulls(n, cur.type), pc.invert(mask))
+                        # null the MATCHED rows (setcol writes arr where
+                        # the mask is true)
+                        setcol(key, pa.nulls(n, cur.type), mask)
                 if a.get("_re"):
                     hits = [c for c in out.column_names
                             if c.startswith(self.prefix) and a["_re"].search(c[len(self.prefix):])]
@@ -262,7 +271,7 @@ class AttributesStage:
                     else:
                         for c in hits:
                             cur = out.column(c).combine_chunks()
-                            setcol(c, pa.nulls(n, cur.type), pc.invert(mask))
+                            setcol(c, pa.nulls(n, cur.type), mask)
             elif act == "hash":
                 if key in out.column_names:
                     py = out.column(key).cast(pa.string()).to_pylist()
@@ -274,8 +283,12 @@ class AttributesStage:
                 if key in out.column_names:
                     src = out.column(key).combine_chunks().cast(pa.string())
                     struct = pc.extract_regex(src, a["pattern"])
+                    # non-matching rows keep their existing values
+                    # (attraction.go:414-434 only upserts on match)
+                    valid = pc.is_valid(struct)
+                    m = valid if mask is None else pc.and_(mask, valid)
                     for f in struct.type:
-                        setcol(self.prefix + f.name, pc.struct_field(struct, f.name), mask)
+                        setcol(self.prefix + f.name, pc.struct_field(struct, f.name), m)
             elif act == "convert":
                 if key in out.column_names:
                     typ = self._TYPES[a["converted_type"]]

@@ -52,7 +52,12 @@ class RouteIdStage:
                 m = pc.fill_null(cond(batch), False)
             except Exception:
                 if self.error_mode == "ignore":
-                    continue  # eval failure -> rows stay on default route
+                    # routingconnector ignore semantics (logs.go:72-117):
+                    # an errored condition sends the record to the DEFAULT
+                    # route — later routes are NOT tried for it.  Batch
+                    # translation: pin every still-unassigned row to
+                    # default and stop.
+                    break
                 raise
             first = pc.and_(m, pc.invert(assigned))
             route = pc.if_else(first, pa.repeat(pa.scalar(name), n), route)
@@ -70,7 +75,10 @@ def split_match_once(ds, routes: list[Route], default: str = "default"):
     names = [r.name for r in routes] + [default]
     out = {}
     for name in names:
-        out[name] = routed.filter(expr=f"route_id == '{name}'")
+        def keep(t: pa.Table, _n=name) -> pa.Table:  # no expr-string injection
+            return t.filter(pc.equal(t.column("route_id"), _n))
+
+        out[name] = routed.map_batches(keep, batch_format="pyarrow")
     return out
 
 
@@ -146,13 +154,15 @@ def failover_write(ds, sink_fns: list, max_attempts: int | None = None):
     Ray task retries handle transient failures inside a sink; this
     handles a sink being down entirely."""
     errors = []
-    for i, fn in enumerate(sink_fns[:max_attempts]):
+    attempted = sink_fns[:max_attempts]
+    for i, fn in enumerate(attempted):
         try:
             fn(ds)
             return i
         except Exception as ex:  # noqa: BLE001 — priority failover by design
             errors.append(ex)
-    raise RuntimeError(f"all {len(sink_fns)} sinks failed: {errors}")
+    raise RuntimeError(
+        f"all {len(attempted)} attempted sinks (of {len(sink_fns)}) failed: {errors}")
 
 
 def write_routed(ds, out_dir: str, routes: list[Route], default: str = "default"):

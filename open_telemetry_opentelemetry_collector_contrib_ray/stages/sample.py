@@ -91,19 +91,24 @@ class ProbabilisticSampler:
 
     def __init__(self, percentage: float, attribute_source: str = "conv_id",
                  invert: bool = False):
-        self.threshold = int(percentage * 100)  # 0..10000 space
+        self.threshold = int(round(percentage * 100))  # 0..10000 space; round
+        # (0.29*100 float-truncates to 28 and silently under-samples)
         self.attribute_source = attribute_source
         self.invert = invert
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        vals = batch.column(self.attribute_source).to_pylist()
+        col = batch.column(self.attribute_source)
+        vals = col.to_pylist()
         buckets = _md5_lower64(vals) % np.uint64(10000)
         keep = buckets < self.threshold
         if self.invert:
             keep = ~keep
-        return batch.filter(pa.array(keep))
+        # null keys never pass: DuckDB's md5_number_lower(NULL) is NULL and
+        # a NULL WHERE filters the row in either polarity (oracle parity)
+        notnull = np.array([v is not None for v in vals], dtype=bool)
+        return batch.filter(pa.array(keep & notnull))
 
 
 class HashBucketStage:

@@ -387,3 +387,86 @@ def test_jsonarray_all_failed_batch_keeps_string_schema():
     assert pa.types.is_string(out.column("attr_a").type)
     out = JsonParser(keys=["k"])(t)
     assert pa.types.is_string(out.column("attr_k").type)
+
+
+def test_attributes_masked_delete_targets_matched_rows():
+    """Code-review finding: masked delete nulled the WRONG rows (inverted
+    gate) — redaction leaked on targeted rows, destroyed untargeted."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        AttributesStage,
+    )
+
+    t = pa.table({"attr_secret": ["s1", "s2"], "role": ["tool", "user"]})
+    out = AttributesStage([{"action": "delete", "key": "secret"}],
+                          include='role == "tool"')(t)
+    assert out.column("attr_secret").to_pylist() == [None, "s2"]
+    out = AttributesStage([{"action": "delete", "pattern": "^sec"}],
+                          include='role == "tool"')(t)
+    assert out.column("attr_secret").to_pylist() == [None, "s2"]
+
+
+def test_attributes_extract_preserves_on_nonmatch():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        AttributesStage,
+    )
+
+    t = pa.table({"attr_src": ["user=alice", "no match"],
+                  "attr_user": ["old1", "keepme"]})
+    out = AttributesStage([{"action": "extract", "key": "src",
+                            "pattern": r"user=(?P<user>\w+)"}])(t)
+    # matched row updated, non-matching row keeps its existing value
+    # (attraction.go only upserts on match)
+    assert out.column("attr_user").to_pylist() == ["alice", "keepme"]
+
+
+def test_sampler_rounds_threshold_and_drops_null_keys():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        ProbabilisticSampler,
+    )
+
+    assert ProbabilisticSampler(0.29).threshold == 29  # int() truncated to 28
+    t = pa.table({"conv_id": ["a", None, "b"]})
+    kept = ProbabilisticSampler(100.0)(t)
+    # null keys never pass, in either polarity (DuckDB NULL-WHERE parity)
+    assert None not in kept.column("conv_id").to_pylist()
+    inv = ProbabilisticSampler(0.0, invert=True)(t)
+    assert None not in inv.column("conv_id").to_pylist()
+
+
+def test_route_error_goes_to_default_and_quote_safe_split():
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.route import (
+        Route,
+        RouteIdStage,
+        split_match_once,
+    )
+
+    # Int("abc"-typed column) inside a condition that raises for the batch:
+    # unassigned rows must land on DEFAULT, later routes NOT tried
+    t = pa.table({"x": ["1", "2"], "y": ["b", "b"]})
+    stage = RouteIdStage([Route("r1", 'UnknownFn(x) == 1'),
+                          Route("r2", 'y == "b"')], error_mode="ignore")
+    out = stage(t)
+    assert out.column("route_id").to_pylist() == ["default", "default"]
+    # a route name containing a quote must not break the per-sink filter
+    ds = rd.from_arrow(pa.table({"text": ["hit", "miss"]}))
+    sinks = split_match_once(ds, [Route("ops' team", 'text == "hit"')])
+    assert sinks["ops' team"].count() == 1
+    assert sinks["default"].count() == 1
+
+
+def test_resource_stamper_idempotent_and_lookup_default_only_fields():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        LookupEnricher,
+        ResourceStamper,
+    )
+
+    t = pa.table({"x": [1]})
+    out = ResourceStamper({"env": "prod"})(ResourceStamper({"env": "dev"})(t))
+    assert out.column("res_env").to_pylist() == ["prod"]
+    t2 = pa.table({"tool": ["a", "zz"]})
+    out = LookupEnricher({"a": {"cat": "x"}},
+                         defaults={"cat": "other", "risk": 9})(t2)
+    assert out.column("attr_cat").to_pylist() == ["x", "other"]
+    assert out.column("attr_risk").to_pylist() == [9, 9]
