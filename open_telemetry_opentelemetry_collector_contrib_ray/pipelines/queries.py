@@ -1033,6 +1033,91 @@ def q_multimodal_pipeline(sf_dir: str):
                               batch_format="pyarrow")
 
 
+def _events_of_type(sf_dir: str, etype: str, columns=None):
+    ds = _rd(sf_dir, "events", columns=columns)
+    return ds.map_batches(
+        lambda t, e=etype: t.filter(pc.equal(t.column("event_type"), e)),
+        batch_format="pyarrow")
+
+
+def q_purchase_before_click(sf_dir: str):
+    """As-of join (operator Ray Data lacks; composed per the brief):
+    every click pairs with the user's most recent purchase at-or-before
+    the click.  One hash shuffle on user_id, pandas merge_asof per
+    bucket (stages/join.py asof_join)."""
+    from ..stages.join import asof_join
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    clicks = _events_of_type(sf_dir, "click", cols)
+    # merge_asof consumes the right ON column, so carry the purchase time
+    # in its own column to surface it in the result
+    purchases = _events_of_type(sf_dir, "purchase", cols).map_batches(
+        lambda t: t.append_column("p_ts", t.column("ts")),
+        batch_format="pyarrow")
+    joined = asof_join(clicks, purchases, by="user_id", on="ts",
+                       direction="backward", how="inner")
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "p_ts": t.column("p_ts"),
+                         "p_value": t.column("value_r")})
+
+    return joined.map_batches(out, batch_format="pyarrow")
+
+
+def q_clicks_in_signup_window(sf_dir: str):
+    """Range/interval join: clicks landing within 1 hour (inclusive)
+    after a signup by the same user, counted per signup.  Time-binned
+    interval replication (stages/join.py range_join) — the right side
+    replicates per overlapped bin, each left row joins in its own bin."""
+    from ..stages.join import range_join
+
+    HOUR = 3_600_000_000
+
+    def us(t: pa.Table, *outs) -> pa.Table:
+        v = t.column("ts").cast(pa.int64())
+        for name, off in outs:
+            t = t.append_column(name, pc.add(v, off))
+        return t
+
+    clicks = _events_of_type(sf_dir, "click", ["event_id", "ts", "user_id",
+                                               "event_type"]) \
+        .map_batches(lambda t: us(t, ("ts_us", 0)), batch_format="pyarrow")
+    signups = _events_of_type(sf_dir, "signup", ["event_id", "ts", "user_id",
+                                                 "event_type"]) \
+        .map_batches(lambda t: us(t, ("start_us", 0), ("end_us", HOUR)),
+                     batch_format="pyarrow")
+    joined = range_join(clicks, signups, left_ts="ts_us",
+                        right_start="start_us", right_end="end_us",
+                        by="user_id", bin_width_us=HOUR)
+    pairs = joined.map_batches(
+        lambda t: pa.table({"signup_id": t.column("event_id_r").cast(pa.int64())}),
+        batch_format="pyarrow")
+    return grouped_count(pairs, ["signup_id"], alias="n_clicks",
+                         combine="bucket")
+
+
+def q_sliding_window_counts(sf_dir: str):
+    """Sliding-window aggregate (1h windows every 15min) by event_type via
+    stream slicing: rows collapse into 15-min slices first; only slice
+    partials replicate x4 (stages/aggregate.py sliding_window_agg)."""
+    from ..stages.aggregate import sliding_window_agg
+
+    ds = _rd(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.append_column("cents", c)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return sliding_window_agg(
+        ds, "ts",
+        [("count", None, "n_events"), ("sum", "cents", "total_cents")],
+        window_us=3_600_000_000, slide_us=900_000_000, keys=["event_type"])
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -1099,6 +1184,9 @@ def queries():
         "doc_fingerprint": q_doc_fingerprint,
         "knn_ivf": q_knn_ivf,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "purchase_before_click": q_purchase_before_click,
+        "clicks_in_signup_window": q_clicks_in_signup_window,
+        "sliding_window_counts": q_sliding_window_counts,
     }
 
 
@@ -1430,4 +1518,23 @@ def oracle_sql():
             UNION ALL SELECT 'errors', count(*) FROM {_T} WHERE {_ERR_SQL}
             UNION ALL SELECT 'slow', count(*) FROM {_T} WHERE coalesce({_SLOW_SQL}, false)
             UNION ALL SELECT 'timeouts', count(*) FROM {_T} WHERE {_TIMEOUT_SQL}""",
+        "purchase_before_click": """
+            SELECT e.event_id, e.user_id, e.ts, p.ts AS p_ts, p.value AS p_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') e
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "clicks_in_signup_window": """
+            SELECT s.event_id AS signup_id, CAST(count(*) AS BIGINT) AS n_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id
+             AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+            GROUP BY 1""",
+        "sliding_window_counts": """
+            SELECT event_type,
+                   (epoch_us(ts) // 900000000 - r.i) * 900000000 AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events, range(0, 4) r(i)
+            GROUP BY 1, 2""",
     }

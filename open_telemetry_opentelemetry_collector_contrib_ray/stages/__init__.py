@@ -13,6 +13,7 @@ from .aggregate import (  # noqa: F401
     recombine_salted,
     recombine_sorted,
     sessionize,
+    sliding_window_agg,
 )
 from .enrich import (  # noqa: F401
     AttributesStage,
@@ -21,7 +22,12 @@ from .enrich import (  # noqa: F401
     ResourceStamper,
     SchemaRenameStage,
 )
-from .join import bucketed_hash_join  # noqa: F401
+from .join import (  # noqa: F401
+    asof_join,
+    bucketed_hash_join,
+    native_join,
+    range_join,
+)
 from .tailsampling import (  # noqa: F401
     tail_sample,
     tail_sample_decisions,

@@ -759,6 +759,67 @@ def sessionize(ds, key_col: str, ts_col: str = "ts", gap_us: int = 1_800_000_000
     return bucketed_group_transform(ds, [key_col], assign, n_buckets)
 
 
+def sliding_window_agg(ds, ts_col: str, specs: Sequence[AggSpec],
+                       window_us: int, slide_us: int,
+                       keys: Sequence[str] = (), n_buckets: int = 64,
+                       window_col: str = "window_start"):
+    """Sliding-window aggregate (windows of window_us every slide_us,
+    aligned to epoch multiples of slide_us) via STREAM SLICING: rows
+    aggregate once into non-overlapping slide-granularity slices, and
+    only the tiny per-slice partials are replicated to the
+    window_us/slide_us windows they belong to.  A naive implementation
+    replicates every ROW m times before aggregating; slicing replicates
+    one partial row per (key, slice, batch) — at 100 TB that is the
+    difference between an m-fold blowup of the corpus and a few KB per
+    block.  The interval/tumbling case is slide_us == window_us (m=1).
+
+    Window semantics: window w covers [w, w + window_us); a row with
+    timestamp t lands in the m windows w = (t//slide - i)*slide_us,
+    i in 0..m-1.  `window_col` is int64 epoch-microseconds."""
+    if window_us % slide_us:
+        raise ValueError("window_us must be a multiple of slide_us")
+    m = window_us // slide_us
+    keys = list(keys)
+    from .sample import bucket_column
+
+    def add_slot(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__slot", pa.array(v // slide_us, pa.int64()))
+
+    partial = ds.map_batches(add_slot, batch_format="pyarrow") \
+        .map_batches(_PartialAgg(keys + ["__slot"], specs),
+                     batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        slots = t.column("__slot").to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(n), m)
+        offs = np.tile(np.arange(m, dtype=np.int64), n)
+        ws = (np.repeat(slots, m) - offs) * slide_us
+        out = t.take(pa.array(row_idx))
+        out = out.drop_columns(["__slot"])
+        return out.append_column(window_col, pa.array(ws, pa.int64()))
+
+    fin_keys = keys + [window_col]
+    exploded = partial.map_batches(explode, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", bucket_column(t, n_buckets, fin_keys))
+
+    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(min(n_buckets, 32))
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([c for c in t.column_names if c != "__bucket"])
+        return _merge_partials(t, fin_keys, specs)
+
+    return bucketed.groupby("__bucket").map_groups(merge_bucket,
+                                                   batch_format="pyarrow")
+
+
 def adjacent_pairs(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
                    cols: Sequence[str] = ("role", "tool"), n_buckets: int = 64):
     """servicegraphconnector analog (client↔server span pairing ->

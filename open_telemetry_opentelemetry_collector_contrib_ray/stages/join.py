@@ -51,14 +51,26 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     exceeds a worker heap; salt hot keys upstream if one key dominates
     a bucket."""
     on = list(on)
+    # padding to one union schema (typed nulls) + hashing AFTER the cast to
+    # the unified key types keeps every block's schema identical and makes an
+    # int32 key bucket like its int64 twin; the repartition coalesces because
+    # Ray's sort shuffle degrades on many tiny blocks
+    tagged, left_cols, right_cols = _tag_union(left, right, on, n_buckets)
 
+    def merge(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401
+        lg = g[g["__side"]][left_cols]
+        rg = g[~g["__side"]][right_cols]
+        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def _tag_union(left, right, key_cols: Sequence[str], n_buckets: int):
+    """Shared co-partitioning step: pad both sides to one union schema
+    (typed nulls), tag (side, bucket-of-key), union, coalesce.  Returns
+    (tagged_ds, left_cols, right_cols)."""
     left_cols = left.schema().names
     right_cols = right.schema().names
-
-    # pad both sides to one union schema (missing cols -> TYPED nulls, so
-    # every block carries the identical schema and union() never degrades
-    # to schema-less RefBundles); the merge step selects each side's real
-    # columns
     types: dict[str, pa.DataType] = {}
     for f in list(_pa_schema(left)) + list(_pa_schema(right)):
         types.setdefault(f.name, f.type)
@@ -69,9 +81,8 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
             cols = {c: (t.column(c).cast(types[c]) if c in t.column_names
                         else pa.nulls(t.num_rows, type=types[c]))
                     for c in all_cols}
-            # hash AFTER the cast to the unified key types: an int32 key on
-            # one side must bucket identically to the int64 twin on the other
-            b = bucket_column(pa.table({k: cols[k] for k in on}), n_buckets, on)
+            b = bucket_column(pa.table({k: cols[k] for k in key_cols}),
+                              n_buckets, key_cols)
             cols["__bucket"] = b
             cols["__side"] = pa.array(np.full(t.num_rows, side == "l"), pa.bool_())
             return pa.table(cols)
@@ -80,12 +91,106 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
 
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow")) \
-        .repartition(n_buckets)  # coalesce: Ray's sort shuffle degrades on many tiny blocks
+        .repartition(n_buckets)
+    return tagged, left_cols, right_cols
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401
+
+def asof_join(left, right, by: Sequence[str] | str, on: str,
+              right_on: str | None = None, direction: str = "backward",
+              tolerance=None, how: str = "inner", n_buckets: int = 32,
+              suffix: str = "_r", allow_exact_matches: bool = True):
+    """As-of join: for each left row, the single right row with the same
+    `by` key and the nearest `right_on` time (backward: latest <= left's
+    `on`; forward: earliest >=; nearest: closest either way).
+
+    The reference engine has nothing like this (its joins are broadcast
+    lookups); a trace/metric pipeline needs it constantly ("which deploy
+    / config / session was live when this record happened").  Ray Data
+    lacks it natively, so it composes from primitives: ONE hash shuffle
+    co-locates each `by` key's rows from both sides, then each bucket
+    runs a vectorized ``pandas.merge_asof`` (a sorted merge, O(n log n)
+    per bucket).  Partitioning contract: all rows of a `by` key land in
+    one bucket — salt is NOT applicable here (the match needs the whole
+    key's history); skewed keys bound bucket size instead via n_buckets.
+
+    how='inner' keeps only matched rows; 'left' keeps all left rows
+    (unmatched right columns null — integer right columns surface as
+    float64, the pandas null convention; cast downstream if needed).
+    tolerance: max |time difference| (pd.Timedelta for timestamps)."""
+    by = [by] if isinstance(by, str) else list(by)
+    right_on = right_on or on
+    tagged, left_cols, right_cols = _tag_union(left, right, by, n_buckets)
+    r_keep = [c for c in right_cols if c not in by]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"]][left_cols].sort_values(on, kind="stable")
+        rg = g[~g["__side"]][right_cols].sort_values(right_on, kind="stable")
+        rg = rg.assign(__m=True)
+        m = pd.merge_asof(lg, rg, left_on=on, right_on=right_on, by=by,
+                          direction=direction, tolerance=tolerance,
+                          suffixes=("", suffix),
+                          allow_exact_matches=allow_exact_matches)
+        if how == "inner":
+            m = m[m["__m"].notna()]
+        return m.drop(columns="__m")
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join(left, right, left_ts: str, right_start: str, right_end: str,
+               by: Sequence[str] | str = (), bin_width_us: int = 3_600_000_000,
+               n_buckets: int = 32, suffix: str = "_r"):
+    """Interval/range join: left rows pair with every right row whose
+    [right_start, right_end] interval (inclusive) contains left_ts and
+    whose `by` key matches.
+
+    Scale shape (the standard distributed interval join): time is cut
+    into bins of bin_width_us; each RIGHT interval is replicated to every
+    bin it overlaps (flat_map — replication factor ~= interval_len/bin),
+    each LEFT row belongs to exactly ONE bin, and the equi-join runs on
+    (by, bin) with the exact range predicate re-checked inside the
+    bucket.  A left row meets a given interval in exactly one bin (its
+    own), so no dedup pass is needed.  Pick bin_width_us near the median
+    interval length: too small inflates right-side replication, too
+    large degrades bin selectivity toward a cross join."""
+    by = [by] if isinstance(by, str) else list(by)
+
+    def to_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def bin_left(t: pa.Table) -> pa.Table:
+        b = to_us(t.column(left_ts)) // bin_width_us
+        return t.append_column("__bin", pa.array(b, pa.int64()))
+
+    def explode_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bin", pa.array([], pa.int64()))
+        lo = to_us(t.column(right_start)) // bin_width_us
+        hi = to_us(t.column(right_end)) // bin_width_us
+        counts = (hi - lo + 1).clip(min=0)
+        row_idx = np.repeat(np.arange(t.num_rows), counts)
+        # bin sequence per row: lo[i] .. hi[i]
+        offs = np.arange(len(row_idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        bins = np.repeat(lo, counts) + offs
+        return t.take(pa.array(row_idx)).append_column(
+            "__bin", pa.array(bins, pa.int64()))
+
+    lb = left.map_batches(bin_left, batch_format="pyarrow")
+    rb = right.map_batches(explode_right, batch_format="pyarrow")
+    key_cols = by + ["__bin"]
+    tagged, left_cols, right_cols = _tag_union(lb, rb, key_cols, n_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"]][left_cols]
         rg = g[~g["__side"]][right_cols]
-        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+        m = lg.merge(rg, on=key_cols, how="inner", suffixes=("", suffix))
+        rs = right_start if right_start in m.columns else right_start + suffix
+        re_ = right_end if right_end in m.columns else right_end + suffix
+        m = m[(m[left_ts] >= m[rs]) & (m[left_ts] <= m[re_])]
+        return m.drop(columns="__bin")
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 

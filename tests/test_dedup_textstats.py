@@ -103,6 +103,37 @@ def test_brute_force_vs_ivf_topk():
     assert overlap >= 6  # of 10
 
 
+def test_ivf_boundary_replication_improves_recall():
+    """SPANN-style multi-assignment: recall never drops, no duplicate
+    (query, vec) results, ranks stay contiguous 1..k."""
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((400, 8))
+    t = pa.table({"vec_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(vecs.reshape(-1), pa.float64()), 8)})
+    q = vecs[10:14]
+    exact = brute_force_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    exact_set = set(map(tuple, exact[["query_idx", "vec_id"]].values))
+
+    def recall(eps):
+        a = ivf_topk(rd.from_arrow(t), q, k=5, n_centroids=8, n_probe=2,
+                     replicate_eps=eps).to_pandas()
+        # dedup + contiguous ranks even when lists share boundary vectors
+        assert not a.duplicated(subset=["query_idx", "vec_id"]).any()
+        for _, g in a.groupby("query_idx"):
+            assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        return len(exact_set & set(map(tuple, a[["query_idx", "vec_id"]].values)))
+
+    r0, r1 = recall(0.0), recall(0.15)
+    assert r1 >= r0  # replication can only add candidates
+
+
 def test_textstats_stages():
     from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
         Fingerprint,

@@ -470,3 +470,92 @@ def test_resource_stamper_idempotent_and_lookup_default_only_fields():
                          defaults={"cat": "other", "risk": 9})(t2)
     assert out.column("attr_cat").to_pylist() == ["x", "other"]
     assert out.column("attr_risk").to_pylist() == [9, 9]
+
+
+def test_asof_join_directions_tolerance_and_left():
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "t": pa.array([10, 20, 30, 10], pa.int64()),
+        "lv": pa.array([1, 2, 3, 4], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b"],
+        "t": pa.array([9, 21, 50], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64())}))
+
+    back = asof_join(left, right, by="k", on="t", how="inner").to_pandas()
+    got = dict(zip(back.lv, back.rv))
+    assert got == {1: 100, 2: 100, 3: 200}  # b@10 has no right <= 10
+
+    fwd = asof_join(left, right, by="k", on="t", how="inner",
+                    direction="forward").to_pandas()
+    got = dict(zip(fwd.lv, fwd.rv))
+    assert got == {1: 200, 2: 200, 4: 300}  # a@30 has no right >= 30
+
+    tol = asof_join(left, right, by="k", on="t", how="inner",
+                    tolerance=10).to_pandas()
+    got = dict(zip(tol.lv, tol.rv))
+    assert got == {1: 100, 3: 200}  # a@20 is 11 past 9 -> out of tolerance
+
+    lft = asof_join(left, right, by="k", on="t", how="left").to_pandas()
+    assert len(lft) == 4
+    unmatched = lft[lft.lv == 4]
+    assert unmatched.rv.isna().all()
+
+
+def test_range_join_interval_spans_bins():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import range_join
+
+    # one interval spanning 3 bins (bin width 10): [5, 25]; another fully
+    # inside a bin: [42, 44]
+    right = rd.from_arrow(pa.table({
+        "k": ["a", "a"],
+        "s": pa.array([5, 42], pa.int64()),
+        "e": pa.array([25, 44], pa.int64()),
+        "iv": pa.array([1, 2], pa.int64())}))
+    left = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "a", "a", "b"],
+        "t": pa.array([4, 5, 15, 25, 43, 43], pa.int64()),
+        "lv": pa.array([0, 1, 2, 3, 4, 5], pa.int64())}))
+    out = range_join(left, right, left_ts="t", right_start="s", right_end="e",
+                     by="k", bin_width_us=10).to_pandas()
+    pairs = sorted(zip(out.lv, out.iv))
+    # t=4 before interval; endpoints inclusive; k mismatch excluded
+    assert pairs == [(1, 1), (2, 1), (3, 1), (4, 2)]
+    # no duplicate (left, interval) pairs despite 3-bin replication
+    assert len(pairs) == len(set(pairs))
+
+
+def test_sliding_window_agg_matches_naive():
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        sliding_window_agg,
+    )
+
+    rng = np.random.RandomState(3)
+    ts = rng.randint(0, 40, size=200).astype(np.int64)
+    val = rng.randint(1, 10, size=200).astype(np.int64)
+    key = np.where(rng.rand(200) < 0.5, "x", "y")
+    t = pa.table({"ts": pa.array(ts), "v": pa.array(val), "g": pa.array(key)})
+
+    W, S = 8, 2  # window 8us sliding 2us -> m=4
+    out = sliding_window_agg(rd.from_arrow(t), "ts",
+                             [("count", None, "n"), ("sum", "v", "sv"),
+                              ("min", "v", "mn"), ("max", "v", "mx")],
+                             window_us=W, slide_us=S, keys=["g"]).to_pandas()
+
+    # naive: every (g, window) where window = (ts//S - i)*S
+    import collections
+    naive = collections.defaultdict(list)
+    for tt, vv, gg in zip(ts, val, key):
+        for i in range(W // S):
+            naive[(gg, (tt // S - i) * S)].append(vv)
+    assert len(out) == len(naive)
+    for _, r in out.iterrows():
+        vals = naive[(r.g, r.window_start)]
+        assert (r.n, r.sv, r.mn, r.mx) == (len(vals), sum(vals), min(vals), max(vals))
