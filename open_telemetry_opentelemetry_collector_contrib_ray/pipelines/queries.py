@@ -447,17 +447,38 @@ def q_tail_sampling_and(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def q_tail_sampling_rate_limit(sf_dir: str):
+    """tailsampling rate_limiting policy (internal/sampling/
+    rate_limiting.go:32-49): greedy span budget per decision window,
+    conversations admitted in (min_ts, conv_id) order, strict
+    taken + n < budget.  1-day decision windows so multiple
+    conversations genuinely contend for the budget.  The greedy scan is
+    sequential state — the DuckDB oracle replays it with a recursive
+    CTE stepping one conversation at a time."""
+    from ..stages.tailsampling import tail_sample
+
+    ds = read_transcripts(sf_dir)
+    kept = tail_sample(ds, [
+        {"type": "rate_limiting", "spans_per_second": 200,
+         "window_us": 86_400_000_000},
+    ])
+    return kept.map_batches(lambda t: t.select(["conv_id", "turn_idx"]),
+                            batch_format="pyarrow")
+
+
 def q_tail_sampling_composite(sf_dir: str):
     """tailsampling composite rate-budgeted policy (composite.go:78-120):
-    error conversations first, then slow ones, within per-second span
-    budgets.  Greedy token-bucket admission is order-dependent state — not
-    expressible in one SQL pass, so this query is rows-only for the driver
-    and bit-verified against a sequential reference in pytest."""
+    error conversations first, then slow ones, within per-window span
+    budgets (1-day decision windows so the budgets genuinely contend).
+    Greedy two-counter token-bucket admission is order-dependent state;
+    the DuckDB oracle replays it with a per-window recursive CTE (also
+    bit-verified against a sequential reference in pytest)."""
     from ..stages.tailsampling import tail_sample
 
     ds = _parsed(sf_dir)
     kept = tail_sample(ds, [
         {"type": "composite", "max_total_spans_per_second": 200,
+         "window_us": 86_400_000_000,
          "subpolicies": [
              {"type": "string_attribute", "key": 'attributes["status"]',
               "values": ["error"], "max_spans_per_second": 120},
@@ -1170,6 +1191,7 @@ def queries():
         "tail_sampling_errors": q_tail_sampling_errors,
         "tail_sampling_policies": q_tail_sampling_policies,
         "tail_sampling_and": q_tail_sampling_and,
+        "tail_sampling_rate_limit": q_tail_sampling_rate_limit,
         "tail_sampling_composite": q_tail_sampling_composite,
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
@@ -1505,6 +1527,72 @@ def oracle_sql():
                               '{TOOL_LINE_SQL_PAT}', 5), '') AS BIGINT) >= 2000
                          THEN 1 ELSE 0 END) = 1
                  AND max(CASE WHEN {_ERR_SQL} THEN 1 ELSE 0 END) = 1)""",
+        "tail_sampling_rate_limit": f"""
+            WITH RECURSIVE
+            g AS (SELECT conv_id, count(*) AS n, min(ts) AS min_ts,
+                         epoch_us(min(ts)) // 86400000000 AS sec
+                  FROM {_T} GROUP BY conv_id),
+            o AS (SELECT *, row_number() OVER (PARTITION BY sec
+                         ORDER BY min_ts, conv_id) AS rn FROM g),
+            -- greedy token-bucket replay, all windows stepped in parallel
+            -- (windows are independent: the budget resets each window);
+            -- recursion depth = max conversations per window, strict
+            -- taken + n < 200 admission
+            scan(sec, rn, taken, admitted, conv_id) AS (
+              SELECT sec, rn,
+                     CASE WHEN n < 200 THEN n ELSE 0 END,
+                     n < 200, conv_id
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.sec, o.rn,
+                     CASE WHEN s.taken + o.n < 200
+                          THEN s.taken + o.n ELSE s.taken END,
+                     s.taken + o.n < 200, o.conv_id
+              FROM scan s JOIN o ON o.sec = s.sec AND o.rn = s.rn + 1)
+            SELECT t.conv_id, t.turn_idx FROM {_T} t
+            WHERE t.conv_id IN (SELECT conv_id FROM scan WHERE admitted)""",
+        "tail_sampling_composite": f"""
+            WITH RECURSIVE
+            g AS (SELECT conv_id, count(*) AS n, min(ts) AS min_ts,
+                         epoch_us(min(ts)) // 86400000000 AS sec,
+                         max(CASE WHEN {_ERR_SQL} THEN 1 ELSE 0 END) = 1 AS f1,
+                         max(CASE WHEN role = 'tool'
+                                   AND try_cast(nullif(regexp_extract(text,
+                                       '{TOOL_LINE_SQL_PAT}', 5), '')
+                                       AS BIGINT) >= 500
+                                  THEN 1 ELSE 0 END) = 1 AS f2
+                  FROM {_T} GROUP BY conv_id),
+            o AS (SELECT *, row_number() OVER (PARTITION BY sec
+                         ORDER BY min_ts, conv_id) AS rn FROM g),
+            -- composite.go:105-120 greedy replay: first matching
+            -- subpolicy only (errors alloc 120, slow alloc 80, total
+            -- 200, <= admission); windows independent, stepped in
+            -- parallel
+            scan(sec, rn, t1, t2, admitted, conv_id) AS (
+              SELECT sec, rn,
+                     CASE WHEN f1 AND n <= 120 AND n <= 200
+                          THEN n ELSE 0 END,
+                     CASE WHEN NOT f1 AND f2 AND n <= 80 AND n <= 200
+                          THEN n ELSE 0 END,
+                     (f1 AND n <= 120 AND n <= 200)
+                      OR (NOT f1 AND f2 AND n <= 80 AND n <= 200),
+                     conv_id
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.sec, o.rn,
+                     CASE WHEN o.f1 AND s.t1 + o.n <= 120
+                               AND s.t1 + o.n <= 200
+                          THEN s.t1 + o.n ELSE s.t1 END,
+                     CASE WHEN NOT o.f1 AND o.f2 AND s.t2 + o.n <= 80
+                               AND s.t2 + o.n <= 200
+                          THEN s.t2 + o.n ELSE s.t2 END,
+                     (o.f1 AND s.t1 + o.n <= 120 AND s.t1 + o.n <= 200)
+                      OR (NOT o.f1 AND o.f2 AND s.t2 + o.n <= 80
+                          AND s.t2 + o.n <= 200),
+                     o.conv_id
+              FROM scan s JOIN o ON o.sec = s.sec AND o.rn = s.rn + 1)
+            SELECT t.conv_id, t.turn_idx FROM {_T} t
+            WHERE t.conv_id IN (SELECT conv_id FROM scan WHERE admitted)""",
         "attr_hash_extract": f"""
             SELECT sha256(tool) AS tool_sha256, count(*) AS n
             FROM {_T} GROUP BY 1""",

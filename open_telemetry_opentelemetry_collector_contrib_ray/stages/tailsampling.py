@@ -246,9 +246,15 @@ def tail_sample_decisions(ds, policies: Sequence[dict], group_col: str = "conv_i
     # wall-clock second); groups admit in deterministic (min_ts, group)
     # order.  Keyed by second -> independent buckets -> one bucketed
     # transform; the loop is over GROUPS within a second.
+    # `window_us` (optional, default 1s) coarsens the decision window —
+    # the batch-mode knob for sparse corpora where every group starts in
+    # its own second; all rate-limited policies in one call share it.
+    window_us = next((int(p.get("window_us", 1_000_000)) for p in limited),
+                     1_000_000)
+
     def add_sec(t: pa.Table) -> pa.Table:
         sec = pc.cast(pc.divide(pc.cast(t.column("min_ts"), pa.int64()),
-                                1_000_000), pa.int64())
+                                window_us), pa.int64())
         return t.append_column("__sec", sec)
 
     with_sec = decided.map_batches(add_sec, batch_format="pyarrow")
