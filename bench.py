@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "orders_per_nation",
     "orders_per_nation_native",
     "embedding_knn",
+    "purchase_before_click",
+    "clicks_in_signup_window",
+    "sliding_window_counts",
 ]
 
 

@@ -1054,6 +1054,39 @@ def q_multimodal_pipeline(sf_dir: str):
                               batch_format="pyarrow")
 
 
+RING_ENDPOINTS = ["backend-1", "backend-2", "backend-3"]
+
+
+def q_ring_route_counts(sf_dir: str):
+    """loadbalancingexporter consistent-hash ring placement
+    (exporter/loadbalancingexporter/consistent_hashing.go:11-50): route
+    every turn by its conversation's ring position, count per endpoint.
+    The oracle replays the exact ring (inlined as a VALUES table) in
+    SQL via md5_number_lower parity."""
+    from ..stages.sample import ConsistentHashRing
+
+    ds = read_transcripts(sf_dir, columns=["conv_id"])
+    ring = ConsistentHashRing(RING_ENDPOINTS, weight=100, source="conv_id")
+    routed = ds.map_batches(ring, batch_format="pyarrow")
+    return grouped_count(routed, ["endpoint"], alias="n")
+
+
+def _ring_oracle_sql() -> str:
+    from ..stages.sample import ConsistentHashRing
+
+    ring = ConsistentHashRing(RING_ENDPOINTS, weight=100, source="conv_id")
+    vals = ", ".join(f"({p}, '{e}')" for p, e in ring.placements())
+    return f"""
+        WITH ring(pos, ep) AS (VALUES {vals}),
+        a AS (SELECT md5_number_lower(conv_id) % 36000 AS kp FROM {_T}),
+        b AS (SELECT kp, count(*) AS n FROM a GROUP BY kp)
+        SELECT coalesce(
+                 (SELECT ep FROM ring WHERE pos >= b.kp ORDER BY pos LIMIT 1),
+                 (SELECT ep FROM ring ORDER BY pos LIMIT 1)) AS endpoint,
+               sum(n)::BIGINT AS n
+        FROM b GROUP BY 1"""
+
+
 def _events_of_type(sf_dir: str, etype: str, columns=None):
     ds = _rd(sf_dir, "events", columns=columns)
     return ds.map_batches(
@@ -1184,6 +1217,7 @@ def queries():
         "relabel_aggregate": q_relabel_aggregate,
         "red_metrics": q_red_metrics,
         "hash_bucket_counts": q_hash_bucket_counts,
+        "ring_route_counts": q_ring_route_counts,
         "groupbyattrs_promote": q_groupbyattrs_promote,
         "tokens_est": q_tokens_est,
         "cumulative_to_delta": q_cumulative_to_delta,
@@ -1478,6 +1512,7 @@ def oracle_sql():
             SELECT CAST(md5_number_lower(conv_id) % 16 AS INT) AS bucket,
                    count(*) AS n
             FROM {_T} GROUP BY 1""",
+        "ring_route_counts": _ring_oracle_sql(),
         "groupbyattrs_promote": f"""
             SELECT CASE WHEN role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
                         THEN regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) END AS res_tool_name,

@@ -182,7 +182,12 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
 
         reduced = partial.map_batches(pre_reduce, batch_format="pyarrow",
                                       batch_size=65536)
-        refs = reduced.to_arrow_refs()
+        # materialize BEFORE to_arrow_refs: on a plan whose schema is not
+        # statically known, to_arrow_refs first resolves the schema by
+        # executing the plan with limit=1 — which cannot short-circuit an
+        # upstream all-to-all (join/groupby), so the whole DAG would run
+        # TWICE.  materialize() runs it once and caches the blocks.
+        refs = reduced.materialize().to_arrow_refs()
         tables = [t for t in ray.get(refs) if t.num_rows]
         if not tables:
             tables = [_PartialAgg(keys, specs, conditions)._empty()]
@@ -308,7 +313,10 @@ def histogram_agg(ds, keys: Sequence[str], value_col: str, buckets: Sequence[flo
         import ray
         import ray.data as rd
 
-        tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+        # materialize first: to_arrow_refs on an unknown-schema plan runs a
+        # limit-1 schema probe that re-executes any upstream all-to-all
+        tables = [t for t in ray.get(partial.materialize().to_arrow_refs())
+                  if t.num_rows]
         if not tables:
             return rd.from_arrow(pa.table(
                 {**{k: pa.array([], pa.string()) for k in keys},
@@ -393,7 +401,10 @@ def exp_histogram_agg(ds, keys: Sequence[str], value_col: str, scale: int = 0,
         import ray
         import ray.data as rd
 
-        tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+        # materialize first: to_arrow_refs on an unknown-schema plan runs a
+        # limit-1 schema probe that re-executes any upstream all-to-all
+        tables = [t for t in ray.get(partial.materialize().to_arrow_refs())
+                  if t.num_rows]
         if not tables:
             return rd.from_arrow(pa.table(
                 {**{k: pa.array([], pa.string()) for k in keys},

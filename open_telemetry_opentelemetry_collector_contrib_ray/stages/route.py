@@ -123,7 +123,9 @@ def match_all_counts(ds, routes: list[Route], default: str = "default"):
                          "__p_n": pa.array(np.asarray(counts, dtype=np.int64))})
 
     partial = ds.map_batches(count_batch, batch_format="pyarrow")
-    tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+    # materialize first: avoids the limit-1 schema probe re-executing the plan
+    tables = [t for t in ray.get(partial.materialize().to_arrow_refs())
+              if t.num_rows]
     merged = pa.concat_tables(tables) if tables else pa.table(
         {"sink": pa.array(names),
          "__p_n": pa.array(np.zeros(len(names), dtype=np.int64))})

@@ -126,3 +126,71 @@ class HashBucketStage:
         vals = batch.column(self.source).to_pylist()
         b = (_md5_lower64(vals) % np.uint64(self.num_buckets)).astype(np.int32)
         return batch.append_column(self.out, pa.array(b))
+
+
+class ConsistentHashRing:
+    """Consistent-hash ring routing, the loadbalancingexporter's placement
+    algorithm (exporter/loadbalancingexporter/consistent_hashing.go:11-50:
+    a 36000-position ring, each endpoint owning `weight` pseudo-randomly
+    hashed positions; a record's key hashes to a position and routes to
+    the next endpoint position clockwise).
+
+    Unlike plain modulo bucketing (HashBucketStage), re-sharding is
+    minimal: adding/removing an endpoint only remaps the keys whose ring
+    arc changed owner (~1/n of the keyspace), which is the property that
+    matters when a 256-node cluster loses a node mid-job.
+
+    algo="md5" (default) hashes with the md5-lower-64 used across this
+    engine's oracle-visible paths (DuckDB `md5_number_lower` can replay
+    placement in SQL); algo="crc32" matches the reference's CRC-32 for
+    bit-parity with the Go ring.  Assignment is vectorized
+    (np.searchsorted over the sorted ring); only the key hash itself is
+    the per-row loop both DuckDB-parity paths already pay."""
+
+    RING_SIZE = 36000
+
+    def __init__(self, endpoints: list[str], weight: int = 100,
+                 source: str = "conv_id", out: str = "endpoint",
+                 algo: str = "md5"):
+        if not endpoints:
+            raise ValueError("need at least one endpoint")
+        self.source = source
+        self.out = out
+        self.algo = algo
+        pos2ep: dict[int, str] = {}
+        for ep in sorted(endpoints):
+            for i in range(weight):
+                # later endpoints win collisions deterministically (sorted
+                # order), matching a fixed iteration of the ring builder
+                pos2ep[self._hash1(f"{ep}:{i}") % self.RING_SIZE] = ep
+        ring = sorted(pos2ep.items())
+        self._ring_pos = np.array([p for p, _ in ring], dtype=np.uint64)
+        self._ring_ep = np.array([e for _, e in ring], dtype=object)
+
+    def _hash1(self, s: str) -> int:
+        if self.algo == "crc32":
+            import zlib
+
+            return zlib.crc32(s.encode())
+        return int(_md5_lower64([s])[0])
+
+    def placements(self) -> list[tuple[int, str]]:
+        """(position, endpoint) ring table — inline it into an oracle SQL
+        VALUES list to replay placement in DuckDB."""
+        return [(int(p), str(e)) for p, e in zip(self._ring_pos, self._ring_ep)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(self.out, pa.array([], pa.string()))
+        vals = batch.column(self.source).to_pylist()
+        if self.algo == "crc32":
+            import zlib
+
+            kp = np.array([zlib.crc32(str(v).encode()) if v is not None else 0
+                           for v in vals], dtype=np.uint64) % self.RING_SIZE
+        else:
+            kp = _md5_lower64(vals) % np.uint64(self.RING_SIZE)
+        idx = np.searchsorted(self._ring_pos, kp, side="left")
+        idx[idx == len(self._ring_pos)] = 0  # clockwise wrap
+        eps = self._ring_ep[idx]
+        return batch.append_column(self.out, pa.array(eps, pa.string()))

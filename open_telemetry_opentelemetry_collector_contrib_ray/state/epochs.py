@@ -50,7 +50,9 @@ def dedup_epoch(state_dir: str, new_files: Sequence[str],
     agg = dedup_exact(ds, key_cols, ts_col=ts_col, order_col=order_col)
     edir = os.path.join(state_dir, f"epoch={epoch_id:04d}")
     os.makedirs(edir + ".tmp", exist_ok=True)
-    tables = agg.to_arrow_refs()
+    # materialize first: dedup_exact contains a shuffle, and to_arrow_refs'
+    # limit-1 schema probe would otherwise run the whole dedup twice
+    tables = agg.materialize().to_arrow_refs()
     import ray
 
     merged = pa.concat_tables([t for t in ray.get(tables) if t.num_rows],

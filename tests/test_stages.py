@@ -559,3 +559,37 @@ def test_sliding_window_agg_matches_naive():
     for _, r in out.iterrows():
         vals = naive[(r.g, r.window_start)]
         assert (r.n, r.sv, r.mn, r.mx) == (len(vals), sum(vals), min(vals), max(vals))
+
+
+def test_consistent_hash_ring():
+    import numpy as np
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        ConsistentHashRing,
+    )
+
+    keys = [f"conv-{i}" for i in range(2000)]
+    t = pa.table({"conv_id": keys})
+    eps3 = ["a", "b", "c"]
+    r3 = ConsistentHashRing(eps3, weight=100, source="conv_id")
+    out3 = r3(t).column("endpoint").to_pylist()
+    # deterministic and reasonably balanced
+    assert out3 == r3(t).column("endpoint").to_pylist()
+    import collections
+    c = collections.Counter(out3)
+    assert set(c) == set(eps3)
+    assert min(c.values()) > 2000 / 3 * 0.5  # no endpoint starved
+
+    # THE consistent-hashing property: removing one endpoint only remaps
+    # keys that endpoint owned; every other key keeps its endpoint
+    r2 = ConsistentHashRing(["a", "b"], weight=100, source="conv_id")
+    out2 = r2(t).column("endpoint").to_pylist()
+    moved = sum(1 for e3, e2 in zip(out3, out2) if e3 != e2)
+    stayed_wrong = sum(1 for e3, e2 in zip(out3, out2)
+                       if e3 in ("a", "b") and e3 != e2)
+    assert stayed_wrong == 0        # survivors keep every key they had
+    assert moved == c["c"]          # only c's keys moved
+
+    # crc32 mode runs and differs from md5 placement (different ring)
+    rc = ConsistentHashRing(eps3, weight=100, source="conv_id", algo="crc32")
+    outc = rc(t).column("endpoint").to_pylist()
+    assert set(outc) <= set(eps3)
