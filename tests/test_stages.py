@@ -593,3 +593,54 @@ def test_consistent_hash_ring():
     rc = ConsistentHashRing(eps3, weight=100, source="conv_id", algo="crc32")
     outc = rc(t).column("endpoint").to_pylist()
     assert set(outc) <= set(eps3)
+
+
+def test_joins_match_bruteforce_on_random_inputs():
+    """asof_join and range_join vs naive O(n^2) references on randomized
+    keys/times (3 seeds; covers ties, empty sides per bucket, multi-key
+    groups)."""
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        asof_join,
+        range_join,
+    )
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        nl, nr = 60, 40
+        lk = rng.choice(["a", "b", "c", "d"], nl)
+        lt = rng.randint(0, 100, nl).astype(np.int64)
+        rk = rng.choice(["a", "b", "e"], nr)
+        rt = rng.randint(0, 100, nr).astype(np.int64)
+        left = pa.table({"k": lk, "t": pa.array(lt),
+                         "lid": pa.array(np.arange(nl, dtype=np.int64))})
+        right = pa.table({"k": rk, "t": pa.array(rt),
+                          "rid": pa.array(np.arange(nr, dtype=np.int64))})
+
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        by="k", on="t", how="inner", n_buckets=4).to_pandas()
+        got = dict(zip(out.lid, out.rid))
+        exp = {}
+        for i in range(nl):
+            cands = [(rt[j], -j) for j in range(nr)
+                     if rk[j] == lk[i] and rt[j] <= lt[i]]
+            if cands:
+                # merge_asof picks the LAST right row among equal times
+                best_t = max(c[0] for c in cands)
+                best_j = max(j for j in range(nr)
+                             if rk[j] == lk[i] and rt[j] == best_t)
+                exp[i] = best_j
+        assert got == exp, f"asof mismatch seed={seed}"
+
+        rs = rt
+        re_ = rt + rng.randint(0, 30, nr).astype(np.int64)
+        right2 = pa.table({"k": rk, "s": pa.array(rs), "e": pa.array(re_),
+                           "rid": pa.array(np.arange(nr, dtype=np.int64))})
+        out2 = range_join(rd.from_arrow(left), rd.from_arrow(right2),
+                          left_ts="t", right_start="s", right_end="e",
+                          by="k", bin_width_us=16, n_buckets=4).to_pandas()
+        got2 = sorted(zip(out2.lid, out2.rid))
+        exp2 = sorted((i, j) for i in range(nl) for j in range(nr)
+                      if lk[i] == rk[j] and rs[j] <= lt[i] <= re_[j])
+        assert got2 == exp2, f"range mismatch seed={seed}"
