@@ -1172,6 +1172,73 @@ def q_sliding_window_counts(sf_dir: str):
         window_us=3_600_000_000, slide_us=900_000_000, keys=["event_type"])
 
 
+def q_orders_with_lineitems(sf_dir: str):
+    """Bucketed SEMI join: orders having at least one lineitem — the
+    shuffle alternative to a broadcast key-set filter for big right
+    sides (stages/join.py bucketed_hash_join how='semi')."""
+    from ..stages.join import bucketed_hash_join
+
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    li = _rd(sf_dir, "lineitem", columns=["l_orderkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_orderkey"]),
+                     batch_format="pyarrow")
+    out = bucketed_hash_join(orders, li, on=["o_orderkey"], how="semi")
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100.0)), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_orders_without_lineitems(sf_dir: str):
+    """Bucketed ANTI join: orders with NO lineitems."""
+    from ..stages.join import bucketed_hash_join
+
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    li = _rd(sf_dir, "lineitem", columns=["l_orderkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_orderkey"]),
+                     batch_format="pyarrow")
+    out = bucketed_hash_join(orders, li, on=["o_orderkey"], how="anti")
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100.0)), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_top3_events_per_type(sf_dir: str):
+    """Per-group top-k (grouped_top_k): 3 highest-value events per
+    event_type, value ties broken by event_id.  Batch-level pre-prune
+    means the shuffle moves at most k rows per (group, batch)."""
+    from ..stages.aggregate import grouped_top_k
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                             pa.int64())})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return grouped_top_k(ds, ["event_type"], ["cents", "event_id"], k=3,
+                         descending=[True, False])
+
+
+def q_stratified_event_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 events per event_type picked
+    by md5 order of event_id — run-stable and SQL-replayable, unlike
+    random sampling (stages/aggregate.py stratified_sample)."""
+    from ..stages.aggregate import stratified_sample
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+    return stratified_sample(ds, ["event_type"], n_per_group=5,
+                             id_col="event_id")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -1243,6 +1310,10 @@ def queries():
         "purchase_before_click": q_purchase_before_click,
         "clicks_in_signup_window": q_clicks_in_signup_window,
         "sliding_window_counts": q_sliding_window_counts,
+        "orders_with_lineitems": q_orders_with_lineitems,
+        "orders_without_lineitems": q_orders_without_lineitems,
+        "top3_events_per_type": q_top3_events_per_type,
+        "stratified_event_sample": q_stratified_event_sample,
     }
 
 
@@ -1660,4 +1731,23 @@ def oracle_sql():
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events, range(0, 4) r(i)
             GROUP BY 1, 2""",
+        "orders_with_lineitems": """
+            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""",
+        "orders_without_lineitems": """
+            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+        "top3_events_per_type": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                ORDER BY cents DESC, event_id) <= 3""",
+        "stratified_event_sample": """
+            SELECT event_id, event_type FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                         event_id) <= 5""",
     }

@@ -8,12 +8,14 @@ from .aggregate import (  # noqa: F401
     grouped_agg,
     grouped_count,
     grouped_sum,
+    grouped_top_k,
     histogram_agg,
     recombine,
     recombine_salted,
     recombine_sorted,
     sessionize,
     sliding_window_agg,
+    stratified_sample,
 )
 from .enrich import (  # noqa: F401
     AttributesStage,

@@ -831,6 +831,54 @@ def sliding_window_agg(ds, ts_col: str, specs: Sequence[AggSpec],
                                                    batch_format="pyarrow")
 
 
+def grouped_top_k(ds, keys: Sequence[str], order_cols: Sequence[str] | str,
+                  k: int, descending: bool | Sequence[bool] = True,
+                  n_buckets: int = 64):
+    """Per-group top-k: the k rows of each key group ranked by
+    order_cols.  Pre-prunes INSIDE each batch first (a batch can
+    contribute at most k rows per group to the shuffle), then one
+    bucketed shuffle + a vectorized groupby().head(k) per bucket — the
+    shuffle moves O(k * groups_per_batch) rows, never the corpus.  Make
+    order_cols a unique ranking (add a tiebreaker id) for deterministic
+    results."""
+    keys = list(keys)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    asc = [not descending] if isinstance(descending, bool) \
+        else [not d for d in descending]
+    if len(asc) == 1:
+        asc = asc * len(order_cols)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=asc, kind="stable")
+        return g.groupby(keys, sort=False).head(k)
+
+    pruned = ds.map_batches(
+        lambda df: prune(df), batch_format="pandas")
+    return bucketed_group_transform(pruned, keys, prune, n_buckets)
+
+
+def stratified_sample(ds, keys: Sequence[str], n_per_group: int,
+                      id_col: str, n_buckets: int = 64):
+    """Deterministic stratified sample: n rows per key group, chosen by
+    md5-lower-64 order of id_col (ties broken by id) — the same verdict
+    on every run and replayable in SQL (ORDER BY md5_number_lower(id)),
+    unlike random sampling.  Same two-level prune-then-bucket shape as
+    grouped_top_k, so the shuffle moves at most n rows per (group,
+    batch)."""
+    from .sample import _md5_lower64
+
+    keys = list(keys)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_lower64(g[id_col].tolist())
+        g = g.assign(__h=h).sort_values(["__h", id_col], kind="stable")
+        g = g.groupby(keys, sort=False).head(n_per_group)
+        return g.drop(columns="__h")
+
+    pruned = ds.map_batches(lambda df: pick(df), batch_format="pandas")
+    return bucketed_group_transform(pruned, keys, pick, n_buckets)
+
+
 def adjacent_pairs(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
                    cols: Sequence[str] = ("role", "tool"), n_buckets: int = 64):
     """servicegraphconnector analog (client↔server span pairing ->

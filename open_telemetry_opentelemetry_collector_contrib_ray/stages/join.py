@@ -43,7 +43,10 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     Both sides are tagged (side, bucket) and unioned; ONE shuffle
     co-locates each bucket; a pandas merge joins inside the bucket.
     Returns a Dataset with left columns + right non-key columns
-    (clashes suffixed).
+    (clashes suffixed).  how: inner/left/outer plus "semi" (left rows
+    WITH a right key match, right columns not emitted) and "anti" (left
+    rows WITHOUT a match) — the shuffle alternative to the broadcast
+    key-set filter when the right key set is too big to ray.put.
 
     Sizing contract: one bucket = one reduce task holding BOTH sides'
     bucket slices in memory — size n_buckets to ~total_join_bytes /
@@ -60,6 +63,10 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     def merge(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401
         lg = g[g["__side"]][left_cols]
         rg = g[~g["__side"]][right_cols]
+        if how in ("semi", "anti"):
+            hit = lg.merge(rg[on].drop_duplicates(), on=on, how="left",
+                           indicator=True)["_merge"] == "both"
+            return lg[hit.to_numpy() if how == "semi" else ~hit.to_numpy()]
         return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")

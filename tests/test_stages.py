@@ -644,3 +644,48 @@ def test_joins_match_bruteforce_on_random_inputs():
         exp2 = sorted((i, j) for i in range(nl) for j in range(nr)
                       if lk[i] == rk[j] and rs[j] <= lt[i] <= re_[j])
         assert got2 == exp2, f"range mismatch seed={seed}"
+
+
+def test_semi_anti_join_and_grouped_topk_and_stratified():
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        bucketed_hash_join,
+        grouped_top_k,
+        stratified_sample,
+    )
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 2, 4, 9], pa.int64()),
+        "w": pa.array([1, 2, 3, 4], pa.int64())}))
+    semi = bucketed_hash_join(left, right, on=["k"], how="semi",
+                              n_buckets=4).to_pandas()
+    assert sorted(semi.k) == [2, 4] and list(semi.columns) == ["k", "v"]
+    anti = bucketed_hash_join(left, right, on=["k"], how="anti",
+                              n_buckets=4).to_pandas()
+    assert sorted(anti.k) == [1, 3, 5]
+
+    rng = np.random.RandomState(11)
+    n = 300
+    t = pa.table({
+        "g": pa.array(rng.choice(["x", "y", "z"], n)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "val": pa.array(rng.randint(0, 50, n).astype(np.int64))})
+    top = grouped_top_k(rd.from_arrow(t), ["g"], ["val", "id"], k=4,
+                        descending=[True, False], n_buckets=4).to_pandas()
+    df = t.to_pandas()
+    exp = df.sort_values(["val", "id"], ascending=[False, True]) \
+            .groupby("g").head(4)
+    assert sorted(map(tuple, top[["g", "id"]].values)) == \
+        sorted(map(tuple, exp[["g", "id"]].values))
+
+    samp = stratified_sample(rd.from_arrow(t), ["g"], n_per_group=7,
+                             id_col="id", n_buckets=4).to_pandas()
+    assert (samp.groupby("g").size() == 7).all()
+    # deterministic across runs
+    samp2 = stratified_sample(rd.from_arrow(t), ["g"], n_per_group=7,
+                              id_col="id", n_buckets=4).to_pandas()
+    assert sorted(samp.id) == sorted(samp2.id)
