@@ -1228,6 +1228,23 @@ def q_top3_events_per_type(sf_dir: str):
                          descending=[True, False])
 
 
+def q_latency_quantiles_by_tool(sf_dir: str):
+    """Exact per-group discrete quantiles (percentile_disc semantics):
+    p50/p95/p99 tool latency (stages/aggregate.py grouped_quantile —
+    one bucketed shuffle, vectorized offset arithmetic per bucket)."""
+    from ..stages.aggregate import grouped_quantile
+
+    ds = _parsed(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t.column("attr_latency_ms"))
+        return t.filter(m).select(["attr_tool_name", "attr_latency_ms"])
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    return grouped_quantile(ds, ["attr_tool_name"], "attr_latency_ms",
+                            qs=(0.5, 0.95, 0.99))
+
+
 def q_stratified_event_sample(sf_dir: str):
     """Deterministic stratified sample: 5 events per event_type picked
     by md5 order of event_id — run-stable and SQL-replayable, unlike
@@ -1314,6 +1331,7 @@ def queries():
         "orders_without_lineitems": q_orders_without_lineitems,
         "top3_events_per_type": q_top3_events_per_type,
         "stratified_event_sample": q_stratified_event_sample,
+        "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
     }
 
 
@@ -1750,4 +1768,14 @@ def oracle_sql():
             QUALIFY row_number() OVER (PARTITION BY event_type
                 ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
                          event_id) <= 5""",
+        "latency_quantiles_by_tool": f"""
+            SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS attr_tool_name,
+                   quantile_disc(lat, 0.50) AS p50,
+                   quantile_disc(lat, 0.95) AS p95,
+                   quantile_disc(lat, 0.99) AS p99
+            FROM (SELECT text, try_cast(nullif(regexp_extract(text,
+                      '{TOOL_LINE_SQL_PAT}', 5), '') AS BIGINT) AS lat
+                  FROM {_T} WHERE role = 'tool')
+            WHERE lat IS NOT NULL
+            GROUP BY 1""",
     }

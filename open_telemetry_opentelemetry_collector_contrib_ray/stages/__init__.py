@@ -7,6 +7,7 @@ from .aggregate import (  # noqa: F401
     delta_to_cumulative,
     grouped_agg,
     grouped_count,
+    grouped_quantile,
     grouped_sum,
     grouped_top_k,
     histogram_agg,

@@ -857,6 +857,49 @@ def grouped_top_k(ds, keys: Sequence[str], order_cols: Sequence[str] | str,
     return bucketed_group_transform(pruned, keys, prune, n_buckets)
 
 
+def grouped_quantile(ds, keys: Sequence[str], value_col: str,
+                     qs: Sequence[float] = (0.5, 0.95, 0.99),
+                     aliases: Sequence[str] | None = None,
+                     n_buckets: int = 64):
+    """Exact per-group discrete quantiles (PostgreSQL/DuckDB
+    percentile_disc semantics: sorted_values[ceil(q*n) - 1]).  One
+    bucketed shuffle co-locates each key's rows; quantile extraction is
+    vectorized across the bucket's groups (sort + offset arithmetic, no
+    per-group Python).  Null values are dropped (SQL aggregate parity).
+
+    Partitioning contract: a group's rows must fit one bucket worker —
+    the same assumption as every per-group op here.  For quantiles over
+    pathological single groups at 100 TB, pre-aggregate with a mergeable
+    sketch instead (see stages/sketch.py for the pattern)."""
+    keys = list(keys)
+    aliases = list(aliases) if aliases else [
+        f"p{int(q * 100):02d}" for q in qs]
+
+    def compute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[value_col]) \
+             .sort_values(keys + [value_col], kind="stable") \
+             .reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame({**{k: [] for k in keys},
+                                 **{a: [] for a in aliases}})
+        # contiguous group boundaries (g is sorted by keys)
+        change = np.zeros(len(g), dtype=bool)
+        change[0] = True
+        for k in keys:
+            col = g[k].to_numpy()
+            change[1:] |= col[1:] != col[:-1]
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, len(g)))
+        out = {k: g[k].to_numpy()[starts] for k in keys}
+        vals = g[value_col].to_numpy()
+        for q, alias in zip(qs, aliases):
+            idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
+            out[alias] = vals[idx]
+        return pd.DataFrame(out)
+
+    return bucketed_group_transform(ds, keys, compute, n_buckets)
+
+
 def stratified_sample(ds, keys: Sequence[str], n_per_group: int,
                       id_col: str, n_buckets: int = 64):
     """Deterministic stratified sample: n rows per key group, chosen by

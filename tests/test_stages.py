@@ -689,3 +689,25 @@ def test_semi_anti_join_and_grouped_topk_and_stratified():
     samp2 = stratified_sample(rd.from_arrow(t), ["g"], n_per_group=7,
                               id_col="id", n_buckets=4).to_pandas()
     assert sorted(samp.id) == sorted(samp2.id)
+
+
+def test_grouped_quantile_matches_percentile_disc():
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        grouped_quantile,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 500
+    t = pa.table({"g": pa.array(rng.choice(["a", "b", "c"], n)),
+                  "v": pa.array(rng.randint(0, 1000, n).astype(np.int64))})
+    out = grouped_quantile(rd.from_arrow(t), ["g"], "v",
+                           qs=(0.5, 0.9), aliases=["p50", "p90"],
+                           n_buckets=4).to_pandas().set_index("g")
+    df = t.to_pandas()
+    for g, sub in df.groupby("g"):
+        arr = np.sort(sub["v"].to_numpy())
+        for q, col in [(0.5, "p50"), (0.9, "p90")]:
+            exp = arr[int(np.ceil(q * len(arr))) - 1]  # percentile_disc
+            assert out.loc[g, col] == exp, (g, col)
