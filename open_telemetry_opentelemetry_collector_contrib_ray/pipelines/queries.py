@@ -1245,6 +1245,30 @@ def q_latency_quantiles_by_tool(sf_dir: str):
                             qs=(0.5, 0.95, 0.99))
 
 
+def q_approx_latency_quantiles(sf_dir: str):
+    """Mergeable bottom-k-by-hash quantile sketch (the 100 TB path when
+    one group exceeds a worker): deterministic uniform sample per group,
+    kilobyte shuffles, rank error O(1/sqrt(k)).  Rows-only for the
+    driver; rank-error bound pytest-verified."""
+    from ..stages.sketch import approx_quantile
+
+    ds = _parsed(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t.column("attr_latency_ms"))
+        t = t.filter(m)
+        return pa.table({
+            "tool": t.column("attr_tool_name"),
+            "lat": t.column("attr_latency_ms"),
+            "rid": pc.binary_join_element_wise(
+                t.column("conv_id"),
+                pc.cast(t.column("turn_idx"), pa.string()), ":")})
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    return approx_quantile(ds, "lat", "rid", qs=(0.5, 0.95, 0.99),
+                           k=2048, keys=["tool"])
+
+
 def q_stratified_event_sample(sf_dir: str):
     """Deterministic stratified sample: 5 events per event_type picked
     by md5 order of event_id — run-stable and SQL-replayable, unlike
@@ -1332,6 +1356,7 @@ def queries():
         "top3_events_per_type": q_top3_events_per_type,
         "stratified_event_sample": q_stratified_event_sample,
         "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
+        "approx_latency_quantiles": q_approx_latency_quantiles,
     }
 
 

@@ -150,3 +150,75 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
         other.registers = np.frombuffer(row["sketch"], dtype=np.uint8).copy()
         acc.merge(other)
     return acc.estimate()
+
+
+# ------------------------------------------------- bottom-k quantile sample
+
+
+def approx_quantile(ds, value_col: str, id_col: str,
+                    qs=(0.5, 0.95, 0.99), k: int = 4096,
+                    keys=None) -> "pa.Table":
+    """Approximate quantiles from a DETERMINISTIC mergeable uniform
+    sample: keep the k rows whose md5(id) is smallest (bottom-k by
+    hash = a uniform without-replacement sample of the rows, stable
+    across runs/retries); merge = concat + re-truncate to the k
+    smallest.  Rank error is O(1/sqrt(k)) (~1.6% at k=4096).
+
+    This is the 100 TB path for quantiles over a group too large for
+    grouped_quantile's one-bucket-per-group contract: the shuffle moves
+    at most k (hash, value) pairs per batch regardless of group size.
+    With `keys`, returns one row per group (each group independently
+    sampled, so skew cannot starve small groups).
+    """
+    import pyarrow.compute as pc
+
+    keys = list(keys or [])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({**{kc: pa.array([], batch.column(kc).type)
+                                for kc in keys},
+                             "sketch": pa.array([], pa.binary())})
+        h = _hash64(batch.column(id_col).to_pylist())
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        if keys:
+            import pandas as pd
+
+            kf = batch.select(keys).to_pandas()
+            kf["__h"], kf["__v"] = h, v
+            rows_k, rows_s = {kc: [] for kc in keys}, []
+            for kv, sub in kf.groupby(keys, sort=False, dropna=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                sub = sub.nsmallest(k, "__h")
+                for kc, val in zip(keys, kv):
+                    rows_k[kc].append(val)
+                rows_s.append(pickle.dumps(
+                    (sub["__h"].to_numpy(), sub["__v"].to_numpy())))
+            return pa.table({**{kc: pa.array(rows_k[kc]) for kc in keys},
+                             "sketch": pa.array(rows_s, pa.binary())})
+        order = np.argsort(h, kind="stable")[:k]
+        return pa.table({"sketch": pa.array(
+            [pickle.dumps((h[order], v[order]))], pa.binary())})
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    acc: dict[tuple, tuple] = {}
+    for row in parts:
+        kv = tuple(row[kc] for kc in keys)
+        h, v = pickle.loads(row["sketch"])
+        if kv in acc:
+            h = np.concatenate([acc[kv][0], h])
+            v = np.concatenate([acc[kv][1], v])
+        order = np.argsort(h, kind="stable")[:k]
+        acc[kv] = (h[order], v[order])
+    out = {kc: [] for kc in keys}
+    qcols: dict[str, list] = {f"p{int(q * 100):02d}": [] for q in qs}
+    for kv in sorted(acc):
+        _, v = acc[kv]
+        sv = np.sort(v)
+        for q in qs:
+            idx = max(int(np.ceil(q * len(sv))) - 1, 0)
+            qcols[f"p{int(q * 100):02d}"].append(sv[idx])
+        for kc, val in zip(keys, kv):
+            out[kc].append(val)
+    return pa.table({**{kc: pa.array(out[kc]) for kc in keys},
+                     **{c: pa.array(qcols[c]) for c in qcols}})

@@ -307,3 +307,27 @@ def test_neardup_dedup_docs_invariants():
         assert cid in surv or cid not in all_ids
     # no survivor set larger than the corpus, and survivors + dropped == corpus
     assert surv | dropped == all_ids and not (surv & dropped)
+
+
+def test_approx_quantile_within_rank_error():
+    """Bottom-k-by-hash quantile sample: estimates within ~3 rank
+    percentile points of exact at k=1024; deterministic across runs."""
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        approx_quantile,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 20000
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(rng.lognormal(3, 1, n))})
+    ds = rd.from_arrow(t)
+    got = approx_quantile(ds, "v", "id", qs=(0.5, 0.95), k=1024)
+    got2 = approx_quantile(ds, "v", "id", qs=(0.5, 0.95), k=1024)
+    assert got.equals(got2)  # deterministic
+    vs = np.sort(t.column("v").to_numpy())
+    for q, col in [(0.5, "p50"), (0.95, "p95")]:
+        est = got.column(col)[0].as_py()
+        rank = np.searchsorted(vs, est) / n
+        assert abs(rank - q) < 0.03, (q, rank)
