@@ -54,8 +54,11 @@ class _PartialAgg:
             for extra in self.masks[1:]:
                 m = pc.or_(m, pc.fill_null(extra(batch), False))
             batch = batch.filter(m)
-        if batch.num_rows == 0:
-            return self._empty()
+        # NOTE: no empty-batch special case — pyarrow group_by on a 0-row
+        # table returns a 0-row result with the CORRECT column types, while
+        # a hand-built empty (the old _empty()) typed every key as string
+        # and broke schema consistency for int-keyed aggregations whenever
+        # an upstream filter emptied one batch.
         needed: dict[tuple, None] = {}
         for op, col, alias in self.specs:
             if op == "count":

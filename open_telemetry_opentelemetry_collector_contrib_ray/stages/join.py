@@ -54,6 +54,9 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     exceeds a worker heap; salt hot keys upstream if one key dominates
     a bucket."""
     on = list(on)
+    deg = _degenerate_side(left, right, how)
+    if deg is not None:
+        return deg
     # padding to one union schema (typed nulls) + hashing AFTER the cast to
     # the unified key types keeps every block's schema identical and makes an
     # int32 key bucket like its int64 twin; the repartition coalesces because
@@ -70,6 +73,19 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
         return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def _degenerate_side(left, right, how: str):
+    """Handle a side whose schema is unobservable (Dataset.schema() is
+    None ⇔ the plan produced no rows at all).  Returns the correct
+    degenerate join result, or None when both sides are real.
+    With no right rows, 'left'/'anti' keep every left row (right columns
+    unknowable, so they are simply absent); inner/semi yield nothing."""
+    if left.schema() is None:
+        return left  # no left rows -> every join mode yields no rows
+    if right.schema() is None:
+        return left if how in ("left", "anti") else left.limit(0)
+    return None
 
 
 def _tag_union(left, right, key_cols: Sequence[str], n_buckets: int):
@@ -125,9 +141,11 @@ def asof_join(left, right, by: Sequence[str] | str, on: str,
     float64, the pandas null convention; cast downstream if needed).
     tolerance: max |time difference| (pd.Timedelta for timestamps)."""
     by = [by] if isinstance(by, str) else list(by)
+    deg = _degenerate_side(left, right, how)
+    if deg is not None:
+        return deg
     right_on = right_on or on
     tagged, left_cols, right_cols = _tag_union(left, right, by, n_buckets)
-    r_keep = [c for c in right_cols if c not in by]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"]][left_cols].sort_values(on, kind="stable")
@@ -161,6 +179,9 @@ def range_join(left, right, left_ts: str, right_start: str, right_end: str,
     interval length: too small inflates right-side replication, too
     large degrades bin selectivity toward a cross join."""
     by = [by] if isinstance(by, str) else list(by)
+    deg = _degenerate_side(left, right, "inner")
+    if deg is not None:
+        return deg
 
     def to_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         if pa.types.is_timestamp(col.type):

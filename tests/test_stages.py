@@ -711,3 +711,49 @@ def test_grouped_quantile_matches_percentile_disc():
         for q, col in [(0.5, "p50"), (0.9, "p90")]:
             exp = arr[int(np.ceil(q * len(arr))) - 1]  # percentile_disc
             assert out.loc[g, col] == exp, (g, col)
+
+
+def test_empty_batches_and_empty_inputs_keep_schemas():
+    """A filter that empties SOME batches must not degrade aggregate key
+    dtypes (the old hand-built empty partial typed every key as string);
+    fully-empty inputs flow through the new operators without crashing."""
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        asof_join,
+        grouped_agg,
+        grouped_top_k,
+        range_join,
+        sliding_window_agg,
+    )
+
+    # int64 keys, 4 tiny blocks, filter empties half of them
+    t = pa.table({"k": pa.array([1, 1, 2, 2, 3, 3, 4, 4], pa.int64()),
+                  "v": pa.array([10, 1, 20, 2, 30, 3, 40, 4], pa.int64())})
+    ds = rd.from_arrow(t).repartition(4).map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("v"), 5)),
+        batch_format="pyarrow")
+    out = grouped_agg(ds, ["k"], [("sum", "v", "sv")], combine="bucket",
+                      n_buckets=2).to_pandas()
+    assert out.k.dtype.kind == "i" and sorted(out.sv) == [10, 20, 30, 40]
+    out2 = grouped_agg(ds, ["k"], [("sum", "v", "sv")],
+                       combine="driver").to_pandas()
+    assert out2.k.dtype.kind == "i" and sorted(out2.sv) == [10, 20, 30, 40]
+
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.string()), "t": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64())}))
+    some = rd.from_arrow(pa.table({
+        "k": pa.array(["a"]), "t": pa.array([5], pa.int64()),
+        "v": pa.array([1], pa.int64())}))
+    assert asof_join(some, empty, by="k", on="t", how="inner",
+                     n_buckets=2).count() == 0
+    assert range_join(empty.map_batches(
+        lambda b: b.rename_columns(["k", "s", "v"]).append_column(
+            "e", pa.array([], pa.int64())), batch_format="pyarrow"),
+        some, left_ts="s", right_start="t", right_end="t", by="k",
+        bin_width_us=10, n_buckets=2).count() == 0
+    assert sliding_window_agg(empty, "t", [("count", None, "n")],
+                              window_us=4, slide_us=2,
+                              keys=["k"]).count() == 0
+    assert grouped_top_k(empty, ["k"], ["v"], k=2, n_buckets=2).count() == 0
