@@ -1054,6 +1054,29 @@ def q_multimodal_pipeline(sf_dir: str):
                               batch_format="pyarrow")
 
 
+def q_audio_pipeline(sf_dir: str):
+    """Audio path (REAL kernels, unlike the stubbed image decode): PCM16
+    clips -> fixed-duration chunk rows (flat_map shape) -> per-chunk
+    RMS/ZCR/peak features on an actor-friendly batch contract."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        AudioChunker,
+        AudioFeatureExtractor,
+        synth_audio_table,
+    )
+
+    ds = rd.from_arrow(synth_audio_table(100))
+    chunks = ds.map_batches(AudioChunker, fn_constructor_kwargs={"chunk_ms": 250},
+                            batch_format="pyarrow", batch_size=16,
+                            concurrency=(1, 2))
+    feats = chunks.map_batches(AudioFeatureExtractor(), batch_format="pyarrow",
+                               batch_size=64)
+    return feats.map_batches(
+        lambda t: t.select(["item_id", "chunk_idx", "rms", "zcr"]),
+        batch_format="pyarrow")
+
+
 RING_ENDPOINTS = ["backend-1", "backend-2", "backend-3"]
 
 
@@ -1348,6 +1371,7 @@ def queries():
         "doc_fingerprint": q_doc_fingerprint,
         "knn_ivf": q_knn_ivf,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "audio_pipeline": q_audio_pipeline,
         "purchase_before_click": q_purchase_before_click,
         "clicks_in_signup_window": q_clicks_in_signup_window,
         "sliding_window_counts": q_sliding_window_counts,
