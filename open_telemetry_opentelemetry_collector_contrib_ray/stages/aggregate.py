@@ -191,35 +191,21 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
         # upstream all-to-all (join/groupby), so the whole DAG would run
         # TWICE.  materialize() runs it once and caches the blocks.
         refs = reduced.materialize().to_arrow_refs()
-        tables = [t for t in ray.get(refs) if t.num_rows]
+        all_tables = ray.get(refs)
+        tables = [t for t in all_tables if t.num_rows]
         if not tables:
-            tables = [_PartialAgg(keys, specs, conditions)._empty()]
+            # all-empty input: the 0-row partial blocks still carry the
+            # CORRECT key dtypes (pyarrow group_by on 0 rows) — prefer one
+            # of those over the hand-built string-typed fallback, which is
+            # only reachable when the plan produced no blocks at all
+            tables = all_tables[:1] if all_tables \
+                else [_PartialAgg(keys, specs, conditions)._empty()]
         merged = pa.concat_tables(tables, promote_options="permissive")
         import ray.data as rd
 
         return rd.from_arrow(_merge_partials(merged, keys, specs))
     if combine == "bucket":
-        from .sample import bucket_column
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            return t.append_column("__bucket", bucket_column(t, n_buckets, keys))
-
-        bucketed = partial.map_batches(add_bucket, batch_format="pyarrow")
-        if coalesce:
-            # coalesce before the sort shuffle: Ray's sort-based groupby
-            # degrades ~45x when fed hundreds of tiny blocks (920 blocks:
-            # 92s for a 6M-row exchange; repartition(32) first: 2s).
-            # SKIP for huge unshrunk partials (e.g. whole-corpus dedup
-            # text keys): there the extra linear pass outweighs the
-            # block-count win — callers pass coalesce=False.
-            bucketed = bucketed.repartition(n_buckets)
-
-        def merge_bucket(t: pa.Table) -> pa.Table:
-            t = t.select([c for c in t.column_names if c != "__bucket"])
-            return _merge_partials(t, keys, specs)
-
-        return bucketed.groupby("__bucket").map_groups(
-            merge_bucket, batch_format="pyarrow")
+        return _bucket_combine(partial, keys, specs, n_buckets, coalesce)
     ray_aggs = []
     for op, col, alias in specs:
         if op in ("count", "sum"):
@@ -242,6 +228,37 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
             return t.select([c for c in t.column_names if not c.startswith("__")])
         out = out.map_batches(finish, batch_format="pyarrow")
     return out
+
+
+def _bucket_combine(partial, keys: Sequence[str], specs: Sequence[AggSpec],
+                    n_buckets: int, coalesce: bool = True):
+    """Shared combine phase over __p_-named partial rows: hash-bucket by
+    key, ONE shuffle, one vectorized _merge_partials per bucket.  Used by
+    grouped_agg(combine='bucket') and sliding_window_agg so the two
+    cannot drift."""
+    from .sample import bucket_column
+
+    keys = list(keys)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", bucket_column(t, n_buckets, keys))
+
+    bucketed = partial.map_batches(add_bucket, batch_format="pyarrow")
+    if coalesce:
+        # coalesce before the sort shuffle: Ray's sort-based groupby
+        # degrades ~45x when fed hundreds of tiny blocks (920 blocks:
+        # 92s for a 6M-row exchange; repartition(32) first: 2s).
+        # SKIP for huge unshrunk partials (e.g. whole-corpus dedup
+        # text keys): there the extra linear pass outweighs the
+        # block-count win — callers pass coalesce=False.
+        bucketed = bucketed.repartition(n_buckets)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([c for c in t.column_names if c != "__bucket"])
+        return _merge_partials(t, keys, specs)
+
+    return bucketed.groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")
 
 
 def grouped_count(ds, keys: Sequence[str], conditions: Sequence[str] | None = None,
@@ -794,7 +811,6 @@ def sliding_window_agg(ds, ts_col: str, specs: Sequence[AggSpec],
         raise ValueError("window_us must be a multiple of slide_us")
     m = window_us // slide_us
     keys = list(keys)
-    from .sample import bucket_column
 
     def add_slot(t: pa.Table) -> pa.Table:
         col = t.column(ts_col)
@@ -819,19 +835,7 @@ def sliding_window_agg(ds, ts_col: str, specs: Sequence[AggSpec],
 
     fin_keys = keys + [window_col]
     exploded = partial.map_batches(explode, batch_format="pyarrow")
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__bucket", bucket_column(t, n_buckets, fin_keys))
-
-    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow") \
-        .repartition(min(n_buckets, 32))
-
-    def merge_bucket(t: pa.Table) -> pa.Table:
-        t = t.select([c for c in t.column_names if c != "__bucket"])
-        return _merge_partials(t, fin_keys, specs)
-
-    return bucketed.groupby("__bucket").map_groups(merge_bucket,
-                                                   batch_format="pyarrow")
+    return _bucket_combine(exploded, fin_keys, specs, n_buckets)
 
 
 def grouped_top_k(ds, keys: Sequence[str], order_cols: Sequence[str] | str,
@@ -853,7 +857,9 @@ def grouped_top_k(ds, keys: Sequence[str], order_cols: Sequence[str] | str,
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, ascending=asc, kind="stable")
-        return g.groupby(keys, sort=False).head(k)
+        # dropna=False: NULL is its own group, matching SQL window
+        # semantics (PARTITION BY keeps a NULL partition)
+        return g.groupby(keys, sort=False, dropna=False).head(k)
 
     pruned = ds.map_batches(
         lambda df: prune(df), batch_format="pandas")
@@ -918,7 +924,8 @@ def stratified_sample(ds, keys: Sequence[str], n_per_group: int,
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         h = _md5_lower64(g[id_col].tolist())
         g = g.assign(__h=h).sort_values(["__h", id_col], kind="stable")
-        g = g.groupby(keys, sort=False).head(n_per_group)
+        # dropna=False: NULL keys form their own stratum (SQL parity)
+        g = g.groupby(keys, sort=False, dropna=False).head(n_per_group)
         return g.drop(columns="__h")
 
     pruned = ds.map_batches(lambda df: pick(df), batch_format="pandas")

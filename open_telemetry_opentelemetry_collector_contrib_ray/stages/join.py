@@ -57,6 +57,12 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     deg = _degenerate_side(left, right, how)
     if deg is not None:
         return deg
+    if how in ("semi", "anti"):
+        # only the right KEYS matter: project + per-batch dedup before the
+        # shuffle so a wide right side doesn't ship its non-key bytes
+        right = right.map_batches(
+            lambda t: t.select(on).group_by(on).aggregate([]),
+            batch_format="pyarrow")
     # padding to one union schema (typed nulls) + hashing AFTER the cast to
     # the unified key types keeps every block's schema identical and makes an
     # int32 key bucket like its int64 twin; the repartition coalesces because
@@ -79,12 +85,14 @@ def _degenerate_side(left, right, how: str):
     """Handle a side whose schema is unobservable (Dataset.schema() is
     None ⇔ the plan produced no rows at all).  Returns the correct
     degenerate join result, or None when both sides are real.
-    With no right rows, 'left'/'anti' keep every left row (right columns
-    unknowable, so they are simply absent); inner/semi yield nothing."""
+    With no rows on one side, 'outer' keeps the other side's rows
+    unchanged (the absent side's columns are unknowable, so they are
+    simply absent); 'left'/'anti' keep every left row; inner/semi yield
+    nothing."""
     if left.schema() is None:
-        return left  # no left rows -> every join mode yields no rows
+        return right if how == "outer" else left
     if right.schema() is None:
-        return left if how in ("left", "anti") else left.limit(0)
+        return left if how in ("left", "anti", "outer") else left.limit(0)
     return None
 
 

@@ -142,10 +142,17 @@ class ConsistentHashRing:
 
     algo="md5" (default) hashes with the md5-lower-64 used across this
     engine's oracle-visible paths (DuckDB `md5_number_lower` can replay
-    placement in SQL); algo="crc32" matches the reference's CRC-32 for
-    bit-parity with the Go ring.  Assignment is vectorized
-    (np.searchsorted over the sorted ring); only the key hash itself is
-    the per-row loop both DuckDB-parity paths already pay."""
+    placement in SQL); algo="crc32" reproduces the reference ring
+    bit-for-bit: position i of an endpoint is
+    crc32_ieee(endpoint_bytes || single_byte(i)) % 36000
+    (consistent_hashing.go positionsFor), a key routes via
+    crc32(key_bytes) % 36000 to the next ring position clockwise
+    (endpointFor/bsearch), and position collisions are FIRST-endpoint-
+    wins in config order (positionsForEndpoints skips occupied
+    positions).  Both modes use the same collision/lookup rules; only
+    the hash differs.  Assignment is vectorized (np.searchsorted over
+    the sorted ring); only the key hash itself is the per-row loop both
+    DuckDB-parity paths already pay."""
 
     RING_SIZE = 36000
 
@@ -154,25 +161,28 @@ class ConsistentHashRing:
                  algo: str = "md5"):
         if not endpoints:
             raise ValueError("need at least one endpoint")
+        if algo == "crc32" and weight > 256:
+            raise ValueError("crc32 mode appends position index as ONE byte "
+                             "(reference parity) — weight must be <= 256")
         self.source = source
         self.out = out
         self.algo = algo
         pos2ep: dict[int, str] = {}
-        for ep in sorted(endpoints):
+        for ep in endpoints:  # config order; first endpoint wins a collision
             for i in range(weight):
-                # later endpoints win collisions deterministically (sorted
-                # order), matching a fixed iteration of the ring builder
-                pos2ep[self._hash1(f"{ep}:{i}") % self.RING_SIZE] = ep
+                pos = self._ring_hash(ep, i) % self.RING_SIZE
+                pos2ep.setdefault(pos, ep)
         ring = sorted(pos2ep.items())
         self._ring_pos = np.array([p for p, _ in ring], dtype=np.uint64)
         self._ring_ep = np.array([e for _, e in ring], dtype=object)
 
-    def _hash1(self, s: str) -> int:
+    def _ring_hash(self, ep: str, i: int) -> int:
         if self.algo == "crc32":
             import zlib
 
-            return zlib.crc32(s.encode())
-        return int(_md5_lower64([s])[0])
+            # crc32(endpoint || byte(i)) — consistent_hashing.go:104-117
+            return zlib.crc32(ep.encode() + bytes([i & 0xFF]))
+        return int(_md5_lower64([f"{ep}:{i}"])[0])
 
     def placements(self) -> list[tuple[int, str]]:
         """(position, endpoint) ring table — inline it into an oracle SQL

@@ -191,7 +191,8 @@ def approx_quantile(ds, value_col: str, id_col: str,
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 sub = sub.nsmallest(k, "__h")
                 for kc, val in zip(keys, kv):
-                    rows_k[kc].append(val)
+                    # pandas surfaces null keys as NaN; Arrow wants None
+                    rows_k[kc].append(None if pd.isna(val) else val)
                 rows_s.append(pickle.dumps(
                     (sub["__h"].to_numpy(), sub["__v"].to_numpy())))
             return pa.table({**{kc: pa.array(rows_k[kc]) for kc in keys},
@@ -212,7 +213,8 @@ def approx_quantile(ds, value_col: str, id_col: str,
         acc[kv] = (h[order], v[order])
     out = {kc: [] for kc in keys}
     qcols: dict[str, list] = {f"p{int(q * 100):02d}": [] for q in qs}
-    for kv in sorted(acc):
+    # None keys sort last (a bare sorted() raises TypeError on None vs str)
+    for kv in sorted(acc, key=lambda t: tuple((v is None, v) for v in t)):
         _, v = acc[kv]
         sv = np.sort(v)
         for q in qs:

@@ -248,9 +248,16 @@ def tail_sample_decisions(ds, policies: Sequence[dict], group_col: str = "conv_i
     # transform; the loop is over GROUPS within a second.
     # `window_us` (optional, default 1s) coarsens the decision window —
     # the batch-mode knob for sparse corpora where every group starts in
-    # its own second; all rate-limited policies in one call share it.
-    window_us = next((int(p.get("window_us", 1_000_000)) for p in limited),
-                     1_000_000)
+    # its own second; all rate-limited policies in one call share it, so
+    # conflicting explicit settings are an error rather than a silent
+    # first-policy-wins.
+    windows = {int(p["window_us"]) for p in limited if "window_us" in p}
+    if len(windows) > 1:
+        raise ValueError(
+            f"rate-limited policies disagree on window_us ({sorted(windows)}); "
+            "all rate_limiting/composite policies in one tail_sample call "
+            "share a single decision window")
+    window_us = windows.pop() if windows else 1_000_000
 
     def add_sec(t: pa.Table) -> pa.Table:
         sec = pc.cast(pc.divide(pc.cast(t.column("min_ts"), pa.int64()),

@@ -589,10 +589,22 @@ def test_consistent_hash_ring():
     assert stayed_wrong == 0        # survivors keep every key they had
     assert moved == c["c"]          # only c's keys moved
 
-    # crc32 mode runs and differs from md5 placement (different ring)
+    # crc32 mode: bit-parity with the reference ring semantics
+    # (consistent_hashing.go): position = crc32(ep || byte(i)) % 36000,
+    # first-endpoint-wins collisions in config order, key routes to the
+    # next position clockwise with wraparound.
+    import zlib
     rc = ConsistentHashRing(eps3, weight=100, source="conv_id", algo="crc32")
     outc = rc(t).column("endpoint").to_pylist()
-    assert set(outc) <= set(eps3)
+    ref_ring: dict[int, str] = {}
+    for ep in eps3:
+        for i in range(100):
+            ref_ring.setdefault(zlib.crc32(ep.encode() + bytes([i])) % 36000, ep)
+    ring_sorted = sorted(ref_ring.items())
+    for key, got in list(zip(keys, outc))[:200]:
+        kp = zlib.crc32(key.encode()) % 36000
+        exp = next((e for p, e in ring_sorted if p >= kp), ring_sorted[0][1])
+        assert got == exp, (key, got, exp)
 
 
 def test_joins_match_bruteforce_on_random_inputs():
@@ -757,3 +769,45 @@ def test_empty_batches_and_empty_inputs_keep_schemas():
                               window_us=4, slide_us=2,
                               keys=["k"]).count() == 0
     assert grouped_top_k(empty, ["k"], ["v"], k=2, n_buckets=2).count() == 0
+
+
+def test_review_fixes_null_keys_and_window_conflict():
+    import numpy as np
+    import pytest
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        grouped_top_k,
+        stratified_sample,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        approx_quantile,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.tailsampling import (
+        tail_sample_decisions,
+    )
+
+    # NULL group keys form their own partition (SQL PARTITION BY parity)
+    t = pa.table({"g": pa.array(["a", "a", None, None, None], pa.string()),
+                  "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    top = grouped_top_k(rd.from_arrow(t), ["g"], ["v", "id"], k=2,
+                        n_buckets=2).to_pandas()
+    assert len(top) == 4  # 2 from 'a', 2 from the NULL partition
+    assert top.g.isna().sum() == 2
+    samp = stratified_sample(rd.from_arrow(t), ["g"], n_per_group=2,
+                             id_col="id", n_buckets=2).to_pandas()
+    assert samp.g.isna().sum() == 2
+    aq = approx_quantile(rd.from_arrow(t), "v", "id", qs=(0.5,), k=8,
+                         keys=["g"])
+    assert aq.num_rows == 2  # 'a' + the None stratum, no TypeError
+
+    # conflicting window_us across rate-limited policies is an error
+    ds = rd.from_arrow(pa.table({
+        "conv_id": ["c1"], "ts": pa.array([1], pa.timestamp("us"))}))
+    with pytest.raises(ValueError, match="window_us"):
+        tail_sample_decisions(ds, [
+            {"type": "rate_limiting", "spans_per_second": 10,
+             "window_us": 1_000_000},
+            {"type": "composite", "max_total_spans_per_second": 10,
+             "window_us": 2_000_000, "subpolicies": []},
+        ])
