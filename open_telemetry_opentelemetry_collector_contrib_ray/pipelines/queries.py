@@ -1054,6 +1054,47 @@ def q_multimodal_pipeline(sf_dir: str):
                               batch_format="pyarrow")
 
 
+def q_customer_nations(sf_dir: str):
+    """Map-side broadcast join (stages/join.py broadcast_join): customer
+    x 25-row nation table, zero shuffle — the general-join twin of
+    LookupEnricher."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import broadcast_join
+
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]) \
+        .rename_columns(["c_nationkey", "n_name"])
+    out = broadcast_join(cust, nation, on=["c_nationkey"], how="inner")
+    return out.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("c_custkey").cast(pa.int64()),
+                            "n_name": t.column("n_name")}),
+        batch_format="pyarrow")
+
+
+def q_doc_training_pipeline(sf_dir: str):
+    """Composed training-data pipeline over documents: language+length
+    filter -> exact dedup keeping the first doc per text (grouped_top_k
+    k=1) -> token estimate -> per-source corpus stats.  Every stage is a
+    primitive that is also oracle-checked standalone; this query checks
+    the COMPOSITION end-to-end against one SQL statement."""
+    from ..stages.aggregate import grouped_top_k
+    from ..stages.textstats import TokenCount
+    from ..stages.transform import KeepStage
+
+    ds = _rd(sf_dir, "documents",
+             columns=["doc_id", "text", "lang", "source", "n_chars"])
+    ds = ds.map_batches(KeepStage('lang == "en" and n_chars >= 100'),
+                        batch_format="pyarrow")
+    kept = grouped_top_k(ds, ["text"], ["doc_id"], k=1, descending=False)
+    tok = kept.map_batches(TokenCount(), batch_format="pyarrow")
+    return grouped_agg(tok, ["source"],
+                       [("count", None, "n_docs"),
+                        ("sum", "n_tokens_est", "tokens_est")],
+                       combine="driver")
+
+
 def q_audio_pipeline(sf_dir: str):
     """Audio path (REAL kernels, unlike the stubbed image decode): PCM16
     clips -> fixed-duration chunk rows (flat_map shape) -> per-chunk
@@ -1372,6 +1413,8 @@ def queries():
         "knn_ivf": q_knn_ivf,
         "multimodal_pipeline": q_multimodal_pipeline,
         "audio_pipeline": q_audio_pipeline,
+        "customer_nations": q_customer_nations,
+        "doc_training_pipeline": q_doc_training_pipeline,
         "purchase_before_click": q_purchase_before_click,
         "clicks_in_signup_window": q_clicks_in_signup_window,
         "sliding_window_counts": q_sliding_window_counts,
@@ -1817,6 +1860,22 @@ def oracle_sql():
             QUALIFY row_number() OVER (PARTITION BY event_type
                 ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
                          event_id) <= 5""",
+        "customer_nations": """
+            SELECT c.c_custkey, n.n_name
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+        "doc_training_pipeline": r"""
+            WITH kept AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE lang = 'en' AND n_chars >= 100
+              QUALIFY row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) = 1)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(floor(greatest(
+                                   len(string_split_regex(trim(text), '\s+')),
+                                   length(text) / 4.0)) AS BIGINT) END)
+                        AS BIGINT) AS tokens_est
+            FROM kept GROUP BY 1""",
         "latency_quantiles_by_tool": f"""
             SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS attr_tool_name,
                    quantile_disc(lat, 0.50) AS p50,

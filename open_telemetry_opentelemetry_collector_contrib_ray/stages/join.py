@@ -243,3 +243,39 @@ def native_join(left, right, on: Sequence[str], how: str = "inner",
     evidence-based."""
     return left.join(right, join_type=how, num_partitions=num_partitions,
                      on=tuple(on), right_suffix=suffix)
+
+
+def broadcast_join(left, right_table: pa.Table, on: Sequence[str],
+                   how: str = "inner", suffix: str = "_r"):
+    """Map-side join against a SMALL right side: the right table is
+    ray.put once and joined inside every map task — zero shuffle, the
+    join equivalent of LookupEnricher (which only handles single-column
+    key->attrs dicts).  Use when the right side fits comfortably in
+    worker memory (rule of thumb: < 1 GB); otherwise bucketed_hash_join.
+
+    right_table is a pyarrow Table (already driver-resident by
+    definition of 'small'); how: inner/left/semi/anti."""
+    import ray
+
+    on = list(on)
+    if how in ("semi", "anti"):
+        right_table = right_table.select(on).group_by(on).aggregate([])
+    rref = ray.put(right_table)
+
+    class Joiner:
+        def __init__(self):
+            self.right = ray.get(rref).to_pandas()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lg = batch.to_pandas()
+            if how in ("semi", "anti"):
+                hit = lg.merge(self.right, on=on, how="left",
+                               indicator=True)["_merge"] == "both"
+                out = lg[hit.to_numpy() if how == "semi" else ~hit.to_numpy()]
+            else:
+                out = lg.merge(self.right, on=on, how=how,
+                               suffixes=("", suffix))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return left.map_batches(Joiner, batch_format="pyarrow",
+                            concurrency=(1, 8))
