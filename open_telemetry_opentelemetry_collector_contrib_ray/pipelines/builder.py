@@ -250,15 +250,93 @@ def _noop(c: dict):
     return lambda t: t
 
 
+class DatasetStep:
+    """Marker for steps that transform the whole Dataset plan (shuffle
+    ops like recombine) rather than mapping per batch: the factory
+    returns DatasetStep(fn) and build_pipeline calls fn(ds)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+
 def build_pipeline(ds, steps: list[dict]):
-    """Apply a config list of per-batch steps to a Dataset (all steps are
-    map_batches over zero-copy Arrow; per-step batch_size/concurrency/
-    num_cpus pass straight through to the scheduler)."""
+    """Apply a config list of steps to a Dataset.  Per-batch steps run as
+    map_batches over zero-copy Arrow (per-step batch_size/concurrency/
+    num_cpus pass straight through to the scheduler); DatasetStep
+    factories (recombine and other shuffle ops) rewrite the plan."""
     for cfg in steps:
         kind = cfg["type"]
         if kind not in STEP_REGISTRY:
             raise KeyError(f"unknown pipeline step type {kind!r}; "
                            f"registered: {sorted(STEP_REGISTRY)}")
         stage = STEP_REGISTRY[kind](cfg)
-        ds = ds.map_batches(stage, batch_format="pyarrow", **_opts(cfg))
+        if isinstance(stage, DatasetStep):
+            ds = stage.fn(ds)
+        else:
+            ds = ds.map_batches(stage, batch_format="pyarrow", **_opts(cfg))
     return ds
+
+
+# ----- late registrations: parser/transformer tail that needs the classes
+# and Dataset-level machinery above
+
+from ..stages.parse import ContainerParser, SyslogParser  # noqa: E402
+
+register_step("container_parser")(lambda c: ContainerParser(
+    parse_from=c.get("parse_from", "text"),
+    on_error=c.get("on_error", "send")))
+register_step("syslog_parser")(lambda c: SyslogParser(
+    parse_from=c.get("parse_from", "text")))
+
+
+@register_step("flatten")
+def _flatten_step(c: dict):
+    """stanza flatten transformer (pkg/stanza/operator/transformer/
+    flatten): lift a nested map field's children up one level and drop
+    the field.  In promoted-column land the nested map is a struct
+    column or a JSON-string column."""
+    import json as _json
+
+    import pyarrow as pa
+
+    col = _field_col(c["field"])
+    prefix = c.get("prefix", "attr_")
+
+    def stage(t: pa.Table) -> pa.Table:
+        src = t.column(col)
+        if pa.types.is_struct(src.type):
+            sub = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+            for f in src.type:
+                t = t.append_column(prefix + f.name, sub.field(f.name))
+            return t.drop_columns([col])
+        # JSON-string column: parse once per batch, expand scalar keys
+        rows = [(_json.loads(s) if s else {}) for s in src.to_pylist()]
+        keys: dict[str, None] = {}
+        for r in rows:
+            if isinstance(r, dict):
+                for k in r:
+                    keys.setdefault(k)
+        for k in keys:
+            vals = [r.get(k) if isinstance(r, dict) else None for r in rows]
+            if any(isinstance(v, (dict, list)) for v in vals):
+                vals = [None if v is None else _json.dumps(v, sort_keys=True)
+                        for v in vals]
+            t = t.append_column(prefix + k, pa.array(vals))
+        return t.drop_columns([col])
+
+    return stage
+
+
+@register_step("recombine")
+def _recombine_step(c: dict):
+    """stanza recombine (ordered multiline stitch) as a declarative step —
+    a Dataset-level shuffle op, so it registers as a DatasetStep."""
+    from ..stages.aggregate import recombine
+
+    return DatasetStep(lambda ds: recombine(
+        ds,
+        group_col=c.get("group_col", "conv_id"),
+        order_col=c.get("order_col", "turn_idx"),
+        text_col=c.get("combine_field", "text"),
+        sep=c.get("combine_with", "\n"),
+        n_buckets=c.get("n_buckets", 64)))

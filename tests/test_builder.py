@@ -65,3 +65,43 @@ def test_bench_smoke_subprocess():
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["unit"] == "sec" and rec["turns"] == 2000
     assert rec["value"] > 0 and rec["turns_per_sec"] > 0
+
+
+def test_builder_tail_steps_container_syslog_flatten_recombine():
+    import pyarrow as pa
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.builder import (
+        build_pipeline,
+    )
+
+    # container + syslog parser steps
+    ds = rd.from_arrow(pa.table({"conv_id": ["c1", "c1"],
+                                 "turn_idx": pa.array([0, 1], pa.int32()),
+                                 "text": [
+        '{"log":"hello\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}',
+        "2024-01-01T00:00:02.000000000Z stderr F world"]}))
+    out = build_pipeline(ds, [{"type": "container_parser"}]).to_pandas()
+    assert list(out.attr_log) == ["hello", "world"]
+
+    sy = rd.from_arrow(pa.table({"text": [
+        "<34>Oct 11 22:14:15 h su[1]: m"]}))
+    out = build_pipeline(sy, [{"type": "syslog_parser"}]).to_pandas()
+    assert out.attr_hostname[0] == "h"
+
+    # flatten: JSON-string field expands, parent dropped
+    js = rd.from_arrow(pa.table({
+        "attr_nested": ['{"a": 1, "b": {"c": 2}}', None]}))
+    out = build_pipeline(js, [{"type": "flatten",
+                               "field": 'attributes["nested"]'}]).to_pandas()
+    assert "attr_nested" not in out.columns
+    assert out.attr_a[0] == 1 and out.attr_b[0] == '{"c": 2}'
+
+    # recombine as a declarative DatasetStep
+    conv = rd.from_arrow(pa.table({
+        "conv_id": ["x", "x", "y"],
+        "turn_idx": pa.array([1, 0, 0], pa.int32()),
+        "text": ["second", "first", "only"]}))
+    out = build_pipeline(conv, [{"type": "recombine",
+                                 "combine_with": " "}]).to_pandas()
+    got = dict(zip(out.conv_id, out.combined))
+    assert got == {"x": "first second", "y": "only"}
