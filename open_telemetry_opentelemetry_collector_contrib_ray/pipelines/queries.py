@@ -1054,6 +1054,28 @@ def q_multimodal_pipeline(sf_dir: str):
                               batch_format="pyarrow")
 
 
+def q_embedding_dim_sums(sf_dir: str):
+    """Explode/unnest a list column (make_explode — pure-Arrow
+    list_flatten + parent-index arithmetic) then aggregate per element
+    position: the relational UNNEST primitive over the embeddings
+    table."""
+    from ..stages.transform import make_explode
+
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ex = ds.map_batches(
+        make_explode("embedding", value_col="v", index_col="dim",
+                     keep_cols=[], one_based=True),
+        batch_format="pyarrow")
+
+    def milli(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.round(pc.multiply(pc.cast(t.column("v"), pa.float64()),
+                                         1000.0)), pa.int64())
+        return pa.table({"dim": t.column("dim"), "milli": m})
+
+    return grouped_sum(ex.map_batches(milli, batch_format="pyarrow"),
+                       ["dim"], "milli", alias="total_milli")
+
+
 def q_customer_nations(sf_dir: str):
     """Map-side broadcast join (stages/join.py broadcast_join): customer
     x 25-row nation table, zero shuffle — the general-join twin of
@@ -1414,6 +1436,7 @@ def queries():
         "multimodal_pipeline": q_multimodal_pipeline,
         "audio_pipeline": q_audio_pipeline,
         "customer_nations": q_customer_nations,
+        "embedding_dim_sums": q_embedding_dim_sums,
         "doc_training_pipeline": q_doc_training_pipeline,
         "purchase_before_click": q_purchase_before_click,
         "clicks_in_signup_window": q_clicks_in_signup_window,
@@ -1863,6 +1886,14 @@ def oracle_sql():
         "customer_nations": """
             SELECT c.c_custkey, n.n_name
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+        "embedding_dim_sums": """
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))
+                        AS BIGINT) AS total_milli
+            FROM (SELECT unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY 1""",
         "doc_training_pipeline": r"""
             WITH kept AS (
               SELECT doc_id, text, source FROM documents

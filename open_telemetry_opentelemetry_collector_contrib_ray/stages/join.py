@@ -99,7 +99,13 @@ def _degenerate_side(left, right, how: str):
 def _tag_union(left, right, key_cols: Sequence[str], n_buckets: int):
     """Shared co-partitioning step: pad both sides to one union schema
     (typed nulls), tag (side, bucket-of-key), union, coalesce.  Returns
-    (tagged_ds, left_cols, right_cols)."""
+    (tagged_ds, left_cols, right_cols).
+
+    Cost note: resolving each side's schema on a lazy map plan runs a
+    limit-1 probe (one block read per side, cached on the plan) — a
+    small FIXED cost per join call, independent of data size; it is the
+    price of the typed-null union padding that keeps every shuffled
+    block's schema identical."""
     left_cols = left.schema().names
     right_cols = right.schema().names
     types: dict[str, pa.DataType] = {}

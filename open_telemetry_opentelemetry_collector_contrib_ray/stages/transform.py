@@ -74,3 +74,40 @@ class KeepStage:
         if batch.num_rows == 0:
             return batch
         return batch.filter(pc.fill_null(self.mask(batch), False))
+
+
+def make_explode(list_col: str, value_col: str = "value",
+                 index_col: str = "index", keep_cols=None, one_based: bool = False):
+    """flat_map/unnest over a list column: one output row per list
+    element, with its (optionally 1-based) position.  Pure Arrow —
+    list_flatten + list_parent_indices + offset arithmetic, no Python
+    per row.  `keep_cols` limits which parent columns replicate (default
+    all non-list columns; replicate few columns on wide tables — the
+    fan-out multiplies every kept byte)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        if one_based:
+            pos += 1
+        cols = {}
+        keep = keep_cols if keep_cols is not None else \
+            [c for c in batch.column_names if c != list_col]
+        take = pa.array(parents)
+        for c in keep:
+            cols[c] = batch.column(c).take(take)
+        cols[index_col] = pa.array(pos, pa.int64())
+        cols[value_col] = flat
+        return pa.table(cols)
+
+    return explode

@@ -811,3 +811,17 @@ def test_review_fixes_null_keys_and_window_conflict():
             {"type": "composite", "max_total_spans_per_second": 10,
              "window_us": 2_000_000, "subpolicies": []},
         ])
+
+
+def test_make_explode_with_nulls_and_ragged():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.transform import (
+        make_explode,
+    )
+
+    t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "xs": pa.array([[10, 20], None, [], [30]],
+                                 pa.list_(pa.int64()))})
+    out = make_explode("xs", value_col="x", index_col="i")(t)
+    assert out.column("id").to_pylist() == [1, 1, 4]
+    assert out.column("i").to_pylist() == [0, 1, 0]
+    assert out.column("x").to_pylist() == [10, 20, 30]
