@@ -340,3 +340,35 @@ def _recombine_step(c: dict):
         text_col=c.get("combine_field", "text"),
         sep=c.get("combine_with", "\n"),
         n_buckets=c.get("n_buckets", 64)))
+
+
+@register_step("dedup")
+def _dedup_step(c: dict):
+    """logdedup as a declarative step (Dataset-level shuffle op)."""
+    from ..stages.aggregate import dedup_exact
+
+    return DatasetStep(lambda ds: dedup_exact(
+        ds, c["key_cols"], ts_col=c.get("ts_col", "ts"),
+        order_col=c.get("order_col", "turn_idx")))
+
+
+@register_step("tail_sample")
+def _tail_sample_step(c: dict):
+    """tailsampling policy set as a declarative step."""
+    from ..stages.tailsampling import tail_sample
+
+    return DatasetStep(lambda ds: tail_sample(
+        ds, c["policies"], group_col=c.get("group_col", "conv_id"),
+        ts_col=c.get("ts_col", "ts")))
+
+
+@register_step("sliding_window")
+def _sliding_window_step(c: dict):
+    """sliding-window aggregate as a declarative step."""
+    from ..stages.aggregate import sliding_window_agg
+
+    return DatasetStep(lambda ds: sliding_window_agg(
+        ds, c.get("ts_col", "ts"),
+        [tuple(s) for s in c["specs"]],
+        window_us=c["window_us"], slide_us=c["slide_us"],
+        keys=c.get("keys", [])))
