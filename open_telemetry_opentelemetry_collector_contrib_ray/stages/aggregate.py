@@ -536,7 +536,12 @@ def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
         return t.append_column("__bucket",
                                bucket_column(t.column(group_col), n_buckets))
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # coalesce before the sort shuffle (same fix as _bucket_combine):
+    # Ray's sort-based groupby degrades ~45x on hundreds of tiny input
+    # blocks — measured on the 92-file sf1 corpus: 307s without this
+    # repartition, 23s with it, identical output
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(n_buckets)
 
     def stitch_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col, order_col], kind="stable")
@@ -684,7 +689,9 @@ def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx"
         return out.reset_index()
 
     final_cols = [group_col, out_col, "n_turns", "first_ts", "last_ts"]
-    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    # coalesce before the phase-1 sort shuffle (same block-count fix as
+    # recombine/_bucket_combine)
+    salted = ds.map_batches(add_salt, batch_format="pyarrow").repartition(64)
     # materialize the segments so the single/multi split below reads them
     # once instead of re-running phase 1 per consumer
     segments = salted.groupby("__b1").map_groups(

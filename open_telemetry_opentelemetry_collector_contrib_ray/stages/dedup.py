@@ -177,7 +177,8 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "__bucket", pa.array(((h ^ (b * np.uint64(0x9E3779B97F4A7C15))) % 16)
                                  .astype(np.int32)))
 
-    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(16)  # coalesce: sort-groupby degrades on many tiny blocks
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
@@ -235,7 +236,8 @@ def _dedupe_pairs(cand, n_buckets: int = 16):
             np.zeros(0, np.uint64)
         return t.append_column("__bucket", pa.array((a % n_buckets).astype(np.int32)))
 
-    bucketed = cand.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = cand.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(n_buckets)  # coalesce before the sort shuffle
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["doc_a", "doc_b"]).drop(columns="__bucket")
