@@ -1366,6 +1366,79 @@ def q_stratified_event_sample(sf_dir: str):
                              id_col="event_id")
 
 
+_DECONTAM_BENCH_MAX_ID = 50  # docs below this id play the eval benchmark
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appx-C recipe): flag corpus docs
+    sharing >= 1 distinct 8-token n-gram with the benchmark slice
+    (doc_id < 50).  Benchmark grams broadcast once (ray.put, sorted
+    uint64 probe); the corpus side is map-only — zero shuffle at 100 TB
+    (stages/decontam.py)."""
+    from ..stages.decontam import decontaminate
+
+    K = _DECONTAM_BENCH_MAX_ID
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), K)),
+        batch_format="pyarrow")
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), K)),
+        batch_format="pyarrow")
+    out = decontaminate(corpus, bench, n=8, threshold=1)
+
+    def flagged(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("contaminated"))
+        return t.select(["doc_id", "contam_ngrams"])
+
+    return out.map_batches(flagged, batch_format="pyarrow")
+
+
+def q_doc_decontaminate_bloom(sf_dir: str):
+    """Scale-path decontamination: the reference side compressed into a
+    fixed-size Bloom filter (built distributed, OR-reduced partials —
+    constant bytes per batch), probed map-side.  Over-flags by the FP
+    rate, never under-flags (rows-only; exact-vs-bloom agreement is
+    pytest-verified)."""
+    import ray
+
+    from ..stages.decontam import BloomDecontaminator, build_bloom_ngrams
+
+    K = _DECONTAM_BENCH_MAX_ID
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), K)),
+        batch_format="pyarrow")
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), K)),
+        batch_format="pyarrow")
+    bloom = build_bloom_ngrams(bench, n=8, m_bits=1 << 20, k=4)
+    dec = BloomDecontaminator(ray.put(bloom.to_bytes()), n=8, threshold=1)
+    out = corpus.map_batches(dec, batch_format="pyarrow")
+
+    def flagged(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("contaminated"))
+        return t.select(["doc_id", "contam_ngrams"])
+
+    return out.map_batches(flagged, batch_format="pyarrow")
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition stats (duplicate-bigram and
+    top-bigram fractions, integer ppm) — per-batch map, no shuffle
+    (stages/decontam.py RepetitionStats)."""
+    from ..stages.decontam import RepetitionStats
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(RepetitionStats(n=2), batch_format="pyarrow")
+
+    def out(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n_grams"), 0))
+        return t.select(["doc_id", "dup_gram_ppm", "top_gram_ppm"])
+
+    return ds.map_batches(out, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -1447,6 +1520,9 @@ def queries():
         "stratified_event_sample": q_stratified_event_sample,
         "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
         "approx_latency_quantiles": q_approx_latency_quantiles,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -1917,4 +1993,52 @@ def oracle_sql():
                   FROM {_T} WHERE role = 'tool')
             WHERE lat IS NOT NULL
             GROUP BY 1""",
+        # 8-token-gram decontamination: benchmark slice = doc_id < 50.
+        # Ray matches on 64-bit gram hashes, the oracle on gram strings —
+        # equivalent modulo 2^-64 collisions.
+        "doc_decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), ng AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                       || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                       || ' ' || lead(w, 7) OVER win AS g
+              FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(w, 7) OVER win IS NOT NULL
+            ), bench AS (
+              SELECT DISTINCT g FROM ng WHERE doc_id < 50
+            ), corpus AS (
+              SELECT DISTINCT doc_id, g FROM ng WHERE doc_id >= 50
+            )
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS contam_ngrams
+            FROM corpus c JOIN bench b USING (g)
+            GROUP BY c.doc_id""",
+        # floor(ppm) on both sides with the identical double expression
+        # order keeps the integers bit-stable for the value hash.
+        "doc_repetition": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), big AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+              FROM tok
+              QUALIFY lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+            ), cnts AS (
+              SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g
+            )
+            SELECT doc_id,
+                   CAST(floor((1 - count(*)::DOUBLE / sum(c)) * 1000000) AS BIGINT)
+                       AS dup_gram_ppm,
+                   CAST(floor(max(c)::DOUBLE / sum(c) * 1000000) AS BIGINT)
+                       AS top_gram_ppm
+            FROM cnts GROUP BY doc_id""",
     }
