@@ -1,0 +1,90 @@
+"""Collector-style YAML config front-end (pipelines/config.py)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.config import (
+    load_config,
+    run_config,
+)
+
+YAML = r"""
+receivers:
+  generate/small:
+    count: 500
+processors:
+  regex_parser/tool:
+    pattern: '^(?P<ts>\S+) (?P<level>[A-Z]+) tool=(?P<tool_name>\w+) status=(?P<status>\w+) latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$'
+    if: 'role == "tool"'
+  severity_parser/level:
+    parse_from: attr_level
+  router/status:
+    routes:
+      - [errors, 'attributes["status"] == "error"']
+    default: ok
+exporters:
+  collect: {}
+  parquet/out:
+    path: null   # filled by the test
+    partition_cols: [route_id]
+service:
+  pipelines:
+    logs:
+      receivers: [generate/small]
+      processors: [regex_parser/tool, severity_parser/level, router/status]
+      exporters: [collect]
+"""
+
+
+def test_yaml_collect_pipeline():
+    out = run_config(YAML)
+    ds = out["logs"]["collect"]
+    df = ds.to_pandas()
+    assert len(df) == 500
+    assert set(df.route_id.unique()) <= {"errors", "ok"}
+    # parsed tool rows carry severity from the level capture (the corpus
+    # plants a few malformed tool lines by design -> parse_failure rows)
+    tool = df[df.role == "tool"]
+    ok = tool[~tool.parse_failure]
+    assert len(ok) > 0.9 * len(tool)
+    assert ok.severity_number.notna().all()
+    assert tool[tool.parse_failure].severity_number.isna().all()
+
+
+def test_yaml_parquet_exporter(tmp_path):
+    cfg = load_config(YAML)
+    cfg["exporters"]["parquet/out"]["path"] = str(tmp_path / "routed")
+    cfg["service"]["pipelines"]["logs"]["exporters"] = ["parquet/out"]
+    out = run_config(cfg)
+    path = out["logs"]["parquet/out"]
+    # partitioned by route_id, reference fileexporter group_by layout
+    parts = [d for d in os.listdir(path) if d.startswith("route_id=")]
+    assert parts
+    total = sum(
+        pq.read_metadata(os.path.join(path, d, f)).num_rows
+        for d in parts for f in os.listdir(os.path.join(path, d)))
+    assert total == 500
+
+
+def test_yaml_errors_are_loud():
+    with pytest.raises(KeyError, match="not declared"):
+        run_config("""
+receivers: {}
+service:
+  pipelines:
+    logs: {receivers: [parquet/x], processors: [], exporters: [collect]}
+""")
+    with pytest.raises(KeyError, match="no service.pipelines"):
+        run_config("receivers: {}\n")
+    with pytest.raises(KeyError, match="unknown pipeline step"):
+        run_config("""
+receivers:
+  generate/g: {count: 10}
+processors:
+  nosuchstep/x: {}
+service:
+  pipelines:
+    logs: {receivers: [generate/g], processors: [nosuchstep/x], exporters: [collect]}
+""")
