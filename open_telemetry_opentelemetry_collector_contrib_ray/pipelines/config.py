@@ -88,7 +88,14 @@ def _read_receiver(cfg: dict, component_id: str, data_dir: str):
 
         n = int(cfg.get("count", 1000))
         return ray.data.from_arrow(synth_transcripts(n))
-    raise KeyError(f"unknown receiver type {rtype!r} (supported: parquet, generate)")
+    if rtype == "otlp_json":
+        from ..sources.otlpjson import read_otlp_json
+
+        return read_otlp_json(cfg["path"],
+                              time_col=cfg.get("time_col", "ts"),
+                              body_col=cfg.get("body_col", "text"))
+    raise KeyError(f"unknown receiver type {rtype!r} "
+                   "(supported: parquet, generate, otlp_json)")
 
 
 def run_config(config: dict | str, data_dir: str = "/root/testdata/sf0.001",
@@ -141,8 +148,14 @@ def run_config(config: dict | str, data_dir: str = "/root/testdata/sf0.001",
                 ds.write_parquet(path, compression=ecfg.get("compression", "zstd"),
                                  **kw)
                 out[eid] = path
+            elif etype == "otlp_json":
+                from ..sources.otlpjson import write_otlp_json
+
+                wkw = {k: v for k, v in ecfg.items() if k != "path"}
+                write_otlp_json(ds, ecfg["path"], **wkw)
+                out[eid] = ecfg["path"]
             else:
                 raise KeyError(f"unknown exporter type {etype!r} "
-                               "(supported: parquet, collect)")
+                               "(supported: parquet, otlp_json, collect)")
         results[name] = out
     return results

@@ -547,6 +547,29 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_otlp_roundtrip_counts(sf_dir: str):
+    """fileexporter default wire format end-to-end: transcripts ->
+    OTLP/JSON-lines sink (zstd, resource-grouped by conv_id) -> file
+    read-back -> aggregate.  Proves the codec inverts exactly (the
+    oracle sees only the original parquet)."""
+    import shutil
+
+    from ..sources.otlpjson import read_otlp_json, write_otlp_json
+
+    out = f"/tmp/graft_otlp/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)  # content-hash names: stale
+    # files from a different block split would read back as duplicates
+    ds = read_transcripts(sf_dir)
+    write_otlp_json(ds, out, resource_cols=["conv_id"], compression="zstd")
+    back = read_otlp_json(out)
+    back = back.map_batches(TransformStage(
+        ['set(attributes["text_len"], Len(text))']), batch_format="pyarrow")
+    return grouped_agg(back, ["role"],
+                       [("count", None, "n"),
+                        ("sum", "attr_text_len", "total_chars")],
+                       combine="driver")
+
+
 def q_approx_top_tools(sf_dir: str):
     """Space-saving heavy-hitter sketch: top-5 tools by turn count.
     Mergeable per-batch summaries; key cardinality here is far below the
@@ -1467,6 +1490,7 @@ def queries():
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
         "reassemble_partials": q_reassemble_partials,
+        "otlp_roundtrip_counts": q_otlp_roundtrip_counts,
         "approx_top_tools": q_approx_top_tools,
         "approx_distinct_convs": q_approx_distinct_convs,
         "error_fingerprints": q_error_fingerprints,
@@ -1676,6 +1700,10 @@ def oracle_sql():
                    string_agg(log, '' ORDER BY t) AS log,
                    count(*) AS n_partials
             FROM seg GROUP BY stream, segid""",
+        "otlp_roundtrip_counts": f"""
+            SELECT role, count(*) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM {_T} GROUP BY role""",
         "approx_top_tools": f"""
             SELECT tool, count(*) AS est_count FROM {_T}
             WHERE tool <> ''

@@ -1,0 +1,254 @@
+"""OTLP/JSON-lines file codec — the fileexporter's default wire format.
+
+The reference fileexporter marshals each consumed `plog.Logs` batch as
+ONE line of OTLP JSON (`plog.JSONMarshaler`,
+/root/reference/exporter/fileexporter/file_exporter.go + marshaling in
+config.go:24-52 `format: json`), optionally zstd-compressed, and the
+collector (or `pkg/golden`) can unmarshal those lines back.  Batch
+re-expression:
+
+- `write_otlp_json(ds, out_dir, ...)`: a `map_batches` stage serializes
+  each Arrow batch to one OTLP `LogsData` JSON line — records grouped
+  into `resourceLogs` by the configured resource columns — and writes
+  one `.jsonl[.gz|.zst]` file per batch.  File names derive from a
+  content hash, so Ray task retries overwrite instead of duplicating
+  (idempotent sink).  Returns a manifest list [{path, rows}].
+- `read_otlp_json(path_or_dir)`: file-parallel read
+  (`ray.data.read_binary_files`) → per-file decompress + line-parse →
+  flat Arrow columns, inverse of the writer (resource attrs re-stamped
+  per record, `attributes` list → typed columns, `timeUnixNano` →
+  timestamp[us]).
+
+Value typing follows the OTLP JSON mapping: proto64-bit ints render as
+decimal strings under `intValue`; doubles under `doubleValue`; bools
+under `boolValue`; strings under `stringValue`; null cells omit the
+attribute (absent key), matching pdata map semantics.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import os
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+_SEV_TEXT = {1: "TRACE", 5: "DEBUG", 9: "INFO", 13: "WARN", 17: "ERROR", 21: "FATAL"}
+
+
+def _any_value(v):
+    """Python scalar -> OTLP AnyValue JSON object (proto3 JSON mapping)."""
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, (int, np.integer)):
+        return {"intValue": str(int(v))}
+    if isinstance(v, (float, np.floating)):
+        return {"doubleValue": float(v)}
+    return {"stringValue": str(v)}
+
+
+def _from_any_value(obj: dict):
+    if "stringValue" in obj:
+        return obj["stringValue"]
+    if "intValue" in obj:
+        return int(obj["intValue"])
+    if "doubleValue" in obj:
+        return float(obj["doubleValue"])
+    if "boolValue" in obj:
+        return bool(obj["boolValue"])
+    if "arrayValue" in obj:
+        return [_from_any_value(x) for x in obj["arrayValue"].get("values", [])]
+    return None
+
+
+def _open_out(path: str, compression: str | None):
+    if compression == "gzip":
+        return gzip.open(path, "wb", compresslevel=4)
+    if compression == "zstd":
+        raw = open(path, "wb")
+        return pa.CompressedOutputStream(raw, "zstd")
+    return open(path, "wb")
+
+
+def _read_bytes(data: bytes, path: str) -> bytes:
+    # sniff magic bytes, not extensions: the Arrow filesystem layer under
+    # ray.data.read_binary_files already auto-decompresses .gz ('detect')
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        buf = pa.CompressedInputStream(pa.BufferReader(data), "zstd")
+        return buf.read()
+    return data
+
+
+class OtlpJsonWriter:
+    """map_batches stage: one OTLP LogsData JSON line per batch, one
+    output file per batch, content-hash file names (retry-idempotent)."""
+
+    def __init__(self, out_dir: str, *, body_col: str = "text",
+                 time_col: str = "ts", resource_cols: Iterable[str] = (),
+                 severity_number_col: str | None = None,
+                 severity_text_col: str | None = None,
+                 compression: str | None = None,
+                 scope_name: str = "open_telemetry_opentelemetry_collector_contrib_ray"):
+        self.out_dir = out_dir
+        self.body_col = body_col
+        self.time_col = time_col
+        self.resource_cols = list(resource_cols)
+        self.sev_num_col = severity_number_col
+        self.sev_text_col = severity_text_col
+        self.compression = compression
+        self.scope_name = scope_name
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _records(self, t: pa.Table) -> list[dict]:
+        n = t.num_rows
+        special = {self.body_col, self.time_col, self.sev_num_col,
+                   self.sev_text_col, *self.resource_cols}
+        attr_cols = [c for c in t.column_names if c not in special]
+        cols = {c: t.column(c).to_pylist() for c in attr_cols}
+        body = t.column(self.body_col).to_pylist() if self.body_col in t.column_names else [None] * n
+        if self.time_col in t.column_names:
+            ts = t.column(self.time_col).cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        else:
+            ts = [None] * n
+        sev_n = (t.column(self.sev_num_col).to_pylist()
+                 if self.sev_num_col and self.sev_num_col in t.column_names else [None] * n)
+        sev_t = (t.column(self.sev_text_col).to_pylist()
+                 if self.sev_text_col and self.sev_text_col in t.column_names else [None] * n)
+        recs = []
+        for i in range(n):
+            rec: dict = {}
+            if ts[i] is not None:
+                rec["timeUnixNano"] = str(ts[i] * 1000)
+            sn = sev_n[i]
+            if sn is not None:
+                rec["severityNumber"] = int(sn)
+                rec["severityText"] = (sev_t[i] if sev_t[i] is not None
+                                       else _SEV_TEXT.get(int(sn), ""))
+            elif sev_t[i] is not None:
+                rec["severityText"] = sev_t[i]
+            if body[i] is not None:
+                rec["body"] = {"stringValue": str(body[i])}
+            attrs = [{"key": c, "value": _any_value(cols[c][i])}
+                     for c in attr_cols if cols[c][i] is not None]
+            if attrs:
+                rec["attributes"] = attrs
+            recs.append(rec)
+        return recs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        recs = self._records(t)
+        if self.resource_cols:
+            import pandas as pd
+
+            key_df = pd.DataFrame(
+                {c: t.column(c).to_pandas() for c in self.resource_cols})
+            groups: dict = {}
+            for i, key in enumerate(map(tuple, key_df.itertuples(index=False))):
+                groups.setdefault(key, []).append(i)
+            resource_logs = []
+            for key, idxs in groups.items():
+                res_attrs = [{"key": c, "value": _any_value(v)}
+                             for c, v in zip(self.resource_cols, key)
+                             if v is not None]
+                resource_logs.append({
+                    "resource": {"attributes": res_attrs},
+                    "scopeLogs": [{"scope": {"name": self.scope_name},
+                                   "logRecords": [recs[i] for i in idxs]}]})
+        else:
+            resource_logs = [{"resource": {},
+                              "scopeLogs": [{"scope": {"name": self.scope_name},
+                                             "logRecords": recs}]}]
+        line = json.dumps({"resourceLogs": resource_logs},
+                          separators=(",", ":")).encode() + b"\n"
+        digest = hashlib.md5(line).hexdigest()[:16]
+        ext = {"gzip": ".jsonl.gz", "zstd": ".jsonl.zst"}.get(self.compression, ".jsonl")
+        path = os.path.join(self.out_dir, f"logs-{digest}{ext}")
+        tmp = path + ".tmp"
+        with _open_out(tmp, self.compression) as f:
+            f.write(line)
+        os.replace(tmp, path)  # atomic: a retried task rewrites the same name
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+
+def write_otlp_json(ds, out_dir: str, **kw) -> list[dict]:
+    """Write `ds` as OTLP JSON lines under out_dir; returns the manifest
+    [{path, rows}].  One file per batch; `batch_size` bounds line size."""
+    batch_size = kw.pop("batch_size", 8192)
+    manifest = ds.map_batches(OtlpJsonWriter(out_dir, **kw),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return manifest.take_all()  # tiny: one row per written file
+
+
+def _parse_lines(data: bytes, path: str, time_col: str, body_col: str) -> list[dict]:
+    rows = []
+    for line in _read_bytes(data, path).splitlines():
+        if not line.strip():
+            continue
+        doc = json.loads(line)
+        for rl in doc.get("resourceLogs", []):
+            res = {kv["key"]: _from_any_value(kv["value"])
+                   for kv in rl.get("resource", {}).get("attributes", [])}
+            for sl in rl.get("scopeLogs", []):
+                for rec in sl.get("logRecords", []):
+                    row = dict(res)
+                    if "timeUnixNano" in rec:
+                        row[time_col] = int(rec["timeUnixNano"]) // 1000
+                    if "severityNumber" in rec:
+                        row["severity_number"] = int(rec["severityNumber"])
+                    if "severityText" in rec:
+                        row["severity_text"] = rec["severityText"]
+                    if "body" in rec:
+                        row[body_col] = _from_any_value(rec["body"])
+                    for kv in rec.get("attributes", []):
+                        row[kv["key"]] = _from_any_value(kv["value"])
+                    rows.append(row)
+    return rows
+
+
+class OtlpJsonReaderStage:
+    """map_batches over read_binary_files output: bytes -> flat rows."""
+
+    def __init__(self, time_col: str = "ts", body_col: str = "text"):
+        self.time_col = time_col
+        self.body_col = body_col
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import pandas as pd
+
+        rows: list[dict] = []
+        for data, path in zip(batch["bytes"], batch["path"]):
+            rows.extend(_parse_lines(bytes(data), str(path),
+                                     self.time_col, self.body_col))
+        if not rows:
+            return pa.table({})
+        df = pd.DataFrame(rows)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = t.replace_schema_metadata(None)  # pandas metadata is unhashable
+        # for Ray's schema dedup and carries no information here
+        if self.time_col in t.column_names:
+            idx = t.column_names.index(self.time_col)
+            t = t.set_column(idx, self.time_col,
+                             t.column(self.time_col).cast(pa.int64())
+                             .cast(pa.timestamp("us")))
+        return t
+
+
+def read_otlp_json(path: str, *, time_col: str = "ts", body_col: str = "text"):
+    """Read OTLP JSON-lines files (dir or file) into a flat Dataset.
+    File-parallel, mirrors the reference's per-file ingest concurrency
+    (/root/reference/pkg/stanza/fileconsumer/config.go:36
+    max_concurrent_files)."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+    return ds.map_batches(OtlpJsonReaderStage(time_col, body_col),
+                          batch_format="numpy", batch_size=4)

@@ -1,0 +1,107 @@
+"""OTLP/JSON-lines codec round-trip (sources/otlpjson.py).
+
+Reference contract: fileexporter `format: json` writes one OTLP
+LogsData JSON line per consumed batch (optionally compressed), and the
+collector can unmarshal those lines (plog JSON marshaler)."""
+
+import gzip
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpjson import (
+    read_otlp_json,
+    write_otlp_json,
+)
+from open_telemetry_opentelemetry_collector_contrib_ray.sources.transcripts import (
+    synth_transcripts,
+)
+
+KEY = ["conv_id", "turn_idx"]
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df[COLS].sort_values(KEY).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("compression", [None, "gzip", "zstd"])
+def test_roundtrip(tmp_path, compression):
+    t = synth_transcripts(400, seed=7)
+    out = str(tmp_path / "otlp")
+    manifest = write_otlp_json(
+        ray.data.from_arrow(t), out, resource_cols=["conv_id"],
+        compression=compression, batch_size=128)
+    assert sum(m["rows"] for m in manifest) == 400
+    ext = {"gzip": ".jsonl.gz", "zstd": ".jsonl.zst"}.get(compression, ".jsonl")
+    assert all(m["path"].endswith(ext) for m in manifest)
+
+    back = read_otlp_json(out).to_pandas()
+    got, exp = _norm(back), _norm(t.to_pandas())
+    # int32 turn_idx comes back int64 (OTLP intValue is 64-bit); values equal
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    exp["turn_idx"] = exp["turn_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_wire_shape_is_otlp(tmp_path):
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "text": ["hello", "world", None],
+        "latency_ms": pa.array([5, None, 9], pa.int64()),
+        "ok": [True, False, None],
+        "score": [0.5, 1.5, None],
+        "ts": pa.array([1_700_000_000_000_000] * 3).cast(pa.timestamp("us")),
+        "severity_number": pa.array([9, 17, None], pa.int32()),
+    })
+    out = str(tmp_path / "wire")
+    write_otlp_json(ray.data.from_arrow(t), out, resource_cols=["conv_id"],
+                    severity_number_col="severity_number")
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert files
+    lines = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            lines += [json.loads(line) for line in fh if line.strip()]
+    rls = [rl for doc in lines for rl in doc["resourceLogs"]]
+    by_conv = {rl["resource"]["attributes"][0]["value"]["stringValue"]: rl
+               for rl in rls}
+    assert set(by_conv) == {"c1", "c2"}
+    recs = by_conv["c1"]["scopeLogs"][0]["logRecords"]
+    assert len(recs) == 2
+    r0 = next(r for r in recs if r.get("body", {}).get("stringValue") == "hello")
+    attrs = {kv["key"]: kv["value"] for kv in r0["attributes"]}
+    # proto3 JSON: int64 as decimal string; double as number; bool as bool
+    assert attrs["latency_ms"] == {"intValue": "5"}
+    assert attrs["ok"] == {"boolValue": True}
+    assert attrs["score"] == {"doubleValue": 0.5}
+    assert r0["timeUnixNano"] == str(1_700_000_000_000_000 * 1000)
+    assert r0["severityNumber"] == 9 and r0["severityText"] == "INFO"
+    # null cells omit the attribute entirely (pdata map semantics)
+    r1 = next(r for r in recs if r is not r0)
+    assert "latency_ms" not in {kv["key"] for kv in r1.get("attributes", [])}
+
+
+def test_writer_is_retry_idempotent(tmp_path):
+    t = synth_transcripts(100, seed=3)
+    out = str(tmp_path / "idem")
+    m1 = write_otlp_json(ray.data.from_arrow(t), out, batch_size=40)
+    m2 = write_otlp_json(ray.data.from_arrow(t), out, batch_size=40)
+    # identical content -> identical names -> no duplicate files
+    assert sorted(m["path"] for m in m1) == sorted(m["path"] for m in m2)
+    assert read_otlp_json(out).count() == 100
+
+
+def test_gzip_lines_parse_standalone(tmp_path):
+    t = synth_transcripts(60, seed=5)
+    out = str(tmp_path / "gz")
+    write_otlp_json(ray.data.from_arrow(t), out, compression="gzip",
+                    batch_size=30)
+    f = next(p for p in os.listdir(out) if p.endswith(".jsonl.gz"))
+    with gzip.open(os.path.join(out, f), "rt") as fh:
+        doc = json.loads(fh.readline())
+    assert "resourceLogs" in doc
