@@ -1462,6 +1462,36 @@ def q_doc_repetition(sf_dir: str):
     return ds.map_batches(out, batch_format="pyarrow")
 
 
+def q_doc_substring_dups(sf_dir: str):
+    """Exact substring dedup, mark mode (Lee et al. 2022): every 8-token
+    window occurring >= 2 times corpus-wide, as (doc_id, pos).  Only
+    24-byte (hash, doc, pos) triples shuffle — the documents don't
+    (stages/substringdedup.py)."""
+    from ..stages.substringdedup import duplicate_windows
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = duplicate_windows(ds, w=8, keep_keeper=False)
+    return out.sort(["doc_id", "pos"])
+
+
+def q_doc_substring_cut(sf_dir: str):
+    """Exact substring dedup, cut mode: remove every duplicated
+    >=8-token substring down to one corpus-wide copy, report per-doc
+    remaining chars (rows-only check — the span surgery itself is
+    covered by pytest + the mark-mode oracle)."""
+    from ..stages.substringdedup import dedup_substrings
+
+    out = dedup_substrings(
+        lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]), w=8)
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars_after": pc.utf8_length(t.column("text")).cast(pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -1544,6 +1574,8 @@ def queries():
         "stratified_event_sample": q_stratified_event_sample,
         "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
         "approx_latency_quantiles": q_approx_latency_quantiles,
+        "doc_substring_dups": q_doc_substring_dups,
+        "doc_substring_cut": q_doc_substring_cut,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_repetition": q_doc_repetition,
@@ -2021,6 +2053,23 @@ def oracle_sql():
                   FROM {_T} WHERE role = 'tool')
             WHERE lat IS NOT NULL
             GROUP BY 1""",
+        # exact substring dedup, mark mode: Ray groups 64-bit window
+        # hashes, the oracle groups the window strings themselves —
+        # equivalent modulo 2^-64 collisions.
+        "doc_substring_dups": """
+            WITH words AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+              FROM documents),
+            idx AS (
+              SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+              FROM words WHERE len(w) >= 8),
+            wins AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(w[i:i+7], ' ') AS win FROM idx)
+            SELECT doc_id, pos FROM wins
+            WHERE win IN (SELECT win FROM wins
+                          GROUP BY win HAVING count(*) >= 2)
+            ORDER BY doc_id, pos""",
         # 8-token-gram decontamination: benchmark slice = doc_id < 50.
         # Ray matches on 64-bit gram hashes, the oracle on gram strings —
         # equivalent modulo 2^-64 collisions.

@@ -1,0 +1,220 @@
+"""Exact substring deduplication (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better") — Ray-Data-first.
+
+A substring duplicated across (or within) documents is detected by its
+word windows: every span of >= `w` tokens that occurs twice anywhere in
+the corpus produces >= 1 duplicated w-token window.  The pipeline:
+
+1. `WindowEmitter` (map-only): per doc, tokenize once, roll a
+   position-salted combine over cached token hashes (same machinery as
+   MinHash shingling, `dedup._shingle_hashes`) and emit one
+   (doc_id, pos, h) triple per window.  ONLY 24-byte triples ever
+   shuffle — never document text — so the exchange at 100 TB is ~2% of
+   the corpus bytes rather than a full-text all-to-all.
+2. Bucket exchange (the repo's LSH idiom): `__bucket = h % B`, one
+   shuffle co-locates all occurrences of a hash, then ONE vectorized
+   pandas pass per bucket keeps hashes with >= 2 occurrences and marks
+   the global keeper (min (doc_id, pos)) per hash.
+3. `mark` mode returns the duplicated (doc_id, pos) windows (the
+   oracle-checkable surface).  `cut` mode merges each doc's non-keeper
+   windows into word-ranges [pos, pos+w) and removes those character
+   spans from the text, keeping exactly one copy of every duplicated
+   substring corpus-wide.
+
+Window-hash collisions can only OVER-flag (two distinct windows mapped
+to one hash read as duplicates); at 64 bits the expected corpus-wide
+collision count is ~n_windows^2 / 2^65 — negligible below ~10^9
+windows per run, and the per-epoch sharding of a 100 TB run keeps each
+exchange under that.
+
+Beyond-the-reference functionality (training-data ops per the project
+brief); the triple-shuffle shape mirrors `dedup.minhash_lsh_pairs`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .decontam import _TOKEN_RE  # [a-z0-9_]+ on lowered text: exact
+# parity with the DuckDB oracle's regexp_extract_all (RE2 ASCII classes)
+from .dedup import _P1, _P2, _P3, _TokenHasher
+
+
+def _window_hashes(tok_hashes: np.ndarray, w: int) -> np.ndarray:
+    """All w-token window hashes WITH positions (no unique), same
+    position-salted combine as dedup._shingle_hashes."""
+    m = len(tok_hashes) - w + 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    salts = [_P1, _P2, _P3] + [np.uint64(2 * j + 1) for j in range(3, w)]
+    sh = np.zeros(m, dtype=np.uint64)
+    for j in range(w):
+        sh = sh ^ (tok_hashes[j:j + m] * salts[j])
+    return sh
+
+
+class WindowEmitter:
+    """doc batch -> (doc_id, pos, h) triples, one row per w-token window."""
+
+    def __init__(self, w: int = 8, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.w = w
+        self.id_col = id_col
+        self.text_col = text_col
+        self.th = _TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, pos_out, h_out = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for did, text in zip(ids, texts):
+            toks = _TOKEN_RE.findall((text or "").lower())
+            if len(toks) < self.w:
+                continue
+            h = _window_hashes(self.th(toks), self.w)
+            ids_out.append(np.full(len(h), did, dtype=np.int64))
+            pos_out.append(np.arange(len(h), dtype=np.int64))
+            h_out.append(h)
+        if not ids_out:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64())})
+        return pa.table({self.id_col: pa.array(np.concatenate(ids_out)),
+                         "pos": pa.array(np.concatenate(pos_out)),
+                         "h": pa.array(np.concatenate(h_out))})
+
+
+def duplicate_windows(ds, w: int = 8, id_col: str = "doc_id",
+                      text_col: str = "text", n_buckets: int = 16,
+                      keep_keeper: bool = True):
+    """Dataset of duplicated windows: (doc_id, pos[, keeper]).
+
+    A window is duplicated when its hash occurs >= 2 times corpus-wide
+    (within-doc repeats count — Lee et al. semantics).  `keeper` marks
+    the single global min-(doc_id, pos) occurrence per hash."""
+    wins = ds.map_batches(
+        WindowEmitter, fn_constructor_kwargs=dict(
+            w=w, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("h"), dtype=np.uint64)
+        return t.append_column(
+            "__bucket",
+            pa.array(((h * np.uint64(0xFF51AFD7ED558CCD)) >> np.uint64(40))
+                     .astype(np.int64) % n_buckets))
+
+    bucketed = wins.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(n_buckets)  # coalesce before the sort shuffle
+
+    def dups_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "pos": pd.Series([], dtype="int64"),
+                              "keeper": pd.Series([], dtype="bool")})
+        if len(g) < 2:
+            return empty
+        sizes = g.groupby("h")["pos"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        g = g.sort_values(["h", id_col, "pos"], kind="stable")
+        first = ~g["h"].duplicated(keep="first")
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            "pos": g["pos"].to_numpy(),
+                            "keeper": first.to_numpy()})
+        return out
+
+    out = bucketed.groupby("__bucket").map_groups(dups_in_bucket,
+                                                  batch_format="pandas")
+    if not keep_keeper:
+        out = out.map_batches(lambda t: t.select([id_col, "pos"]),
+                              batch_format="pyarrow")
+    return out
+
+
+class SpanCutter:
+    """Remove the char spans of marked word-ranges from each doc.
+
+    cut_map: doc_id -> sorted np.ndarray of window start positions (each
+    covering words [pos, pos+w)).  Passed as a ray.put handle (broadcast
+    once per actor, not re-shipped per batch)."""
+
+    def __init__(self, cut_ref, w: int, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.cuts = ray.get(cut_ref) if not isinstance(cut_ref, dict) else cut_ref
+        self.w = w
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _cut_one(self, text: str, positions: np.ndarray) -> str:
+        spans = [m.span() for m in _TOKEN_RE.finditer(text.lower())]
+        if not spans:
+            return text
+        # merge window word-ranges into maximal runs; each run is cut as
+        # ONE char span (first word start .. last word end), so the
+        # whitespace interior to a removed run goes with it
+        marked = np.zeros(len(spans), dtype=bool)
+        for p in positions:
+            marked[p:p + self.w] = True
+        keep_parts = []
+        cursor, i, n = 0, 0, len(spans)
+        while i < n:
+            if marked[i]:
+                j = i
+                while j + 1 < n and marked[j + 1]:
+                    j += 1
+                s, e = spans[i][0], spans[j][1]
+                if cursor < s:
+                    keep_parts.append(text[cursor:s])
+                cursor = max(cursor, e)
+                i = j + 1
+            else:
+                i += 1
+        keep_parts.append(text[cursor:])
+        return "".join(keep_parts)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out = []
+        for did, text in zip(ids, texts):
+            pos = self.cuts.get(did)
+            out.append(self._cut_one(text or "", pos) if pos is not None
+                       else text)
+        idx = batch.column_names.index(self.text_col)
+        return batch.set_column(idx, self.text_col, pa.array(out, pa.string()))
+
+
+def dedup_substrings(ds_factory, w: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text", n_buckets: int = 16):
+    """Cut every duplicated >=w-token substring down to one corpus-wide
+    copy.  `ds_factory()` must rebuild the doc Dataset (read twice: once
+    for window triples, once for cutting — documents themselves never
+    shuffle).
+
+    The cut map (non-keeper duplicated windows per doc) is broadcast via
+    ray.put; its size is O(duplicated windows), a small fraction of the
+    corpus.  For pathological corpora where it exceeds worker memory,
+    shard the run (per-epoch input split) — each shard's map stays
+    bounded."""
+    import ray
+
+    dups = duplicate_windows(ds_factory(), w=w, id_col=id_col,
+                             text_col=text_col, n_buckets=n_buckets)
+    cut_rows = dups.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("keeper"))),
+        batch_format="pyarrow").take_all()
+    cut_map: dict = {}
+    for r in cut_rows:
+        cut_map.setdefault(r[id_col], []).append(r["pos"])
+    cut_map = {k: np.sort(np.asarray(v, dtype=np.int64))
+               for k, v in cut_map.items()}
+    ref = ray.put(cut_map)
+    return ds_factory().map_batches(
+        SpanCutter, fn_constructor_kwargs=dict(
+            cut_ref=ref, w=w, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 8))
