@@ -1462,6 +1462,49 @@ def q_doc_repetition(sf_dir: str):
     return ds.map_batches(out, batch_format="pyarrow")
 
 
+MIX_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 1.25, "src3": 0.0}
+
+
+def q_doc_mix_sources(sf_dir: str):
+    """Training-mixture weighting (stages/sample.py SourceMixer): src0
+    twice per epoch, src1 half, src2 1.25 passes, src3 dropped, the
+    rest 1.0.  Deterministic md5 fractional epochs — the oracle replays
+    the identical verdicts with md5_number_lower."""
+    from ..stages.sample import mix_sources
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mix_sources(ds, MIX_WEIGHTS)
+    return out.sort(["doc_id", "epoch"])
+
+
+def q_doc_pii_scrub(sf_dir: str):
+    """PII scrub (stages/pii.py): plant deterministic PII derived from
+    doc_id (the synthetic corpus has none), scrub all four categories,
+    return the scrubbed text + per-category counts.  The oracle plants
+    the identical strings in SQL and applies the same RE2 chain."""
+    import pandas as pd
+
+    from ..stages.pii import PiiScrubber
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        sid = d.astype(str)
+        pad4 = np.char.zfill((d % 10000).astype(str), 4)
+        ssn = np.where(d % 3 == 0, " ssn 123-45-6789", "")
+        ip_oct = (d % 256).astype(str)
+        df = df.copy()
+        df["text"] = (df["text"].fillna("").to_numpy()
+                      + " contact user" + sid + "@example.com call 555-010-"
+                      + pad4 + ssn + " ip 10." + ip_oct + ".0.1")
+        return df
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    out = planted.map_batches(PiiScrubber(), batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
 def q_doc_substring_dups(sf_dir: str):
     """Exact substring dedup, mark mode (Lee et al. 2022): every 8-token
     window occurring >= 2 times corpus-wide, as (doc_id, pos).  Only
@@ -1574,6 +1617,8 @@ def queries():
         "stratified_event_sample": q_stratified_event_sample,
         "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
         "approx_latency_quantiles": q_approx_latency_quantiles,
+        "doc_mix_sources": q_doc_mix_sources,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_substring_dups": q_doc_substring_dups,
         "doc_substring_cut": q_doc_substring_cut,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1583,6 +1628,32 @@ def queries():
 
 
 def oracle_sql():
+    # PII scrub oracle: identical planted strings + the SAME RE2 chain
+    # (patterns imported from the stage — single source of truth).  Built
+    # by concatenation: the patterns contain {}/% so f-strings don't apply.
+    from ..stages.pii import PII_PATTERNS
+
+    pii_sql = (
+        "WITH s0 AS (SELECT doc_id, coalesce(text, '')"
+        " || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com call 555-010-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+        " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t0"
+        " FROM documents)")
+    carry = []
+    for i, (name, pat, rep) in enumerate(PII_PATTERNS):
+        prev = ", ".join(carry)
+        pii_sql += (
+            f", s{i + 1} AS (SELECT doc_id" + (", " + prev if prev else "") +
+            ", CAST(len(regexp_extract_all(t" + str(i) + ", '" + pat +
+            "')) AS BIGINT) AS n_" + name +
+            ", regexp_replace(t" + str(i) + ", '" + pat + "', '" + rep +
+            "', 'g') AS t" + str(i + 1) + f" FROM s{i})")
+        carry.append(f"n_{name}")
+    n = len(PII_PATTERNS)
+    pii_sql += (f" SELECT doc_id, t{n} AS text, " + ", ".join(carry) +
+                f" FROM s{n} ORDER BY doc_id")
     cat_vals = ", ".join(
         f"('{k}', '{v['tool_category']}')" for k, v in sorted(TOOL_CATALOG.items()))
     sev_case = ("CASE lower(regexp_extract(text, '" + TOOL_LINE_SQL_PAT + "', 2)) "
@@ -2053,6 +2124,23 @@ def oracle_sql():
                   FROM {_T} WHERE role = 'tool')
             WHERE lat IS NOT NULL
             GROUP BY 1""",
+        "doc_mix_sources": """
+            WITH w(source, wt) AS (VALUES """ + ", ".join(
+            f"('{s}', {w})" for s, w in sorted(MIX_WEIGHTS.items())) + """),
+            base AS (
+              SELECT d.doc_id, d.source, coalesce(w.wt, 1.0) AS wt
+              FROM documents d LEFT JOIN w ON d.source = w.source),
+            reps AS (
+              SELECT doc_id, source, wt,
+                     unnest(range(0, CAST(ceil(wt) AS BIGINT))) AS epoch
+              FROM base WHERE wt > 0)
+            SELECT doc_id, source, epoch FROM reps
+            WHERE epoch < CAST(floor(wt) AS BIGINT)
+               OR md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source
+                    || ':' || CAST(epoch AS VARCHAR)) % 10000
+                  < CAST(round((wt - floor(wt)) * 10000) AS BIGINT)
+            ORDER BY doc_id, epoch""",
+        "doc_pii_scrub": pii_sql,
         # exact substring dedup, mark mode: Ray groups 64-bit window
         # hashes, the oracle groups the window strings themselves —
         # equivalent modulo 2^-64 collisions.

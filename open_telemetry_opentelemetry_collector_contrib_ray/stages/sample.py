@@ -204,3 +204,67 @@ class ConsistentHashRing:
         idx[idx == len(self._ring_pos)] = 0  # clockwise wrap
         eps = self._ring_ep[idx]
         return batch.append_column(self.out, pa.array(eps, pa.string()))
+
+
+class SourceMixer:
+    """Deterministic weighted source mixing with fractional epochs — the
+    training-data "mixture weights" op (The Pile / Dolma style: each
+    source s contributes weight[s] passes over its documents).
+
+    weight w: every row is emitted floor(w) times (epoch = 0..floor(w)-1)
+    plus one more copy at epoch floor(w) with probability frac(w),
+    decided by the md5-lower-64 of "key:source:epoch" (bit-exact with
+    DuckDB md5_number_lower, same verdict space as ProbabilisticSampler —
+    the SAME row always gets the SAME epochs, across runs and engines).
+    w = 0 drops the source; sources absent from `weights` default to 1.0.
+
+    Map-only: no shuffle; each batch expands independently (output rows
+    ~= input rows x mean weight, so batch_size should shrink when
+    weights are large).
+    """
+
+    def __init__(self, weights: dict[str, float], source_col: str = "source",
+                 key_col: str = "doc_id", epoch_col: str = "epoch",
+                 default_weight: float = 1.0):
+        for s, w in weights.items():
+            if w < 0:
+                raise ValueError(f"negative weight for {s!r}")
+        self.weights = dict(weights)
+        self.source_col = source_col
+        self.key_col = key_col
+        self.epoch_col = epoch_col
+        self.default = float(default_weight)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(self.epoch_col, pa.array([], pa.int64()))
+        src = batch.column(self.source_col).to_pylist()
+        w = np.array([self.weights.get(s, self.default) if s is not None
+                      else self.default for s in src], dtype=np.float64)
+        full = np.floor(w).astype(np.int64)
+        # threshold in the 0..9999 verdict space; round() keeps exact
+        # decimal weights (0.25 -> 2500) free of float-repr drift
+        thresh = np.round((w - full) * 10000).astype(np.int64)
+
+        # whole epochs: row i repeated full[i] times, epoch 0..full[i]-1
+        reps = np.repeat(np.arange(n), full)
+        starts = np.concatenate([[0], np.cumsum(full)[:-1]])
+        epochs = np.arange(reps.size, dtype=np.int64) - np.repeat(starts, full)
+
+        # fractional epoch full[i]: deterministic per (key, source, epoch)
+        cand = np.nonzero(thresh > 0)[0]
+        if cand.size:
+            keys = batch.column(self.key_col).to_pylist()
+            tags = [f"{keys[i]}:{src[i]}:{full[i]}" for i in cand]
+            verdict = (_md5_lower64(tags) % np.uint64(10000)).astype(np.int64)
+            keep = cand[verdict < thresh[cand]]
+            reps = np.concatenate([reps, keep])
+            epochs = np.concatenate([epochs, full[keep]])
+        out = batch.take(pa.array(reps, pa.int64()))
+        return out.append_column(self.epoch_col, pa.array(epochs, pa.int64()))
+
+
+def mix_sources(ds, weights: dict[str, float], **kw):
+    """Dataset-level weighted mixing; see SourceMixer."""
+    return ds.map_batches(SourceMixer(weights, **kw), batch_format="pyarrow")
