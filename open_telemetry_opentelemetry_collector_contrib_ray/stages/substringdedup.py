@@ -56,7 +56,14 @@ def _window_hashes(tok_hashes: np.ndarray, w: int) -> np.ndarray:
 
 
 class WindowEmitter:
-    """doc batch -> (doc_id, pos, h) triples, one row per w-token window."""
+    """doc batch -> (doc_id, pos, h) triples, one row per w-token window.
+
+    Fully vectorized: ONE `pc.split_pattern_regex` pass tokenizes the
+    batch, the flat tokens dictionary-encode so only UNIQUE tokens go
+    through the (cached) md5 token hasher, and the rolling window
+    combine runs over the whole batch's concatenated hash stream in w
+    numpy ops — windows crossing a document boundary are masked out
+    afterwards.  No per-document Python loop."""
 
     def __init__(self, w: int = 8, id_col: str = "doc_id",
                  text_col: str = "text"):
@@ -65,25 +72,54 @@ class WindowEmitter:
         self.text_col = text_col
         self.th = _TokenHasher()
 
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        return pa.table({self.id_col: batch.column(self.id_col).slice(0, 0),
+                         "pos": pa.array([], pa.int64()),
+                         "h": pa.array([], pa.uint64())})
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, pos_out, h_out = [], [], []
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        for did, text in zip(ids, texts):
-            toks = _TOKEN_RE.findall((text or "").lower())
-            if len(toks) < self.w:
-                continue
-            h = _window_hashes(self.th(toks), self.w)
-            ids_out.append(np.full(len(h), did, dtype=np.int64))
-            pos_out.append(np.arange(len(h), dtype=np.int64))
-            h_out.append(h)
-        if not ids_out:
-            return pa.table({self.id_col: pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64()),
-                             "h": pa.array([], pa.uint64())})
-        return pa.table({self.id_col: pa.array(np.concatenate(ids_out)),
-                         "pos": pa.array(np.concatenate(pos_out)),
-                         "h": pa.array(np.concatenate(h_out))})
+        import pyarrow.compute as pc
+
+        n, w = batch.num_rows, self.w
+        if n == 0:
+            return self._empty(batch)
+        lower = pc.utf8_lower(batch.column(self.text_col))
+        # split on the complement class == findall('[a-z0-9_]+') after
+        # dropping the empty boundary segments (exact oracle parity)
+        parts = pc.split_pattern_regex(lower, "[^a-z0-9_]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.fill_null(pc.list_value_length(parts), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        if len(flat) == 0:
+            return self._empty(batch)
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        dhash = self.th(vocab)  # md5 only for tokens NEW to this worker
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        row_of_tok = np.repeat(np.arange(n, dtype=np.int64), counts)
+        nonempty = np.fromiter((t != "" for t in vocab), dtype=bool,
+                               count=len(vocab))
+        keep = nonempty[codes]
+        H = dhash[codes][keep]
+        row_of_tok = row_of_tok[keep]
+        tokcnt = np.bincount(row_of_tok, minlength=n)
+        m = len(H) - w + 1
+        if m <= 0:
+            return self._empty(batch)
+        sh = _window_hashes(H, w)
+        # a window is real only when it stays inside one document
+        valid = row_of_tok[:m] == row_of_tok[w - 1:]
+        starts = np.concatenate([[0], np.cumsum(tokcnt)[:-1]])
+        win_row = row_of_tok[:m][valid]
+        pos = np.nonzero(valid)[0] - starts[win_row]
+        return pa.table({
+            self.id_col: batch.column(self.id_col).take(pa.array(win_row)),
+            "pos": pa.array(pos.astype(np.int64)),
+            "h": pa.array(sh[valid])})
 
 
 def duplicate_windows(ds, w: int = 8, id_col: str = "doc_id",
@@ -97,7 +133,7 @@ def duplicate_windows(ds, w: int = 8, id_col: str = "doc_id",
     wins = ds.map_batches(
         WindowEmitter, fn_constructor_kwargs=dict(
             w=w, id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 24))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = np.asarray(t.column("h"), dtype=np.uint64)
