@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "purchase_before_click",
     "clicks_in_signup_window",
     "sliding_window_counts",
+    "doc_substring_dups",
+    "doc_pii_scrub",
+    "doc_mix_sources",
+    "otlp_roundtrip_counts",
 ]
 
 

@@ -1482,25 +1482,26 @@ def q_doc_pii_scrub(sf_dir: str):
     doc_id (the synthetic corpus has none), scrub all four categories,
     return the scrubbed text + per-category counts.  The oracle plants
     the identical strings in SQL and applies the same RE2 chain."""
-    import pandas as pd
-
     from ..stages.pii import PiiScrubber
 
     ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def plant(df: pd.DataFrame) -> pd.DataFrame:
-        d = df["doc_id"].to_numpy()
-        sid = d.astype(str)
-        pad4 = np.char.zfill((d % 10000).astype(str), 4)
-        ssn = np.where(d % 3 == 0, " ssn 123-45-6789", "")
-        ip_oct = (d % 256).astype(str)
-        df = df.copy()
-        df["text"] = (df["text"].fillna("").to_numpy()
-                      + " contact user" + sid + "@example.com call 555-010-"
-                      + pad4 + ssn + " ip 10." + ip_oct + ".0.1")
-        return df
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        d = np.asarray(did.to_numpy(zero_copy_only=False))
+        pad4 = pc.utf8_lpad(pc.cast(pa.array(d % 10000), pa.string()), 4, "0")
+        ssn = pc.if_else(pa.array(d % 3 == 0),
+                         pa.scalar(" ssn 123-45-6789"), pa.scalar(""))
+        text = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            pa.scalar(" contact user"), pc.cast(did, pa.string()),
+            pa.scalar("@example.com call 555-010-"), pad4, ssn,
+            pa.scalar(" ip 10."), pc.cast(pa.array(d % 256), pa.string()),
+            pa.scalar(".0.1"), pa.scalar(""))
+        idx = t.column_names.index("text")
+        return t.set_column(idx, "text", text)
 
-    planted = ds.map_batches(plant, batch_format="pandas")
+    planted = ds.map_batches(plant, batch_format="pyarrow")
     out = planted.map_batches(PiiScrubber(), batch_format="pyarrow")
     return out.sort("doc_id")
 

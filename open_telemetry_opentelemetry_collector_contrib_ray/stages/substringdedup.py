@@ -225,25 +225,80 @@ class SpanCutter:
         return batch.set_column(idx, self.text_col, pa.array(out, pa.string()))
 
 
+class JoinedSpanCutter:
+    """SpanCutter over a joined `__cut_pos` list column instead of a
+    broadcast map (the co-partitioned scale path)."""
+
+    def __init__(self, w: int, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.inner = SpanCutter({}, w, id_col, text_col)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        pos_lists = batch.column("__cut_pos").to_pylist()
+        out = [self.inner._cut_one(t or "", np.asarray(p, dtype=np.int64))
+               if p is not None and len(p) else t
+               for t, p in zip(texts, pos_lists)]
+        idx = batch.column_names.index(self.text_col)
+        batch = batch.set_column(idx, self.text_col,
+                                 pa.array(out, pa.string()))
+        return batch.drop_columns(["__cut_pos"])
+
+
 def dedup_substrings(ds_factory, w: int = 8, id_col: str = "doc_id",
-                     text_col: str = "text", n_buckets: int = 16):
+                     text_col: str = "text", n_buckets: int = 16,
+                     strategy: str = "broadcast"):
     """Cut every duplicated >=w-token substring down to one corpus-wide
     copy.  `ds_factory()` must rebuild the doc Dataset (read twice: once
     for window triples, once for cutting — documents themselves never
-    shuffle).
+    shuffle in either strategy).
 
-    The cut map (non-keeper duplicated windows per doc) is broadcast via
-    ray.put; its size is O(duplicated windows), a small fraction of the
-    corpus.  For pathological corpora where it exceeds worker memory,
-    shard the run (per-epoch input split) — each shard's map stays
-    bounded."""
+    strategy="broadcast" (default): the cut map (non-keeper duplicated
+    windows per doc) is collected and broadcast via ray.put — right when
+    the duplicated fraction is small (the usual case; the map is
+    O(duplicated windows)).
+    strategy="join": the cut positions are grouped per doc and joined to
+    the documents by hash co-partitioning (stages/join.py
+    bucketed_hash_join) — nothing ever materializes on the driver, the
+    100 TB path when duplication is pervasive."""
     import ray
 
     dups = duplicate_windows(ds_factory(), w=w, id_col=id_col,
                              text_col=text_col, n_buckets=n_buckets)
-    cut_rows = dups.map_batches(
-        lambda t: t.filter(pa.compute.invert(t.column("keeper"))),
-        batch_format="pyarrow").take_all()
+    non_keeper = dups.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("keeper")))
+                   .select([id_col, "pos"]),
+        batch_format="pyarrow")
+    if strategy == "join":
+        from .join import bucketed_hash_join
+        from .sample import bucket_column
+
+        # global per-doc grouping of cut positions (bucket exchange: a
+        # doc's windows can span emit batches, so per-batch grouping
+        # would hand the join multiple list rows for one doc)
+        def add_b(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__bucket", bucket_column(t, n_buckets, [id_col]))
+
+        def group_doc(t: pa.Table) -> pa.Table:
+            t = t.select([id_col, "pos"])
+            g = t.group_by([id_col]).aggregate([("pos", "list")])
+            return pa.table({id_col: g.column(id_col),
+                             "__cut_pos": g.column("pos_list")})
+
+        cuts = non_keeper.map_batches(add_b, batch_format="pyarrow") \
+            .repartition(n_buckets) \
+            .groupby("__bucket").map_groups(group_doc, batch_format="pyarrow")
+        joined = bucketed_hash_join(ds_factory(), cuts, on=[id_col],
+                                    how="left", n_buckets=n_buckets)
+        return joined.map_batches(
+            JoinedSpanCutter, fn_constructor_kwargs=dict(
+                w=w, id_col=id_col, text_col=text_col),
+            batch_format="pyarrow", concurrency=(1, 24))
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    cut_rows = non_keeper.take_all()
     cut_map: dict = {}
     for r in cut_rows:
         cut_map.setdefault(r[id_col], []).append(r["pos"])
@@ -253,4 +308,4 @@ def dedup_substrings(ds_factory, w: int = 8, id_col: str = "doc_id",
     return ds_factory().map_batches(
         SpanCutter, fn_constructor_kwargs=dict(
             cut_ref=ref, w=w, id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=(1, 24))

@@ -75,6 +75,14 @@ def test_cut_removes_duplicate_keeps_one_copy():
     assert len(again) == 0 or len(set(again["doc_id"])) <= 1
 
 
+def test_cut_join_strategy_equals_broadcast():
+    a = dedup_substrings(_ds, w=8, strategy="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup_substrings(_ds, w=8, strategy="join").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "text"]].equals(b[["doc_id", "text"]])
+
+
 def test_window_emitter_short_docs_and_empties():
     t = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
                   "text": ["one two", None]})
