@@ -1536,6 +1536,88 @@ def q_doc_substring_cut(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow").sort("doc_id")
 
 
+def _plant_lines(t: pa.Table) -> pa.Table:
+    """Deterministically restructure each document into 4 lines (the
+    synthetic corpus has no newlines): boilerplate lines repeat across
+    docs (the C4 dedup target), content lines are fixed substrings with
+    varying terminal punctuation, and ~9% of docs get a blocklist line.
+    The SQL side (_LINES_PLANT_SQL) is the identical expression."""
+    did = t.column("doc_id")
+    d = np.asarray(did.to_numpy(zero_copy_only=False))
+    filled = pc.fill_null(t.column("text"), "")
+    lines = []
+    for i in range(4):
+        boiler = pc.binary_join_element_wise(
+            pa.scalar("shared boilerplate footer number "),
+            pc.cast(pa.array((d + i) % 3), pa.string()),
+            pa.scalar("."), pa.scalar(""))
+        content = pc.utf8_slice_codeunits(filled, i * 37, i * 37 + 29)
+        punct = pc.if_else(pa.array((d + i) % 4 != 0),
+                           pa.scalar("."), pa.scalar(""))
+        content = pc.binary_join_element_wise(content, punct, pa.scalar(""))
+        line = pc.if_else(pa.array((d + i) % 5 < 2), boiler, content)
+        if i == 2:
+            line = pc.if_else(
+                pa.array(d % 11 == 7),
+                pa.scalar("bad js javascript { lorem ipsum } line here."),
+                line)
+        lines.append(line)
+    t2 = pc.binary_join_element_wise(*lines, pa.scalar("\n"))
+    return t.set_column(t.column_names.index("text"), "text", t2)
+
+
+def _plant_lines_ds(sf_dir: str):
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_plant_lines, batch_format="pyarrow")
+
+
+def _lines_plant_sql() -> str:
+    parts = []
+    for i in range(4):
+        bad = ("WHEN doc_id % 11 = 7 THEN "
+               "'bad js javascript { lorem ipsum } line here.' "
+               if i == 2 else "")
+        parts.append(
+            f"CASE {bad}WHEN (doc_id + {i}) % 5 < 2 THEN "
+            f"'shared boilerplate footer number ' || "
+            f"CAST((doc_id + {i}) % 3 AS VARCHAR) || '.' "
+            f"ELSE substr(coalesce(text, ''), {1 + i * 37}, 29) || "
+            f"CASE WHEN (doc_id + {i}) % 4 <> 0 THEN '.' ELSE '' END END")
+    joined = " || chr(10) || ".join(parts)
+    return f"(SELECT doc_id, {joined} AS t FROM documents)"
+
+
+def q_doc_c4_line_filter(sf_dir: str):
+    """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
+    >= 3 words ending in terminal punctuation that don't match the
+    javascript/lorem-ipsum/brace blocklist.  Map-only Arrow kernels —
+    zero shuffle (stages/textfilters.py LineFilter)."""
+    from ..stages.textfilters import LineFilter
+
+    return _plant_lines_ds(sf_dir).map_batches(
+        LineFilter(min_words=3), batch_format="pyarrow").sort("doc_id")
+
+
+def q_doc_c4_gate(sf_dir: str):
+    """C4 document-level gates as integer-exact flags (word count,
+    mean word length via integer inequality, sentence count, blocklist).
+    Map-only (stages/textfilters.py C4DocFilter)."""
+    from ..stages.textfilters import C4DocFilter
+
+    return _plant_lines_ds(sf_dir).map_batches(
+        C4DocFilter(min_words=5, min_sentences=1),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def q_doc_line_dedup(sf_dir: str):
+    """Corpus-wide exact line dedup, first occurrence wins (C4's
+    repeated-line rule).  Only (hash, doc_id, line_idx) triples shuffle;
+    the cut set broadcasts once (stages/textfilters.py dedup_lines)."""
+    from ..stages.textfilters import dedup_lines
+
+    return dedup_lines(lambda: _plant_lines_ds(sf_dir)).sort("doc_id")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -1625,6 +1707,9 @@ def queries():
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_repetition": q_doc_repetition,
+        "doc_c4_line_filter": q_doc_c4_line_filter,
+        "doc_c4_gate": q_doc_c4_gate,
+        "doc_line_dedup": q_doc_line_dedup,
     }
 
 
@@ -2207,4 +2292,68 @@ def oracle_sql():
                    CAST(floor(max(c)::DOUBLE / sum(c) * 1000000) AS BIGINT)
                        AS top_gram_ppm
             FROM cnts GROUP BY doc_id""",
+        # C4 line filter: identical planted lines + identical RE2
+        # predicates evaluated via DuckDB list lambdas.
+        "doc_c4_line_filter": r"""
+            WITH s0 AS """ + _lines_plant_sql() + r"""
+            SELECT doc_id,
+                   array_to_string(list_filter(string_split(t, chr(10)),
+                       x -> len(regexp_extract_all(x, '\S+')) >= 3
+                            AND regexp_matches(x, '[.!?"]$')
+                            AND NOT regexp_matches(x,
+                                '(?i)javascript|lorem ipsum|\{')),
+                       chr(10)) AS text,
+                   CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(string_split(t, chr(10)),
+                       x -> len(regexp_extract_all(x, '\S+')) >= 3
+                            AND regexp_matches(x, '[.!?"]$')
+                            AND NOT regexp_matches(x,
+                                '(?i)javascript|lorem ipsum|\{')))
+                       AS BIGINT) AS n_lines_kept
+            FROM s0 ORDER BY doc_id""",
+        # C4 doc gates: pure integer arithmetic on both sides (mean word
+        # length as min*words <= nonspace <= max*words).
+        "doc_c4_gate": r"""
+            WITH s0 AS """ + _lines_plant_sql() + r""",
+            m AS (
+              SELECT doc_id, t,
+                     CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT)
+                         AS n_words,
+                     CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT)
+                         AS n_sentences,
+                     CAST(length(t)
+                          - len(regexp_extract_all(t, '\s')) AS BIGINT)
+                         AS nonspace
+              FROM s0)
+            SELECT doc_id, t AS text, n_words, n_sentences,
+                   (n_words >= 5 AND n_words <= 100000
+                    AND nonspace >= 2 * n_words
+                    AND nonspace <= 12 * n_words
+                    AND n_sentences >= 1
+                    AND NOT regexp_matches(t, '(?i)lorem ipsum|\{'))
+                       AS keep
+            FROM m ORDER BY doc_id""",
+        # corpus-wide line dedup: Ray dedups 64-bit line hashes, the
+        # oracle ranks the line strings themselves — equivalent modulo
+        # 2^-64 collisions.  Empty lines are exempt on both sides.
+        "doc_line_dedup": """
+            WITH s0 AS """ + _lines_plant_sql() + """,
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM s0),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS ln,
+                     generate_subscripts(ls, 1) - 1 AS idx FROM l),
+            ranked AS (
+              SELECT doc_id, idx, ln,
+                     (ln = '' OR row_number() OVER
+                        (PARTITION BY ln ORDER BY doc_id, idx) = 1) AS keep
+              FROM lines),
+            kept AS (SELECT doc_id, idx, ln FROM ranked WHERE keep),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(ln, chr(10) ORDER BY idx) AS text,
+                     CAST(count(*) AS BIGINT) AS n_lines_kept
+              FROM kept GROUP BY doc_id)
+            SELECT s0.doc_id, coalesce(agg.text, '') AS text,
+                   coalesce(agg.n_lines_kept, 0) AS n_lines_kept
+            FROM s0 LEFT JOIN agg USING (doc_id) ORDER BY s0.doc_id""",
     }

@@ -1,0 +1,320 @@
+"""C4-style line-level corpus filters and corpus-wide exact line dedup.
+
+The C4 cleaning recipe (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning...", §2.2) filters web text at two granularities:
+
+* per LINE: keep only lines that end in terminal punctuation, have at
+  least N words, and don't match a blocklist ("javascript", "lorem
+  ipsum", curly braces);
+* per DOCUMENT: word-count range, mean word length range, minimum
+  sentence count, blocklist phrases;
+* across the CORPUS: any line occurring more than once is kept exactly
+  once (first occurrence wins).
+
+The reference collector expresses record-level drops with
+filterprocessor OTTL conditions (/root/reference/processor/
+filterprocessor/config.go — mirrored in stages/transform.py
+FilterStage); these stages apply the same drop-by-predicate idea
+INSIDE a text body, which a training-data pipeline needs and a
+telemetry pipeline doesn't.
+
+Scale notes (100 TB):
+* `LineFilter` / `C4DocFilter` are map-only, pure Arrow/numpy — zero
+  shuffle, one pass of RE2 kernels (same cost model as stages/pii.py).
+* `dedup_lines` shuffles ONLY fixed-width (hash, doc_id, line_idx)
+  triples — never the text — exactly like stages/substringdedup.py;
+  the cut map is broadcast once via ray.put (its size is O(duplicated
+  lines), the duplicated fraction of the corpus).
+* Line-hash collisions can only OVER-delete; at 64 bits the expected
+  corpus-wide collision count is ~n_lines^2 / 2^65 (negligible below
+  ~10^9 lines per run; shard bigger runs per epoch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# C4's terminal-punctuation rule; RE2 `$` = end-of-text on a single line
+TERMINAL_PUNCT_PAT = '[.!?"]$'
+# C4's line blocklist (javascript / lorem ipsum / curly brace)
+DEFAULT_DROP_PAT = r"(?i)javascript|lorem ipsum|\{"
+WORD_PAT = r"\S+"  # len(regexp_extract_all(x, '\S+')) in the oracle
+
+
+def _as_list_array(col) -> pa.ListArray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def _split_lines(text_col, sep: str):
+    """text column -> (null_mask ndarray, list<string> of lines)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    nulls = pc.is_null(text_col).to_numpy(zero_copy_only=False)
+    lines = _as_list_array(pc.split_pattern(pc.fill_null(text_col, ""), sep))
+    return nulls, lines
+
+
+def _rebuild_text(lines: pa.ListArray, keep: np.ndarray, n_rows: int,
+                  sep: str, nulls: np.ndarray):
+    """Filter flattened line values by `keep` and re-join per row.
+
+    Returns (text array with original nulls preserved, kept-count int64
+    array)."""
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lines)
+    kept_counts = np.bincount(parents[keep], minlength=n_rows) \
+        if len(parents) else np.zeros(n_rows, dtype=np.int64)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    new_list = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), flat.filter(pa.array(keep)))
+    joined = pc.binary_join(new_list, sep)
+    if nulls.any():
+        joined = pc.if_else(pa.array(nulls), pa.nulls(n_rows, pa.string()),
+                            joined)
+    return joined, pa.array(kept_counts.astype(np.int64))
+
+
+class LineFilter:
+    """map_batches stage: C4 line-level cleanup of `text_col`.
+
+    Keeps a line iff it has >= `min_words` whitespace-separated words,
+    ends in terminal punctuation (when `require_terminal_punct`), and
+    does not match `drop_pattern`.  Appends int64 `n_lines` /
+    `n_lines_kept` columns.  Pure Arrow — split, three RE2 kernels over
+    the flattened lines, vectorized list rebuild."""
+
+    def __init__(self, text_col: str = "text", min_words: int = 3,
+                 require_terminal_punct: bool = True,
+                 drop_pattern: str | None = DEFAULT_DROP_PAT,
+                 sep: str = "\n", count_cols: bool = True):
+        self.text_col = text_col
+        self.min_words = min_words
+        self.require_terminal_punct = require_terminal_punct
+        self.drop_pattern = drop_pattern
+        self.sep = sep
+        self.count_cols = count_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nulls, lines = _split_lines(batch.column(self.text_col), self.sep)
+        flat = pc.list_flatten(lines)
+        keep = np.ones(len(flat), dtype=bool)
+        if self.min_words > 0:
+            wc = pc.count_substring_regex(flat, WORD_PAT) \
+                .to_numpy(zero_copy_only=False)
+            keep &= wc >= self.min_words
+        if self.require_terminal_punct:
+            keep &= pc.match_substring_regex(flat, TERMINAL_PUNCT_PAT) \
+                .to_numpy(zero_copy_only=False)
+        if self.drop_pattern:
+            keep &= ~pc.match_substring_regex(flat, self.drop_pattern) \
+                .to_numpy(zero_copy_only=False)
+        text, kept = _rebuild_text(lines, keep, n, self.sep, nulls)
+        idx = batch.column_names.index(self.text_col)
+        out = batch.set_column(idx, self.text_col, text)
+        if self.count_cols:
+            total = pc.list_value_length(lines).cast(pa.int64())
+            out = out.append_column("n_lines", total)
+            out = out.append_column("n_lines_kept", kept)
+        return out
+
+
+class C4DocFilter:
+    """map_batches stage: C4 document-level gates as integer-exact flags.
+
+    A document is kept iff
+      * word count in [min_words, max_words],
+      * mean word length in [min_mean_word_len, max_mean_word_len]
+        (evaluated as the integer inequality
+         min*words <= non-space chars <= max*words — no float division,
+         bit-stable vs any SQL oracle),
+      * at least `min_sentences` terminal punctuation marks,
+      * no blocklist phrase (`drop_pattern`).
+
+    `mode="flag"` appends `n_words`, `n_sentences` (int64) and `keep`
+    (bool); `mode="drop"` filters the batch to kept rows."""
+
+    def __init__(self, text_col: str = "text", min_words: int = 5,
+                 max_words: int = 100000, min_mean_word_len: int = 2,
+                 max_mean_word_len: int = 12, min_sentences: int = 1,
+                 drop_pattern: str | None = r"(?i)lorem ipsum|\{",
+                 mode: str = "flag"):
+        if mode not in ("flag", "drop"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.text_col = text_col
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_mwl = min_mean_word_len
+        self.max_mwl = max_mean_word_len
+        self.min_sentences = min_sentences
+        self.drop_pattern = drop_pattern
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        filled = pc.fill_null(col, "")
+        words = pc.count_substring_regex(filled, WORD_PAT).cast(pa.int64())
+        chars = pc.utf8_length(filled).cast(pa.int64())
+        spaces = pc.count_substring_regex(filled, r"\s").cast(pa.int64())
+        nonspace = pc.subtract(chars, spaces)
+        sents = pc.count_substring_regex(filled, r"[.!?]").cast(pa.int64())
+        w = words.to_numpy(zero_copy_only=False)
+        ns = nonspace.to_numpy(zero_copy_only=False)
+        keep = (w >= self.min_words) & (w <= self.max_words)
+        keep &= (ns >= self.min_mwl * w) & (ns <= self.max_mwl * w)
+        keep &= sents.to_numpy(zero_copy_only=False) >= self.min_sentences
+        if self.drop_pattern:
+            keep &= ~pc.match_substring_regex(filled, self.drop_pattern) \
+                .to_numpy(zero_copy_only=False)
+        keep &= ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        if self.mode == "drop":
+            return batch.filter(pa.array(keep))
+        out = batch.append_column("n_words", words)
+        out = out.append_column("n_sentences", sents)
+        return out.append_column("keep", pa.array(keep))
+
+
+def c4_filter(ds, text_col: str = "text", min_words_per_line: int = 3,
+              min_words: int = 5, min_sentences: int = 1):
+    """The composed C4 cleanup: line filter then document gate (drop)."""
+    ds = ds.map_batches(
+        LineFilter(text_col=text_col, min_words=min_words_per_line),
+        batch_format="pyarrow")
+    return ds.map_batches(
+        C4DocFilter(text_col=text_col, min_words=min_words,
+                    min_sentences=min_sentences, mode="drop"),
+        batch_format="pyarrow")
+
+
+class _LineTripleEmitter:
+    """doc batch -> one (h, doc_id, line_idx) row per NON-EMPTY line.
+
+    line_idx is the line's position among ALL split lines of its doc
+    (empty ones included), so pass 2 can address lines by index."""
+
+    def __init__(self, id_col: str, text_col: str, sep: str):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .sample import hash64
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             self.id_col: batch.column(self.id_col).slice(0, 0),
+                             "line_idx": pa.array([], pa.int64())})
+        _, lines = _split_lines(batch.column(self.text_col), self.sep)
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        idx = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        if not nonempty.any():
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             self.id_col: batch.column(self.id_col).slice(0, 0),
+                             "line_idx": pa.array([], pa.int64())})
+        flat = flat.filter(pa.array(nonempty))
+        return pa.table({
+            "h": pa.array(hash64(flat)),
+            self.id_col: batch.column(self.id_col)
+                .take(pa.array(parents[nonempty])),
+            "line_idx": pa.array(idx[nonempty])})
+
+
+class _LineDropper:
+    """Second pass: drop the broadcast (doc_id -> line indices) set and
+    re-join; appends int64 `n_lines_kept`."""
+
+    def __init__(self, cut_ref, id_col: str, text_col: str, sep: str):
+        import ray
+
+        self.cuts = ray.get(cut_ref) if not isinstance(cut_ref, dict) \
+            else cut_ref
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nulls, lines = _split_lines(batch.column(self.text_col), self.sep)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        starts = np.zeros(n, dtype=np.int64)
+        if n:
+            np.cumsum(counts[:-1], out=starts[1:])
+        total = int(counts.sum()) if n else 0
+        keep = np.ones(total, dtype=bool)
+        ids = batch.column(self.id_col).to_pylist()
+        for r, did in enumerate(ids):
+            drop = self.cuts.get(did)
+            if drop is not None:
+                keep[starts[r] + drop[drop < counts[r]]] = False
+        text, kept = _rebuild_text(lines, keep, n, self.sep, nulls)
+        idx = batch.column_names.index(self.text_col)
+        out = batch.set_column(idx, self.text_col, text)
+        return out.append_column("n_lines_kept", kept)
+
+
+def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
+                sep: str = "\n", n_buckets: int = 16):
+    """Corpus-wide exact line dedup, first occurrence wins (C4 §2.2).
+
+    `ds_factory()` must rebuild the doc Dataset (read twice: triples,
+    then cutting — document text never shuffles).  Every non-empty line
+    occurring >= 2 times corpus-wide keeps only its min-(doc_id,
+    line_idx) copy; empty lines are untouched.  Returns the deduped
+    Dataset with an int64 `n_lines_kept` column."""
+    import pandas as pd
+    import ray
+
+    triples = ds_factory().map_batches(
+        _LineTripleEmitter, fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, sep=sep),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 24))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("h"), dtype=np.uint64)
+        return t.append_column(
+            "__bucket",
+            pa.array(((h * np.uint64(0xFF51AFD7ED558CCD)) >> np.uint64(40))
+                     .astype(np.int64) % n_buckets))
+
+    bucketed = triples.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(n_buckets)
+
+    def cuts_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "line_idx": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        sizes = g.groupby("h")["line_idx"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        g = g.sort_values(["h", id_col, "line_idx"], kind="stable")
+        non_keeper = g["h"].duplicated(keep="first")
+        g = g[non_keeper]
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "line_idx": g["line_idx"].to_numpy()})
+
+    cut_rows = bucketed.groupby("__bucket") \
+        .map_groups(cuts_in_bucket, batch_format="pandas").take_all()
+    cut_map: dict = {}
+    for r in cut_rows:
+        cut_map.setdefault(r[id_col], []).append(r["line_idx"])
+    cut_map = {k: np.array(sorted(v), dtype=np.int64)
+               for k, v in cut_map.items()}
+    ref = ray.put(cut_map)
+    return ds_factory().map_batches(
+        _LineDropper, fn_constructor_kwargs=dict(
+            cut_ref=ref, id_col=id_col, text_col=text_col, sep=sep),
+        batch_format="pyarrow", concurrency=(1, 24))

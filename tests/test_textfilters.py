@@ -1,0 +1,97 @@
+"""C4-style line filters, document gates, line dedup (stages/textfilters.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+    C4DocFilter,
+    LineFilter,
+    c4_filter,
+    dedup_lines,
+)
+
+
+def _tbl(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_line_filter_rules():
+    t = _tbl(["good line stays here.\nshort.\nno terminal punct line",
+              "contains lorem ipsum filler here.\nanother fine line stays!",
+              None,
+              ""])
+    out = LineFilter(min_words=3)(t)
+    texts = out.column("text").to_pylist()
+    assert texts[0] == "good line stays here."
+    assert texts[1] == "another fine line stays!"
+    assert texts[2] is None  # null preserved
+    assert texts[3] == ""
+    assert out.column("n_lines").to_pylist() == [3, 2, 1, 1]
+    assert out.column("n_lines_kept").to_pylist() == [1, 1, 0, 0]
+
+
+def test_line_filter_all_kept_roundtrips():
+    body = "one two three four.\nfive six seven eight!"
+    out = LineFilter(min_words=3)(_tbl([body]))
+    assert out.column("text").to_pylist() == [body]
+
+
+def test_doc_filter_gates():
+    t = _tbl(["solid document with enough words here.",       # keep
+              "tiny.",                                        # < min_words
+              "no terminal punctuation in this document at all",  # 0 sentences
+              "a { b } c d e f.",                             # blocklist {
+              "aaaaaaaaaaaaaaaaaaaaaaaaa" * 4 + " x y z a b.",  # mwl > 12
+              None])
+    out = C4DocFilter(min_words=5, min_sentences=1)(t)
+    assert out.column("keep").to_pylist() == [True, False, False, False,
+                                              False, False]
+    dropped = C4DocFilter(min_words=5, min_sentences=1, mode="drop")(t)
+    assert dropped.num_rows == 1
+
+
+def test_c4_filter_composed_dataset():
+    texts = ["keep this longer line intact.\njs { inline }",
+             "drop me entirely"]
+    ds = ray.data.from_arrow(_tbl(texts))
+    got = c4_filter(ds).to_pandas()
+    assert list(got["text"]) == ["keep this longer line intact."]
+
+
+def test_dedup_lines_first_occurrence_wins():
+    texts = ["shared boilerplate footer line\nunique alpha content",
+             "unique beta content\nshared boilerplate footer line",
+             "shared boilerplate footer line\nunique gamma content"]
+    tbl = _tbl(texts)
+    out = dedup_lines(lambda: ray.data.from_arrow(tbl)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == texts[0]          # doc 0 keeps its copy
+    assert out.loc[1, "text"] == "unique beta content"
+    assert out.loc[2, "text"] == "unique gamma content"
+    assert list(out["n_lines_kept"]) == [2, 1, 1]
+
+
+def test_dedup_lines_within_doc_and_empties():
+    texts = ["dup line\n\ndup line\ntail line", "\n\n"]
+    tbl = _tbl(texts)
+    out = dedup_lines(lambda: ray.data.from_arrow(tbl)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # second occurrence inside the same doc is cut; empty lines survive
+    assert out.loc[0, "text"] == "dup line\n\ntail line"
+    assert out.loc[1, "text"] == "\n\n"
+
+
+def test_dedup_lines_idempotent():
+    texts = ["x y z\nshared line", "shared line\nq r s"]
+    tbl = _tbl(texts)
+    once = dedup_lines(lambda: ray.data.from_arrow(tbl)) \
+        .drop_columns(["n_lines_kept"])
+    t1 = once.to_arrow_refs()
+    deduped = pa.concat_tables([__import__("ray").get(r) for r in t1])
+    again = dedup_lines(lambda: ray.data.from_arrow(deduped)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = deduped.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(again["text"]) == list(exp["text"])
