@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_pii_scrub",
     "doc_mix_sources",
     "otlp_roundtrip_counts",
+    "doc_lm_score",
     "doc_c4_line_filter",
     "doc_line_dedup",
 ]

@@ -1587,6 +1587,21 @@ def _lines_plant_sql() -> str:
     return f"(SELECT doc_id, {joined} AS t FROM documents)"
 
 
+def q_doc_lm_score(sf_dir: str):
+    """CCNet-style n-gram LM familiarity: build corpus bigram counts
+    (min_count=2), score each doc as sum floor(log2(1+count)) — integer
+    exact on both sides (stages/lmscore.py).  Only (hash, count) pairs
+    shuffle; the pruned model broadcasts once."""
+    from ..stages.lmscore import lm_familiarity
+
+    out = lm_familiarity(
+        lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=2, min_count=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_ngrams", "lm_score"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -1707,6 +1722,7 @@ def queries():
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_repetition": q_doc_repetition,
+        "doc_lm_score": q_doc_lm_score,
         "doc_c4_line_filter": q_doc_c4_line_filter,
         "doc_c4_gate": q_doc_c4_gate,
         "doc_line_dedup": q_doc_line_dedup,
@@ -2292,6 +2308,33 @@ def oracle_sql():
                    CAST(floor(max(c)::DOUBLE / sum(c) * 1000000) AS BIGINT)
                        AS top_gram_ppm
             FROM cnts GROUP BY doc_id""",
+        # quantized bigram LM: Ray counts 64-bit window hashes, the
+        # oracle counts the gram strings — equivalent modulo 2^-64
+        # collisions; floor(log2(1+c)) = length(bin(c+1)) - 1 exactly.
+        "doc_lm_score": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), big AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+              FROM tok
+              QUALIFY lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+            ), cnt AS (
+              SELECT g, count(*) AS c FROM big GROUP BY g
+              HAVING count(*) >= 2
+            ), per AS (
+              SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                     CAST(coalesce(sum(length(bin(coalesce(c.c, 0) + 1)) - 1),
+                                   0) AS BIGINT) AS lm_score
+              FROM big b LEFT JOIN cnt c USING (g) GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.n_ngrams, 0) AS n_ngrams,
+                   coalesce(per.lm_score, 0) AS lm_score
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id""",
         # C4 line filter: identical planted lines + identical RE2
         # predicates evaluated via DuckDB list lambdas.
         "doc_c4_line_filter": r"""

@@ -1,0 +1,137 @@
+"""Quantized n-gram language-model familiarity scoring (CCNet-style).
+
+CCNet (Wenzek et al. 2020) and the GPT-3/LLaMA data recipes score web
+documents with an n-gram language model and filter on the score.  A
+real KenLM isn't in this container, and float log-probs would never
+hash-match a SQL oracle anyway — so this stage implements the same
+pipeline shape with an INTEGER-EXACT quantized model:
+
+* model  = corpus-wide n-gram counts (min_count-pruned, top_v-capped);
+* score(doc) = sum over its n-grams of floor(log2(1 + count(gram))) —
+  a monotone quantized log-likelihood, bit-stable across numpy and SQL
+  (`length(bin(c+1)) - 1`).
+
+Ray-Data-first shape:
+* BUILD: map-only window hashing (the exact `WindowEmitter` machinery
+  from stages/substringdedup.py — model build and scoring share one
+  hash by construction) -> per-batch partial counts (np.unique) -> ONE
+  small groupby over (hash, partial) pairs, never raw windows;
+* the pruned model broadcasts once via `ray.put` as two sorted numpy
+  arrays (the stages/decontam.py searchsorted idiom); `top_v` bounds
+  broadcast and driver memory at 100 TB — raise `min_count` / lower
+  `top_v` for bigger corpora, the score degrades gracefully (rare
+  grams quantize to 0 bits anyway);
+* SCORE: map-only searchsorted probe + one bincount per batch.  Zero
+  text ever shuffles; the only exchange is the kilobyte count combine.
+
+Hash collisions can only INFLATE a score (two grams sharing a 64-bit
+hash pool their counts); expected corpus-wide collisions ~n_grams^2 /
+2^65 — negligible below ~10^9 distinct grams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .substringdedup import WindowEmitter
+
+
+def _bits(counts: np.ndarray) -> np.ndarray:
+    """floor(log2(1 + c)) exactly for int64 c >= 0 (frexp exponent —
+    exact while 1 + c is exactly representable, i.e. c < 2^53)."""
+    return (np.frexp(counts.astype(np.float64) + 1.0)[1] - 1).astype(np.int64)
+
+
+def build_ngram_model(ds, n: int = 2, min_count: int = 2,
+                      top_v: int = 5_000_000, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Count corpus n-grams and broadcast the pruned model.
+
+    Returns (model_ref, vocab_size): `model_ref` is a ray.put handle to
+    (sorted int64 hash views, int64 counts)."""
+    import ray
+
+    wins = ds.map_batches(
+        WindowEmitter, fn_constructor_kwargs=dict(
+            w=n, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 24))
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("h"), dtype=np.uint64)
+        uh, uc = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "c": pa.array(uc.astype(np.int64))})
+
+    totals = wins.map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").sum("c")
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.rename_columns(["h", "c"])
+        return t.filter(pc.greater_equal(t.column("c"), min_count))
+
+    totals = totals.map_batches(prune, batch_format="pyarrow")
+    if top_v is not None:
+        totals = totals.sort("c", descending=True).limit(top_v)
+    parts = [ray.get(r) for r in totals.to_arrow_refs()]
+    tbl = pa.concat_tables([p for p in parts if p.num_rows] or
+                           [pa.table({"h": pa.array([], pa.int64()),
+                                      "c": pa.array([], pa.int64())})])
+    hs = np.asarray(tbl.column("h"), dtype=np.int64)
+    cs = np.asarray(tbl.column("c"), dtype=np.int64)
+    order = np.argsort(hs, kind="stable")
+    hs, cs = np.ascontiguousarray(hs[order]), np.ascontiguousarray(cs[order])
+    return ray.put((hs, cs)), len(hs)
+
+
+class NgramScorer:
+    """map_batches stage: append int64 `n_ngrams` and `lm_score`.
+
+    `lm_score` = sum of floor(log2(1 + model_count)) over the doc's
+    n-grams (0 for grams absent from the pruned model)."""
+
+    def __init__(self, model_ref, n: int = 2, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.hs, cs = (ray.get(model_ref)
+                       if not isinstance(model_ref, tuple) else model_ref)
+        self.bits = _bits(cs)
+        self.emitter = WindowEmitter(w=n, id_col=id_col, text_col=text_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        win_row, _, sh = self.emitter.windows(batch)
+        shv = sh.view(np.int64)
+        if len(win_row):
+            idx = np.searchsorted(self.hs, shv)
+            idx[idx == len(self.hs)] = 0
+            found = (self.hs[idx] == shv) if len(self.hs) else \
+                np.zeros(len(shv), dtype=bool)
+            w = np.zeros(len(shv), dtype=np.float64)
+            w[found] = self.bits[idx[found]]
+            score = np.bincount(win_row, weights=w, minlength=n)
+            grams = np.bincount(win_row, minlength=n)
+        else:
+            score = np.zeros(n)
+            grams = np.zeros(n, dtype=np.int64)
+        out = batch.append_column("n_ngrams",
+                                  pa.array(grams.astype(np.int64)))
+        return out.append_column("lm_score",
+                                 pa.array(score.astype(np.int64)))
+
+
+def lm_familiarity(ds_factory, n: int = 2, min_count: int = 2,
+                   top_v: int = 5_000_000, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Build the quantized n-gram model from `ds_factory()` and score
+    the same corpus (the CCNet self-scoring setup).  Two passes over
+    the input; document text never shuffles."""
+    ref, _ = build_ngram_model(ds_factory(), n=n, min_count=min_count,
+                               top_v=top_v, id_col=id_col, text_col=text_col)
+    return ds_factory().map_batches(
+        NgramScorer, fn_constructor_kwargs=dict(
+            model_ref=ref, n=n, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 24))

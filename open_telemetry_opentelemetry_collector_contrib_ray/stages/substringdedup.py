@@ -77,12 +77,18 @@ class WindowEmitter:
                          "pos": pa.array([], pa.int64()),
                          "h": pa.array([], pa.uint64())})
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def windows(self, batch: pa.Table):
+        """(win_row, pos, h) ndarrays for every valid w-token window in
+        the batch — win_row indexes batch rows.  Shared with
+        stages/lmscore.py (the n-gram LM uses the identical window
+        hash, so model build and scoring agree by construction)."""
         import pyarrow.compute as pc
 
         n, w = batch.num_rows, self.w
+        z = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.uint64))
         if n == 0:
-            return self._empty(batch)
+            return z
         lower = pc.utf8_lower(batch.column(self.text_col))
         # split on the complement class == findall('[a-z0-9_]+') after
         # dropping the empty boundary segments (exact oracle parity)
@@ -93,7 +99,7 @@ class WindowEmitter:
             .to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(parts)
         if len(flat) == 0:
-            return self._empty(batch)
+            return z
         enc = flat.dictionary_encode()
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
@@ -109,17 +115,23 @@ class WindowEmitter:
         tokcnt = np.bincount(row_of_tok, minlength=n)
         m = len(H) - w + 1
         if m <= 0:
-            return self._empty(batch)
+            return z
         sh = _window_hashes(H, w)
         # a window is real only when it stays inside one document
         valid = row_of_tok[:m] == row_of_tok[w - 1:]
         starts = np.concatenate([[0], np.cumsum(tokcnt)[:-1]])
         win_row = row_of_tok[:m][valid]
         pos = np.nonzero(valid)[0] - starts[win_row]
+        return win_row, pos.astype(np.int64), sh[valid]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        win_row, pos, sh = self.windows(batch)
+        if len(win_row) == 0:
+            return self._empty(batch)
         return pa.table({
             self.id_col: batch.column(self.id_col).take(pa.array(win_row)),
-            "pos": pa.array(pos.astype(np.int64)),
-            "h": pa.array(sh[valid])})
+            "pos": pa.array(pos),
+            "h": pa.array(sh)})
 
 
 def duplicate_windows(ds, w: int = 8, id_col: str = "doc_id",
