@@ -183,13 +183,18 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
         def pre_reduce(t: pa.Table) -> pa.Table:
             return _merge_partials_keep_partial(t, keys, specs)
 
-        reduced = partial.map_batches(pre_reduce, batch_format="pyarrow",
-                                      batch_size=65536)
-        # materialize BEFORE to_arrow_refs: on a plan whose schema is not
-        # statically known, to_arrow_refs first resolves the schema by
-        # executing the plan with limit=1 — which cannot short-circuit an
-        # upstream all-to-all (join/groupby), so the whole DAG would run
-        # TWICE.  materialize() runs it once and caches the blocks.
+        # materialize the partials BEFORE the rebatching pre-reduce:
+        # (1) a row-count batch_size fuses with the upstream map chain
+        # and bundles by INPUT rows — when upstream rows are coarse
+        # (e.g. one row per file in a binary reader) the whole input
+        # collapses into one task and the entire pipeline runs serially
+        # (observed: 9.5s -> 1.3s on the otlp roundtrip);
+        # (2) on a plan whose schema is not statically known,
+        # to_arrow_refs would re-execute the DAG to resolve the schema.
+        # The partial blocks are tiny (one row per key per input batch),
+        # so holding them in the object store is free.
+        reduced = partial.materialize().map_batches(
+            pre_reduce, batch_format="pyarrow", batch_size=65536)
         refs = reduced.materialize().to_arrow_refs()
         all_tables = ray.get(refs)
         tables = [t for t in all_tables if t.num_rows]

@@ -72,8 +72,9 @@ def build_ngram_model(ds, n: int = 2, min_count: int = 2,
         t = t.rename_columns(["h", "c"])
         return t.filter(pc.greater_equal(t.column("c"), min_count))
 
-    totals = totals.map_batches(prune, batch_format="pyarrow")
-    if top_v is not None:
+    totals = totals.map_batches(prune, batch_format="pyarrow").materialize()
+    if top_v is not None and totals.count() > top_v:
+        # only pay the sort shuffle when the cap actually binds
         totals = totals.sort("c", descending=True).limit(top_v)
     parts = [ray.get(r) for r in totals.to_arrow_refs()]
     tbl = pa.concat_tables([p for p in parts if p.num_rows] or

@@ -233,18 +233,24 @@ class _LineTripleEmitter:
 
 class _LineDropper:
     """Second pass: drop the broadcast (doc_id -> line indices) set and
-    re-join; appends int64 `n_lines_kept`."""
+    re-join; appends int64 `n_lines_kept`.
+
+    Shipped as an INSTANCE (task pool — no actor startup): it carries
+    only the ObjectRef; ray.get resolves from the local object store
+    per task (zero-copy shared memory, broadcast not re-shipped)."""
 
     def __init__(self, cut_ref, id_col: str, text_col: str, sep: str):
-        import ray
-
-        self.cuts = ray.get(cut_ref) if not isinstance(cut_ref, dict) \
-            else cut_ref
+        self.cut_ref = cut_ref
+        self.cuts = cut_ref if isinstance(cut_ref, dict) else None
         self.id_col = id_col
         self.text_col = text_col
         self.sep = sep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.cuts is None:
+            import ray
+
+            self.cuts = ray.get(self.cut_ref)
         n = batch.num_rows
         nulls, lines = _split_lines(batch.column(self.text_col), self.sep)
         counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
@@ -265,31 +271,28 @@ class _LineDropper:
 
 
 def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
-                sep: str = "\n", n_buckets: int = 16):
+                sep: str = "\n", n_buckets: int = 16,
+                driver_threshold: int = 5_000_000):
     """Corpus-wide exact line dedup, first occurrence wins (C4 §2.2).
 
     `ds_factory()` must rebuild the doc Dataset (read twice: triples,
     then cutting — document text never shuffles).  Every non-empty line
     occurring >= 2 times corpus-wide keeps only its min-(doc_id,
     line_idx) copy; empty lines are untouched.  Returns the deduped
-    Dataset with an int64 `n_lines_kept` column."""
+    Dataset with an int64 `n_lines_kept` column.
+
+    The fixed-width triple set materializes (~24 B/line, a small
+    fraction of corpus bytes; the object store spills if needed).
+    Below `driver_threshold` triples the keeper selection is ONE
+    vectorized driver pass (no shuffle at all — the dedup_clusters /
+    grouped_agg combine="driver" idiom); above it, a bucket exchange
+    keeps every worker's slice bounded."""
     import pandas as pd
     import ray
 
     triples = ds_factory().map_batches(
-        _LineTripleEmitter, fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, sep=sep),
-        batch_format="pyarrow", batch_size=8192, concurrency=(1, 24))
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = np.asarray(t.column("h"), dtype=np.uint64)
-        return t.append_column(
-            "__bucket",
-            pa.array(((h * np.uint64(0xFF51AFD7ED558CCD)) >> np.uint64(40))
-                     .astype(np.int64) % n_buckets))
-
-    bucketed = triples.map_batches(add_bucket, batch_format="pyarrow") \
-        .repartition(n_buckets)
+        _LineTripleEmitter(id_col=id_col, text_col=text_col, sep=sep),
+        batch_format="pyarrow").materialize()
 
     def cuts_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
@@ -306,8 +309,22 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              "line_idx": g["line_idx"].to_numpy()})
 
-    cut_rows = bucketed.groupby("__bucket") \
-        .map_groups(cuts_in_bucket, batch_format="pandas").take_all()
+    if triples.count() <= driver_threshold:
+        whole = pa.concat_tables(ray.get(triples.to_arrow_refs()))
+        cut_df = cuts_in_bucket(whole.to_pandas())
+        cut_rows = cut_df.to_dict("records")
+    else:
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = np.asarray(t.column("h"), dtype=np.uint64)
+            return t.append_column(
+                "__bucket",
+                pa.array(((h * np.uint64(0xFF51AFD7ED558CCD))
+                          >> np.uint64(40)).astype(np.int64) % n_buckets))
+
+        bucketed = triples.map_batches(add_bucket, batch_format="pyarrow") \
+            .repartition(n_buckets)
+        cut_rows = bucketed.groupby("__bucket") \
+            .map_groups(cuts_in_bucket, batch_format="pandas").take_all()
     cut_map: dict = {}
     for r in cut_rows:
         cut_map.setdefault(r[id_col], []).append(r["line_idx"])
@@ -315,6 +332,5 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
                for k, v in cut_map.items()}
     ref = ray.put(cut_map)
     return ds_factory().map_batches(
-        _LineDropper, fn_constructor_kwargs=dict(
-            cut_ref=ref, id_col=id_col, text_col=text_col, sep=sep),
-        batch_format="pyarrow", concurrency=(1, 24))
+        _LineDropper(ref, id_col=id_col, text_col=text_col, sep=sep),
+        batch_format="pyarrow")
