@@ -1587,6 +1587,44 @@ def _lines_plant_sql() -> str:
     return f"(SELECT doc_id, {joined} AS t FROM documents)"
 
 
+def q_doc_url_normalize(sf_dir: str):
+    """CC/C4-style URL canonicalization before URL dedup: plant a
+    deterministic messy URL per doc, normalize (lowercase authority,
+    strip fragment / tracking params / default ports / trailing slash),
+    emit (doc_id, url_norm, host).  Map-only RE2 chain
+    (stages/urltools.py); the oracle replays the identical chain."""
+    from ..stages.urltools import UrlNormalizer
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        d = np.asarray(did.to_numpy(zero_copy_only=False))
+        ds_ = pc.cast(did, pa.string())
+        url = pc.binary_join_element_wise(
+            pc.if_else(pa.array(d % 2 == 0), pa.scalar("HTTPS"),
+                       pa.scalar("HTTP")),
+            pa.scalar("://WWW.Site"), pc.cast(pa.array(d % 7), pa.string()),
+            pa.scalar(".COM"),
+            pc.if_else(pa.array(d % 3 == 0), pa.scalar(":443"),
+                       pc.if_else(pa.array(d % 3 == 1), pa.scalar(":80"),
+                                  pa.scalar(""))),
+            pa.scalar("/Path"), pc.cast(pa.array(d % 5), pa.string()),
+            pc.if_else(pa.array(d % 4 == 0), pa.scalar("/"), pa.scalar("")),
+            pa.scalar("?utm_source=a&id="), ds_,
+            pa.scalar("&utm_campaign=b"),
+            pc.if_else(pa.array(d % 3 == 0), pa.scalar("#frag"),
+                       pa.scalar("")),
+            pa.scalar(""))
+        return t.append_column("url", url)
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+        .map_batches(UrlNormalizer(), batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["doc_id", "url_norm", "host"]),
+                     batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
 def q_doc_lm_score(sf_dir: str):
     """CCNet-style n-gram LM familiarity: build corpus bigram counts
     (min_count=2), score each doc as sum floor(log2(1+count)) — integer
@@ -1723,6 +1761,7 @@ def queries():
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_repetition": q_doc_repetition,
         "doc_lm_score": q_doc_lm_score,
+        "doc_url_normalize": q_doc_url_normalize,
         "doc_c4_line_filter": q_doc_c4_line_filter,
         "doc_c4_gate": q_doc_c4_gate,
         "doc_line_dedup": q_doc_line_dedup,
@@ -2308,6 +2347,47 @@ def oracle_sql():
                    CAST(floor(max(c)::DOUBLE / sum(c) * 1000000) AS BIGINT)
                        AS top_gram_ppm
             FROM cnts GROUP BY doc_id""",
+        # URL canonicalization: the identical RE2 chain replayed in
+        # DuckDB ('g' = global, matching Arrow's replace-all default).
+        "doc_url_normalize": r"""
+            WITH s0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END
+                     || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                     || CASE WHEN doc_id % 3 = 0 THEN ':443'
+                             WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END
+                     || '/Path' || CAST(doc_id % 5 AS VARCHAR)
+                     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                     || '?utm_source=a&id=' || CAST(doc_id AS VARCHAR)
+                     || '&utm_campaign=b'
+                     || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END
+                         AS url
+              FROM documents),
+            c1 AS (SELECT doc_id, regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(url, '#.*$', '', 'g'),
+                         '(utm_[a-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                       '[?&]$', '', 'g'),
+                     '\?&', '?', 'g') AS u FROM s0),
+            c2 AS (SELECT doc_id,
+                     CASE WHEN regexp_matches(u,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')
+                          THEN lower(regexp_extract(u,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+                             || regexp_replace(u,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+                          ELSE u END AS u FROM c1),
+            c3 AS (SELECT doc_id, regexp_replace(
+                     regexp_replace(
+                       regexp_replace(u,
+                         '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+                       '^(https://[^/?#:]*):443([/?#]|$)', '\1\2'),
+                     '/$', '') AS u FROM c2)
+            SELECT doc_id, u AS url_norm,
+                   coalesce(regexp_extract(u,
+                       '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1), '') AS host
+            FROM c3 ORDER BY doc_id""",
         # quantized bigram LM: Ray counts 64-bit window hashes, the
         # oracle counts the gram strings — equivalent modulo 2^-64
         # collisions; floor(log2(1+c)) = length(bin(c+1)) - 1 exactly.
