@@ -232,16 +232,21 @@ class _LineTripleEmitter:
 
 
 class _LineDropper:
-    """Second pass: drop the broadcast (doc_id -> line indices) set and
-    re-join; appends int64 `n_lines_kept`.
+    """Second pass: drop the broadcast cut set and re-join; appends
+    int64 `n_lines_kept`.
 
-    Shipped as an INSTANCE (task pool — no actor startup): it carries
-    only the ObjectRef; ray.get resolves from the local object store
-    per task (zero-copy shared memory, broadcast not re-shipped)."""
+    The cut set broadcasts as two PARALLEL SORTED numpy arrays
+    (doc_ids, line_idx) — a dict of per-doc arrays costs a Python
+    loop per duplicated doc on both build and probe sides, which
+    dominated a worst-case (99%-duplicate) corpus.  Probe is fully
+    vectorized: searchsorted range lookup + repeat/cumsum expansion.
+    Shipped as an INSTANCE (task pool — no actor startup); carries
+    only the ObjectRef, resolved zero-copy from the local object
+    store per task."""
 
     def __init__(self, cut_ref, id_col: str, text_col: str, sep: str):
         self.cut_ref = cut_ref
-        self.cuts = cut_ref if isinstance(cut_ref, dict) else None
+        self.cuts = cut_ref if isinstance(cut_ref, tuple) else None
         self.id_col = id_col
         self.text_col = text_col
         self.sep = sep
@@ -251,19 +256,29 @@ class _LineDropper:
             import ray
 
             self.cuts = ray.get(self.cut_ref)
+        cut_docs, cut_idx = self.cuts
         n = batch.num_rows
         nulls, lines = _split_lines(batch.column(self.text_col), self.sep)
-        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         starts = np.zeros(n, dtype=np.int64)
         if n:
             np.cumsum(counts[:-1], out=starts[1:])
         total = int(counts.sum()) if n else 0
         keep = np.ones(total, dtype=bool)
-        ids = batch.column(self.id_col).to_pylist()
-        for r, did in enumerate(ids):
-            drop = self.cuts.get(did)
-            if drop is not None:
-                keep[starts[r] + drop[drop < counts[r]]] = False
+        if len(cut_docs) and n:
+            ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(cut_docs, ids, "left")
+            hi = np.searchsorted(cut_docs, ids, "right")
+            cnt = hi - lo
+            m = int(cnt.sum())
+            if m:
+                rows = np.repeat(np.arange(n, dtype=np.int64), cnt)
+                within = np.arange(m, dtype=np.int64) \
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                drop_idx = cut_idx[np.repeat(lo, cnt) + within]
+                ok = drop_idx < counts[rows]
+                keep[starts[rows[ok]] + drop_idx[ok]] = False
         text, kept = _rebuild_text(lines, keep, n, self.sep, nulls)
         idx = batch.column_names.index(self.text_col)
         out = batch.set_column(idx, self.text_col, text)
@@ -312,7 +327,6 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
     if triples.count() <= driver_threshold:
         whole = pa.concat_tables(ray.get(triples.to_arrow_refs()))
         cut_df = cuts_in_bucket(whole.to_pandas())
-        cut_rows = cut_df.to_dict("records")
     else:
         def add_bucket(t: pa.Table) -> pa.Table:
             h = np.asarray(t.column("h"), dtype=np.uint64)
@@ -323,14 +337,18 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
 
         bucketed = triples.map_batches(add_bucket, batch_format="pyarrow") \
             .repartition(n_buckets)
-        cut_rows = bucketed.groupby("__bucket") \
-            .map_groups(cuts_in_bucket, batch_format="pandas").take_all()
-    cut_map: dict = {}
-    for r in cut_rows:
-        cut_map.setdefault(r[id_col], []).append(r["line_idx"])
-    cut_map = {k: np.array(sorted(v), dtype=np.int64)
-               for k, v in cut_map.items()}
-    ref = ray.put(cut_map)
+        cut_ds = bucketed.groupby("__bucket") \
+            .map_groups(cuts_in_bucket, batch_format="pandas")
+        cut_df = pa.concat_tables(
+            [t.select([id_col, "line_idx"])
+             for t in ray.get(cut_ds.materialize().to_arrow_refs())]) \
+            .to_pandas()
+    cd = cut_df[id_col].to_numpy()  # int64 for the test corpus; any
+    # comparable dtype works (searchsorted/lexsort are generic)
+    ci = cut_df["line_idx"].to_numpy().astype(np.int64)
+    order = np.lexsort((ci, cd))
+    ref = ray.put((np.ascontiguousarray(cd[order]),
+                   np.ascontiguousarray(ci[order])))
     return ds_factory().map_batches(
         _LineDropper(ref, id_col=id_col, text_col=text_col, sep=sep),
         batch_format="pyarrow")
