@@ -1077,6 +1077,33 @@ def q_multimodal_pipeline(sf_dir: str):
                               batch_format="pyarrow")
 
 
+def q_image_dedup(sf_dir: str):
+    """REAL image near-dup: decode BMP payloads in pure numpy, 8x8
+    grayscale thumbnail, 64-bit average-hash, exact-match grouping on
+    the hash (pixels never shuffle — only the 8-byte hash).  Planted
+    duplicate pairs must land in 2-member groups (rows-only check; the
+    decode is not SQL-expressible)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        ImageAHash,
+        ImagePixelDecoder,
+        synth_bmp_table,
+    )
+
+    ds = rd.from_arrow(synth_bmp_table(210, dup_every=7))
+    ds = ds.map_batches(ImagePixelDecoder, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+    ds = ds.map_batches(ImageAHash(), batch_format="pyarrow")
+    groups = ds.map_batches(
+        lambda t: t.select(["item_id", "ahash"]), batch_format="pyarrow") \
+        .groupby("ahash").count()
+    dups = groups.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("count()"), 2)),
+        batch_format="pyarrow")
+    return dups.sort("ahash")
+
+
 def q_embedding_dim_sums(sf_dir: str):
     """Explode/unnest a list column (make_explode — pure-Arrow
     list_flatten + parent-index arithmetic) then aggregate per element
@@ -1740,6 +1767,7 @@ def queries():
         "doc_fingerprint": q_doc_fingerprint,
         "knn_ivf": q_knn_ivf,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "image_dedup": q_image_dedup,
         "audio_pipeline": q_audio_pipeline,
         "customer_nations": q_customer_nations,
         "embedding_dim_sums": q_embedding_dim_sums,

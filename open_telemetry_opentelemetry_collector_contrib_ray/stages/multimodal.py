@@ -112,6 +112,191 @@ class FrameSampler:
                          "frame_payload": pa.array(frames, pa.large_binary())})
 
 
+# ------------------------------------------------------------------ real
+# image codecs: BMP (24-bit BI_RGB) and netpbm (binary P5/P6) decode in
+# pure numpy — no PIL needed.  JPEG/PNG remain PIL-gated (not in this
+# container).  This makes the image path REAL end-to-end for
+# uncompressed formats: decode -> thumbnail -> perceptual aHash dedup.
+
+import struct
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_len = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    # BMP stores bottom-up BGR
+    rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    hsize = struct.unpack_from("<I", buf, 14)[0]
+    if hsize < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    data = np.frombuffer(buf, np.uint8, count=row_len * h, offset=offset)
+    rows = data.reshape(h, row_len)[:, :w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
+
+
+def decode_pnm(buf: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB, maxval<=255) -> (H, W, 3) uint8."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # ASCII tokens ('#' comments allowed), then a single whitespace byte
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(buf) and buf[i:i + 1].isspace():
+            i += 1
+        if buf[i:i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j:j + 1].isspace():
+            j += 1
+        toks.append(int(buf[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    if buf[:2] == b"P6":
+        px = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=i) \
+            .reshape(h, w, 3)
+        return np.ascontiguousarray(px)
+    gray = np.frombuffer(buf, np.uint8, count=w * h, offset=i).reshape(h, w)
+    return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Sniff-and-decode: BMP / binary PNM in pure numpy; anything else
+    needs PIL (raises NotImplementedError without it)."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:2] in (b"P5", b"P6"):
+        return decode_pnm(buf)
+    try:
+        import io
+
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(buf)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "decoding this format needs PIL; only BMP/PNM decode natively")
+
+
+def synth_bmp_table(n: int, seed: int = 5, dup_every: int = 7) -> pa.Table:
+    """REAL decodable BMP payloads: deterministic low-frequency sinusoid
+    patterns (distinct per item) with planted exact duplicates — items
+    0 and 1 of every `dup_every` block carry bit-identical pixels (the
+    re-crawled-image case aHash dedup targets)."""
+    payloads, widths, heights = [], [], []
+    for i in range(n):
+        g = i // dup_every if i % dup_every < 2 else i  # items 0,1 of
+        # each block share a pattern (planted dup pair); rest unique
+        r = np.random.RandomState(1000 + g)
+        w = int(r.randint(12, 40))
+        h = int(r.randint(12, 40))
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.zeros((h, w, 3))
+        for c in range(3):
+            fy, fx = r.uniform(0.5, 3, 2)
+            phase = r.uniform(0, 2 * np.pi)
+            px[:, :, c] = 127.5 * (1 + np.sin(
+                2 * np.pi * (fy * yy / h + fx * xx / w) + phase))
+        px = np.clip(px, 0, 255).astype(np.uint8)
+        payloads.append(encode_bmp(px))
+        widths.append(w)
+        heights.append(h)
+    return pa.table({
+        "item_id": pa.array(np.arange(n, dtype=np.int64)),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "mime": pa.array(["image/bmp"] * n),
+        "width": pa.array(np.array(widths, dtype=np.int32)),
+        "height": pa.array(np.array(heights, dtype=np.int32)),
+    })
+
+
+def _thumb_gray(px: np.ndarray, k: int = 8) -> np.ndarray:
+    """(H, W, 3) -> (k, k) float64 grayscale by nearest-neighbor center
+    sampling (deterministic, size-invariant)."""
+    h, w, _ = px.shape
+    ri = ((np.arange(k) + 0.5) * h / k).astype(np.int64).clip(0, h - 1)
+    ci = ((np.arange(k) + 0.5) * w / k).astype(np.int64).clip(0, w - 1)
+    g = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    return g[np.ix_(ri, ci)]
+
+
+class ImagePixelDecoder:
+    """REAL decode stage (BMP/PNM native, PIL-gated otherwise): appends
+    decoded dims, per-channel means (x1000 int64 — deterministic), and
+    a 64-dim grayscale thumbnail vector for downstream similarity."""
+
+    def __init__(self, thumb_k: int = 8):
+        self.k = thumb_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        dims = np.zeros((n, 2), dtype=np.int32)
+        means = np.zeros((n, 3), dtype=np.int64)
+        thumbs = np.zeros((n, self.k * self.k), dtype=np.float32)
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            px = decode_image(p)
+            dims[i] = (px.shape[0], px.shape[1])
+            means[i] = (px.reshape(-1, 3).mean(axis=0) * 1000).astype(np.int64)
+            thumbs[i] = _thumb_gray(px, self.k).reshape(-1)
+        out = (batch.append_column("dec_height", pa.array(dims[:, 0]))
+               .append_column("dec_width", pa.array(dims[:, 1]))
+               .append_column("mean_r", pa.array(means[:, 0]))
+               .append_column("mean_g", pa.array(means[:, 1]))
+               .append_column("mean_b", pa.array(means[:, 2])))
+        flat = pa.array(thumbs.reshape(-1), pa.float32())
+        return out.append_column(
+            "thumb", pa.FixedSizeListArray.from_arrays(flat, self.k * self.k))
+
+
+class ImageAHash:
+    """Average-hash perceptual fingerprint over the thumbnail column:
+    bit i = thumb[i] > mean(thumb).  64-bit int64 column `ahash` —
+    exact-match grouping on it is the standard image near-dup recipe
+    (same shape as text exact dedup: hash shuffles, pixels don't)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("thumb")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        k2 = col.type.list_size
+        m = np.asarray(col.values, dtype=np.float64).reshape(-1, k2)
+        bits = m > m.mean(axis=1, keepdims=True)
+        weights = (np.uint64(1) << np.arange(k2, dtype=np.uint64))
+        h = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return batch.append_column(
+            "ahash", pa.array(h.view(np.int64), pa.int64()))
+
+
 AUDIO_SCHEMA = pa.schema([
     ("item_id", pa.int64()),
     ("payload", pa.large_binary()),   # PCM16LE mono
