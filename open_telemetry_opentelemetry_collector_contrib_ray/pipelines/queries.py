@@ -1022,12 +1022,15 @@ def q_doc_language_id(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
-    """Quality scoring columns over documents (rows-only)."""
+    """Quality scoring columns over documents (oracle-checked: integer
+    counts by identical RE2 patterns; ratios are single IEEE divisions
+    of exact integers, bit-deterministic across numpy and DuckDB)."""
     from ..stages.textstats import QualityScore
 
     ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
-    return ds.map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.drop_columns(["text"]),
+                          batch_format="pyarrow").sort("doc_id")
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -1561,6 +1564,50 @@ def q_doc_substring_cut(sf_dir: str):
             "n_chars_after": pc.utf8_length(t.column("text")).cast(pa.int64())})
 
     return out.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def _doc_quality_sql() -> str:
+    """DuckDB replay of stages/textstats.py QualityScore (patterns and
+    stopword alternation imported from the stage — one source of
+    truth)."""
+    from ..stages.textstats import _LANG_PROFILES
+
+    stop_alt = r"\b(" + "|".join(sorted(_LANG_PROFILES["en"])) + r")\b"
+    return rf"""
+        WITH m AS (
+          SELECT doc_id,
+                 lower(coalesce(text, '')) AS lo,
+                 CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+          FROM documents),
+        c AS (
+          SELECT doc_id, lo, n_chars,
+                 CAST(len(regexp_extract_all(lo, '\w+')) AS BIGINT)
+                     AS n_tokens,
+                 CAST(length(lo) - length(regexp_replace(lo, '\w+', '',
+                     'g')) AS BIGINT) AS word_chars,
+                 CAST(len(regexp_extract_all(lo, '{stop_alt}')) AS BIGINT)
+                     AS stop_hits,
+                 CAST(len(regexp_extract_all(lo, '\d')) AS BIGINT)
+                     AS digits,
+                 CAST((SELECT count(DISTINCT t)
+                       FROM unnest(regexp_extract_all(lo, '\w+')) AS u(t))
+                      AS BIGINT) AS n_distinct
+          FROM m)
+        SELECT doc_id,
+               n_chars AS q_n_chars,
+               n_tokens AS q_n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(word_chars AS DOUBLE) / n_tokens
+                    ELSE 0.0 END AS q_mean_word_len,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                    ELSE 0.0 END AS q_stop_ratio,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                    ELSE 0.0 END AS q_distinct_ratio,
+               CAST(digits AS DOUBLE) / greatest(n_chars, 1)
+                   AS q_digit_ratio
+        FROM c ORDER BY doc_id"""
 
 
 def _plant_lines(t: pa.Table) -> pa.Table:
@@ -2375,6 +2422,10 @@ def oracle_sql():
                    CAST(floor(max(c)::DOUBLE / sum(c) * 1000000) AS BIGINT)
                        AS top_gram_ppm
             FROM cnts GROUP BY doc_id""",
+        # quality scoring: integer counts via identical RE2 patterns;
+        # the float ratios are single IEEE divisions of exact integers —
+        # bit-deterministic across numpy and DuckDB.
+        "doc_quality": _doc_quality_sql(),
         # URL canonicalization: the identical RE2 chain replayed in
         # DuckDB ('g' = global, matching Arrow's replace-all default).
         "doc_url_normalize": r"""
