@@ -1012,13 +1012,15 @@ def q_neardup_dedup_docs(sf_dir: str):
 
 
 def q_doc_language_id(sf_dir: str):
-    """Heuristic language ID over documents (rows-only)."""
+    """Heuristic language ID over documents (oracle-checked: the
+    distinct-stopword vote + first-wins argmax replays as SQL FILTER
+    counts and an ordered CASE)."""
     from ..stages.textstats import LanguageId
 
     ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(LanguageId(), batch_format="pyarrow")
     return ds.map_batches(lambda t: t.select(["doc_id", "lang_guess"]),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow").sort("doc_id")
 
 
 def q_doc_quality(sf_dir: str):
@@ -1564,6 +1566,50 @@ def q_doc_substring_cut(sf_dir: str):
             "n_chars_after": pc.utf8_length(t.column("text")).cast(pa.int64())})
 
     return out.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def _doc_language_id_sql() -> str:
+    """DuckDB replay of stages/textstats.py LanguageId: per-language
+    DISTINCT-stopword votes, argmax with first-language-wins ties
+    (profile insertion order), script overrides, empty -> unknown."""
+    from ..stages.textstats import _CJK, _CYRILLIC, _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    vote_cols = []
+    coal = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        vote_cols.append(
+            f"count(DISTINCT t) FILTER (WHERE t IN ({words})) AS v_{lang}")
+        coal.append(f"coalesce(v.v_{lang}, 0) AS v_{lang}")
+    # argmax, first max wins: lang_i wins when its vote >= every later one
+    case = []
+    for i, lang in enumerate(langs):
+        conds = [f"v_{lang} >= v_{later}" for later in langs[i + 1:]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        case.append(f"WHEN {cond} THEN '{lang}'")
+    gmax = ", ".join(f"v_{lang}" for lang in langs)
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(
+                     lower(coalesce(text, '')), '\w+')) AS t
+          FROM documents),
+        votes AS (
+          SELECT doc_id, {", ".join(vote_cols)}
+          FROM tok GROUP BY doc_id),
+        full_votes AS (
+          SELECT d.doc_id, d.text, {", ".join(coal)}
+          FROM documents d LEFT JOIN votes v USING (doc_id))
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR text = '' THEN 'unknown'
+                    WHEN regexp_matches(text, '{_CJK.pattern}')
+                        THEN 'zh'
+                    WHEN regexp_matches(text, '{_CYRILLIC.pattern}')
+                        THEN 'ru'
+                    WHEN greatest({gmax}) = 0 THEN 'unknown'
+                    {" ".join(case)}
+                    END AS lang_guess
+        FROM full_votes ORDER BY doc_id"""
 
 
 def _doc_quality_sql() -> str:
@@ -2426,6 +2472,8 @@ def oracle_sql():
         # the float ratios are single IEEE divisions of exact integers —
         # bit-deterministic across numpy and DuckDB.
         "doc_quality": _doc_quality_sql(),
+        # language ID: distinct-stopword votes + ordered-CASE argmax
+        "doc_language_id": _doc_language_id_sql(),
         # URL canonicalization: the identical RE2 chain replayed in
         # DuckDB ('g' = global, matching Arrow's replace-all default).
         "doc_url_normalize": r"""
