@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "doc_mix_sources",
     "otlp_roundtrip_counts",
     "doc_lm_score",
+    "doc_pack_sequences",
     "doc_c4_line_filter",
     "doc_line_dedup",
 ]

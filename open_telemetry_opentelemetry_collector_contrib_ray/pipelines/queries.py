@@ -1707,6 +1707,26 @@ def _lines_plant_sql() -> str:
     return f"(SELECT doc_id, {joined} AS t FROM documents)"
 
 
+def q_doc_pack_sequences(sf_dir: str):
+    """Sequence packing for pretraining: estimate tokens per doc, then
+    greedily pack whole docs (doc_id order) into capacity-256 context
+    bins per source stream.  One bucketed shuffle by source; bins
+    assigned with an O(#bins) searchsorted loop (stages/packing.py).
+    The oracle replays the greedy fill as a recursive CTE."""
+    from ..stages.packing import pack_sequences
+    from ..stages.textstats import TokenCount
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds = ds.map_batches(TokenCount(), batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: t.drop_columns(["text"]),
+                        batch_format="pyarrow")
+    out = pack_sequences(ds, capacity=256, token_col="n_tokens_est")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_tokens_est",
+                            "bin_id", "bin_offset"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_url_normalize(sf_dir: str):
     """CC/C4-style URL canonicalization before URL dedup: plant a
     deterministic messy URL per doc, normalize (lowercase authority,
@@ -1883,6 +1903,7 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "doc_lm_score": q_doc_lm_score,
         "doc_url_normalize": q_doc_url_normalize,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
         "doc_c4_gate": q_doc_c4_gate,
         "doc_line_dedup": q_doc_line_dedup,
@@ -2474,6 +2495,40 @@ def oracle_sql():
         "doc_quality": _doc_quality_sql(),
         # language ID: distinct-stopword votes + ordered-CASE argmax
         "doc_language_id": _doc_language_id_sql(),
+        # sequence packing: greedy whole-doc fill replayed as a
+        # recursive CTE (the rate_limiting oracle idiom); token counts
+        # use the tokens_est expression.
+        "doc_pack_sequences": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(floor(greatest(
+                                 len(string_split_regex(trim(text), '\s+')),
+                                 length(text) / 4.0)) AS BIGINT) END
+                         AS n_tokens_est
+              FROM documents),
+            seq AS (
+              SELECT doc_id, source, n_tokens_est,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM t),
+            rec AS (
+              SELECT source, rn, doc_id, n_tokens_est,
+                     CAST(0 AS BIGINT) AS bin_id,
+                     n_tokens_est AS fill
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.source, s.rn, s.doc_id, s.n_tokens_est,
+                     CASE WHEN r.fill + s.n_tokens_est <= 256
+                          THEN r.bin_id ELSE r.bin_id + 1 END,
+                     CASE WHEN r.fill + s.n_tokens_est <= 256
+                          THEN r.fill + s.n_tokens_est
+                          ELSE s.n_tokens_est END
+              FROM rec r JOIN seq s
+                ON s.source = r.source AND s.rn = r.rn + 1)
+            SELECT doc_id, source, n_tokens_est, bin_id,
+                   fill - n_tokens_est AS bin_offset
+            FROM rec ORDER BY doc_id""",
         # URL canonicalization: the identical RE2 chain replayed in
         # DuckDB ('g' = global, matching Arrow's replace-all default).
         "doc_url_normalize": r"""
