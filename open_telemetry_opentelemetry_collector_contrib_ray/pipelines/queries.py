@@ -1389,8 +1389,9 @@ def q_latency_quantiles_by_tool(sf_dir: str):
 def q_approx_latency_quantiles(sf_dir: str):
     """Mergeable bottom-k-by-hash quantile sketch (the 100 TB path when
     one group exceeds a worker): deterministic uniform sample per group,
-    kilobyte shuffles, rank error O(1/sqrt(k)).  Rows-only for the
-    driver; rank-error bound pytest-verified."""
+    kilobyte shuffles, rank error O(1/sqrt(k)).  Fully oracle-checked:
+    md5 bottom-k is bit-replayable in DuckDB (md5_number_lower), so the
+    oracle reconstructs the exact sample and its percentile_disc."""
     from ..stages.sketch import approx_quantile
 
     ds = _parsed(sf_dir)
@@ -2406,6 +2407,27 @@ def oracle_sql():
                       '{TOOL_LINE_SQL_PAT}', 5), '') AS BIGINT) AS lat
                   FROM {_T} WHERE role = 'tool')
             WHERE lat IS NOT NULL
+            GROUP BY 1""",
+        # bottom-k-by-hash sample is DETERMINISTIC (md5_number_lower
+        # bit-parity with stages/sketch.py _hash64), so the oracle
+        # replays the exact sample: k smallest hashes per group, then
+        # percentile_disc over the sample.
+        "approx_latency_quantiles": f"""
+            WITH ranked AS (
+              SELECT tool, lat,
+                     row_number() OVER (
+                       PARTITION BY tool
+                       ORDER BY md5_number_lower(rid)) AS rn
+              FROM (SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool,
+                           try_cast(nullif(regexp_extract(text,
+                               '{TOOL_LINE_SQL_PAT}', 5), '') AS BIGINT) AS lat,
+                           conv_id || ':' || CAST(turn_idx AS VARCHAR) AS rid
+                    FROM {_T} WHERE role = 'tool')
+              WHERE lat IS NOT NULL)
+            SELECT tool, quantile_disc(lat, 0.50) AS p50,
+                   quantile_disc(lat, 0.95) AS p95,
+                   quantile_disc(lat, 0.99) AS p99
+            FROM ranked WHERE rn <= 2048
             GROUP BY 1""",
         "doc_mix_sources": """
             WITH w(source, wt) AS (VALUES """ + ", ".join(
