@@ -1812,6 +1812,192 @@ def q_doc_line_dedup(sf_dir: str):
     return dedup_lines(lambda: _plant_lines_ds(sf_dir)).sort("doc_id")
 
 
+_BM25_TERMS = ["spark", "vector", "stream"]
+
+
+def q_doc_token_df(sf_dir: str):
+    """Corpus document frequency per token, min_df-pruned (the DF half
+    of an inverted index; stages/relevance.py).  Shuffle volume is
+    vocab-per-batch — partial counts combine before the groupby."""
+    from ..stages.relevance import token_df
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_df(ds, min_df=5)
+
+
+def q_doc_bm25(sf_dir: str):
+    """Two-pass BM25 query scoring (stages/relevance.py): pass 1 reduces
+    the corpus to exact ints (N, sum dl, per-term df), pass 2 broadcasts
+    them into a stateless vectorized scorer.  The score derives from
+    exact ints through a fixed op order, so the SQL oracle matches
+    bitwise."""
+    from ..stages.relevance import bm25
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = bm25(ds, _BM25_TERMS)
+    return scored.map_batches(lambda t: t.select(["doc_id", "score"]),
+                              batch_format="pyarrow").sort("doc_id")
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment sizes under deterministic seed
+    centroids — the map half of distributed Lloyd (stages/cluster.py).
+    The oracle replays assignment with list_distance + row_number."""
+    from ..stages.cluster import cluster_sizes, seed_centroids
+
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = seed_centroids(ds, 8)
+    return cluster_sizes(ds, cents)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Full distributed Lloyd (3 iterations, k=8) then cluster sizes.
+    Rows-only: iterated centroids accumulate float sums in batch order;
+    convergence is pytest-checked on planted blobs."""
+    from ..stages.cluster import cluster_sizes, kmeans_fit
+
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, k=8, iters=3)
+    return cluster_sizes(ds, cents)
+
+
+def q_doc_length_filter(sf_dir: str):
+    """Corpus-percentile length gate (training-data length-outlier
+    removal): exact p95 via a VALUE histogram — distinct int lengths
+    shuffle, never rows — then the threshold broadcasts into a
+    stateless filter.  percentile_disc semantics: sorted[ceil(qn)-1]."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    hist = grouped_count(ds, ["n_chars"], alias="n", combine="driver") \
+        .to_pandas().sort_values("n_chars").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    rank = (95 * total + 99) // 100          # ceil(0.95 * total), exact
+    thr = int(hist.loc[hist["n"].cumsum() >= rank, "n_chars"].iloc[0])
+    return ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("n_chars"), thr)),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def q_doc_zscore(sf_dir: str):
+    """Per-source z-score normalization of document length: ONE
+    partial-agg pass reduces each source to exact int64 (n, sum, sum of
+    squares); the constants broadcast into a stateless vectorized map.
+    mean/var/z derive through a fixed op order (mean = s/n,
+    var = ss/n - mean^2, z = (x-mean)/sqrt(var)) so the SQL oracle
+    matches bitwise."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def sq(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars")
+        return t.append_column("n_sq", pc.multiply(x, x))
+
+    stats = grouped_agg(
+        ds.map_batches(sq, batch_format="pyarrow"), ["source"],
+        [("count", None, "n"), ("sum", "n_chars", "s"), ("sum", "n_sq", "ss")],
+        combine="driver").to_pandas()
+    srcs = stats["source"].tolist()
+    n = stats["n"].to_numpy(dtype=np.float64)
+    s = stats["s"].to_numpy(dtype=np.float64)
+    ss = stats["ss"].to_numpy(dtype=np.float64)
+    mean = s / n
+    var = ss / n - mean * mean
+    ref = ray.put((pa.array(srcs, pa.string()), mean, var))
+
+    class ZScore:
+        def __init__(self):
+            self.srcs, self.mean, self.var = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column("source"), value_set=self.srcs) \
+                    .to_numpy(zero_copy_only=False)
+            m, v = self.mean[idx], self.var[idx]
+            x = t.column("n_chars").to_numpy(zero_copy_only=False) \
+                 .astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = np.where(v > 0, (x - m) / np.sqrt(v), 0.0)
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "z": pa.array(z)})
+
+    return ds.map_batches(ZScore, batch_format="pyarrow",
+                          concurrency=(1, 4)).sort("doc_id")
+
+
+def q_rollup_event_counts(sf_dir: str):
+    """Two-level ROLLUP (event_type, hour): ONE distributed partial-count
+    pass produces the finest level; supergroups re-aggregate the tiny
+    finest table on the driver — the textbook rollup optimization (no
+    second scan).  NULL rollup slots use sentinels ('ALL', -1) so the
+    comparison is null-free."""
+    import pandas as pd
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour": pc.hour(t.column("ts")).cast(pa.int64())})
+
+    finest = grouped_count(ds.map_batches(hour, batch_format="pyarrow"),
+                           ["event_type", "hour"], alias="n",
+                           combine="driver").to_pandas()
+    lvl1 = finest.groupby("event_type", as_index=False)["n"].sum()
+    lvl1["hour"] = -1
+    lvl0 = pd.DataFrame({"event_type": ["ALL"], "hour": [-1],
+                         "n": [finest["n"].sum()]})
+    out = pd.concat([finest, lvl1[["event_type", "hour", "n"]], lvl0],
+                    ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """PIVOT: wide per-hour table, one count column per event type.
+    Single pass — per-batch boolean-mask int columns feed a partial-agg
+    sum, so the wide layout costs no extra scan and no shuffle."""
+    from ..stages.aggregate import grouped_agg
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts"])
+
+    def masks(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"hour": pc.hour(t.column("ts")).cast(pa.int64())}
+        for v in _EVENT_TYPES:
+            cols[f"n_{v}"] = pc.cast(pc.equal(et, v), pa.int64())
+        return pa.table(cols)
+
+    return grouped_agg(ds.map_batches(masks, batch_format="pyarrow"),
+                       ["hour"],
+                       [("sum", f"n_{v}", f"n_{v}") for v in _EVENT_TYPES],
+                       combine="driver")
+
+
+def q_role_pmi(sf_dir: str):
+    """Pointwise mutual information of (role -> next role) transitions:
+    the distributed adjacent-pair count (servicegraph edge machinery)
+    reduces to a tiny table; marginals and PMI derive from those exact
+    ints via one fixed-order formula (libm log), bit-replayable in SQL."""
+    import math
+
+    from ..stages.aggregate import adjacent_pairs
+
+    ds = read_transcripts(sf_dir)
+    pairs = adjacent_pairs(ds, cols=("role",))
+    df = grouped_count(pairs, ["role", "next_role"], alias="n").to_pandas()
+    total = int(df["n"].sum())
+    na = df.groupby("role")["n"].transform("sum").astype("int64")
+    nb = df.groupby("next_role")["n"].transform("sum").astype("int64")
+    df["pmi"] = [
+        math.log((float(n_ab) * float(total)) / (float(a) * float(b)))
+        for n_ab, a, b in zip(df["n"], na, nb)]
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["role", "next_role"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -1908,6 +2094,15 @@ def queries():
         "doc_c4_line_filter": q_doc_c4_line_filter,
         "doc_c4_gate": q_doc_c4_gate,
         "doc_line_dedup": q_doc_line_dedup,
+        "doc_token_df": q_doc_token_df,
+        "doc_bm25": q_doc_bm25,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_clusters": q_kmeans_clusters,
+        "doc_length_filter": q_doc_length_filter,
+        "doc_zscore": q_doc_zscore,
+        "rollup_event_counts": q_rollup_event_counts,
+        "pivot_event_counts": q_pivot_event_counts,
+        "role_pmi": q_role_pmi,
     }
 
 
@@ -2683,4 +2878,123 @@ def oracle_sql():
             SELECT s0.doc_id, coalesce(agg.text, '') AS text,
                    coalesce(agg.n_lines_kept, 0) AS n_lines_kept
             FROM s0 LEFT JOIN agg USING (doc_id) ORDER BY s0.doc_id""",
+        "doc_token_df": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                  FROM documents)
+            GROUP BY token HAVING count(*) >= 5""",
+        # BM25 (Lucene variant): every float derives from exact int64
+        # counts through the SAME op order as stages/relevance.py, so
+        # scores match bitwise (ln is libm on both sides).
+        "doc_bm25": r"""
+            WITH d AS (
+              SELECT doc_id, lower(coalesce(text, '')) AS lt FROM documents),
+            t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lt, '\w+')) AS BIGINT) AS dl,
+                     CAST(len(regexp_extract_all(lt, '\bspark\b')) AS BIGINT) AS tf0,
+                     CAST(len(regexp_extract_all(lt, '\bvector\b')) AS BIGINT) AS tf1,
+                     CAST(len(regexp_extract_all(lt, '\bstream\b')) AS BIGINT) AS tf2
+              FROM d),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sdl,
+                     CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM t),
+            c AS (
+              SELECT CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                     ln(1.0 + (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) AS idf0,
+                     ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) AS idf1,
+                     ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) AS idf2
+              FROM s),
+            norm AS (
+              SELECT t.doc_id,
+                     CAST(t.tf0 AS DOUBLE) AS f0, CAST(t.tf1 AS DOUBLE) AS f1,
+                     CAST(t.tf2 AS DOUBLE) AS f2,
+                     1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) / c.avgdl)) AS nrm,
+                     c.idf0, c.idf1, c.idf2
+              FROM t, c)
+            SELECT doc_id,
+                   idf0 * (f0 * (1.2 + 1.0)) / (f0 + nrm)
+                 + idf1 * (f1 * (1.2 + 1.0)) / (f1 + nrm)
+                 + idf2 * (f2 * (1.2 + 1.0)) / (f2 + nrm) AS score
+            FROM norm ORDER BY doc_id""",
+        # assignment replay: list_distance over DOUBLE[] (sqrt is
+        # monotonic, so argmin equals the squared-distance argmin);
+        # ties break toward the lowest centroid id on both sides.
+        "kmeans_assign": """
+            WITH seeds AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < 8),
+            d AS (
+              SELECT e.vec_id, s.cid,
+                     list_distance(CAST(e.embedding AS DOUBLE[]), s.ce) AS dist
+              FROM embeddings e CROSS JOIN seeds s),
+            a AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM d)
+            SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n
+            FROM a WHERE rn = 1 GROUP BY 1""",
+        "doc_length_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars <= (SELECT quantile_disc(n_chars, 0.95)
+                              FROM documents)
+            ORDER BY doc_id""",
+        "doc_zscore": """
+            WITH st AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(n_chars) AS BIGINT) AS s,
+                     CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+              FROM documents GROUP BY source),
+            c AS (
+              SELECT source,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                     CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+              FROM st)
+            SELECT d.doc_id,
+                   CASE WHEN c.var > 0
+                        THEN (CAST(d.n_chars AS DOUBLE) - c.mean) / sqrt(c.var)
+                        ELSE 0.0 END AS z
+            FROM documents d JOIN c USING (source) ORDER BY doc_id""",
+        "rollup_event_counts": """
+            WITH e AS (SELECT event_type,
+                              CAST(extract(hour FROM ts) AS BIGINT) AS hour
+                       FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hour, -1) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY ROLLUP(event_type, hour)""",
+        "pivot_event_counts": """
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY 1""",
+        "role_pmi": f"""
+            WITH nxt AS (
+              SELECT role,
+                     lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+              FROM {_T}),
+            p AS (
+              SELECT role, next_role, CAST(count(*) AS BIGINT) AS n
+              FROM nxt WHERE next_role IS NOT NULL GROUP BY 1, 2),
+            m AS (
+              SELECT role, next_role, n,
+                     CAST(sum(n) OVER (PARTITION BY role) AS BIGINT) AS na,
+                     CAST(sum(n) OVER (PARTITION BY next_role) AS BIGINT) AS nb,
+                     CAST(sum(n) OVER () AS BIGINT) AS total
+              FROM p)
+            SELECT role, next_role, n,
+                   ln((CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS pmi
+            FROM m ORDER BY role, next_role""",
     }

@@ -85,3 +85,10 @@ from .similarity import (  # noqa: F401
 )
 from .sketch import HLL, approx_distinct, approx_top_k  # noqa: F401
 from .textstats import Fingerprint, LanguageId, QualityScore, TokenCount  # noqa: F401
+from .relevance import BM25Scorer, bm25, corpus_stats, token_df  # noqa: F401
+from .cluster import (  # noqa: F401
+    cluster_sizes,
+    kmeans_assign,
+    kmeans_fit,
+    seed_centroids,
+)

@@ -1,0 +1,151 @@
+"""Relevance / IR scoring stages for training-data curation: document
+frequency (inverted-index building block) and BM25 query scoring.
+
+Both are classic two-pass broadcast patterns:
+
+* ``token_df`` — per-batch distinct-(doc, token) explode -> per-batch
+  partial counts -> one small groupby over (token, partial) rows.  The
+  shuffle moves at most |vocab| rows per input batch, never documents.
+* ``corpus_stats`` + ``BM25Scorer`` — pass 1 reduces the corpus to a
+  handful of exact integers (N, sum of doc lengths, per-term document
+  frequencies); pass 2 broadcasts those constants into a stateless
+  vectorized ``map_batches`` scorer.  Nothing shuffles at all.
+
+Scoring formula is the Lucene/Robertson BM25 variant:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+All floats derive from exact int64 counts through a fixed operation
+order, so a SQL oracle replaying the same formula matches bitwise.
+
+Reference analog: the OTTL/stanza surface has no IR scoring; this is
+part of the beyond-reference training-data toolkit (like
+stages/textstats.py).  Tokenization matches textstats (lowercase \\w+).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _distinct_doc_token_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial DF: one row per (token) with the number of
+    batch documents containing it.  Pure Arrow+numpy (dictionary-encode
+    the flat token stream, count unique (row, code) pairs per code)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df_partial": pa.array([], pa.int64())})
+    lower = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+    parts = pc.split_pattern_regex(lower, r"\W+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts).dictionary_encode()
+    lengths = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # which dictionary entries are non-empty ("" is a \W+ split artifact)
+    keep = pc.utf8_length(flat.dictionary).to_numpy(zero_copy_only=False) > 0
+    uniq = np.unique((rows << 32) | codes)         # distinct (doc, token)
+    ucodes = uniq & 0xFFFFFFFF
+    code_ids, counts = np.unique(ucodes, return_counts=True)
+    mask = keep[code_ids]                          # drop the "" split artifact
+    code_ids, counts = code_ids[mask], counts[mask]
+    tokens = pc.take(flat.dictionary, pa.array(code_ids, pa.int64()))
+    return pa.table({"token": tokens.cast(pa.string()),
+                     "df_partial": pa.array(counts.astype(np.int64))})
+
+
+def token_df(ds, text_col: str = "text", min_df: int = 1):
+    """Corpus-wide document frequency per token (the DF half of an
+    inverted index).  Shuffle volume is bounded by vocab-per-batch, not
+    corpus size: partial counts combine per batch BEFORE the groupby."""
+    from .aggregate import grouped_sum
+
+    partials = ds.map_batches(
+        lambda t: _distinct_doc_token_counts(t, text_col),
+        batch_format="pyarrow")
+    out = grouped_sum(partials, ["token"], "df_partial", alias="df",
+                      combine="driver")
+    if min_df > 1:
+        out = out.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("df"), min_df)),
+            batch_format="pyarrow")
+    return out
+
+
+def _term_pattern(term: str) -> str:
+    return r"\b" + term + r"\b"
+
+
+def corpus_stats(ds, terms: Sequence[str], text_col: str = "text") -> dict:
+    """ONE streaming pass reducing the corpus to exact integers:
+    N (docs), sum_dl (total \\w+ tokens), df[term] for each query term.
+    Partials are a single row per batch; the driver adds int64s."""
+    terms = list(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(pc.fill_null(t.column(text_col), ""))
+        dl = pc.count_substring_regex(lower, r"\w+").cast(pa.int64())
+        row = {"n_docs": [t.num_rows],
+               "sum_dl": [pc.sum(dl).as_py() or 0]}
+        for i, term in enumerate(terms):
+            tf = pc.count_substring_regex(lower, _term_pattern(term))
+            row[f"df_{i}"] = [pc.sum(pc.cast(pc.greater(tf, 0), pa.int64())).as_py() or 0]
+        return pa.table(row)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = {"n_docs": sum(r["n_docs"] for r in rows),
+           "sum_dl": sum(r["sum_dl"] for r in rows),
+           "df": {term: sum(r[f"df_{i}"] for r in rows)
+                  for i, term in enumerate(terms)}}
+    return out
+
+
+class BM25Scorer:
+    """Stateless vectorized BM25 scorer: broadcast corpus constants in,
+    one float64 score column out.  Term contributions accumulate in
+    list order (left-to-right), matching a SQL ``e0 + e1 + ...`` chain
+    bitwise.  idf uses math.log (libm), the same ln as DuckDB."""
+
+    def __init__(self, terms: Sequence[str], stats: dict,
+                 text_col: str = "text", out_col: str = "score",
+                 k1: float = 1.2, b: float = 0.75):
+        self.terms = list(terms)
+        self.text_col, self.out_col = text_col, out_col
+        self.k1, self.b = float(k1), float(b)
+        n = stats["n_docs"]
+        self.avgdl = stats["sum_dl"] / n
+        self.idf = [math.log(1.0 + (n - stats["df"][t] + 0.5)
+                             / (stats["df"][t] + 0.5)) for t in self.terms]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(pc.fill_null(batch.column(self.text_col), ""))
+        dl = pc.count_substring_regex(lower, r"\w+").cast(pa.float64()) \
+               .to_numpy(zero_copy_only=False)
+        k1, b = self.k1, self.b
+        norm = k1 * (1.0 - b + b * (dl / self.avgdl))
+        score = np.zeros(batch.num_rows, dtype=np.float64)
+        for term, idf in zip(self.terms, self.idf):
+            tf = pc.count_substring_regex(lower, _term_pattern(term)) \
+                   .cast(pa.float64()).to_numpy(zero_copy_only=False)
+            score = score + idf * (tf * (k1 + 1.0)) / (tf + norm)
+        return batch.append_column(self.out_col, pa.array(score))
+
+
+def bm25(ds, terms: Sequence[str], text_col: str = "text",
+         out_col: str = "score", k1: float = 1.2, b: float = 0.75):
+    """Two-pass BM25: corpus_stats reduce, then a broadcast scorer map.
+    Returns the input dataset with ``out_col`` appended."""
+    stats = corpus_stats(ds, terms, text_col=text_col)
+    return ds.map_batches(
+        BM25Scorer(terms, stats, text_col=text_col, out_col=out_col,
+                   k1=k1, b=b),
+        batch_format="pyarrow")

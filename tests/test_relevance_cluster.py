@@ -1,0 +1,140 @@
+"""Relevance (DF / BM25) and distributed-KMeans stage tests."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs():
+    import ray.data as rd
+
+    texts = [
+        "spark spark fast table",
+        "vector table join",
+        "stream stream stream spark",
+        "the quick brown fox",
+        "",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})), texts
+
+
+def test_token_df_matches_bruteforce():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.relevance import token_df
+
+    ds, texts = _docs()
+    got = {r["token"]: r["df"] for r in token_df(ds).take_all()}
+    import re
+    exp = {}
+    for t in texts:
+        for tok in set(re.findall(r"\w+", t.lower())):
+            exp[tok] = exp.get(tok, 0) + 1
+    assert got == exp
+
+
+def test_token_df_min_df():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.relevance import token_df
+
+    ds, _ = _docs()
+    got = {r["token"]: r["df"] for r in token_df(ds, min_df=2).take_all()}
+    assert got == {"spark": 2, "table": 2}
+
+
+def test_bm25_matches_reference_formula():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.relevance import bm25
+
+    ds, texts = _docs()
+    terms = ["spark", "stream"]
+    got = {r["doc_id"]: r["score"]
+           for r in bm25(ds, terms).take_all()}
+
+    import re
+    dls = [len(re.findall(r"\w+", t.lower())) for t in texts]
+    n, avgdl = len(texts), sum(dls) / len(texts)
+    k1, b = 1.2, 0.75
+    for i, t in enumerate(texts):
+        score = 0.0
+        for term in terms:
+            tf = len(re.findall(r"\b" + term + r"\b", t.lower()))
+            df = sum(1 for x in texts
+                     if re.search(r"\b" + term + r"\b", x.lower()))
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            norm = k1 * (1.0 - b + b * (dls[i] / avgdl))
+            score = score + idf * (tf * (k1 + 1.0)) / (tf + norm)
+        assert got[i] == pytest.approx(score, rel=1e-12), (i, t)
+    # empty doc scores 0 (tf = 0 for every term)
+    assert got[4] == 0.0
+
+
+def _blobs(n_per=60, k=3, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-10, 10, size=(k, dim))
+    pts = np.concatenate(
+        [centers[j] + 0.1 * rng.randn(n_per, dim) for j in range(k)])
+    labels = np.repeat(np.arange(k), n_per)
+    # ids 0..k-1 are one point from each blob (deterministic seeds land
+    # in distinct blobs)
+    order = np.concatenate([[j * n_per] for j in range(k)] +
+                           [np.setdiff1d(np.arange(k * n_per),
+                                         [j * n_per for j in range(k)])])
+    pts, labels = pts[order], labels[order]
+    return pts.astype(np.float32), labels
+
+
+def test_kmeans_recovers_planted_blobs():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.cluster import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    pts, labels = _blobs()
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(pts)), pa.int64()),
+        "embedding": pa.array(pts.tolist(),
+                              pa.list_(pa.float32()))})).repartition(4)
+    cents, inertia = kmeans_fit(ds, k=3, iters=5)
+    assigned = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    got = assigned["cluster_id"].to_numpy()
+    # every planted blob maps to exactly one cluster (perfect separation)
+    for j in range(3):
+        vals = np.unique(got[labels == j])
+        assert len(vals) == 1, (j, vals)
+    # tight blobs: inertia ~ n * dim * 0.01 scale, far below one
+    # inter-center distance
+    assert inertia < 100.0
+
+
+def test_kmeans_assign_tie_breaks_low_id():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.cluster import kmeans_assign
+
+    # two identical centroids: every point must go to cluster 0
+    cents = np.zeros((2, 4), dtype=np.float32)
+    pts = np.ones((10, 4), dtype=np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array(pts.tolist(), pa.list_(pa.float32()))}))
+    out = kmeans_assign(ds, cents).to_pandas()
+    assert (out["cluster_id"] == 0).all()
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.cluster import kmeans_fit
+
+    # all points at (5, 5); explicit init puts centroid 1 far away so it
+    # attracts NOTHING — Lloyd's empty-cluster fallback must keep its
+    # position (no NaNs from 0/0)
+    pts = np.full((6, 2), 5.0, dtype=np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(pts.tolist(), pa.list_(pa.float32()))}))
+    init = np.array([[5.0, 5.0], [200.0, 200.0]], dtype=np.float32)
+    cents, _ = kmeans_fit(ds, k=2, iters=3, init=init)
+    assert np.allclose(cents[0], [5.0, 5.0], atol=1e-4)
+    assert np.allclose(cents[1], [200.0, 200.0], atol=1e-4)
+    assert np.isfinite(cents).all()
