@@ -1998,6 +1998,105 @@ def q_role_pmi(sf_dir: str):
     return df.sort_values(["role", "next_role"]).reset_index(drop=True)
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): per-batch distinct (type, user)
+    pairs (grouped_agg's partial phase dedups inside every batch), ONE
+    bucketed hash shuffle co-locates pairs, then a tiny per-type count.
+    The scale-safe exact path; the approximate path is stages/sketch.py
+    HLL (approx_distinct_convs)."""
+    from ..stages.aggregate import grouped_agg
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = grouped_agg(ds, ["event_type", "user_id"],
+                        [("count", None, "_n")], combine="bucket")
+    return grouped_count(
+        pairs.map_batches(lambda t: t.select(["event_type"]),
+                          batch_format="pyarrow"),
+        ["event_type"], alias="n_users", combine="driver")
+
+
+_Q3_CUT = "1998-06-01"
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape: broadcast semi-filter (BUILDING customers) into
+    the orders scan, filter both scans at the read, ONE co-partitioning
+    shuffle joins lineitem x orders on orderkey, revenue aggregates as
+    exact integer (cents x (100 - discount%)), top-10 with a
+    deterministic tie-break.  Revenue stays int64 end-to-end so the
+    oracle hash is exact."""
+    import ray
+
+    from ..stages.join import bucketed_hash_join
+
+    cut = np.datetime64(_Q3_CUT, "us")
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow").take_all()
+    key_set = ray.put(pa.array(sorted(r["c_custkey"] for r in keys),
+                               type=pa.int64()))
+
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    class OrderFilter:
+        def __init__(self):
+            self.keys = ray.get(key_set)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_in(t.column("o_custkey"), value_set=self.keys),
+                        pc.less(t.column("o_orderdate"), pa.scalar(cut)))
+            t = t.filter(m)
+            return pa.table({"l_orderkey": t.column("o_orderkey"),
+                             "o_orderdate": t.column("o_orderdate")})
+
+    orders = orders.map_batches(OrderFilter, batch_format="pyarrow",
+                                concurrency=(1, 4))
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut)))
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                             100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    joined = bucketed_hash_join(li, orders, on=["l_orderkey"], how="inner")
+    total = grouped_sum(joined, ["l_orderkey", "o_orderdate"], "rev",
+                        alias="revenue", combine="bucket")
+    # the join's union-schema padding floats the int rev column (pandas
+    # nullable-int); sums of exact ints < 2^53 cast back losslessly
+    total = total.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.cast(t.column("revenue"), pa.int64())),
+        batch_format="pyarrow")
+    return total.sort(["revenue", "l_orderkey"],
+                      descending=[True, False]).limit(10)
+
+
+def q_event_value_quartiles(sf_dir: str):
+    """Window function ntile(4) per event_type over a TOTAL order
+    (value, event_id): row-level quartile assignment, exact SQL ntile
+    semantics (stages/aggregate.py grouped_ntile — one bucketed
+    shuffle, vectorized tiling per bucket)."""
+    from ..stages.aggregate import grouped_ntile
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    tiled = grouped_ntile(ds, ["event_type"], ["value", "event_id"],
+                          n_tiles=4)
+    return tiled.map_batches(
+        lambda t: t.select(["event_id", "event_type", "tile"]),
+        batch_format="pyarrow").sort("event_id")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -2103,6 +2202,9 @@ def queries():
         "rollup_event_counts": q_rollup_event_counts,
         "pivot_event_counts": q_pivot_event_counts,
         "role_pmi": q_role_pmi,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "tpch_q3": q_tpch_q3,
+        "event_value_quartiles": q_event_value_quartiles,
     }
 
 
@@ -2997,4 +3099,28 @@ def oracle_sql():
                    ln((CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
                       / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS pmi
             FROM m ORDER BY role, next_role""",
+        "distinct_users_by_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1""",
+        "tpch_q3": f"""
+            WITH l AS (
+              SELECT l_orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '{_Q3_CUT}'),
+            o AS (
+              SELECT o_orderkey, o_orderdate
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '{_Q3_CUT}')
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(sum(l.rev) AS BIGINT) AS revenue
+            FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "event_value_quartiles": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT)
+                       AS tile
+            FROM events ORDER BY event_id""",
     }

@@ -748,6 +748,34 @@ def bucketed_group_transform(ds, key_cols: Sequence[str], fn,
     return bucketed.groupby("__bucket").map_groups(run, batch_format="pandas")
 
 
+def grouped_ntile(ds, key_cols: Sequence[str], order_cols: Sequence[str],
+                  n_tiles: int = 4, out_col: str = "tile",
+                  n_buckets: int = 64):
+    """SQL ``ntile(n) OVER (PARTITION BY keys ORDER BY order_cols)``:
+    rows rank within each key and split into n near-equal tiles, the
+    first (count % n) tiles one row larger — exact SQL semantics,
+    including the n < n_tiles case (each row its own tile).
+
+    Callers who need deterministic row-level output must make
+    order_cols a TOTAL order (append a unique id); tile COUNTS are
+    order-insensitive either way.  One bucketed shuffle, one vectorized
+    pandas pass per bucket (no per-key Python)."""
+    keys, orders = list(key_cols), list(order_cols)
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + orders, kind="stable")
+        r = g.groupby(keys, sort=False).cumcount().to_numpy()
+        n = g.groupby(keys, sort=False)[orders[0]].transform("size").to_numpy()
+        q, rem = n // n_tiles, n % n_tiles
+        big = rem * (q + 1)          # rows covered by the size-(q+1) tiles
+        t = np.where(r < big, r // np.maximum(q + 1, 1),
+                     rem + (r - big) // np.maximum(q, 1)) + 1
+        g[out_col] = t.astype("int64")
+        return g
+
+    return bucketed_group_transform(ds, keys, tile, n_buckets)
+
+
 def delta_to_cumulative(ds, key_cols: Sequence[str], value_col: str,
                         order_col="ts", out_col: str = "cumulative",
                         n_buckets: int = 64):

@@ -138,3 +138,21 @@ def test_kmeans_empty_cluster_keeps_centroid():
     assert np.allclose(cents[0], [5.0, 5.0], atol=1e-4)
     assert np.allclose(cents[1], [200.0, 200.0], atol=1e-4)
     assert np.isfinite(cents).all()
+
+
+def test_grouped_ntile_sql_semantics():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import grouped_ntile
+
+    # group a: 10 rows into 4 tiles -> sizes 3,3,2,2; group b: 2 rows
+    # into 4 tiles -> each row its own tile (SQL ntile n < k case)
+    tbl = pa.table({
+        "k": pa.array(["a"] * 10 + ["b"] * 2),
+        "v": pa.array(list(range(10)) + [5, 1], pa.int64()),
+        "id": pa.array(range(12), pa.int64())})
+    out = grouped_ntile(rd.from_arrow(tbl), ["k"], ["v", "id"],
+                        n_tiles=4).to_pandas()
+    a = out[out.k == "a"].sort_values("v")["tile"].tolist()
+    assert a == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    b = out[out.k == "b"].sort_values("v")["tile"].tolist()
+    assert b == [1, 2]
