@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     "doc_c4_line_filter",
     "doc_line_dedup",
+    "doc_bm25",
+    "kmeans_assign",
+    "tpch_q3",
+    "event_value_quartiles",
 ]
 
 

@@ -2069,15 +2069,19 @@ def q_tpch_q3(sf_dir: str):
         return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(revenue, batch_format="pyarrow")
-    joined = bucketed_hash_join(li, orders, on=["l_orderkey"], how="inner")
-    total = grouped_sum(joined, ["l_orderkey", "o_orderdate"], "rev",
-                        alias="revenue", combine="bucket")
-    # the join's union-schema padding floats the int rev column (pandas
-    # nullable-int); sums of exact ints < 2^53 cast back losslessly
-    total = total.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                               pc.cast(t.column("revenue"), pa.int64())),
-        batch_format="pyarrow")
+
+    def rev_per_order(df):
+        # grouping keys include the join key, so this reduce is FINAL
+        # inside the join bucket — no second shuffle.  The union-schema
+        # padding floats rev (pandas nullable-int); sums of exact ints
+        # < 2^53 cast back losslessly.
+        out = df.groupby(["l_orderkey", "o_orderdate"], as_index=False,
+                         sort=False)["rev"].sum()
+        out["rev"] = out["rev"].astype("int64")
+        return out.rename(columns={"rev": "revenue"})
+
+    total = bucketed_hash_join(li, orders, on=["l_orderkey"], how="inner",
+                               reduce=rev_per_order)
     return total.sort(["revenue", "l_orderkey"],
                       descending=[True, False]).limit(10)
 

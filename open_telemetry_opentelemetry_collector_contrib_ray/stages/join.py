@@ -37,7 +37,8 @@ def _pa_schema(ds) -> pa.Schema:
 
 
 def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
-                       n_buckets: int = 32, suffix: str = "_r"):
+                       n_buckets: int = 32, suffix: str = "_r",
+                       reduce=None):
     """Join two Datasets on key columns via explicit hash co-partitioning.
 
     Both sides are tagged (side, bucket) and unioned; ONE shuffle
@@ -52,7 +53,13 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     bucket slices in memory — size n_buckets to ~total_join_bytes /
     256 MB (and at least the cluster's core count) so no single bucket
     exceeds a worker heap; salt hot keys upstream if one key dominates
-    a bucket."""
+    a bucket.
+
+    reduce: optional pandas->pandas callable applied to each bucket's
+    merged frame INSIDE the join task (map-side post-join reduce).  A
+    group-by whose keys INCLUDE the join keys is final here — groups
+    cannot span buckets — so join+aggregate pipelines skip the second
+    shuffle entirely (e.g. TPC-H Q3 revenue per orderkey)."""
     on = list(on)
     deg = _degenerate_side(left, right, how)
     if deg is not None:
@@ -75,8 +82,10 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
         if how in ("semi", "anti"):
             hit = lg.merge(rg[on].drop_duplicates(), on=on, how="left",
                            indicator=True)["_merge"] == "both"
-            return lg[hit.to_numpy() if how == "semi" else ~hit.to_numpy()]
-        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+            out = lg[hit.to_numpy() if how == "semi" else ~hit.to_numpy()]
+        else:
+            out = lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+        return reduce(out) if reduce is not None else out
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
