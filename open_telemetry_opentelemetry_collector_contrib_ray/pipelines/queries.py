@@ -2101,6 +2101,49 @@ def q_event_value_quartiles(sf_dir: str):
         batch_format="pyarrow").sort("event_id")
 
 
+def _distinct_event_user_hours(sf_dir: str, event_type: str):
+    """Per-batch distinct (user_id, hour) pairs for one event type —
+    the shrunken set-operand that feeds the semi/anti joins."""
+    ds = _rd(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), event_type))
+        pairs = pa.table({"user_id": t.column("user_id"),
+                          "hour": pc.hour(t.column("ts")).cast(pa.int64())})
+        return pairs.group_by(["user_id", "hour"]).aggregate([])
+
+    return ds.map_batches(distinct, batch_format="pyarrow")
+
+
+def q_users_view_not_purchase(sf_dir: str):
+    """Relational EXCEPT over composite keys: (user, hour) pairs that
+    viewed but never purchased in that hour.  Per-batch distinct
+    shrinks both sides before the ONE co-partitioning shuffle; the left
+    side's GLOBAL dedup happens inside the anti-join bucket (keys are
+    co-located, so drop_duplicates there is globally correct — no extra
+    shuffle)."""
+    from ..stages.join import bucketed_hash_join
+
+    return bucketed_hash_join(
+        _distinct_event_user_hours(sf_dir, "view"),
+        _distinct_event_user_hours(sf_dir, "purchase"),
+        on=["user_id", "hour"], how="anti",
+        reduce=lambda df: df.drop_duplicates()).sort(["user_id", "hour"])
+
+
+def q_users_signup_and_purchase(sf_dir: str):
+    """Relational INTERSECT over composite keys: (user, hour) pairs with
+    BOTH a signup and a purchase — same shape as the EXCEPT query with a
+    semi join."""
+    from ..stages.join import bucketed_hash_join
+
+    return bucketed_hash_join(
+        _distinct_event_user_hours(sf_dir, "signup"),
+        _distinct_event_user_hours(sf_dir, "purchase"),
+        on=["user_id", "hour"], how="semi",
+        reduce=lambda df: df.drop_duplicates()).sort(["user_id", "hour"])
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -2209,6 +2252,8 @@ def queries():
         "distinct_users_by_type": q_distinct_users_by_type,
         "tpch_q3": q_tpch_q3,
         "event_value_quartiles": q_event_value_quartiles,
+        "users_view_not_purchase": q_users_view_not_purchase,
+        "users_signup_and_purchase": q_users_signup_and_purchase,
     }
 
 
@@ -3127,4 +3172,18 @@ def oracle_sql():
                                        ORDER BY value, event_id) AS BIGINT)
                        AS tile
             FROM events ORDER BY event_id""",
+        "users_view_not_purchase": """
+            SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS hour
+            FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT)
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, hour""",
+        "users_signup_and_purchase": """
+            SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS hour
+            FROM events WHERE event_type = 'signup'
+            INTERSECT
+            SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT)
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, hour""",
     }

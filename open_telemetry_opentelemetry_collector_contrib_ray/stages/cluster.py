@@ -94,7 +94,38 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
 
 
 def kmeans_fit(ds, k: int, iters: int = 5, vec_col: str = "embedding",
-               id_col: str = "vec_id", init: np.ndarray | None = None):
+               id_col: str = "vec_id", init: np.ndarray | None = None,
+               sample_mod: int | None = None):
+    """See _kmeans_fit.  sample_mod=M fits on the deterministic
+    ~1/M hash-sample of ids (the 100 TB pattern: train the quantizer on
+    a sample, assign the full corpus with kmeans_assign) — iteration
+    passes then stream only the sample."""
+    if sample_mod and sample_mod > 1:
+        m = int(sample_mod)
+        if init is None:
+            # seeds come from the FULL dataset (the sample may not
+            # contain ids 0..k-1)
+            init = seed_centroids(ds, k, vec_col, id_col)
+
+        def keep(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            # cheap deterministic slice: multiplicative hash of the id
+            # numpy multiplicative hash (wrapping multiply) — pyarrow
+            # has no mod kernel in this build
+            ids = t.column(id_col).cast(pa.int64()) \
+                   .to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (ids * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+            return t.filter(pa.array(h % np.uint64(m) == 0))
+
+        fit_ds = ds.map_batches(keep, batch_format="pyarrow")
+    else:
+        fit_ds = ds
+    return _kmeans_fit(fit_ds, k, iters, vec_col, id_col, init)
+
+
+def _kmeans_fit(ds, k: int, iters: int = 5, vec_col: str = "embedding",
+                id_col: str = "vec_id", init: np.ndarray | None = None):
     """Lloyd iterations: each pass streams the dataset once, emitting a
     single (k x dim float64 sums, k int64 counts) partial row per batch;
     the driver folds partials (kilobytes each).  Empty clusters keep

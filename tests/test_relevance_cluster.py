@@ -156,3 +156,24 @@ def test_grouped_ntile_sql_semantics():
     assert a == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
     b = out[out.k == "b"].sort_values("v")["tile"].tolist()
     assert b == [1, 2]
+
+
+def test_kmeans_fit_on_hash_sample():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.cluster import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    pts, labels = _blobs(n_per=200)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(pts)), pa.int64()),
+        "embedding": pa.array(pts.tolist(),
+                              pa.list_(pa.float32()))})).repartition(4)
+    # train on ~1/4 hash-sample of ids, assign the FULL corpus (the
+    # 100 TB pattern); blobs are tight so membership still perfect
+    cents, _ = kmeans_fit(ds, k=3, iters=5, sample_mod=4)
+    got = kmeans_assign(ds, cents).to_pandas() \
+        .sort_values("vec_id")["cluster_id"].to_numpy()
+    for j in range(3):
+        assert len(np.unique(got[labels == j])) == 1
