@@ -46,9 +46,11 @@ def _sq_dists(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
     as SQL list_distance: per-dim diff, square, sum) — not the matmul
     expansion, so near-tie argmins agree with the oracle."""
     n, k = x.shape[0], cents.shape[0]
+    x64 = x.astype(np.float64)
+    c64 = cents.astype(np.float64)
     out = np.empty((n, k), dtype=np.float64)
     for j in range(k):
-        diff = x.astype(np.float64) - cents[j].astype(np.float64)
+        diff = x64 - c64[j]
         out[:, j] = np.einsum("ij,ij->i", diff, diff)
     return out
 
@@ -111,11 +113,16 @@ def kmeans_fit(ds, k: int, iters: int = 5, vec_col: str = "embedding",
             if not t.num_rows:
                 return t
             # cheap deterministic slice: multiplicative hash of the id
-            # numpy multiplicative hash (wrapping multiply) — pyarrow
-            # has no mod kernel in this build
+            # splitmix-style mix (wrapping multiply + xor-shift) so the
+            # LOW bits are mixed too — a bare multiplicative hash is an
+            # identity map mod small powers of two (stride sample, not
+            # a uniform one)
             ids = t.column(id_col).cast(pa.int64()) \
                    .to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = (ids * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+            h = ids * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(29)
             return t.filter(pa.array(h % np.uint64(m) == 0))
 
         fit_ds = ds.map_batches(keep, batch_format="pyarrow")
@@ -170,6 +177,10 @@ def _kmeans_fit(ds, k: int, iters: int = 5, vec_col: str = "embedding",
             sums += np.asarray(r["sums"], dtype=np.float64).reshape(k, dim)
             counts += np.asarray(r["counts"], dtype=np.int64)
             inertia += r["inertia"]
+        if counts.sum() == 0:
+            raise ValueError(
+                "kmeans fit set is empty (over-aggressive sample_mod or "
+                "an empty input dataset)")
         nz = counts > 0
         new = cents.astype(np.float64).copy()
         new[nz] = sums[nz] / counts[nz, None]

@@ -61,15 +61,32 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     cannot span buckets — so join+aggregate pipelines skip the second
     shuffle entirely (e.g. TPC-H Q3 revenue per orderkey)."""
     on = list(on)
+
+    def finish_degenerate(deg):
+        # a degenerate side must NOT bypass the reduce hook (e.g. the
+        # EXCEPT query's global dedup): co-locate the surviving side by
+        # the join keys and run the reduce per bucket, preserving the
+        # hook's "all rows of a key in one call" contract
+        if reduce is None or deg.schema() is None:
+            return deg
+        from .aggregate import bucketed_group_transform
+
+        return bucketed_group_transform(deg, on, reduce, n_buckets)
+
     deg = _degenerate_side(left, right, how)
     if deg is not None:
-        return deg
+        return finish_degenerate(deg)
     if how in ("semi", "anti"):
         # only the right KEYS matter: project + per-batch dedup before the
         # shuffle so a wide right side doesn't ship its non-key bytes
         right = right.map_batches(
             lambda t: t.select(on).group_by(on).aggregate([]),
             batch_format="pyarrow")
+        if right.schema() is None:
+            # the projection probe found ZERO right rows (an upstream
+            # filter emptied the side after the first degenerate check)
+            return finish_degenerate(
+                left if how == "anti" else left.limit(0))
     # padding to one union schema (typed nulls) + hashing AFTER the cast to
     # the unified key types keeps every block's schema identical and makes an
     # int32 key bucket like its int64 twin; the repartition coalesces because

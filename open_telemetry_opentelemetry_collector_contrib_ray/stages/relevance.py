@@ -82,7 +82,17 @@ def token_df(ds, text_col: str = "text", min_df: int = 1):
 
 
 def _term_pattern(term: str) -> str:
-    return r"\b" + term + r"\b"
+    """Escaped whole-word pattern.  \\b only guards edges that ARE word
+    characters — RE2 has no lookaround, and \\b next to a non-word edge
+    (e.g. 'c++') can never match."""
+    import re
+
+    pat = re.escape(term)
+    if term and (term[0].isalnum() or term[0] == "_"):
+        pat = r"\b" + pat
+    if term and (term[-1].isalnum() or term[-1] == "_"):
+        pat = pat + r"\b"
+    return pat
 
 
 def corpus_stats(ds, terms: Sequence[str], text_col: str = "text") -> dict:
@@ -122,7 +132,9 @@ class BM25Scorer:
         self.text_col, self.out_col = text_col, out_col
         self.k1, self.b = float(k1), float(b)
         n = stats["n_docs"]
-        self.avgdl = stats["sum_dl"] / n
+        # empty corpus: the scorer never sees a non-empty batch, so the
+        # constants are arbitrary — just avoid the 0-division
+        self.avgdl = stats["sum_dl"] / n if n else 1.0
         self.idf = [math.log(1.0 + (n - stats["df"][t] + 0.5)
                              / (stats["df"][t] + 0.5)) for t in self.terms]
 

@@ -5,6 +5,7 @@ import math
 import numpy as np
 import pyarrow as pa
 import pytest
+import pyarrow.compute as pc
 
 
 def _docs():
@@ -177,3 +178,56 @@ def test_kmeans_fit_on_hash_sample():
         .sort_values("vec_id")["cluster_id"].to_numpy()
     for j in range(3):
         assert len(np.unique(got[labels == j])) == 1
+
+
+def test_anti_join_empty_right_still_applies_reduce():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.join import bucketed_hash_join
+
+    # left has cross-batch duplicates; right is EMPTY (schema-less plan)
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 1, 2, 3], pa.int64())})) \
+        .repartition(3)
+    right = rd.from_arrow(pa.table({"k": pa.array([9], pa.int64())})) \
+        .map_batches(lambda t: t.filter(pc.equal(t.column("k"), -1)),
+                     batch_format="pyarrow")
+    out = bucketed_hash_join(left, right, on=["k"], how="anti",
+                             reduce=lambda df: df.drop_duplicates())
+    got = sorted(r["k"] for r in out.take_all())
+    assert got == [1, 2, 3]
+
+
+def test_bm25_escapes_regex_metacharacters():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.relevance import bm25
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["uses c++ daily", "axb plain"])}))
+    # 'c++' must not be a regex repetition; 'a.b' must not match 'axb'
+    got = {r["doc_id"]: r["score"] for r in bm25(ds, ["c++", "a.b"]).take_all()}
+    assert got[0] > 0.0          # literal 'c++' matched
+    assert got[1] == 0.0         # 'a.b' did NOT match 'axb'
+
+
+def test_kmeans_sample_is_not_a_stride():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.cluster import kmeans_fit
+
+    pts, _ = _blobs(n_per=100)
+    n = len(pts)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(pts.tolist(), pa.list_(pa.float32()))}))
+    # capture which ids the sampler keeps by running the same mix here
+    ids = np.arange(n, dtype=np.uint64)
+    h = ids * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(29)
+    kept = np.flatnonzero(h % np.uint64(4) == 0)
+    assert len(kept) > 0
+    # a pure stride would be exactly {0,4,8,...}; the mixed hash must not be
+    assert set(kept.tolist()) != set(range(0, n, 4))
+    # and the sampled fit still succeeds
+    cents, _ = kmeans_fit(ds, k=3, iters=2, sample_mod=4)
+    assert np.isfinite(cents).all()
