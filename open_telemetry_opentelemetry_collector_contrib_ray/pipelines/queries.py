@@ -2144,6 +2144,57 @@ def q_users_signup_and_purchase(sf_dir: str):
         reduce=lambda df: df.drop_duplicates()).sort(["user_id", "hour"])
 
 
+def q_event_windows(sf_dir: str):
+    """Navigation + frame window functions per user over the TOTAL order
+    (ts, event_id): row_number, lag/lead, trailing-3 moving sum, running
+    sum, first_value.  One bucketed shuffle computes all six columns
+    (stages/window.py grouped_window); sums run over integer cents so
+    the oracle hash is exact."""
+    from ..stages.window import WindowSpec, grouped_window
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        iv = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)),
+                     pa.int64())
+        return t.append_column("iv", iv)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    out = grouped_window(ds, ["user_id"], ["ts", "event_id"], [
+        WindowSpec("row_number", out="rn"),
+        WindowSpec("lag", col="value", out="prev_value"),
+        WindowSpec("lead", col="value", out="next_value"),
+        WindowSpec("moving_sum", col="iv", frame=3, out="msum3"),
+        WindowSpec("running_sum", col="iv", out="rsum"),
+        WindowSpec("first_value", col="iv", out="first_iv"),
+    ])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rn", "prev_value",
+                            "next_value", "msum3", "rsum", "first_iv"]),
+        batch_format="pyarrow").sort("event_id")
+
+
+def q_event_rank_windows(sf_dir: str):
+    """Rank-family window functions per user over a PEERED order
+    (event_type — ties share rank): rank, dense_rank, percent_rank,
+    cume_dist.  Boundary-mask computation on the bucket-sorted frame —
+    no per-key rank() calls; the float columns are integer ratios in one
+    division, so they hash exactly against the oracle."""
+    from ..stages.window import WindowSpec, grouped_window
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    out = grouped_window(ds, ["user_id"], ["event_type"], [
+        WindowSpec("rank", out="rnk"),
+        WindowSpec("dense_rank", out="drnk"),
+        WindowSpec("percent_rank", out="prank"),
+        WindowSpec("cume_dist", out="cdist"),
+    ])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "event_type", "rnk",
+                            "drnk", "prank", "cdist"]),
+        batch_format="pyarrow").sort("event_id")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -2254,6 +2305,8 @@ def queries():
         "event_value_quartiles": q_event_value_quartiles,
         "users_view_not_purchase": q_users_view_not_purchase,
         "users_signup_and_purchase": q_users_signup_and_purchase,
+        "event_windows": q_event_windows,
+        "event_rank_windows": q_event_rank_windows,
     }
 
 
@@ -3186,4 +3239,33 @@ def oracle_sql():
             SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT)
             FROM events WHERE event_type = 'purchase'
             ORDER BY user_id, hour""",
+        "event_windows": """
+            WITH e AS (SELECT event_id, ts, user_id, value,
+                              CAST(floor(value * 100) AS BIGINT) AS iv
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   lag(value, 1) OVER w AS prev_value,
+                   lead(value, 1) OVER w AS next_value,
+                   CAST(sum(iv) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS msum3,
+                   CAST(sum(iv) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS rsum,
+                   CAST(first_value(iv) OVER w AS BIGINT) AS first_iv
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id""",
+        "event_rank_windows": """
+            SELECT event_id, user_id, event_type,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   percent_rank() OVER w AS prank,
+                   cume_dist() OVER w AS cdist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+            ORDER BY event_id""",
     }

@@ -1,0 +1,132 @@
+"""grouped_window vs DuckDB window functions on a randomized frame."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.window import (
+    WindowSpec, grouped_window)
+
+
+def _frame(n=400, keys=7, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, keys, n).astype(np.int64),
+        # coarse order column -> real peer groups for the rank family
+        "o": rng.integers(0, 5, n).astype(np.int64),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+
+
+def _run(df, keys, orders, specs):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = grouped_window(ds, keys, orders, specs, n_buckets=4).to_pandas()
+    return out.sort_values("rid").reset_index(drop=True)
+
+
+def test_rank_family_matches_duckdb():
+    df = _frame()
+    got = _run(df, ["k"], ["o"], [
+        WindowSpec("rank", out="rnk"),
+        WindowSpec("dense_rank", out="drnk"),
+        WindowSpec("percent_rank", out="prank"),
+        WindowSpec("cume_dist", out="cdist"),
+    ])
+    exp = duckdb.sql("""
+        SELECT rid,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o)
+        ORDER BY rid""").df()
+    for c in ("rnk", "drnk", "prank", "cdist"):
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_navigation_and_frames_match_duckdb():
+    df = _frame()
+    got = _run(df, ["k"], ["o", "rid"], [
+        WindowSpec("row_number", out="rn"),
+        WindowSpec("lag", col="v", out="pv"),
+        WindowSpec("lead", col="v", offset=2, out="nv2"),
+        WindowSpec("lag", col="v", default=-1, out="pv_d"),
+        WindowSpec("first_value", col="v", out="fv"),
+        WindowSpec("last_value", col="v", out="lv"),
+        WindowSpec("running_sum", col="v", out="rs"),
+        WindowSpec("moving_sum", col="v", frame=3, out="ms3"),
+        WindowSpec("moving_avg", col="v", frame=4, out="ma4"),
+        WindowSpec("moving_min", col="v", frame=2, out="mn2"),
+        WindowSpec("moving_max", col="v", frame=5, out="mx5"),
+    ])
+    exp = duckdb.sql("""
+        SELECT rid,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               lag(v, 1) OVER w AS pv,
+               lead(v, 2) OVER w AS nv2,
+               CAST(lag(v, 1, -1) OVER w AS BIGINT) AS pv_d,
+               CAST(first_value(v) OVER w AS BIGINT) AS fv,
+               CAST(last_value(v) OVER (PARTITION BY k ORDER BY o, rid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                    FOLLOWING) AS BIGINT) AS lv,
+               CAST(sum(v) OVER w AS BIGINT) AS rs,
+               CAST(sum(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ms3,
+               avg(v) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS ma4,
+               CAST(min(v) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS mn2,
+               CAST(max(v) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS mx5
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o, rid)
+        ORDER BY rid""").df()
+    for c in ("rn", "pv_d", "fv", "lv", "rs", "ms3", "mn2", "mx5"):
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+    for c in ("pv", "nv2", "ma4"):
+        assert np.allclose(got[c].to_numpy(), exp[c].to_numpy(),
+                           equal_nan=True), c
+
+
+def test_null_order_values_are_peers():
+    df = pd.DataFrame({
+        "rid": np.arange(6, dtype=np.int64),
+        "k": np.zeros(6, dtype=np.int64),
+        "o": pd.array([None, None, 1, 1, 2, None], dtype="Int64"),
+        "v": np.arange(6, dtype=np.int64),
+    })
+    got = _run(df, ["k"], ["o"], [
+        WindowSpec("rank", out="rnk"),
+        WindowSpec("dense_rank", out="drnk"),
+    ])
+    exp = duckdb.sql("""
+        SELECT rid, CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o)
+        ORDER BY rid""").df()
+    # pandas sorts nulls LAST while DuckDB sorts them FIRST by default;
+    # compare on the rank *multiset per o-value* instead of row identity
+    g = got  # grouped_window keeps the input columns
+    e = exp.merge(df, on="rid")
+    for o in (None, 1, 2):
+        mask_g = g["o"].isna() if o is None else g["o"] == o
+        mask_e = e["o"].isna() if o is None else e["o"] == o
+        # all peers share one rank value in both engines
+        assert g.loc[mask_g, "rnk"].nunique() == 1
+        assert e.loc[mask_e, "rnk"].nunique() == 1
+        assert g.loc[mask_g, "drnk"].nunique() == 1
+
+
+def test_bad_specs_raise():
+    import pytest
+
+    df = _frame(20)
+    try:
+        _run(df, ["k"], ["o"], [WindowSpec("median", col="v")])
+        raise AssertionError("unknown kind accepted")
+    except ValueError:
+        pass
+    with pytest.raises(ValueError):
+        _run(df, ["k"], ["o"], [WindowSpec("lag")])
