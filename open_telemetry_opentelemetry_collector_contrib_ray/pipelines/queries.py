@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -2144,6 +2145,227 @@ def q_users_signup_and_purchase(sf_dir: str):
         reduce=lambda df: df.drop_duplicates()).sort(["user_id", "hour"])
 
 
+_Q1_CUT = "2000-12-01"
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary: filter at the read, per-batch integer
+    measures (cents, disc%, tax%), then a 6-group aggregate via the
+    driver-combine tree (partials merge in workers, kilobytes reach the
+    driver).  Averages derive from the exact integer sums in ONE float
+    division each, so the doubles hash exactly against the oracle."""
+    from ..stages.aggregate import grouped_agg
+
+    cut = np.datetime64(_Q1_CUT, "us")
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax",
+                      "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(cut)))
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                             100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                       pa.int64())
+        tax = pc.cast(pc.round(pc.multiply(t.column("l_tax"), 100.0)),
+                      pa.int64())
+        c100 = pa.scalar(100, pa.int64())
+        dp = pc.multiply(cents, pc.subtract(c100, disc))
+        ch = pc.multiply(dp, pc.add(c100, tax))
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "qty": qty, "cents": cents, "disc": disc,
+                         "dp": dp, "ch": ch})
+
+    ds = li.map_batches(prep, batch_format="pyarrow")
+    agg = grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+        ("sum", "qty", "sum_qty"), ("sum", "cents", "sum_base_cents"),
+        ("sum", "dp", "sum_disc_price"), ("sum", "ch", "sum_charge"),
+        ("sum", "disc", "sum_disc"), ("count", None, "n")],
+        combine="driver")
+    df = agg.to_pandas()
+    for c in ("sum_qty", "sum_base_cents", "sum_disc_price", "sum_charge",
+              "sum_disc", "n"):
+        df[c] = df[c].astype("int64")
+    df["avg_qty"] = df["sum_qty"] / df["n"]
+    df["avg_cents"] = df["sum_base_cents"] / df["n"]
+    df["avg_disc"] = df["sum_disc"] / df["n"]
+    return df.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+_Q5_LO, _Q5_HI = "1997-01-01", "1998-01-01"
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local-supplier revenue: region/nation/supplier collapse
+    into BROADCAST lookups (dimension tables never shuffle), the
+    supplier-nation stamp also pre-filters lineitem to ASIA suppliers
+    before any exchange, and the two remaining big-table joins
+    (orders x customer on custkey, lineitem x that on orderkey) are each
+    ONE co-partitioning shuffle with the c_nationkey = s_nationkey check
+    + per-nation partial sum fused into the second join's bucket."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    lo, hi = np.datetime64(_Q5_LO, "us"), np.datetime64(_Q5_HI, "us")
+    nat = _rd(sf_dir, "nation").to_pandas()
+    reg = _rd(sf_dir, "region").to_pandas()
+    rk = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia = nat[nat["n_regionkey"] == rk]
+    names = {int(k): v for k, v in zip(asia["n_nationkey"], asia["n_name"])}
+    nset = pa.array(sorted(names), pa.int64())
+
+    sup = _rd(sf_dir, "supplier",
+              columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(names)].sort_values("s_suppkey")
+    if not len(sup):
+        return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "revenue": pd.Series([], dtype="int64")})
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                       sup["s_nationkey"].to_numpy(np.int64)))
+
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"),
+                                    value_set=nset)),
+        batch_format="pyarrow")
+
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"c_custkey": t.column("o_custkey"),
+                         "l_orderkey": t.column("o_orderkey")})
+
+    orders = orders.map_batches(ofilter, batch_format="pyarrow")
+    j1 = bucketed_hash_join(orders, cust, on=["c_custkey"], how="inner",
+                            reduce=lambda df: df[["l_orderkey",
+                                                  "c_nationkey"]])
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    class SuppNation:
+        """Broadcast sorted (suppkey -> nationkey) arrays; stamp the
+        supplier nation and drop non-ASIA lineitems map-side."""
+
+        def __init__(self):
+            self.keys, self.nats = ray.get(sup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.keys, sk),
+                             len(self.keys) - 1)
+            t = t.filter(pa.array(self.keys[pos] == sk))
+            sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.keys, sk),
+                             len(self.keys) - 1)
+            cents = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64())
+            disc = pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 100.0)), pa.int64())
+            rev = pc.multiply(cents,
+                              pc.subtract(pa.scalar(100, pa.int64()), disc))
+            return pa.table({"l_orderkey": t.column("l_orderkey"),
+                             "s_nationkey": pa.array(self.nats[pos],
+                                                     pa.int64()),
+                             "rev": rev})
+
+    li2 = li.map_batches(SuppNation, batch_format="pyarrow",
+                         concurrency=(1, 8))
+
+    def local_rev(df):
+        df = df[df["s_nationkey"] == df["c_nationkey"]]
+        # union-schema padding floats rev; exact ints < 2^53 cast back
+        # losslessly, and the SUM then runs in int64 (never float)
+        df = df.assign(rev=df["rev"].astype("int64"))
+        return df.groupby("s_nationkey", as_index=False)["rev"].sum()
+
+    j2 = bucketed_hash_join(li2, j1, on=["l_orderkey"], how="inner",
+                            reduce=local_rev)
+    per_nat = grouped_agg(j2, ["s_nationkey"], [("sum", "rev", "revenue")],
+                          combine="driver").to_pandas()
+    per_nat["revenue"] = per_nat["revenue"].astype("int64")
+    per_nat["n_name"] = per_nat["s_nationkey"].map(names)
+    return per_nat[["n_name", "revenue"]] \
+        .sort_values(["revenue", "n_name"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+_Q10_LO, _Q10_HI = "1997-07-01", "1997-10-01"
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item customer ranking: both scans filter at
+    the read (quarter of orders, returnflag R lineitems), ONE
+    co-partitioning join on orderkey with the per-customer partial sum
+    fused into the bucket, one tiny bucketed combine per custkey, then
+    the global top-20; customer NAMES are fetched by a 20-key
+    semi-filter on the customer scan — the name column never joins at
+    full width."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    lo, hi = np.datetime64(_Q10_LO, "us"), np.datetime64(_Q10_HI, "us")
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey")})
+
+    orders = orders.map_batches(ofilter, batch_format="pyarrow")
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                      "l_discount"])
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                             100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(returned_rev, batch_format="pyarrow")
+
+    def per_cust_partial(df):
+        df = df.assign(rev=df["rev"].astype("int64"))
+        return df.groupby("o_custkey", as_index=False)["rev"].sum()
+
+    j = bucketed_hash_join(li, orders, on=["l_orderkey"], how="inner",
+                           reduce=per_cust_partial)
+    per_cust = grouped_agg(j, ["o_custkey"], [("sum", "rev", "revenue")],
+                           combine="bucket", n_buckets=16)
+    top = per_cust.sort(["revenue", "o_custkey"],
+                        descending=[True, False]).limit(20).to_pandas()
+    keyset = pa.array(top["o_custkey"].astype("int64"), pa.int64())
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(t.column("c_custkey"),
+                                                 value_set=keyset)),
+                     batch_format="pyarrow").to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["revenue"] = out["revenue"].astype("int64")
+    return out[["c_custkey", "c_name", "revenue"]] \
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
 def q_event_windows(sf_dir: str):
     """Navigation + frame window functions per user over the TOTAL order
     (ts, event_id): row_number, lag/lead, trailing-3 moving sum, running
@@ -2307,6 +2529,9 @@ def queries():
         "users_signup_and_purchase": q_users_signup_and_purchase,
         "event_windows": q_event_windows,
         "event_rank_windows": q_event_rank_windows,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
     }
 
 
@@ -3268,4 +3493,57 @@ def oracle_sql():
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
             ORDER BY event_id""",
+        "tpch_q1": f"""
+            WITH l AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(round(l_discount * 100) AS BIGINT) AS disc,
+                     CAST(round(l_tax * 100) AS BIGINT) AS tax
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_Q1_CUT}')
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(cents * (100 - disc)) AS BIGINT)
+                       AS sum_disc_price,
+                   CAST(sum(cents * (100 - disc) * (100 + tax)) AS BIGINT)
+                       AS sum_charge,
+                   CAST(sum(disc) AS BIGINT) AS sum_disc,
+                   count(*) AS n,
+                   CAST(sum(qty) AS BIGINT) / count(*) AS avg_qty,
+                   CAST(sum(cents) AS BIGINT) / count(*) AS avg_cents,
+                   CAST(sum(disc) AS BIGINT) / count(*) AS avg_disc
+            FROM l GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "tpch_q5": f"""
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+              FROM lineitem)
+            SELECT n_name, CAST(sum(rev) AS BIGINT) AS revenue
+            FROM customer, orders, l, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
+              AND o_orderdate < TIMESTAMP '{_Q5_HI}'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
+        "tpch_q10": f"""
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                             AS BIGINT))) AS BIGINT)
+                         AS revenue
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_orderdate >= TIMESTAMP '{_Q10_LO}'
+                AND o_orderdate < TIMESTAMP '{_Q10_HI}'
+                AND l_returnflag = 'R'
+              GROUP BY o_custkey)
+            SELECT c_custkey, c_name, revenue
+            FROM rev JOIN customer ON c_custkey = o_custkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
     }
