@@ -54,7 +54,11 @@ BENCH_QUERIES = [
     "doc_bm25",
     "kmeans_assign",
     "tpch_q3",
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q10",
     "event_value_quartiles",
+    "event_windows",
 ]
 
 

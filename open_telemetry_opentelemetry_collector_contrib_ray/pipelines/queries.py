@@ -2246,9 +2246,13 @@ def q_tpch_q5(sf_dir: str):
                          "l_orderkey": t.column("o_orderkey")})
 
     orders = orders.map_batches(ofilter, batch_format="pyarrow")
+    # materialize: the second join's schema probe on a lazy shuffle plan
+    # would re-execute this whole DAG (limit-1 cannot short-circuit an
+    # all-to-all); the output is just (orderkey, nationkey) pairs
     j1 = bucketed_hash_join(orders, cust, on=["c_custkey"], how="inner",
                             reduce=lambda df: df[["l_orderkey",
-                                                  "c_nationkey"]])
+                                                  "c_nationkey"]]) \
+        .materialize()
 
     li = _rd(sf_dir, "lineitem",
              columns=["l_orderkey", "l_suppkey", "l_extendedprice",

@@ -104,70 +104,127 @@ class OtlpJsonWriter:
         self.scope_name = scope_name
         os.makedirs(out_dir, exist_ok=True)
 
-    def _records(self, t: pa.Table) -> list[dict]:
+    def _record_json(self, t: pa.Table) -> list[str]:
+        """One compact OTLP logRecord JSON string per row.  Byte-for-byte
+        what json.dumps(separators=(',', ':')) would emit for the dict
+        form, but rendered column-at-a-time: the typed dispatch happens
+        once per COLUMN (from the Arrow schema) and each scalar costs a
+        single C-level format/json.dumps call, not a dict build + a
+        serializer walk."""
         n = t.num_rows
         special = {self.body_col, self.time_col, self.sev_num_col,
                    self.sev_text_col, *self.resource_cols}
         attr_cols = [c for c in t.column_names if c not in special]
-        cols = {c: t.column(c).to_pylist() for c in attr_cols}
-        body = t.column(self.body_col).to_pylist() if self.body_col in t.column_names else [None] * n
+        frag_cols = []
+        for c in attr_cols:
+            col = t.column(c)
+            key = json.dumps(c)
+            vals = col.to_pylist()
+            if pa.types.is_boolean(col.type):
+                frags = [None if v is None else
+                         '{"key":%s,"value":{"boolValue":%s}}'
+                         % (key, "true" if v else "false") for v in vals]
+            elif pa.types.is_integer(col.type):
+                frags = [None if v is None else
+                         '{"key":%s,"value":{"intValue":"%d"}}' % (key, v)
+                         for v in vals]
+            elif pa.types.is_floating(col.type):
+                frags = [None if v is None else
+                         '{"key":%s,"value":{"doubleValue":%s}}'
+                         % (key, json.dumps(float(v))) for v in vals]
+            else:
+                frags = [None if v is None else
+                         '{"key":%s,"value":{"stringValue":%s}}'
+                         % (key, json.dumps(str(v))) for v in vals]
+            frag_cols.append(frags)
+        body = (t.column(self.body_col).to_pylist()
+                if self.body_col in t.column_names else [None] * n)
         if self.time_col in t.column_names:
-            ts = t.column(self.time_col).cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+            ts = t.column(self.time_col).cast(pa.timestamp("us")) \
+                  .cast(pa.int64()).to_pylist()
         else:
             ts = [None] * n
         sev_n = (t.column(self.sev_num_col).to_pylist()
-                 if self.sev_num_col and self.sev_num_col in t.column_names else [None] * n)
+                 if self.sev_num_col and self.sev_num_col in t.column_names
+                 else [None] * n)
         sev_t = (t.column(self.sev_text_col).to_pylist()
-                 if self.sev_text_col and self.sev_text_col in t.column_names else [None] * n)
+                 if self.sev_text_col and self.sev_text_col in t.column_names
+                 else [None] * n)
         recs = []
         for i in range(n):
-            rec: dict = {}
+            parts = []
             if ts[i] is not None:
-                rec["timeUnixNano"] = str(ts[i] * 1000)
+                parts.append('"timeUnixNano":"%d"' % (ts[i] * 1000))
             sn = sev_n[i]
             if sn is not None:
-                rec["severityNumber"] = int(sn)
-                rec["severityText"] = (sev_t[i] if sev_t[i] is not None
-                                       else _SEV_TEXT.get(int(sn), ""))
+                st = sev_t[i] if sev_t[i] is not None \
+                    else _SEV_TEXT.get(int(sn), "")
+                parts.append('"severityNumber":%d' % int(sn))
+                parts.append('"severityText":%s' % json.dumps(st))
             elif sev_t[i] is not None:
-                rec["severityText"] = sev_t[i]
+                parts.append('"severityText":%s' % json.dumps(sev_t[i]))
             if body[i] is not None:
-                rec["body"] = {"stringValue": str(body[i])}
-            attrs = [{"key": c, "value": _any_value(cols[c][i])}
-                     for c in attr_cols if cols[c][i] is not None]
+                parts.append('"body":{"stringValue":%s}'
+                             % json.dumps(str(body[i])))
+            attrs = [fc[i] for fc in frag_cols if fc[i] is not None]
             if attrs:
-                rec["attributes"] = attrs
-            recs.append(rec)
+                parts.append('"attributes":[%s]' % ",".join(attrs))
+            recs.append("{%s}" % ",".join(parts))
         return recs
+
+    @staticmethod
+    def _any_value_json(v) -> str:
+        if isinstance(v, bool):
+            return '{"boolValue":%s}' % ("true" if v else "false")
+        if isinstance(v, (int, np.integer)):
+            return '{"intValue":"%d"}' % int(v)
+        if isinstance(v, (float, np.floating)):
+            return '{"doubleValue":%s}' % json.dumps(float(v))
+        return '{"stringValue":%s}' % json.dumps(str(v))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
-        recs = self._records(t)
+        recs = self._record_json(t)
+        scope = '{"scope":{"name":%s},"logRecords":[' % json.dumps(
+            self.scope_name)
         if self.resource_cols:
             import pandas as pd
 
-            key_df = pd.DataFrame(
-                {c: t.column(c).to_pandas() for c in self.resource_cols})
-            groups: dict = {}
-            for i, key in enumerate(map(tuple, key_df.itertuples(index=False))):
-                groups.setdefault(key, []).append(i)
+            # first-occurrence group codes (what dict.setdefault produced),
+            # vectorized: factorize each key column, combine, re-factorize
+            n = t.num_rows
+            codes = np.zeros(n, dtype=np.int64)
+            key_vals = []
+            for c in self.resource_cols:
+                arr = t.column(c).to_pandas()
+                key_vals.append(arr)
+                ci, _ = pd.factorize(arr, use_na_sentinel=False)
+                codes = codes * (ci.max() + 1) + ci
+            gcodes, _ = pd.factorize(codes)
+            order = np.argsort(gcodes, kind="stable")
+            sorted_codes = gcodes[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(sorted_codes) != 0])
+            ends = np.r_[starts[1:], n]
             resource_logs = []
-            for key, idxs in groups.items():
-                res_attrs = [{"key": c, "value": _any_value(v)}
-                             for c, v in zip(self.resource_cols, key)
-                             if v is not None]
-                resource_logs.append({
-                    "resource": {"attributes": res_attrs},
-                    "scopeLogs": [{"scope": {"name": self.scope_name},
-                                   "logRecords": [recs[i] for i in idxs]}]})
+            for s, e in zip(starts, ends):
+                idxs = order[s:e]
+                first = int(idxs[0])
+                res_attrs = ",".join(
+                    '{"key":%s,"value":%s}'
+                    % (json.dumps(c), self._any_value_json(kv.iloc[first]))
+                    for c, kv in zip(self.resource_cols, key_vals)
+                    if kv.iloc[first] is not None)
+                resource_logs.append(
+                    '{"resource":{"attributes":[%s]},"scopeLogs":[%s%s]}]}'
+                    % (res_attrs, scope,
+                       ",".join(recs[int(i)] for i in idxs)))
         else:
-            resource_logs = [{"resource": {},
-                              "scopeLogs": [{"scope": {"name": self.scope_name},
-                                             "logRecords": recs}]}]
-        line = json.dumps({"resourceLogs": resource_logs},
-                          separators=(",", ":")).encode() + b"\n"
+            resource_logs = ['{"resource":{},"scopeLogs":[%s%s]}]}'
+                             % (scope, ",".join(recs))]
+        line = ('{"resourceLogs":[%s]}'
+                % ",".join(resource_logs)).encode() + b"\n"
         digest = hashlib.md5(line).hexdigest()[:16]
         ext = {"gzip": ".jsonl.gz", "zstd": ".jsonl.zst"}.get(self.compression, ".jsonl")
         path = os.path.join(self.out_dir, f"logs-{digest}{ext}")
