@@ -2370,6 +2370,24 @@ def q_tpch_q10(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    """Real BPE tokenization (Sennrich 2016; stages/bpe.py): the corpus
+    collapses to a distinct-word frequency table (per-batch np.unique
+    partials, one bucketed combine), merges learn over that table, and a
+    broadcast-ranks actor pool encodes map-side with a distinct-word
+    cache.  Rows-only by design: merge learning is an iterative
+    algorithm SQL cannot replay; parity is pinned by tests/test_bpe.py
+    (brute-force trainer equivalence + lossless roundtrip)."""
+    from ..stages.bpe import bpe_tokenize
+
+    out, _ = bpe_tokenize(
+        lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_merges=256, min_count=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_event_windows(sf_dir: str):
     """Navigation + frame window functions per user over the TOTAL order
     (ts, event_id): row_number, lag/lead, trailing-3 moving sum, running
@@ -2536,6 +2554,7 @@ def queries():
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
 
 
