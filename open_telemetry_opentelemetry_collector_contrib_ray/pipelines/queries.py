@@ -2370,6 +2370,31 @@ def q_tpch_q10(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_skewed_type_join(sf_dir: str):
+    """Skew-aware salted join: every event joins its type's total count
+    — event_type is maximally skewed (a handful of keys cover the whole
+    table), exactly the case where a plain hash join puts each key's
+    entire fan-in into ONE reduce task.  skew_join auto-detects the hot
+    keys with a SpaceSaving pass, salts the left side n_salt ways and
+    replicates the tiny hot right rows (stages/join.py)."""
+    from ..stages.join import skew_join
+
+    ev = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+    totals = grouped_count(
+        _rd(sf_dir, "events", columns=["event_type"]),
+        ["event_type"], alias="type_total", combine="driver")
+    out = skew_join(ev, totals, on=["event_type"], how="inner",
+                    n_salt=8, hot_min_share=0.02)
+    return out.map_batches(
+        # union-schema padding floats the int columns; exact ints < 2^53
+        # cast back losslessly
+        lambda t: pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "type_total": t.column("type_total").cast(pa.int64())}),
+        batch_format="pyarrow").sort("event_id")
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     """Real BPE tokenization (Sennrich 2016; stages/bpe.py): the corpus
     collapses to a distinct-word frequency table (per-batch np.unique
@@ -2555,6 +2580,7 @@ def queries():
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "skewed_type_join": q_skewed_type_join,
     }
 
 
@@ -3569,4 +3595,10 @@ def oracle_sql():
             SELECT c_custkey, c_name, revenue
             FROM rev JOIN customer ON c_custkey = o_custkey
             ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "skewed_type_join": """
+            SELECT event_id, e.event_type, t.type_total
+            FROM events e JOIN (SELECT event_type, count(*) AS type_total
+                                FROM events GROUP BY event_type) t
+              ON e.event_type = t.event_type
+            ORDER BY event_id""",
     }

@@ -263,6 +263,108 @@ def range_join(left, right, left_ts: str, right_start: str, right_end: str,
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def _hot_keys(ds, col: str, k: int = 8, min_share: float = 0.02,
+              capacity: int = 256) -> list:
+    """Heavy-hitter keys of `col`: per-batch SpaceSaving summaries + row
+    counts, merged on the driver.  Returns up to k keys whose estimated
+    share exceeds min_share.  One extra (cheap, projected) pass."""
+    import pickle
+
+    from .sketch import _ss_add, _ss_merge
+
+    def summarize(t: pa.Table) -> pa.Table:
+        gb = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+        counters: dict = {}
+        for key, c in zip(gb.column(col).to_pylist(),
+                          gb.column("count_all").to_pylist()):
+            _ss_add(counters, key, c, capacity)
+        return pa.table({"sketch": pa.array([pickle.dumps(counters)],
+                                            pa.binary()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    merged: dict = {}
+    total = 0
+    for row in parts:
+        merged = _ss_merge(merged, pickle.loads(row["sketch"]), capacity)
+        total += int(row["n"])
+    if not total:
+        return []
+    top = sorted(merged.items(), key=lambda kv: -kv[1])[:k]
+    return [key for key, c in top if c >= min_share * total and key is not None]
+
+
+def skew_join(left, right, on: Sequence[str], how: str = "inner",
+              n_buckets: int = 32, suffix: str = "_r", n_salt: int = 8,
+              hot_keys: Sequence | None = None, hot_top: int = 8,
+              hot_min_share: float = 0.02):
+    """bucketed_hash_join for SKEWED keys: hot keys are salted so one
+    giant key spreads over n_salt buckets instead of overflowing one
+    reduce task.
+
+    Hot left rows get salt = (running index among hot rows) % n_salt;
+    hot RIGHT rows replicate to every salt (the classic broadcast-the-
+    hot-minority trade: n_salt copies of the few hot right rows buy an
+    n_salt-way split of the dominant left key).  Cold keys take salt 0
+    — identical path to the plain join.  The join then runs on
+    (keys + __salt); correct for inner/left/semi/anti (an 'outer'
+    right-unmatched row would surface once per salt, so outer is
+    rejected).
+
+    hot_keys=None auto-detects via a SpaceSaving pass over the left side
+    (single-column joins; pass hot_keys explicitly for composite keys).
+    No hot keys detected ⇒ delegates to bucketed_hash_join unchanged."""
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"skew_join does not support how={how!r}")
+    on = list(on)
+    if hot_keys is None:
+        if len(on) != 1:
+            raise ValueError("auto hot-key detection needs a single join "
+                             "column; pass hot_keys= for composite keys")
+        hot_keys = _hot_keys(left, on[0], k=hot_top,
+                             min_share=hot_min_share)
+    hot_keys = [k for k in hot_keys if k is not None]
+    if not hot_keys:
+        return bucketed_hash_join(left, right, on=on, how=how,
+                                  n_buckets=n_buckets, suffix=suffix)
+    deg = _degenerate_side(left, right, how)
+    if deg is not None:
+        return deg
+    key_col = on[0]
+    key_type = _pa_schema(left).field(key_col).type
+    hot_arr = pa.array(hot_keys, type=key_type)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        hot = pc.fill_null(pc.is_in(t.column(key_col).cast(key_type),
+                                    value_set=hot_arr), False) \
+            .to_numpy(zero_copy_only=False)
+        salt = np.zeros(t.num_rows, dtype=np.int64)
+        salt[hot] = np.arange(int(hot.sum()), dtype=np.int64) % n_salt
+        return t.append_column("__salt", pa.array(salt, pa.int64()))
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        hot = pc.fill_null(pc.is_in(t.column(key_col).cast(key_type),
+                                    value_set=hot_arr), False) \
+            .to_numpy(zero_copy_only=False)
+        cold_idx = np.flatnonzero(~hot)
+        hot_idx = np.flatnonzero(hot)
+        idx = np.concatenate([cold_idx, np.repeat(hot_idx, n_salt)])
+        salts = np.concatenate([
+            np.zeros(len(cold_idx), dtype=np.int64),
+            np.tile(np.arange(n_salt, dtype=np.int64), len(hot_idx))])
+        return t.take(pa.array(idx)).append_column(
+            "__salt", pa.array(salts, pa.int64()))
+
+    out = bucketed_hash_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow"),
+        on=on + ["__salt"], how=how, n_buckets=n_buckets, suffix=suffix)
+    return out.map_batches(lambda t: t.drop_columns(["__salt"]),
+                           batch_format="pyarrow")
+
+
 def native_join(left, right, on: Sequence[str], how: str = "inner",
                 num_partitions: int = 32, suffix: str = "_r"):
     """Ray Data's built-in hash-shuffle join (Dataset.join) — the same
