@@ -2370,6 +2370,22 @@ def q_tpch_q10(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_sample_otep235(sf_dir: str):
+    """OTEP-235 consistent-probability sampling (the reference
+    probabilisticsamplerprocessor's equalizing mode): keep iff the
+    56-bit randomness of conv_id >= the rejection threshold; survivors
+    carry the encoded `th` tracestate value.  Deterministic and
+    DuckDB-replayable (md5_number_lower >> 8)."""
+    from ..stages.sample import Otep235Sampler
+
+    ds = read_transcripts(sf_dir)
+    out = ds.map_batches(Otep235Sampler(25.0, key="conv_id"),
+                         batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "sampling_th"]),
+        batch_format="pyarrow").sort(["conv_id", "turn_idx"])
+
+
 def q_skewed_type_join(sf_dir: str):
     """Skew-aware salted join: every event joins its type's total count
     — event_type is maximally skewed (a handful of keys cover the whole
@@ -2581,7 +2597,19 @@ def queries():
         "tpch_q10": q_tpch_q10,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "skewed_type_join": q_skewed_type_join,
+        "sample_otep235": q_sample_otep235,
     }
+
+
+def _otep235_sql() -> str:
+    from ..stages.sample import encode_th, threshold_from_probability
+
+    t = threshold_from_probability(0.25)
+    return f"""
+        SELECT conv_id, turn_idx, '{encode_th(t)}' AS sampling_th
+        FROM {_T}
+        WHERE md5_number_lower(conv_id) // 256 >= {t}
+        ORDER BY conv_id, turn_idx"""
 
 
 def oracle_sql():
@@ -3601,4 +3629,5 @@ def oracle_sql():
                                 FROM events GROUP BY event_type) t
               ON e.event_type = t.event_type
             ORDER BY event_id""",
+        "sample_otep235": _otep235_sql(),
     }

@@ -111,6 +111,91 @@ class ProbabilisticSampler:
         return batch.filter(pa.array(keep & notnull))
 
 
+_TH_BITS = 56
+_TH_MAX = 1 << _TH_BITS
+
+
+def threshold_from_probability(p: float) -> int:
+    """OTEP-235 rejection threshold T in [0, 2^56): keep when the 56-bit
+    randomness R >= T, so P(keep) = 1 - T/2^56.  Matches the reference
+    sampler's threshold space (probabilisticsamplerprocessor
+    sampler_mode.go OTEP-235 modes)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError("probability must be in [0, 1]")
+    return min(_TH_MAX - 1, int(round((1.0 - p) * _TH_MAX)))
+
+
+def probability_from_threshold(t: int) -> float:
+    return 1.0 - t / _TH_MAX
+
+
+def encode_th(t: int) -> str:
+    """Threshold -> tracestate value: 14 hex digits, trailing zeros
+    trimmed ('0' = always sample)."""
+    if not 0 <= t < _TH_MAX:
+        raise ValueError("threshold out of range")
+    return format(t, "014x").rstrip("0") or "0"
+
+
+def decode_th(s: str) -> int:
+    if not (1 <= len(s) <= 14):
+        raise ValueError(f"bad th encoding {s!r}")
+    return int(s.ljust(14, "0"), 16)
+
+
+class Otep235Sampler:
+    """Consistent-probability sampler with tracestate threshold encoding
+    (OTEP-235; reference probabilisticsamplerprocessor 'equalizing' /
+    'proportional' modes).
+
+    Randomness R = lower 56 bits of md5(key) — deterministic per record
+    and DuckDB-replayable (md5_number_lower >> 8).  Keep iff R >= T.
+
+    - equalizing: T comes from `percentage` alone; records that arrive
+      with a LOWER incoming probability (th column, already-sampled
+      upstream) keep their stricter threshold — final T = max(T_in, T_cfg)
+      per the spec's "cannot un-sample" rule.
+    - proportional: effective p = p_in * p_cfg (T composes
+      multiplicatively on the keep side).
+
+    Survivors get an `out_th` column with the final encoded threshold
+    (`ot=th:<v>` goes on the wire; the bare value is stored so the
+    column is directly comparable)."""
+
+    def __init__(self, percentage: float, key: str = "conv_id",
+                 mode: str = "equalizing", th_col: str | None = None,
+                 out_th: str = "sampling_th"):
+        if mode not in ("equalizing", "proportional"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.t_cfg = threshold_from_probability(percentage / 100.0)
+        self.key, self.mode = key, mode
+        self.th_col, self.out_th = th_col, out_th
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        vals = batch.column(self.key).to_pylist()
+        r = _md5_lower64(vals) >> np.uint64(64 - _TH_BITS)
+        if self.th_col and self.th_col in batch.column_names:
+            t_in = np.array([decode_th(s) if s else 0
+                             for s in batch.column(self.th_col).to_pylist()],
+                            dtype=np.uint64)
+        else:
+            t_in = np.zeros(batch.num_rows, dtype=np.uint64)
+        if self.mode == "equalizing":
+            t_fin = np.maximum(t_in, np.uint64(self.t_cfg))
+        else:  # proportional: p = p_in * p_cfg
+            p = (1.0 - t_in / float(_TH_MAX)) * \
+                (1.0 - self.t_cfg / float(_TH_MAX))
+            t_fin = np.minimum(_TH_MAX - 1,
+                               np.rint((1.0 - p) * _TH_MAX)).astype(np.uint64)
+        notnull = np.array([v is not None for v in vals], dtype=bool)
+        keep = (r >= t_fin) & notnull
+        out = batch.filter(pa.array(keep))
+        ths = [encode_th(int(t)) for t, k in zip(t_fin, keep) if k]
+        return out.append_column(self.out_th, pa.array(ths, pa.string()))
+
+
 class HashBucketStage:
     """Adds a stable hash-bucket column (loadbalancingexporter ring analog,
     exporter/loadbalancingexporter/consistent_hashing.go:11-50): the
