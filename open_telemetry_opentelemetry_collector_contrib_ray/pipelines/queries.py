@@ -2370,6 +2370,113 @@ def q_tpch_q10(sf_dir: str):
         .reset_index(drop=True)
 
 
+_Q14_LO, _Q14_HI = "1997-03-01", "1997-04-01"
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promotion-revenue share: part is a BROADCAST dimension
+    (sorted partkey -> is-promo bit arrays via ray.put, searchsorted
+    probe per batch), lineitem reduces map-only to two exact-int partial
+    sums — zero shuffle, two kilobyte partials reach the driver, and the
+    final percentage is one fixed-order float expression (bitwise-equal
+    vs the oracle)."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+
+    lo, hi = np.datetime64(_Q14_LO, "us"), np.datetime64(_Q14_HI, "us")
+    part = _rd(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    part = part.sort_values("p_partkey")
+    pref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                    (part["p_type"] == "PROMO").to_numpy(bool)))
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    class PromoPartial:
+        def __init__(self):
+            self.keys, self.promo = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t.column("l_shipdate"),
+                                         pa.scalar(lo)),
+                        pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+            t = t.filter(m)
+            cents = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64())
+            disc = pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 100.0)), pa.int64())
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                                 disc)) \
+                .to_numpy(zero_copy_only=False)
+            pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.keys, pk),
+                             max(len(self.keys) - 1, 0))
+            is_promo = (self.keys[pos] == pk) & self.promo[pos] \
+                if len(self.keys) else np.zeros(len(pk), bool)
+            return pa.table({
+                "promo_rev": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_rev": pa.array([int(rev.sum())], pa.int64()),
+                "_one": pa.array([1], pa.int64())})
+
+    partials = li.map_batches(PromoPartial, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    tot = grouped_agg(partials, ["_one"],
+                      [("sum", "promo_rev", "promo_rev"),
+                       ("sum", "total_rev", "total_rev")],
+                      combine="driver").to_pandas()
+    pr, tr = int(tot["promo_rev"].iloc[0]), int(tot["total_rev"].iloc[0])
+    return pd.DataFrame({"promo_share_pct": [(100 * pr) / tr]})
+
+
+_Q18_QTY = 150
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume orders: per-order quantity sums via the
+    bucketed combine (high-cardinality orderkey), HAVING filter map-side
+    on the combined partials, one co-partitioning join attaches
+    orderdate/custkey, and the final few rows fetch customer names with
+    a key semi-filter."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    li = _rd(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "qty": t.column("l_quantity").cast(pa.int64())}),
+        batch_format="pyarrow")
+    per_order = grouped_agg(li, ["l_orderkey"], [("sum", "qty", "total_qty")],
+                            combine="bucket", n_buckets=16)
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t.column("total_qty"),
+                                      pa.scalar(_Q18_QTY, pa.int64()))),
+        batch_format="pyarrow")
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
+                            "o_custkey": t.column("o_custkey"),
+                            "o_orderdate": t.column("o_orderdate")}),
+        batch_format="pyarrow")
+    j = bucketed_hash_join(big, orders, on=["l_orderkey"], how="inner")
+    out = j.to_pandas()
+    for c in ("total_qty", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    keyset = pa.array(out["o_custkey"].unique(), pa.int64())
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(t.column("c_custkey"),
+                                                 value_set=keyset)),
+                     batch_format="pyarrow").to_pandas()
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    return out[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "total_qty"]] \
+        .sort_values(["total_qty", "o_orderkey"],
+                     ascending=[False, True]).reset_index(drop=True)
+
+
 def q_sample_otep235(sf_dir: str):
     """OTEP-235 consistent-probability sampling (the reference
     probabilisticsamplerprocessor's equalizing mode): keep iff the
@@ -2598,6 +2705,8 @@ def queries():
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "skewed_type_join": q_skewed_type_join,
         "sample_otep235": q_sample_otep235,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
     }
 
 
@@ -3630,4 +3739,30 @@ def oracle_sql():
               ON e.event_type = t.event_type
             ORDER BY event_id""",
         "sample_otep235": _otep235_sql(),
+        "tpch_q14": f"""
+            WITH l AS (
+              SELECT l_partkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '{_Q14_LO}'
+                AND l_shipdate < TIMESTAMP '{_Q14_HI}'),
+            s AS (SELECT
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                     AS BIGINT) AS pr,
+                CAST(sum(rev) AS BIGINT) AS tr
+              FROM l JOIN part ON p_partkey = l_partkey)
+            SELECT CAST(100 * pr AS BIGINT) / tr AS promo_share_pct FROM s""",
+        "tpch_q18": f"""
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_QTY})
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_qty DESC, o_orderkey""",
     }
