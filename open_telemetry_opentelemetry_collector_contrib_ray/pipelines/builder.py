@@ -372,3 +372,53 @@ def _sliding_window_step(c: dict):
         [tuple(s) for s in c["specs"]],
         window_us=c["window_us"], slide_us=c["slide_us"],
         keys=c.get("keys", [])))
+
+
+@register_step("window")
+def _window_step(c: dict):
+    """SQL window functions as a declarative step (Dataset-level
+    shuffle op): specs are dicts mirroring stages/window.py WindowSpec,
+    e.g. {"kind": "lag", "col": "value", "out": "prev"}."""
+    from ..stages.window import WindowSpec, grouped_window
+
+    specs = [WindowSpec(**s) for s in c["specs"]]
+    return DatasetStep(lambda ds: grouped_window(
+        ds, c["keys"], c["order_by"], specs,
+        n_buckets=c.get("n_buckets", 64)))
+
+
+@register_step("skew_join")
+def _skew_join_step(c: dict):
+    """Skew-aware salted join as a declarative step; `right` is a
+    Dataset supplied by the caller config (programmatic configs) or a
+    parquet path."""
+    from ..stages.join import skew_join
+
+    def run(ds):
+        right = c["right"]
+        if isinstance(right, str):
+            import ray.data
+
+            right = ray.data.read_parquet(right)
+        return skew_join(ds, right, on=c["on"], how=c.get("how", "inner"),
+                         n_salt=c.get("n_salt", 8),
+                         hot_keys=c.get("hot_keys"),
+                         n_buckets=c.get("n_buckets", 32))
+
+    return DatasetStep(run)
+
+
+@register_step("bpe_count")
+def _bpe_count_step(c: dict):
+    """BPE token counting as a declarative step: merges learned ahead of
+    time (config key `merges`, a list of [a, b] pairs from bpe_train) are
+    broadcast once; the step is a map-only actor pool."""
+    from ..stages.bpe import BpeEncoder
+
+    merges = [tuple(p) for p in c["merges"]]
+    return DatasetStep(lambda ds: ds.map_batches(
+        BpeEncoder, fn_constructor_kwargs=dict(
+            merges_ref=merges, text_col=c.get("text_col", "text"),
+            out_col=c.get("out_col", "n_bpe_tokens")),
+        batch_format="pyarrow",
+        concurrency=tuple(c.get("concurrency", (1, 8)))))
