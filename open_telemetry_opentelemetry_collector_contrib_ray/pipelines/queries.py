@@ -2477,6 +2477,28 @@ def q_tpch_q18(sf_dir: str):
                      ascending=[False, True]).reset_index(drop=True)
 
 
+def q_doc_validate(sf_dir: str):
+    """Expectations-style data-quality gate (stages/validate.py): five
+    rules over documents evaluate in one map-only pass of vectorized
+    masks + kilobyte count partials; the `unique` rule adds one bucketed
+    combine over per-batch distinct keys.  Output = per-rule violation
+    counts, the ingest-contract summary a 100 TB pipeline checks before
+    training."""
+    from ..stages.validate import validate
+
+    ds = _rd(sf_dir, "documents",
+             columns=["doc_id", "text", "lang", "n_chars"])
+    out = validate(ds, [
+        {"kind": "not_null", "col": "text"},
+        {"kind": "in_range", "col": "n_chars", "lo": 10, "hi": 5000},
+        {"kind": "in_set", "col": "lang",
+         "values": ["en", "de", "fr", "es"]},
+        {"kind": "matches", "col": "text", "pattern": r"\."},
+        {"kind": "unique", "col": "doc_id"},
+    ])
+    return out.sort("rule")
+
+
 def q_sample_otep235(sf_dir: str):
     """OTEP-235 consistent-probability sampling (the reference
     probabilisticsamplerprocessor's equalizing mode): keep iff the
@@ -2707,6 +2729,7 @@ def queries():
         "sample_otep235": q_sample_otep235,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "doc_validate": q_doc_validate,
     }
 
 
@@ -3765,4 +3788,27 @@ def oracle_sql():
             JOIN orders ON o_orderkey = l_orderkey
             JOIN customer ON c_custkey = o_custkey
             ORDER BY total_qty DESC, o_orderkey""",
+        "doc_validate": """
+            SELECT * FROM (
+              SELECT 'not_null_text' AS rule,
+                     CAST(count(*) FILTER (text IS NULL) AS BIGINT)
+                         AS n_violations FROM documents
+              UNION ALL
+              SELECT 'in_range_n_chars',
+                     CAST(count(*) FILTER (n_chars < 10 OR n_chars > 5000)
+                          AS BIGINT) FROM documents
+              UNION ALL
+              SELECT 'in_set_lang',
+                     CAST(count(*) FILTER (lang IS NOT NULL AND lang NOT IN
+                          ('en','de','fr','es')) AS BIGINT) FROM documents
+              UNION ALL
+              SELECT 'matches_text',
+                     CAST(count(*) FILTER (text IS NOT NULL AND NOT
+                          regexp_matches(text, '\\.')) AS BIGINT)
+                     FROM documents
+              UNION ALL
+              SELECT 'unique_doc_id',
+                     CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                     FROM documents)
+            ORDER BY rule""",
     }
