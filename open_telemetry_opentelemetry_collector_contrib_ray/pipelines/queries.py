@@ -2477,6 +2477,58 @@ def q_tpch_q18(sf_dir: str):
                      ascending=[False, True]).reset_index(drop=True)
 
 
+def q_conversation_features(sf_dir: str):
+    """Per-conversation feature extraction (the transcripts-axis
+    aggregate a fine-tuning pipeline computes before filtering convs):
+    n_turns, tool-turn count, total chars, duration — ONE grouped_agg
+    over indicator columns, per-conv keys co-locate in the bucketed
+    combine."""
+    from ..stages.aggregate import grouped_agg
+
+    ds = read_transcripts(sf_dir)
+
+    def indicators(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "is_tool": pc.cast(pc.equal(t.column("role"), "tool"),
+                               pa.int64()),
+            "text_len": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            "ts": t.column("ts"),
+        })
+
+    ds = ds.map_batches(indicators, batch_format="pyarrow")
+    agg = grouped_agg(ds, ["conv_id"], [
+        ("count", None, "n_turns"), ("sum", "is_tool", "n_tool_turns"),
+        ("sum", "text_len", "total_chars"), ("min", "ts", "first_ts"),
+        ("max", "ts", "last_ts")], combine="bucket", n_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dur = pc.subtract(t.column("last_ts").cast(pa.int64()),
+                          t.column("first_ts").cast(pa.int64()))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "n_turns": t.column("n_turns"),
+                         "n_tool_turns": t.column("n_tool_turns"),
+                         "total_chars": t.column("total_chars"),
+                         "duration_us": dur})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("conv_id")
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic leakage-safe train/val/test split: md5-of-key
+    boundary assignment (stages/sample.py DatasetSplitter), row-level
+    and bit-replayable in SQL."""
+    from ..stages.sample import DatasetSplitter
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id"])
+    out = ds.map_batches(DatasetSplitter(_SPLITS, key="doc_id"),
+                         batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
 def q_doc_validate(sf_dir: str):
     """Expectations-style data-quality gate (stages/validate.py): five
     rules over documents evaluate in one map-only pass of vectorized
@@ -2730,7 +2782,17 @@ def queries():
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "doc_validate": q_doc_validate,
+        "conversation_features": q_conversation_features,
+        "doc_split": q_doc_split,
     }
+
+
+def _doc_split_sql() -> str:
+    from ..stages.sample import DatasetSplitter
+
+    case = DatasetSplitter(_SPLITS, key="doc_id").sql_case("doc_id")
+    return f"""
+        SELECT doc_id, {case} AS split FROM documents ORDER BY doc_id"""
 
 
 def _otep235_sql() -> str:
@@ -3811,4 +3873,14 @@ def oracle_sql():
                      CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
                      FROM documents)
             ORDER BY rule""",
+        "conversation_features": f"""
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_turns,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us
+            FROM {_T} GROUP BY conv_id ORDER BY conv_id""",
+        "doc_split": _doc_split_sql(),
     }

@@ -196,6 +196,45 @@ class Otep235Sampler:
         return out.append_column(self.out_th, pa.array(ths, pa.string()))
 
 
+class DatasetSplitter:
+    """Deterministic train/val/test assignment by content hash — the
+    standard leakage-safe split (same key always lands in the same
+    split, across runs and machines).  fractions: {label: weight},
+    normalized; assignment = md5_lower64(key) % 10000 against cumulative
+    boundaries, DuckDB-replayable like ProbabilisticSampler.  Keying by
+    a GROUP id (conv_id, url host, cluster id) keeps near-duplicates on
+    one side of the split."""
+
+    def __init__(self, fractions: dict[str, float], key: str = "doc_id",
+                 out_col: str = "split"):
+        total = float(sum(fractions.values()))
+        if total <= 0:
+            raise ValueError("fractions must sum to > 0")
+        self.labels = list(fractions)
+        bounds, acc = [], 0.0
+        for lb in self.labels:
+            acc += fractions[lb] / total
+            bounds.append(int(round(acc * 10000)))
+        bounds[-1] = 10000
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.key, self.out_col = key, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.key).to_pylist()
+        b = (_md5_lower64(vals) % np.uint64(10000)).astype(np.int64)
+        idx = np.searchsorted(self.bounds, b, side="right")
+        labels = np.asarray(self.labels, dtype=object)[idx]
+        return batch.append_column(self.out_col,
+                                   pa.array(labels, pa.string()))
+
+    def sql_case(self, key_expr: str) -> str:
+        """The DuckDB CASE expression replaying this assignment."""
+        h = f"md5_number_lower(CAST({key_expr} AS VARCHAR)) % 10000"
+        parts = [f"WHEN {h} < {hi} THEN '{lb}'"
+                 for lb, hi in zip(self.labels, self.bounds)]
+        return "CASE " + " ".join(parts) + " END"
+
+
 class HashBucketStage:
     """Adds a stable hash-bucket column (loadbalancingexporter ring analog,
     exporter/loadbalancingexporter/consistent_hashing.go:11-50): the

@@ -72,3 +72,19 @@ def test_proportional_composes_multiplicatively():
     direct = Otep235Sampler(25.0).__call__(b)
     assert s2.column("conv_id").to_pylist() == \
         direct.column("conv_id").to_pylist()
+
+
+def test_dataset_splitter_deterministic_and_proportional():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        DatasetSplitter)
+
+    b = pa.table({"doc_id": pa.array(list(range(5000)), pa.int64())})
+    sp = DatasetSplitter({"train": 0.8, "val": 0.1, "test": 0.1})
+    out1 = sp(b).column("split").to_pylist()
+    out2 = sp(b).column("split").to_pylist()
+    assert out1 == out2
+    frac = {s: out1.count(s) / len(out1) for s in ("train", "val", "test")}
+    assert 0.77 < frac["train"] < 0.83
+    assert 0.07 < frac["val"] < 0.13
+    with pytest.raises(ValueError):
+        DatasetSplitter({"a": 0.0})
