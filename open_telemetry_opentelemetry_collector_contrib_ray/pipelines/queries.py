@@ -2269,10 +2269,9 @@ def q_tpch_q5(sf_dir: str):
             sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
             pos = np.minimum(np.searchsorted(self.keys, sk),
                              len(self.keys) - 1)
-            t = t.filter(pa.array(self.keys[pos] == sk))
-            sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(self.keys, sk),
-                             len(self.keys) - 1)
+            hit = self.keys[pos] == sk
+            t = t.filter(pa.array(hit))
+            pos = pos[hit]  # reuse the probe; no second searchsorted
             cents = pc.cast(pc.round(pc.multiply(
                 t.column("l_extendedprice"), 100.0)), pa.int64())
             disc = pc.cast(pc.round(pc.multiply(

@@ -273,7 +273,7 @@ def _hot_keys(ds, col: str, k: int = 8, min_share: float = 0.02,
     from .sketch import _ss_add, _ss_merge
 
     def summarize(t: pa.Table) -> pa.Table:
-        gb = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+        gb = t.group_by([col]).aggregate([([], "count_all")])
         counters: dict = {}
         for key, c in zip(gb.column(col).to_pylist(),
                           gb.column("count_all").to_pylist()):
@@ -282,7 +282,10 @@ def _hot_keys(ds, col: str, k: int = 8, min_share: float = 0.02,
                                             pa.binary()),
                          "n": pa.array([t.num_rows], pa.int64())})
 
-    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    # project BEFORE the map so parquet column pushdown applies — the
+    # detection pass must not re-read the left side's non-key bytes
+    parts = ds.select_columns([col]) \
+        .map_batches(summarize, batch_format="pyarrow").take_all()
     merged: dict = {}
     total = 0
     for row in parts:

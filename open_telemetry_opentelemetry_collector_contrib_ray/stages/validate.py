@@ -80,6 +80,8 @@ def validate(ds, rules: Sequence[dict], mode: str = "count",
     row-local rule (`unique` is not flaggable row-locally — a row's
     guilt depends on rows elsewhere; use count mode or dedup)."""
     rules = [dict(r) for r in rules]
+    if not rules:
+        raise ValueError("validate() needs at least one rule")
     for r in rules:
         if r["kind"] != "unique" and r["kind"] not in _ROW_RULES:
             raise ValueError(f"unknown rule kind {r['kind']!r}")
@@ -123,7 +125,10 @@ def validate(ds, rules: Sequence[dict], mode: str = "count",
 
         def pre(t: pa.Table, cols=cols) -> pa.Table:
             g = t.select(cols).group_by(cols).aggregate([([], "count_all")])
-            return g.rename_columns(cols + ["n"])
+            # bind by NAME: pyarrow's aggregate column order has differed
+            # across versions; positional rename would mis-bind key/count
+            return pa.table({**{c: g.column(c) for c in cols},
+                             "n": g.column("count_all")})
 
         # per-batch distinct shrinks the shuffle; the bucketed combine
         # sums multiplicities per key, then violations = sum(n - 1)

@@ -67,10 +67,14 @@ def _order_boundaries(g: pd.DataFrame, keys: list[str],
     for c in orders:
         s = g[c]
         prev = s.shift(1)
-        # nullable dtypes yield NA comparisons: fill to False, then add
-        # back exactly-one-side-null rows (null vs value = a boundary)
+        sn = s.isna().to_numpy(dtype=bool)
+        pn = prev.isna().to_numpy(dtype=bool)
+        # raw inequality: nullable dtypes yield NA (fill False), numpy
+        # NaN/NaT yield True — both get overridden by the null logic:
+        # exactly-one-side-null = boundary, both-null = peers
         ne = s.ne(prev).fillna(False).to_numpy(dtype=bool)
-        ne |= (s.isna() ^ prev.isna()).to_numpy(dtype=bool)
+        ne |= sn ^ pn
+        ne &= ~(sn & pn)
         changed = changed | ne
     return changed
 
@@ -94,7 +98,10 @@ def grouped_window(ds, keys: Sequence[str], order_cols: Sequence[str],
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(keys + orders, kind="stable").reset_index(drop=True)
-        gb = g.groupby(keys, sort=False)
+        # dropna=False: a NULL partition key is its own partition (SQL
+        # semantics); the default silently yields NaN cumcounts that cast
+        # to INT64_MIN garbage for the null-key rows
+        gb = g.groupby(keys, sort=False, dropna=False)
         rn = gb.cumcount().to_numpy()
         need_rank = any(s.kind in ("rank", "dense_rank", "percent_rank",
                                    "cume_dist") for s in specs)

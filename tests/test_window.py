@@ -130,3 +130,43 @@ def test_bad_specs_raise():
         pass
     with pytest.raises(ValueError):
         _run(df, ["k"], ["o"], [WindowSpec("lag")])
+
+
+def test_null_partition_key_is_its_own_partition():
+    df = pd.DataFrame({
+        "rid": np.arange(6, dtype=np.int64),
+        "k": pd.array([1, None, 1, None, 2, None], dtype="Int64"),
+        "o": np.arange(6, dtype=np.int64),
+        "v": np.array([10, 20, 30, 40, 50, 60], dtype=np.int64),
+    })
+    got = _run(df, ["k"], ["o"], [
+        WindowSpec("row_number", out="rn"),
+        WindowSpec("running_sum", col="v", out="rs"),
+    ])
+    by_rid = got.set_index("rid")
+    # NULL keys form ONE partition (SQL GROUP BY/PARTITION BY semantics)
+    assert by_rid.loc[[1, 3, 5], "rn"].tolist() == [1, 2, 3]
+    assert by_rid.loc[[1, 3, 5], "rs"].tolist() == [20, 60, 120]
+    assert by_rid.loc[[0, 2], "rn"].tolist() == [1, 2]
+    assert (got["rn"] > 0).all()  # never INT64_MIN garbage
+
+
+def test_numpy_nan_order_values_are_peers():
+    # plain float64 NaN (the normal Arrow->pandas conversion), not
+    # nullable Int64: NaN != NaN must NOT create rank boundaries
+    df = pd.DataFrame({
+        "rid": np.arange(6, dtype=np.int64),
+        "k": np.zeros(6, dtype=np.int64),
+        "o": np.array([np.nan, np.nan, 1.0, 1.0, 2.0, np.nan]),
+        "v": np.arange(6, dtype=np.int64),
+    })
+    got = _run(df, ["k"], ["o"], [
+        WindowSpec("rank", out="rnk"),
+        WindowSpec("dense_rank", out="drnk"),
+        WindowSpec("cume_dist", out="cd"),
+    ])
+    nan_rows = got[got["o"].isna()]
+    assert nan_rows["rnk"].nunique() == 1   # all NaN peers share one rank
+    assert nan_rows["drnk"].nunique() == 1
+    assert nan_rows["cd"].nunique() == 1
+    assert got[got["o"] == 1.0]["rnk"].nunique() == 1
