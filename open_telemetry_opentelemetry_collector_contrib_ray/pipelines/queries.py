@@ -2660,6 +2660,40 @@ def q_event_rank_windows(sf_dir: str):
         batch_format="pyarrow").sort("event_id")
 
 
+def q_event_trailing(sf_dir: str):
+    """Time-RANGE trailing window per user: 24h trailing sum/count/avg of
+    integer cents over (ts, event_id) order.  The engine's time_* frame is
+    [t - range_us, t] with ties entering in order-column position — the
+    oracle replays that exactly with a self-join + (ts, event_id)
+    tiebreak (a SQL RANGE frame would instead include ALL ts peers).
+    tavg is derived as tsum/tcnt AFTER the window (identical double
+    division on both sides) rather than a rolling mean, so it hashes
+    bit-exactly."""
+    from ..stages.window import WindowSpec, grouped_window
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        iv = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)),
+                     pa.int64())
+        return t.append_column("iv", iv)
+
+    day_us = 24 * 3600 * 1_000_000
+    out = grouped_window(ds.map_batches(cents, batch_format="pyarrow"),
+                         ["user_id"], ["ts", "event_id"], [
+        WindowSpec("time_sum", col="iv", range_us=day_us, out="tsum"),
+        WindowSpec("time_count", range_us=day_us, out="tcnt"),
+    ])
+
+    def finish(t: pa.Table) -> pa.Table:
+        tavg = pc.divide(pc.cast(t.column("tsum"), pa.float64()),
+                         pc.cast(t.column("tcnt"), pa.float64()))
+        return t.select(["event_id", "user_id", "tsum", "tcnt"]) \
+                .append_column("tavg", tavg)
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
 # ---------------------------------------------------------------- catalogs
 
 
@@ -2772,6 +2806,7 @@ def queries():
         "users_signup_and_purchase": q_users_signup_and_purchase,
         "event_windows": q_event_windows,
         "event_rank_windows": q_event_rank_windows,
+        "event_trailing": q_event_trailing,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3763,6 +3798,20 @@ def oracle_sql():
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
             ORDER BY event_id""",
+        "event_trailing": """
+            WITH e AS (SELECT event_id, ts, user_id,
+                              CAST(floor(value * 100) AS BIGINT) AS iv
+                       FROM events)
+            SELECT a.event_id, a.user_id,
+                   CAST(sum(b.iv) AS BIGINT) AS tsum,
+                   count(*) AS tcnt,
+                   CAST(CAST(sum(b.iv) AS BIGINT) AS DOUBLE) / count(*)
+                       AS tavg
+            FROM e a JOIN e b ON a.user_id = b.user_id
+              AND b.ts >= a.ts - INTERVAL 24 HOURS AND b.ts <= a.ts
+              AND (b.ts < a.ts OR b.event_id <= a.event_id)
+            GROUP BY a.event_id, a.user_id
+            ORDER BY a.event_id""",
         "tpch_q1": f"""
             WITH l AS (
               SELECT l_returnflag, l_linestatus,

@@ -30,7 +30,8 @@ _KINDS = frozenset({
     "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
     "lag", "lead", "first_value", "last_value", "running_sum",
     "running_count", "moving_sum", "moving_avg", "moving_min",
-    "moving_max",
+    "moving_max", "time_sum", "time_avg", "time_min", "time_max",
+    "time_count",
 })
 
 
@@ -45,6 +46,14 @@ class WindowSpec:
     offset    lag/lead distance (>=1)
     default   lag/lead fill for out-of-partition rows (None -> null)
     frame     moving_* trailing row count INCLUDING the current row
+    range_us  time_* trailing window in microseconds, inclusive both
+              ends: rows with ts in [t - range_us, t].  The first
+              order column is the time axis; tie rows (equal ts) enter
+              the frame in order-column position order (append a unique
+              id to order_cols for determinism) — SQL RANGE frames
+              instead include ALL peers; replay with a self-join +
+              tiebreak, not a RANGE window (see the event_trailing
+              oracle).
     """
     kind: str
     col: str | None = None
@@ -52,6 +61,7 @@ class WindowSpec:
     offset: int = 1
     default: object = None
     frame: int = 3
+    range_us: int = 3_600_000_000
 
     def out_name(self) -> str:
         if self.out:
@@ -92,8 +102,8 @@ def grouped_window(ds, keys: Sequence[str], order_cols: Sequence[str],
         if s.kind not in _KINDS:
             raise ValueError(f"unknown window kind {s.kind!r}")
         if s.kind not in ("row_number", "rank", "dense_rank",
-                          "percent_rank", "cume_dist",
-                          "running_count") and s.col is None:
+                          "percent_rank", "cume_dist", "running_count",
+                          "time_count") and s.col is None:
             raise ValueError(f"{s.kind} needs a value column")
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
@@ -149,6 +159,29 @@ def grouped_window(ds, keys: Sequence[str], order_cols: Sequence[str],
                 g[out] = gb[s.col].cumsum()
             elif s.kind == "running_count":
                 g[out] = (rn + 1).astype("int64")
+            elif s.kind.startswith("time_"):
+                agg = {"avg": "mean"}.get(s.kind[5:], s.kind[5:])
+                ts = g[orders[0]]
+                if not pd.api.types.is_datetime64_any_dtype(ts):
+                    ts = pd.to_datetime(ts.astype("int64"), unit="us")
+                col = s.col if s.col is not None else orders[0]
+                w = pd.DataFrame({"__ts": ts.to_numpy(), "__v": g[col]})
+                for i, k in enumerate(keys):
+                    w[f"__k{i}"] = g[k]
+                r = w.groupby([f"__k{i}" for i in range(len(keys))],
+                              sort=False, dropna=False) \
+                    .rolling(pd.Timedelta(microseconds=s.range_us),
+                             on="__ts", closed="both")["__v"].agg(agg)
+                # time-rolling indexes by (keys..., __ts) — __ts ties
+                # make the labels non-unique, so align positionally:
+                # g is key-sorted and sort=False keeps first-appearance
+                # group order, so r is already in g's row order
+                g[out] = r.to_numpy()
+                if agg in ("sum", "min", "max") and \
+                        pd.api.types.is_integer_dtype(g[col]):
+                    g[out] = g[out].astype("int64")
+                elif agg == "count":
+                    g[out] = g[out].astype("int64")
             else:  # moving_*
                 agg = s.kind.removeprefix("moving_")
                 agg = {"avg": "mean"}.get(agg, agg)

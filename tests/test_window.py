@@ -170,3 +170,32 @@ def test_numpy_nan_order_values_are_peers():
     assert nan_rows["drnk"].nunique() == 1
     assert nan_rows["cd"].nunique() == 1
     assert got[got["o"] == 1.0]["rnk"].nunique() == 1
+
+
+def test_time_range_frames_match_duckdb_selfjoin():
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 5, n).astype(np.int64),
+        # coarse integer-us timestamps with deliberate ties
+        "ts": rng.integers(0, 40, n).astype(np.int64) * 1_000_000,
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    got = _run(df, ["k"], ["ts", "rid"], [
+        WindowSpec("time_sum", col="v", range_us=10_000_000, out="tsum"),
+        WindowSpec("time_count", range_us=10_000_000, out="tcnt"),
+        WindowSpec("time_avg", col="v", range_us=10_000_000, out="tavg"),
+    ])
+    exp = duckdb.sql("""
+        SELECT a.rid,
+               CAST(sum(b.v) AS BIGINT) AS tsum,
+               count(*) AS tcnt,
+               CAST(sum(b.v) AS BIGINT) * 1.0 / count(*) AS tavg
+        FROM df a JOIN df b ON a.k = b.k
+          AND b.ts >= a.ts - 10000000 AND b.ts <= a.ts
+          AND (b.ts < a.ts OR b.rid <= a.rid)
+        GROUP BY a.rid ORDER BY a.rid""").df()
+    assert np.array_equal(got["tsum"].to_numpy(), exp["tsum"].to_numpy())
+    assert np.array_equal(got["tcnt"].to_numpy(), exp["tcnt"].to_numpy())
+    assert np.allclose(got["tavg"].to_numpy(), exp["tavg"].to_numpy())
