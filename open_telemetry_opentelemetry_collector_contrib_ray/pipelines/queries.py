@@ -58,10 +58,19 @@ ROUTES = [
 ]
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    # the driver's testdata parquet carries pandas schema metadata, which
+    # makes pa.Schema unhashable in this pyarrow build — every Ray reduce
+    # task then logs "Failed to hash the schemas" and skips the early-exit
+    # schema dedup.  Dropping it is zero-copy and fuses with the read.
+    return t.replace_schema_metadata(None)
+
+
 def _rd(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _parsed(sf_dir: str):
@@ -328,7 +337,8 @@ def q_embedding_knn(sf_dir: str):
     qvec = np.asarray(qtbl.column("embedding").to_pylist()[0], dtype=np.float64)
     qnorm = np.linalg.norm(qvec)
 
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+           .map_batches(_strip_meta, batch_format="pyarrow")
 
     def score(t: pa.Table) -> pa.Table:
         from ..stages.similarity import _to_mat
@@ -1057,7 +1067,8 @@ def q_knn_ivf(sf_dir: str):
     qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
                          filters=[("vec_id", "<", 3)])
     queries = np.asarray(qtbl.column("embedding").to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+           .map_batches(_strip_meta, batch_format="pyarrow")
     return ivf_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
@@ -1780,6 +1791,29 @@ def q_doc_lm_score(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_ngrams", "lm_score"]),
         batch_format="pyarrow").sort("doc_id")
+
+
+def q_doc_dsir(sf_dir: str):
+    """DSIR-shape importance resampling (Xie et al. 2023): rank docs by
+    target-model minus raw-model quantized bigram familiarity, keep the
+    top 50 (ties broken by doc_id).  Target distribution = source 'src0'
+    docs; raw = whole corpus.  Both models integer-exact, so the oracle
+    replays the whole selection (stages/lmscore.py dsir_select)."""
+    import pyarrow.compute as pc
+    from ..stages.lmscore import dsir_select
+
+    cols = ["doc_id", "text"]
+
+    def target():
+        ds = _rd(sf_dir, "documents", columns=cols + ["source"])
+        return ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("source"), "src0"))
+                       .select(cols),
+            batch_format="pyarrow")
+
+    out = dsir_select(lambda: _rd(sf_dir, "documents", columns=cols),
+                      target, k=50, n=2, min_count=2)
+    return out.sort("doc_id")
 
 
 def q_doc_c4_line_filter(sf_dir: str):
@@ -2785,6 +2819,7 @@ def queries():
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_repetition": q_doc_repetition,
         "doc_lm_score": q_doc_lm_score,
+        "doc_dsir": q_doc_dsir,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3548,6 +3583,45 @@ def oracle_sql():
                    coalesce(per.lm_score, 0) AS lm_score
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id""",
+        "doc_dsir": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), big AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+              FROM tok
+              QUALIFY lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+            ), tcnt AS (
+              SELECT g, count(*) AS c FROM big
+              WHERE doc_id IN (SELECT doc_id FROM documents
+                               WHERE source = 'src0')
+              GROUP BY g HAVING count(*) >= 2
+            ), rcnt AS (
+              SELECT g, count(*) AS c FROM big GROUP BY g
+              HAVING count(*) >= 2
+            ), per AS (
+              SELECT b.doc_id,
+                     CAST(coalesce(sum(length(bin(coalesce(t.c, 0) + 1)) - 1),
+                                   0) AS BIGINT) AS target_score,
+                     CAST(coalesce(sum(length(bin(coalesce(r.c, 0) + 1)) - 1),
+                                   0) AS BIGINT) AS raw_score
+              FROM big b LEFT JOIN tcnt t USING (g)
+                         LEFT JOIN rcnt r USING (g)
+              GROUP BY b.doc_id
+            ), alldocs AS (
+              SELECT d.doc_id,
+                     coalesce(per.target_score, 0) AS target_score,
+                     coalesce(per.raw_score, 0) AS raw_score
+              FROM documents d LEFT JOIN per USING (doc_id))
+            SELECT doc_id, target_score, raw_score,
+                   target_score - raw_score AS importance
+            FROM alldocs
+            QUALIFY row_number() OVER (
+                ORDER BY target_score - raw_score DESC, doc_id) <= 50
+            ORDER BY doc_id""",
         # C4 line filter: identical planted lines + identical RE2
         # predicates evaluated via DuckDB list lambdas.
         "doc_c4_line_filter": r"""

@@ -742,8 +742,23 @@ def bucketed_group_transform(ds, key_cols: Sequence[str], fn,
     # coalesce before the sort shuffle (see grouped_agg bucket combine)
     bucketed = bucketed.repartition(n_buckets)
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns="__bucket"))
+    def run(g: pd.DataFrame) -> pa.Table:
+        out = fn(g.drop(columns="__bucket"))
+        # hand Arrow blocks (not pandas) to the downstream plan: Arrow
+        # schemas are hashable (Ray's schema dedup works), shuffle via
+        # zero-copy IPC instead of pickled DataFrames, and stripping the
+        # from_pandas metadata keeps every downstream schema identical
+        t = pa.Table.from_pandas(out, preserve_index=False) \
+                    .replace_schema_metadata(None)
+        if any(pa.types.is_null(f.type) for f in t.schema):
+            # a bucket whose fn output is EMPTY infers object columns as
+            # null-typed; numeric pandas dtypes survive empty conversion,
+            # so null here always means an (empty) string column — pin it
+            # so every bucket emits the identical schema
+            t = t.cast(pa.schema([
+                f.with_type(pa.string()) if pa.types.is_null(f.type) else f
+                for f in t.schema]))
+        return t
 
     return bucketed.groupby("__bucket").map_groups(run, batch_format="pandas")
 

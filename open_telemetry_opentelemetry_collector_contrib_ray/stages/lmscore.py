@@ -124,6 +124,89 @@ class NgramScorer:
                                  pa.array(score.astype(np.int64)))
 
 
+class DualNgramScorer:
+    """map_batches stage: score each doc against TWO broadcast n-gram
+    models in one pass (windows hashed once, probed twice).  Appends
+    int64 `target_score` and `raw_score` — the quantized analogs of
+    DSIR's log p_target(doc) and log p_raw(doc)."""
+
+    def __init__(self, target_ref, raw_ref, n: int = 2,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        import ray
+
+        self.models = []
+        for ref in (target_ref, raw_ref):
+            hs, cs = ray.get(ref) if not isinstance(ref, tuple) else ref
+            self.models.append((hs, _bits(cs)))
+        self.emitter = WindowEmitter(w=n, id_col=id_col, text_col=text_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        win_row, _, sh = self.emitter.windows(batch)
+        shv = sh.view(np.int64)
+        out = batch
+        for name, (hs, bits) in zip(("target_score", "raw_score"),
+                                    self.models):
+            if len(win_row) and len(hs):
+                idx = np.searchsorted(hs, shv)
+                idx[idx == len(hs)] = 0
+                found = hs[idx] == shv
+                w = np.zeros(len(shv), dtype=np.float64)
+                w[found] = bits[idx[found]]
+                score = np.bincount(win_row, weights=w, minlength=n)
+            else:
+                score = np.zeros(n)
+            out = out.append_column(name, pa.array(score.astype(np.int64)))
+        return out
+
+
+def dsir_select(ds_factory, target_factory, k: int, n: int = 2,
+                min_count: int = 2, top_v: int = 5_000_000,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """DSIR-shape data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank raw-corpus docs by
+    importance = score under a TARGET-distribution n-gram model minus
+    score under the RAW-corpus model, keep the top k.
+
+    Integer-exact analog: both models are the quantized bit-count models
+    of this module, so importance = target_score - raw_score is an int64
+    and the selection is deterministic (ties broken by id) — a SQL
+    oracle can replay it exactly.  (Real DSIR adds Gumbel noise for
+    sampling without replacement; the deterministic top-k is the
+    noise-free limit and the only run-stable choice.)
+
+    Ray shape: two model builds (map-only + kilobyte count combines),
+    ONE scoring pass probing both broadcast models per batch, then
+    per-batch top-k pre-prune (≤k score rows leave any batch; text
+    never shuffles) feeding a tiny global sort+limit."""
+    tref, _ = build_ngram_model(target_factory(), n=n, min_count=min_count,
+                                top_v=top_v, id_col=id_col, text_col=text_col)
+    rref, _ = build_ngram_model(ds_factory(), n=n, min_count=min_count,
+                                top_v=top_v, id_col=id_col, text_col=text_col)
+    scored = ds_factory().map_batches(
+        DualNgramScorer, fn_constructor_kwargs=dict(
+            target_ref=tref, raw_ref=rref, n=n,
+            id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 24))
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        imp = pc.subtract(t.column("target_score"), t.column("raw_score"))
+        t = pa.table({id_col: t.column(id_col),
+                      "target_score": t.column("target_score"),
+                      "raw_score": t.column("raw_score"),
+                      "importance": imp})
+        order = pa.table({"i": imp, "d": t.column(id_col)})
+        idx = pc.sort_indices(order, sort_keys=[("i", "descending"),
+                                                ("d", "ascending")])
+        return t.take(idx[:k])
+
+    pruned = scored.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort(["importance", id_col],
+                       descending=[True, False]).limit(k)
+
+
 def lm_familiarity(ds_factory, n: int = 2, min_count: int = 2,
                    top_v: int = 5_000_000, id_col: str = "doc_id",
                    text_col: str = "text"):

@@ -60,3 +60,31 @@ def test_top_v_cap_keeps_most_frequent():
         concurrency=1).to_pandas().sort_values("doc_id")
     # only "a b" (floor log2 5 = 2) and "c d" (floor log2 4 = 2) survive
     assert list(out["lm_score"]) == [2, 0, 2]
+
+
+def test_dsir_select_prefers_target_like_docs():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.lmscore import (
+        dsir_select,
+    )
+
+    # target distribution speaks "alpha beta gamma"; the raw corpus is
+    # mostly "noise noise noise" with a few target-like docs planted
+    target_texts = ["alpha beta gamma alpha beta", "beta gamma alpha beta"] * 3
+    raw_texts = (["noise words filler noise words"] * 10
+                 + ["alpha beta gamma beta gamma"] * 3)
+    target = pa.table({"doc_id": pa.array(range(len(target_texts)), pa.int64()),
+                       "text": pa.array(target_texts, pa.string())})
+    raw = _tbl(raw_texts)
+    out = dsir_select(lambda: ray.data.from_arrow(raw),
+                      lambda: ray.data.from_arrow(target),
+                      k=3, n=2, min_count=2).to_pandas()
+    # exactly the 3 planted target-like docs (ids 10..12) win
+    assert sorted(out["doc_id"]) == [10, 11, 12]
+    assert (out["importance"] ==
+            out["target_score"] - out["raw_score"]).all()
+    # deterministic: same call again yields identical rows
+    out2 = dsir_select(lambda: ray.data.from_arrow(raw),
+                       lambda: ray.data.from_arrow(target),
+                       k=3, n=2, min_count=2).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True))
