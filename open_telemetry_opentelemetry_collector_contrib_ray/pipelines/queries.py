@@ -1816,6 +1816,71 @@ def q_doc_dsir(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_doc_shuffle(sf_dir: str):
+    """Deterministic global training-data shuffle: rank = md5(doc_id:7)
+    mod 2^62, dataset range-sorted by it (stages/sample.py
+    deterministic_shuffle).  The emitted rank pins the exact permutation
+    against the oracle."""
+    from ..stages.sample import deterministic_shuffle
+
+    out = deterministic_shuffle(
+        _rd(sf_dir, "documents", columns=["doc_id", "source"]),
+        key_col="doc_id", seed=7)
+    return out
+
+
+def q_doc_budget_sample(sf_dir: str):
+    """Token-budget-capped mixture: per source, docs in md5(doc_id:7)
+    order accumulate until the source budget; src0 caps at 2000 chars,
+    src1 at 3000, every other source is uncapped (stages/sample.py
+    budget_sample — one bucketed shuffle + vectorized cumsum)."""
+    from ..stages.sample import budget_sample
+
+    out = budget_sample(
+        _rd(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        budgets={"src0": 2000, "src1": 3000}, token_col="n_chars", seed=7)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def q_doc_classifier(sf_dir: str):
+    """fastText-style hashed linear quality scoring: token -> md5 % 1024
+    bucket -> integer weight sum; keep when score > 0 (stages/
+    classifier.py — map-only, md5 once per distinct token per batch).
+    Weights here are the deterministic SQL-replayable table; production
+    passes a trained quantized vector."""
+    from ..stages.classifier import classify_docs
+
+    out = classify_docs(_rd(sf_dir, "documents", columns=["doc_id", "text"]),
+                        n_buckets=1024)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "clf_score", "keep"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def q_doc_new_vs_ref(sf_dir: str):
+    """Incremental-corpus dedup: docs 250+ are the 'new crawl', docs
+    0-249 the existing training set; keep new docs whose content hash
+    is unseen (stages/dedup.py dedup_against — only 16-byte hashes
+    shuffle, one anti join)."""
+    import pyarrow.compute as pc
+    from ..stages.dedup import dedup_against
+
+    docs = lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+    new = docs().map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    ref = docs().map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 250)),
+        batch_format="pyarrow")
+    out = dedup_against(new, ref)
+    # the join's typed-null union padding floats doc_id in pandas land
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -2820,6 +2885,10 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "doc_lm_score": q_doc_lm_score,
         "doc_dsir": q_doc_dsir,
+        "doc_shuffle": q_doc_shuffle,
+        "doc_budget_sample": q_doc_budget_sample,
+        "doc_classifier": q_doc_classifier,
+        "doc_new_vs_ref": q_doc_new_vs_ref,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3622,6 +3691,51 @@ def oracle_sql():
             QUALIFY row_number() OVER (
                 ORDER BY target_score - raw_score DESC, doc_id) <= 50
             ORDER BY doc_id""",
+        "doc_shuffle": """
+            SELECT doc_id, source,
+                   CAST(md5_number_lower(concat(CAST(doc_id AS VARCHAR), ':7'))
+                        % 4611686018427387904 AS BIGINT) AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id""",
+        "doc_budget_sample": """
+            WITH cum AS (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower(
+                           concat(CAST(doc_id AS VARCHAR), ':7'))
+                           % 4611686018427387904, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+              FROM documents)
+            SELECT doc_id, source, n_chars FROM cum
+            WHERE CASE source WHEN 'src0' THEN running <= 2000
+                              WHEN 'src1' THEN running <= 3000
+                              ELSE TRUE END
+            ORDER BY doc_id""",
+        "doc_classifier": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(md5_number_lower(w) % 1024 * 2654435761
+                                   % 2001 AS BIGINT) - 1000) AS BIGINT)
+                         AS clf_score
+              FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(sc.clf_score, 0) AS clf_score,
+                   coalesce(sc.clf_score, 0) > 0 AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id""",
+        "doc_new_vs_ref": """
+            SELECT n.doc_id FROM documents n
+            WHERE n.doc_id >= 250 AND NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.doc_id < 250
+                AND coalesce(r.text, '') = coalesce(n.text, ''))
+            ORDER BY n.doc_id""",
         # C4 line filter: identical planted lines + identical RE2
         # predicates evaluated via DuckDB list lambdas.
         "doc_c4_line_filter": r"""

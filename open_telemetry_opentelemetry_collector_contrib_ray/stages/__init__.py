@@ -59,7 +59,12 @@ from .route import (  # noqa: F401
     split_match_once,
     write_routed,
 )
-from .sample import HashBucketStage, ProbabilisticSampler  # noqa: F401
+from .sample import (  # noqa: F401
+    HashBucketStage,
+    ProbabilisticSampler,
+    budget_sample,
+    deterministic_shuffle,
+)
 from .transform import FilterStage, KeepStage, TransformStage  # noqa: F401
 from .dedup import (  # noqa: F401
     MinHasher,

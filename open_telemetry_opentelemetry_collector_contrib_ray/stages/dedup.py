@@ -502,3 +502,40 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
                              "cosine": sims[ia[hit], ib[hit]]})
 
     return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def dedup_against(new_ds, ref_ds, text_col: str = "text",
+                  n_buckets: int = 32):
+    """Incremental-corpus exact dedup: drop NEW documents whose content
+    already exists in a REFERENCE corpus (the "new crawl vs existing
+    training set" recipe — every refresh of a web corpus runs this
+    before anything else).
+
+    Shape: both sides collapse to a 16-byte content hash (md5 of the
+    raw text — 128 bits, so collisions are ignorable at 100 TB where a
+    64-bit hash would not be), the reference side ships ONLY hashes,
+    and one hash-co-partitioned anti join (stages/join.py) keeps the
+    unseen new docs.  Text bytes never leave their side's map tasks.
+    Same-content duplicates WITHIN the new corpus are kept — chain
+    dedup_exact after this when both levels are wanted."""
+    import hashlib
+
+    def add_h(keep_cols: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = t.column(text_col).to_pylist()
+            hs = pa.array([hashlib.md5((v or "").encode()).digest()
+                           for v in vals], pa.binary(16))
+            if keep_cols:
+                return t.append_column("__h", hs)
+            return pa.table({"__h": hs})
+
+        return fn
+
+    from .join import bucketed_hash_join
+
+    out = bucketed_hash_join(
+        new_ds.map_batches(add_h(True), batch_format="pyarrow"),
+        ref_ds.map_batches(add_h(False), batch_format="pyarrow"),
+        on=["__h"], how="anti", n_buckets=n_buckets)
+    return out.map_batches(lambda t: t.drop_columns(["__h"]),
+                           batch_format="pyarrow")

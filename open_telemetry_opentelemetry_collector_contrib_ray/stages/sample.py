@@ -392,3 +392,76 @@ class SourceMixer:
 def mix_sources(ds, weights: dict[str, float], **kw):
     """Dataset-level weighted mixing; see SourceMixer."""
     return ds.map_batches(SourceMixer(weights, **kw), batch_format="pyarrow")
+
+
+_SHUFFLE_MOD = 1 << 62  # fits BIGINT, so the oracle CAST never overflows
+
+
+def shuffle_key_column(batch: pa.Table, key_col: str, seed: int = 0) -> pa.Array:
+    """md5-lower-64 of "key:seed" mod 2^62 as int64 — the deterministic
+    shuffle rank, bit-exact with DuckDB
+    ``md5_number_lower(concat(CAST(key AS VARCHAR), ':<seed>')) % 2^62``."""
+    vals = batch.column(key_col).to_pylist()
+    tags = [None if v is None else f"{v}:{seed}" for v in vals]
+    r = (_md5_lower64(tags) % np.uint64(_SHUFFLE_MOD)).astype(np.int64)
+    return pa.array(r, pa.int64())
+
+
+def deterministic_shuffle(ds, key_col: str, seed: int = 0,
+                          out_col: str = "shuffle_key"):
+    """Run-stable global shuffle for training-data ordering: every row
+    gets rank = md5(key:seed) mod 2^62 and the dataset sorts by
+    (rank, key).  Changing `seed` yields an independent permutation;
+    the same (corpus, seed) always yields the SAME order — across runs,
+    engines, and resumes (unlike Dataset.random_shuffle, whose order
+    depends on task scheduling).
+
+    Scale shape: the sort is Ray's range-partitioned shuffle — one
+    all-to-all pass, the unavoidable cost of a global permutation.  The
+    md5 here is an intentionally oracle-visible per-row hash (the
+    ProbabilisticSampler precedent); swap `shuffle_key_column` for the
+    vectorized `hash64` when SQL parity isn't required.  For epoch-wise
+    reshuffles keep ONE sorted copy and vary only `seed` in a cheap
+    re-sort of (rank, pointer) pairs rather than re-shuffling payloads."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, shuffle_key_column(t, key_col, seed))
+
+    return ds.map_batches(add_key, batch_format="pyarrow") \
+             .sort([out_col, key_col])
+
+
+def budget_sample(ds, budgets: dict[str, int], token_col: str,
+                  source_col: str = "source", key_col: str = "doc_id",
+                  seed: int = 0, default_budget: int | None = None,
+                  n_buckets: int = 64):
+    """Token-budget-capped mixture sampling: per source, take documents
+    in deterministic md5(key:seed) order until the source's token budget
+    is exhausted (a doc is kept iff the cumulative token count THROUGH
+    it stays <= budget — docs after the budget line drop, no partial
+    docs).  The "sample X tokens per domain" recipe (Pile/Dolma-style
+    budgeted mixtures), run-stable and SQL-replayable.
+
+    Sources absent from `budgets` keep everything unless
+    `default_budget` is set.  ONE bucketed shuffle co-locates each
+    source; the cumulative sum is a vectorized pandas pass per bucket
+    (stages/window.py idiom)."""
+    from .aggregate import bucketed_group_transform
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        return t.append_column("__rank", shuffle_key_column(t, key_col, seed))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+
+    def cap(g):
+        import pandas as pd  # noqa: F401
+
+        g = g.sort_values([source_col, "__rank", key_col], kind="stable")
+        cum = g.groupby(source_col, sort=False, dropna=False)[token_col].cumsum()
+        limit = g[source_col].map(budgets)
+        if default_budget is not None:
+            limit = limit.fillna(default_budget)
+        keep = limit.isna() | (cum <= limit)
+        return g[keep.to_numpy(dtype=bool)].drop(columns="__rank")
+
+    return bucketed_group_transform(ranked, [source_col], cap, n_buckets)

@@ -1,0 +1,115 @@
+"""Training-data ops: deterministic shuffle, token-budget mixture,
+hashed linear classifier, incremental-corpus dedup."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.classifier import (
+    HashedLinearScorer,
+    classify_docs,
+    deterministic_weights,
+)
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+    dedup_against,
+)
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+    budget_sample,
+    deterministic_shuffle,
+)
+
+
+def _docs(texts, start_id=0):
+    return pa.table({
+        "doc_id": pa.array(range(start_id, start_id + len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+
+
+def test_deterministic_shuffle_is_seeded_permutation():
+    tbl = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    a = deterministic_shuffle(ray.data.from_arrow(tbl), "doc_id",
+                              seed=1).to_pandas()
+    b = deterministic_shuffle(ray.data.from_arrow(tbl), "doc_id",
+                              seed=1).to_pandas()
+    c = deterministic_shuffle(ray.data.from_arrow(tbl), "doc_id",
+                              seed=2).to_pandas()
+    # a permutation of the input, stable across runs, seed-dependent
+    assert sorted(a["doc_id"]) == list(range(100))
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["doc_id"]) != list(c["doc_id"])
+    # output is genuinely sorted by the emitted rank
+    assert list(a["shuffle_key"]) == sorted(a["shuffle_key"])
+    # rank replays the documented md5 formula
+    i = int(a["doc_id"][0])
+    exp = int.from_bytes(hashlib.md5(f"{i}:1".encode()).digest()[8:16],
+                         "little") % (1 << 62)
+    assert int(a["shuffle_key"][0]) == exp
+
+
+def test_budget_sample_caps_tokens_per_source():
+    n = 60
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+        "tokens": pa.array([10] * n, pa.int64())})
+    out = budget_sample(ray.data.from_arrow(tbl), budgets={"a": 95},
+                        token_col="tokens", seed=3).to_pandas()
+    got_a = out[out["source"] == "a"]
+    # 95-token budget over 10-token docs keeps exactly 9 'a' docs;
+    # uncapped 'b' keeps all 30
+    assert len(got_a) == 9
+    assert len(out[out["source"] == "b"]) == 30
+    # the kept 'a' docs are the 9 lowest-md5(key:3) ones
+    def rank(i):
+        return int.from_bytes(hashlib.md5(f"{i}:3".encode()).digest()[8:16],
+                              "little") % (1 << 62)
+    a_ids = [i for i in range(n) if i % 2]
+    want = sorted(a_ids, key=rank)[:9]
+    assert sorted(got_a["doc_id"]) == sorted(want)
+    # default_budget applies to unlisted sources when set
+    out2 = budget_sample(ray.data.from_arrow(tbl), budgets={"a": 95},
+                         token_col="tokens", seed=3,
+                         default_budget=45).to_pandas()
+    assert len(out2[out2["source"] == "b"]) == 4
+
+
+def test_hashed_linear_scorer_matches_bruteforce():
+    texts = ["the quick brown fox", "fox fox fox", "", None,
+             "punct, only!!", "naïve café tokens"]
+    tbl = _docs(texts)
+    out = classify_docs(ray.data.from_arrow(tbl), n_buckets=64) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    w = deterministic_weights(64)
+    import re
+
+    for i, text in enumerate(texts):
+        # RE2 \w is ASCII-only (pyarrow AND the DuckDB oracle agree);
+        # Python re defaults to unicode word chars, so pin ASCII here
+        toks = re.findall(r"\w+", (text or "").lower(), flags=re.ASCII)
+        exp = sum(int(w[int.from_bytes(
+            hashlib.md5(t.encode()).digest()[8:16], "little") % 64])
+            for t in toks)
+        assert int(out["clf_score"][i]) == exp, (i, text)
+        assert bool(out["keep"][i]) == (exp > 0)
+    # repeated tokens weigh once per occurrence (doc 1 = 3x doc's token)
+    single = out["clf_score"][1]
+    one = HashedLinearScorer(deterministic_weights(64))(
+        _docs(["fox"]))["clf_score"][0].as_py()
+    assert single == 3 * one
+
+
+def test_dedup_against_drops_seen_content():
+    ref = _docs(["alpha doc", "beta doc", "gamma doc"])
+    new = _docs(["beta doc", "delta doc", "alpha doc", "epsilon doc"],
+                start_id=100)
+    out = dedup_against(ray.data.from_arrow(new), ray.data.from_arrow(ref)) \
+        .to_pandas()
+    assert sorted(out["doc_id"].astype(np.int64)) == [101, 103]
+    assert sorted(out["text"]) == ["delta doc", "epsilon doc"]
+    # duplicates WITHIN the new corpus survive (documented contract)
+    new2 = _docs(["delta doc", "delta doc"], start_id=200)
+    out2 = dedup_against(ray.data.from_arrow(new2),
+                         ray.data.from_arrow(ref)).to_pandas()
+    assert len(out2) == 2
