@@ -422,3 +422,60 @@ def _bpe_count_step(c: dict):
             out_col=c.get("out_col", "n_bpe_tokens")),
         batch_format="pyarrow",
         concurrency=tuple(c.get("concurrency", (1, 8)))))
+
+@register_step("shuffle")
+def _shuffle_step(c: dict):
+    """Deterministic training-data shuffle as a declarative step
+    (Dataset-level range-sort op); see stages/sample.py
+    deterministic_shuffle."""
+    from ..stages.sample import deterministic_shuffle
+
+    return DatasetStep(lambda ds: deterministic_shuffle(
+        ds, key_col=c.get("key_col", "doc_id"), seed=c.get("seed", 0),
+        out_col=c.get("out_col", "shuffle_key")))
+
+
+@register_step("budget_sample")
+def _budget_sample_step(c: dict):
+    """Token-budget-capped mixture sampling as a declarative step."""
+    from ..stages.sample import budget_sample
+
+    return DatasetStep(lambda ds: budget_sample(
+        ds, budgets=dict(c["budgets"]), token_col=c["token_col"],
+        source_col=c.get("source_col", "source"),
+        key_col=c.get("key_col", "doc_id"), seed=c.get("seed", 0),
+        default_budget=c.get("default_budget"),
+        n_buckets=c.get("n_buckets", 64)))
+
+
+@register_step("classifier")
+def _classifier_step(c: dict):
+    """Hashed linear classifier scoring as a declarative step (map-only
+    actor pool; weights from config or the deterministic table)."""
+    import numpy as np
+
+    from ..stages.classifier import classify_docs, deterministic_weights
+
+    w = (np.asarray(c["weights"], dtype=np.int64) if "weights" in c
+         else deterministic_weights(c.get("n_buckets", 1024)))
+    return DatasetStep(lambda ds: classify_docs(
+        ds, weights=w, text_col=c.get("text_col", "text"),
+        bias=c.get("bias", 0), threshold=c.get("threshold", 0)))
+
+
+@register_step("dedup_against")
+def _dedup_against_step(c: dict):
+    """Incremental-corpus dedup as a declarative step; `ref` is a
+    Dataset (programmatic configs) or a parquet path."""
+    from ..stages.dedup import dedup_against
+
+    def run(ds):
+        ref = c["ref"]
+        if isinstance(ref, str):
+            import ray.data
+
+            ref = ray.data.read_parquet(ref)
+        return dedup_against(ds, ref, text_col=c.get("text_col", "text"),
+                             n_buckets=c.get("n_buckets", 32))
+
+    return DatasetStep(run)

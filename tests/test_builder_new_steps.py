@@ -47,3 +47,33 @@ def test_bpe_count_step():
         {"type": "bpe_count", "merges": [list(m) for m in merges]},
     ]).to_pandas()
     assert (out["n_bpe_tokens"] > 0).all()
+
+
+def test_shuffle_and_budget_sample_steps():
+    df = pd.DataFrame({"doc_id": range(20),
+                       "source": ["a"] * 10 + ["b"] * 10,
+                       "tokens": [5] * 20})
+    out = build_pipeline(_mk(df), [
+        {"type": "shuffle", "key_col": "doc_id", "seed": 4},
+    ]).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(20))
+    assert out["shuffle_key"].is_monotonic_increasing
+    out2 = build_pipeline(_mk(df), [
+        {"type": "budget_sample", "budgets": {"a": 22}, "token_col": "tokens",
+         "seed": 4},
+    ]).to_pandas()
+    assert len(out2[out2["source"] == "a"]) == 4  # floor(22/5)
+    assert len(out2[out2["source"] == "b"]) == 10
+
+
+def test_classifier_and_dedup_against_steps():
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta", "alpha beta"]})
+    out = build_pipeline(_mk(df), [
+        {"type": "classifier", "n_buckets": 64},
+    ]).to_pandas()
+    assert out["clf_score"].nunique() == 1  # identical texts, same score
+    ref = pd.DataFrame({"doc_id": [9], "text": ["alpha beta"]})
+    out2 = build_pipeline(_mk(df), [
+        {"type": "dedup_against", "ref": _mk(ref, 1)},
+    ]).to_pandas()
+    assert len(out2) == 0
