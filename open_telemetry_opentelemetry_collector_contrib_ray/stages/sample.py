@@ -431,10 +431,13 @@ def deterministic_shuffle(ds, key_col: str, seed: int = 0,
              .sort([out_col, key_col])
 
 
+_RB_SHIFT = 46  # rank < 2^62 -> 2^16 histogram buckets
+
+
 def budget_sample(ds, budgets: dict[str, int], token_col: str,
                   source_col: str = "source", key_col: str = "doc_id",
                   seed: int = 0, default_budget: int | None = None,
-                  n_buckets: int = 64):
+                  strategy: str = "histogram", n_buckets: int = 64):
     """Token-budget-capped mixture sampling: per source, take documents
     in deterministic md5(key:seed) order until the source's token budget
     is exhausted (a doc is kept iff the cumulative token count THROUGH
@@ -443,9 +446,130 @@ def budget_sample(ds, budgets: dict[str, int], token_col: str,
     budgeted mixtures), run-stable and SQL-replayable.
 
     Sources absent from `budgets` keep everything unless
-    `default_budget` is set.  ONE bucketed shuffle co-locates each
-    source; the cumulative sum is a vectorized pandas pass per bucket
-    (stages/window.py idiom)."""
+    `default_budget` is set.
+
+    strategy="histogram" (default, the 100 TB path): the distributed
+    exact first-N-by-order.  Pass 1 shuffles ONLY a per-batch (source,
+    rank-bucket, token-sum) histogram (kilobytes); the driver locates
+    each source's boundary rank-bucket; pass 2 reads back ONLY the
+    boundary-bucket rows (~corpus/2^16) to fix the exact cutoff
+    (rank, key); pass 3 filters map-side against broadcast cutoffs.
+    Rows never shuffle and no single task ever holds a whole source —
+    the co-locating strategy="shuffle" fallback does (one domain of a
+    web corpus can be terabytes), so it exists only for A/B testing."""
+    if strategy == "shuffle":
+        return _budget_sample_shuffle(ds, budgets, token_col, source_col,
+                                      key_col, seed, default_budget,
+                                      n_buckets)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        return t.append_column("__rank", shuffle_key_column(t, key_col, seed))
+
+    def limit_of(src):
+        if src in budgets:
+            return budgets[src]
+        return default_budget  # None = uncapped
+
+    # pass 1: (source, rank_bucket) -> token sum, combined per batch
+    def hist(t: pa.Table) -> pa.Table:
+        t = add_rank(t)
+        rb = pc.bit_wise_and(
+            pc.shift_right(t.column("__rank"), _RB_SHIFT),
+            pa.scalar(0xFFFF, pa.int64()))
+        g = pa.table({source_col: t.column(source_col), "__rb": rb,
+                      token_col: t.column(token_col)}) \
+            .group_by([source_col, "__rb"]).aggregate([(token_col, "sum")])
+        return g.rename_columns([source_col, "__rb", "__tok"])
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby([source_col, "__rb"], sort=True,
+                        dropna=False)["__tok"].sum()
+
+    # driver: per budgeted source, find the boundary bucket + remaining
+    boundary: dict = {}     # source -> (boundary_rb, tokens_before)
+    keep_all_below: dict = {}   # source -> boundary_rb (rb < this keeps)
+    for src in agg.index.get_level_values(0).unique():
+        lim = limit_of(src)
+        if lim is None:
+            continue
+        cum = agg.loc[src].cumsum()
+        over = cum[cum > lim]
+        if over.empty:          # whole source fits the budget
+            keep_all_below[src] = 1 << 16
+            continue
+        b = int(over.index[0])
+        before = int(cum.loc[:b].iloc[-2]) if len(cum.loc[:b]) > 1 else 0
+        keep_all_below[src] = b
+        boundary[src] = (b, before)
+
+    # pass 2: exact cutoff inside each boundary bucket (tiny row count)
+    cutoffs: dict = {}      # source -> (rank, key) of the LAST kept row
+    if boundary:
+        b_map = {s: rb for s, (rb, _) in boundary.items()}
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            t = add_rank(t)
+            rb = pc.bit_wise_and(
+                pc.shift_right(t.column("__rank"), _RB_SHIFT),
+                pa.scalar(0xFFFF, pa.int64())).to_numpy(zero_copy_only=False)
+            enc = t.column(source_col).combine_chunks().dictionary_encode()
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            # boundary bucket per dictionary code (-1 = source unbudgeted)
+            want = np.asarray([b_map.get(s, -1)
+                               for s in enc.dictionary.to_pylist()],
+                              dtype=np.int64)
+            t = t.filter(pa.array(want[codes] == rb))
+            return t.select([source_col, "__rank", key_col, token_col])
+
+        edges = ds.map_batches(edge_rows, batch_format="pyarrow").to_pandas()
+        for src, g in edges.groupby(source_col, sort=False):
+            lim = limit_of(src)
+            g = g.sort_values(["__rank", key_col], kind="stable")
+            cum = boundary[src][1] + g[token_col].cumsum()
+            kept = g[cum <= lim]
+            if len(kept):
+                cutoffs[src] = (int(kept["__rank"].iloc[-1]),
+                                kept[key_col].iloc[-1])
+
+    # pass 3: map-side filter against the broadcast decision table.
+    # Vectorized per distinct source in the batch; only md5-rank TIES
+    # with the cutoff row (measure-zero) fall back to a row loop.
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t2 = add_rank(t)
+        rank = t2.column("__rank").to_numpy(zero_copy_only=False)
+        rb = (rank >> _RB_SHIFT) & 0xFFFF
+        enc = t2.column(source_col).combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        keep = np.ones(t.num_rows, dtype=bool)
+        keys = None
+        for code, s in enumerate(enc.dictionary.to_pylist()):
+            if limit_of(s) is None:
+                continue
+            m = codes == code
+            b = keep_all_below.get(s, 0)
+            cut = cutoffs.get(s)
+            k = rb < b
+            if cut is not None:
+                cr, ck = cut
+                at = m & (rb == b)
+                k = k | (at & (rank < cr))
+                for i in np.flatnonzero(at & (rank == cr)):
+                    if keys is None:
+                        keys = t2.column(key_col).to_pylist()
+                    k[i] = keys[i] <= ck
+            keep[m] = k[m]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
+def _budget_sample_shuffle(ds, budgets, token_col, source_col, key_col,
+                           seed, default_budget, n_buckets):
+    """Co-locating fallback: ONE bucketed shuffle per source + cumsum.
+    Identical results to the histogram path; kept for A/B testing only
+    (a single hot source lands whole in one reduce task)."""
     from .aggregate import bucketed_group_transform
 
     def add_rank(t: pa.Table) -> pa.Table:
@@ -454,8 +578,6 @@ def budget_sample(ds, budgets: dict[str, int], token_col: str,
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
 
     def cap(g):
-        import pandas as pd  # noqa: F401
-
         g = g.sort_values([source_col, "__rank", key_col], kind="stable")
         cum = g.groupby(source_col, sort=False, dropna=False)[token_col].cumsum()
         limit = g[source_col].map(budgets)

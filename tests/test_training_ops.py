@@ -113,3 +113,24 @@ def test_dedup_against_drops_seen_content():
     out2 = dedup_against(ray.data.from_arrow(new2),
                          ray.data.from_arrow(ref)).to_pandas()
     assert len(out2) == 2
+
+
+def test_budget_sample_histogram_equals_shuffle_strategy():
+    rng = np.random.default_rng(11)
+    n = 500
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 7}" for i in range(n)]),
+        "tokens": pa.array(rng.integers(1, 50, n), pa.int64())})
+    kw = dict(budgets={"s0": 300, "s1": 5, "s2": 0}, token_col="tokens",
+              seed=5, default_budget=400)
+    a = budget_sample(ray.data.from_arrow(tbl), **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = budget_sample(ray.data.from_arrow(tbl), strategy="shuffle",
+                      **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "source", "tokens"]].equals(
+        b[["doc_id", "source", "tokens"]])
+    # budget 0 drops the whole source; tiny budget keeps <= 1 doc
+    assert (a["source"] != "s2").all()
+    assert len(a[a["source"] == "s1"]) <= 1
