@@ -1881,6 +1881,35 @@ def q_doc_new_vs_ref(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def q_funnel_stages(sf_dir: str):
+    """Sequential conversion funnel signup -> click -> purchase per user
+    (each stage strictly after the previous stage's completion time);
+    one co-partitioning shuffle, vectorized conditional mins per bucket
+    (stages/aggregate.py funnel)."""
+    from ..stages.aggregate import funnel
+
+    out = funnel(_rd(sf_dir, "events",
+                     columns=["user_id", "event_type", "ts"]),
+                 stages=[("signup", "signup"), ("click", "click"),
+                         ("purchase", "purchase")])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "ts_signup", "ts_click",
+                            "ts_purchase", "reached"]),
+        batch_format="pyarrow").sort("user_id")
+
+
+def q_retention_weekly(sf_dir: str):
+    """Weekly cohort retention over events: cohort = first-activity
+    week, count of users active per (cohort, week offset)
+    (stages/aggregate.py retention_cohorts — only distinct
+    (cohort, offset) pairs leave each bucket)."""
+    from ..stages.aggregate import retention_cohorts
+
+    out = retention_cohorts(_rd(sf_dir, "events",
+                                columns=["user_id", "ts"]))
+    return out.sort(["cohort_period", "period_offset"])
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -2889,6 +2918,8 @@ def queries():
         "doc_budget_sample": q_doc_budget_sample,
         "doc_classifier": q_doc_classifier,
         "doc_new_vs_ref": q_doc_new_vs_ref,
+        "funnel_stages": q_funnel_stages,
+        "retention_weekly": q_retention_weekly,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3736,6 +3767,36 @@ def oracle_sql():
               WHERE r.doc_id < 250
                 AND coalesce(r.text, '') = coalesce(n.text, ''))
             ORDER BY n.doc_id""",
+        "funnel_stages": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT u.user_id, t1 AS ts_signup, t2 AS ts_click,
+                   t3 AS ts_purchase,
+                   CAST(t1 IS NOT NULL AS BIGINT)
+                   + CAST(t2 IS NOT NULL AS BIGINT)
+                   + CAST(t3 IS NOT NULL AS BIGINT) AS reached
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id""",
+        "retention_weekly": """
+            WITH fc AS (SELECT user_id,
+                               epoch_us(min(ts)) // 604800000000 AS cw
+                        FROM events GROUP BY user_id),
+            act AS (SELECT DISTINCT e.user_id, fc.cw,
+                           epoch_us(e.ts) // 604800000000 - fc.cw AS wo
+                    FROM events e JOIN fc USING (user_id))
+            SELECT cw AS cohort_period, wo AS period_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act GROUP BY 1, 2
+            ORDER BY 1, 2""",
         # C4 line filter: identical planted lines + identical RE2
         # predicates evaluated via DuckDB list lambdas.
         "doc_c4_line_filter": r"""

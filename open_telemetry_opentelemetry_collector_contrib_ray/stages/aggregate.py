@@ -1043,3 +1043,78 @@ def conversation_policy_filter(ds, condition: str, group_col: str = "conv_id"):
             return batch.filter(pc.is_in(batch.column(group_col), value_set=self.keys))
 
     return ds.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def funnel(ds, stages: Sequence[tuple[str, str]], key_col: str = "user_id",
+           type_col: str = "event_type", ts_col: str = "ts",
+           n_buckets: int = 64):
+    """Sequential funnel analysis: for each key, how far through the
+    ordered stage list it progressed, where stage k counts only with an
+    event STRICTLY AFTER the stage k-1 completion time (classic
+    signup -> click -> purchase conversion).
+
+    stages: [(stage_name, event_type_value), ...] in funnel order.
+    Returns one row per key: key, reached (int — number of stages
+    completed), and ts_<stage_name> completion timestamps (null when
+    not reached).
+
+    ONE co-partitioning shuffle by key; the per-bucket pass is
+    vectorized across keys (conditional mins via masked groupby, never
+    a per-key loop)."""
+    import pandas as pd
+
+    names = [n for n, _ in stages]
+    types = [t for _, t in stages]
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: g[key_col].unique()})
+        prev = None  # Series: key -> completion ts of the previous stage
+        for name, etype in zip(names, types):
+            ev = g[g[type_col] == etype]
+            if prev is not None:
+                lim = ev[key_col].map(prev)
+                # NaN/NaT lim (stage k-1 not reached) compares False,
+                # which is exactly "not in the funnel yet"
+                m = (ev[ts_col] > lim).fillna(False)
+                ev = ev[m.to_numpy(dtype=bool)]
+            cur = ev.groupby(key_col, sort=False)[ts_col].min()
+            out[f"ts_{name}"] = out[key_col].map(cur)
+            prev = cur
+        reached = np.zeros(len(out), dtype=np.int64)
+        for i, name in enumerate(names):
+            reached += out[f"ts_{name}"].notna().to_numpy()
+        out["reached"] = reached
+        return out
+
+    return bucketed_group_transform(ds, [key_col], run, n_buckets)
+
+
+def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      period_us: int = 604_800_000_000,
+                      n_buckets: int = 64):
+    """Cohort retention: cohort = each key's first-activity period
+    (floor(us/period)), and for every (cohort, period-offset) the count
+    of keys active in that period.  The standard growth-analytics table.
+
+    ONE co-partitioning shuffle by key; per bucket, the first-activity
+    period and the distinct (key, period) pairs compute vectorized, so
+    only (cohort, offset) PAIRS leave the bucket — the final count is a
+    tiny two-phase groupby."""
+    import pandas as pd
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(p):
+            # pin the microsecond unit before the int view (a ns-unit
+            # series would floor-divide in the wrong timescale)
+            p = p.astype("datetime64[us]")
+        p = p.astype("int64") // period_us
+        first = p.groupby(g[key_col], sort=False).transform("min")
+        d = pd.DataFrame({"cohort_period": first, "period_offset": p - first,
+                          key_col: g[key_col]}).drop_duplicates()
+        return d.groupby(["cohort_period", "period_offset"], sort=False,
+                         as_index=False).size().rename(columns={"size": "n"})
+
+    parts = bucketed_group_transform(ds, [key_col], pairs, n_buckets)
+    return grouped_sum(parts, ["cohort_period", "period_offset"], "n",
+                       alias="n_users", combine="driver")

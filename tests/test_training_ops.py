@@ -134,3 +134,48 @@ def test_budget_sample_histogram_equals_shuffle_strategy():
     # budget 0 drops the whole source; tiny budget keeps <= 1 doc
     assert (a["source"] != "s2").all()
     assert len(a[a["source"] == "s1"]) <= 1
+
+
+def test_funnel_strict_order_and_reached():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        funnel,
+    )
+
+    # u1 completes all 3 in order; u2 clicks BEFORE signup (stage 1 only);
+    # u3 has no signup (stage 0); u4 purchase ties click ts (strict > drops)
+    rows = [
+        (1, "signup", 100), (1, "click", 200), (1, "purchase", 300),
+        (2, "click", 50), (2, "signup", 60), (2, "purchase", 40),
+        (3, "view", 10),
+        (4, "signup", 10), (4, "click", 20), (4, "purchase", 20),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.int64())})
+    out = funnel(ray.data.from_arrow(tbl),
+                 stages=[("signup", "signup"), ("click", "click"),
+                         ("purchase", "purchase")]).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.loc[1, "reached"] == 3
+    assert out.loc[2, "reached"] == 1   # click at 50 < signup at 60
+    assert out.loc[3, "reached"] == 0
+    assert out.loc[4, "reached"] == 2   # purchase not strictly after click
+    assert out.loc[1, "ts_purchase"] == 300
+
+
+def test_retention_cohorts_hand_computed():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        retention_cohorts,
+    )
+
+    # period = 10us; u1 first at p0, active p0+p2; u2 first at p2, active p2
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 7, 25, 21], pa.int64())})
+    out = retention_cohorts(ray.data.from_arrow(tbl), period_us=10) \
+        .to_pandas().sort_values(["cohort_period", "period_offset"]) \
+        .reset_index(drop=True)
+    got = list(map(tuple, out[["cohort_period", "period_offset",
+                               "n_users"]].to_numpy()))
+    assert got == [(0, 0, 1), (0, 2, 1), (2, 0, 1)]
