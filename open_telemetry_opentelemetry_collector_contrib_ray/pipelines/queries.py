@@ -1910,6 +1910,32 @@ def q_retention_weekly(sf_dir: str):
     return out.sort(["cohort_period", "period_offset"])
 
 
+def q_doc_normalize(sf_dir: str):
+    """Unicode normalization before dedup (C4/CCNet preprocessing):
+    NFC + lowercase + whitespace collapse, map-only Arrow kernels
+    (stages/textfilters.py TextNormalizer)."""
+    from ..stages.textfilters import TextNormalizer
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(TextNormalizer(out_col="text_norm"),
+                          batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["doc_id", "text_norm"]),
+                     batch_format="pyarrow").sort("doc_id")
+
+
+def q_doc_chunks(sf_dir: str):
+    """RAG-style overlapping character chunking: 180-codepoint chunks
+    with 30 overlap, one row per chunk (stages/textfilters.py
+    chunk_documents — map-only flat expansion, vectorized per chunk
+    index, codepoint semantics identical to SQL substr)."""
+    from ..stages.textfilters import chunk_documents
+
+    out = chunk_documents(_rd(sf_dir, "documents",
+                              columns=["doc_id", "text"]),
+                          chunk_size=180, overlap=30)
+    return out.sort(["doc_id", "chunk_idx"])
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -2920,6 +2946,8 @@ def queries():
         "doc_new_vs_ref": q_doc_new_vs_ref,
         "funnel_stages": q_funnel_stages,
         "retention_weekly": q_retention_weekly,
+        "doc_normalize": q_doc_normalize,
+        "doc_chunks": q_doc_chunks,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3767,6 +3795,28 @@ def oracle_sql():
               WHERE r.doc_id < 250
                 AND coalesce(r.text, '') = coalesce(n.text, ''))
             ORDER BY n.doc_id""",
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(
+                       coalesce(text, ''))), '\s+', ' ', 'g')) AS text_norm
+            FROM documents ORDER BY doc_id""",
+        "doc_chunks": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     length(coalesce(text, '')) AS ln FROM documents
+            ), n AS (
+              SELECT doc_id, t,
+                     CASE WHEN ln <= 180 THEN 1
+                          ELSE 1 + (ln - 180 + 149) // 150 END AS nc
+              FROM d)
+            , e AS (
+              SELECT doc_id, t, nc,
+                     unnest(generate_series(0, nc - 1)) AS k FROM n)
+            SELECT doc_id, k AS chunk_idx,
+                   substr(t, CAST(k * 150 + 1 AS BIGINT), 180) AS chunk_text,
+                   nc AS n_chunks
+            FROM e
+            ORDER BY doc_id, chunk_idx""",
         "funnel_stages": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
             s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -32,6 +32,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -352,3 +354,95 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
     return ds_factory().map_batches(
         _LineDropper(ref, id_col=id_col, text_col=text_col, sep=sep),
         batch_format="pyarrow")
+
+
+class TextNormalizer:
+    """Unicode text normalization before dedup/tokenization (the C4 /
+    CCNet preprocessing step): NFC-normalize, lowercase, collapse runs
+    of whitespace to single spaces, trim.  Map-only, pure Arrow kernels
+    (pc.utf8_normalize / utf8_lower / replace_substring_regex) — every
+    step has an exact DuckDB twin (nfc_normalize / lower /
+    regexp_replace), so normalized output is oracle-checkable."""
+
+    def __init__(self, text_col: str = "text", out_col: str | None = None,
+                 lowercase: bool = True, collapse_ws: bool = True):
+        self.text_col = text_col
+        self.out_col = out_col or text_col
+        self.lowercase = lowercase
+        self.collapse_ws = collapse_ws
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        s = pc.fill_null(batch.column(self.text_col), "")
+        # this pyarrow build's utf8_normalize DECOMPOSES but never
+        # composes (its "NFC" behaves like NFD) — true NFC runs in
+        # Python, but only over the non-ASCII minority of rows (ASCII
+        # is NFC by construction), so the hot path stays vectorized
+        non_ascii = pc.match_substring_regex(s, r"[^\x00-\x7F]")
+        if pc.any(non_ascii).as_py():
+            idx = np.flatnonzero(
+                non_ascii.to_numpy(zero_copy_only=False))
+            vals = s.to_pylist()
+            for i in idx:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            s = pa.array(vals, pa.string())
+        if self.lowercase:
+            s = pc.utf8_lower(s)
+        if self.collapse_ws:
+            s = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(s, r"\s+", " "))
+        if self.out_col in batch.column_names:
+            batch = batch.drop_columns([self.out_col])
+        return batch.append_column(self.out_col, s)
+
+
+def chunk_documents(ds, chunk_size: int, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    keep_cols: Sequence[str] = ()):
+    """Split documents into fixed-size overlapping character chunks (the
+    RAG / embedding-pipeline chunker): chunk k covers codepoints
+    [k*stride, k*stride + chunk_size) with stride = chunk_size - overlap;
+    the last chunk is the first one reaching the end of the doc.  Empty
+    or null docs yield one empty chunk (the doc stays addressable).
+
+    Map-only flat expansion, no shuffle.  Vectorized per chunk INDEX:
+    each k slices every row that has a k-th chunk with one
+    utf8_slice_codeunits call (codepoint semantics — identical to SQL
+    substr), so the Python loop is O(max chunks per batch), not O(rows).
+    keep_cols caps the per-chunk byte fan-out (replicate ids and small
+    metadata, never the full row)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    keep_cols = list(keep_cols)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        text = pc.fill_null(t.column(text_col), "")
+        ln = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chunks = np.where(ln <= chunk_size, 1,
+                            1 + (ln - chunk_size + stride - 1) // stride)
+        row_idx = np.repeat(np.arange(n), n_chunks)
+        starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        k = np.arange(len(row_idx)) - np.repeat(starts, n_chunks)
+        base = t.select([id_col] + keep_cols).take(pa.array(row_idx))
+        pieces = []
+        text_rep = text.take(pa.array(row_idx)) if isinstance(text, pa.Array) \
+            else pc.take(text, pa.array(row_idx))
+        chunks = np.empty(len(row_idx), dtype=object)
+        for kk in range(int(n_chunks.max()) if n else 0):
+            m = k == kk
+            s = kk * stride
+            sl = pc.utf8_slice_codeunits(
+                pc.take(text_rep, pa.array(np.flatnonzero(m))),
+                start=s, stop=s + chunk_size)
+            chunks[m] = sl.to_numpy(zero_copy_only=False)
+        out = base.append_column("chunk_idx", pa.array(k, pa.int64()))
+        out = out.append_column("chunk_text",
+                                pa.array(chunks, pa.string()))
+        return out.append_column(
+            "n_chunks", pa.array(n_chunks[row_idx], pa.int64()))
+
+    return ds.map_batches(explode, batch_format="pyarrow")

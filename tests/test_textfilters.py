@@ -95,3 +95,50 @@ def test_dedup_lines_idempotent():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     exp = deduped.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(again["text"]) == list(exp["text"])
+
+
+def test_text_normalizer_nfc_lower_ws():
+    import unicodedata
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+        TextNormalizer,
+    )
+
+    # NFD "é" (e + combining accent) must collapse to NFC "é"
+    nfd = unicodedata.normalize("NFD", "Élan  Vital")
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array([nfd, "  A\tB\n\nC  ", None])})
+    out = TextNormalizer(out_col="t")(tbl)
+    got = out.column("t").to_pylist()
+    assert got[0] == "élan vital"
+    assert len(got[0].encode()) == len("élan vital".encode())  # truly NFC
+    assert got[1] == "a b c"
+    assert got[2] == ""
+
+
+def test_chunk_documents_edges_and_overlap():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+        chunk_documents,
+    )
+    import ray.data
+
+    texts = ["abcdefghij",      # 10 chars: chunks(5, ov 2): 0-5,3-8,6-10
+             "abc",             # shorter than chunk -> 1 chunk
+             "",                # empty -> 1 empty chunk
+             None,              # null -> 1 empty chunk
+             "日本語テキストです"]   # unicode, 9 codepoints
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = chunk_documents(ray.data.from_arrow(tbl), chunk_size=5, overlap=2) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    d0 = out[out["doc_id"] == 0]["chunk_text"].tolist()
+    assert d0 == ["abcde", "defgh", "ghij"]
+    assert out[out["doc_id"] == 1]["chunk_text"].tolist() == ["abc"]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == [""]
+    assert out[out["doc_id"] == 3]["chunk_text"].tolist() == [""]
+    d4 = out[out["doc_id"] == 4]["chunk_text"].tolist()
+    # 9 codepoints, stride 3: starts at 0, 3, 6
+    assert d4 == ["日本語テキ", "テキストで", "トです"]
+    # every chunk boundary overlaps the previous by exactly `overlap`
+    assert all(a[-2:] == b[:2] for a, b in zip(d0, d0[1:]))
+    assert (out.groupby("doc_id")["n_chunks"].nunique() == 1).all()
