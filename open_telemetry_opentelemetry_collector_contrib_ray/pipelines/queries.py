@@ -1936,6 +1936,43 @@ def q_doc_chunks(sf_dir: str):
     return out.sort(["doc_id", "chunk_idx"])
 
 
+def q_doc_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: per-token-normalized LM
+    familiarity (integer: lm_score*1000 // n_ngrams), exact global
+    terciles via a VALUE histogram (distinct scores shuffle, never
+    docs), head/middle/tail assigned map-side against the broadcast
+    thresholds.  head = most target-like (CCNet keeps head+middle)."""
+    from ..stages.lmscore import lm_familiarity
+
+    scored = lm_familiarity(
+        lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=2, min_count=2)
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.multiply(t.column("lm_score"), pa.scalar(1000, pa.int64()))
+        d = pc.max_element_wise(t.column("n_ngrams"),
+                                pa.scalar(1, pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "score_norm": pc.divide(s, d)})
+
+    scored = scored.map_batches(norm, batch_format="pyarrow").materialize()
+    hist = grouped_count(scored, ["score_norm"], alias="n",
+                         combine="driver").to_pandas() \
+        .sort_values("score_norm").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    t1 = int(hist.loc[cum >= (total + 2) // 3, "score_norm"].iloc[0])
+    t2 = int(hist.loc[cum >= (2 * total + 2) // 3, "score_norm"].iloc[0])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        s = t.column("score_norm")
+        b = pc.if_else(pc.less_equal(s, t1), "tail",
+                       pc.if_else(pc.less_equal(s, t2), "middle", "head"))
+        return t.append_column("bucket", b)
+
+    return scored.map_batches(bucket, batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -2948,6 +2985,7 @@ def queries():
         "retention_weekly": q_retention_weekly,
         "doc_normalize": q_doc_normalize,
         "doc_chunks": q_doc_chunks,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3795,6 +3833,44 @@ def oracle_sql():
               WHERE r.doc_id < 250
                 AND coalesce(r.text, '') = coalesce(n.text, ''))
             ORDER BY n.doc_id""",
+        "doc_ccnet_buckets": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), big AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+              FROM tok
+              QUALIFY lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+            ), cnt AS (
+              SELECT g, count(*) AS c FROM big GROUP BY g
+              HAVING count(*) >= 2
+            ), per AS (
+              SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                     CAST(coalesce(sum(length(bin(coalesce(c.c, 0) + 1)) - 1),
+                                   0) AS BIGINT) AS lm_score
+              FROM big b LEFT JOIN cnt c USING (g) GROUP BY b.doc_id
+            ), scored AS (
+              SELECT d.doc_id,
+                     coalesce(per.lm_score, 0) * 1000
+                       // greatest(coalesce(per.n_ngrams, 0), 1) AS score_norm
+              FROM documents d LEFT JOIN per USING (doc_id)
+            ), q AS (
+              SELECT score_norm, count(*) AS c FROM scored GROUP BY 1
+            ), cum AS (
+              SELECT score_norm,
+                     sum(c) OVER (ORDER BY score_norm) AS cc FROM q
+            ), t1 AS (SELECT min(score_norm) AS v FROM cum
+                      WHERE cc >= (SELECT (count(*) + 2) // 3 FROM scored)),
+            t2 AS (SELECT min(score_norm) AS v FROM cum
+                   WHERE cc >= (SELECT (2 * count(*) + 2) // 3 FROM scored))
+            SELECT doc_id, score_norm,
+                   CASE WHEN score_norm <= (SELECT v FROM t1) THEN 'tail'
+                        WHEN score_norm <= (SELECT v FROM t2) THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM scored ORDER BY doc_id""",
         "doc_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(
