@@ -751,13 +751,25 @@ def bucketed_group_transform(ds, key_cols: Sequence[str], fn,
         t = pa.Table.from_pandas(out, preserve_index=False) \
                     .replace_schema_metadata(None)
         if any(pa.types.is_null(f.type) for f in t.schema):
-            # a bucket whose fn output is EMPTY infers object columns as
-            # null-typed; numeric pandas dtypes survive empty conversion,
-            # so null here always means an (empty) string column — pin it
-            # so every bucket emits the identical schema
-            t = t.cast(pa.schema([
-                f.with_type(pa.string()) if pa.types.is_null(f.type) else f
-                for f in t.schema]))
+            # a bucket whose fn output is EMPTY (or all-null) infers its
+            # object columns as null-typed while other buckets emit real
+            # types.  Recover the type from the INPUT rows when the
+            # column passed through (g is never empty here), else fall
+            # back to string — so every bucket emits one schema
+            fields = []
+            for f in t.schema:
+                if pa.types.is_null(f.type):
+                    if f.name in g.columns:
+                        inferred = pa.Table.from_pandas(
+                            g[[f.name]].head(64), preserve_index=False) \
+                            .schema.field(f.name).type
+                        f = f.with_type(pa.string()
+                                        if pa.types.is_null(inferred)
+                                        else inferred)
+                    else:
+                        f = f.with_type(pa.string())
+                fields.append(f)
+            t = t.cast(pa.schema(fields))
         return t
 
     return bucketed.groupby("__bucket").map_groups(run, batch_format="pandas")

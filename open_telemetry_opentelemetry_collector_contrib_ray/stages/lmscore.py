@@ -43,6 +43,20 @@ def _bits(counts: np.ndarray) -> np.ndarray:
     return (np.frexp(counts.astype(np.float64) + 1.0)[1] - 1).astype(np.int64)
 
 
+def _probe_scores(hs: np.ndarray, bits: np.ndarray, win_row: np.ndarray,
+                  shv: np.ndarray, n: int) -> np.ndarray:
+    """Shared model probe: per-doc sum of `bits` over the window hashes
+    present in the sorted model `hs` (absent grams contribute 0)."""
+    if len(win_row) == 0 or len(hs) == 0:
+        return np.zeros(n)
+    idx = np.searchsorted(hs, shv)
+    idx[idx == len(hs)] = 0
+    found = hs[idx] == shv
+    w = np.zeros(len(shv), dtype=np.float64)
+    w[found] = bits[idx[found]]
+    return np.bincount(win_row, weights=w, minlength=n)
+
+
 def build_ngram_model(ds, n: int = 2, min_count: int = 2,
                       top_v: int = 5_000_000, id_col: str = "doc_id",
                       text_col: str = "text"):
@@ -106,18 +120,9 @@ class NgramScorer:
         n = batch.num_rows
         win_row, _, sh = self.emitter.windows(batch)
         shv = sh.view(np.int64)
-        if len(win_row):
-            idx = np.searchsorted(self.hs, shv)
-            idx[idx == len(self.hs)] = 0
-            found = (self.hs[idx] == shv) if len(self.hs) else \
-                np.zeros(len(shv), dtype=bool)
-            w = np.zeros(len(shv), dtype=np.float64)
-            w[found] = self.bits[idx[found]]
-            score = np.bincount(win_row, weights=w, minlength=n)
-            grams = np.bincount(win_row, minlength=n)
-        else:
-            score = np.zeros(n)
-            grams = np.zeros(n, dtype=np.int64)
+        score = _probe_scores(self.hs, self.bits, win_row, shv, n)
+        grams = np.bincount(win_row, minlength=n) if len(win_row) \
+            else np.zeros(n, dtype=np.int64)
         out = batch.append_column("n_ngrams",
                                   pa.array(grams.astype(np.int64)))
         return out.append_column("lm_score",
@@ -147,15 +152,7 @@ class DualNgramScorer:
         out = batch
         for name, (hs, bits) in zip(("target_score", "raw_score"),
                                     self.models):
-            if len(win_row) and len(hs):
-                idx = np.searchsorted(hs, shv)
-                idx[idx == len(hs)] = 0
-                found = hs[idx] == shv
-                w = np.zeros(len(shv), dtype=np.float64)
-                w[found] = bits[idx[found]]
-                score = np.bincount(win_row, weights=w, minlength=n)
-            else:
-                score = np.zeros(n)
+            score = _probe_scores(hs, bits, win_row, shv, n)
             out = out.append_column(name, pa.array(score.astype(np.int64)))
         return out
 

@@ -400,9 +400,11 @@ _SHUFFLE_MOD = 1 << 62  # fits BIGINT, so the oracle CAST never overflows
 def shuffle_key_column(batch: pa.Table, key_col: str, seed: int = 0) -> pa.Array:
     """md5-lower-64 of "key:seed" mod 2^62 as int64 — the deterministic
     shuffle rank, bit-exact with DuckDB
-    ``md5_number_lower(concat(CAST(key AS VARCHAR), ':<seed>')) % 2^62``."""
+    ``md5_number_lower(concat(CAST(key AS VARCHAR), ':<seed>')) % 2^62``
+    (DuckDB concat treats NULL as '', so a null key ranks at
+    md5(':seed'), not 0)."""
     vals = batch.column(key_col).to_pylist()
-    tags = [None if v is None else f"{v}:{seed}" for v in vals]
+    tags = [f":{seed}" if v is None else f"{v}:{seed}" for v in vals]
     r = (_md5_lower64(tags) % np.uint64(_SHUFFLE_MOD)).astype(np.int64)
     return pa.array(r, pa.int64())
 
@@ -481,26 +483,40 @@ def budget_sample(ds, budgets: dict[str, int], token_col: str,
             .group_by([source_col, "__rb"]).aggregate([(token_col, "sum")])
         return g.rename_columns([source_col, "__rb", "__tok"])
 
-    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
-    agg = parts.groupby([source_col, "__rb"], sort=True,
-                        dropna=False)["__tok"].sum()
+    # driver combine via plain dicts — a NULL source is its own group
+    # (pandas MultiIndex .loc[NaN] is a KeyError trap)
+    import pandas as pd
 
-    # driver: per budgeted source, find the boundary bucket + remaining
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    per_src: dict = {}      # source (None ok) -> {rank_bucket: tokens}
+    for src, rb, tok in parts.itertuples(index=False):
+        skey = None if pd.isna(src) else src
+        per_src.setdefault(skey, {})[int(rb)] = \
+            per_src.get(skey, {}).get(int(rb), 0) + int(tok)
+
     boundary: dict = {}     # source -> (boundary_rb, tokens_before)
     keep_all_below: dict = {}   # source -> boundary_rb (rb < this keeps)
-    for src in agg.index.get_level_values(0).unique():
+    for src, h in per_src.items():
         lim = limit_of(src)
         if lim is None:
             continue
-        cum = agg.loc[src].cumsum()
-        over = cum[cum > lim]
-        if over.empty:          # whole source fits the budget
+        cum = 0
+        for rb in sorted(h):
+            if cum + h[rb] > lim:
+                keep_all_below[src] = rb
+                boundary[src] = (rb, cum)
+                break
+            cum += h[rb]
+        else:                   # whole source fits the budget
             keep_all_below[src] = 1 << 16
-            continue
-        b = int(over.index[0])
-        before = int(cum.loc[:b].iloc[-2]) if len(cum.loc[:b]) > 1 else 0
-        keep_all_below[src] = b
-        boundary[src] = (b, before)
+
+    def _codes_and_values(col):
+        """Dictionary-encode with nulls as code -1 (kept OUT of the
+        dictionary by arrow, so give them an explicit slot)."""
+        enc = col.combine_chunks().dictionary_encode()
+        codes = enc.indices.fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return codes, enc.dictionary.to_pylist()
 
     # pass 2: exact cutoff inside each boundary bucket (tiny row count)
     cutoffs: dict = {}      # source -> (rank, key) of the LAST kept row
@@ -512,24 +528,24 @@ def budget_sample(ds, budgets: dict[str, int], token_col: str,
             rb = pc.bit_wise_and(
                 pc.shift_right(t.column("__rank"), _RB_SHIFT),
                 pa.scalar(0xFFFF, pa.int64())).to_numpy(zero_copy_only=False)
-            enc = t.column(source_col).combine_chunks().dictionary_encode()
-            codes = np.asarray(enc.indices, dtype=np.int64)
-            # boundary bucket per dictionary code (-1 = source unbudgeted)
-            want = np.asarray([b_map.get(s, -1)
-                               for s in enc.dictionary.to_pylist()],
-                              dtype=np.int64)
+            codes, vals = _codes_and_values(t.column(source_col))
+            # boundary bucket per code (-1 = source unbudgeted); the
+            # trailing slot serves the null code via -1 indexing
+            want = np.asarray([b_map.get(s, -1) for s in vals]
+                              + [b_map.get(None, -1)], dtype=np.int64)
             t = t.filter(pa.array(want[codes] == rb))
             return t.select([source_col, "__rank", key_col, token_col])
 
         edges = ds.map_batches(edge_rows, batch_format="pyarrow").to_pandas()
-        for src, g in edges.groupby(source_col, sort=False):
-            lim = limit_of(src)
+        for src, g in edges.groupby(source_col, sort=False, dropna=False):
+            skey = None if pd.isna(src) else src
+            lim = limit_of(skey)
             g = g.sort_values(["__rank", key_col], kind="stable")
-            cum = boundary[src][1] + g[token_col].cumsum()
+            cum = boundary[skey][1] + g[token_col].cumsum()
             kept = g[cum <= lim]
             if len(kept):
-                cutoffs[src] = (int(kept["__rank"].iloc[-1]),
-                                kept[key_col].iloc[-1])
+                cutoffs[skey] = (int(kept["__rank"].iloc[-1]),
+                                 kept[key_col].iloc[-1])
 
     # pass 3: map-side filter against the broadcast decision table.
     # Vectorized per distinct source in the batch; only md5-rank TIES
@@ -540,11 +556,10 @@ def budget_sample(ds, budgets: dict[str, int], token_col: str,
         t2 = add_rank(t)
         rank = t2.column("__rank").to_numpy(zero_copy_only=False)
         rb = (rank >> _RB_SHIFT) & 0xFFFF
-        enc = t2.column(source_col).combine_chunks().dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
+        codes, vals = _codes_and_values(t2.column(source_col))
         keep = np.ones(t.num_rows, dtype=bool)
         keys = None
-        for code, s in enumerate(enc.dictionary.to_pylist()):
+        for code, s in list(enumerate(vals)) + [(-1, None)]:
             if limit_of(s) is None:
                 continue
             m = codes == code

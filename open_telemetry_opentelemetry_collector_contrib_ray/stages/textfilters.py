@@ -381,17 +381,23 @@ class TextNormalizer:
         # is NFC by construction), so the hot path stays vectorized
         non_ascii = pc.match_substring_regex(s, r"[^\x00-\x7F]")
         if pc.any(non_ascii).as_py():
-            idx = np.flatnonzero(
-                non_ascii.to_numpy(zero_copy_only=False))
-            vals = s.to_pylist()
-            for i in idx:
-                vals[i] = unicodedata.normalize("NFC", vals[i])
-            s = pa.array(vals, pa.string())
+            # materialize ONLY the non-ASCII rows (ASCII is NFC by
+            # construction); scatter back through a sparse if_else so
+            # the majority stays zero-copy
+            idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+            sub = pc.take(s, pa.array(idx, pa.int64())).to_pylist()
+            repl = np.full(len(s), None, dtype=object)
+            for j, i in enumerate(idx):
+                repl[i] = unicodedata.normalize("NFC", sub[j])
+            s = pc.if_else(non_ascii, pa.array(repl, pa.string()), s)
         if self.lowercase:
             s = pc.utf8_lower(s)
         if self.collapse_ws:
-            s = pc.utf8_trim_whitespace(
-                pc.replace_substring_regex(s, r"\s+", " "))
+            # trim SPACES only (every edge \s became ' ' in the collapse)
+            # — pc.utf8_trim_whitespace also strips U+2028/U+0085, which
+            # DuckDB trim() does not, breaking the oracle contract
+            s = pc.utf8_trim(
+                pc.replace_substring_regex(s, r"\s+", " "), " ")
         if self.out_col in batch.column_names:
             batch = batch.drop_columns([self.out_col])
         return batch.append_column(self.out_col, s)
@@ -428,7 +434,6 @@ def chunk_documents(ds, chunk_size: int, overlap: int = 0,
         starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
         k = np.arange(len(row_idx)) - np.repeat(starts, n_chunks)
         base = t.select([id_col] + keep_cols).take(pa.array(row_idx))
-        pieces = []
         text_rep = text.take(pa.array(row_idx)) if isinstance(text, pa.Array) \
             else pc.take(text, pa.array(row_idx))
         chunks = np.empty(len(row_idx), dtype=object)

@@ -163,25 +163,37 @@ def grouped_window(ds, keys: Sequence[str], order_cols: Sequence[str],
                 agg = {"avg": "mean"}.get(s.kind[5:], s.kind[5:])
                 ts = g[orders[0]]
                 if not pd.api.types.is_datetime64_any_dtype(ts):
-                    ts = pd.to_datetime(ts.astype("int64"), unit="us")
+                    ts = pd.to_datetime(ts, unit="us")
                 col = s.col if s.col is not None else orders[0]
-                w = pd.DataFrame({"__ts": ts.to_numpy(), "__v": g[col]})
-                for i, k in enumerate(keys):
-                    w[f"__k{i}"] = g[k]
-                r = w.groupby([f"__k{i}" for i in range(len(keys))],
-                              sort=False, dropna=False) \
-                    .rolling(pd.Timedelta(microseconds=s.range_us),
-                             on="__ts", closed="both")["__v"].agg(agg)
-                # time-rolling indexes by (keys..., __ts) — __ts ties
-                # make the labels non-unique, so align positionally:
-                # g is key-sorted and sort=False keeps first-appearance
-                # group order, so r is already in g's row order
-                g[out] = r.to_numpy()
-                if agg in ("sum", "min", "max") and \
-                        pd.api.types.is_integer_dtype(g[col]):
-                    g[out] = g[out].astype("int64")
-                elif agg == "count":
-                    g[out] = g[out].astype("int64")
+                # a NULL time has no frame -> null result (pandas
+                # time-rolling refuses NaT outright); valid rows stay
+                # contiguous per group because the key sort above puts
+                # NaT last within each partition
+                valid = ts.notna().to_numpy(dtype=bool)
+                vals = np.full(len(g), np.nan)
+                if valid.any():
+                    gv = g[valid]
+                    w = pd.DataFrame({"__ts": ts.to_numpy()[valid],
+                                      "__v": gv[col].to_numpy()})
+                    for i, k in enumerate(keys):
+                        w[f"__k{i}"] = gv[k].to_numpy()
+                    r = w.groupby([f"__k{i}" for i in range(len(keys))],
+                                  sort=False, dropna=False) \
+                        .rolling(pd.Timedelta(microseconds=s.range_us),
+                                 on="__ts", closed="both")["__v"].agg(agg)
+                    # time-rolling indexes by (keys..., __ts) — __ts
+                    # ties make the labels non-unique, so align
+                    # positionally: g is key-sorted and sort=False keeps
+                    # first-appearance group order, so r is already in
+                    # the valid subset's row order
+                    vals[valid] = r.to_numpy()
+                if agg == "count" or (agg in ("sum", "min", "max") and
+                                      pd.api.types.is_integer_dtype(g[col])):
+                    # nullable Int64 keeps one arrow schema whether or
+                    # not the bucket saw null timestamps
+                    g[out] = pd.array(vals, dtype="Float64").astype("Int64")
+                else:
+                    g[out] = vals
             else:  # moving_*
                 agg = s.kind.removeprefix("moving_")
                 agg = {"avg": "mean"}.get(agg, agg)

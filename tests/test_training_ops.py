@@ -179,3 +179,77 @@ def test_retention_cohorts_hand_computed():
     got = list(map(tuple, out[["cohort_period", "period_offset",
                                "n_users"]].to_numpy()))
     assert got == [(0, 0, 1), (0, 2, 1), (2, 0, 1)]
+
+
+def test_budget_sample_null_sources_both_strategies():
+    tbl = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "source": pa.array(["a", None, "b"] * 4),
+        "tokens": pa.array([10] * 12, pa.int64())})
+    # default_budget caps the NULL-source group like any other
+    kw = dict(budgets={"a": 25}, token_col="tokens", seed=1,
+              default_budget=15)
+    a = budget_sample(ray.data.from_arrow(tbl), **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = budget_sample(ray.data.from_arrow(tbl), strategy="shuffle",
+                      **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "tokens"]].equals(b[["doc_id", "tokens"]])
+    assert len(a[a["source"] == "a"]) == 2       # 25 // 10
+    assert len(a[a["source"].isna()]) == 1       # 15 // 10
+    assert len(a[a["source"] == "b"]) == 1
+    # without default_budget the null group is uncapped on both paths
+    kw2 = dict(budgets={"a": 25}, token_col="tokens", seed=1)
+    a2 = budget_sample(ray.data.from_arrow(tbl), **kw2).to_pandas()
+    b2 = budget_sample(ray.data.from_arrow(tbl), strategy="shuffle",
+                       **kw2).to_pandas()
+    assert len(a2[a2["source"].isna()]) == 4
+    assert len(a2) == len(b2)
+
+
+def test_shuffle_null_key_matches_duckdb_concat():
+    import duckdb
+
+    tbl = pa.table({"k": pa.array(["x", None, "y"], pa.string())})
+    out = deterministic_shuffle(ray.data.from_arrow(tbl), "k",
+                                seed=7).to_pandas()
+    null_key = int(out[out["k"].isna()]["shuffle_key"].iloc[0])
+    exp = duckdb.sql(
+        "SELECT CAST(md5_number_lower(concat(CAST(NULL AS VARCHAR), ':7'))"
+        " % 4611686018427387904 AS BIGINT)").fetchone()[0]
+    assert null_key == int(exp)
+
+
+def test_time_window_null_ts_yields_null_frame():
+    import pandas as pd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.window import (
+        WindowSpec, grouped_window,
+    )
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([1_000_000, None, 2_000_000, 5_000_000],
+                       pa.timestamp("us")),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+        "rid": pa.array(range(4), pa.int64())})
+    out = grouped_window(ray.data.from_arrow(tbl), ["k"], ["ts", "rid"],
+                         [WindowSpec("time_sum", col="v",
+                                     range_us=2_000_000, out="tsum")]) \
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    assert pd.isna(out.loc[1, "tsum"])           # null ts -> null frame
+    assert out.loc[0, "tsum"] == 10
+    assert out.loc[2, "tsum"] == 40              # 10 + 30 within 2s
+    assert out.loc[3, "tsum"] == 40
+
+
+def test_text_normalizer_preserves_u2028_edge():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+        TextNormalizer,
+    )
+
+    tbl = pa.table({"text": pa.array(["hi ", "  x  "])})
+    got = TextNormalizer(out_col="t")(tbl).column("t").to_pylist()
+    # U+2028 is not RE2 \s and DuckDB trim() keeps it — so must we
+    assert got[0] == "hi "
+    assert got[1] == "x"
