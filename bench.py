@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "tpch_q10",
     "event_value_quartiles",
     "event_windows",
+    "event_trailing",
+    "doc_classifier",
+    "doc_chunks",
+    "doc_budget_sample",
+    "funnel_stages",
 ]
 
 

@@ -169,6 +169,24 @@ def q_dedup_turns(sf_dir: str):
                               ["conv_id", "role", "text"])
 
 
+def q_dedup_turns_windowed(sf_dir: str):
+    """logdedup with the reference's INTERVAL semantics: duplicates
+    aggregate only within a 1-hour window (processor.go:60-67's flush
+    timer — the batch translation adds the truncated-ts window to the
+    dedup key, so each window emits its own representative).  Exercises
+    dedup_exact with a derived window key column."""
+    from ..stages.aggregate import dedup_exact
+
+    ds = read_transcripts(sf_dir)
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("window_ts", w)
+
+    return dedup_exact(ds.map_batches(add_window, batch_format="pyarrow"),
+                       ["window_ts", "conv_id", "role", "text"])
+
+
 def q_dedup_turns_sorted(sf_dir: str):
     """The general hash-partition dedup (dedup_exact, bucketed combine) —
     the fallback when the input is NOT group-contiguous; kept
@@ -2899,6 +2917,7 @@ def queries():
         "sum_latency_by_tool": q_sum_latency_by_tool,
         "dedup_turns": q_dedup_turns,
         "dedup_turns_sorted": q_dedup_turns_sorted,
+        "dedup_turns_windowed": q_dedup_turns_windowed,
         "recombine_conversations": q_recombine_conversations,
         "sample_10pct": q_sample_10pct,
         "severity_counts": q_severity_counts,
@@ -3111,6 +3130,12 @@ def oracle_sql():
                    min(ts) AS first_observed, max(ts) AS last_observed,
                    min(turn_idx) AS representative_turn_idx
             FROM {_T} GROUP BY conv_id, role, text""",
+        "dedup_turns_windowed": f"""
+            SELECT date_trunc('hour', ts) AS window_ts, conv_id, role, text,
+                   count(*) AS log_count,
+                   min(ts) AS first_observed, max(ts) AS last_observed,
+                   min(turn_idx) AS representative_turn_idx
+            FROM {_T} GROUP BY 1, conv_id, role, text""",
         "recombine_conversations": f"""
             SELECT conv_id,
                    string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS combined,
