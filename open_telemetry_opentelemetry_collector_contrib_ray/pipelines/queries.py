@@ -1817,20 +1817,16 @@ def q_doc_dsir(sf_dir: str):
     top 50 (ties broken by doc_id).  Target distribution = source 'src0'
     docs; raw = whole corpus.  Both models integer-exact, so the oracle
     replays the whole selection (stages/lmscore.py dsir_select)."""
-    import pyarrow.compute as pc
     from ..stages.lmscore import dsir_select
 
-    cols = ["doc_id", "text"]
+    def src0_mask(t: pa.Table):
+        return pc.fill_null(pc.equal(t.column("source"), "src0"), False) \
+            .to_numpy(zero_copy_only=False)
 
-    def target():
-        ds = _rd(sf_dir, "documents", columns=cols + ["source"])
-        return ds.map_batches(
-            lambda t: t.filter(pc.equal(t.column("source"), "src0"))
-                       .select(cols),
-            batch_format="pyarrow")
-
-    out = dsir_select(lambda: _rd(sf_dir, "documents", columns=cols),
-                      target, k=50, n=2, min_count=2)
+    out = dsir_select(
+        lambda: _rd(sf_dir, "documents",
+                    columns=["doc_id", "text", "source"]),
+        None, k=50, n=2, min_count=2, target_mask=src0_mask)
     return out.sort("doc_id")
 
 

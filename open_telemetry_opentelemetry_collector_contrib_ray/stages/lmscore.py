@@ -129,6 +129,71 @@ class NgramScorer:
                                  pa.array(score.astype(np.int64)))
 
 
+def build_dual_ngram_models(ds, target_mask, n: int = 2, min_count: int = 2,
+                            top_v: int = 5_000_000, id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Single-pass twin of two `build_ngram_model` calls for the common
+    DSIR case where the target distribution is a SUBSET of the corpus
+    (target_mask: callable(batch) -> per-row bool).  Each batch emits
+    (hash, count_all, count_target) partials, so the corpus tokenizes
+    and hashes ONCE instead of twice; one small groupby combines both
+    models.  Returns (target_ref, raw_ref) ray.put handles shaped
+    exactly like build_ngram_model's."""
+    import ray
+
+    class DualCounter:
+        def __init__(self):
+            self.em = WindowEmitter(w=n, id_col=id_col, text_col=text_col)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            win_row, _, sh = self.em.windows(t)
+            if len(win_row) == 0:
+                return pa.table({"h": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64()),
+                                 "ct": pa.array([], pa.int64())})
+            tm = np.asarray(target_mask(t), dtype=bool)
+            uh, inv = np.unique(sh, return_inverse=True)
+            c_all = np.bincount(inv, minlength=len(uh))
+            c_t = np.bincount(inv, weights=tm[win_row].astype(np.float64),
+                              minlength=len(uh)).astype(np.int64)
+            return pa.table({"h": pa.array(uh.view(np.int64)),
+                             "c": pa.array(c_all.astype(np.int64)),
+                             "ct": pa.array(c_t)})
+
+    totals = ds.map_batches(DualCounter, batch_format="pyarrow",
+                            batch_size=8192, concurrency=(1, 24)) \
+        .groupby("h").sum(["c", "ct"]) \
+        .map_batches(lambda t: t.rename_columns(["h", "c", "ct"]),
+                     batch_format="pyarrow")
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.or_(pc.greater_equal(t.column("c"), min_count),
+                      pc.greater_equal(t.column("ct"), min_count))
+        return t.filter(keep)
+
+    pruned = totals.map_batches(prune, batch_format="pyarrow").materialize()
+    parts = [ray.get(r) for r in pruned.to_arrow_refs()]
+    tbl = pa.concat_tables([p for p in parts if p.num_rows] or
+                           [pa.table({"h": pa.array([], pa.int64()),
+                                      "c": pa.array([], pa.int64()),
+                                      "ct": pa.array([], pa.int64())})])
+    hs = np.asarray(tbl.column("h"), dtype=np.int64)
+    refs = []
+    for col in ("ct", "c"):        # target first, then raw
+        cs = np.asarray(tbl.column(col), dtype=np.int64)
+        m = cs >= min_count
+        h2, c2 = hs[m], cs[m]
+        if top_v is not None and len(h2) > top_v:
+            keep = np.argpartition(c2, -top_v)[-top_v:]
+            h2, c2 = h2[keep], c2[keep]
+        order = np.argsort(h2, kind="stable")
+        refs.append(ray.put((np.ascontiguousarray(h2[order]),
+                             np.ascontiguousarray(c2[order]))))
+    return refs[0], refs[1]
+
+
 class DualNgramScorer:
     """map_batches stage: score each doc against TWO broadcast n-gram
     models in one pass (windows hashed once, probed twice).  Appends
@@ -159,7 +224,8 @@ class DualNgramScorer:
 
 def dsir_select(ds_factory, target_factory, k: int, n: int = 2,
                 min_count: int = 2, top_v: int = 5_000_000,
-                id_col: str = "doc_id", text_col: str = "text"):
+                id_col: str = "doc_id", text_col: str = "text",
+                target_mask=None):
     """DSIR-shape data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): rank raw-corpus docs by
     importance = score under a TARGET-distribution n-gram model minus
@@ -175,11 +241,23 @@ def dsir_select(ds_factory, target_factory, k: int, n: int = 2,
     Ray shape: two model builds (map-only + kilobyte count combines),
     ONE scoring pass probing both broadcast models per batch, then
     per-batch top-k pre-prune (≤k score rows leave any batch; text
-    never shuffles) feeding a tiny global sort+limit."""
-    tref, _ = build_ngram_model(target_factory(), n=n, min_count=min_count,
-                                top_v=top_v, id_col=id_col, text_col=text_col)
-    rref, _ = build_ngram_model(ds_factory(), n=n, min_count=min_count,
-                                top_v=top_v, id_col=id_col, text_col=text_col)
+    never shuffles) feeding a tiny global sort+limit.
+
+    When the target is a SUBSET of the corpus, pass `target_mask`
+    (callable(batch) -> per-row bool) instead of target_factory: both
+    models then build from ONE corpus pass (build_dual_ngram_models) —
+    a full tokenize+hash pass saved."""
+    if target_mask is not None:
+        tref, rref = build_dual_ngram_models(
+            ds_factory(), target_mask, n=n, min_count=min_count,
+            top_v=top_v, id_col=id_col, text_col=text_col)
+    else:
+        tref, _ = build_ngram_model(target_factory(), n=n,
+                                    min_count=min_count, top_v=top_v,
+                                    id_col=id_col, text_col=text_col)
+        rref, _ = build_ngram_model(ds_factory(), n=n, min_count=min_count,
+                                    top_v=top_v, id_col=id_col,
+                                    text_col=text_col)
     scored = ds_factory().map_batches(
         DualNgramScorer, fn_constructor_kwargs=dict(
             target_ref=tref, raw_ref=rref, n=n,
