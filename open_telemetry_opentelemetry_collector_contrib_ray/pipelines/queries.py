@@ -1987,6 +1987,32 @@ def q_doc_ccnet_buckets(sf_dir: str):
     return scored.map_batches(bucket, batch_format="pyarrow").sort("doc_id")
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """Per-group approximate COUNT(DISTINCT): one HLL register set per
+    (event_type, batch) shuffles instead of one row per distinct pair —
+    the scale path past exact distinct_users_by_type (stages/sketch.py
+    approx_distinct_grouped).  Approximate -> rows-only check; pytest
+    bounds the error against the exact counts."""
+    from ..stages.sketch import approx_distinct_grouped
+
+    out = approx_distinct_grouped(
+        _rd(sf_dir, "events", columns=["event_type", "user_id"]),
+        ["event_type"], "user_id")
+    return out.sort("event_type")
+
+
+def q_doc_keywords(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (corpus labeling): score =
+    tf * ln(N/df) from exact int64 counts in one fixed op order — the
+    float column hashes bitwise against SQL (stages/relevance.py
+    tfidf_keywords; zero row shuffles)."""
+    from ..stages.relevance import tfidf_keywords
+
+    out = tfidf_keywords(
+        lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
+    return out.sort(["doc_id", "rank"])
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -3001,6 +3027,8 @@ def queries():
         "doc_normalize": q_doc_normalize,
         "doc_chunks": q_doc_chunks,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "approx_distinct_users": q_approx_distinct_users,
+        "doc_keywords": q_doc_keywords,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3854,6 +3882,28 @@ def oracle_sql():
               WHERE r.doc_id < 250
                 AND coalesce(r.text, '') = coalesce(n.text, ''))
             ORDER BY n.doc_id""",
+        "doc_keywords": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2
+            ), df AS (
+              SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+            ), s AS (
+              SELECT tf.doc_id, tf.w AS token, tf.tf,
+                     CAST(tf.tf AS DOUBLE)
+                     * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                          / df.df) AS score
+              FROM tf JOIN df ON tf.w = df.w)
+            SELECT doc_id, token, tf, score, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, token)
+                  AS BIGINT) AS rank
+              FROM s)
+            WHERE rank <= 3 ORDER BY doc_id, rank""",
         "doc_ccnet_buckets": """
             WITH tok AS (
               SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i

@@ -161,3 +161,88 @@ def bm25(ds, terms: Sequence[str], text_col: str = "text",
         BM25Scorer(terms, stats, text_col=text_col, out_col=out_col,
                    k1=k1, b=b),
         batch_format="pyarrow")
+
+
+def tfidf_keywords(ds_factory, k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Top-k TF-IDF keywords per document (the classic keyword /
+    labeling pass): score = tf * ln(N / df), ranked (score desc, token
+    asc) within each doc.
+
+    Two passes, ZERO row shuffles: pass 1 is the vocab-bounded
+    `token_df` combine broadcast back as a token->df dict; pass 2 is
+    map-only — per batch the token stream dictionary-encodes, df looks
+    up once per DISTINCT batch token, per-(row, token) counts come from
+    one np.unique, and the top-k per row falls out of a single lexsort.
+    Floats derive from exact int64 (tf, df, N) through one fixed op
+    order, so a SQL oracle matches bitwise (the BM25 precedent)."""
+    import ray
+
+    from .aggregate import grouped_sum  # noqa: F401  (token_df dependency)
+
+    n_docs = ds_factory().count()
+    df_tbl = token_df(ds_factory(), text_col=text_col).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    class Score:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            empty = pa.table({id_col: batch.column(id_col).slice(0, 0),
+                              "token": pa.array([], pa.string()),
+                              "tf": pa.array([], pa.int64()),
+                              "score": pa.array([], pa.float64()),
+                              "rank": pa.array([], pa.int64())})
+            if n == 0:
+                return empty
+            lower = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+            parts = pc.split_pattern_regex(lower, r"\W+")
+            if isinstance(parts, pa.ChunkedArray):
+                parts = parts.combine_chunks()
+            flat = pc.list_flatten(parts).dictionary_encode()
+            if len(flat) == 0:
+                return empty
+            lengths = pc.list_value_length(parts).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = flat.dictionary.to_pylist()
+            # idf per distinct batch token; "" artifacts and tokens
+            # absent from the (min_df-pruned) df table drop out
+            idf = np.full(len(vocab), np.nan)
+            for c, tok in enumerate(vocab):
+                d = self.df.get(tok) if tok else None
+                if d:
+                    # math.log = libm, bitwise-equal to DuckDB ln
+                    # (np.log's SIMD path drifts in the last ulp)
+                    idf[c] = math.log(n_docs / float(d))
+            pair, tf = np.unique((rows << 32) | codes, return_counts=True)
+            prow, pcode = pair >> 32, pair & 0xFFFFFFFF
+            keepm = ~np.isnan(idf[pcode])
+            prow, pcode, tf = prow[keepm], pcode[keepm], tf[keepm]
+            score = tf.astype(np.float64) * idf[pcode]
+            # token rank in sorted vocab = the asc tie-break
+            vorder = np.empty(len(vocab), dtype=np.int64)
+            vorder[np.argsort(np.asarray(vocab, dtype=object))] = \
+                np.arange(len(vocab))
+            order = np.lexsort((vorder[pcode], -score, prow))
+            prow, pcode, tf, score = (prow[order], pcode[order],
+                                      tf[order], score[order])
+            starts = np.concatenate([[0], np.flatnonzero(
+                prow[1:] != prow[:-1]) + 1])
+            rank = np.arange(len(prow)) - np.repeat(
+                starts, np.diff(np.concatenate([starts, [len(prow)]]))) + 1
+            keep = rank <= k
+            toks = pc.take(flat.dictionary,
+                           pa.array(pcode[keep], pa.int64()))
+            return pa.table({
+                id_col: batch.column(id_col).take(pa.array(prow[keep])),
+                "token": toks.cast(pa.string()),
+                "tf": pa.array(tf[keep].astype(np.int64)),
+                "score": pa.array(score[keep]),
+                "rank": pa.array(rank[keep].astype(np.int64))})
+
+    return ds_factory().map_batches(Score, batch_format="pyarrow",
+                                    concurrency=(1, 24))

@@ -224,3 +224,54 @@ def approx_quantile(ds, value_col: str, id_col: str,
             out[kc].append(val)
     return pa.table({**{kc: pa.array(out[kc]) for kc in keys},
                      **{c: pa.array(qcols[c]) for c in qcols}})
+
+
+def approx_distinct_grouped(ds, keys, col: str, p: int = 12):
+    """Per-group approximate COUNT(DISTINCT col) — the 100 TB path when
+    exact grouped count-distinct (one shuffled row per distinct pair)
+    is too wide: each batch collapses to ONE 2^p-byte HLL register set
+    per key it saw, only (key, sketch) rows shuffle, and sketches merge
+    per key (register-wise max — associative, so any combine tree
+    works).  Standard error ~1.04/sqrt(2^p) (~1.6% at p=12).
+
+    Returns one row per key: keys + `approx_distinct` (int64)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(keys)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({**{kc: batch.column(kc).slice(0, 0)
+                                for kc in keys},
+                             "sketch": pa.array([], pa.binary())})
+        kf = batch.select(keys).to_pandas()
+        kf["__h"] = _hash64(batch.column(col).to_pylist())
+        out_keys: dict = {kc: [] for kc in keys}
+        sketches = []
+        for kv, sub in kf.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            h = HLL(p)
+            h.add_hashes(sub["__h"].to_numpy(dtype=np.uint64))
+            for kc, v in zip(keys, kv):
+                out_keys[kc].append(None if pd.isna(v) else v)
+            sketches.append(h.registers.tobytes())
+        return pa.table({**{kc: pa.array(out_keys[kc]) for kc in keys},
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            acc = HLL(p)
+            for b in sub["sketch"]:
+                other = HLL(p)
+                other.registers = np.frombuffer(b, dtype=np.uint8).copy()
+                acc.merge(other)
+            rows.append((*kv, int(round(acc.estimate()))))
+        return pd.DataFrame(rows, columns=keys + ["approx_distinct"])
+
+    return bucketed_group_transform(parts, keys, merge)

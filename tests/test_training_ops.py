@@ -253,3 +253,54 @@ def test_text_normalizer_preserves_u2028_edge():
     # U+2028 is not RE2 \s and DuckDB trim() keeps it — so must we
     assert got[0] == "hi "
     assert got[1] == "x"
+
+
+def test_approx_distinct_grouped_within_error():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        approx_distinct_grouped,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+        "u": pa.array(rng.integers(0, 2000, n).astype(np.int64))})
+    out = approx_distinct_grouped(ray.data.from_arrow(tbl), ["g"], "u") \
+        .to_pandas().set_index("g")["approx_distinct"]
+    import pandas as pd
+
+    exact = pa.table(tbl).to_pandas().groupby("g")["u"].nunique()
+    for g in exact.index:
+        err = abs(out.loc[g] - exact.loc[g]) / exact.loc[g]
+        assert err < 0.08, (g, out.loc[g], exact.loc[g])
+
+
+def test_tfidf_keywords_bruteforce_parity():
+    import math
+    import re
+    from collections import Counter
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.relevance import (
+        tfidf_keywords,
+    )
+
+    texts = ["apple banana apple cherry", "banana cherry cherry date",
+             "apple apple apple", "unique words only here", ""]
+    tbl = _docs(texts)
+    out = tfidf_keywords(lambda: ray.data.from_arrow(tbl), k=2) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    # brute force
+    docs = [re.findall(r"\w+", (t or "").lower(), flags=re.ASCII)
+            for t in texts]
+    df = Counter()
+    for d in docs:
+        df.update(set(d))
+    N = len(texts)
+    for i, d in enumerate(docs):
+        tf = Counter(d)
+        scored = sorted(((tf[w] * math.log(N / df[w]), w) for w in tf),
+                        key=lambda x: (-x[0], x[1]))[:2]
+        got = out[out["doc_id"] == i]
+        assert len(got) == len(scored)
+        for (s, w), (_, row) in zip(scored, got.iterrows()):
+            assert row["token"] == w and abs(row["score"] - s) < 1e-12
