@@ -1090,6 +1090,29 @@ def q_knn_ivf(sf_dir: str):
     return ivf_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization top-k (the STORAGE scale path of similarity
+    search: float vectors scan as m uint8 codes, 64x smaller): train
+    per-subspace codebooks, map-only encode, ADC LUT scan + exact rerank
+    of the shortlist (stages/similarity.py pq_*).  Approximate ->
+    rows-only; pytest pins recall vs brute force."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ..stages.similarity import pq_encode, pq_topk, pq_train
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 3)])
+    queries = np.asarray(qtbl.column("embedding").to_pylist(),
+                         dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+           .map_batches(_strip_meta, batch_format="pyarrow")
+    books = pq_train(ds, m=8, ksub=32)
+    codes = pq_encode(ds, books).materialize()
+    return pq_topk(codes, books, queries, k=5, rerank_ds=ds,
+                   rerank_factor=5, exclude_ids={0, 1, 2})
+
+
 def q_multimodal_pipeline(sf_dir: str):
     """Multimodal plumbing: binary payload -> decode (stub) -> features ->
     frame sampling (rows-only; deterministic fake decode)."""
@@ -2994,6 +3017,7 @@ def queries():
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "multimodal_pipeline": q_multimodal_pipeline,
         "image_dedup": q_image_dedup,
         "audio_pipeline": q_audio_pipeline,

@@ -322,3 +322,171 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
                              replicate_eps=replicate_eps, max_assign=max_assign)
     return ivf_query(assigned, cn, queries, k=k, n_probe=n_probe, id_col=id_col,
                      emb_col=emb_col, exclude_ids=exclude_ids)
+
+
+# ----------------------------------------------------- product quantization
+
+
+def pq_train(ds, m: int = 8, ksub: int = 32, emb_col: str = "embedding",
+             sample_size: int = 4096, iters: int = 15,
+             seed: int = 7) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (unit-normalized) vector into m subspaces and run Lloyd k-means per
+    subspace on a driver-side sample.  Returns (m, ksub, d/m) float64.
+
+    This is THE storage scale path for embedding search: d float64
+    dims collapse to m uint8 codes (64-dim f64 -> 8 bytes = 64x), so a
+    100 TB embedding column scans as ~1.6 TB of codes."""
+    rng = np.random.RandomState(seed)
+    rows = ds.limit(sample_size).to_pandas()
+    s = np.stack(rows[emb_col].to_numpy()).astype(np.float64)
+    s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+    d = s.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        x = s[:, j * dsub:(j + 1) * dsub]
+        idx = rng.choice(len(x), size=min(ksub, len(x)), replace=False)
+        c = x[idx].copy()
+        for _ in range(iters):
+            # plain L2 Lloyd per subspace
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for g in range(len(c)):
+                mask = assign == g
+                if mask.any():
+                    c[g] = x[mask].mean(0)
+        books[j] = c
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """Map-only encode: each vector's m subspaces argmin against their
+    codebook -> one uint8 code each.  Output (id, codes list<uint8>) —
+    the compressed index that replaces the float column at scan time."""
+    import ray
+
+    cref = ray.put(codebooks)
+    m, ksub, dsub = codebooks.shape
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _to_mat(batch.column(emb_col))
+            n = len(mat)
+            if n == 0 or mat.size == 0:
+                return pa.table({id_col: batch.column(id_col).slice(0, 0),
+                                 "codes": pa.array(
+                                     [], pa.list_(pa.uint8(), m))})
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                x = mat[:, j * dsub:(j + 1) * dsub]
+                c = self.books[j]
+                # ||x-c||^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row
+                d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+                codes[:, j] = d2.argmin(1).astype(np.uint8)
+            flat = pa.array(codes.reshape(-1), pa.uint8())
+            return pa.table({
+                id_col: batch.column(id_col),
+                "codes": pa.FixedSizeListArray.from_arrays(flat, m)})
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+            k: int = 10, rerank_ds=None, rerank_factor: int = 5,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            exclude_ids: set | None = None):
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    query precomputes an (m, ksub) LUT of subspace squared distances,
+    every batch of codes scores as m LUT gathers + a sum — no floats
+    read from storage.  With `rerank_ds`, the ADC shortlist
+    (rerank_factor * k per query) is re-scored EXACTLY against the raw
+    vectors of just those ids (a broadcast-id semi-filter pass), the
+    standard two-stage recall fix for quantization distortion."""
+    import ray
+
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    m, ksub, dsub = codebooks.shape
+    luts = np.empty((len(qn), m, ksub))
+    for j in range(m):
+        qsub = qn[:, j * dsub:(j + 1) * dsub]          # (nq, dsub)
+        c = codebooks[j]                               # (ksub, dsub)
+        luts[:, j, :] = ((qsub[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    lref = ray.put(luts)
+    excl = exclude_ids or set()
+    shortlist = (rerank_factor * k) if rerank_ds is not None else k
+
+    class Scan:
+        def __init__(self):
+            self.luts = ray.get(lref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col))
+            col = batch.column("codes")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            n = len(ids)
+            if n == 0:
+                return pa.table({"query_idx": pa.array([], pa.int32()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            codes = np.asarray(col.flatten()).reshape(n, m)
+            keep = ~np.isin(ids, list(excl)) if excl else \
+                np.ones(n, dtype=bool)
+            ids, codes = ids[keep], codes[keep]
+            if not len(ids):
+                return pa.table({"query_idx": pa.array([], pa.int32()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            # dist (nq, n) = sum_j LUT[q, j, codes[:, j]]
+            dist = np.zeros((self.luts.shape[0], len(ids)))
+            for j in range(m):
+                dist += self.luts[:, j, codes[:, j]]
+            kk = min(shortlist, len(ids))
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(dist.shape[0], dtype=np.int32), kk)
+            vi = ids[part.reshape(-1)]
+            # report as similarity so _merge_topk's desc sort ranks
+            # nearest first (unit vectors: ||a-b||^2 = 2 - 2 cos)
+            sv = 1.0 - np.take_along_axis(dist, part, axis=1).reshape(-1) / 2.0
+            return pa.table({"query_idx": pa.array(qi),
+                             id_col: pa.array(vi),
+                             "sim": pa.array(sv, pa.float64())})
+
+    partials = codes_ds.map_batches(Scan, batch_format="pyarrow",
+                                    concurrency=(1, 8))
+    if rerank_ds is None:
+        return _merge_topk(partials, k, id_col)
+    # exact rerank: shortlist ids -> broadcast set -> one semi-filtered
+    # exact pass over the raw vectors (reads only the shortlist rows
+    # when the storage layout can push the id filter down)
+    short = _merge_topk(partials, shortlist, id_col).to_pandas()
+    id_set = set(short[id_col].tolist())
+    sref = ray.put(pa.array(sorted(id_set)))
+
+    class SemiFilter:
+        def __init__(self):
+            import pyarrow.compute as pc  # noqa: F401
+
+            self.keys = ray.get(sref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.is_in(batch.column(id_col),
+                                         value_set=self.keys))
+
+    cand = rerank_ds.map_batches(SemiFilter, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+    return brute_force_topk(cand, queries, k=k, id_col=id_col,
+                            emb_col=emb_col, exclude_ids=exclude_ids)

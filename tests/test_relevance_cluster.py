@@ -231,3 +231,43 @@ def test_kmeans_sample_is_not_a_stride():
     # and the sampled fit still succeeds
     cents, _ = kmeans_fit(ds, k=3, iters=2, sample_mod=4)
     assert np.isfinite(cents).all()
+
+
+def test_pq_adc_with_rerank_recovers_exact_topk():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.similarity import (
+        brute_force_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d = 2000, 64
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat],
+                                          pa.list_(pa.float64(), d))})
+    ds = ray.data.from_arrow(tbl)
+    queries = mat[:3]
+    books = pq_train(ds, m=8, ksub=32, sample_size=2000)
+    assert books.shape == (8, 32, 8)
+    codes = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    codes = pq_encode(ds, books).materialize()
+    excl = {0, 1, 2}
+    exact = brute_force_topk(ds, queries, k=10, exclude_ids=excl).to_pandas()
+    # raw ADC (no rerank): recall is quantization-limited but nonzero
+    adc = pq_topk(codes, books, queries, k=10, exclude_ids=excl).to_pandas()
+    # with exact rerank of a 5x shortlist: near-perfect recall
+    rr = pq_topk(codes, books, queries, k=10, rerank_ds=ds,
+                 rerank_factor=15, exclude_ids=excl).to_pandas()
+    recs_adc, recs_rr = [], []
+    for q in range(3):
+        truth = set(exact[exact["query_idx"] == q]["vec_id"])
+        recs_adc.append(len(truth & set(adc[adc["query_idx"] == q]["vec_id"])) / 10)
+        recs_rr.append(len(truth & set(rr[rr["query_idx"] == q]["vec_id"])) / 10)
+    assert np.mean(recs_rr) >= 0.8, (recs_adc, recs_rr)
+    assert np.mean(recs_rr) >= np.mean(recs_adc) - 1e-9
+    # reranked sims are EXACT (match brute-force sims on shared ids)
+    mr = rr.merge(exact, on=["query_idx", "vec_id"], suffixes=("_pq", "_ex"))
+    assert np.allclose(mr["sim_pq"], mr["sim_ex"])
