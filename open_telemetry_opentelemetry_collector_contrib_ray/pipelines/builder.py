@@ -479,3 +479,50 @@ def _dedup_against_step(c: dict):
                              n_buckets=c.get("n_buckets", 32))
 
     return DatasetStep(run)
+
+@register_step("normalize_text")
+def _normalize_text_step(c: dict):
+    """Unicode NFC + lowercase + whitespace-collapse normalization."""
+    from ..stages.textfilters import TextNormalizer
+
+    return TextNormalizer(text_col=c.get("text_col", "text"),
+                          out_col=c.get("out_col"),
+                          lowercase=c.get("lowercase", True),
+                          collapse_ws=c.get("collapse_ws", True))
+
+
+@register_step("chunk")
+def _chunk_step(c: dict):
+    """RAG-style overlapping character chunking (flat expansion)."""
+    from ..stages.textfilters import chunk_documents
+
+    return DatasetStep(lambda ds: chunk_documents(
+        ds, chunk_size=c["chunk_size"], overlap=c.get("overlap", 0),
+        id_col=c.get("id_col", "doc_id"),
+        text_col=c.get("text_col", "text"),
+        keep_cols=c.get("keep_cols", ())))
+
+
+@register_step("funnel")
+def _funnel_step(c: dict):
+    """Sequential conversion funnel per key."""
+    from ..stages.aggregate import funnel
+
+    return DatasetStep(lambda ds: funnel(
+        ds, stages=[tuple(s) for s in c["stages"]],
+        key_col=c.get("key_col", "user_id"),
+        type_col=c.get("type_col", "event_type"),
+        ts_col=c.get("ts_col", "ts"),
+        n_buckets=c.get("n_buckets", 64)))
+
+
+@register_step("retention")
+def _retention_step(c: dict):
+    """Cohort retention table per key."""
+    from ..stages.aggregate import retention_cohorts
+
+    return DatasetStep(lambda ds: retention_cohorts(
+        ds, key_col=c.get("key_col", "user_id"),
+        ts_col=c.get("ts_col", "ts"),
+        period_us=c.get("period_us", 604_800_000_000),
+        n_buckets=c.get("n_buckets", 64)))

@@ -77,3 +77,22 @@ def test_classifier_and_dedup_against_steps():
         {"type": "dedup_against", "ref": _mk(ref, 1)},
     ]).to_pandas()
     assert len(out2) == 0
+
+
+def test_normalize_chunk_funnel_retention_steps():
+    df = pd.DataFrame({"doc_id": [0], "text": ["  Hello   WORLD  "]})
+    out = build_pipeline(_mk(df, 1), [
+        {"type": "normalize_text"},
+        {"type": "chunk", "chunk_size": 5, "overlap": 0},
+    ]).to_pandas()
+    assert out["chunk_text"].tolist() == ["hello", " worl", "d"]
+    ev = pd.DataFrame({"user_id": [1, 1, 2], "event_type": ["a", "b", "a"],
+                       "ts": [10, 20, 30]})
+    f = build_pipeline(_mk(ev, 1), [
+        {"type": "funnel", "stages": [["a", "a"], ["b", "b"]]},
+    ]).to_pandas().set_index("user_id")
+    assert f.loc[1, "reached"] == 2 and f.loc[2, "reached"] == 1
+    r = build_pipeline(_mk(ev, 1), [
+        {"type": "retention", "period_us": 10},
+    ]).to_pandas()
+    assert r["n_users"].sum() == 3  # u1 in periods 1+2, u2 in period 3

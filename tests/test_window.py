@@ -199,3 +199,56 @@ def test_time_range_frames_match_duckdb_selfjoin():
     assert np.array_equal(got["tsum"].to_numpy(), exp["tsum"].to_numpy())
     assert np.array_equal(got["tcnt"].to_numpy(), exp["tcnt"].to_numpy())
     assert np.allclose(got["tavg"].to_numpy(), exp["tavg"].to_numpy())
+
+
+def test_random_windows_match_duckdb_property():
+    """Randomized DuckDB parity sweep: many seeds, nulls, ties, and
+    several window kinds at once — the strongest guard on the
+    boundary-mask rank math and the frame semantics."""
+    for seed in (0, 1, 2, 3, 4):
+        rng = np.random.default_rng(seed)
+        n = 400
+        o = rng.integers(0, 8, n).astype(np.float64)
+        o[rng.random(n) < 0.1] = np.nan        # null order keys = peers
+        df = pd.DataFrame({
+            "rid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 6, n).astype(np.int64),
+            "o": o,
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        })
+        got = _run(df, ["k"], ["o", "rid"], [
+            WindowSpec("row_number", out="rn"),
+            WindowSpec("lag", col="v", offset=2, out="l2"),
+            WindowSpec("running_sum", col="v", out="rs"),
+            WindowSpec("moving_max", col="v", frame=4, out="mm"),
+        ])
+        got_rank = _run(df, ["k"], ["o"], [
+            WindowSpec("rank", out="rnk"),
+            WindowSpec("dense_rank", out="drnk"),
+            WindowSpec("cume_dist", out="cd"),
+        ])
+        exp = duckdb.sql("""
+            SELECT rid,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   lag(v, 2) OVER w AS l2,
+                   CAST(sum(v) OVER w AS BIGINT) AS rs,
+                   CAST(max(v) OVER (PARTITION BY k ORDER BY o NULLS LAST, rid
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS mm,
+                   CAST(rank() OVER p AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER p AS BIGINT) AS drnk,
+                   cume_dist() OVER p AS cd
+            FROM df
+            WINDOW w AS (PARTITION BY k ORDER BY o NULLS LAST, rid),
+                   p AS (PARTITION BY k ORDER BY o NULLS LAST)
+            ORDER BY rid""").df()
+        for col in ("rn", "rs", "mm"):
+            assert np.array_equal(got[col].to_numpy(),
+                                  exp[col].to_numpy()), (seed, col)
+        assert np.array_equal(got["l2"].fillna(-999).to_numpy(),
+                              exp["l2"].fillna(-999).to_numpy()), seed
+        for col in ("rnk", "drnk"):
+            assert np.array_equal(got_rank[col].to_numpy(),
+                                  exp[col].to_numpy()), (seed, col)
+        assert np.allclose(got_rank["cd"].to_numpy(),
+                           exp["cd"].to_numpy()), seed
