@@ -2036,6 +2036,58 @@ def q_doc_keywords(sf_dir: str):
     return out.sort(["doc_id", "rank"])
 
 
+def q_doc_curriculum(sf_dir: str):
+    """Curriculum data ordering: band documents into exact length
+    quartiles (value-histogram thresholds — distinct lengths shuffle,
+    never docs), then order deterministically within each band
+    (md5(doc_id:11)) — the shortest-first curriculum with run-stable
+    intra-band shuffling.  Fully SQL-replayable: band thresholds +
+    rank formula."""
+    from ..stages.sample import shuffle_key_column
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    hist = grouped_count(ds, ["n_chars"], alias="n", combine="driver") \
+        .to_pandas().sort_values("n_chars").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    thr = [int(hist.loc[cum >= (q * total + 3) // 4, "n_chars"].iloc[0])
+           for q in (1, 2, 3)]
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars")
+        band = pc.if_else(
+            pc.less_equal(x, thr[0]), 1,
+            pc.if_else(pc.less_equal(x, thr[1]), 2,
+                       pc.if_else(pc.less_equal(x, thr[2]), 3, 4)))
+        t = t.append_column("band", pc.cast(band, pa.int64()))
+        return t.append_column("shuffle_key",
+                               shuffle_key_column(t, "doc_id", 11))
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .sort(["band", "shuffle_key", "doc_id"])
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for embedding training: for 3 anchor
+    vectors, the top-5 most-similar OTHER vectors (exact cosine here;
+    swap in knn_pq/ivf for the approximate scale path).  Approximate
+    ranking task shape -> exact per-pair sims, but no SQL oracle is
+    registered because `embedding_knn` already oracle-checks the same
+    kernel; this query exists as the named mining pipeline."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ..stages.similarity import brute_force_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 3)])
+    queries = np.asarray(qtbl.column("embedding").to_pylist(),
+                         dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+           .map_batches(_strip_meta, batch_format="pyarrow")
+    return brute_force_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -3053,6 +3105,8 @@ def queries():
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "approx_distinct_users": q_approx_distinct_users,
         "doc_keywords": q_doc_keywords,
+        "doc_curriculum": q_doc_curriculum,
+        "hard_negatives": q_hard_negatives,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3906,6 +3960,29 @@ def oracle_sql():
               WHERE r.doc_id < 250
                 AND coalesce(r.text, '') = coalesce(n.text, ''))
             ORDER BY n.doc_id""",
+        "doc_curriculum": """
+            WITH q AS (SELECT n_chars, count(*) AS c FROM documents
+                       GROUP BY 1),
+            cum AS (SELECT n_chars,
+                           sum(c) OVER (ORDER BY n_chars) AS cc FROM q),
+            t1 AS (SELECT min(n_chars) AS v FROM cum
+                   WHERE cc >= (SELECT (count(*) + 3) // 4 FROM documents)),
+            t2 AS (SELECT min(n_chars) AS v FROM cum
+                   WHERE cc >= (SELECT (2 * count(*) + 3) // 4
+                                FROM documents)),
+            t3 AS (SELECT min(n_chars) AS v FROM cum
+                   WHERE cc >= (SELECT (3 * count(*) + 3) // 4
+                                FROM documents))
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars <= (SELECT v FROM t1) THEN 1
+                        WHEN n_chars <= (SELECT v FROM t2) THEN 2
+                        WHEN n_chars <= (SELECT v FROM t3) THEN 3
+                        ELSE 4 END AS band,
+                   CAST(md5_number_lower(concat(CAST(doc_id AS VARCHAR),
+                        ':11')) % 4611686018427387904 AS BIGINT)
+                       AS shuffle_key
+            FROM documents
+            ORDER BY band, shuffle_key, doc_id""",
         "doc_keywords": r"""
             WITH tok AS (
               SELECT doc_id,
