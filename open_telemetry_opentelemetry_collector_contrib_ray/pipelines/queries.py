@@ -2088,6 +2088,21 @@ def q_hard_negatives(sf_dir: str):
     return brute_force_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
+def q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-Res):
+    20 docs per source, inclusion probability proportional to n_chars
+    (quality/length-weighted subsampling).  Run-stable and replayed
+    term-for-term by the oracle (stages/sample.py weighted_sample)."""
+    from ..stages.sample import weighted_sample
+
+    out = weighted_sample(
+        _rd(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        n=20, weight_col="n_chars", seed=13, group_cols=["source"])
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -3107,6 +3122,7 @@ def queries():
         "doc_keywords": q_doc_keywords,
         "doc_curriculum": q_doc_curriculum,
         "hard_negatives": q_hard_negatives,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -3960,6 +3976,16 @@ def oracle_sql():
               WHERE r.doc_id < 250
                 AND coalesce(r.text, '') = coalesce(n.text, ''))
             ORDER BY n.doc_id""",
+        "doc_weighted_sample": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     ln((md5_number_lower(concat(CAST(doc_id AS VARCHAR),
+                          ':13')) % 4611686018427387904 + 1)
+                        / 4611686018427387904.0) / n_chars AS es
+              FROM documents WHERE n_chars > 0)
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY es DESC, doc_id) <= 20
+            ORDER BY doc_id""",
         "doc_curriculum": """
             WITH q AS (SELECT n_chars, count(*) AS c FROM documents
                        GROUP BY 1),

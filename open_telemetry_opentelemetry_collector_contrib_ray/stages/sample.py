@@ -433,6 +433,60 @@ def deterministic_shuffle(ds, key_col: str, seed: int = 0,
              .sort([out_col, key_col])
 
 
+def weighted_sample(ds, n: int, weight_col: str, key_col: str = "doc_id",
+                    seed: int = 0, group_cols=(), n_buckets: int = 64):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006 A-Res): each row gets
+    es = ln(u) / weight with u = (md5(key:seed) mod 2^62 + 1) / 2^62,
+    and the n LARGEST es win — inclusion probability proportional to
+    weight, run-stable, and SQL-replayable term for term (md5 verdict
+    space + libm ln + one division; the BM25 bitwise-float discipline).
+    Rows with null/non-positive weight never win.
+
+    With group_cols, n rows per group (per-batch pre-prune + one
+    bucketed shuffle via grouped_top_k: at most n rows per group per
+    batch ever shuffle); without, a per-batch top-n feeds a tiny global
+    sort+limit.  The per-row md5+ln Python loop is the oracle-visible
+    hash path (ProbabilisticSampler precedent)."""
+    import math
+
+    group_cols = list(group_cols)
+
+    def add_es(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tags = [f":{seed}" if v is None else f"{v}:{seed}" for v in keys]
+        m = (_md5_lower64(tags) % np.uint64(_SHUFFLE_MOD)).astype(np.int64)
+        es = np.empty(len(keys))
+        for i in range(len(keys)):
+            u = float(m[i] + 1) / float(_SHUFFLE_MOD)
+            es[i] = math.log(u) / w[i] if w[i] > 0 else -math.inf
+        ok = np.isfinite(es)
+        return t.filter(pa.array(ok)).append_column(
+            "__es", pa.array(es[ok], pa.float64()))
+
+    scored = ds.map_batches(add_es, batch_format="pyarrow")
+    if group_cols:
+        from .aggregate import grouped_top_k
+
+        out = grouped_top_k(scored, group_cols, ["__es", key_col], n,
+                            descending=[True, False], n_buckets=n_buckets)
+        return out.map_batches(lambda t: t.drop_columns(["__es"]),
+                               batch_format="pyarrow")
+
+    def prune(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t.select(["__es", key_col]),
+            sort_keys=[("__es", "descending"), (key_col, "ascending")])
+        return t.take(idx[:n])
+
+    return scored.map_batches(prune, batch_format="pyarrow") \
+        .sort(["__es", key_col], descending=[True, False]).limit(n) \
+        .map_batches(lambda t: t.drop_columns(["__es"]),
+                     batch_format="pyarrow")
+
+
 _RB_SHIFT = 46  # rank < 2^62 -> 2^16 histogram buckets
 
 

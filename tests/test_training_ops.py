@@ -304,3 +304,29 @@ def test_tfidf_keywords_bruteforce_parity():
         assert len(got) == len(scored)
         for (s, w), (_, row) in zip(scored, got.iterrows()):
             assert row["token"] == w and abs(row["score"] - s) < 1e-12
+
+
+def test_weighted_sample_proportional_and_deterministic():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        weighted_sample,
+    )
+
+    n = 4000
+    # half the rows carry 10x the weight -> they should dominate winners
+    w = np.where(np.arange(n) < n // 2, 100, 10).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "w": pa.array(w)})
+    out = weighted_sample(ray.data.from_arrow(tbl), n=200, weight_col="w",
+                          seed=2).to_pandas()
+    assert len(out) == 200
+    heavy = (out["doc_id"] < n // 2).mean()
+    assert heavy > 0.75  # 10x weight ~ 10x inclusion odds
+    out2 = weighted_sample(ray.data.from_arrow(tbl), n=200, weight_col="w",
+                           seed=2).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # zero/negative weights never win
+    tbl2 = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                     "w": pa.array([0] * 5 + [1] * 5, pa.int64())})
+    out3 = weighted_sample(ray.data.from_arrow(tbl2), n=10, weight_col="w",
+                           seed=1).to_pandas()
+    assert sorted(out3["doc_id"]) == [5, 6, 7, 8, 9]
