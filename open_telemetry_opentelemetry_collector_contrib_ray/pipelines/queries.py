@@ -73,6 +73,40 @@ def _rd(sf_dir: str, table: str, columns=None):
     return ds.map_batches(_strip_meta, batch_format="pyarrow")
 
 
+def _hist_thresholds(ds, col: str, ranks) -> list[int]:
+    """Exact order-statistic thresholds from a VALUE histogram (distinct
+    values shuffle, never rows): thresholds[i] = smallest value whose
+    cumulative count >= ranks[i](total).  `ranks` maps total -> rank
+    (e.g. lambda t: (t + 3) // 4 = ceil(t/4) = percentile_disc .25).
+    NULL values are excluded (SQL aggregate/ordering semantics)."""
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow")
+    hist = grouped_count(ds, [col], alias="n", combine="driver") \
+        .to_pandas().sort_values(col).reset_index(drop=True)
+    total = int(hist["n"].sum())
+    if total == 0:
+        raise ValueError(f"no non-null values in {col!r}")
+    cum = hist["n"].cumsum()
+    return [int(hist.loc[cum >= r(total), col].iloc[0]) for r in ranks]
+
+
+def _embedding_queries(sf_dir: str, n: int = 3):
+    """Shared loader for the similarity queries: the first n vectors as
+    the query matrix + the full embedding Dataset (metadata stripped)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", n)])
+    queries = np.asarray(qtbl.column("embedding").to_pylist(),
+                         dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+           .map_batches(_strip_meta, batch_format="pyarrow")
+    return queries, ds
+
+
 def _parsed(sf_dir: str):
     ds = read_transcripts(sf_dir)
     return ds.map_batches(make_tool_log_parser(), batch_format="pyarrow")
@@ -1077,16 +1111,9 @@ def q_doc_fingerprint(sf_dir: str):
 def q_knn_ivf(sf_dir: str):
     """IVF approximate top-k (scale path of similarity search; rows-only —
     approximate results have no exact SQL oracle)."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
     from ..stages.similarity import ivf_topk
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                         filters=[("vec_id", "<", 3)])
-    queries = np.asarray(qtbl.column("embedding").to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
-           .map_batches(_strip_meta, batch_format="pyarrow")
+    queries, ds = _embedding_queries(sf_dir)
     return ivf_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
@@ -1096,17 +1123,9 @@ def q_knn_pq(sf_dir: str):
     per-subspace codebooks, map-only encode, ADC LUT scan + exact rerank
     of the shortlist (stages/similarity.py pq_*).  Approximate ->
     rows-only; pytest pins recall vs brute force."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
     from ..stages.similarity import pq_encode, pq_topk, pq_train
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                         filters=[("vec_id", "<", 3)])
-    queries = np.asarray(qtbl.column("embedding").to_pylist(),
-                         dtype=np.float64)
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
-           .map_batches(_strip_meta, batch_format="pyarrow")
+    queries, ds = _embedding_queries(sf_dir)
     books = pq_train(ds, m=8, ksub=32)
     codes = pq_encode(ds, books).materialize()
     return pq_topk(codes, books, queries, k=5, rerank_ds=ds,
@@ -1993,13 +2012,9 @@ def q_doc_ccnet_buckets(sf_dir: str):
                          "score_norm": pc.divide(s, d)})
 
     scored = scored.map_batches(norm, batch_format="pyarrow").materialize()
-    hist = grouped_count(scored, ["score_norm"], alias="n",
-                         combine="driver").to_pandas() \
-        .sort_values("score_norm").reset_index(drop=True)
-    total = int(hist["n"].sum())
-    cum = hist["n"].cumsum()
-    t1 = int(hist.loc[cum >= (total + 2) // 3, "score_norm"].iloc[0])
-    t2 = int(hist.loc[cum >= (2 * total + 2) // 3, "score_norm"].iloc[0])
+    t1, t2 = _hist_thresholds(scored, "score_norm",
+                              [lambda t: (t + 2) // 3,
+                               lambda t: (2 * t + 2) // 3])
 
     def bucket(t: pa.Table) -> pa.Table:
         s = t.column("score_norm")
@@ -2029,10 +2044,15 @@ def q_doc_keywords(sf_dir: str):
     tf * ln(N/df) from exact int64 counts in one fixed op order — the
     float column hashes bitwise against SQL (stages/relevance.py
     tfidf_keywords; zero row shuffles)."""
+    import ray.data as rd
     from ..stages.relevance import tfidf_keywords
 
+    # bare read_parquet count = parquet METADATA, no scan
+    n_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet")).count()
     out = tfidf_keywords(
-        lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
+        lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=3, n_docs=n_docs)
     return out.sort(["doc_id", "rank"])
 
 
@@ -2046,12 +2066,9 @@ def q_doc_curriculum(sf_dir: str):
     from ..stages.sample import shuffle_key_column
 
     ds = _rd(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    hist = grouped_count(ds, ["n_chars"], alias="n", combine="driver") \
-        .to_pandas().sort_values("n_chars").reset_index(drop=True)
-    total = int(hist["n"].sum())
-    cum = hist["n"].cumsum()
-    thr = [int(hist.loc[cum >= (q * total + 3) // 4, "n_chars"].iloc[0])
-           for q in (1, 2, 3)]
+    thr = _hist_thresholds(ds, "n_chars",
+                           [lambda t, q=q: (q * t + 3) // 4
+                            for q in (1, 2, 3)])
 
     def assign(t: pa.Table) -> pa.Table:
         x = t.column("n_chars")
@@ -2059,6 +2076,9 @@ def q_doc_curriculum(sf_dir: str):
             pc.less_equal(x, thr[0]), 1,
             pc.if_else(pc.less_equal(x, thr[1]), 2,
                        pc.if_else(pc.less_equal(x, thr[2]), 3, 4)))
+        # a NULL length propagates a null condition; SQL CASE falls to
+        # ELSE 4, so pin the same
+        band = pc.fill_null(band, 4)
         t = t.append_column("band", pc.cast(band, pa.int64()))
         return t.append_column("shuffle_key",
                                shuffle_key_column(t, "doc_id", 11))
@@ -2074,17 +2094,9 @@ def q_hard_negatives(sf_dir: str):
     ranking task shape -> exact per-pair sims, but no SQL oracle is
     registered because `embedding_knn` already oracle-checks the same
     kernel; this query exists as the named mining pipeline."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
     from ..stages.similarity import brute_force_topk
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                         filters=[("vec_id", "<", 3)])
-    queries = np.asarray(qtbl.column("embedding").to_pylist(),
-                         dtype=np.float64)
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
-           .map_batches(_strip_meta, batch_format="pyarrow")
+    queries, ds = _embedding_queries(sf_dir)
     return brute_force_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
@@ -2189,11 +2201,9 @@ def q_doc_length_filter(sf_dir: str):
     shuffle, never rows — then the threshold broadcasts into a
     stateless filter.  percentile_disc semantics: sorted[ceil(qn)-1]."""
     ds = _rd(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    hist = grouped_count(ds, ["n_chars"], alias="n", combine="driver") \
-        .to_pandas().sort_values("n_chars").reset_index(drop=True)
-    total = int(hist["n"].sum())
-    rank = (95 * total + 99) // 100          # ceil(0.95 * total), exact
-    thr = int(hist.loc[hist["n"].cumsum() >= rank, "n_chars"].iloc[0])
+    # ceil(0.95 * total) = percentile_disc semantics, exact
+    [thr] = _hist_thresholds(ds, "n_chars",
+                             [lambda t: (95 * t + 99) // 100])
     return ds.map_batches(
         lambda t: t.filter(pc.less_equal(t.column("n_chars"), thr)),
         batch_format="pyarrow").sort("doc_id")

@@ -164,7 +164,7 @@ def bm25(ds, terms: Sequence[str], text_col: str = "text",
 
 
 def tfidf_keywords(ds_factory, k: int = 3, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", n_docs: int | None = None):
     """Top-k TF-IDF keywords per document (the classic keyword /
     labeling pass): score = tf * ln(N / df), ranked (score desc, token
     asc) within each doc.
@@ -178,9 +178,11 @@ def tfidf_keywords(ds_factory, k: int = 3, text_col: str = "text",
     order, so a SQL oracle matches bitwise (the BM25 precedent)."""
     import ray
 
-    from .aggregate import grouped_sum  # noqa: F401  (token_df dependency)
-
-    n_docs = ds_factory().count()
+    if n_docs is None:
+        # callers who can count from parquet METADATA (a bare
+        # read_parquet .count() is scan-free) should pass n_docs; this
+        # fallback is a full extra pass over a mapped plan
+        n_docs = ds_factory().count()
     df_tbl = token_df(ds_factory(), text_col=text_col).to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
 

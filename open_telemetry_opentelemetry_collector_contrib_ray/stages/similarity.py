@@ -344,11 +344,13 @@ def pq_train(ds, m: int = 8, ksub: int = 32, emb_col: str = "embedding",
     d = s.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    # a sample smaller than ksub can only support len(sample) centroids
+    ksub = min(ksub, len(s))
     dsub = d // m
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         x = s[:, j * dsub:(j + 1) * dsub]
-        idx = rng.choice(len(x), size=min(ksub, len(x)), replace=False)
+        idx = rng.choice(len(x), size=ksub, replace=False)
         c = x[idx].copy()
         for _ in range(iters):
             # plain L2 Lloyd per subspace

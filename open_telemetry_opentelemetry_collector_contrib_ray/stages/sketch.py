@@ -242,11 +242,18 @@ def approx_distinct_grouped(ds, keys, col: str, p: int = 12):
     keys = list(keys)
 
     def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key_types = {kc: batch.column(kc).type for kc in keys}
+        # SQL count(DISTINCT x) ignores NULL x — so must the sketch
+        batch = batch.filter(pc.is_valid(batch.column(col)))
         if batch.num_rows == 0:
             return pa.table({**{kc: batch.column(kc).slice(0, 0)
                                 for kc in keys},
                              "sketch": pa.array([], pa.binary())})
-        kf = batch.select(keys).to_pandas()
+        # ArrowDtype round-trip keeps int keys int (plain to_pandas
+        # floats an int64 column that contains any null)
+        kf = batch.select(keys).to_pandas(types_mapper=pd.ArrowDtype)
         kf["__h"] = _hash64(batch.column(col).to_pylist())
         out_keys: dict = {kc: [] for kc in keys}
         sketches = []
@@ -257,7 +264,8 @@ def approx_distinct_grouped(ds, keys, col: str, p: int = 12):
             for kc, v in zip(keys, kv):
                 out_keys[kc].append(None if pd.isna(v) else v)
             sketches.append(h.registers.tobytes())
-        return pa.table({**{kc: pa.array(out_keys[kc]) for kc in keys},
+        return pa.table({**{kc: pa.array(out_keys[kc], type=key_types[kc])
+                            for kc in keys},
                          "sketch": pa.array(sketches, pa.binary())})
 
     parts = ds.map_batches(summarize, batch_format="pyarrow")

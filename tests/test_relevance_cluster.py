@@ -252,7 +252,6 @@ def test_pq_adc_with_rerank_recovers_exact_topk():
     queries = mat[:3]
     books = pq_train(ds, m=8, ksub=32, sample_size=2000)
     assert books.shape == (8, 32, 8)
-    codes = ds.map_batches(lambda t: t, batch_format="pyarrow")
     codes = pq_encode(ds, books).materialize()
     excl = {0, 1, 2}
     exact = brute_force_topk(ds, queries, k=10, exclude_ids=excl).to_pandas()

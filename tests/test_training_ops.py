@@ -330,3 +330,31 @@ def test_weighted_sample_proportional_and_deterministic():
     out3 = weighted_sample(ray.data.from_arrow(tbl2), n=10, weight_col="w",
                            seed=1).to_pandas()
     assert sorted(out3["doc_id"]) == [5, 6, 7, 8, 9]
+
+
+def test_grouped_hll_null_semantics_and_int_keys():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        approx_distinct_grouped,
+    )
+
+    t = pa.table({"g": pa.array([1, 1, None, 2, 2, 2], pa.int64()),
+                  "u": pa.array([1, None, 5, 7, 7, 8], pa.int64())})
+    out = approx_distinct_grouped(ray.data.from_arrow(t), ["g"], "u") \
+        .to_pandas()
+    by_g = {(None if __import__("pandas").isna(r.g) else int(r.g)):
+            int(r.approx_distinct) for r in out.itertuples()}
+    # null u excluded (SQL count(DISTINCT)); null g is its own group
+    assert by_g == {1: 1, 2: 2, None: 1}
+
+
+def test_pq_train_sample_smaller_than_ksub():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.similarity import (
+        pq_train,
+    )
+
+    tiny = pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([[float(i + j) for j in range(8)]
+                               for i in range(12)], pa.list_(pa.float64(), 8))})
+    books = pq_train(ray.data.from_arrow(tiny), m=2, ksub=64, sample_size=12)
+    assert books.shape == (2, 12, 4)
