@@ -254,7 +254,11 @@ def approx_distinct_grouped(ds, keys, col: str, p: int = 12):
         # ArrowDtype round-trip keeps int keys int (plain to_pandas
         # floats an int64 column that contains any null)
         kf = batch.select(keys).to_pandas(types_mapper=pd.ArrowDtype)
-        kf["__h"] = _hash64(batch.column(col).to_pylist())
+        # no oracle sees this hash -> vectorized Rust hash64, not the
+        # per-row md5 loop (10M rows = 10M Python calls otherwise)
+        from .sample import hash64
+
+        kf["__h"] = hash64(batch.column(col))
         out_keys: dict = {kc: [] for kc in keys}
         sketches = []
         for kv, sub in kf.groupby(keys, sort=False, dropna=False):
