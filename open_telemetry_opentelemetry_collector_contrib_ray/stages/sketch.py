@@ -139,8 +139,15 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     driver (the mergeable-sketch tree-reduce)."""
 
     def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .sample import hash64
+
         h = HLL(p)
-        h.add_hashes(_hash64(batch.column(col).to_pylist()))
+        # SQL count(DISTINCT) excludes NULL; vectorized non-oracle hash
+        valid = batch.filter(pc.is_valid(batch.column(col)))
+        if valid.num_rows:
+            h.add_hashes(hash64(valid.column(col)))
         return pa.table({"sketch": pa.array([h.registers.tobytes()], pa.binary())})
 
     parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
