@@ -539,3 +539,42 @@ def dedup_against(new_ds, ref_ds, text_col: str = "text",
         on=["__h"], how="anti", n_buckets=n_buckets)
     return out.map_batches(lambda t: t.drop_columns(["__h"]),
                            batch_format="pyarrow")
+
+
+def cluster_keep_best(clusters_ds, docs_ds, priority_col: str,
+                      id_col: str = "doc_id", n_buckets: int = 32):
+    """Pick each near-dup cluster's surviving document by PRIORITY
+    (quality score, length, recency) instead of dedup_clusters' min-id
+    representative — the production keeper rule ("keep the best copy,
+    drop the rest").  Ties break toward the smaller id (run-stable).
+
+    Shape: cluster labels join their docs' (id, priority) pairs — only
+    ids and priorities shuffle, never documents — then ONE bucketed
+    pass takes argmax per cluster.  Returns (cluster_id, id_col,
+    priority_col): the keeper of every cluster."""
+    import pandas as pd
+
+    from .join import bucketed_hash_join
+
+    pri = docs_ds.map_batches(
+        lambda t: t.select([id_col, priority_col]), batch_format="pyarrow")
+    labeled = bucketed_hash_join(clusters_ds, pri, on=[id_col],
+                                 how="inner", n_buckets=n_buckets)
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([priority_col, id_col],
+                          ascending=[False, True], kind="stable")
+        return g.groupby("cluster_id", sort=False, dropna=False).head(1)
+
+    from .aggregate import bucketed_group_transform
+    from .join import _pa_schema
+
+    out = bucketed_group_transform(labeled, ["cluster_id"], best, n_buckets)
+    # the join's typed-null union padding floats int columns in pandas
+    # land — pin the output back to the INPUT types
+    types = {"cluster_id": _pa_schema(clusters_ds).field("cluster_id").type,
+             id_col: _pa_schema(clusters_ds).field(id_col).type,
+             priority_col: _pa_schema(docs_ds).field(priority_col).type}
+    return out.map_batches(
+        lambda t: pa.table({c: t.column(c).cast(types[c]) for c in types}),
+        batch_format="pyarrow")

@@ -361,3 +361,24 @@ def test_audio_pipeline_real_kernels():
     df2 = chunks.map_batches(AudioFeatureExtractor(),
                              batch_format="pyarrow").to_pandas()
     assert np.allclose(df.rms, df2.rms)
+
+
+def test_cluster_keep_best_priority_keeper():
+    import pyarrow as pa
+    import ray.data
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+        cluster_keep_best,
+    )
+
+    clusters = pa.table({"doc_id": pa.array([1, 2, 3, 7, 8], pa.int64()),
+                         "cluster_id": pa.array([1, 1, 1, 7, 7], pa.int64())})
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 7, 8, 9], pa.int64()),
+                     "quality": pa.array([5, 9, 9, 1, 2, 100], pa.int64())})
+    out = cluster_keep_best(ray.data.from_arrow(clusters),
+                            ray.data.from_arrow(docs), "quality") \
+        .to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    # cluster 1: quality tie 9 between docs 2,3 -> smaller id wins;
+    # cluster 7: doc 8 (quality 2) beats doc 7; doc 9 is in no cluster
+    assert list(map(tuple, out[["cluster_id", "doc_id"]].to_numpy())) == \
+        [(1, 2), (7, 8)]
