@@ -57,6 +57,9 @@ class HashedLinearScorer:
         self.text_col = text_col
         self.out_col = out_col
         self.keep_col = keep_col
+        # per-actor token -> bucket cache: a worker's batches share most
+        # of their vocabulary, so md5 runs once per token per WORKER
+        self._bucket_cache: dict = {"": -1}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -73,11 +76,15 @@ class HashedLinearScorer:
             rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
             codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             vocab = flat.dictionary.to_pylist()
-            # md5 once per distinct token in the batch, not per occurrence
-            buckets = _md5_lower64(vocab) % np.uint64(self.n_buckets)
-            w_code = self.w[buckets.astype(np.int64)]
-            # "" split artifacts contribute nothing
-            w_code[np.asarray([t == "" for t in vocab], dtype=bool)] = 0
+            cache = self._bucket_cache
+            new = [t for t in vocab if t not in cache]
+            if new:
+                nb = _md5_lower64(new) % np.uint64(self.n_buckets)
+                cache.update(zip(new, nb.astype(np.int64)))
+            buckets = np.fromiter((cache[t] for t in vocab),
+                                  dtype=np.int64, count=len(vocab))
+            # "" split artifacts (bucket -1) contribute nothing
+            w_code = np.where(buckets >= 0, self.w[buckets], 0)
             score = np.bincount(rows, weights=w_code[codes],
                                 minlength=n).astype(np.int64)
         score += self.bias
