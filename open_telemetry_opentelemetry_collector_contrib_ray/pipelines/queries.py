@@ -78,7 +78,8 @@ def _hist_thresholds(ds, col: str, ranks) -> list[int]:
     values shuffle, never rows): thresholds[i] = smallest value whose
     cumulative count >= ranks[i](total).  `ranks` maps total -> rank
     (e.g. lambda t: (t + 3) // 4 = ceil(t/4) = percentile_disc .25).
-    NULL values are excluded (SQL aggregate/ordering semantics)."""
+    NULL values are excluded (SQL aggregate/ordering semantics).
+    return_total=True appends the non-null row count."""
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t.column(col))),
         batch_format="pyarrow")
@@ -89,6 +90,15 @@ def _hist_thresholds(ds, col: str, ranks) -> list[int]:
         raise ValueError(f"no non-null values in {col!r}")
     cum = hist["n"].cumsum()
     return [int(hist.loc[cum >= r(total), col].iloc[0]) for r in ranks]
+
+
+def _hist_thresholds_with_total(ds, col: str, ranks):
+    ds = ds.materialize()
+    thr = _hist_thresholds(ds, col, ranks)
+    n = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow").count()
+    return thr, n
 
 
 def _embedding_queries(sf_dir: str, n: int = 3):
@@ -2115,6 +2125,33 @@ def q_doc_weighted_sample(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def q_conversion_latency(sf_dir: str):
+    """Time-to-convert distribution: exact median/p95 microseconds from
+    signup to purchase over converted users (strict-order funnel +
+    value-histogram quantiles — distinct deltas shuffle, never users)."""
+    import pandas as pd
+    from ..stages.aggregate import funnel
+
+    f = funnel(_rd(sf_dir, "events",
+                   columns=["user_id", "event_type", "ts"]),
+               stages=[("signup", "signup"), ("click", "click"),
+                       ("purchase", "purchase")])
+
+    def delta(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("reached"), 3))
+        d = pc.subtract(t.column("ts_purchase").cast(pa.int64()),
+                        t.column("ts_signup").cast(pa.int64()))
+        return pa.table({"delta_us": d})
+
+    deltas = f.map_batches(delta, batch_format="pyarrow")
+    (p50, p95), n = _hist_thresholds_with_total(
+        deltas, "delta_us",
+        [lambda t: (t + 1) // 2, lambda t: (95 * t + 99) // 100])
+    return pd.DataFrame({"n_converted": pd.array([n], dtype="int64"),
+                         "p50_us": pd.array([p50], dtype="int64"),
+                         "p95_us": pd.array([p95], dtype="int64")})
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -3125,6 +3162,7 @@ def queries():
         "doc_new_vs_ref": q_doc_new_vs_ref,
         "funnel_stages": q_funnel_stages,
         "retention_weekly": q_retention_weekly,
+        "conversion_latency": q_conversion_latency,
         "doc_normalize": q_doc_normalize,
         "doc_chunks": q_doc_chunks,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
@@ -4120,6 +4158,21 @@ def oracle_sql():
                    LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
             ORDER BY u.user_id""",
+        "conversion_latency": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            d AS (SELECT epoch_us(t3) - epoch_us(t1) AS delta_us
+                  FROM s1 JOIN s3 USING (user_id))
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   CAST(quantile_disc(delta_us, 0.5) AS BIGINT) AS p50_us,
+                   CAST(quantile_disc(delta_us, 0.95) AS BIGINT) AS p95_us
+            FROM d""",
         "retention_weekly": """
             WITH fc AS (SELECT user_id,
                                epoch_us(min(ts)) // 604800000000 AS cw
