@@ -1,5 +1,8 @@
 from .aggregate import (  # noqa: F401
     adjacent_pairs,
+    bucketed_group_transform,
+    funnel,
+    retention_cohorts,
     conversation_policy_filter,
     cumulative_to_delta,
     dedup_exact,
@@ -64,11 +67,14 @@ from .sample import (  # noqa: F401
     ProbabilisticSampler,
     budget_sample,
     deterministic_shuffle,
+    weighted_sample,
 )
 from .transform import FilterStage, KeepStage, TransformStage  # noqa: F401
 from .dedup import (  # noqa: F401
     MinHasher,
     SimHasher,
+    cluster_keep_best,
+    dedup_against,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_verify,
@@ -87,13 +93,48 @@ from .similarity import (  # noqa: F401
     ivf_query,
     ivf_query_partitioned,
     ivf_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
-from .sketch import HLL, approx_distinct, approx_top_k  # noqa: F401
+from .sketch import (  # noqa: F401
+    HLL,
+    approx_distinct,
+    approx_distinct_grouped,
+    approx_top_k,
+)
 from .textstats import Fingerprint, LanguageId, QualityScore, TokenCount  # noqa: F401
-from .relevance import BM25Scorer, bm25, corpus_stats, token_df  # noqa: F401
+from .relevance import (  # noqa: F401
+    BM25Scorer,
+    bm25,
+    corpus_stats,
+    tfidf_keywords,
+    token_df,
+)
 from .cluster import (  # noqa: F401
     cluster_sizes,
     kmeans_assign,
     kmeans_fit,
     seed_centroids,
+)
+from .window import WindowSpec, grouped_window  # noqa: F401
+from .classifier import (  # noqa: F401
+    HashedLinearScorer,
+    classify_docs,
+    deterministic_weights,
+)
+from .lmscore import (  # noqa: F401
+    DualNgramScorer,
+    NgramScorer,
+    build_ngram_model,
+    dsir_select,
+    lm_familiarity,
+)
+from .textfilters import (  # noqa: F401
+    C4DocFilter,
+    LineFilter,
+    TextNormalizer,
+    c4_filter,
+    chunk_documents,
+    dedup_lines,
 )
