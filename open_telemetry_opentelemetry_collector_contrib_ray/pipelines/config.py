@@ -94,8 +94,20 @@ def _read_receiver(cfg: dict, component_id: str, data_dir: str):
         return read_otlp_json(cfg["path"],
                               time_col=cfg.get("time_col", "ts"),
                               body_col=cfg.get("body_col", "text"))
+    if rtype == "jsonl":
+        # line-delimited JSON (the fluentd/filebeat interchange format)
+        return ray.data.read_json(cfg["path"])
+    if rtype == "csv":
+        return ray.data.read_csv(cfg["path"])
+    if rtype == "text":
+        # raw log lines -> one `text` column (filelog tail analog; chain
+        # regex/container/syslog parser steps behind it)
+        ds = ray.data.read_text(cfg["path"])
+        return ds.map_batches(
+            lambda t: t.rename_columns(["text"]), batch_format="pyarrow")
     raise KeyError(f"unknown receiver type {rtype!r} "
-                   "(supported: parquet, generate, otlp_json)")
+                   "(supported: parquet, generate, otlp_json, jsonl, csv, "
+                   "text)")
 
 
 def run_config(config: dict | str, data_dir: str = "/root/testdata/sf0.001",
@@ -154,8 +166,15 @@ def run_config(config: dict | str, data_dir: str = "/root/testdata/sf0.001",
                 wkw = {k: v for k, v in ecfg.items() if k != "path"}
                 write_otlp_json(ds, ecfg["path"], **wkw)
                 out[eid] = ecfg["path"]
+            elif etype == "jsonl":
+                ds.write_json(ecfg["path"])
+                out[eid] = ecfg["path"]
+            elif etype == "csv":
+                ds.write_csv(ecfg["path"])
+                out[eid] = ecfg["path"]
             else:
                 raise KeyError(f"unknown exporter type {etype!r} "
-                               "(supported: parquet, otlp_json, collect)")
+                               "(supported: parquet, otlp_json, jsonl, csv, "
+                               "collect)")
         results[name] = out
     return results

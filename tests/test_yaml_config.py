@@ -88,3 +88,39 @@ service:
   pipelines:
     logs: {receivers: [generate/g], processors: [nosuchstep/x], exporters: [collect]}
 """)
+
+
+def test_jsonl_csv_text_receivers_and_sinks(tmp_path):
+    import json
+
+    import ray.data
+
+    # seed a jsonl file and a raw-text log file
+    jl = tmp_path / "in.jsonl"
+    jl.write_text("\n".join(json.dumps({"conv_id": f"c{i}", "text": f"m{i}"})
+                            for i in range(5)) + "\n")
+    tx = tmp_path / "raw.log"
+    tx.write_text("alpha line\nbeta line\n")
+    cfg = f"""
+receivers:
+  jsonl/in: {{path: {jl}}}
+  text/raw: {{path: {tx}}}
+exporters:
+  jsonl/out: {{path: {tmp_path}/out_jsonl}}
+  csv/out: {{path: {tmp_path}/out_csv}}
+  collect: {{}}
+service:
+  pipelines:
+    j:
+      receivers: [jsonl/in]
+      exporters: [jsonl/out, csv/out, collect]
+    t:
+      receivers: [text/raw]
+      exporters: [collect]
+"""
+    res = run_config(cfg)
+    assert res["j"]["collect"].count() == 5
+    assert ray.data.read_json(str(tmp_path / "out_jsonl")).count() == 5
+    assert ray.data.read_csv(str(tmp_path / "out_csv")).count() == 5
+    rows = res["t"]["collect"].to_pandas()
+    assert sorted(rows["text"]) == ["alpha line", "beta line"]
