@@ -190,13 +190,115 @@ def decode_pnm(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 rows,
+    zlib-compressed).  Pure stdlib; readable by any standard decoder."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)  # filter byte 0 per row
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) uint8 RGB — pure stdlib+numpy: 8-bit
+    grayscale(+alpha) / RGB / RGBA, non-interlaced, all five scanline
+    filters (none/sub/up/average/paeth).  None/up/average unfilter
+    vectorized per row; sub reduces to a per-channel cumsum; paeth is
+    the only per-pixel loop (rare in encoder output)."""
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, idat, meta = 8, [], None
+    while i + 8 <= len(buf):
+        ln = struct.unpack_from(">I", buf, i)[0]
+        ctype = buf[i + 4:i + 8]
+        data = buf[i + 8:i + 8 + ln]
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = meta
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} not supported")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype_}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = 1 + w * nch
+    rows = raw[:h * stride].reshape(h, stride)
+    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros_like(data)
+    prev = np.zeros(w * nch, dtype=np.int64)
+    for y in range(h):
+        r, f = data[y], int(ftypes[y])
+        if f == 0:
+            cur = r
+        elif f == 1:   # sub: recon = raw + left -> per-channel cumsum
+            cur = r.reshape(w, nch).cumsum(0).reshape(-1) & 0xFF
+        elif f == 2:   # up
+            cur = (r + prev) & 0xFF
+        elif f == 3:   # average
+            cur = r.copy()
+            up = prev
+            for x in range(w * nch):
+                left = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + (left + up[x]) // 2) & 0xFF
+        elif f == 4:   # paeth
+            cur = r.copy()
+            up = prev
+            for x in range(w * nch):
+                a = cur[x - nch] if x >= nch else 0
+                b = up[x]
+                c = up[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.astype(np.uint8).reshape(h, w, nch)
+    if ctype_ == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if ctype_ == 2:
+        return np.ascontiguousarray(px)
+    if ctype_ == 4:   # gray+alpha -> drop alpha
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGBA -> RGB
+
+
 def decode_image(buf: bytes) -> np.ndarray:
-    """Sniff-and-decode: BMP / binary PNM in pure numpy; anything else
-    needs PIL (raises NotImplementedError without it)."""
+    """Sniff-and-decode: BMP / binary PNM / PNG in pure numpy+stdlib;
+    anything else needs PIL (raises NotImplementedError without it)."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] in (b"P5", b"P6"):
         return decode_pnm(buf)
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
     try:
         import io
 
@@ -205,7 +307,7 @@ def decode_image(buf: bytes) -> np.ndarray:
         return np.asarray(PIL.Image.open(io.BytesIO(buf)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "decoding this format needs PIL; only BMP/PNM decode natively")
+            "decoding this format needs PIL; only BMP/PNM/PNG decode natively")
 
 
 def synth_bmp_table(n: int, seed: int = 5, dup_every: int = 7) -> pa.Table:

@@ -65,3 +65,81 @@ def test_ahash_groups_planted_near_dups():
     # distinct patterns should produce mostly distinct hashes
     uniq = h[ids % 7 >= 2]
     assert len(set(uniq.tolist())) >= len(uniq) - 2
+
+
+def test_png_roundtrip_and_bmp_cross_decode():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_image, decode_png, encode_bmp, encode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    buf = encode_png(px)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(decode_png(buf), px)
+    assert np.array_equal(decode_image(buf), px)      # sniffing works
+    # same pixels through the BMP codec decode identically
+    assert np.array_equal(decode_image(encode_bmp(px)), px)
+
+
+def test_png_all_filters_and_color_types():
+    import struct
+    import zlib
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def forward_filter(pixels, ftype_of_row, nch):
+        h, w, _ = pixels.shape
+        flat = pixels.reshape(h, w * nch).astype(np.int64)
+        out = bytearray()
+        prev = np.zeros(w * nch, dtype=np.int64)
+        for y in range(h):
+            cur, f = flat[y], ftype_of_row(y)
+            raw = np.zeros(w * nch, dtype=np.int64)
+            for x in range(w * nch):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                        (b if pb <= pc_ else c)
+                raw[x] = (cur[x] - pred) & 0xFF
+            out.append(f)
+            out.extend(raw.astype(np.uint8).tobytes())
+            prev = cur
+        return bytes(out)
+
+    rng = np.random.default_rng(7)
+    for ctype_, nch in ((2, 3), (6, 4), (0, 1)):
+        h, w = 9, 11
+        px = rng.integers(0, 256, (h, w, nch)).astype(np.uint8)
+        raw = forward_filter(px, lambda y: y % 5, nch)  # cycle all filters
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_, 0, 0, 0)
+        buf = (sig + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+        got = decode_png(buf)
+        if ctype_ == 2:
+            exp = px
+        elif ctype_ == 6:
+            exp = px[:, :, :3]
+        else:
+            exp = np.repeat(px, 3, axis=2)
+        assert np.array_equal(got, exp), (ctype_, "filter reconstruction")
