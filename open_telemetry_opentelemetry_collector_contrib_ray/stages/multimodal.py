@@ -330,7 +330,11 @@ def synth_bmp_table(n: int, seed: int = 5, dup_every: int = 7) -> pa.Table:
             px[:, :, c] = 127.5 * (1 + np.sin(
                 2 * np.pi * (fy * yy / h + fx * xx / w) + phase))
         px = np.clip(px, 0, 255).astype(np.uint8)
-        payloads.append(encode_bmp(px))
+        # mixed wire formats: every 3rd item ships PNG, the rest BMP —
+        # pixels stay IDENTICAL for planted-dup pairs even when the two
+        # copies encode differently (decode_image sniffs per payload,
+        # exactly the re-crawled-image case)
+        payloads.append(encode_png(px) if i % 3 == 2 else encode_bmp(px))
         widths.append(w)
         heights.append(h)
     return pa.table({
