@@ -73,13 +73,15 @@ def _rd(sf_dir: str, table: str, columns=None):
     return ds.map_batches(_strip_meta, batch_format="pyarrow")
 
 
-def _hist_thresholds(ds, col: str, ranks) -> list[int]:
+def _hist_thresholds(ds, col: str, ranks, return_total: bool = False):
     """Exact order-statistic thresholds from a VALUE histogram (distinct
     values shuffle, never rows): thresholds[i] = smallest value whose
     cumulative count >= ranks[i](total).  `ranks` maps total -> rank
     (e.g. lambda t: (t + 3) // 4 = ceil(t/4) = percentile_disc .25).
     NULL values are excluded (SQL aggregate/ordering semantics).
-    return_total=True appends the non-null row count."""
+    return_total=True returns (thresholds, non-null row count) — the
+    total falls out of the same histogram, no extra pass — with
+    thresholds=[None,...] on an empty input instead of raising."""
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t.column(col))),
         batch_format="pyarrow")
@@ -87,18 +89,12 @@ def _hist_thresholds(ds, col: str, ranks) -> list[int]:
         .to_pandas().sort_values(col).reset_index(drop=True)
     total = int(hist["n"].sum())
     if total == 0:
+        if return_total:
+            return [None] * len(ranks), 0
         raise ValueError(f"no non-null values in {col!r}")
     cum = hist["n"].cumsum()
-    return [int(hist.loc[cum >= r(total), col].iloc[0]) for r in ranks]
-
-
-def _hist_thresholds_with_total(ds, col: str, ranks):
-    ds = ds.materialize()
-    thr = _hist_thresholds(ds, col, ranks)
-    n = ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t.column(col))),
-        batch_format="pyarrow").count()
-    return thr, n
+    thr = [int(hist.loc[cum >= r(total), col].iloc[0]) for r in ranks]
+    return (thr, total) if return_total else thr
 
 
 def _embedding_queries(sf_dir: str, n: int = 3):
@@ -2144,12 +2140,14 @@ def q_conversion_latency(sf_dir: str):
         return pa.table({"delta_us": d})
 
     deltas = f.map_batches(delta, batch_format="pyarrow")
-    (p50, p95), n = _hist_thresholds_with_total(
+    (p50, p95), n = _hist_thresholds(
         deltas, "delta_us",
-        [lambda t: (t + 1) // 2, lambda t: (95 * t + 99) // 100])
+        [lambda t: (t + 1) // 2, lambda t: (95 * t + 99) // 100],
+        return_total=True)
+    # zero conversions mirrors the oracle: count 0, NULL quantiles
     return pd.DataFrame({"n_converted": pd.array([n], dtype="int64"),
-                         "p50_us": pd.array([p50], dtype="int64"),
-                         "p95_us": pd.array([p95], dtype="int64")})
+                         "p50_us": pd.array([p50], dtype="Int64"),
+                         "p95_us": pd.array([p95], dtype="Int64")})
 
 
 def q_doc_c4_line_filter(sf_dir: str):

@@ -58,8 +58,11 @@ class HashedLinearScorer:
         self.out_col = out_col
         self.keep_col = keep_col
         # per-actor token -> bucket cache: a worker's batches share most
-        # of their vocabulary, so md5 runs once per token per WORKER
+        # of their vocabulary, so md5 runs once per token per WORKER.
+        # Bounded: past the cap (Heaps'-law vocab growth on web text)
+        # new tokens hash without being stored, so memory stays flat
         self._bucket_cache: dict = {"": -1}
+        self._cache_cap = 500_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -78,11 +81,16 @@ class HashedLinearScorer:
             vocab = flat.dictionary.to_pylist()
             cache = self._bucket_cache
             new = [t for t in vocab if t not in cache]
+            fresh: dict = {}
             if new:
                 nb = _md5_lower64(new) % np.uint64(self.n_buckets)
-                cache.update(zip(new, nb.astype(np.int64)))
-            buckets = np.fromiter((cache[t] for t in vocab),
-                                  dtype=np.int64, count=len(vocab))
+                fresh = dict(zip(new, nb.astype(np.int64)))
+                room = self._cache_cap - len(cache)
+                if room > 0:
+                    cache.update(dict(list(fresh.items())[:room]))
+            buckets = np.fromiter(
+                (cache.get(t, fresh.get(t, -1)) for t in vocab),
+                dtype=np.int64, count=len(vocab))
             # "" split artifacts (bucket -1) contribute nothing
             w_code = np.where(buckets >= 0, self.w[buckets], 0)
             score = np.bincount(rows, weights=w_code[codes],

@@ -216,9 +216,13 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, 3) uint8 RGB — pure stdlib+numpy: 8-bit
     grayscale(+alpha) / RGB / RGBA, non-interlaced, all five scanline
-    filters (none/sub/up/average/paeth).  None/up/average unfilter
-    vectorized per row; sub reduces to a per-channel cumsum; paeth is
-    the only per-pixel loop (rare in encoder output)."""
+    filters (none/sub/up/average/paeth).  None/up rows are fully
+    vectorized, sub reduces to a per-channel cumsum; average/paeth have
+    a sequential left-dependency, so they loop per PIXEL with the
+    channels vectorized — real photographic PNGs (libpng's adaptive
+    filtering favors average/paeth) decode at Python-loop speed, fine
+    for thumbnails/fixtures, not for bulk photo corpora (gate those
+    behind PIL)."""
     import zlib
 
     if buf[:8] != _PNG_SIG:
@@ -258,24 +262,28 @@ def decode_png(buf: bytes) -> np.ndarray:
             cur = r.reshape(w, nch).cumsum(0).reshape(-1) & 0xFF
         elif f == 2:   # up
             cur = (r + prev) & 0xFF
-        elif f == 3:   # average
-            cur = r.copy()
-            up = prev
-            for x in range(w * nch):
-                left = cur[x - nch] if x >= nch else 0
+        elif f == 3:   # average (left-sequential; channels vectorized)
+            cur = r.reshape(w, nch).copy()
+            up = prev.reshape(w, nch)
+            left = np.zeros(nch, dtype=np.int64)
+            for x in range(w):
                 cur[x] = (cur[x] + (left + up[x]) // 2) & 0xFF
-        elif f == 4:   # paeth
-            cur = r.copy()
-            up = prev
-            for x in range(w * nch):
-                a = cur[x - nch] if x >= nch else 0
+                left = cur[x]
+            cur = cur.reshape(-1)
+        elif f == 4:   # paeth (left-sequential; channels vectorized)
+            cur = r.reshape(w, nch).copy()
+            up = prev.reshape(w, nch)
+            a = np.zeros(nch, dtype=np.int64)
+            c = np.zeros(nch, dtype=np.int64)
+            for x in range(w):
                 b = up[x]
-                c = up[x - nch] if x >= nch else 0
                 p = a + b - c
-                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa_ <= pb and pa_ <= pc_) else \
-                    (b if pb <= pc_ else c)
+                pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where((pa_ <= pb) & (pa_ <= pc_), a,
+                              np.where(pb <= pc_, b, c))
                 cur[x] = (cur[x] + pr) & 0xFF
+                a, c = cur[x], b
+            cur = cur.reshape(-1)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur
@@ -315,7 +323,7 @@ def synth_bmp_table(n: int, seed: int = 5, dup_every: int = 7) -> pa.Table:
     patterns (distinct per item) with planted exact duplicates — items
     0 and 1 of every `dup_every` block carry bit-identical pixels (the
     re-crawled-image case aHash dedup targets)."""
-    payloads, widths, heights = [], [], []
+    payloads, widths, heights, mimes = [], [], [], []
     for i in range(n):
         g = i // dup_every if i % dup_every < 2 else i  # items 0,1 of
         # each block share a pattern (planted dup pair); rest unique
@@ -334,13 +342,15 @@ def synth_bmp_table(n: int, seed: int = 5, dup_every: int = 7) -> pa.Table:
         # pixels stay IDENTICAL for planted-dup pairs even when the two
         # copies encode differently (decode_image sniffs per payload,
         # exactly the re-crawled-image case)
-        payloads.append(encode_png(px) if i % 3 == 2 else encode_bmp(px))
+        is_png = i % 3 == 2
+        payloads.append(encode_png(px) if is_png else encode_bmp(px))
+        mimes.append("image/png" if is_png else "image/bmp")
         widths.append(w)
         heights.append(h)
     return pa.table({
         "item_id": pa.array(np.arange(n, dtype=np.int64)),
         "payload": pa.array(payloads, pa.large_binary()),
-        "mime": pa.array(["image/bmp"] * n),
+        "mime": pa.array(mimes),
         "width": pa.array(np.array(widths, dtype=np.int32)),
         "height": pa.array(np.array(heights, dtype=np.int32)),
     })
