@@ -85,13 +85,14 @@ def _hist_thresholds(ds, col: str, ranks, return_total: bool = False):
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t.column(col))),
         batch_format="pyarrow")
-    hist = grouped_count(ds, [col], alias="n", combine="driver") \
-        .to_pandas().sort_values(col).reset_index(drop=True)
-    total = int(hist["n"].sum())
+    hist = grouped_count(ds, [col], alias="n", combine="driver").to_pandas()
+    # Ray's to_pandas() on a 0-row dataset drops the schema entirely
+    total = 0 if hist.empty else int(hist["n"].sum())
     if total == 0:
         if return_total:
             return [None] * len(ranks), 0
         raise ValueError(f"no non-null values in {col!r}")
+    hist = hist.sort_values(col).reset_index(drop=True)
     cum = hist["n"].cumsum()
     thr = [int(hist.loc[cum >= r(total), col].iloc[0]) for r in ranks]
     return (thr, total) if return_total else thr

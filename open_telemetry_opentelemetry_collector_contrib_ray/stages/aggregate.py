@@ -201,9 +201,13 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
         if not tables:
             # all-empty input: the 0-row partial blocks still carry the
             # CORRECT key dtypes (pyarrow group_by on 0 rows) — prefer one
-            # of those over the hand-built string-typed fallback, which is
-            # only reachable when the plan produced no blocks at all
-            tables = all_tables[:1] if all_tables \
+            # of those over the hand-built string-typed fallback.  Guard
+            # against SCHEMA-LESS empty blocks (Ray emits zero-column
+            # tables from some empty plans), which would make the final
+            # group_by fail with "No match for FieldRef"
+            usable = [t for t in all_tables
+                      if all(k in t.column_names for k in keys)]
+            tables = usable[:1] if usable \
                 else [_PartialAgg(keys, specs, conditions)._empty()]
         merged = pa.concat_tables(tables, promote_options="permissive")
         import ray.data as rd
