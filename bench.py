@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "doc_chunks",
     "doc_budget_sample",
     "funnel_stages",
+    "retention_weekly",
+    "doc_normalize",
+    "doc_keywords",
+    "doc_weighted_sample",
 ]
 
 
