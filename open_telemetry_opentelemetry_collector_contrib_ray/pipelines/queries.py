@@ -343,6 +343,50 @@ def q_json_props_sum(sf_dir: str):
     return grouped_sum(ds, ["event_type"], "k_int", alias="k_total")
 
 
+def q_resource_stamp_counts(sf_dir: str):
+    """resourcedetection analog: driver-computed constants stamped as
+    res_* columns on every record (stages/enrich.py ResourceStamper),
+    then a per-(resource, role) count — the reference's
+    resource-attribute grouping shape."""
+    from ..stages.enrich import ResourceStamper
+
+    ds = read_transcripts(sf_dir, columns=["role"])
+    ds = ds.map_batches(ResourceStamper({"env": "prod", "region": "eu"}),
+                        batch_format="pyarrow")
+    return grouped_count(ds, ["res_env", "res_region", "role"], alias="n")
+
+
+def q_syslog_parse(sf_dir: str):
+    """RFC3164 syslog parse end-to-end: each event renders a syslog line
+    (priority = event_id mod 192), SyslogParser extracts pri/host/app +
+    derives facility and severity (pri divmod 8, RFC5424 §6.2.1), and
+    the result aggregates per (facility, severity).  The oracle rebuilds
+    the line in SQL and re-extracts with its own regex — parser and
+    arithmetic both replayed."""
+    from ..stages.parse import SyslogParser
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def render(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        pri = pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 192), 192)),
+                      pa.string())
+        host = pc.binary_join_element_wise(
+            "host-", pc.cast(t.column("user_id"), pa.string()), "")
+        line = pc.binary_join_element_wise(
+            "<", pri, ">Feb  5 12:34:56 ", host, " app[7]: ",
+            pc.fill_null(t.column("event_type"), ""), "")
+        return pa.table({"line": line})
+
+    parsed = ds.map_batches(render, batch_format="pyarrow") \
+        .map_batches(SyslogParser(parse_from="line"), batch_format="pyarrow")
+    out = grouped_count(parsed, ["attr_facility", "attr_syslog_severity"],
+                        alias="n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["facility", "severity", "n"]),
+        batch_format="pyarrow").sort(["facility", "severity"])
+
+
 def q_filter_events(sf_dir: str):
     """filterprocessor: drop on OR'd OTTL conditions (logs.go:30-107)."""
     ds = _rd(sf_dir, "events", columns=["event_id", "event_type", "value"])
@@ -3086,6 +3130,8 @@ def queries():
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
+        "resource_stamp_counts": q_resource_stamp_counts,
+        "syslog_parse": q_syslog_parse,
         "doc_token_counts": q_doc_token_counts,
         "doc_exact_dups": q_doc_exact_dups,
         "embedding_knn": q_embedding_knn,
@@ -3279,6 +3325,26 @@ def oracle_sql():
             SELECT conv_id, turn_idx, text FROM {_T}
             WHERE {_TIMEOUT_SQL} AND NOT {_ERR_SQL} AND NOT coalesce({_SLOW_SQL}, false)""",
         "count_by_role": f"SELECT role, count(*) AS n FROM {_T} GROUP BY role",
+        "resource_stamp_counts": f"""
+            SELECT 'prod' AS res_env, 'eu' AS res_region, role,
+                   count(*) AS n
+            FROM {_T} GROUP BY role""",
+        "syslog_parse": r"""
+            WITH lines AS (
+              SELECT concat('<', CAST(event_id % 192 AS VARCHAR),
+                            '>Feb  5 12:34:56 host-',
+                            CAST(user_id AS VARCHAR), ' app[7]: ',
+                            coalesce(event_type, '')) AS line
+              FROM events
+            ), pri AS (
+              SELECT CAST(regexp_extract(line,
+                  '^<(\d+)>(\w{3} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+)', 1)
+                  AS BIGINT) AS p
+              FROM lines)
+            SELECT p // 8 AS facility, p % 8 AS severity,
+                   count(*) AS n
+            FROM pri GROUP BY 1, 2
+            ORDER BY facility, severity""",
         "sum_latency_by_tool": f"""
             SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
                    CAST(sum(CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT)) AS BIGINT) AS total_latency_ms
