@@ -2195,6 +2195,37 @@ def q_conversion_latency(sf_dir: str):
                          "p95_us": pd.array([p95], dtype="Int64")})
 
 
+def q_doc_block_ids(sf_dir: str):
+    """GPT-2-style corpus packing WITHOUT materializing the
+    concatenation: a distributed exclusive prefix sum over doc_id order
+    assigns every doc its global token offset; block_id = offset // 512
+    and block_offset = offset % 512 say exactly where each doc lands in
+    the fixed-size training blocks (docs may span blocks — the
+    concatenate-and-split recipe, vs doc_pack_sequences' whole-doc
+    bins).  stages/aggregate.py ordered_prefix_sum: range buckets +
+    driver base offsets + one bucketed local scan."""
+    from ..stages.aggregate import ordered_prefix_sum
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        # chars//4: the standard cheap token estimate
+        tok = pc.divide(t.column("n_chars"), pa.scalar(4, pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"), "tok": tok})
+
+    out = ordered_prefix_sum(ds.map_batches(tokens, batch_format="pyarrow"),
+                             "doc_id", "tok", out_col="offset")
+
+    def blocks(t: pa.Table) -> pa.Table:
+        off = t.column("offset")
+        blk = pc.divide(off, pa.scalar(512, pa.int64()))
+        rem = pc.subtract(off, pc.multiply(blk, pa.scalar(512, pa.int64())))
+        return (t.append_column("block_id", blk)
+                 .append_column("block_offset", rem))
+
+    return out.map_batches(blocks, batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_c4_line_filter(sf_dir: str):
     """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep lines with
     >= 3 words ending in terminal punctuation that don't match the
@@ -3216,6 +3247,7 @@ def queries():
         "doc_curriculum": q_doc_curriculum,
         "hard_negatives": q_hard_negatives,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_block_ids": q_doc_block_ids,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_c4_line_filter": q_doc_c4_line_filter,
@@ -4089,6 +4121,18 @@ def oracle_sql():
               WHERE r.doc_id < 250
                 AND coalesce(r.text, '') = coalesce(n.text, ''))
             ORDER BY n.doc_id""",
+        "doc_block_ids": """
+            WITH t AS (SELECT doc_id, n_chars // 4 AS tok FROM documents),
+            o AS (SELECT doc_id, tok,
+                         CAST(coalesce(sum(tok) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+                  FROM t)
+            SELECT doc_id, tok, "offset",
+                   "offset" // 512 AS block_id,
+                   "offset" % 512 AS block_offset
+            FROM o ORDER BY doc_id""",
         "doc_weighted_sample": """
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

@@ -1134,3 +1134,62 @@ def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
     parts = bucketed_group_transform(ds, [key_col], pairs, n_buckets)
     return grouped_sum(parts, ["cohort_period", "period_offset"], "n",
                        alias="n_users", combine="driver")
+
+
+def ordered_prefix_sum(ds, order_col: str, value_col: str,
+                       out_col: str = "offset", n_buckets: int = 256):
+    """Distributed EXCLUSIVE prefix sum over a total order: out[i] =
+    sum of value over all rows with order_col < this row's — the scan
+    primitive behind GPT-2-style corpus packing (concatenate all docs,
+    split at fixed token boundaries: offset // block_size is the block
+    id without ever materializing the concatenation).
+
+    Textbook two-level scan, no global sort: rows range-bucket by
+    order_col (integer arithmetic against the driver-known min/max, one
+    cheap aggregate pass); per-bucket value totals combine on the
+    driver into per-bucket BASE offsets (kilobytes); then ONE bucketed
+    shuffle sorts each bucket locally and adds base + local exclusive
+    cumsum.  order_col must be unique integers (ties would make the
+    scan order ambiguous)."""
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = int(agg[f"min({order_col})"]), int(agg[f"max({order_col})"])
+    span = hi - lo + 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        oc = pc.cast(t.column(order_col), pa.int64())
+        b = pc.divide(pc.multiply(pc.subtract(oc, lo), n_buckets), span)
+        return t.append_column("__rb", pc.cast(b, pa.int32()))
+
+    # pass 1: per-bucket totals (per-batch partials, driver combine)
+    def totals(t: pa.Table) -> pa.Table:
+        t = add_bucket(t)
+        g = pa.table({"__rb": t.column("__rb"),
+                      "__v": pc.cast(t.column(value_col), pa.int64())}) \
+            .group_by(["__rb"]).aggregate([("__v", "sum")])
+        # select by NAME — pyarrow group_by column order varies
+        return pa.table({"__rb": g.column("__rb"),
+                         "__v": g.column("__v_sum")})
+
+    parts = ds.map_batches(totals, batch_format="pyarrow").to_pandas()
+    base = np.zeros(n_buckets + 1, dtype=np.int64)
+    if not parts.empty:
+        sums = parts.groupby("__rb")["__v"].sum()
+        for b, v in sums.items():
+            base[int(b) + 1] = int(v)
+    base = np.cumsum(base)  # base[b] = total of all buckets < b
+
+    # pass 2: local sort + exclusive cumsum per range bucket.  One
+    # transform call can hold SEVERAL range buckets (they hash into the
+    # shuffle buckets), so the cumsum groups by __rb — vectorized
+    def scan(g):
+        g = g.sort_values(order_col, kind="stable")
+        v = g[value_col].astype("int64")
+        cum = v.groupby(g["__rb"].to_numpy(), sort=False).cumsum()
+        rb = g["__rb"].to_numpy(dtype=np.int64)
+        g[out_col] = (cum - v + base[rb]).astype("int64")
+        return g.drop(columns="__rb")
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed_group_transform(bucketed, ["__rb"], scan, n_buckets)

@@ -358,3 +358,25 @@ def test_pq_train_sample_smaller_than_ksub():
                                for i in range(12)], pa.list_(pa.float64(), 8))})
     books = pq_train(ray.data.from_arrow(tiny), m=2, ksub=64, sample_size=12)
     assert books.shape == (2, 12, 4)
+
+
+def test_ordered_prefix_sum_matches_cumsum():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        ordered_prefix_sum,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 500
+    ids = rng.permutation(n).astype(np.int64)      # arbitrary row order
+    tok = rng.integers(1, 100, n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "tok": pa.array(tok)})
+    out = ordered_prefix_sum(ray.data.from_arrow(tbl).repartition(7),
+                             "doc_id", "tok", out_col="off",
+                             n_buckets=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    by_id = tok[np.argsort(ids)]
+    exp = np.concatenate([[0], np.cumsum(by_id)[:-1]])
+    assert np.array_equal(out["off"].to_numpy(), exp)
+    # offsets are a valid exclusive scan: strictly increasing, start 0
+    assert out["off"].iloc[0] == 0
+    assert (np.diff(out["off"]) == by_id[:-1]).all()
