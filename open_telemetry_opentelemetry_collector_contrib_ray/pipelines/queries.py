@@ -2450,6 +2450,11 @@ def q_distinct_users_by_type(sf_dir: str):
     from ..stages.aggregate import grouped_agg
 
     ds = _rd(sf_dir, "events", columns=["event_type", "user_id"])
+    # count(DISTINCT user_id) excludes NULLs — drop them before pairing
+    # (grouped_agg would otherwise keep a NULL-user group per type)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("user_id"))),
+        batch_format="pyarrow")
     pairs = grouped_agg(ds, ["event_type", "user_id"],
                         [("count", None, "_n")], combine="bucket")
     return grouped_count(

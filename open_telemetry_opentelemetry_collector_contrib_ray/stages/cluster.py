@@ -32,7 +32,10 @@ import pyarrow.compute as pc
 import ray
 
 
-def _to_mat(col: pa.ChunkedArray | pa.Array, dtype=np.float32) -> np.ndarray:
+def _to_mat(col: pa.ChunkedArray | pa.Array, dtype=np.float64) -> np.ndarray:
+    # float64 default: the oracle (DuckDB list_distance over DOUBLE[])
+    # computes in float64 — a float32 round here can flip argmin on
+    # near-equidistant points despite the elementwise-distance care
     """Zero-copy list<float> / fixed_size_list<float> -> (n, d) matrix."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -90,7 +93,7 @@ class _Assign:
 def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
                   out_col: str = "cluster_id"):
     """Append the nearest-centroid id to every row (one streaming map)."""
-    ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float32))
+    ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
     return ds.map_batches(_Assign, fn_constructor_args=(ref, vec_col, out_col),
                           batch_format="pyarrow", concurrency=(1, 8))
 

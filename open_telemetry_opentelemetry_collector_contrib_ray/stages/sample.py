@@ -173,7 +173,10 @@ class Otep235Sampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            # keep one schema across all blocks: empty blocks still carry
+            # the sampling_th column or a downstream select() fails
+            return batch.append_column(
+                self.out_th, pa.array([], pa.string()))
         vals = batch.column(self.key).to_pylist()
         r = _md5_lower64(vals) >> np.uint64(64 - _TH_BITS)
         if self.th_col and self.th_col in batch.column_names:
@@ -535,7 +538,12 @@ def budget_sample(ds, budgets: dict[str, int], token_col: str,
         g = pa.table({source_col: t.column(source_col), "__rb": rb,
                       token_col: t.column(token_col)}) \
             .group_by([source_col, "__rb"]).aggregate([(token_col, "sum")])
-        return g.rename_columns([source_col, "__rb", "__tok"])
+        # bind by NAME — pyarrow group_by column order (keys vs aggregates
+        # first) varies across versions; positional rename would silently
+        # mis-bind source/bucket/token and corrupt the budget cutoffs
+        return pa.table({source_col: g.column(source_col),
+                         "__rb": g.column("__rb"),
+                         "__tok": g.column(f"{token_col}_sum")})
 
     # driver combine via plain dicts — a NULL source is its own group
     # (pandas MultiIndex .loc[NaN] is a KeyError trap)

@@ -124,11 +124,29 @@ def validate(ds, rules: Sequence[dict], mode: str = "count",
         name = _rule_name(r)
 
         def pre(t: pa.Table, cols=cols) -> pa.Table:
-            g = t.select(cols).group_by(cols).aggregate([([], "count_all")])
+            # SQL count(*) - count(DISTINCT key) semantics: DISTINCT
+            # excludes NULL keys, so EVERY null-key row is a violation
+            # (not n-1 of the null group).  Split nulls from the keyed
+            # multiplicity count; the null rows travel as one null-key
+            # partial row whose n means "all violate".
+            valid = None
+            for c in cols:
+                v = pc.is_valid(t.column(c))
+                valid = v if valid is None else pc.and_(valid, v)
+            tv = t.filter(valid)
+            g = tv.select(cols).group_by(cols).aggregate([([], "count_all")])
             # bind by NAME: pyarrow's aggregate column order has differed
             # across versions; positional rename would mis-bind key/count
-            return pa.table({**{c: g.column(c) for c in cols},
-                             "n": g.column("count_all")})
+            out = pa.table({**{c: g.column(c) for c in cols},
+                            "n": pc.cast(g.column("count_all"), pa.int64())})
+            n_null = t.num_rows - tv.num_rows
+            if n_null:
+                null_row = pa.table(
+                    {**{c: pa.nulls(1, out.schema.field(c).type)
+                        for c in cols},
+                     "n": pa.array([n_null], pa.int64())})
+                out = pa.concat_tables([out, null_row])
+            return out
 
         # per-batch distinct shrinks the shuffle; the bucketed combine
         # sums multiplicities per key, then violations = sum(n - 1)
@@ -136,13 +154,19 @@ def validate(ds, rules: Sequence[dict], mode: str = "count",
                               cols, [("sum", "n", "n")],
                               combine="bucket", n_buckets=n_buckets)
 
-        def viol(t: pa.Table, name=name) -> pa.Table:
-            extra = pc.sum(pc.subtract(t.column("n"),
+        def viol(t: pa.Table, cols=cols, name=name) -> pa.Table:
+            valid = None
+            for c in cols:
+                v = pc.is_valid(t.column(c))
+                valid = v if valid is None else pc.and_(valid, v)
+            keyed = t.filter(valid)
+            extra = pc.sum(pc.subtract(keyed.column("n"),
                                        pa.scalar(1, pa.int64())))
+            nulls = pc.sum(t.filter(pc.invert(valid)).column("n"))
+            total = int(extra.as_py() or 0) + int(nulls.as_py() or 0)
             return pa.table({
                 "rule": pa.array([name], pa.string()),
-                "n_violations": pa.array([int(extra.as_py() or 0)],
-                                         pa.int64())})
+                "n_violations": pa.array([total], pa.int64())})
 
         vparts = per_key.map_batches(viol, batch_format="pyarrow")
         outs.append(grouped_agg(vparts, ["rule"],
