@@ -1095,34 +1095,28 @@ def q_neardup_dedup_docs(sf_dir: str):
     one; rows-only for the driver (MinHash is not SQL-expressible), with
     invariants asserted in pytest (survivors = docs - (cluster members -
     representatives))."""
-    import ray
-    from ..stages.dedup import dedup_clusters, minhash_lsh_pairs, ngram_jaccard_verify
+    from ..stages.dedup import (dedup_clusters, minhash_lsh_pairs,
+                                ngram_jaccard_verify_joined)
+    from ..stages.join import bucketed_hash_join
 
     ds = _planted_dup_docs(sf_dir)
     pairs = minhash_lsh_pairs(ds, threshold=0.6)
-    # exact-jaccard verify the candidates (broadcast texts: candidates
-    # touch a tiny fraction of the corpus)
-    texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
-    verified = ngram_jaccard_verify(pairs, ray.put(texts), threshold=0.5)
+    # exact-jaccard verify via the DISTRIBUTED path: texts are semi-joined
+    # onto candidate ids and shingled in place — nothing corpus-sized ever
+    # reaches the driver (the earlier broadcast dict held EVERY text)
+    verified = ngram_jaccard_verify_joined(pairs, ds, threshold=0.5)
     clusters = dedup_clusters(verified)
-    # drop non-representatives: cluster members whose id != cluster_id
+    # drop non-representatives: cluster members whose id != cluster_id,
+    # removed with a bucketed anti-join (drop set can be corpus-fraction
+    # sized at high dup rates — never broadcast it)
     drop = clusters.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(t.column("doc_id"),
                                               t.column("cluster_id"))))
                    .select(["doc_id"]),
-        batch_format="pyarrow").take_all()
-    drop_ref = ray.put(pa.array(sorted(r["doc_id"] for r in drop),
-                                type=pa.int64()))  # typed: empty stays usable in is_in
-
-    class DropDups:
-        def __init__(self):
-            self.drop = ray.get(drop_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=self.drop))
-            return t.filter(keep).select(["doc_id"])
-
-    return ds.map_batches(DropDups, batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow")
+    ids = ds.map_batches(lambda t: t.select(["doc_id"]),
+                         batch_format="pyarrow")
+    return bucketed_hash_join(ids, drop, on=["doc_id"], how="anti")
 
 
 def q_doc_language_id(sf_dir: str):

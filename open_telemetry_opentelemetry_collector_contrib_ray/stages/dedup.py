@@ -453,6 +453,82 @@ def ngram_jaccard_verify(ds_pairs, docs_lookup, id_col: str = "doc_id",
     return ds_pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def ngram_jaccard_verify_joined(ds_pairs, docs, id_col: str = "doc_id",
+                                text_col: str = "text", shingle_w: int = 3,
+                                threshold: float = 0.5, n_buckets: int = 16):
+    """Exact n-gram Jaccard for candidate pairs — the DISTRIBUTED path.
+
+    Unlike :func:`ngram_jaccard_verify` (broadcast dict of every text,
+    driver-memory-bound), this never materializes texts anywhere:
+
+    1. distinct candidate ids (per-batch dedup, ids only);
+    2. semi-join texts onto candidate ids — only texts that appear in
+       some candidate pair leave the corpus scan;
+    3. shingle those texts once (uint64 hash lists, ~8B/token);
+    4. two bucketed joins attach shingle lists to doc_a / doc_b;
+    5. per-pair exact Jaccard on the co-located lists.
+
+    All shuffles are candidate-volume-sized, so this holds when the dup
+    rate (and hence the candidate set) is a large fraction of a 100 TB
+    corpus."""
+    import pyarrow.compute as pc
+
+    from .join import bucketed_hash_join
+
+    def distinct_ids(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array([t.column("doc_a").combine_chunks(),
+                                 t.column("doc_b").combine_chunks()])
+        return pa.table({id_col: pc.unique(both)})
+
+    ids = ds_pairs.map_batches(distinct_ids, batch_format="pyarrow")
+    need = bucketed_hash_join(
+        docs.map_batches(lambda t: t.select([id_col, text_col]),
+                         batch_format="pyarrow"),
+        ids, on=[id_col], how="semi", n_buckets=n_buckets)
+
+    def shingles(t: pa.Table) -> pa.Table:
+        # shingle sets travel as raw uint64 LE bytes, not list<uint64>:
+        # binary survives the pandas roundtrip inside the bucketed join
+        # (lists re-infer as Ray tensor extension types and break the
+        # typed-null union cast)
+        th = _TokenHasher()
+        sh = [np.sort(_shingle_hashes(x or "", shingle_w, th)).tobytes()
+              for x in t.column(text_col).to_pylist()]
+        return pa.table({id_col: t.column(id_col),
+                         "__sh": pa.array(sh, pa.large_binary())})
+
+    sh = need.map_batches(shingles, batch_format="pyarrow")
+    sa = sh.map_batches(lambda t: pa.table({"doc_a": t.column(id_col),
+                                            "__sha": t.column("__sh")}),
+                        batch_format="pyarrow")
+    sb = sh.map_batches(lambda t: pa.table({"doc_b": t.column(id_col),
+                                            "__shb": t.column("__sh")}),
+                        batch_format="pyarrow")
+    j = bucketed_hash_join(ds_pairs, sa, on=["doc_a"], n_buckets=n_buckets)
+    # rebuild Arrow blocks between the joins: the pandas-merge reducer
+    # emits object-dtype blocks whose schema probe yields Python types,
+    # which the second join's typed-null union cast cannot consume
+    j = j.map_batches(lambda t: t, batch_format="pyarrow")
+    j = bucketed_hash_join(j, sb, on=["doc_b"], n_buckets=n_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = np.empty(t.num_rows, dtype=np.float64)
+        ba = t.column("__sha").to_pylist()
+        bb = t.column("__shb").to_pylist()
+        for i in range(t.num_rows):
+            # blobs are sorted-unique uint64: zero-copy view + intersect
+            xa = np.frombuffer(ba[i] or b"", dtype=np.uint64)
+            xb = np.frombuffer(bb[i] or b"", dtype=np.uint64)
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            u = xa.size + xb.size - inter
+            jac[i] = inter / u if u else 0.0
+        out = t.drop_columns(["__sha", "__shb"]) \
+               .append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 # ------------------------------------------------- embedding-space near-dup
 
 

@@ -7,7 +7,9 @@ the large✕large case too, so this module provides the explicit
 partitioned hash join:
 
     add bucket = hash(key) % B to both sides  ->  one shuffle each
-    groupby(bucket) over the union            ->  pandas merge per bucket
+    groupby(bucket) over the union            ->  Arrow join per bucket
+    (Acero hash join over key columns + int64 row indices, payloads
+    gathered by take() — exact dtypes, any payload type)
 
 This is the portable pattern (works on any Ray version, any key type,
 and makes the partitioning assumption explicit — B and the hash are the
@@ -93,18 +95,42 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     # Ray's sort shuffle degrades on many tiny blocks
     tagged, left_cols, right_cols = _tag_union(left, right, on, n_buckets)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401
-        lg = g[g["__side"]][left_cols]
-        rg = g[~g["__side"]][right_cols]
-        if how in ("semi", "anti"):
-            hit = lg.merge(rg[on].drop_duplicates(), on=on, how="left",
-                           indicator=True)["_merge"] == "both"
-            out = lg[hit.to_numpy() if how == "semi" else ~hit.to_numpy()]
-        else:
-            out = lg.merge(rg, on=on, how=how, suffixes=("", suffix))
-        return reduce(out) if reduce is not None else out
+    def merge(g: pa.Table) -> pa.Table | pd.DataFrame:  # noqa: D401
+        # Arrow-native in-bucket join via index-take composition: only
+        # the KEY columns + int64 row indices go through the Acero hash
+        # join; payload columns are gathered afterwards with take().
+        # This keeps exact dtypes (no pandas int->float null coercion),
+        # supports any payload type (Acero rejects list payloads), and
+        # ships less data through the join kernel.
+        import pyarrow.compute as pc
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+        side = g.column("__side")
+        lg = g.filter(side).select(left_cols)
+        rg = g.filter(pc.invert(side)).select(right_cols)
+        lk = lg.select(on).append_column(
+            "__li", pa.array(np.arange(lg.num_rows), pa.int64()))
+        if how in ("semi", "anti"):
+            jt = "left semi" if how == "semi" else "left anti"
+            idx = lk.join(rg.select(on), keys=on, join_type=jt)
+            out = lg.take(idx.column("__li"))
+            return reduce(out.to_pandas()) if reduce is not None else out
+        rk = rg.select(on).append_column(
+            "__ri", pa.array(np.arange(rg.num_rows), pa.int64()))
+        jt = {"inner": "inner", "left": "left outer",
+              "outer": "full outer"}[how]
+        m = lk.join(rk, keys=on, join_type=jt)  # coalesced keys + __li/__ri
+        ltaken = lg.take(m.column("__li"))   # null index -> null row
+        rtaken = rg.take(m.column("__ri"))
+        cols = {c: (m.column(c) if c in on else ltaken.column(c))
+                for c in left_cols}
+        for c in right_cols:
+            if c in on:
+                continue
+            cols[c + suffix if c in left_cols else c] = rtaken.column(c)
+        out = pa.table(cols)
+        return reduce(out.to_pandas()) if reduce is not None else out
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def _degenerate_side(left, right, how: str):
@@ -251,16 +277,35 @@ def range_join(left, right, left_ts: str, right_start: str, right_end: str,
     key_cols = by + ["__bin"]
     tagged, left_cols, right_cols = _tag_union(lb, rb, key_cols, n_buckets)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"]][left_cols]
-        rg = g[~g["__side"]][right_cols]
-        m = lg.merge(rg, on=key_cols, how="inner", suffixes=("", suffix))
-        rs = right_start if right_start in m.columns else right_start + suffix
-        re_ = right_end if right_end in m.columns else right_end + suffix
-        m = m[(m[left_ts] >= m[rs]) & (m[left_ts] <= m[re_])]
-        return m.drop(columns="__bin")
+    def merge(g: pa.Table) -> pa.Table:
+        # same Arrow index-take composition as bucketed_hash_join, plus
+        # the exact range predicate re-checked on the joined rows
+        import pyarrow.compute as pc
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+        side = g.column("__side")
+        lg = g.filter(side).select(left_cols)
+        rg = g.filter(pc.invert(side)).select(right_cols)
+        lk = lg.select(key_cols).append_column(
+            "__li", pa.array(np.arange(lg.num_rows), pa.int64()))
+        rk = rg.select(key_cols).append_column(
+            "__ri", pa.array(np.arange(rg.num_rows), pa.int64()))
+        m = lk.join(rk, keys=key_cols, join_type="inner")
+        ltaken = lg.take(m.column("__li"))
+        rtaken = rg.take(m.column("__ri"))
+        cols = {c: (m.column(c) if c in key_cols else ltaken.column(c))
+                for c in left_cols}
+        for c in right_cols:
+            if c in key_cols:
+                continue
+            cols[c + suffix if c in left_cols else c] = rtaken.column(c)
+        out = pa.table(cols)
+        rs = right_start if right_start not in left_cols else right_start + suffix
+        re_ = right_end if right_end not in left_cols else right_end + suffix
+        keep = pc.and_(pc.greater_equal(out.column(left_ts), out.column(rs)),
+                       pc.less_equal(out.column(left_ts), out.column(re_)))
+        return out.filter(keep).drop_columns(["__bin"])
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def _hot_keys(ds, col: str, k: int = 8, min_share: float = 0.02,

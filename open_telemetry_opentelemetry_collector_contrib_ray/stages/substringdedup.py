@@ -260,16 +260,19 @@ class JoinedSpanCutter:
 
 def dedup_substrings(ds_factory, w: int = 8, id_col: str = "doc_id",
                      text_col: str = "text", n_buckets: int = 16,
-                     strategy: str = "broadcast"):
+                     strategy: str = "auto",
+                     max_driver_cuts: int = 2_000_000):
     """Cut every duplicated >=w-token substring down to one corpus-wide
     copy.  `ds_factory()` must rebuild the doc Dataset (read twice: once
     for window triples, once for cutting — documents themselves never
     shuffle in either strategy).
 
-    strategy="broadcast" (default): the cut map (non-keeper duplicated
-    windows per doc) is collected and broadcast via ray.put — right when
-    the duplicated fraction is small (the usual case; the map is
-    O(duplicated windows)).
+    strategy="auto" (default): count the cut positions first and pick —
+    broadcast below ``max_driver_cuts`` (the cut map is
+    O(duplicated windows); tiny at normal dup rates), else the join
+    path (the ``dedup_clusters.max_driver_pairs`` idiom).
+    strategy="broadcast": the cut map (non-keeper duplicated windows
+    per doc) is collected and broadcast via ray.put.
     strategy="join": the cut positions are grouped per doc and joined to
     the documents by hash co-partitioning (stages/join.py
     bucketed_hash_join) — nothing ever materializes on the driver, the
@@ -282,6 +285,12 @@ def dedup_substrings(ds_factory, w: int = 8, id_col: str = "doc_id",
         lambda t: t.filter(pa.compute.invert(t.column("keeper")))
                    .select([id_col, "pos"]),
         batch_format="pyarrow")
+    if strategy == "auto":
+        # the count decides the path, and the cut set feeds it either
+        # way — materialize so the window shuffle runs exactly once
+        non_keeper = non_keeper.materialize()
+        strategy = ("broadcast" if non_keeper.count() <= max_driver_cuts
+                    else "join")
     if strategy == "join":
         from .join import bucketed_hash_join
         from .sample import bucket_column

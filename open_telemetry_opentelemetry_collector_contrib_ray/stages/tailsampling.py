@@ -313,22 +313,31 @@ def tail_sample_decisions(ds, policies: Sequence[dict], group_col: str = "conv_i
 
 
 def tail_sample(ds, policies: Sequence[dict], group_col: str = "conv_id",
-                ts_col: str = "ts", n_buckets: int = 64):
+                ts_col: str = "ts", n_buckets: int = 64,
+                max_broadcast_keys: int = 2_000_000):
     """Filter ds to entire groups sampled by ANY policy (the processor's
-    keep rule).  Winning keys broadcast once; rows never shuffle.
+    keep rule).
 
-    Scale note: the winning-key set is collected to the driver and
-    ray.put once — fine up to millions of keys (ids are small).  At
-    extreme sampled-group cardinality, write `tail_sample_decisions`
-    to parquet instead and semi-join via `bucketed_hash_join`."""
+    Scale: winning keys are counted first.  Below
+    ``max_broadcast_keys`` they broadcast once via ray.put and rows
+    never shuffle (ids are small — fine up to millions of keys).  Past
+    the threshold the path auto-switches to a bucketed hash SEMI-join
+    (one co-partitioning shuffle; nothing driver-side), the
+    ``dedup_clusters.max_driver_pairs`` idiom."""
     import ray
 
     decisions = tail_sample_decisions(ds, policies, group_col, ts_col,
                                       n_buckets)
-    kept = decisions.map_batches(
+    winners = decisions.map_batches(
         lambda t: t.filter(pc.equal(t.column("sampled"), True))
                    .select([group_col]),
-        batch_format="pyarrow").take_all()
+        batch_format="pyarrow").materialize()
+    if winners.count() > max_broadcast_keys:
+        from .join import bucketed_hash_join
+
+        return bucketed_hash_join(ds, winners, on=[group_col], how="semi",
+                                  n_buckets=n_buckets)
+    kept = winners.take_all()
     if not kept:
         # no group sampled: empty result (an empty key list would build a
         # NULL-typed array that pc.is_in rejects against a typed column)

@@ -83,6 +83,20 @@ def test_cut_join_strategy_equals_broadcast():
     assert a[["doc_id", "text"]].equals(b[["doc_id", "text"]])
 
 
+def test_cut_auto_strategy_switches_past_threshold():
+    # max_driver_cuts=0: any cut position trips the auto-switch to the
+    # join path; output must equal the broadcast path either way
+    a = dedup_substrings(_ds, w=8, strategy="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup_substrings(_ds, w=8, strategy="auto",
+                         max_driver_cuts=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    c = dedup_substrings(_ds, w=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)  # auto default -> broadcast
+    assert a[["doc_id", "text"]].equals(b[["doc_id", "text"]])
+    assert a[["doc_id", "text"]].equals(c[["doc_id", "text"]])
+
+
 def test_window_emitter_short_docs_and_empties():
     t = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
                   "text": ["one two", None]})

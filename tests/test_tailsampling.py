@@ -145,6 +145,22 @@ def test_or_of_policies_and_semi_join_filter():
     assert len(kept) == 42  # whole conversations, row-complete
 
 
+def test_tail_sample_join_path_matches_broadcast():
+    # max_broadcast_keys=0 forces the bucketed semi-join path; output
+    # must be row-identical to the broadcast key-set default
+    rows = (_conv("big", 40, 0) + _conv("err", 2, US, status="error")
+            + _conv("small", 2, 2 * US))
+    pol = [{"type": "span_count", "min_spans": 30},
+           {"type": "string_attribute", "key": 'attributes["status"]',
+            "values": ["error"]}]
+    a = tail_sample(_mk_ds(rows), pol).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = tail_sample(_mk_ds(rows), pol, max_broadcast_keys=0).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a[["conv_id", "turn_idx"]].equals(b[["conv_id", "turn_idx"]])
+    assert set(b["conv_id"]) == {"big", "err"}
+
+
 def test_always_and_empty_policy_behavior():
     rows = _conv("a", 2, 0)
     d = _decisions(_mk_ds(rows), [{"type": "always"}])
