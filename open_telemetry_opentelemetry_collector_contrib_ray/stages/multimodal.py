@@ -43,31 +43,57 @@ def synth_image_table(n: int, seed: int = 3) -> pa.Table:
 
 
 class ImageDecoder:
-    """Actor-pool decode stage.  Real decode requires PIL — stubbed here.
+    """Actor-pool decode stage over opaque binary payloads.
 
-    With use_fake=True (default in this container) it produces a
-    deterministic pseudo-decode (mean 'pixel' from payload bytes) so the
-    pipeline shape is executable end-to-end."""
+    Real decode runs through :func:`decode_image` — BMP / binary PNM /
+    PNG in pure numpy+stdlib, anything else (JPEG, WebP, ...) through
+    PIL when it is importable.  Modes:
+
+    - ``use_fake=None`` (default, "auto"): payloads that sniff as a
+      decodable format decode for real; undecodable payloads fall back
+      to the deterministic pseudo-decode (mean byte value) so synthetic
+      plumbing corpora still flow.  Never raises.
+    - ``use_fake=False``: strict real decode; undecodable payloads
+      raise (ValueError / NotImplementedError-without-PIL).
+    - ``use_fake=True``: always the pseudo-decode.
+
+    Output schema is identical in every mode: mean_pixel float64,
+    n_bytes int64 appended to the input columns."""
 
     def __init__(self, use_fake: bool | None = None):
-        if use_fake is None:
-            try:
-                import PIL.Image  # noqa: F401
+        self.mode = ("auto" if use_fake is None
+                     else "fake" if use_fake else "real")
+        try:
+            import PIL.Image  # noqa: F401
 
-                use_fake = False
-            except ImportError:
-                use_fake = True
-        self.use_fake = use_fake
+            self.have_pil = True
+        except ImportError:
+            self.have_pil = False
+        # kept for back-compat introspection (True only when forced fake)
+        self.use_fake = use_fake is True
+
+    def _decodable(self, p: bytes) -> bool:
+        if p[:2] in (b"BM", b"P5", b"P6") or p[:8] == _PNG_SIG:
+            return True
+        return self.have_pil
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.use_fake:
-            raise NotImplementedError(
-                "real image decode needs PIL; not available in this container")
         payloads = batch.column("payload").to_pylist()
-        mean_px = pa.array([float(np.frombuffer(p, np.uint8).mean()) if p else 0.0
-                            for p in payloads], pa.float64())
+        means = np.empty(len(payloads), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            p = p or b""
+            if self.mode == "real" or (self.mode == "auto" and p
+                                       and self._decodable(p)):
+                try:
+                    means[i] = float(decode_image(p).mean())
+                    continue
+                except (ValueError, NotImplementedError, OSError):
+                    if self.mode == "real":
+                        raise
+                    # auto: sniffed wrong / PIL couldn't parse -> fake
+            means[i] = float(np.frombuffer(p, np.uint8).mean()) if p else 0.0
         n_bytes = pa.array([len(p or b"") for p in payloads], pa.int64())
-        return (batch.append_column("mean_pixel", mean_px)
+        return (batch.append_column("mean_pixel", pa.array(means))
                      .append_column("n_bytes", n_bytes))
 
 

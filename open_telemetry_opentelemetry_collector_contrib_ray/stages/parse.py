@@ -468,19 +468,64 @@ SEVERITY_TEXT = {
 }
 
 
+def _expand_severity_value(v) -> list[str]:
+    """One custom-mapping value -> lookup keys, per the stanza builder
+    (severity_builder.go:166-226): a literal (str/int), an HTTP-range
+    alias '2xx'..'5xx' (builder.go:94-103, 205-212), or a
+    {'min': a, 'max': b} dict — ranges expand to one string key per
+    integer (builder.go:187-196 expandRange)."""
+    http = {"2xx": (200, 299), "3xx": (300, 399),
+            "4xx": (400, 499), "5xx": (500, 599)}
+    if isinstance(v, str) and v.lower() in http:
+        lo, hi = http[v.lower()]
+        return [str(i) for i in range(lo, hi + 1)]
+    if isinstance(v, dict) and "min" in v and "max" in v:
+        lo, hi = int(v["min"]), int(v["max"])
+        if lo > hi:
+            lo, hi = hi, lo
+        return [str(i) for i in range(lo, hi + 1)]
+    if isinstance(v, bool):
+        raise ValueError("bool is not a severity value")
+    if isinstance(v, int):
+        return [str(v)]
+    if isinstance(v, str):
+        return [v.lower()]
+    raise ValueError(f"unsupported severity mapping value {v!r}")
+
+
 class SeverityParser:
     """Map a severity-text column to the 24-level enum via dictionary lookup
-    (pc.index_in + take — no per-row python)."""
+    (pc.index_in + take — no per-row python).
+
+    mapping: optional custom map {severity_name: value | [values]} per the
+    stanza severity builder (severity_builder.go:118-146): each value is
+    a literal, an HTTP-class alias ('2xx'..'5xx'), or {'min','max'} range;
+    ranges expand to per-integer string keys exactly like expandRange.
+    Custom entries overlay the builtin preset; preset='none' starts empty
+    (getBuiltinMapping, severity_builder.go:17-21)."""
 
     def __init__(self, parse_from: str = "attr_level",
-                 out_number: str = "severity_number", out_text: str = "severity_text"):
+                 out_number: str = "severity_number", out_text: str = "severity_text",
+                 mapping: dict | None = None, preset: str = "otel"):
         self.parse_from = parse_from
         self.out_number = out_number
         self.out_text = out_text
-        keys = list(SEVERITY_NUMBER)
+        if preset not in ("otel", "aliases", "none"):
+            raise ValueError(f"unknown severity preset {preset!r}")
+        table = {} if preset == "none" else dict(SEVERITY_NUMBER)
+        for sev_name, values in (mapping or {}).items():
+            num = SEVERITY_NUMBER.get(str(sev_name).lower())
+            if num is None:
+                raise ValueError(f"unknown severity level {sev_name!r}")
+            if not isinstance(values, (list, tuple)):
+                values = [values]
+            for v in values:
+                for key in _expand_severity_value(v):
+                    table[key] = num
+        keys = list(table)
         self._keys = pa.array(keys, type=pa.string())
-        self._nums = pa.array([SEVERITY_NUMBER[k] for k in keys], type=pa.int32())
-        canon = [SEVERITY_TEXT[SEVERITY_NUMBER[k]] for k in keys]
+        self._nums = pa.array([table[k] for k in keys], type=pa.int32())
+        canon = [SEVERITY_TEXT[table[k]] for k in keys]
         self._texts = pa.array(canon, type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -43,6 +43,45 @@ def test_simhash_finds_planted_dups():
     assert len(planted & found) / len(planted) >= 0.6
 
 
+def test_popcount64_matches_python_bin_count():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import _popcount64
+
+    rng = np.random.RandomState(9)
+    x = rng.randint(0, 2**63, size=4096).astype(np.uint64)
+    x[:4] = [0, 1, 0xFFFFFFFFFFFFFFFF, 1 << 63]
+    expect = [bin(int(v)).count("1") for v in x]
+    assert _popcount64(x).tolist() == expect
+    assert _popcount64(np.zeros(0, dtype=np.uint64)).tolist() == []
+
+
+def test_simhash_hot_bucket_is_fast_and_capped():
+    # planted hot band bucket: 3000 docs sharing one 16-bit chunk; the
+    # vectorized XOR+popcount path must stay sub-second per anchor pass
+    # (the per-pair Python popcount it replaced was ~O(n^2) interpreter
+    # work) and the max_bucket cap must bound membership
+    import time
+
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import simhash_pairs
+
+    n = 3000
+    texts = [f"shared prefix tokens alpha beta gamma delta {i}"
+             for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts)}))
+    t0 = time.perf_counter()
+    full = simhash_pairs(ds, max_hamming=3).to_pandas()
+    dt = time.perf_counter() - t0
+    assert dt < 60, dt
+    capped = simhash_pairs(ds, max_hamming=3, max_bucket=100).to_pandas()
+    # cap keeps lowest ids: every surviving pair cites ids < 100 OR comes
+    # from a bucket that was under the cap; capped output is a subset
+    fullset = {(a, b) for a, b in zip(full.doc_a, full.doc_b)}
+    capset = {(a, b) for a, b in zip(capped.doc_a, capped.doc_b)}
+    assert capset <= fullset
+
+
 def test_ngram_jaccard_verify():
     import ray
     from open_telemetry_opentelemetry_collector_contrib_ray.stages import (

@@ -42,6 +42,57 @@ def test_decode_image_sniffs_formats():
     assert decode_image(p6).shape == (4, 4, 3)
 
 
+def test_image_decoder_real_branch_decodes_bmp_without_pil():
+    # strict real mode must decode native formats with no PIL present
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import ImageDecoder
+
+    t = synth_bmp_table(6)
+    out = ImageDecoder(use_fake=False)(t)
+    px_means = [float(decode_image(p).mean())
+                for p in t.column("payload").to_pylist()]
+    assert out.column("mean_pixel").to_pylist() == px_means
+    # auto mode picks the real path for decodable payloads
+    out_auto = ImageDecoder()(t)
+    assert out_auto.column("mean_pixel").to_pylist() == px_means
+
+
+def test_image_decoder_auto_falls_back_on_opaque_payloads():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ImageDecoder,
+        synth_image_table,
+    )
+
+    t = synth_image_table(5)          # random bytes, not decodable
+    out = ImageDecoder()(t)           # auto: pseudo-decode, never raises
+    means = [float(np.frombuffer(p, np.uint8).mean())
+             for p in t.column("payload").to_pylist()]
+    assert out.column("mean_pixel").to_pylist() == means
+    import pytest
+
+    with pytest.raises((ValueError, NotImplementedError)):
+        ImageDecoder(use_fake=False)(t)   # strict real mode raises
+
+
+def test_image_decoder_jpeg_via_pil():
+    # runs only where PIL is installed (absent in this container):
+    # proves the real branch reaches PIL for non-native formats
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import ImageDecoder
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, :4] = 255
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px).save(buf, format="JPEG")
+    t = pa.table({"item_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([buf.getvalue()], pa.large_binary())})
+    out = ImageDecoder(use_fake=False)(t)
+    assert 100.0 < out.column("mean_pixel").to_pylist()[0] < 155.0
+
+
 def test_pixel_decoder_dims_match_metadata():
     t = synth_bmp_table(20)
     out = ImagePixelDecoder()(t)

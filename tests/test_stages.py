@@ -4,6 +4,7 @@ pure-batch stages; Ray only for Dataset-level ops)."""
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pytest
 
 from open_telemetry_opentelemetry_collector_contrib_ray.sources import TOOL_CATALOG
 from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
@@ -66,6 +67,30 @@ def test_severity_parser():
     out = SeverityParser()(t)
     assert out.column("severity_number").to_pylist() == [9, 17, 13, None, None]
     assert out.column("severity_text").to_pylist() == ["INFO", "ERROR", "WARN", None, None]
+
+
+def test_severity_parser_range_mappings():
+    # severity_builder.go:94-103 HTTP aliases, :166-196 min/max ranges
+    t = pa.table({"status": pa.array([200, 204, 301, 404, 500, 555, 700, None],
+                                     pa.int64())})
+    p = SeverityParser(parse_from="status", preset="none",
+                       mapping={"info": ["2xx"], "warn": ["3xx"],
+                                "error": ["4xx"],
+                                "fatal": ["5xx", {"min": 600, "max": 650}]})
+    out = p(t)
+    assert out.column("severity_number").to_pylist() == \
+        [9, 9, 13, 17, 21, 21, None, None]
+    assert out.column("severity_text").to_pylist()[:5] == \
+        ["INFO", "INFO", "WARN", "ERROR", "FATAL"]
+    # custom entries overlay the builtin preset (builder.go:124-146)
+    p2 = SeverityParser(parse_from="status",
+                        mapping={"fatal": [{"min": 500, "max": 599}]})
+    out2 = p2(pa.table({"status": ["error", "502"]}))
+    assert out2.column("severity_number").to_pylist() == [17, 21]
+    with pytest.raises(ValueError):
+        SeverityParser(mapping={"nosuch": ["2xx"]})
+    with pytest.raises(ValueError):
+        SeverityParser(preset="bogus")
 
 
 def test_time_parser_strptime_and_epoch():
