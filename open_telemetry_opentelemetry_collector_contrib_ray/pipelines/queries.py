@@ -3165,6 +3165,106 @@ def q_event_trailing(sf_dir: str):
 
 def queries():
     return {
+        # --- round-3 driver-verification window (the driver checks the
+        # FIRST 50 dict entries at sf0.01): the oracle-checked queries
+        # that round 2's window did NOT cover — TPC-H, windows, joins,
+        # tail sampling, the doc_* LLM-data family.  Round 2's green 50
+        # (CORRECTNESS_r02.json) move to the tail; the remaining
+        # oracle-checked + rows-only entries queue for round 4's window.
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "event_windows": q_event_windows,
+        "event_rank_windows": q_event_rank_windows,
+        "event_trailing": q_event_trailing,
+        "event_value_quartiles": q_event_value_quartiles,
+        "sliding_window_counts": q_sliding_window_counts,
+        "skewed_type_join": q_skewed_type_join,
+        "purchase_before_click": q_purchase_before_click,
+        "clicks_in_signup_window": q_clicks_in_signup_window,
+        "orders_with_lineitems": q_orders_with_lineitems,
+        "orders_without_lineitems": q_orders_without_lineitems,
+        "customer_nations": q_customer_nations,
+        "users_view_not_purchase": q_users_view_not_purchase,
+        "users_signup_and_purchase": q_users_signup_and_purchase,
+        "tail_sampling_policies": q_tail_sampling_policies,
+        "tail_sampling_and": q_tail_sampling_and,
+        "tail_sampling_rate_limit": q_tail_sampling_rate_limit,
+        "tail_sampling_composite": q_tail_sampling_composite,
+        "sample_otep235": q_sample_otep235,
+        "severity_range_counts": q_severity_range_counts,
+        "doc_bm25": q_doc_bm25,
+        "doc_token_df": q_doc_token_df,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_block_ids": q_doc_block_ids,
+        "doc_line_dedup": q_doc_line_dedup,
+        "doc_c4_line_filter": q_doc_c4_line_filter,
+        "doc_c4_gate": q_doc_c4_gate,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_substring_dups": q_doc_substring_dups,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_repetition": q_doc_repetition,
+        "doc_lm_score": q_doc_lm_score,
+        "doc_dsir": q_doc_dsir,
+        "doc_budget_sample": q_doc_budget_sample,
+        "doc_classifier": q_doc_classifier,
+        "doc_new_vs_ref": q_doc_new_vs_ref,
+        "doc_mix_sources": q_doc_mix_sources,
+        "doc_language_id": q_doc_language_id,
+        "doc_quality": q_doc_quality,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_split": q_doc_split,
+        "doc_training_pipeline": q_doc_training_pipeline,
+        "kmeans_assign": q_kmeans_assign,
+        "funnel_stages": q_funnel_stages,
+        "retention_weekly": q_retention_weekly,
+        # --- oracle-checked, queued for the round-4 window ---
+        "attr_hash_extract": q_attr_hash_extract,
+        "replace_pattern": q_replace_pattern,
+        "match_all_route_counts": q_match_all_route_counts,
+        "embedding_dim_sums": q_embedding_dim_sums,
+        "top3_events_per_type": q_top3_events_per_type,
+        "stratified_event_sample": q_stratified_event_sample,
+        "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
+        "approx_latency_quantiles": q_approx_latency_quantiles,
+        "doc_shuffle": q_doc_shuffle,
+        "doc_normalize": q_doc_normalize,
+        "doc_chunks": q_doc_chunks,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "doc_keywords": q_doc_keywords,
+        "doc_curriculum": q_doc_curriculum,
+        "doc_url_normalize": q_doc_url_normalize,
+        "doc_length_filter": q_doc_length_filter,
+        "doc_zscore": q_doc_zscore,
+        "rollup_event_counts": q_rollup_event_counts,
+        "pivot_event_counts": q_pivot_event_counts,
+        "role_pmi": q_role_pmi,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "conversion_latency": q_conversion_latency,
+        "doc_validate": q_doc_validate,
+        "conversation_features": q_conversation_features,
+        # --- rows-only (no SQL oracle by nature) ---
+        "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
+        "neardup_dedup_docs": q_neardup_dedup_docs,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "image_dedup": q_image_dedup,
+        "audio_pipeline": q_audio_pipeline,
+        "doc_substring_cut": q_doc_substring_cut,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "approx_distinct_users": q_approx_distinct_users,
+        "hard_negatives": q_hard_negatives,
+        "kmeans_clusters": q_kmeans_clusters,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        # --- round-2 driver-verified (green in CORRECTNESS_r02.json) ---
         "parse_tool_logs": q_parse_tool_logs,
         "parse_failures": q_parse_failures,
         "route_counts": q_route_counts,
@@ -3178,7 +3278,6 @@ def queries():
         "recombine_conversations": q_recombine_conversations,
         "sample_10pct": q_sample_10pct,
         "severity_counts": q_severity_counts,
-        "severity_range_counts": q_severity_range_counts,
         "text_len_by_role": q_text_len_by_role,
         "tool_category_counts": q_tool_category_counts,
         "latency_histogram": q_latency_histogram,
@@ -3216,96 +3315,6 @@ def queries():
         "cumulative_to_delta": q_cumulative_to_delta,
         "delta_to_rate": q_delta_to_rate,
         "tail_sampling_errors": q_tail_sampling_errors,
-        "tail_sampling_policies": q_tail_sampling_policies,
-        "tail_sampling_and": q_tail_sampling_and,
-        "tail_sampling_rate_limit": q_tail_sampling_rate_limit,
-        "tail_sampling_composite": q_tail_sampling_composite,
-        "attr_hash_extract": q_attr_hash_extract,
-        "replace_pattern": q_replace_pattern,
-        "match_all_route_counts": q_match_all_route_counts,
-        "minhash_neardup": q_minhash_neardup,
-        "neardup_clusters": q_neardup_clusters,
-        "neardup_dedup_docs": q_neardup_dedup_docs,
-        "simhash_neardup": q_simhash_neardup,
-        "embedding_neardup": q_embedding_neardup,
-        "doc_language_id": q_doc_language_id,
-        "doc_quality": q_doc_quality,
-        "doc_fingerprint": q_doc_fingerprint,
-        "knn_ivf": q_knn_ivf,
-        "knn_pq": q_knn_pq,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "image_dedup": q_image_dedup,
-        "audio_pipeline": q_audio_pipeline,
-        "customer_nations": q_customer_nations,
-        "embedding_dim_sums": q_embedding_dim_sums,
-        "doc_training_pipeline": q_doc_training_pipeline,
-        "purchase_before_click": q_purchase_before_click,
-        "clicks_in_signup_window": q_clicks_in_signup_window,
-        "sliding_window_counts": q_sliding_window_counts,
-        "orders_with_lineitems": q_orders_with_lineitems,
-        "orders_without_lineitems": q_orders_without_lineitems,
-        "top3_events_per_type": q_top3_events_per_type,
-        "stratified_event_sample": q_stratified_event_sample,
-        "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
-        "approx_latency_quantiles": q_approx_latency_quantiles,
-        "doc_mix_sources": q_doc_mix_sources,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_substring_dups": q_doc_substring_dups,
-        "doc_substring_cut": q_doc_substring_cut,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
-        "doc_repetition": q_doc_repetition,
-        "doc_lm_score": q_doc_lm_score,
-        "doc_dsir": q_doc_dsir,
-        "doc_shuffle": q_doc_shuffle,
-        "doc_budget_sample": q_doc_budget_sample,
-        "doc_classifier": q_doc_classifier,
-        "doc_new_vs_ref": q_doc_new_vs_ref,
-        "funnel_stages": q_funnel_stages,
-        "retention_weekly": q_retention_weekly,
-        "conversion_latency": q_conversion_latency,
-        "doc_normalize": q_doc_normalize,
-        "doc_chunks": q_doc_chunks,
-        "doc_ccnet_buckets": q_doc_ccnet_buckets,
-        "approx_distinct_users": q_approx_distinct_users,
-        "doc_keywords": q_doc_keywords,
-        "doc_curriculum": q_doc_curriculum,
-        "hard_negatives": q_hard_negatives,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "doc_block_ids": q_doc_block_ids,
-        "doc_url_normalize": q_doc_url_normalize,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_c4_line_filter": q_doc_c4_line_filter,
-        "doc_c4_gate": q_doc_c4_gate,
-        "doc_line_dedup": q_doc_line_dedup,
-        "doc_token_df": q_doc_token_df,
-        "doc_bm25": q_doc_bm25,
-        "kmeans_assign": q_kmeans_assign,
-        "kmeans_clusters": q_kmeans_clusters,
-        "doc_length_filter": q_doc_length_filter,
-        "doc_zscore": q_doc_zscore,
-        "rollup_event_counts": q_rollup_event_counts,
-        "pivot_event_counts": q_pivot_event_counts,
-        "role_pmi": q_role_pmi,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "tpch_q3": q_tpch_q3,
-        "event_value_quartiles": q_event_value_quartiles,
-        "users_view_not_purchase": q_users_view_not_purchase,
-        "users_signup_and_purchase": q_users_signup_and_purchase,
-        "event_windows": q_event_windows,
-        "event_rank_windows": q_event_rank_windows,
-        "event_trailing": q_event_trailing,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q10": q_tpch_q10,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "skewed_type_join": q_skewed_type_join,
-        "sample_otep235": q_sample_otep235,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "doc_validate": q_doc_validate,
-        "conversation_features": q_conversation_features,
-        "doc_split": q_doc_split,
     }
 
 
