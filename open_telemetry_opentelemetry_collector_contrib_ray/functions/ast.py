@@ -104,18 +104,50 @@ class Literal(Node):
         return self.value
 
 
+# metric-level fields addressable from the metric context and (via the
+# explicit ``metric.`` prefix) from the datapoint context —
+# contexts/internal/metric.go:35-47
+_METRIC_FIELDS = {"name", "description", "unit", "type",
+                  "aggregation_temporality", "is_monotonic"}
+
+
 @dataclass
 class Path(Node):
-    """A field path; resolves to one column of the batch."""
+    """A field path; resolves to one column of the batch.
+
+    ``context`` selects the statement context (transformprocessor
+    ContextStatements.Context, internal/common/config.go:14-21).  The
+    engine runs over FLATTENED tables — one row per log record /
+    datapoint with metric-level fields as ``metric_*`` columns — so
+    context addressing is a column-naming map, not an object tree:
+
+    - context 'metric': bare ``name``/``unit``/``type``/... resolve to
+      ``metric_<field>`` (contexts/internal/metric.go:35-47).
+    - context 'datapoint': ``metric.X`` is the upward reference to the
+      enclosing metric (ottldatapoint/datapoint.go:198) ->
+      ``metric_X``; bare datapoint fields (``value_double``, ``count``,
+      ``time_unix_nano``, ...) resolve to same-named columns and
+      ``attributes["k"]`` to ``attr_k`` as in the log context.
+    - context None (legacy/log): ``log./span./datapoint./metric.``
+      prefixes strip, i.e. ``datapoint.X == X``.
+    """
 
     segments: tuple[str, ...]
+    context: str | None = None
 
     @property
     def column(self) -> str:
         s = self.segments
+        if self.context in ("metric", "datapoint"):
+            if s[0] == "metric" and len(s) > 1:
+                return "metric_" + "_".join(s[1:])
+            if s[0] == "datapoint" and len(s) > 1:
+                s = s[1:]
+            if self.context == "metric" and s[0] in _METRIC_FIELDS:
+                return "metric_" + "_".join(s)
         # context prefixes (transformprocessor statement contexts,
         # internal/common/config.go:14-20): log.X / span.X / datapoint.X == X
-        if s[0] in ("log", "span", "spanevent", "datapoint", "metric") and len(s) > 1:
+        elif s[0] in ("log", "span", "spanevent", "datapoint", "metric") and len(s) > 1:
             s = s[1:]
         if s[0] in ("body", "text"):
             rest = s[1:]
@@ -374,9 +406,13 @@ class ExprContext:
 
 
 class Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, context: str | None = None):
+        if context not in (None, "log", "span", "spanevent", "metric",
+                           "datapoint", "resource", "scope"):
+            raise ValueError(f"unknown statement context {context!r}")
         self.toks = tokenize(src)
         self.i = 0
+        self.context = context
 
     def peek(self) -> Tok:
         return self.toks[self.i]
@@ -463,7 +499,7 @@ class Parser:
                         raise SyntaxError(f"bad index at {t.pos}")
                     self.expect("op", "]")
                     if t.kind == "string":
-                        node = Path(node.segments + (t.val,))
+                        node = Path(node.segments + (t.val,), node.context)
                     else:
                         node = Index(node, t.val)
                 else:
@@ -476,7 +512,7 @@ class Parser:
             elif self.at_op(".") and isinstance(node, Path):
                 self.next()
                 t = self.expect("ident")
-                node = Path(node.segments + (t.val,))
+                node = Path(node.segments + (t.val,), node.context)
             else:
                 return node
 
@@ -532,7 +568,7 @@ class Parser:
                         args.append(self.parse_expr())
                 self.expect("op", ")")
                 return Call(t.val, args)
-            return Path((t.val,))
+            return Path((t.val,), self.context)
         raise SyntaxError(f"unexpected {t.val!r} at {t.pos}")
 
 
@@ -589,8 +625,8 @@ class Statement:
                 return table
 
 
-def parse_statement(src: str) -> Statement:
-    p = Parser(src)
+def parse_statement(src: str, context: str | None = None) -> Statement:
+    p = Parser(src, context=context)
     t = p.expect("ident")
     p.expect("op", "(")
     args: list[Node] = []
@@ -610,9 +646,9 @@ def parse_statement(src: str) -> Statement:
     return Statement(t.val, args, where, src)
 
 
-def parse_condition(src: str) -> Callable[[pa.Table], pa.Array]:
+def parse_condition(src: str, context: str | None = None) -> Callable[[pa.Table], pa.Array]:
     """Compile a boolean OTTL expression to mask(table) -> BooleanArray."""
-    p = Parser(src)
+    p = Parser(src, context=context)
     node = p.parse_expr()
     if p.peek().kind != "eof":
         bad = p.peek()

@@ -1258,3 +1258,65 @@ def _append(ctx, args, mask):
 def _flatten(ctx, args, mask):
     # flat columnar model: attributes are already flat columns — no-op
     return
+
+
+# ------------------------------------------------- metric-context editors
+# Flattened-table analogs of the transformprocessor metric functions
+# (processor/transformprocessor/internal/metrics/): one row = one
+# datapoint carrying its metric-level fields as metric_* columns.
+
+
+def _and_mask(mask, cond):
+    cond = pc.fill_null(cond, False)
+    return cond if mask is None else pc.and_(pc.fill_null(mask, False), cond)
+
+
+@register_editor("convert_sum_to_gauge")
+def _convert_sum_to_gauge(ctx, args, mask):
+    """func_convert_sum_to_gauge.go:17-30 — only Sum metrics convert;
+    gauges carry no temporality/monotonicity, so those fields null out."""
+    t = ctx.get_col("metric_type")
+    if t is None:
+        return
+    m = _and_mask(mask, pc.equal(t, "Sum"))
+    ctx.set_col("metric_type", "Gauge", m)
+    for c in ("metric_aggregation_temporality", "metric_is_monotonic"):
+        if ctx.get_col(c) is not None:
+            ctx.set_col(c, pa.nulls(ctx.n, type=ctx.get_col(c).type), m)
+
+
+@register_editor("convert_gauge_to_sum")
+def _convert_gauge_to_sum(ctx, args, mask):
+    """func_convert_gauge_to_sum.go:18-42 — args (aggregation_temporality
+    'cumulative'|'delta', is_monotonic bool); only Gauge metrics convert."""
+    temp = args[0].eval(ctx)
+    if temp not in ("cumulative", "delta"):
+        raise ValueError(f"unknown aggregation temporality: {temp!r}")
+    mono = bool(args[1].eval(ctx))
+    t = ctx.get_col("metric_type")
+    if t is None:
+        return
+    m = _and_mask(mask, pc.equal(t, "Gauge"))
+    ctx.set_col("metric_type", "Sum", m)
+    ctx.set_col("metric_aggregation_temporality", temp, m)
+    ctx.set_col("metric_is_monotonic", mono, m)
+
+
+@register_editor("scale_metric")
+def _scale_metric(ctx, args, mask):
+    """func_scale.go:25-57 — multiply every datapoint value by the
+    factor; optional second arg replaces the unit.  Scales value_double /
+    value_int plus histogram sum/min/max columns when present."""
+    factor = float(args[0].eval(ctx))
+    for c in ("value_double", "sum", "min", "max"):
+        col = ctx.get_col(c)
+        if col is not None and pa.types.is_floating(
+                col.type if not isinstance(col, pa.ChunkedArray) else col.type):
+            ctx.set_col(c, pc.multiply(col, factor), mask)
+    vi = ctx.get_col("value_int")
+    if vi is not None:
+        scaled = pc.cast(pc.round(pc.multiply(pc.cast(vi, pa.float64()), factor)),
+                         pa.int64())
+        ctx.set_col("value_int", scaled, mask)
+    if len(args) > 1:
+        ctx.set_col("metric_unit", str(args[1].eval(ctx)), mask)

@@ -3163,6 +3163,54 @@ def q_event_trailing(sf_dir: str):
 # ---------------------------------------------------------------- catalogs
 
 
+def q_metric_context_pipeline(sf_dir: str):
+    """transformprocessor metric/datapoint statement contexts end-to-end
+    (internal/common/config.go:14-21 ContextStatements): a flattened
+    metric table (one row per datapoint) derived deterministically from
+    events; a datapoint-context statement stamps attributes via the
+    ``metric.``-upward reference, metric-context statements run
+    convert_gauge_to_sum (func_convert_gauge_to_sum.go) + scale_metric
+    (func_scale.go), extract_count_metric (func_extract_count_metric.go)
+    emits the <name>_count Sum rows, then a grouped aggregate.  All
+    derived values are multiples of 0.5 so float sums are exact in any
+    combine order (bitwise oracle parity)."""
+    from ..stages.metrics import extract_count_metric
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def to_metrics(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        m3 = eid % 3
+        return pa.table({
+            "metric_name": t.column("event_type"),
+            "metric_type": pa.array(
+                np.select([m3 == 0, m3 == 1], ["Sum", "Gauge"], "Histogram")),
+            "metric_aggregation_temporality": pc.if_else(
+                pa.array(m3 == 1), pa.scalar(None, pa.string()),
+                pa.scalar("cumulative")),
+            "value_double": pa.array((eid % 1000).astype(np.float64)),
+            "count": pc.if_else(pa.array(m3 == 2),
+                                pa.array(eid % 100, pa.int64()),
+                                pa.scalar(None, pa.int64())),
+        })
+
+    dp_stage = TransformStage(
+        ['set(attributes["band"], "hi") where value_double >= 500.0',
+         'set(attributes["band"], "lo") where value_double < 500.0'],
+        context="datapoint")
+    metric_stage = TransformStage(
+        ['convert_gauge_to_sum("delta", true)', "scale_metric(0.5)"],
+        context="metric")
+    ds = (ds.map_batches(to_metrics, batch_format="pyarrow")
+            .map_batches(dp_stage, batch_format="pyarrow")
+            .map_batches(metric_stage, batch_format="pyarrow"))
+    ds = extract_count_metric(ds, monotonic=True)
+    out = grouped_agg(ds, ["metric_name", "metric_type", "attr_band"],
+                      [("count", None, "n"), ("sum", "value_double", "total")],
+                      combine="driver")
+    return out.sort(["metric_name", "metric_type", "attr_band"])
+
+
 def queries():
     return {
         # --- round-3 driver-verification window (the driver checks the
@@ -3246,6 +3294,7 @@ def queries():
         "conversion_latency": q_conversion_latency,
         "doc_validate": q_doc_validate,
         "conversation_features": q_conversation_features,
+        "metric_context_pipeline": q_metric_context_pipeline,
         # --- rows-only (no SQL oracle by nature) ---
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -3463,6 +3512,31 @@ def oracle_sql():
                         ELSE 'FATAL' END AS severity_text,
                    count(*) AS n
             FROM st GROUP BY 1, 2 ORDER BY severity_number""",
+        "metric_context_pipeline": """
+            WITH m AS (
+              SELECT event_type AS metric_name,
+                     event_id % 3 AS m3,
+                     CAST(event_id % 1000 AS DOUBLE) AS value_double,
+                     CASE WHEN event_id % 3 = 2 THEN event_id % 100 END AS cnt
+              FROM events),
+            s1 AS (  -- band stamped pre-scale; gauge->sum; scale 0.5
+              SELECT metric_name,
+                     CASE WHEN value_double >= 500.0 THEN 'hi' ELSE 'lo' END
+                       AS attr_band,
+                     CASE WHEN m3 = 2 THEN 'Histogram' ELSE 'Sum' END
+                       AS metric_type,
+                     value_double * 0.5 AS value_double,
+                     cnt
+              FROM m),
+            ext AS (
+              SELECT metric_name, attr_band, metric_type, value_double FROM s1
+              UNION ALL
+              SELECT metric_name || '_count', attr_band, 'Sum',
+                     CAST(cnt AS DOUBLE)
+              FROM s1 WHERE metric_type = 'Histogram' AND cnt IS NOT NULL)
+            SELECT metric_name, metric_type, attr_band,
+                   count(*) AS n, sum(value_double) AS total
+            FROM ext GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "text_len_by_role": f"""
             SELECT role, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM {_T} GROUP BY role""",
         "tool_category_counts": f"""

@@ -69,6 +69,12 @@ from .sample import (  # noqa: F401
     deterministic_shuffle,
     weighted_sample,
 )
+from .metrics import (  # noqa: F401
+    aggregate_on_attributes,
+    copy_metric,
+    extract_count_metric,
+    extract_sum_metric,
+)
 from .transform import FilterStage, KeepStage, TransformStage  # noqa: F401
 from .dedup import (  # noqa: F401
     MinHasher,

@@ -1,0 +1,131 @@
+"""Metric-context dataset functions (transformprocessor metric family).
+
+Re-expresses the dataset-shaped metric functions of
+/root/reference/processor/transformprocessor/internal/metrics/ over a
+FLATTENED metric table: one row per datapoint, metric-level fields as
+``metric_name`` / ``metric_unit`` / ``metric_type`` /
+``metric_description`` / ``metric_aggregation_temporality`` /
+``metric_is_monotonic`` columns, datapoint fields (``value_double``,
+``value_int``, ``count``, ``sum``, ``time_unix_nano``, ``attr_*``) as
+plain columns.  The scalar editors (convert_sum_to_gauge /
+convert_gauge_to_sum / scale_metric) live in functions/registry.py and
+run inside TransformStage(context="metric"|"datapoint"); the functions
+here change the ROW SET (copy/extract emit new rows,
+aggregate_on_attributes regroups), so they are Dataset-level.
+
+All row-emitting functions are map-only (`map_batches` appends rows per
+batch — no shuffle); aggregate_on_attributes delegates to the two-phase
+grouped_agg.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_METRIC_COLS = ("metric_name", "metric_description", "metric_unit",
+                "metric_type", "metric_aggregation_temporality",
+                "metric_is_monotonic")
+
+# metric types whose datapoints carry count/sum fields
+# (func_extract_count_metric.go:53-70 switch)
+_HISTOGRAMMY = ("Histogram", "ExponentialHistogram", "Summary")
+
+
+def _set(t: pa.Table, name: str, value) -> pa.Table:
+    arr = (value if isinstance(value, (pa.Array, pa.ChunkedArray))
+           else pa.array([value] * t.num_rows))
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, arr)
+    return t.append_column(name, arr)
+
+
+def copy_metric(ds, name: str, new_name: str, unit: str | None = None,
+                description: str | None = None):
+    """func_copy_metric.go — duplicate every datapoint row of metric
+    ``name`` under ``new_name`` (optional unit/description overrides);
+    original rows pass through unchanged.  Map-only."""
+
+    def dup(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.equal(batch.column("metric_name"), name), False)
+        copies = batch.filter(mask)
+        if copies.num_rows:
+            copies = _set(copies, "metric_name", new_name)
+            if unit is not None:
+                copies = _set(copies, "metric_unit", unit)
+            if description is not None:
+                copies = _set(copies, "metric_description", description)
+            return pa.concat_tables([batch, copies])
+        return batch
+
+    return ds.map_batches(dup, batch_format="pyarrow")
+
+
+def _extract(ds, value_from: str, suffix: str, monotonic: bool,
+             unit_override: str | None):
+    def emit(batch: pa.Table) -> pa.Table:
+        t = batch.column("metric_type")
+        temp = (batch.column("metric_aggregation_temporality")
+                if "metric_aggregation_temporality" in batch.column_names
+                else pa.nulls(batch.num_rows, pa.string()))
+        mask = pc.and_(pc.fill_null(pc.is_in(t, value_set=pa.array(_HISTOGRAMMY)), False),
+                       pc.is_valid(temp))
+        if value_from in batch.column_names:
+            mask = pc.and_(mask, pc.is_valid(batch.column(value_from)))
+            src = batch.filter(mask)
+        else:
+            src = batch.slice(0, 0)
+        if src.num_rows == 0:
+            return batch
+        new = _set(src, "metric_name",
+                   pc.binary_join_element_wise(src.column("metric_name").cast(pa.string()),
+                                               pa.array([suffix] * src.num_rows), ""))
+        new = _set(new, "metric_type", "Sum")
+        new = _set(new, "metric_is_monotonic", monotonic)
+        if unit_override is not None:
+            new = _set(new, "metric_unit", unit_override)
+        val = src.column(value_from).cast(pa.float64())
+        new = _set(new, "value_double", val)
+        return pa.concat_tables([batch, new], promote_options="permissive")
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def extract_count_metric(ds, monotonic: bool = False):
+    """func_extract_count_metric.go:36-80 — for each histogram /
+    exp-histogram / summary datapoint (with a known temporality) emit a
+    Sum datapoint named ``<name>_count`` with unit '1' carrying the
+    count; original rows pass through."""
+    return _extract(ds, value_from="count", suffix="_count",
+                    monotonic=monotonic, unit_override="1")
+
+
+def extract_sum_metric(ds, monotonic: bool = False):
+    """func_extract_sum_metric.go:40-90 — emit ``<name>_sum`` Sum
+    datapoints carrying the sum field (unit kept); datapoints without a
+    sum are skipped (addSumDataPoint HasSum gate)."""
+    return _extract(ds, value_from="sum", suffix="_sum",
+                    monotonic=monotonic, unit_override=None)
+
+
+def aggregate_on_attributes(ds, fn: str = "sum",
+                            attributes: Sequence[str] | None = None,
+                            value_col: str = "value_double",
+                            combine: str = "bucket"):
+    """func_aggregate_on_attributes_metrics.go — regroup datapoints of
+    each metric keeping only ``attributes`` (None = drop ALL attributes,
+    the reference's default), aggregating ``value_col`` with fn in
+    sum/max/min/mean/count.  Two-phase grouped_agg: partial per batch,
+    one bucketed shuffle."""
+    from .aggregate import grouped_agg
+
+    if fn not in ("sum", "max", "min", "mean", "count"):
+        raise ValueError(f"unsupported aggregation function {fn!r}")
+    schema_names = ds.schema().names
+    keys = [c for c in _METRIC_COLS if c in schema_names]
+    keys += [a if a.startswith("attr_") else f"attr_{a}"
+             for a in (attributes or [])]
+    spec = (fn, None if fn == "count" else value_col, value_col)
+    return grouped_agg(ds, keys, [spec], combine=combine)

@@ -21,10 +21,15 @@ from ..functions.ast import Statement, parse_statement
 
 class TransformStage:
     def __init__(self, statements: list[str], error_mode: str = "propagate",
-                 keep_cache: bool = False):
+                 keep_cache: bool = False, context: str | None = None):
+        """context: ContextStatements.Context analog
+        (internal/common/config.go:14-21,34-38) — 'metric'/'datapoint'
+        statements address metric-level fields as ``metric_*`` columns
+        of the flattened table; None keeps log-context behavior."""
         if error_mode not in ("ignore", "silent", "propagate"):
             raise ValueError(error_mode)
-        self.compiled: list[Statement] = [parse_statement(s) for s in statements]
+        self.compiled: list[Statement] = [parse_statement(s, context=context)
+                                          for s in statements]
         self.error_mode = error_mode
         self.keep_cache = keep_cache
 
@@ -43,10 +48,11 @@ class FilterStage:
     """filterprocessor analog: DROP rows matching any condition (OR semantics)
     — /root/reference/processor/filterprocessor/logs.go:30-107."""
 
-    def __init__(self, drop_conditions: list[str]):
+    def __init__(self, drop_conditions: list[str], context: str | None = None):
         from ..functions.ast import parse_condition
 
-        self.masks = [parse_condition(c) for c in drop_conditions]
+        self.masks = [parse_condition(c, context=context)
+                      for c in drop_conditions]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -63,10 +69,10 @@ class KeepStage:
     """Inverse filter: KEEP rows matching the condition (include-mode
     filterconfig analog)."""
 
-    def __init__(self, condition: str):
+    def __init__(self, condition: str, context: str | None = None):
         from ..functions.ast import parse_condition
 
-        self.mask = parse_condition(condition)
+        self.mask = parse_condition(condition, context=context)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

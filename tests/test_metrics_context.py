@@ -1,0 +1,151 @@
+"""Metric/datapoint statement contexts + the metric function family.
+
+Conformance cases mirror the reference's function tests
+(processor/transformprocessor/internal/metrics/func_*_test.go) and the
+context addressing of internal/common/config.go:14-21 over flattened
+metric tables (one row per datapoint)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from open_telemetry_opentelemetry_collector_contrib_ray.functions.ast import (
+    Parser,
+    parse_statement,
+)
+from open_telemetry_opentelemetry_collector_contrib_ray.stages import TransformStage
+
+
+def _path_col(src: str, context=None) -> str:
+    node = Parser(src, context=context).parse_expr()
+    return node.column
+
+
+def test_context_path_mapping():
+    # metric context: bare metric fields -> metric_* (metric.go:35-47)
+    assert _path_col("name", "metric") == "metric_name"
+    assert _path_col("unit", "metric") == "metric_unit"
+    assert _path_col("aggregation_temporality", "metric") == \
+        "metric_aggregation_temporality"
+    # datapoint context: metric.X is the upward reference
+    # (ottldatapoint/datapoint.go:198); bare datapoint fields stay bare
+    assert _path_col("metric.name", "datapoint") == "metric_name"
+    assert _path_col("value_double", "datapoint") == "value_double"
+    assert _path_col('attributes["host"]', "datapoint") == "attr_host"
+    # legacy (no context): prefixes strip — back-compat
+    assert _path_col("metric.name") == "name"
+    assert _path_col("datapoint.value_int") == "value_int"
+    with pytest.raises(ValueError):
+        Parser("name", context="bogus")
+
+
+def _metric_table() -> pa.Table:
+    return pa.table({
+        "metric_name": ["latency", "latency", "requests", "queue_len"],
+        "metric_unit": ["ms", "ms", "1", "1"],
+        "metric_type": ["Histogram", "Histogram", "Sum", "Gauge"],
+        "metric_aggregation_temporality":
+            ["cumulative", "cumulative", "delta", None],
+        "metric_is_monotonic": [None, None, True, None],
+        "attr_host": ["a", "b", "a", "a"],
+        "value_double": pa.array([None, None, 41.0, 7.0], pa.float64()),
+        "count": pa.array([10, 20, None, None], pa.int64()),
+        "sum": pa.array([55.5, 99.0, None, None], pa.float64()),
+    })
+
+
+def test_transform_stage_metric_context_statements():
+    t = _metric_table()
+    stage = TransformStage(
+        ['set(unit, "s") where name == "latency"'], context="metric")
+    out = stage(t)
+    assert out.column("metric_unit").to_pylist() == ["s", "s", "1", "1"]
+
+    # datapoint context: condition on the datapoint, set via metric.-ref
+    stage2 = TransformStage(
+        ['set(attributes["big"], true) where value_double > 10.0 '
+         'and metric.name == "requests"'], context="datapoint")
+    out2 = stage2(t)
+    assert out2.column("attr_big").to_pylist() == [None, None, True, None]
+
+
+def test_convert_sum_to_gauge_and_back():
+    # func_convert_sum_to_gauge_test.go: only Sum converts
+    t = _metric_table()
+    out = TransformStage(["convert_sum_to_gauge()"], context="metric")(t)
+    assert out.column("metric_type").to_pylist() == \
+        ["Histogram", "Histogram", "Gauge", "Gauge"]
+    # the converted row sheds temporality + monotonicity
+    assert out.column("metric_aggregation_temporality").to_pylist()[2] is None
+    assert out.column("metric_is_monotonic").to_pylist()[2] is None
+
+    # func_convert_gauge_to_sum_test.go: only Gauge converts; args apply
+    out2 = TransformStage(['convert_gauge_to_sum("delta", true)'],
+                          context="metric")(t)
+    assert out2.column("metric_type").to_pylist() == \
+        ["Histogram", "Histogram", "Sum", "Sum"]
+    assert out2.column("metric_aggregation_temporality").to_pylist()[3] == "delta"
+    assert out2.column("metric_is_monotonic").to_pylist()[3] is True
+    with pytest.raises(ValueError):
+        TransformStage(['convert_gauge_to_sum("sometimes", true)'],
+                       context="metric")(t)
+
+
+def test_scale_metric():
+    # func_scale_test.go: values multiply; optional unit replacement
+    t = _metric_table()
+    out = TransformStage(['scale_metric(0.001, "s") where name == "latency"'],
+                         context="metric")(t)
+    assert out.column("sum").to_pylist()[:2] == [0.0555, 0.099]
+    assert out.column("metric_unit").to_pylist() == ["s", "s", "1", "1"]
+    # unscoped rows untouched
+    assert out.column("value_double").to_pylist()[2] == 41.0
+
+
+def test_copy_and_extract_metrics(ray_session):
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        aggregate_on_attributes,
+        copy_metric,
+        extract_count_metric,
+        extract_sum_metric,
+    )
+
+    ds = rd.from_arrow(_metric_table())
+    got = copy_metric(ds, "requests", "requests_backup",
+                      unit="req").to_pandas()
+    assert len(got) == 5
+    row = got[got.metric_name == "requests_backup"].iloc[0]
+    assert row.metric_unit == "req" and row.value_double == 41.0
+
+    got2 = extract_count_metric(rd.from_arrow(_metric_table()),
+                                monotonic=True).to_pandas()
+    new = got2[got2.metric_name == "latency_count"]
+    # one _count row per histogram datapoint; unit forced to '1'
+    assert sorted(new.value_double) == [10.0, 20.0]
+    assert set(new.metric_unit) == {"1"}
+    assert set(new.metric_type) == {"Sum"}
+    assert set(new.metric_is_monotonic) == {True}
+
+    got3 = extract_sum_metric(rd.from_arrow(_metric_table())).to_pandas()
+    new3 = got3[got3.metric_name == "latency_sum"]
+    assert sorted(new3.value_double) == [55.5, 99.0]
+    assert set(new3.metric_unit) == {"ms"}  # unit kept
+
+    # aggregate_on_attributes: drop all attrs -> one row per metric
+    agg = aggregate_on_attributes(
+        rd.from_arrow(_metric_table()), fn="sum",
+        value_col="value_double").to_pandas()
+    req = agg[agg.metric_name == "requests"].iloc[0]
+    assert req.value_double == 41.0
+    assert "attr_host" not in agg.columns
+    # keeping host: latency splits by host again
+    agg2 = aggregate_on_attributes(
+        rd.from_arrow(_metric_table()), fn="count",
+        attributes=["host"]).to_pandas()
+    assert set(agg2.columns) >= {"metric_name", "attr_host", "value_double"}
+    lat = agg2[agg2.metric_name == "latency"]
+    assert sorted(lat.attr_host) == ["a", "b"]
+    with pytest.raises(ValueError):
+        aggregate_on_attributes(ds, fn="median")
