@@ -3211,6 +3211,270 @@ def q_metric_context_pipeline(sf_dir: str):
     return out.sort(["metric_name", "metric_type", "attr_band"])
 
 
+# ---- pytest-only operator promotions: each parser/connector that was
+# covered only by unit tests gets a derived-input oracle query (inputs
+# built deterministically from events columns so DuckDB can replay the
+# derivation, then the REAL stage parses them back).
+
+
+def _s(col) -> pa.Array:
+    out = pc.cast(col, pa.string())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _join(*parts):
+    flat = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+            for p in parts]
+    return pc.binary_join_element_wise(*flat, "")
+
+
+def q_uri_parse(sf_dir: str):
+    """stanza uri_parser (pkg/stanza/operator/parser/uri): derived URIs
+    split into scheme/host/port/path/query attr columns, grouped."""
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uri = _join("https://api", _s(pa.array(eid % 5)),
+                    ".example.com:", _s(pa.array((eid % 3) + 8080)),
+                    "/v", _s(pa.array(eid % 2)),
+                    "/items?q=", _s(t.column("event_type")),
+                    "&page=", _s(pa.array(eid % 7)))
+        return t.append_column("uri", uri)
+
+    from ..stages.parse import UriParser
+
+    ds = ds.map_batches(mk, batch_format="pyarrow") \
+           .map_batches(UriParser(parse_from="uri"), batch_format="pyarrow")
+    return grouped_count(ds, ["attr_scheme", "attr_host", "attr_port",
+                              "attr_path"], alias="n") \
+        .sort(["attr_host", "attr_port", "attr_path"])
+
+
+def q_kv_parse(sf_dir: str):
+    """stanza key_value_parser: derived 'user=.. level=.. code=..'
+    lines parsed back, code summed per level."""
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"])
+    levels = np.array(["debug", "info", "warn", "error"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        line = _join("user=u", _s(pa.array(uid % 50)),
+                     " level=", pa.array(levels[eid % 4]),
+                     " code=", _s(pa.array(100 + eid % 400)))
+        return t.append_column("line", line)
+
+    from ..stages.parse import KeyValueParser
+
+    ds = ds.map_batches(mk, batch_format="pyarrow") \
+           .map_batches(KeyValueParser(["user", "level", "code"],
+                                       parse_from="line"),
+                        batch_format="pyarrow")
+
+    def typed(t: pa.Table) -> pa.Table:
+        return t.append_column("code_int",
+                               pc.cast(t.column("attr_code"), pa.int64(), safe=False))
+
+    ds = ds.map_batches(typed, batch_format="pyarrow")
+    return grouped_agg(ds, ["attr_level"],
+                       [("count", None, "n"), ("sum", "code_int", "code_sum")],
+                       combine="driver").sort("attr_level")
+
+
+def q_csv_parse(sf_dir: str):
+    """stanza csv_parser: derived 'part,qty,price' lines parsed back;
+    price is a 0.5-multiple so the float sum is bitwise-stable."""
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        line = _join("p", _s(pa.array(eid % 20)),
+                     ",", _s(pa.array(eid % 9)),
+                     ",", _s(pa.array((eid % 500) / 2.0)))
+        return t.append_column("line", line)
+
+    from ..stages.parse import CsvParser
+
+    ds = ds.map_batches(mk, batch_format="pyarrow") \
+           .map_batches(CsvParser(["part", "qty", "price"], parse_from="line"),
+                        batch_format="pyarrow")
+
+    def typed(t: pa.Table) -> pa.Table:
+        t = t.append_column("qty_int", pc.cast(t.column("attr_qty"), pa.int64(), safe=False))
+        return t.append_column("price_d", pc.cast(t.column("attr_price"), pa.float64(), safe=False))
+
+    ds = ds.map_batches(typed, batch_format="pyarrow")
+    return grouped_agg(ds, ["attr_part"],
+                       [("sum", "qty_int", "qty_sum"),
+                        ("sum", "price_d", "price_sum")],
+                       combine="driver").sort("attr_part")
+
+
+def q_jsonarray_parse(sf_dir: str):
+    """stanza jsonarray_parser (parser/jsonarray/parser.go:29-90):
+    derived JSON-array lines map positionally onto header columns."""
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        flag = np.where(eid % 2 == 0, "true", "false")
+        line = _join('["', _s(t.column("event_type")), '", ',
+                     _s(pa.array(eid % 13)), ", ", pa.array(flag), "]")
+        return t.append_column("line", line)
+
+    from ..stages.parse import JsonArrayParser
+
+    ds = ds.map_batches(mk, batch_format="pyarrow") \
+           .map_batches(JsonArrayParser(parse_from="line",
+                                        header=["etype", "n", "flag"]),
+                        batch_format="pyarrow")
+    return grouped_agg(ds, ["attr_etype", "attr_flag"],
+                       [("count", None, "rows"), ("sum", "attr_n", "n_sum")],
+                       combine="driver").sort(["attr_etype", "attr_flag"])
+
+
+def q_grok_parse(sf_dir: str):
+    """ExtractGrokPatterns / stanza grok front-door
+    (func_extract_grok_patterns.go): access-log-ish lines via
+    %{IP} %{WORD} %{NOTSPACE} %{INT}, bytes summed per method."""
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+    methods = np.array(["GET", "POST", "PUT"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        line = _join("10.", _s(pa.array(eid % 256)), ".0.1 ",
+                     pa.array(methods[eid % 3]),
+                     " /api/item/", _s(pa.array(eid % 11)),
+                     " ", _s(pa.array(eid % 2048)))
+        return t.append_column("line", line)
+
+    from ..stages.parse import GrokParser
+
+    parser = GrokParser(
+        "^%{IP:client} %{WORD:method} %{NOTSPACE:request} %{INT:bytes}$",
+        parse_from="line", types={"bytes": pa.int64()})
+    ds = ds.map_batches(mk, batch_format="pyarrow") \
+           .map_batches(parser, batch_format="pyarrow")
+    return grouped_agg(ds, ["attr_method"],
+                       [("count", None, "n"), ("sum", "attr_bytes", "bytes_sum")],
+                       combine="driver").sort("attr_method")
+
+
+def q_trace_scope_parse(sf_dir: str):
+    """stanza trace_parser (helper/trace.go: 32/16-hex validation +
+    lowercase normalization) + scope_name parser: uppercase md5-derived
+    ids normalize; every 10th row is malformed and flags
+    parse_failure."""
+    import hashlib
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        hx = [hashlib.md5(str(e).encode()).hexdigest().upper() for e in eid]
+        trace = [("nothex" if e % 10 == 0 else h) for e, h in zip(eid, hx)]
+        span = [h[:16] for h in hx]
+        return (t.append_column("attr_trace_id", pa.array(trace))
+                 .append_column("attr_span_id", pa.array(span))
+                 .append_column("attr_trace_flags",
+                                pa.array(["01"] * len(eid))))
+
+    from ..stages.parse import ScopeParser, TraceParser
+
+    ds = (ds.map_batches(mk, batch_format="pyarrow")
+            .map_batches(TraceParser(), batch_format="pyarrow")
+            .map_batches(ScopeParser(parse_from="event_type"),
+                         batch_format="pyarrow"))
+    return grouped_agg(ds, ["scope_name", "parse_failure"],
+                       [("count", None, "n"),
+                        ("min", "trace_id", "min_trace"),
+                        ("min", "span_id", "min_span")],
+                       combine="driver").sort(["scope_name", "parse_failure"])
+
+
+def q_roundrobin_counts(sf_dir: str):
+    """roundrobinconnector: arrival-order rotation (by the dense
+    event_id sequence) — balanced fan-out counts per sink."""
+    from ..stages.route import round_robin_split
+
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+    ds = round_robin_split(ds, 5, by="event_id")
+    return grouped_agg(ds, ["rr_sink"],
+                       [("count", None, "n"), ("sum", "event_id", "id_sum")],
+                       combine="driver").sort("rr_sink")
+
+
+def q_failover_counts(sf_dir: str):
+    """failoverconnector (connector/failoverconnector): the primary sink
+    raises, the secondary parquet sink receives everything; read back
+    and count per type to prove no loss/duplication on failover."""
+    import os
+
+    from ..stages.route import failover_write
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+    out_dir = os.path.join("/tmp/graft_failover",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def primary(_ds):
+        raise ConnectionError("primary sink down")
+
+    def secondary(d):
+        d.write_parquet(out_dir, compression="zstd")
+
+    used = failover_write(ds, [primary, secondary])
+    assert used == 1
+    import ray.data as rd
+
+    back = rd.read_parquet(out_dir)
+    return grouped_count(back, ["event_type"], alias="n").sort("event_type")
+
+
+def q_schema_rename_counts(sf_dir: str):
+    """schemaprocessor (processor/schemaprocessor): semantic-convention
+    rename attr_k -> attr_count_key after a JSON parse, then aggregate
+    over the RENAMED column."""
+    from ..stages.enrich import SchemaRenameStage
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "props"])
+    ds = (ds.map_batches(JsonParser(parse_from="props", keys=["k"]),
+                         batch_format="pyarrow")
+            .map_batches(SchemaRenameStage({"k": "count_key"}),
+                         batch_format="pyarrow"))
+
+    def typed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ck", pc.cast(t.column("attr_count_key"), pa.int64(), safe=False))
+
+    ds = ds.map_batches(typed, batch_format="pyarrow")
+    return grouped_agg(ds, ["event_type"], [("sum", "ck", "key_total")],
+                       combine="driver").sort("event_type")
+
+
+def q_xml_extract(sf_dir: str):
+    """OTTL GetXML converter (func_get_xml.go) inside a transform
+    statement: XPath-extract the qty element from derived XML bodies,
+    group by the serialized match."""
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        xml = _join('<order id="', _s(pa.array(eid % 10)), '"><qty>',
+                    _s(pa.array(eid % 7)), "</qty></order>")
+        return t.append_column("text", xml)
+
+    stage = TransformStage(
+        ['set(attributes["qty_xml"], GetXML(text, "/order/qty"))'])
+    ds = ds.map_batches(mk, batch_format="pyarrow") \
+           .map_batches(stage, batch_format="pyarrow")
+    return grouped_count(ds, ["attr_qty_xml"], alias="n").sort("attr_qty_xml")
+
+
 def queries():
     return {
         # --- round-3 driver-verification window (the driver checks the
@@ -3295,6 +3559,16 @@ def queries():
         "doc_validate": q_doc_validate,
         "conversation_features": q_conversation_features,
         "metric_context_pipeline": q_metric_context_pipeline,
+        "uri_parse": q_uri_parse,
+        "kv_parse": q_kv_parse,
+        "csv_parse": q_csv_parse,
+        "jsonarray_parse": q_jsonarray_parse,
+        "grok_parse": q_grok_parse,
+        "trace_scope_parse": q_trace_scope_parse,
+        "roundrobin_counts": q_roundrobin_counts,
+        "failover_counts": q_failover_counts,
+        "schema_rename_counts": q_schema_rename_counts,
+        "xml_extract": q_xml_extract,
         # --- rows-only (no SQL oracle by nature) ---
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -3537,6 +3811,63 @@ def oracle_sql():
             SELECT metric_name, metric_type, attr_band,
                    count(*) AS n, sum(value_double) AS total
             FROM ext GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "uri_parse": """
+            SELECT 'https' AS attr_scheme,
+                   'api' || CAST(event_id % 5 AS VARCHAR) || '.example.com'
+                     AS attr_host,
+                   CAST(8080 + event_id % 3 AS BIGINT) AS attr_port,
+                   '/v' || CAST(event_id % 2 AS VARCHAR) || '/items' AS attr_path,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3, 4 ORDER BY attr_host, attr_port, attr_path""",
+        "kv_parse": """
+            SELECT CASE event_id % 4 WHEN 0 THEN 'debug' WHEN 1 THEN 'info'
+                        WHEN 2 THEN 'warn' ELSE 'error' END AS attr_level,
+                   count(*) AS n,
+                   CAST(sum(100 + event_id % 400) AS BIGINT) AS code_sum
+            FROM events GROUP BY 1 ORDER BY attr_level""",
+        "csv_parse": """
+            SELECT 'p' || CAST(event_id % 20 AS VARCHAR) AS attr_part,
+                   CAST(sum(event_id % 9) AS BIGINT) AS qty_sum,
+                   sum((event_id % 500) / 2.0) AS price_sum
+            FROM events GROUP BY 1 ORDER BY attr_part""",
+        "jsonarray_parse": """
+            SELECT event_type AS attr_etype,
+                   (event_id % 2 = 0) AS attr_flag,
+                   count(*) AS rows,
+                   CAST(sum(event_id % 13) AS BIGINT) AS n_sum
+            FROM events GROUP BY 1, 2 ORDER BY attr_etype, attr_flag""",
+        "grok_parse": """
+            SELECT CASE event_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+                        ELSE 'PUT' END AS attr_method,
+                   count(*) AS n,
+                   CAST(sum(event_id % 2048) AS BIGINT) AS bytes_sum
+            FROM events GROUP BY 1 ORDER BY attr_method""",
+        "trace_scope_parse": """
+            SELECT event_type AS scope_name,
+                   (event_id % 10 = 0) AS parse_failure,
+                   count(*) AS n,
+                   min(CASE WHEN event_id % 10 = 0 THEN NULL
+                            ELSE md5(CAST(event_id AS VARCHAR)) END) AS min_trace,
+                   min(substr(md5(CAST(event_id AS VARCHAR)), 1, 16)) AS min_span
+            FROM events GROUP BY 1, 2 ORDER BY scope_name, parse_failure""",
+        "roundrobin_counts": """
+            SELECT CAST(event_id % 5 AS BIGINT) AS rr_sink,
+                   count(*) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum
+            FROM events GROUP BY 1 ORDER BY rr_sink""",
+        "failover_counts": """
+            SELECT event_type, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY event_type""",
+        "schema_rename_counts": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS key_total
+            FROM events GROUP BY 1 ORDER BY event_type""",
+        "xml_extract": """
+            SELECT '<qty>' || CAST(event_id % 7 AS VARCHAR) || '</qty>'
+                     AS attr_qty_xml,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY attr_qty_xml""",
         "text_len_by_role": f"""
             SELECT role, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM {_T} GROUP BY role""",
         "tool_category_counts": f"""

@@ -134,15 +134,21 @@ def match_all_counts(ds, routes: list[Route], default: str = "default"):
                      "n": out.column("__p_n_sum").cast(pa.int64())})
 
 
-def round_robin_split(ds, n: int, out: str = "rr_sink"):
+def round_robin_split(ds, n: int, out: str = "rr_sink", by: str | None = None):
     """roundrobinconnector analog (/root/reference/connector/
     roundrobinconnector): spread rows evenly across n pipelines.  In a
     deterministic batch engine "round robin" is a uniform deterministic
     assignment — row-index-within-batch modulo n (load-spreading without
-    any key affinity)."""
+    any key affinity).  ``by`` names a dense arrival-order column (e.g.
+    a sequence id): assignment becomes value % n — globally
+    deterministic regardless of batching, i.e. the reference's in-order
+    rotation replayable by an oracle."""
     import numpy as np
 
     def assign(t: pa.Table) -> pa.Table:
+        if by is not None:
+            seq = t.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(out, pa.array(seq % n))
         idx = np.arange(t.num_rows, dtype=np.int64) % n
         return t.append_column(out, pa.array(idx))
 

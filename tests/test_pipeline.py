@@ -123,6 +123,11 @@ def test_round_robin_and_failover(tmp_path):
     out = round_robin_split(ds, 4).to_pandas()
     assert out.rr_sink.value_counts().tolist() == [25, 25, 25, 25]
 
+    # by=: globally deterministic arrival-order rotation (value % n),
+    # independent of batch boundaries
+    out_by = round_robin_split(rd.range(100), 4, by="id").to_pandas()
+    assert (out_by.rr_sink == out_by.id % 4).all()
+
     calls = []
 
     def bad(d):
