@@ -3475,6 +3475,39 @@ def q_xml_extract(sf_dir: str):
     return grouped_count(ds, ["attr_qty_xml"], alias="n").sort("attr_qty_xml")
 
 
+def q_recombine_multiline(sf_dir: str):
+    """stanza recombine boundary mode (transformer/recombine/config.go:
+    38-61): is_first_entry-delimited multiline stitch within a source,
+    ordered by a sequence column — derived log lines from events."""
+    from ..stages.aggregate import recombine_multiline
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        head = np.where(eid % 4 == 0, "BEGIN|", "c|")
+        return (t.append_column("src", _join("s", _s(pa.array(uid % 20))))
+                 .append_column("text", _join(pa.array(head),
+                                              _s(t.column("event_type")))))
+
+    ds = ds.map_batches(mk, batch_format="pyarrow")
+    out = recombine_multiline(ds, source_col="src", order_col="event_id",
+                              is_first_entry='IsMatch(text, "^BEGIN")',
+                              sep=" | ")
+    return out.sort(["src", "entry_idx"])
+
+
+def q_recombine_capped(sf_dir: str):
+    """recombine max_batch_size (transformer/recombine/config.go:49):
+    a conversation's stitch flushes every 8 turns (ordered chunks)."""
+    ds = read_transcripts(sf_dir)
+    out = recombine(ds, sep="\n", max_batch_size=8)
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "part", "combined", "n_turns"]),
+        batch_format="pyarrow").sort(["conv_id", "part"])
+
+
 def queries():
     return {
         # --- round-3 driver-verification window (the driver checks the
@@ -3569,6 +3602,8 @@ def queries():
         "failover_counts": q_failover_counts,
         "schema_rename_counts": q_schema_rename_counts,
         "xml_extract": q_xml_extract,
+        "recombine_multiline": q_recombine_multiline,
+        "recombine_capped": q_recombine_capped,
         # --- rows-only (no SQL oracle by nature) ---
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -3868,6 +3903,34 @@ def oracle_sql():
                      AS attr_qty_xml,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY attr_qty_xml""",
+        "recombine_multiline": """
+            WITH lines AS (
+              SELECT 's' || CAST(user_id % 20 AS VARCHAR) AS src,
+                     event_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'BEGIN|' ELSE 'c|' END
+                       || event_type AS text
+              FROM events),
+            e AS (
+              SELECT src, event_id, text,
+                     SUM(CASE WHEN text LIKE 'BEGIN%' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY src ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS entry_idx
+              FROM lines)
+            SELECT src, CAST(entry_idx AS BIGINT) AS entry_idx,
+                   string_agg(text, ' | ' ORDER BY event_id) AS combined,
+                   count(*) AS n_lines
+            FROM e GROUP BY 1, 2 ORDER BY src, entry_idx""",
+        "recombine_capped": f"""
+            WITH r AS (
+              SELECT conv_id, turn_idx, coalesce(text, '') AS text,
+                     CAST((row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) - 1) // 8
+                       AS BIGINT) AS part
+              FROM {_T})
+            SELECT conv_id, part,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS combined,
+                   count(*) AS n_turns
+            FROM r GROUP BY 1, 2 ORDER BY conv_id, part""",
         "text_len_by_role": f"""
             SELECT role, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM {_T} GROUP BY role""",
         "tool_category_counts": f"""

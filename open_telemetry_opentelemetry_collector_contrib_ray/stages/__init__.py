@@ -15,6 +15,7 @@ from .aggregate import (  # noqa: F401
     grouped_top_k,
     histogram_agg,
     recombine,
+    recombine_multiline,
     recombine_salted,
     recombine_sorted,
     sessionize,

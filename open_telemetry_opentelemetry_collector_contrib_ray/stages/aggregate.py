@@ -528,7 +528,7 @@ def dedup_exact_sorted(paths: Sequence[str], key_cols: Sequence[str],
 
 def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
               text_col: str = "text", sep: str = "\n", out_col: str = "combined",
-              n_buckets: int = 64):
+              n_buckets: int = 64, max_batch_size: int | None = None):
     """stanza recombine analog: stitch a conversation's texts in stable
     order into one record per group.  The shuffle IS the wait window
     (groupbytrace analog); intra-group order comes from order_col, never
@@ -555,6 +555,27 @@ def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
     def stitch_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col, order_col], kind="stable")
         txt = g[text_col].fillna("")
+        if max_batch_size is not None:
+            # recombine max_batch_size (transformer/recombine/config.go:49):
+            # an entry reaching the cap flushes and a new one starts —
+            # here an ordered chunk id per group, stitched per chunk
+            part = (g.groupby(g[group_col], sort=False).cumcount()
+                    // max_batch_size)
+            keys = [g[group_col], part.rename("part")]
+            gb = g.groupby(keys, sort=False)
+            out = pd.DataFrame({
+                out_col: txt.groupby(keys, sort=False).agg(sep.join),
+                "n_turns": gb.size(),
+            })
+            if "ts" in g:
+                out["first_ts"] = gb["ts"].min()
+                out["last_ts"] = gb["ts"].max()
+            else:
+                out["first_ts"] = None
+                out["last_ts"] = None
+            out = out.reset_index()
+            out.columns = [group_col, "part"] + list(out.columns[2:])
+            return out
         gb = g.groupby(group_col, sort=False)
         out = pd.DataFrame({
             out_col: txt.groupby(g[group_col], sort=False).agg(sep.join),
@@ -569,6 +590,63 @@ def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
         return out.reset_index().rename(columns={"index": group_col})
 
     return bucketed.groupby("__bucket").map_groups(stitch_bucket, batch_format="pandas")
+
+
+def recombine_multiline(ds, source_col: str, order_col: str,
+                        text_col: str = "text",
+                        is_first_entry: str | None = None,
+                        is_last_entry: str | None = None,
+                        sep: str = "\n", out_col: str = "combined",
+                        max_batch_size: int | None = None,
+                        n_buckets: int = 64):
+    """stanza recombine boundary mode (transformer/recombine/config.go:
+    38-61): consecutive rows of one SOURCE (source_identifier) stitch
+    into entries delimited by an is_first_entry / is_last_entry OTTL
+    condition, ordered by order_col (never arrival order).
+    max_batch_size caps one entry's member count (flush-on-cap,
+    config.go:49); max_sources is a streaming memory knob with no batch
+    analog (every source is already materialized exactly once here).
+
+    Execution: one bucketed shuffle by source hash
+    (bucketed_group_transform); each bucket sorts by (source, order) and
+    derives entry ids with vectorized prefix sums — no per-entry python.
+    Output: source_col, entry_idx (0-based per source; rows before the
+    first boundary form entry 0), part (only when max_batch_size is
+    set), out_col, n_lines."""
+    from ..functions.ast import parse_condition
+
+    if (is_first_entry is None) == (is_last_entry is None):
+        raise ValueError("exactly one of is_first_entry / is_last_entry")
+    cond = parse_condition(is_first_entry or is_last_entry)
+    last_mode = is_last_entry is not None
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([source_col, order_col], kind="stable")
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        m = pc.fill_null(cond(t), False).to_numpy(zero_copy_only=False)
+        flags = pd.Series(m.astype(np.int64), index=g.index)
+        bysrc = flags.groupby(g[source_col], sort=False)
+        if last_mode:
+            # boundary closes the entry: the NEXT row starts a new one
+            shifted = bysrc.shift(1, fill_value=0)
+            entry = shifted.groupby(g[source_col], sort=False).cumsum()
+        else:
+            entry = bysrc.cumsum()
+        keys = [g[source_col], entry.rename("entry_idx")]
+        if max_batch_size is not None:
+            part = (g.groupby([g[source_col], entry], sort=False).cumcount()
+                    // max_batch_size)
+            keys.append(part.rename("part"))
+        txt = g[text_col].fillna("")
+        gb = txt.groupby(keys, sort=False)
+        out = pd.DataFrame({out_col: gb.agg(sep.join), "n_lines": gb.size()})
+        out = out.reset_index()
+        names = [source_col, "entry_idx"] + (["part"] if max_batch_size else [])
+        out.columns = names + [out_col, "n_lines"]
+        out["entry_idx"] = out["entry_idx"].astype("int64")
+        return out
+
+    return bucketed_group_transform(ds, [source_col], fn, n_buckets=n_buckets)
 
 
 def recombine_sorted(paths: Sequence[str], group_col: str = "conv_id",

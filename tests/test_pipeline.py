@@ -112,6 +112,67 @@ def test_recombine_order():
     assert out.combined.iloc[0] == "first second third"
 
 
+def test_recombine_multiline_modes():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        recombine_multiline,
+    )
+
+    ds = rd.from_items([
+        {"src": "a", "seq": 0, "text": "START one"},
+        {"src": "a", "seq": 1, "text": "cont"},
+        {"src": "a", "seq": 2, "text": "START two"},
+        {"src": "a", "seq": 3, "text": "cont"},
+        {"src": "a", "seq": 4, "text": "cont"},
+        {"src": "b", "seq": 0, "text": "orphan"},      # before first START
+        {"src": "b", "seq": 1, "text": "START only"},
+    ])
+    out = recombine_multiline(
+        ds, source_col="src", order_col="seq",
+        is_first_entry='IsMatch(text, "^START")', sep=" ").to_pandas()
+    got = {(r.src, r.entry_idx): (r.combined, r.n_lines)
+           for r in out.itertuples()}
+    assert got[("a", 1)] == ("START one cont", 2)
+    assert got[("a", 2)] == ("START two cont cont", 3)
+    assert got[("b", 0)] == ("orphan", 1)
+    assert got[("b", 1)] == ("START only", 1)
+
+    # is_last_entry: the boundary row CLOSES its entry
+    out2 = recombine_multiline(
+        ds, source_col="src", order_col="seq",
+        is_last_entry='IsMatch(text, "cont")', sep=" ").to_pandas()
+    got2 = {(r.src, r.entry_idx): r.combined for r in out2.itertuples()}
+    assert got2[("a", 0)] == "START one cont"
+    assert got2[("a", 1)] == "START two cont"
+    assert got2[("a", 2)] == "cont"
+
+    # max_batch_size: an entry flushes every 2 members
+    out3 = recombine_multiline(
+        ds, source_col="src", order_col="seq",
+        is_first_entry='IsMatch(text, "^START")', sep=" ",
+        max_batch_size=2).to_pandas()
+    a2 = out3[(out3.src == "a") & (out3.entry_idx == 2)] \
+        .sort_values("part")
+    assert list(a2.combined) == ["START two cont", "cont"]
+    assert list(a2.part) == [0, 1]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        recombine_multiline(ds, source_col="src", order_col="seq")
+
+
+def test_recombine_max_batch_size():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import recombine
+
+    rows = [{"conv_id": "c1", "turn_idx": i, "text": str(i)} for i in range(5)]
+    out = recombine(rd.from_items(rows), sep=",",
+                    max_batch_size=2).to_pandas().sort_values("part")
+    assert list(out.combined) == ["0,1", "2,3", "4"]
+    assert list(out.n_turns) == [2, 2, 1]
+
+
 def test_round_robin_and_failover(tmp_path):
     import ray.data as rd
     from open_telemetry_opentelemetry_collector_contrib_ray.stages.route import (
