@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "doc_normalize",
     "doc_keywords",
     "doc_weighted_sample",
+    "metric_context_pipeline",
+    "recombine_multiline",
 ]
 
 
