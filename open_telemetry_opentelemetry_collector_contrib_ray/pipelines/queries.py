@@ -1216,7 +1216,7 @@ def q_multimodal_pipeline(sf_dir: str):
     ds = rd.from_arrow(synth_image_table(200))
     ds = ds.map_batches(ImageDecoder, batch_format="pyarrow", batch_size=32,
                         concurrency=(1, 2))
-    ds = ds.map_batches(ImageFeatureExtractor(dim=16), batch_format="pyarrow",
+    ds = ds.map_batches(ImageFeatureExtractor(grid=4), batch_format="pyarrow",
                         batch_size=32)
     frames = ds.map_batches(FrameSampler(frames_per_item=4), batch_format="pyarrow",
                             batch_size=32)
@@ -3498,6 +3498,23 @@ def q_recombine_multiline(sf_dir: str):
     return out.sort(["src", "entry_idx"])
 
 
+def q_video_pipeline(sf_dir: str):
+    """REAL raw-RGB24 video frame sampling (rows-only; seeded clips are
+    not SQL-replayable): uniform temporal sample -> per-item frame count
+    + average decoded frame brightness."""
+    import ray.data as rd
+
+    from ..stages.multimodal import FrameSampler, synth_video_table
+
+    ds = rd.from_arrow(synth_video_table(100))
+    frames = ds.map_batches(FrameSampler(frames_per_item=4),
+                            batch_format="pyarrow", batch_size=16)
+    return grouped_agg(frames, ["item_id"],
+                       [("count", None, "n_frames"),
+                        ("mean", "mean_pixel", "avg_px")],
+                       combine="driver").sort("item_id")
+
+
 def q_recombine_capped(sf_dir: str):
     """recombine max_batch_size (transformer/recombine/config.go:49):
     a conversation's stitch flushes every 8 turns (ordered chunks)."""
@@ -3616,6 +3633,7 @@ def queries():
         "multimodal_pipeline": q_multimodal_pipeline,
         "image_dedup": q_image_dedup,
         "audio_pipeline": q_audio_pipeline,
+        "video_pipeline": q_video_pipeline,
         "doc_substring_cut": q_doc_substring_cut,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "approx_distinct_users": q_approx_distinct_users,

@@ -98,44 +98,148 @@ class ImageDecoder:
 
 
 class ImageFeatureExtractor:
-    """Feature-vector stage (CNN/CLIP in real life — stubbed with a
-    deterministic hash-derived vector; the actor/batch contract is real)."""
+    """Feature-vector stage (a CNN/CLIP embedding in a GPU deployment).
 
-    def __init__(self, dim: int = 16):
-        self.dim = dim
+    Decodable payloads (BMP/PNM/PNG natively, anything PIL can read)
+    get REAL retrieval features in pure numpy: 3 channel means plus a
+    ``grid``x``grid`` luminance-block-mean thumbnail — the classic
+    pre-deep-learning global descriptor (dim = 3 + grid²).
+    Undecodable payloads fall back to a deterministic sha256-derived
+    vector of the SAME dim so every block shares one schema (the same
+    auto policy as ImageDecoder)."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+        self.dim = 3 + grid * grid
+
+    def _real(self, p: bytes) -> np.ndarray | None:
+        try:
+            px = decode_image(p)
+        except (ValueError, NotImplementedError, OSError):
+            return None
+        px = px.astype(np.float32) / 255.0
+        if px.ndim == 2:
+            px = px[:, :, None].repeat(3, axis=2)
+        ch = px.reshape(-1, 3).mean(axis=0)
+        lum = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+        g = self.grid
+        h, w = lum.shape
+        # integral-image block means handle non-divisible dims exactly
+        ys = (np.arange(g + 1) * h) // g
+        xs = (np.arange(g + 1) * w) // g
+        ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+        ii[1:, 1:] = lum.cumsum(0).cumsum(1)
+        blocks = np.empty((g, g), dtype=np.float32)
+        for a in range(g):
+            for b in range(g):
+                y0, y1, x0, x1 = ys[a], ys[a + 1], xs[b], xs[b + 1]
+                area = max(1, (y1 - y0) * (x1 - x0))
+                blocks[a, b] = (ii[y1, x1] - ii[y0, x1]
+                                - ii[y1, x0] + ii[y0, x0]) / area
+        return np.concatenate([ch, blocks.reshape(-1)])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
         for i, p in enumerate(payloads):
-            digest = hashlib.sha256(p or b"").digest()
-            feats[i] = np.frombuffer(digest[:self.dim * 2], np.uint8)[:self.dim] / 255.0
+            real = self._real(p) if p else None
+            if real is not None:
+                feats[i] = real
+            else:
+                digest = hashlib.sha256(p or b"").digest()
+                raw = np.frombuffer((digest * ((self.dim // 32) + 1))[:self.dim],
+                                    np.uint8)
+                feats[i] = raw / 255.0
         flat = pa.array(feats.reshape(-1), pa.float32())
         return batch.append_column(
             "features", pa.FixedSizeListArray.from_arrays(flat, self.dim))
 
 
 class FrameSampler:
-    """Video frame-sampling contract: one input row -> k frame rows
-    (flat_map shape).  Decode stubbed; the row-expansion plumbing is real."""
+    """Video frame sampling: one input row -> k frame rows (flat_map
+    shape).
 
-    def __init__(self, frames_per_item: int = 4):
+    Raw RGB24 video (``width``/``height`` metadata columns present —
+    ffmpeg's ``rawvideo`` pix_fmt rgb24 layout, frame-major) is decoded
+    for REAL: k frames sampled uniformly across the clip, each emitted
+    with its true temporal frame index, exact frame bytes and decoded
+    mean pixel.  Payloads without dimension metadata fall back to the
+    byte-range stub (frame_idx 0..k-1, mean_pixel over raw bytes) so
+    opaque-container plumbing still flows."""
+
+    def __init__(self, frames_per_item: int = 4,
+                 width_col: str = "width", height_col: str = "height"):
         self.k = frames_per_item
+        self.width_col = width_col
+        self.height_col = height_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = np.repeat(np.asarray(batch.column("item_id")), self.k)
-        frame_idx = np.tile(np.arange(self.k, dtype=np.int32), n)
         payloads = batch.column("payload").to_pylist()
-        frames = []
-        for p in payloads:
+        has_dims = (self.width_col in batch.column_names
+                    and self.height_col in batch.column_names)
+        widths = (batch.column(self.width_col).to_pylist()
+                  if has_dims else [None] * len(payloads))
+        heights = (batch.column(self.height_col).to_pylist()
+                   if has_dims else [None] * len(payloads))
+        if "mime" in batch.column_names:
+            # a still image with dims is NOT a clip — gate on mime
+            is_video = [bool(m) and m.startswith("video/")
+                        for m in batch.column("mime").to_pylist()]
+        else:
+            is_video = [True] * len(payloads)
+        item_ids = batch.column("item_id").to_pylist()
+        ids, fidx, frames, means = [], [], [], []
+        for item, p, w, h, vid in zip(item_ids, payloads, widths, heights,
+                                      is_video):
             data = p or b""
-            step = max(1, len(data) // self.k)
-            for j in range(self.k):
-                frames.append(data[j * step:(j + 1) * step])
+            if (vid and w and h and len(data) >= w * h * 3
+                    and len(data) % (w * h * 3) == 0):
+                fsz = w * h * 3
+                n_frames = len(data) // fsz
+                # uniform temporal sampling across the clip
+                picks = np.unique((np.arange(self.k) * n_frames)
+                                  // max(1, self.k)).astype(np.int64)
+                picks = picks[picks < n_frames]
+                for j in picks:
+                    fb = data[j * fsz:(j + 1) * fsz]
+                    px = np.frombuffer(fb, np.uint8)
+                    ids.append(item)
+                    fidx.append(int(j))
+                    frames.append(fb)
+                    means.append(float(px.mean()))
+            else:
+                step = max(1, len(data) // self.k)
+                for j in range(self.k):
+                    fb = data[j * step:(j + 1) * step]
+                    ids.append(item)
+                    fidx.append(j)
+                    frames.append(fb)
+                    means.append(float(np.frombuffer(fb, np.uint8).mean())
+                                 if fb else 0.0)
         return pa.table({"item_id": pa.array(ids),
-                         "frame_idx": pa.array(frame_idx),
-                         "frame_payload": pa.array(frames, pa.large_binary())})
+                         "frame_idx": pa.array(fidx, pa.int32()),
+                         "frame_payload": pa.array(frames, pa.large_binary()),
+                         "mean_pixel": pa.array(means, pa.float64())})
+
+
+def synth_video_table(n: int, width: int = 16, height: int = 12,
+                      n_frames: int = 24, seed: int = 7) -> pa.Table:
+    """Deterministic raw-RGB24 clips (brightness ramps over time) for
+    exercising the real FrameSampler path without any codec."""
+    rng = np.random.RandomState(seed)
+    payloads = []
+    for i in range(n):
+        base = rng.randint(0, 128, size=(height, width, 3), dtype=np.uint8)
+        frames = [np.clip(base.astype(np.int32) + 4 * j, 0, 255).astype(np.uint8)
+                  for j in range(n_frames)]
+        payloads.append(b"".join(f.tobytes() for f in frames))
+    return pa.table({
+        "item_id": pa.array(np.arange(n, dtype=np.int64)),
+        "mime": pa.array(["video/raw"] * n),
+        "width": pa.array([width] * n, pa.int32()),
+        "height": pa.array([height] * n, pa.int32()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
 
 
 # ------------------------------------------------------------------ real

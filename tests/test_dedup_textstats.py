@@ -213,12 +213,50 @@ def test_multimodal_plumbing():
     ds = rd.from_arrow(synth_image_table(20))
     dec = ds.map_batches(ImageDecoder, batch_format="pyarrow", batch_size=8,
                          concurrency=1)
-    feat = dec.map_batches(ImageFeatureExtractor(dim=8), batch_format="pyarrow")
+    feat = dec.map_batches(ImageFeatureExtractor(grid=2), batch_format="pyarrow")
     rows = feat.take_all()
     assert len(rows) == 20
-    assert len(rows[0]["features"]) == 8
+    assert len(rows[0]["features"]) == 7  # 3 channel means + 2x2 blocks
     frames = ds.map_batches(FrameSampler(frames_per_item=3), batch_format="pyarrow")
     assert frames.count() == 60
+
+
+def test_image_features_real_and_video_frames():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        FrameSampler,
+        ImageFeatureExtractor,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        encode_bmp,
+        synth_video_table,
+    )
+
+    # real features: a solid-red BMP -> channel means [1,0,0] and all
+    # luminance blocks == 0.299
+    px = np.zeros((10, 10, 3), dtype=np.uint8)
+    px[:, :, 0] = 255
+    t = pa.table({"item_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([encode_bmp(px)], pa.large_binary())})
+    f = ImageFeatureExtractor(grid=2)(t).column("features").to_pylist()[0]
+    assert abs(f[0] - 1.0) < 1e-5 and f[1] == 0.0 and f[2] == 0.0
+    assert all(abs(v - 0.299) < 1e-3 for v in f[3:])
+
+    # real raw-RGB24 frame sampling: exact frame bytes + true indices
+    vt = synth_video_table(3, width=8, height=6, n_frames=12)
+    out = FrameSampler(frames_per_item=4)(vt)
+    assert out.column("frame_idx").to_pylist()[:4] == [0, 3, 6, 9]
+    fsz = 8 * 6 * 3
+    clip0 = vt.column("payload").to_pylist()[0]
+    f3 = out.column("frame_payload").to_pylist()[1]
+    assert f3 == clip0[3 * fsz:4 * fsz]
+    got_mean = out.column("mean_pixel").to_pylist()[1]
+    assert abs(got_mean - np.frombuffer(f3, np.uint8).mean()) < 1e-9
+    # distributed path
+    ds = rd.from_arrow(vt)
+    n = ds.map_batches(FrameSampler(frames_per_item=4),
+                       batch_format="pyarrow").count()
+    assert n == 12
 
 
 def test_checkpoint_resume(tmp_path):
