@@ -284,11 +284,27 @@ def _fnv(ctx, args):
 
 @register_converter("Hex")
 def _hex(ctx, args):
-    arr = _ev_arr(ctx, args[0]).cast(pa.int64())
-    return pa.array(
-        [None if v is None else format(v, "x") for v in arr.to_pylist()],
-        type=pa.string(),
-    )
+    """func_hex.go: hex of the value's BINARY representation — bool one
+    byte, ints 8 big-endian bytes (int64), floats the 8 IEEE-754 bytes,
+    strings/bytes their raw bytes (e2e_test.go:502-523 expectations)."""
+    import struct
+
+    arr = _ev_arr(ctx, args[0])
+
+    def enc(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return format(int(v), "02x")
+        if isinstance(v, int):
+            return struct.pack(">q", v).hex()
+        if isinstance(v, float):
+            return struct.pack(">d", v).hex()
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        return str(v).encode().hex()
+
+    return pa.array([enc(v) for v in arr.to_pylist()], type=pa.string())
 
 
 @register_converter("MD5Number")
@@ -516,11 +532,29 @@ def _sort_converter(ctx, args):
     """Sort(target, order) — per-row ascending/descending sort of a list
     value (ref func_sort.go:30-75; mixed primitive types compare after
     string/float coercion there, here within the list's Arrow type).
-    Vectorized via polars list.sort; pylist fallback."""
-    arr = _ev_arr(ctx, args[0])
+    Vectorized via polars list.sort; pylist fallback.  A LITERAL list
+    argument (Sort([3, 6, 9], "desc"), e2e_test.go:755-800) sorts once
+    with the reference's coercion ladder — all-bool as bools, otherwise
+    all-numeric as doubles, otherwise everything as strings — and
+    broadcasts."""
     order = _ev_scalar(args[1], ctx) if len(args) > 1 else "asc"
     if order not in ("asc", "desc"):
         raise ValueError(f"Sort order must be asc|desc, got {order!r}")
+    raw = args[0].eval(ctx)
+    if isinstance(raw, list):
+        vals = [v for v in raw if v is not None]
+        if all(isinstance(v, bool) for v in vals):
+            key = bool
+        elif all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                 for v in vals):
+            key = float
+        else:
+            key = str
+        out = sorted(vals, key=key, reverse=(order == "desc"))
+        return pa.array([out] * ctx.n) if ctx.n else pa.array([out])
+    arr = as_array(raw, ctx.n)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_fixed_size_list(t):
         arr = arr.cast(pa.list_(t.value_type))
@@ -704,13 +738,29 @@ def _et_parse(s):
         return None
 
 
+def _et_str(e) -> str:
+    """Serialize like the reference (func_get_xml.go uses encoding/xml):
+    empty elements render as <b></b>, never the <b /> short form."""
+    import xml.etree.ElementTree as ET
+
+    return ET.tostring(e, encoding="unicode", short_empty_elements=False)
+
+
 def _et_query(root, xpath):
     if xpath.startswith("//"):
         return root.findall("." + xpath)
     if xpath.startswith("/"):
-        parts = [p for p in xpath.split("/") if p]
+        head, sep, rest = xpath[1:].partition("//")
+        parts = [p for p in head.split("/") if p]
         if not parts or parts[0] != root.tag:
             return []
+        if sep:  # absolute prefix + descendant axis, e.g. /a//b
+            anchors = [root] if len(parts) == 1 else \
+                root.findall("./" + "/".join(parts[1:]))
+            out = []
+            for a in anchors:
+                out.extend(a.findall(".//" + rest))
+            return out
         if len(parts) == 1:
             return [root]
         return root.findall("./" + "/".join(parts[1:]))
@@ -731,7 +781,7 @@ def _get_xml(ctx, args):
             out.append(None)
             continue
         out.append("".join(
-            ET.tostring(e, encoding="unicode") for e in _et_query(root, xpath)))
+            _et_str(e) for e in _et_query(root, xpath)))
     return pa.array(out, type=pa.string())
 
 
@@ -754,7 +804,7 @@ def _insert_xml(ctx, args):
             continue
         for e in _et_query(root, xpath):
             e.append(_copy.deepcopy(subroot))
-        out.append(ET.tostring(root, encoding="unicode"))
+        out.append(_et_str(root))
     return pa.array(out, type=pa.string())
 
 
@@ -779,7 +829,7 @@ def _convert_attrs_to_elements_xml(ctx, args):
                 child = ET.SubElement(e, k)
                 child.text = v
             e.attrib.clear()
-        out.append(ET.tostring(root, encoding="unicode"))
+        out.append(_et_str(root))
     return pa.array(out, type=pa.string())
 
 
@@ -818,7 +868,7 @@ def _convert_text_to_elements_xml(ctx, args):
         targets = [root] if not xpath else _et_query(root, xpath)
         for e in targets:
             fix(e)
-        out.append(ET.tostring(root, encoding="unicode"))
+        out.append(_et_str(root))
     return pa.array(out, type=pa.string())
 
 
@@ -848,7 +898,7 @@ def _remove_xml(ctx, args):
             for e in matched:
                 if e in parents:
                     parents[e].remove(e)
-        out.append(ET.tostring(root, encoding="unicode"))
+        out.append(_et_str(root))
     return pa.array(out, type=pa.string())
 
 

@@ -179,7 +179,9 @@ def test_more_converters():
         ('set(attributes["o"], Trim(text))', ["Hello World", "foo,bar,baz", "pad", None]),
         ('set(attributes["o"], Double(n))', [3.0, -1.0, 0.0, 7.0]),
         ('set(attributes["o"], String(n))', ["3", "-1", "0", "7"]),
-        ('set(attributes["o"], Hex(n))', ["3", "-1", "0", "7"]),
+        ('set(attributes["o"], Hex(n))',
+         ["0000000000000003", "ffffffffffffffff",
+          "0000000000000000", "0000000000000007"]),
         ('set(attributes["o"], n * n + 1)', [10, 2, 1, 50]),
         ('set(attributes["o"], n % 2)', [1, -1, 0, 1]),
         ('set(attributes["o"], -n)', [-3, 1, 0, -7]),
@@ -188,7 +190,8 @@ def test_more_converters():
         out = parse_statement(stmt).apply(t)
         got = out.column("attr_o").to_pylist()
         if stmt.startswith('set(attributes["o"], Hex'):
-            assert got[0] == "3", got
+            # func_hex.go binary-representation hex (int64 big-endian)
+            assert got == expected, got
         elif stmt.startswith('set(attributes["o"], Split'):
             assert got[1] == "bar", got
         else:
