@@ -86,13 +86,19 @@ def _read_bytes(data: bytes, path: str) -> bytes:
 
 class OtlpJsonWriter:
     """map_batches stage: one OTLP LogsData JSON line per batch, one
-    output file per batch, content-hash file names (retry-idempotent)."""
+    output file per batch, content-hash file names (retry-idempotent).
+
+    max_megabytes mirrors the fileexporter rotation knob
+    (exporter/fileexporter/config.go Rotation.MaxMegabytes): a batch
+    whose serialized payload would exceed the cap splits into multiple
+    files, each under the cap (>=1 record per file)."""
 
     def __init__(self, out_dir: str, *, body_col: str = "text",
                  time_col: str = "ts", resource_cols: Iterable[str] = (),
                  severity_number_col: str | None = None,
                  severity_text_col: str | None = None,
                  compression: str | None = None,
+                 max_megabytes: float | None = None,
                  scope_name: str = "open_telemetry_opentelemetry_collector_contrib_ray"):
         self.out_dir = out_dir
         self.body_col = body_col
@@ -101,6 +107,7 @@ class OtlpJsonWriter:
         self.sev_num_col = severity_number_col
         self.sev_text_col = severity_text_col
         self.compression = compression
+        self.max_megabytes = max_megabytes
         self.scope_name = scope_name
         os.makedirs(out_dir, exist_ok=True)
 
@@ -186,6 +193,22 @@ class OtlpJsonWriter:
         if t.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
+        if self.max_megabytes is not None and t.num_rows > 1:
+            cap = int(self.max_megabytes * 1024 * 1024)
+            cum = np.cumsum([len(r) + 1 for r in self._record_json(t)])
+            if cum[-1] > cap:
+                parts, start, base = [], 0, 0
+                n = t.num_rows
+                while start < n:
+                    end = int(np.searchsorted(cum, base + cap, side="right"))
+                    end = min(n, max(end, start + 1))
+                    parts.append(self._write_one(t.slice(start, end - start)))
+                    base = cum[end - 1]
+                    start = end
+                return pa.concat_tables(parts)
+        return self._write_one(t)
+
+    def _write_one(self, t: pa.Table) -> pa.Table:
         recs = self._record_json(t)
         scope = '{"scope":{"name":%s},"logRecords":[' % json.dumps(
             self.scope_name)

@@ -105,3 +105,17 @@ def test_gzip_lines_parse_standalone(tmp_path):
     with gzip.open(os.path.join(out, f), "rt") as fh:
         doc = json.loads(fh.readline())
     assert "resourceLogs" in doc
+
+
+def test_writer_rotation_max_megabytes(tmp_path):
+    # fileexporter rotation knob (config.go Rotation.MaxMegabytes): one
+    # batch splits into several files, each under the cap, no row lost
+    t = synth_transcripts(200, seed=9)
+    out = str(tmp_path / "rot")
+    manifest = write_otlp_json(ray.data.from_arrow(t), out,
+                               batch_size=200, max_megabytes=0.01)
+    assert len(manifest) > 1
+    assert sum(m["rows"] for m in manifest) == 200
+    for m in manifest:
+        assert os.path.getsize(m["path"]) <= 0.01 * 1024 * 1024 * 1.2
+    assert read_otlp_json(out).count() == 200
