@@ -1187,6 +1187,17 @@ def q_knn_ivf(sf_dir: str):
     return ivf_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (random-hyperplane signatures
+    prune each batch locally against broadcast query signatures — no
+    shuffle, no index; rows-only)."""
+    from ..stages.similarity import lsh_topk
+
+    queries, ds = _embedding_queries(sf_dir)
+    return lsh_topk(ds, queries, k=5, n_bits=8, n_tables=16,
+                    exclude_ids={0, 1, 2})
+
+
 def q_knn_pq(sf_dir: str):
     """Product-quantization top-k (the STORAGE scale path of similarity
     search: float vectors scan as m uint8 codes, 64x smaller): train
@@ -3629,6 +3640,7 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
         "knn_pq": q_knn_pq,
         "multimodal_pipeline": q_multimodal_pipeline,
         "image_dedup": q_image_dedup,

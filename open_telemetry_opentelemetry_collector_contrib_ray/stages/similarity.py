@@ -107,6 +107,96 @@ def _merge_topk(partials, k: int, id_col: str):
     return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
 
 
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_bits: int = 10,
+             n_tables: int = 12, id_col: str = "vec_id",
+             emb_col: str = "embedding", exclude_ids: set | None = None,
+             seed: int = 13):
+    """LSH-bucketed approximate cosine top-k (random-hyperplane SimHash,
+    Charikar STOC'02): ``n_tables`` independent ``n_bits`` signatures; a
+    vector is a candidate for a query iff they share a FULL signature in
+    at least one table; exact cosine runs only on candidates.
+
+    Scale shape: the hyperplane tensor + query signatures broadcast once
+    (ray.put); every batch prunes LOCALLY against the query signature
+    set (sorted-array searchsorted probe per table) and ships at most k
+    candidate rows per query per batch — no shuffle, no index build.
+    Recall rises with n_tables, pruning sharpness with n_bits.  The
+    third scale path next to IVF (clustered routing) and PQ (compressed
+    scan)."""
+    import ray
+
+    nq, d = queries.shape
+    rng = np.random.RandomState(seed)
+    H = rng.normal(size=(n_tables, d, n_bits))
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+    qsig = np.stack([((qn @ H[t]) > 0) @ pow2 for t in range(n_tables)])
+    qref = ray.put((qn, H, qsig))
+    excl = exclude_ids or set()
+
+    class Score:
+        def __init__(self):
+            self.qn, self.H, qsig = ray.get(qref)
+            # per table: sorted signature keys + the query ids in that order
+            self.tables = []
+            for t in range(n_tables):
+                order = np.argsort(qsig[t], kind="stable")
+                self.tables.append((qsig[t][order], order))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_idx": pa.array([], pa.int32()),
+                              id_col: pa.array([], pa.int64()),
+                              "sim": pa.array([], pa.float64())})
+            ids = np.asarray(batch.column(id_col))
+            mat = _to_mat(batch.column(emb_col))
+            if mat.size == 0:
+                return empty
+            if excl:
+                keep = ~np.isin(ids, list(excl))
+                ids, mat = ids[keep], mat[keep]
+                if not len(ids):
+                    return empty
+            xn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            pair_r, pair_q = [], []
+            for t in range(n_tables):
+                sig = ((xn @ self.H[t]) > 0) @ pow2  # (n,)
+                skeys, qorder = self.tables[t]
+                left = np.searchsorted(skeys, sig, side="left")
+                right = np.searchsorted(skeys, sig, side="right")
+                cnt = right - left
+                hit = np.nonzero(cnt)[0]
+                if not len(hit):
+                    continue
+                lens = cnt[hit]
+                starts = left[hit]
+                total = int(lens.sum())
+                prev = np.cumsum(lens) - lens
+                offs = np.arange(total) - np.repeat(prev, lens) \
+                    + np.repeat(starts, lens)
+                pair_r.append(np.repeat(hit, lens))
+                pair_q.append(qorder[offs])
+            if not pair_r:
+                return empty
+            R = np.concatenate(pair_r).astype(np.int64)
+            Q = np.concatenate(pair_q).astype(np.int64)
+            uniq = np.unique(R * nq + Q)  # same pair via several tables
+            R, Q = uniq // nq, uniq % nq
+            sims = np.einsum("ij,ij->i", xn[R], self.qn[Q])
+            # per-query partial top-k inside the batch bounds the shuffle
+            order = np.lexsort((-sims, Q))
+            Qs, Rs, Ss = Q[order], R[order], sims[order]
+            gs = np.flatnonzero(np.r_[True, np.diff(Qs) != 0])
+            glen = np.diff(np.r_[gs, len(Qs)])
+            pos = np.arange(len(Qs)) - np.repeat(gs, glen)
+            m = pos < k
+            return pa.table({"query_idx": pa.array(Qs[m].astype(np.int32)),
+                             id_col: pa.array(ids[Rs[m]]),
+                             "sim": pa.array(Ss[m], pa.float64())})
+
+    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk(partials, k, id_col)
+
+
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 15,
                     seed: int = 5) -> np.ndarray:
     """Spherical k-means on a driver-side sample (the IVF training step):

@@ -270,3 +270,47 @@ def test_pq_adc_with_rerank_recovers_exact_topk():
     # reranked sims are EXACT (match brute-force sims on shared ids)
     mr = rr.merge(exact, on=["query_idx", "vec_id"], suffixes=("_pq", "_ex"))
     assert np.allclose(mr["sim_pq"], mr["sim_ex"])
+
+
+def test_lsh_topk_finds_planted_neighbors():
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 2000, 24
+    base = rng.normal(size=(n, d))
+    queries = rng.normal(size=(3, d))
+    # plant one near-duplicate of each query in the corpus
+    for i in range(3):
+        base[100 + i] = queries[i] + rng.normal(scale=0.01, size=d)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(base.tolist(), pa.list_(pa.float32()))}))
+
+    got = lsh_topk(ds, queries, k=5, n_bits=10, n_tables=12).to_pandas()
+    # a near-identical vector shares every hyperplane side w.h.p. in at
+    # least one of 12 tables -> must be retrieved at rank 1
+    for i in range(3):
+        top = got[(got.query_idx == i) & (got["rank"] == 1)].iloc[0]
+        assert top.vec_id == 100 + i
+        assert top.sim > 0.99
+
+    # every LSH hit must carry the exact cosine the brute path computes
+    brute = brute_force_topk(ds, queries, k=50).to_pandas()
+    bmap = {(r.query_idx, r.vec_id): r.sim for r in brute.itertuples()}
+    for r in got.itertuples():
+        if (r.query_idx, r.vec_id) in bmap:
+            assert abs(bmap[(r.query_idx, r.vec_id)] - r.sim) < 1e-9
+
+    # sane recall@5 vs brute on isotropic data with 12 tables
+    b5 = brute[brute["rank"] <= 5]
+    hits = 0
+    for i in range(3):
+        want = set(b5[b5.query_idx == i].vec_id)
+        have = set(got[got.query_idx == i].vec_id)
+        hits += len(want & have)
+    assert hits / 15 >= 0.2, hits
