@@ -71,6 +71,7 @@ from .sample import (  # noqa: F401
     weighted_sample,
 )
 from .metrics import (  # noqa: F401
+    aggregate_on_attribute_value,
     aggregate_on_attributes,
     copy_metric,
     extract_count_metric,

@@ -110,6 +110,38 @@ def extract_sum_metric(ds, monotonic: bool = False):
                     monotonic=monotonic, unit_override=None)
 
 
+def aggregate_on_attribute_value(ds, fn: str = "sum", attribute: str = "",
+                                 values: Sequence[str] = (),
+                                 new_value: str = "",
+                                 value_col: str = "value_double",
+                                 combine: str = "bucket"):
+    """func_agregate_on_attribute_value_metrics.go — rewrite the listed
+    attribute VALUES to new_value (map-only), then aggregate datapoints
+    that now collide on identical keys.  Groups on every metric-level
+    column plus all attr_* columns (the reference merges datapoints with
+    equal attribute sets)."""
+    from .aggregate import grouped_agg
+
+    if fn not in ("sum", "max", "min", "mean", "count"):
+        raise ValueError(f"unsupported aggregation function {fn!r}")
+    col = attribute if attribute.startswith("attr_") else f"attr_{attribute}"
+    vals = pa.array(list(values), pa.string())
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        if col not in t.column_names:
+            return t
+        c = t.column(col)
+        m = pc.fill_null(pc.is_in(c, value_set=vals), False)
+        return t.set_column(t.column_names.index(col), col,
+                            pc.if_else(m, pa.scalar(new_value), c))
+
+    ds = ds.map_batches(rewrite, batch_format="pyarrow")
+    names = ds.schema().names
+    keys = [c for c in names if c in _METRIC_COLS or c.startswith("attr_")]
+    spec = (fn, None if fn == "count" else value_col, value_col)
+    return grouped_agg(ds, keys, [spec], combine=combine)
+
+
 def aggregate_on_attributes(ds, fn: str = "sum",
                             attributes: Sequence[str] | None = None,
                             value_col: str = "value_double",

@@ -149,3 +149,24 @@ def test_copy_and_extract_metrics(ray_session):
     assert sorted(lat.attr_host) == ["a", "b"]
     with pytest.raises(ValueError):
         aggregate_on_attributes(ds, fn="median")
+
+
+def test_aggregate_on_attribute_value(ray_session):
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        aggregate_on_attribute_value,
+    )
+
+    t = pa.table({
+        "metric_name": ["m", "m", "m", "m"],
+        "metric_type": ["Sum"] * 4,
+        "attr_host": ["a1", "a2", "b", "a1"],
+        "value_double": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+    })
+    # rewrite a1/a2 -> a, then merge colliding datapoints
+    out = aggregate_on_attribute_value(
+        rd.from_arrow(t), fn="sum", attribute="host",
+        values=["a1", "a2"], new_value="a").to_pandas()
+    got = {r.attr_host: r.value_double for r in out.itertuples()}
+    assert got == {"a": 11.0, "b": 4.0}
