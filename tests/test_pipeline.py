@@ -291,3 +291,51 @@ def test_recombine_sorted_equals_global():
     f = fast[cols].sort_values("conv_id").reset_index(drop=True)
     s = slow[cols].sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(f, s, check_dtype=False)
+
+
+def test_recombine_multiline_property():
+    """Distributed boundary stitch == single-process reference replay,
+    over randomized source/order/boundary layouts (batching and bucket
+    hashing must not leak into results)."""
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        recombine_multiline,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def run(seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(5, 120))
+        src = rng.randint(0, 4, n)
+        start = rng.rand(n) < 0.3
+        rows = [{"src": f"s{src[i]}", "seq": i,
+                 "text": ("S" if start[i] else "c") + str(i)}
+                for i in range(n)]
+        got = recombine_multiline(
+            rd.from_items(rows).repartition(5), source_col="src",
+            order_col="seq", is_first_entry='IsMatch(text, "^S")',
+            sep=" ").to_pandas()
+        got_map = {(r.src, r.entry_idx): (r.combined, r.n_lines)
+                   for r in got.itertuples()}
+        # reference replay: per source in seq order, new entry at each S
+        expect = {}
+        counters = {}
+        for r in sorted(rows, key=lambda x: x["seq"]):
+            s = r["src"]
+            if s not in counters:
+                counters[s] = 0
+            if r["text"].startswith("S"):
+                counters[s] += 1
+            key = (s, counters[s])
+            if key in expect:
+                expect[key] = (expect[key][0] + " " + r["text"],
+                               expect[key][1] + 1)
+            else:
+                expect[key] = (r["text"], 1)
+        assert got_map == expect
+
+    run()
