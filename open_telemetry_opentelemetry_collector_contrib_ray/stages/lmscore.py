@@ -77,6 +77,10 @@ def build_ngram_model(ds, n: int = 2, min_count: int = 2,
         return pa.table({"h": pa.array(uh.view(np.int64)),
                          "c": pa.array(uc.astype(np.int64))})
 
+    # NOTE: an A/B against grouped_agg(combine="bucket") at sf0.1 read
+    # 3.0s (this) vs 3.4-4.0s — the per-batch np.unique partial already
+    # collapses most mass, so the sort-based combine over the residue
+    # wins; keep Dataset.groupby here.
     totals = wins.map_batches(partial, batch_format="pyarrow") \
         .groupby("h").sum("c")
 
