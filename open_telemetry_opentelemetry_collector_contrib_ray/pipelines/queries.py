@@ -709,6 +709,28 @@ def q_otlp_roundtrip_counts(sf_dir: str):
                        combine="driver")
 
 
+def q_otlp_proto_roundtrip(sf_dir: str):
+    """fileexporter `format: proto` end-to-end: transcripts ->
+    length-framed OTLP protobuf sink (hand-rolled logs.proto codec,
+    resource-grouped by role) -> read-back -> aggregate.  Oracle sees
+    only the original parquet, so the wire codec must invert exactly."""
+    import shutil
+
+    from ..sources.otlpproto import read_otlp_proto, write_otlp_proto
+
+    out = f"/tmp/graft_otlp_pb/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_transcripts(sf_dir)
+    write_otlp_proto(ds, out, resource_cols=["role"])
+    back = read_otlp_proto(out)
+    back = back.map_batches(TransformStage(
+        ['set(attributes["text_len"], Len(text))']), batch_format="pyarrow")
+    return grouped_agg(back, ["role"],
+                       [("count", None, "n"),
+                        ("sum", "attr_text_len", "total_chars")],
+                       combine="driver").sort("role")
+
+
 def q_approx_top_tools(sf_dir: str):
     """Space-saving heavy-hitter sketch: top-5 tools by turn count.
     Mergeable per-batch summaries; key cardinality here is far below the
@@ -3632,6 +3654,7 @@ def queries():
         "xml_extract": q_xml_extract,
         "recombine_multiline": q_recombine_multiline,
         "recombine_capped": q_recombine_capped,
+        "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
         # --- rows-only (no SQL oracle by nature) ---
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -4058,6 +4081,10 @@ def oracle_sql():
             SELECT role, count(*) AS n,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
             FROM {_T} GROUP BY role""",
+        "otlp_proto_roundtrip": f"""
+            SELECT role, count(*) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM {_T} GROUP BY role ORDER BY role""",
         "approx_top_tools": f"""
             SELECT tool, count(*) AS est_count FROM {_T}
             WHERE tool <> ''

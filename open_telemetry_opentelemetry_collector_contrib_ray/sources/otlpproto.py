@@ -1,0 +1,295 @@
+"""OTLP protobuf wire format for logs — hand-rolled encoder/decoder.
+
+The reference fileexporter's ``format: proto`` mode writes each
+marshaled request framed by a 4-byte big-endian length
+(exporter/fileexporter/file_writer.go:45-50); the message schema is the
+PUBLIC opentelemetry-proto ``logs/v1/logs.proto`` (LogsData →
+ResourceLogs → ScopeLogs → LogRecord, common.proto AnyValue/KeyValue).
+The schema is fixed and shallow, so this encodes/decodes it directly
+with stdlib varint + struct — no generated code, no proto runtime.
+
+Flat-table mapping matches the JSON writer (otlpjson.py): one row per
+LogRecord; ``time_col`` (us) → time_unix_nano, ``body_col`` → body,
+``attr_*``-style extra columns → record attributes, ``resource_cols``
+→ Resource attributes (one ResourceLogs per distinct resource tuple).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+from typing import Iterable
+
+import pyarrow as pa
+
+# ------------------------------------------------------------ primitives
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _sf(field: int, s: str) -> bytes:
+    return _ld(field, s.encode())
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    pos, end = 0, len(buf)
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            v = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            v = bytes(buf[pos:pos + ln])
+            pos += ln
+        elif wire == 5:
+            v = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, v
+
+
+# --------------------------------------------------------- common.proto
+
+
+def _any_value(v) -> bytes:
+    # AnyValue: string=1, bool=2, int=3, double=4, bytes=7
+    if isinstance(v, bool):
+        return _key(2, 0) + _varint(1 if v else 0)
+    if isinstance(v, str):
+        return _sf(1, v)
+    if isinstance(v, int):
+        return _key(3, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)
+    if isinstance(v, float):
+        return _key(4, 1) + struct.pack("<d", v)
+    if isinstance(v, (bytes, bytearray)):
+        return _ld(7, bytes(v))
+    return _sf(1, str(v))
+
+
+def _from_any_value(buf: bytes):
+    for field, wire, v in _iter_fields(buf):
+        if field == 1:
+            return v.decode()
+        if field == 2:
+            return bool(v)
+        if field == 3:
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if field == 4:
+            return struct.unpack("<d", struct.pack("<Q", v))[0]
+        if field == 7:
+            return v
+    return None
+
+
+def _kv(k: str, v) -> bytes:
+    # KeyValue: key=1 string, value=2 AnyValue
+    return _sf(1, k) + _ld(2, _any_value(v))
+
+
+def _kv_decode(buf: bytes) -> tuple[str, object]:
+    k, val = "", None
+    for field, _w, v in _iter_fields(buf):
+        if field == 1:
+            k = v.decode()
+        elif field == 2:
+            val = _from_any_value(v)
+    return k, val
+
+
+# ------------------------------------------------------------ logs.proto
+
+
+def encode_logs_data(rows: list[dict], *, body_col: str = "text",
+                     time_col: str = "ts", resource_cols: Iterable[str] = (),
+                     scope_name: str =
+                     "open_telemetry_opentelemetry_collector_contrib_ray") -> bytes:
+    """Flat rows -> one LogsData message (no framing)."""
+    resource_cols = list(resource_cols)
+    skip = set(resource_cols) | {body_col, time_col,
+                                 "severity_number", "severity_text"}
+    groups: dict[tuple, list[bytes]] = {}
+    for r in rows:
+        rec = bytearray()
+        ts = r.get(time_col)
+        if ts is not None:
+            # time_unix_nano = 1 (fixed64); table timestamps are us
+            if isinstance(ts, (int, float)):
+                ns = int(ts) * 1000
+            else:  # datetime / pandas.Timestamp
+                ns = int(ts.timestamp() * 1e6) * 1000
+            rec += _key(1, 1) + struct.pack("<Q", ns)
+        if r.get("severity_number") is not None:
+            rec += _key(2, 0) + _varint(int(r["severity_number"]))
+        if r.get("severity_text") is not None:
+            rec += _sf(3, str(r["severity_text"]))
+        if r.get(body_col) is not None:
+            rec += _ld(5, _any_value(r[body_col]))  # body = 5
+        for k, v in r.items():
+            if k in skip or v is None:
+                continue
+            rec += _ld(6, _kv(k, v))  # attributes = 6
+        key = tuple(r.get(c) for c in resource_cols)
+        groups.setdefault(key, []).append(bytes(rec))
+    scope = _ld(1, _sf(1, scope_name))  # ScopeLogs.scope.name
+    out = bytearray()
+    for key, recs in groups.items():
+        res = b"".join(_ld(1, _kv(c, v))  # Resource.attributes = 1
+                       for c, v in zip(resource_cols, key) if v is not None)
+        sl = scope + b"".join(_ld(2, rec) for rec in recs)  # log_records = 2
+        rl = _ld(1, res) + _ld(2, sl)  # ResourceLogs.resource/scope_logs
+        out += _ld(1, rl)  # LogsData.resource_logs = 1
+    return bytes(out)
+
+
+def decode_logs_data(buf: bytes, *, body_col: str = "text",
+                     time_col: str = "ts") -> list[dict]:
+    """One LogsData message -> flat rows (inverse of encode_logs_data)."""
+    rows: list[dict] = []
+    for f1, _w, rl in _iter_fields(buf):
+        if f1 != 1:
+            continue
+        res_attrs: dict = {}
+        scope_logs = []
+        for f2, _w2, v2 in _iter_fields(rl):
+            if f2 == 1:  # resource
+                for f3, _w3, v3 in _iter_fields(v2):
+                    if f3 == 1:
+                        k, v = _kv_decode(v3)
+                        res_attrs[k] = v
+            elif f2 == 2:
+                scope_logs.append(v2)
+        for sl in scope_logs:
+            for f3, _w3, v3 in _iter_fields(sl):
+                if f3 != 2:  # log_records
+                    continue
+                row = dict(res_attrs)
+                for f4, w4, v4 in _iter_fields(v3):
+                    if f4 == 1:
+                        row[time_col] = v4 // 1000  # ns -> us
+                    elif f4 == 2:
+                        row["severity_number"] = v4
+                    elif f4 == 3:
+                        row["severity_text"] = v4.decode()
+                    elif f4 == 5:
+                        row[body_col] = _from_any_value(v4)
+                    elif f4 == 6:
+                        k, v = _kv_decode(v4)
+                        row[k] = v
+                rows.append(row)
+    return rows
+
+
+# --------------------------------------------------------------- stages
+
+
+class OtlpProtoWriter:
+    """map_batches sink stage: one 4-byte-BE-length-framed LogsData
+    message per batch (file_writer.go framing), content-hash file names
+    (retry-idempotent).  Emits a manifest row per file."""
+
+    def __init__(self, out_dir: str, *, body_col: str = "text",
+                 time_col: str = "ts", resource_cols: Iterable[str] = (),
+                 scope_name: str =
+                 "open_telemetry_opentelemetry_collector_contrib_ray"):
+        self.out_dir = out_dir
+        self.body_col = body_col
+        self.time_col = time_col
+        self.resource_cols = list(resource_cols)
+        self.scope_name = scope_name
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        msg = encode_logs_data(t.to_pylist(), body_col=self.body_col,
+                               time_col=self.time_col,
+                               resource_cols=self.resource_cols,
+                               scope_name=self.scope_name)
+        framed = struct.pack(">I", len(msg)) + msg
+        digest = hashlib.md5(framed).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"logs-{digest}.binpb")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(framed)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+
+def write_otlp_proto(ds, out_dir: str, **kw) -> list[dict]:
+    batch_size = kw.pop("batch_size", 8192)
+    manifest = ds.map_batches(OtlpProtoWriter(out_dir, **kw),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return manifest.take_all()  # tiny: one row per written file
+
+
+class OtlpProtoReaderStage:
+    """map_batches over read_binary_files output: framed bytes -> rows."""
+
+    def __init__(self, time_col: str = "ts", body_col: str = "text"):
+        self.time_col = time_col
+        self.body_col = body_col
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import pandas as pd
+
+        rows: list[dict] = []
+        for data in batch["bytes"]:
+            buf = bytes(data)
+            pos = 0
+            while pos + 4 <= len(buf):
+                (ln,) = struct.unpack_from(">I", buf, pos)
+                pos += 4
+                rows.extend(decode_logs_data(buf[pos:pos + ln],
+                                             body_col=self.body_col,
+                                             time_col=self.time_col))
+                pos += ln
+        df = pd.DataFrame(rows)
+        if self.time_col in df.columns:
+            df[self.time_col] = pd.to_datetime(df[self.time_col], unit="us")
+        return pa.Table.from_pandas(df, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+
+def read_otlp_proto(path: str, time_col: str = "ts", body_col: str = "text"):
+    import ray.data as rd
+
+    files = rd.read_binary_files(path, file_extensions=["binpb"])
+    return files.map_batches(OtlpProtoReaderStage(time_col, body_col),
+                             batch_format="numpy")

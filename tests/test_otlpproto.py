@@ -1,0 +1,72 @@
+"""OTLP protobuf wire-format round-trip (sources/otlpproto.py).
+
+Reference contract: fileexporter `format: proto` writes each marshaled
+LogsData framed by a 4-byte big-endian length
+(exporter/fileexporter/file_writer.go:45-50); logs.proto/common.proto
+field numbers are the public opentelemetry-proto schema."""
+
+import struct
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+    decode_logs_data,
+    encode_logs_data,
+    read_otlp_proto,
+    write_otlp_proto,
+)
+from open_telemetry_opentelemetry_collector_contrib_ray.sources.transcripts import (
+    synth_transcripts,
+)
+
+
+def test_encode_decode_all_value_types():
+    rows = [
+        {"ts": 1_700_000_000_000_000, "text": "hello", "severity_number": 9,
+         "severity_text": "INFO", "attr_s": "x", "attr_i": -5,
+         "attr_f": 2.5, "attr_b": True, "env": "prod"},
+        {"ts": None, "text": None, "attr_s": None, "env": "prod"},
+    ]
+    buf = encode_logs_data(rows, resource_cols=["env"])
+    back = decode_logs_data(buf)
+    assert len(back) == 2
+    r = back[0]
+    assert r["text"] == "hello" and r["ts"] == 1_700_000_000_000_000
+    assert r["severity_number"] == 9 and r["severity_text"] == "INFO"
+    assert r["attr_s"] == "x" and r["attr_i"] == -5
+    assert r["attr_f"] == 2.5 and r["attr_b"] is True
+    assert r["env"] == "prod"            # resource attr re-flattened
+    assert back[1].get("text") is None
+
+
+def test_proto_roundtrip_matches_input(tmp_path, ray_session):
+    t = synth_transcripts(300, seed=4)
+    out = str(tmp_path / "proto")
+    manifest = write_otlp_proto(ray.data.from_arrow(t), out, batch_size=100,
+                                resource_cols=["role"])
+    assert sum(m["rows"] for m in manifest) == 300
+    # framing: every file starts with a 4-byte BE length covering the rest
+    with open(manifest[0]["path"], "rb") as f:
+        head = f.read(4)
+        (ln,) = struct.unpack(">I", head)
+        assert ln == len(f.read())
+
+    back = read_otlp_proto(out).to_pandas()
+    assert len(back) == 300
+    src = t.to_pandas()
+    a = back.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (a["text"].fillna("") == b["text"].fillna("")).all()
+    assert (a["role"] == b["role"]).all()
+    assert (pd.to_datetime(a["ts"]) == pd.to_datetime(b["ts"])).all()
+
+
+def test_proto_writer_is_retry_idempotent(tmp_path, ray_session):
+    t = synth_transcripts(80, seed=6)
+    out = str(tmp_path / "idem")
+    m1 = write_otlp_proto(ray.data.from_arrow(t), out, batch_size=40)
+    m2 = write_otlp_proto(ray.data.from_arrow(t), out, batch_size=40)
+    assert sorted(m["path"] for m in m1) == sorted(m["path"] for m in m2)
+    assert read_otlp_proto(out).count() == 80
