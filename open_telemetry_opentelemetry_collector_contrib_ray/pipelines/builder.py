@@ -339,7 +339,70 @@ def _recombine_step(c: dict):
         order_col=c.get("order_col", "turn_idx"),
         text_col=c.get("combine_field", "text"),
         sep=c.get("combine_with", "\n"),
+        n_buckets=c.get("n_buckets", 64),
+        max_batch_size=c.get("max_batch_size")))
+
+
+@register_step("recombine_multiline")
+def _recombine_multiline_step(c: dict):
+    """stanza recombine boundary mode (is_first_entry / is_last_entry
+    within a source_identifier) — recombine/config.go:38-61."""
+    from ..stages.aggregate import recombine_multiline
+
+    return DatasetStep(lambda ds: recombine_multiline(
+        ds,
+        source_col=c.get("source_identifier", "source"),
+        order_col=c.get("order_col", "seq"),
+        text_col=c.get("combine_field", "text"),
+        is_first_entry=c.get("is_first_entry"),
+        is_last_entry=c.get("is_last_entry"),
+        sep=c.get("combine_with", "\n"),
+        max_batch_size=c.get("max_batch_size"),
         n_buckets=c.get("n_buckets", 64)))
+
+
+@register_step("metric_transform")
+def _metric_transform_step(c: dict):
+    """transformprocessor ContextStatements (internal/common/config.go:
+    34-38): OTTL statements compiled in the metric / datapoint context."""
+    return TransformStage(c["statements"],
+                          error_mode=c.get("error_mode", "propagate"),
+                          context=c.get("context", "datapoint"))
+
+
+@register_step("extract_count_metric")
+def _extract_count_metric_step(c: dict):
+    from ..stages.metrics import extract_count_metric
+
+    return DatasetStep(lambda ds: extract_count_metric(
+        ds, monotonic=c.get("monotonic", False)))
+
+
+@register_step("extract_sum_metric")
+def _extract_sum_metric_step(c: dict):
+    from ..stages.metrics import extract_sum_metric
+
+    return DatasetStep(lambda ds: extract_sum_metric(
+        ds, monotonic=c.get("monotonic", False)))
+
+
+@register_step("copy_metric")
+def _copy_metric_step(c: dict):
+    from ..stages.metrics import copy_metric
+
+    return DatasetStep(lambda ds: copy_metric(
+        ds, c["name"], c["new_name"], unit=c.get("unit"),
+        description=c.get("description")))
+
+
+@register_step("aggregate_on_attributes")
+def _aggregate_on_attributes_step(c: dict):
+    from ..stages.metrics import aggregate_on_attributes
+
+    return DatasetStep(lambda ds: aggregate_on_attributes(
+        ds, fn=c.get("aggregation_function", "sum"),
+        attributes=c.get("attributes"),
+        value_col=c.get("value_col", "value_double")))
 
 
 @register_step("dedup")

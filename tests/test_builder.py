@@ -105,3 +105,41 @@ def test_builder_tail_steps_container_syslog_flatten_recombine():
                                  "combine_with": " "}]).to_pandas()
     got = dict(zip(out.conv_id, out.combined))
     assert got == {"x": "first second", "y": "only"}
+
+
+def test_builder_metric_and_multiline_steps():
+    import pyarrow as pa
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.builder import (
+        build_pipeline,
+    )
+
+    # metric context statements + extract_count through the config surface
+    mt = pa.table({
+        "metric_name": ["h", "h"],
+        "metric_type": ["Histogram", "Gauge"],
+        "metric_aggregation_temporality": ["cumulative", None],
+        "value_double": pa.array([None, 3.0], pa.float64()),
+        "count": pa.array([7, None], pa.int64()),
+    })
+    out = build_pipeline(rd.from_arrow(mt), [
+        {"type": "metric_transform", "context": "metric",
+         "statements": ['convert_gauge_to_sum("delta", true)']},
+        {"type": "extract_count_metric", "monotonic": True},
+    ]).to_pandas()
+    assert "h_count" in set(out.metric_name)
+    assert set(out[out.metric_name == "h"].metric_type) == {"Histogram", "Sum"}
+
+    # multiline recombine via config
+    lines = rd.from_items([
+        {"source": "s", "seq": 0, "text": "BEGIN a"},
+        {"source": "s", "seq": 1, "text": "b"},
+        {"source": "s", "seq": 2, "text": "BEGIN c"},
+    ])
+    got = build_pipeline(lines, [
+        {"type": "recombine_multiline", "source_identifier": "source",
+         "order_col": "seq", "is_first_entry": 'IsMatch(text, "^BEGIN")',
+         "combine_with": " "},
+    ]).to_pandas()
+    got = got.sort_values("entry_idx")
+    assert list(got.combined) == ["BEGIN a b", "BEGIN c"]
