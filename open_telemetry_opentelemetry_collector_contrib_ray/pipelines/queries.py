@@ -333,6 +333,27 @@ def q_exp_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_exp_to_explicit_hist(sf_dir: str):
+    """convert_exponential_hist_to_explicit_hist (upper distribution,
+    func_convert_exponential_hist_to_explicit_hist.go): spanmetrics
+    exponential buckets re-binned onto explicit bounds [8,64,512,4096];
+    each exp bucket's count lands in the explicit bucket containing its
+    upper edge 2^(k+1)."""
+    from ..stages.aggregate import exp_histogram_agg
+    from ..stages.metrics import exp_to_explicit_histogram
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    exp = exp_histogram_agg(ds, ["attr_tool_name"], "attr_latency_ms",
+                            scale=0, alias="n")
+    out = exp_to_explicit_histogram(exp, bounds=[8, 64, 512, 4096],
+                                    keys=["attr_tool_name"])
+    return out.map_batches(
+        lambda t: t.rename_columns(["tool_name", "le", "n"]),
+        batch_format="pyarrow").sort(["tool_name", "le"])
+
+
 def q_cumulative_value_by_user(sf_dir: str):
     """deltatocumulative: keyed running sums in time order
     (deltatocumulativeprocessor/processor.go:25-63).  Values in integer
@@ -3655,6 +3676,7 @@ def queries():
         "recombine_multiline": q_recombine_multiline,
         "recombine_capped": q_recombine_capped,
         "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
+        "exp_to_explicit_hist": q_exp_to_explicit_hist,
         # --- rows-only (no SQL oracle by nature) ---
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -4015,6 +4037,26 @@ def oracle_sql():
                              ELSE length(bin(lat - 1)) - 1 END AS BIGINT) AS bucket,
                    count(*) AS n
             FROM parsed GROUP BY 1, 2""",
+        "exp_to_explicit_hist": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')),
+            eb AS (
+              SELECT tool_name,
+                     CASE WHEN lat <= 0 THEN 0.0
+                          WHEN lat = 1 THEN 1.0
+                          ELSE power(2.0, length(bin(lat - 1))) END AS upper_edge
+              FROM parsed)
+            SELECT tool_name,
+                   CASE WHEN upper_edge <= 8 THEN 8.0
+                        WHEN upper_edge <= 64 THEN 64.0
+                        WHEN upper_edge <= 512 THEN 512.0
+                        WHEN upper_edge <= 4096 THEN 4096.0
+                        ELSE 'infinity'::DOUBLE END AS le,
+                   count(*) AS n
+            FROM eb GROUP BY 1, 2 ORDER BY tool_name, le""",
         "cumulative_value_by_user": """
             SELECT event_id, user_id,
                    CAST(sum(CAST(round(value * 100) AS BIGINT))

@@ -110,6 +110,51 @@ def extract_sum_metric(ds, monotonic: bool = False):
                     monotonic=monotonic, unit_override=None)
 
 
+def exp_to_explicit_histogram(ds, bounds, keys: Sequence[str],
+                              bucket_col: str = "bucket",
+                              count_col: str = "n", scale: int = 0,
+                              distribution: str = "upper",
+                              combine: str = "driver"):
+    """func_convert_exponential_hist_to_explicit_hist.go — re-bin
+    exponential-bucket rows (keys, bucket index, count — the flattened
+    exp_histogram_agg layout) onto explicit bounds.
+
+    distribution='upper' assigns each exp bucket's count to the explicit
+    bucket containing its UPPER edge base^(k+1); 'midpoint' uses the
+    bucket midpoint — the reference's two deterministic modes (its
+    'uniform'/'random' spreads are non-reproducible across batch splits
+    and are intentionally not offered).  A null exp index (the
+    zero_count bucket) re-bins at value 0.  Output: keys + ``le`` (the
+    explicit upper bound, +inf for overflow) + the summed count.
+    Map-only re-bin + a small grouped re-sum."""
+    import numpy as np
+
+    from .aggregate import grouped_agg
+
+    if distribution not in ("upper", "midpoint"):
+        raise ValueError(f"unsupported distribution {distribution!r}")
+    base = 2.0 ** (2.0 ** -scale)
+    b = np.asarray(sorted(float(x) for x in bounds), dtype=np.float64)
+
+    def rebin(t: pa.Table) -> pa.Table:
+        k = t.column(bucket_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)  # null -> nan
+        upper = base ** (k + 1.0)
+        if distribution == "midpoint":
+            v = (base ** k + upper) / 2.0
+        else:
+            v = upper
+        v = np.where(np.isnan(k), 0.0, v)  # zero bucket re-bins at 0
+        idx = np.searchsorted(b, v, side="left")
+        le = np.where(idx < len(b), b[np.minimum(idx, len(b) - 1)], np.inf)
+        return (t.select(list(keys) + [count_col])
+                 .append_column("le", pa.array(le, pa.float64())))
+
+    ds = ds.map_batches(rebin, batch_format="pyarrow")
+    return grouped_agg(ds, list(keys) + ["le"],
+                       [("sum", count_col, count_col)], combine=combine)
+
+
 def aggregate_on_attribute_value(ds, fn: str = "sum", attribute: str = "",
                                  values: Sequence[str] = (),
                                  new_value: str = "",

@@ -170,3 +170,39 @@ def test_aggregate_on_attribute_value(ray_session):
         values=["a1", "a2"], new_value="a").to_pandas()
     got = {r.attr_host: r.value_double for r in out.itertuples()}
     assert got == {"a": 11.0, "b": 4.0}
+
+
+def test_exp_to_explicit_histogram(ray_session):
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.metrics import (
+        exp_to_explicit_histogram,
+    )
+
+    # scale 0: bucket k covers (2^k, 2^(k+1)]
+    exp = pa.table({
+        "m": ["a", "a", "a", "a"],
+        "bucket": pa.array([None, 2, 5, 11], pa.int64()),  # null = zero bucket
+        "n": pa.array([3, 10, 20, 7], pa.int64()),
+    })
+    out = exp_to_explicit_histogram(
+        rd.from_arrow(exp), bounds=[8, 64, 512], keys=["m"]).to_pandas()
+    got = {r.le: r.n for r in out.itertuples()}
+    # upper edges: 0 (zero bucket) -> 8; 2^3=8 -> 8; 2^6=64 -> 64;
+    # 2^12=4096 -> overflow (+inf)
+    assert got[8.0] == 13 and got[64.0] == 20
+    assert got[float("inf")] == 7
+
+    # midpoint mode: bucket 2 midpoint (4+8)/2=6 -> 8; bucket 5
+    # midpoint (32+64)/2=48 -> 64; bucket 11 midpoint 3072 -> inf
+    out2 = exp_to_explicit_histogram(
+        rd.from_arrow(exp), bounds=[8, 64, 512], keys=["m"],
+        distribution="midpoint").to_pandas()
+    got2 = {r.le: r.n for r in out2.itertuples()}
+    assert got2[8.0] == 13 and got2[64.0] == 20 and got2[float("inf")] == 7
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        exp_to_explicit_histogram(rd.from_arrow(exp), bounds=[8],
+                                  keys=["m"], distribution="random")
