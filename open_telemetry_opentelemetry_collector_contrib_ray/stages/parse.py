@@ -501,18 +501,32 @@ class SeverityParser:
     stanza severity builder (severity_builder.go:118-146): each value is
     a literal, an HTTP-class alias ('2xx'..'5xx'), or {'min','max'} range;
     ranges expand to per-integer string keys exactly like expandRange.
-    Custom entries overlay the builtin preset; preset='none' starts empty
-    (getBuiltinMapping, severity_builder.go:17-21)."""
+    Custom entries overlay the builtin preset (getBuiltinMapping,
+    severity_builder.go:16-84): 'none' starts empty; 'otel'/'aliases'
+    map the canonical level names plus the numeric strings '1'..'24';
+    'default' additionally recognizes warning*/err* (the reference's
+    default branch) and this engine's extra aliases (notice/critical/
+    emergency/severe)."""
 
     def __init__(self, parse_from: str = "attr_level",
                  out_number: str = "severity_number", out_text: str = "severity_text",
-                 mapping: dict | None = None, preset: str = "otel"):
+                 mapping: dict | None = None, preset: str = "default"):
         self.parse_from = parse_from
         self.out_number = out_number
         self.out_text = out_text
-        if preset not in ("otel", "aliases", "none"):
+        if preset not in ("default", "otel", "aliases", "none"):
             raise ValueError(f"unknown severity preset {preset!r}")
-        table = {} if preset == "none" else dict(SEVERITY_NUMBER)
+        if preset == "none":
+            table = {}
+        elif preset in ("otel", "aliases"):
+            # canonical names only (no warning/err/notice aliases) +
+            # numeric strings, severity_builder.go:20-71
+            table = {k: v for k, v in SEVERITY_NUMBER.items()
+                     if SEVERITY_TEXT[v].lower() == k}
+            table.update({str(i): i for i in range(1, 25)})
+        else:
+            table = dict(SEVERITY_NUMBER)
+            table.update({str(i): i for i in range(1, 25)})
         for sev_name, values in (mapping or {}).items():
             num = SEVERITY_NUMBER.get(str(sev_name).lower())
             if num is None:

@@ -850,3 +850,14 @@ def test_make_explode_with_nulls_and_ragged():
     assert out.column("id").to_pylist() == [1, 1, 4]
     assert out.column("i").to_pylist() == [0, 1, 0]
     assert out.column("x").to_pylist() == [10, 20, 30]
+
+
+def test_severity_presets():
+    # severity_builder.go:16-84 preset ladder
+    t = pa.table({"attr_level": ["warn", "warning", "9", "notice", "zzz"]})
+    # otel/aliases: canonical names + numeric strings, NO warning alias
+    out = SeverityParser(preset="otel")(t)
+    assert out.column("severity_number").to_pylist() == [13, None, 9, None, None]
+    # default: warning/err aliases + engine extras recognized
+    out2 = SeverityParser()(t)
+    assert out2.column("severity_number").to_pylist() == [13, 13, 9, 10, None]
