@@ -39,6 +39,26 @@ from ..functions.ast import parse_condition
 AggSpec = tuple[str, str | None, str]
 
 
+def arrow_out(fn):
+    """Wrap a pandas->pandas group/batch reducer so it emits a
+    metadata-free ARROW block instead of a DataFrame: the schema stays
+    hashable (Ray's schema dedup works instead of warning 'Failed to
+    hash the schemas'), and downstream exchange moves zero-copy IPC
+    blocks rather than pickled frames.  Pure packaging — the reducer
+    body is unchanged."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(g, *a, **kw):
+        out = fn(g, *a, **kw)
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                           .replace_schema_metadata(None)
+        return out
+
+    return wrapped
+
+
 class _PartialAgg:
     """Per-batch partial aggregation (phase 1)."""
 
@@ -589,7 +609,8 @@ def recombine(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
             out["last_ts"] = None
         return out.reset_index().rename(columns={"index": group_col})
 
-    return bucketed.groupby("__bucket").map_groups(stitch_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(arrow_out(stitch_bucket),
+                                                   batch_format="pandas")
 
 
 def recombine_multiline(ds, source_col: str, order_col: str,
@@ -782,7 +803,7 @@ def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx"
     # materialize the segments so the single/multi split below reads them
     # once instead of re-running phase 1 per consumer
     segments = salted.groupby("__b1").map_groups(
-        stitch_bucket, batch_format="pandas").materialize()
+        arrow_out(stitch_bucket), batch_format="pandas").materialize()
 
     singles = segments.map_batches(
         lambda t: t.filter(pc.invert(pc.fill_null(t.column("__multi"), False)))
@@ -796,7 +817,8 @@ def recombine_salted(ds, group_col: str = "conv_id", order_col: str = "turn_idx"
     multi = multi.map_batches(
         lambda t: t.append_column("__b2", bucket_column(t.column(group_col), 64)),
         batch_format="pyarrow").repartition(64)
-    merged = multi.groupby("__b2").map_groups(merge_bucket, batch_format="pandas")
+    merged = multi.groupby("__b2").map_groups(arrow_out(merge_bucket),
+                                              batch_format="pandas")
     merged = merged.map_batches(lambda t: t.select(final_cols),
                                 batch_format="pyarrow")
     return singles.union(merged)
@@ -1011,7 +1033,7 @@ def grouped_top_k(ds, keys: Sequence[str], order_cols: Sequence[str] | str,
         return g.groupby(keys, sort=False, dropna=False).head(k)
 
     pruned = ds.map_batches(
-        lambda df: prune(df), batch_format="pandas")
+        arrow_out(prune), batch_format="pandas")
     return bucketed_group_transform(pruned, keys, prune, n_buckets)
 
 
@@ -1077,7 +1099,7 @@ def stratified_sample(ds, keys: Sequence[str], n_per_group: int,
         g = g.groupby(keys, sort=False, dropna=False).head(n_per_group)
         return g.drop(columns="__h")
 
-    pruned = ds.map_batches(lambda df: pick(df), batch_format="pandas")
+    pruned = ds.map_batches(arrow_out(pick), batch_format="pandas")
     return bucketed_group_transform(pruned, keys, pick, n_buckets)
 
 

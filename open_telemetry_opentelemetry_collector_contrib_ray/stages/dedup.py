@@ -205,7 +205,9 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                     est.append(float(eq[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": est})
 
-    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket,
+    from .aggregate import arrow_out
+
+    cand = bucketed.groupby("__bucket").map_groups(arrow_out(pairs_in_bucket),
                                                    batch_format="pandas")
     return _dedupe_pairs(cand)
 
@@ -242,7 +244,10 @@ def _dedupe_pairs(cand, n_buckets: int = 16):
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["doc_a", "doc_b"]).drop(columns="__bucket")
 
-    return bucketed.groupby("__bucket").map_groups(dedupe, batch_format="pandas")
+    from .aggregate import arrow_out
+
+    return bucketed.groupby("__bucket").map_groups(arrow_out(dedupe),
+                                                   batch_format="pandas")
 
 
 # ------------------------------------------------------------------ simhash
@@ -329,8 +334,10 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 ham.extend(d[hit])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": ham})
 
+    from .aggregate import arrow_out
+
     cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
-        pairs, batch_format="pandas")
+        arrow_out(pairs), batch_format="pandas")
     return _dedupe_pairs(cand)
 
 
@@ -594,7 +601,10 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
         return pd.DataFrame({"id_a": ids[ia[hit]], "id_b": ids[ib[hit]],
                              "cosine": sims[ia[hit], ib[hit]]})
 
-    return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from .aggregate import arrow_out
+
+    return buckets.groupby("bucket").map_groups(arrow_out(pairs),
+                                                batch_format="pandas")
 
 
 def dedup_against(new_ds, ref_ds, text_col: str = "text",

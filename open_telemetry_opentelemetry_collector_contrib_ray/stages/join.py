@@ -225,7 +225,10 @@ def asof_join(left, right, by: Sequence[str] | str, on: str,
             m = m[m["__m"].notna()]
         return m.drop(columns="__m")
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    from .aggregate import arrow_out
+
+    return tagged.groupby("__bucket").map_groups(arrow_out(merge),
+                                                 batch_format="pandas")
 
 
 def range_join(left, right, left_ts: str, right_start: str, right_end: str,

@@ -104,7 +104,10 @@ def _merge_topk(partials, k: int, id_col: str):
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
+    from .aggregate import arrow_out
+
+    return partials.groupby("query_idx").map_groups(arrow_out(merge),
+                                                    batch_format="pandas")
 
 
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_bits: int = 10,

@@ -174,7 +174,9 @@ def duplicate_windows(ds, w: int = 8, id_col: str = "doc_id",
                             "keeper": first.to_numpy()})
         return out
 
-    out = bucketed.groupby("__bucket").map_groups(dups_in_bucket,
+    from .aggregate import arrow_out
+
+    out = bucketed.groupby("__bucket").map_groups(arrow_out(dups_in_bucket),
                                                   batch_format="pandas")
     if not keep_keeper:
         out = out.map_batches(lambda t: t.select([id_col, "pos"]),

@@ -237,7 +237,9 @@ def tail_sample_decisions(ds, policies: Sequence[dict], group_col: str = "conv_i
         s["sampled"] = keep
         return s
 
-    decided = stats.map_batches(decide, batch_format="pandas")
+    from .aggregate import arrow_out
+
+    decided = stats.map_batches(arrow_out(decide), batch_format="pandas")
     if not limited:
         return decided
 

@@ -38,6 +38,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .aggregate import arrow_out
+
 # C4's terminal-punctuation rule; RE2 `$` = end-of-text on a single line
 TERMINAL_PUNCT_PAT = '[.!?"]$'
 # C4's line blocklist (javascript / lorem ipsum / curly brace)
@@ -340,7 +342,7 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
         bucketed = triples.map_batches(add_bucket, batch_format="pyarrow") \
             .repartition(n_buckets)
         cut_ds = bucketed.groupby("__bucket") \
-            .map_groups(cuts_in_bucket, batch_format="pandas")
+            .map_groups(arrow_out(cuts_in_bucket), batch_format="pandas")
         cut_df = pa.concat_tables(
             [t.select([id_col, "line_idx"])
              for t in ray.get(cut_ds.materialize().to_arrow_refs())]) \
