@@ -77,24 +77,44 @@ class _Assign:
     """Stateless assignment stage: centroids live in the object store
     (ray.put once), resolved per worker in __init__."""
 
-    def __init__(self, cents_ref, vec_col: str, out_col: str):
+    def __init__(self, cents_ref, vec_col: str, out_col: str,
+                 exact: bool = True):
         self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) \
             else cents_ref
         self.vec_col, self.out_col = vec_col, out_col
+        self.exact = exact
+        if not exact:
+            self.c32 = np.ascontiguousarray(self.cents, dtype=np.float32)
+            self.c32_sq = np.einsum("ij,ij->i", self.c32, self.c32)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        x = _to_mat(t.column(self.vec_col))
-        if x.shape[0] == 0:
+        if t.num_rows == 0:
             return t.append_column(self.out_col, pa.array([], pa.int64()))
-        assign = np.argmin(_sq_dists(x, self.cents), axis=1)  # ties -> lowest id
+        if self.exact:
+            x = _to_mat(t.column(self.vec_col))
+            assign = np.argmin(_sq_dists(x, self.cents), axis=1)  # ties -> lowest id
+        else:
+            # float32 matmul expansion: half the memory traffic of the
+            # float64 elementwise path — the bulk-assignment mode where
+            # bitwise near-tie replayability doesn't matter
+            x = _to_mat(t.column(self.vec_col), dtype=np.float32)
+            d = -2.0 * (x @ self.c32.T) + self.c32_sq[None, :]
+            assign = np.argmin(d, axis=1)
         return t.append_column(self.out_col, pa.array(assign.astype(np.int64)))
 
 
 def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
-                  out_col: str = "cluster_id"):
-    """Append the nearest-centroid id to every row (one streaming map)."""
+                  out_col: str = "cluster_id", exact: bool = True):
+    """Append the nearest-centroid id to every row (one streaming map).
+
+    exact=True (default): float64 elementwise distances — argmin is
+    bitwise-replayable by the DuckDB list_distance oracle even on
+    near-equidistant points.  exact=False: float32 matmul distances,
+    ~2x less memory traffic — the 100-TB bulk-assignment path when
+    near-tie determinism vs an external replay doesn't matter."""
     ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
-    return ds.map_batches(_Assign, fn_constructor_args=(ref, vec_col, out_col),
+    return ds.map_batches(_Assign,
+                          fn_constructor_args=(ref, vec_col, out_col, exact),
                           batch_format="pyarrow", concurrency=(1, 8))
 
 

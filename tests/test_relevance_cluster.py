@@ -314,3 +314,21 @@ def test_lsh_topk_finds_planted_neighbors():
         have = set(got[got.query_idx == i].vec_id)
         hits += len(want & have)
     assert hits / 15 >= 0.2, hits
+
+
+def test_kmeans_assign_fast_path_agrees_on_separated_blobs():
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.cluster import (
+        kmeans_assign,
+    )
+
+    pts, labels = _blobs(n_per=200)
+    n = len(pts)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(pts.tolist(), pa.list_(pa.float32()))}))
+    cents = np.stack([pts[labels == c].mean(axis=0) for c in range(3)])
+    a = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    b = kmeans_assign(ds, cents, exact=False).to_pandas().sort_values("vec_id")
+    assert (a.cluster_id.to_numpy() == b.cluster_id.to_numpy()).all()
