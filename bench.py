@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "doc_weighted_sample",
     "metric_context_pipeline",
     "recombine_multiline",
+    "knn_lsh",
+    "otlp_proto_roundtrip",
+    "exp_to_explicit_hist",
 ]
 
 
