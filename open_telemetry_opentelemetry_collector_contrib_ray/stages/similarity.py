@@ -133,70 +133,70 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_bits: int = 10,
     H = rng.normal(size=(n_tables, d, n_bits))
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
     pow2 = (1 << np.arange(n_bits)).astype(np.int64)
-    qsig = np.stack([((qn @ H[t]) > 0) @ pow2 for t in range(n_tables)])
-    qref = ray.put((qn, H, qsig))
+    # per table: sorted signature keys + the query ids in that order —
+    # precomputed ONCE into the broadcast so the per-batch task is pure
+    # probe work (a plain task pool; a stateful actor pool here would
+    # pay actor-startup latency for setup that is already free)
+    tables = []
+    for t in range(n_tables):
+        qsig = ((qn @ H[t]) > 0) @ pow2
+        order = np.argsort(qsig, kind="stable")
+        tables.append((qsig[order], order))
+    qref = ray.put((qn, H, tables))
     excl = exclude_ids or set()
 
-    class Score:
-        def __init__(self):
-            self.qn, self.H, qsig = ray.get(qref)
-            # per table: sorted signature keys + the query ids in that order
-            self.tables = []
-            for t in range(n_tables):
-                order = np.argsort(qsig[t], kind="stable")
-                self.tables.append((qsig[t][order], order))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            empty = pa.table({"query_idx": pa.array([], pa.int32()),
-                              id_col: pa.array([], pa.int64()),
-                              "sim": pa.array([], pa.float64())})
-            ids = np.asarray(batch.column(id_col))
-            mat = _to_mat(batch.column(emb_col))
-            if mat.size == 0:
+    def score(batch: pa.Table) -> pa.Table:
+        bqn, bH, btables = ray.get(qref)  # zero-copy local object store
+        empty = pa.table({"query_idx": pa.array([], pa.int32()),
+                          id_col: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        ids = np.asarray(batch.column(id_col))
+        mat = _to_mat(batch.column(emb_col))
+        if mat.size == 0:
+            return empty
+        if excl:
+            keep = ~np.isin(ids, list(excl))
+            ids, mat = ids[keep], mat[keep]
+            if not len(ids):
                 return empty
-            if excl:
-                keep = ~np.isin(ids, list(excl))
-                ids, mat = ids[keep], mat[keep]
-                if not len(ids):
-                    return empty
-            xn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            pair_r, pair_q = [], []
-            for t in range(n_tables):
-                sig = ((xn @ self.H[t]) > 0) @ pow2  # (n,)
-                skeys, qorder = self.tables[t]
-                left = np.searchsorted(skeys, sig, side="left")
-                right = np.searchsorted(skeys, sig, side="right")
-                cnt = right - left
-                hit = np.nonzero(cnt)[0]
-                if not len(hit):
-                    continue
-                lens = cnt[hit]
-                starts = left[hit]
-                total = int(lens.sum())
-                prev = np.cumsum(lens) - lens
-                offs = np.arange(total) - np.repeat(prev, lens) \
-                    + np.repeat(starts, lens)
-                pair_r.append(np.repeat(hit, lens))
-                pair_q.append(qorder[offs])
-            if not pair_r:
-                return empty
-            R = np.concatenate(pair_r).astype(np.int64)
-            Q = np.concatenate(pair_q).astype(np.int64)
-            uniq = np.unique(R * nq + Q)  # same pair via several tables
-            R, Q = uniq // nq, uniq % nq
-            sims = np.einsum("ij,ij->i", xn[R], self.qn[Q])
-            # per-query partial top-k inside the batch bounds the shuffle
-            order = np.lexsort((-sims, Q))
-            Qs, Rs, Ss = Q[order], R[order], sims[order]
-            gs = np.flatnonzero(np.r_[True, np.diff(Qs) != 0])
-            glen = np.diff(np.r_[gs, len(Qs)])
-            pos = np.arange(len(Qs)) - np.repeat(gs, glen)
-            m = pos < k
-            return pa.table({"query_idx": pa.array(Qs[m].astype(np.int32)),
-                             id_col: pa.array(ids[Rs[m]]),
-                             "sim": pa.array(Ss[m], pa.float64())})
+        xn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        pair_r, pair_q = [], []
+        for t in range(n_tables):
+            sig = ((xn @ bH[t]) > 0) @ pow2  # (n,)
+            skeys, qorder = btables[t]
+            left = np.searchsorted(skeys, sig, side="left")
+            right = np.searchsorted(skeys, sig, side="right")
+            cnt = right - left
+            hit = np.nonzero(cnt)[0]
+            if not len(hit):
+                continue
+            lens = cnt[hit]
+            starts = left[hit]
+            total = int(lens.sum())
+            prev = np.cumsum(lens) - lens
+            offs = np.arange(total) - np.repeat(prev, lens) \
+                + np.repeat(starts, lens)
+            pair_r.append(np.repeat(hit, lens))
+            pair_q.append(qorder[offs])
+        if not pair_r:
+            return empty
+        R = np.concatenate(pair_r).astype(np.int64)
+        Q = np.concatenate(pair_q).astype(np.int64)
+        uniq = np.unique(R * nq + Q)  # same pair via several tables
+        R, Q = uniq // nq, uniq % nq
+        sims = np.einsum("ij,ij->i", xn[R], bqn[Q])
+        # per-query partial top-k inside the batch bounds the shuffle
+        order = np.lexsort((-sims, Q))
+        Qs, Rs, Ss = Q[order], R[order], sims[order]
+        gs = np.flatnonzero(np.r_[True, np.diff(Qs) != 0])
+        glen = np.diff(np.r_[gs, len(Qs)])
+        pos = np.arange(len(Qs)) - np.repeat(gs, glen)
+        m = pos < k
+        return pa.table({"query_idx": pa.array(Qs[m].astype(np.int32)),
+                         id_col: pa.array(ids[Rs[m]]),
+                         "sim": pa.array(Ss[m], pa.float64())})
 
-    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(partials, k, id_col)
 
 
