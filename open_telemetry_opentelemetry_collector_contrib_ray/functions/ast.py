@@ -138,6 +138,31 @@ class Path(Node):
     @property
     def column(self) -> str:
         s = self.segments
+        if self.context == "resource":
+            # ottlresource context (contexts/ottlresource/resource.go):
+            # bare attributes/fields address the RESOURCE, i.e. res_*
+            if s[0] == "resource" and len(s) > 1:
+                s = s[1:]
+            if s[0] == "cache":
+                return "cache_" + "_".join(s[1:])
+            if s[0] == "attributes":
+                return "res_" + "_".join(s[1:])
+            return "res_" + "_".join(s)
+        if self.context == "scope":
+            # ottlscope context: name/version/attributes of the
+            # instrumentation scope -> scope_* columns
+            if s[0] == "instrumentation_scope" and len(s) > 1:
+                s = s[1:]
+            if s[0] == "cache":
+                return "cache_" + "_".join(s[1:])
+            if s[0] == "attributes":
+                return "scope_attr_" + "_".join(s[1:])
+            if s[0] == "resource":
+                rest = s[1:]
+                if rest and rest[0] == "attributes":
+                    rest = rest[1:]
+                return "res_" + "_".join(rest) if rest else "res"
+            return "scope_" + "_".join(s)
         if self.context in ("metric", "datapoint"):
             if s[0] == "metric" and len(s) > 1:
                 return "metric_" + "_".join(s[1:])
@@ -581,7 +606,7 @@ class Statement:
     where: Node | None
     source: str
 
-    def _apply_once(self, table: pa.Table) -> pa.Table:
+    def _apply_once(self, table: pa.Table, gate=None) -> pa.Table:
         from .registry import get_function
 
         ctx = ExprContext(table)
@@ -590,15 +615,20 @@ class Statement:
             mask = as_bool(self.where.eval(ctx), ctx.n)
             if isinstance(mask, pa.ChunkedArray):
                 mask = mask.combine_chunks()
+        if gate is not None:
+            # ContextStatements.Conditions gate: AND into the where mask
+            mask = gate if mask is None else pc.and_(pc.fill_null(mask, False),
+                                                     gate)
         kind, fn = get_function(self.editor)
         if kind != "editor":
             raise TypeError(f"{self.editor} is not an editor")
         fn(ctx, self.args, mask)
         return ctx.table
 
-    def apply(self, table: pa.Table, error_mode: str = "propagate") -> pa.Table:
+    def apply(self, table: pa.Table, error_mode: str = "propagate",
+              gate=None) -> pa.Table:
         try:
-            return self._apply_once(table)
+            return self._apply_once(table, gate=gate)
         except Exception:
             if error_mode not in ("ignore", "silent"):
                 raise
@@ -617,8 +647,10 @@ class Statement:
             except Exception:
                 return table
             mid = table.num_rows // 2
-            halves = [self.apply(table.slice(0, mid), error_mode),
-                      self.apply(table.slice(mid), error_mode)]
+            g1 = gate.slice(0, mid) if gate is not None else None
+            g2 = gate.slice(mid) if gate is not None else None
+            halves = [self.apply(table.slice(0, mid), error_mode, gate=g1),
+                      self.apply(table.slice(mid), error_mode, gate=g2)]
             try:
                 return pa.concat_tables(halves, promote_options="permissive")
             except (pa.ArrowInvalid, pa.ArrowTypeError):

@@ -21,22 +21,42 @@ from ..functions.ast import Statement, parse_statement
 
 class TransformStage:
     def __init__(self, statements: list[str], error_mode: str = "propagate",
-                 keep_cache: bool = False, context: str | None = None):
+                 keep_cache: bool = False, context: str | None = None,
+                 conditions: list[str] | None = None):
         """context: ContextStatements.Context analog
         (internal/common/config.go:14-21,34-38) — 'metric'/'datapoint'
         statements address metric-level fields as ``metric_*`` columns
-        of the flattened table; None keeps log-context behavior."""
+        of the flattened table; 'resource'/'scope' address res_*/scope_*
+        columns; None keeps log-context behavior.
+
+        conditions: ContextStatements.Conditions (config.go:34-38, OR
+        semantics): the statement group applies only to records matching
+        at least one condition — columnar analog: the OR'd mask AND-s
+        into every statement's where mask."""
         if error_mode not in ("ignore", "silent", "propagate"):
             raise ValueError(error_mode)
+        from ..functions.ast import parse_condition
+
         self.compiled: list[Statement] = [parse_statement(s, context=context)
                                           for s in statements]
+        self.gates = [parse_condition(c, context=context)
+                      for c in (conditions or [])]
         self.error_mode = error_mode
         self.keep_cache = keep_cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = batch
+        gate = None
+        if self.gates and t.num_rows:
+            gate = pc.fill_null(self.gates[0](t), False)
+            for extra in self.gates[1:]:
+                gate = pc.or_(gate, pc.fill_null(extra(t), False))
+            if isinstance(gate, pa.ChunkedArray):
+                gate = gate.combine_chunks()
         for stmt in self.compiled:
-            t = stmt.apply(t, error_mode=self.error_mode)
+            t = stmt.apply(t, error_mode=self.error_mode, gate=gate)
         if not self.keep_cache:
             cache_cols = [c for c in t.column_names if c.startswith("cache_")]
             if cache_cols:

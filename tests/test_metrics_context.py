@@ -206,3 +206,40 @@ def test_exp_to_explicit_histogram(ray_session):
     with pytest.raises(ValueError):
         exp_to_explicit_histogram(rd.from_arrow(exp), bounds=[8],
                                   keys=["m"], distribution="random")
+
+
+def test_resource_and_scope_contexts():
+    # ottlresource: bare attributes address the resource (res_*)
+    assert _path_col('attributes["svc"]', "resource") == "res_svc"
+    assert _path_col("schema_url", "resource") == "res_schema_url"
+    # ottlscope: name/version -> scope_*, attributes -> scope_attr_*,
+    # resource upward reference -> res_*
+    assert _path_col("name", "scope") == "scope_name"
+    assert _path_col("version", "scope") == "scope_version"
+    assert _path_col('attributes["lib"]', "scope") == "scope_attr_lib"
+    assert _path_col('resource.attributes["svc"]', "scope") == "res_svc"
+
+    t = pa.table({"res_svc": ["a", "b"], "scope_name": ["s1", "s2"]})
+    out = TransformStage(['set(attributes["env"], "prod") '
+                          'where attributes["svc"] == "a"'],
+                         context="resource")(t)
+    assert out.column("res_env").to_pylist() == ["prod", None]
+
+
+def test_transform_stage_conditions_gate():
+    # ContextStatements.Conditions (config.go:34-38): OR'd gate ANDs
+    # into every statement's where
+    t = pa.table({"text": ["x", "y", "z"],
+                  "attr_keep": [True, False, True],
+                  "attr_also": [False, False, True]})
+    stage = TransformStage(['set(attributes["tag"], "hit")'],
+                           conditions=['attributes["keep"] == true',
+                                       'attributes["also"] == true'])
+    out = stage(t)
+    assert out.column("attr_tag").to_pylist() == ["hit", None, "hit"]
+    # gate composes with a statement-level where
+    stage2 = TransformStage(['set(attributes["tag"], "hit") '
+                             'where text == "z"'],
+                            conditions=['attributes["keep"] == true'])
+    out2 = stage2(t)
+    assert out2.column("attr_tag").to_pylist() == [None, None, "hit"]
