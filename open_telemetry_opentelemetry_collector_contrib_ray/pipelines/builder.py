@@ -104,7 +104,8 @@ register_step("uri_parser")(lambda c: UriParser(
 register_step("severity_parser")(lambda c: SeverityParser(
     parse_from=c.get("parse_from", "attr_level")))
 register_step("transform")(lambda c: TransformStage(
-    c["statements"], error_mode=c.get("error_mode", "propagate")))
+    c["statements"], error_mode=c.get("error_mode", "propagate"),
+    context=c.get("context"), conditions=c.get("conditions")))
 register_step("attributes")(lambda c: AttributesStage(
     c["actions"], include=c.get("include"), exclude=c.get("exclude")))
 register_step("lookup_enrich")(lambda c: LookupEnricher(
@@ -367,7 +368,8 @@ def _metric_transform_step(c: dict):
     34-38): OTTL statements compiled in the metric / datapoint context."""
     return TransformStage(c["statements"],
                           error_mode=c.get("error_mode", "propagate"),
-                          context=c.get("context", "datapoint"))
+                          context=c.get("context", "datapoint"),
+                          conditions=c.get("conditions"))
 
 
 @register_step("extract_count_metric")
