@@ -147,11 +147,19 @@ def encode_logs_data(rows: list[dict], *, body_col: str = "text",
         rec = bytearray()
         ts = r.get(time_col)
         if ts is not None:
-            # time_unix_nano = 1 (fixed64); table timestamps are us
+            # time_unix_nano = 1 (fixed64); table timestamps are us.
+            # Integer arithmetic only — float .timestamp() has ~0.24 us
+            # resolution at 2020s epochs and would corrupt microseconds.
             if isinstance(ts, (int, float)):
                 ns = int(ts) * 1000
-            else:  # datetime / pandas.Timestamp
-                ns = int(ts.timestamp() * 1e6) * 1000
+            elif hasattr(ts, "value"):  # pandas.Timestamp: exact ns
+                ns = int(ts.value)
+            else:  # datetime.datetime
+                from datetime import datetime, timedelta, timezone
+
+                base = ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+                epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+                ns = ((base - epoch) // timedelta(microseconds=1)) * 1000
             rec += _key(1, 1) + struct.pack("<Q", ns)
         if r.get("severity_number") is not None:
             rec += _key(2, 0) + _varint(int(r["severity_number"]))
