@@ -551,7 +551,8 @@ def _sort_converter(ctx, args):
         else:
             key = str
         out = sorted(vals, key=key, reverse=(order == "desc"))
-        return pa.array([out] * ctx.n) if ctx.n else pa.array([out])
+        full = pa.array([out] * max(ctx.n, 1))
+        return full if ctx.n else full.slice(0, 0)  # typed empty on 0-row
     arr = as_array(raw, ctx.n)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -1360,8 +1361,7 @@ def _scale_metric(ctx, args, mask):
     factor = float(args[0].eval(ctx))
     for c in ("value_double", "sum", "min", "max"):
         col = ctx.get_col(c)
-        if col is not None and pa.types.is_floating(
-                col.type if not isinstance(col, pa.ChunkedArray) else col.type):
+        if col is not None and pa.types.is_floating(col.type):
             ctx.set_col(c, pc.multiply(col, factor), mask)
     vi = ctx.get_col("value_int")
     if vi is not None:

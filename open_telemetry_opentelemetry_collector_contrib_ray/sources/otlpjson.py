@@ -194,22 +194,32 @@ class OtlpJsonWriter:
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
         if self.max_megabytes is not None and t.num_rows > 1:
+            # size by UTF-8 BYTES (not chars) and leave headroom for the
+            # resourceLogs/scopeLogs envelope (one scope header per
+            # resource group); serialize ONCE and slice the records into
+            # _write_one — no second serialization pass
             cap = int(self.max_megabytes * 1024 * 1024)
-            cum = np.cumsum([len(r) + 1 for r in self._record_json(t)])
-            if cum[-1] > cap:
+            recs = self._record_json(t)
+            env = 4096 + 256 * max(1, len(self.resource_cols))
+            budget = max(cap - env, 1)
+            cum = np.cumsum([len(r.encode()) + 1 for r in recs])
+            if cum[-1] > budget:
                 parts, start, base = [], 0, 0
                 n = t.num_rows
                 while start < n:
-                    end = int(np.searchsorted(cum, base + cap, side="right"))
+                    end = int(np.searchsorted(cum, base + budget, side="right"))
                     end = min(n, max(end, start + 1))
-                    parts.append(self._write_one(t.slice(start, end - start)))
+                    parts.append(self._write_one(t.slice(start, end - start),
+                                                 recs[start:end]))
                     base = cum[end - 1]
                     start = end
                 return pa.concat_tables(parts)
+            return self._write_one(t, recs)
         return self._write_one(t)
 
-    def _write_one(self, t: pa.Table) -> pa.Table:
-        recs = self._record_json(t)
+    def _write_one(self, t: pa.Table, recs: list[str] | None = None) -> pa.Table:
+        if recs is None:
+            recs = self._record_json(t)
         scope = '{"scope":{"name":%s},"logRecords":[' % json.dumps(
             self.scope_name)
         if self.resource_cols:

@@ -44,7 +44,12 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     """Join two Datasets on key columns via explicit hash co-partitioning.
 
     Both sides are tagged (side, bucket) and unioned; ONE shuffle
-    co-locates each bucket; a pandas merge joins inside the bucket.
+    co-locates each bucket; an Acero hash join runs inside the bucket.
+    NULL-key semantics are SQL's (and the DuckDB oracles'): a null key
+    never matches anything — inner/semi drop null-key left rows, left/
+    outer keep them with null right columns, anti KEEPS them (NOT
+    EXISTS semantics).  (The pre-Acero pandas merge matched NaN==NaN;
+    that was a divergence from SQL, not a feature.)
     Returns a Dataset with left columns + right non-key columns
     (clashes suffixed).  how: inner/left/outer plus "semi" (left rows
     WITH a right key match, right columns not emitted) and "anti" (left

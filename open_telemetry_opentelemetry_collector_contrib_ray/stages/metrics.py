@@ -70,8 +70,13 @@ def _extract(ds, value_from: str, suffix: str, monotonic: bool,
         temp = (batch.column("metric_aggregation_temporality")
                 if "metric_aggregation_temporality" in batch.column_names
                 else pa.nulls(batch.num_rows, pa.string()))
+        # histograms need a known temporality; Summary is implicitly
+        # cumulative and always extracts (func_extract_sum_metric.go:
+        # getAggregationTemporality returns Cumulative for Summary)
+        temp_ok = pc.or_(pc.is_valid(temp),
+                         pc.fill_null(pc.equal(t, "Summary"), False))
         mask = pc.and_(pc.fill_null(pc.is_in(t, value_set=pa.array(_HISTOGRAMMY)), False),
-                       pc.is_valid(temp))
+                       temp_ok)
         if value_from in batch.column_names:
             mask = pc.and_(mask, pc.is_valid(batch.column(value_from)))
             src = batch.filter(mask)
@@ -84,6 +89,12 @@ def _extract(ds, value_from: str, suffix: str, monotonic: bool,
                                                pa.array([suffix] * src.num_rows), ""))
         new = _set(new, "metric_type", "Sum")
         new = _set(new, "metric_is_monotonic", monotonic)
+        if "metric_aggregation_temporality" in new.column_names:
+            # Summary rows carry no temporality; the extracted Sum is
+            # cumulative (getAggregationTemporality)
+            new = _set(new, "metric_aggregation_temporality",
+                       pc.fill_null(new.column("metric_aggregation_temporality")
+                                    .cast(pa.string()), "cumulative"))
         if unit_override is not None:
             new = _set(new, "metric_unit", unit_override)
         val = src.column(value_from).cast(pa.float64())

@@ -243,3 +243,31 @@ def test_transform_stage_conditions_gate():
                             conditions=['attributes["keep"] == true'])
     out2 = stage2(t)
     assert out2.column("attr_tag").to_pylist() == [None, None, "hit"]
+
+
+def test_extract_from_summary_null_temporality(ray_session):
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        extract_count_metric,
+        extract_sum_metric,
+    )
+
+    # Summary rows carry no temporality; they still extract and the new
+    # Sum is cumulative (getAggregationTemporality treats Summary as
+    # implicitly cumulative)
+    t = pa.table({
+        "metric_name": ["lat_summary"],
+        "metric_unit": ["ms"],
+        "metric_type": ["Summary"],
+        "metric_aggregation_temporality": pa.array([None], pa.string()),
+        "count": pa.array([42], pa.int64()),
+        "sum": pa.array([77.5], pa.float64()),
+    })
+    got = extract_count_metric(rd.from_arrow(t), monotonic=True).to_pandas()
+    new = got[got.metric_name == "lat_summary_count"]
+    assert len(new) == 1 and new.value_double.iloc[0] == 42.0
+    assert new.metric_aggregation_temporality.iloc[0] == "cumulative"
+    got2 = extract_sum_metric(rd.from_arrow(t)).to_pandas()
+    new2 = got2[got2.metric_name == "lat_summary_sum"]
+    assert len(new2) == 1 and new2.value_double.iloc[0] == 77.5

@@ -117,5 +117,6 @@ def test_writer_rotation_max_megabytes(tmp_path):
     assert len(manifest) > 1
     assert sum(m["rows"] for m in manifest) == 200
     for m in manifest:
-        assert os.path.getsize(m["path"]) <= 0.01 * 1024 * 1024 * 1.2
+        # sized by UTF-8 bytes with envelope headroom: strictly under cap
+        assert os.path.getsize(m["path"]) <= 0.01 * 1024 * 1024
     assert read_otlp_json(out).count() == 200

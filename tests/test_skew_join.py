@@ -71,3 +71,34 @@ def test_skew_join_rejects_outer_and_multi_col_autodetect():
     with pytest.raises(ValueError):
         skew_join(_mk(ldf.assign(j=1)), _mk(rdf.assign(j=1), 2),
                   on=["k", "j"], how="inner")
+
+
+def test_bucketed_join_null_key_sql_semantics():
+    """Null keys never match (SQL / DuckDB-oracle semantics): inner and
+    semi drop null-key left rows, left keeps them with null right
+    columns, anti KEEPS them (NOT EXISTS), even when the right side
+    also holds a null key."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                     "lv": pa.array([10, 20, 30], pa.int64())})
+    right = pa.table({"k": pa.array([1, None], pa.int64()),
+                      "rv": pa.array([100, 200], pa.int64())})
+    L, R = rd.from_arrow(left), rd.from_arrow(right)
+
+    inner = bucketed_hash_join(L, R, on=["k"], how="inner").to_pandas()
+    assert inner.k.tolist() == [1] and inner.rv.tolist() == [100]
+
+    lj = bucketed_hash_join(L, R, on=["k"], how="left").to_pandas() \
+        .sort_values("lv")
+    assert lj.lv.tolist() == [10, 20, 30]
+    assert pd.isna(lj[lj.lv == 20].rv.iloc[0])   # null key matched nothing
+
+    semi = bucketed_hash_join(L, R, on=["k"], how="semi").to_pandas()
+    assert semi.lv.tolist() == [10]
+
+    anti = bucketed_hash_join(L, R, on=["k"], how="anti").to_pandas() \
+        .sort_values("lv")
+    assert anti.lv.tolist() == [20, 30]  # null-key row KEPT (NOT EXISTS)
