@@ -510,10 +510,17 @@ class SeverityParser:
 
     def __init__(self, parse_from: str = "attr_level",
                  out_number: str = "severity_number", out_text: str = "severity_text",
-                 mapping: dict | None = None, preset: str = "default"):
+                 mapping: dict | None = None, preset: str = "default",
+                 overwrite_text: bool = True):
+        """overwrite_text (severity_builder.go:117, severity.go Parse):
+        True -> severity_text is the CANONICAL level name (this engine's
+        default — every oracle asserts canonical text); False -> the
+        reference's default: severity_text keeps the raw input string,
+        matched or not."""
         self.parse_from = parse_from
         self.out_number = out_number
         self.out_text = out_text
+        self.overwrite_text = overwrite_text
         if preset not in ("default", "otel", "aliases", "none"):
             raise ValueError(f"unknown severity preset {preset!r}")
         if preset == "none":
@@ -545,10 +552,11 @@ class SeverityParser:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.parse_from not in batch.column_names:
             return batch
-        src = pc.utf8_lower(batch.column(self.parse_from).cast(pa.string()))
+        raw = batch.column(self.parse_from).cast(pa.string())
+        src = pc.utf8_lower(raw)
         idx = pc.index_in(src, value_set=self._keys)
         nums = pc.take(self._nums, idx)
-        texts = pc.take(self._texts, idx)
+        texts = pc.take(self._texts, idx) if self.overwrite_text else raw
         out = batch
         for col, arr in ((self.out_number, nums), (self.out_text, texts)):
             if col in out.column_names:

@@ -861,3 +861,13 @@ def test_severity_presets():
     # default: warning/err aliases + engine extras recognized
     out2 = SeverityParser()(t)
     assert out2.column("severity_number").to_pylist() == [13, 13, 9, 10, None]
+
+
+def test_severity_overwrite_text_modes():
+    # severity.go Parse: overwrite_text=False keeps the raw input string
+    t = pa.table({"attr_level": ["WARN", "bogus", None]})
+    keep = SeverityParser(overwrite_text=False)(t)
+    assert keep.column("severity_text").to_pylist() == ["WARN", "bogus", None]
+    assert keep.column("severity_number").to_pylist() == [13, None, None]
+    canon = SeverityParser()(t)  # default: canonical
+    assert canon.column("severity_text").to_pylist() == ["WARN", None, None]
