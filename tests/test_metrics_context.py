@@ -271,3 +271,16 @@ def test_extract_from_summary_null_temporality(ray_session):
     got2 = extract_sum_metric(rd.from_arrow(t)).to_pandas()
     new2 = got2[got2.metric_name == "lat_summary_sum"]
     assert len(new2) == 1 and new2.value_double.iloc[0] == 77.5
+
+
+def test_span_context_addressing():
+    # ottlspan paths over flat span tables: bare fields, dotted status,
+    # attributes map — all resolve with context='span'
+    assert _path_col("span.name", "span") == "name"
+    assert _path_col("name", "span") == "name"
+    assert _path_col("status.code", "span") == "status_code"
+    assert _path_col("status.message", "span") == "status_message"
+    assert _path_col('attributes["peer"]', "span") == "attr_peer"
+    assert _path_col("trace_id", "span") == "trace_id"
+    assert _path_col('resource.attributes["svc"]', "span") == "res_svc"
+    assert _path_col("end_time_unix_nano", "span") == "end_time_unix_nano"
