@@ -124,3 +124,46 @@ service:
     assert ray.data.read_csv(str(tmp_path / "out_csv")).count() == 5
     rows = res["t"]["collect"].to_pandas()
     assert sorted(rows["text"]) == ["alpha line", "beta line"]
+
+
+def test_cli_main_runs_config(tmp_path):
+    """python -m <pkg> --config ... (the collector-binary analog) —
+    exercised in-process via main(argv) against the session Ray."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.__main__ import main
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("""
+receivers:
+  parquet/events:
+    table: events
+    columns: [event_id, event_type]
+processors:
+  keep/clicks:
+    condition: 'event_type == "click"'
+exporters:
+  parquet/out:
+    path: %s
+service:
+  pipelines:
+    logs:
+      receivers: [parquet/events]
+      processors: [keep/clicks]
+      exporters: [parquet/out]
+""" % (tmp_path / "out"))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--config", str(cfg),
+                   "--data-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    import json
+
+    line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert line["pipeline"] == "logs" and "path" in line
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(line["path"]).to_table()
+    assert t.num_rows > 0
+    assert set(t.column("event_type").to_pylist()) == {"click"}
