@@ -2573,19 +2573,18 @@ def q_tpch_q3(sf_dir: str):
     orders = _rd(sf_dir, "orders",
                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    class OrderFilter:
-        def __init__(self):
-            self.keys = ray.get(key_set)
+    def order_filter(t: pa.Table) -> pa.Table:
+        # broadcast probe in a plain task: ray.get of the key set is a
+        # zero-copy local-object-store read — an actor pool here only
+        # adds startup latency (no expensive per-worker setup to cache)
+        ks = ray.get(key_set)
+        m = pc.and_(pc.is_in(t.column("o_custkey"), value_set=ks),
+                    pc.less(t.column("o_orderdate"), pa.scalar(cut)))
+        t = t.filter(m)
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_orderdate": t.column("o_orderdate")})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.and_(pc.is_in(t.column("o_custkey"), value_set=self.keys),
-                        pc.less(t.column("o_orderdate"), pa.scalar(cut)))
-            t = t.filter(m)
-            return pa.table({"l_orderkey": t.column("o_orderkey"),
-                             "o_orderdate": t.column("o_orderdate")})
-
-    orders = orders.map_batches(OrderFilter, batch_format="pyarrow",
-                                concurrency=(1, 4))
+    orders = orders.map_batches(order_filter, batch_format="pyarrow")
 
     li = _rd(sf_dir, "lineitem",
              columns=["l_orderkey", "l_extendedprice", "l_discount",

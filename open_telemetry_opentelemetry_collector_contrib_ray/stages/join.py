@@ -100,6 +100,16 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
     # Ray's sort shuffle degrades on many tiny blocks
     tagged, left_cols, right_cols = _tag_union(left, right, on, n_buckets)
 
+    def _reduced(out: pa.Table):
+        # the reduce hook is pandas-shaped; re-emit a metadata-free
+        # Arrow block (hashable schema, IPC exchange — same discipline
+        # as arrow_out)
+        red = reduce(out.to_pandas())
+        if isinstance(red, pd.DataFrame):
+            return pa.Table.from_pandas(red, preserve_index=False) \
+                           .replace_schema_metadata(None)
+        return red
+
     def merge(g: pa.Table) -> pa.Table | pd.DataFrame:  # noqa: D401
         # Arrow-native in-bucket join via index-take composition: only
         # the KEY columns + int64 row indices go through the Acero hash
@@ -118,7 +128,7 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
             jt = "left semi" if how == "semi" else "left anti"
             idx = lk.join(rg.select(on), keys=on, join_type=jt)
             out = lg.take(idx.column("__li"))
-            return reduce(out.to_pandas()) if reduce is not None else out
+            return _reduced(out) if reduce is not None else out
         rk = rg.select(on).append_column(
             "__ri", pa.array(np.arange(rg.num_rows), pa.int64()))
         jt = {"inner": "inner", "left": "left outer",
@@ -133,7 +143,7 @@ def bucketed_hash_join(left, right, on: Sequence[str], how: str = "inner",
                 continue
             cols[c + suffix if c in left_cols else c] = rtaken.column(c)
         out = pa.table(cols)
-        return reduce(out.to_pandas()) if reduce is not None else out
+        return _reduced(out) if reduce is not None else out
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
