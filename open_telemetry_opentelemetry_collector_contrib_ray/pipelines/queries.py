@@ -2433,23 +2433,18 @@ def q_doc_zscore(sf_dir: str):
     var = ss / n - mean * mean
     ref = ray.put((pa.array(srcs, pa.string()), mean, var))
 
-    class ZScore:
-        def __init__(self):
-            self.srcs, self.mean, self.var = ray.get(ref)
+    def zscore(t: pa.Table) -> pa.Table:
+        srcs, mean, var = ray.get(ref)  # zero-copy broadcast read
+        idx = pc.index_in(t.column("source"), value_set=srcs) \
+                .to_numpy(zero_copy_only=False)
+        m, v = mean[idx], var[idx]
+        x = t.column("n_chars").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(v > 0, (x - m) / np.sqrt(v), 0.0)
+        return pa.table({"doc_id": t.column("doc_id"), "z": pa.array(z)})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("source"), value_set=self.srcs) \
-                    .to_numpy(zero_copy_only=False)
-            m, v = self.mean[idx], self.var[idx]
-            x = t.column("n_chars").to_numpy(zero_copy_only=False) \
-                 .astype(np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                z = np.where(v > 0, (x - m) / np.sqrt(v), 0.0)
-            return pa.table({"doc_id": t.column("doc_id"),
-                             "z": pa.array(z)})
-
-    return ds.map_batches(ZScore, batch_format="pyarrow",
-                          concurrency=(1, 4)).sort("doc_id")
+    return ds.map_batches(zscore, batch_format="pyarrow").sort("doc_id")
 
 
 def q_rollup_event_counts(sf_dir: str):
@@ -2788,33 +2783,28 @@ def q_tpch_q5(sf_dir: str):
              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                       "l_discount"])
 
-    class SuppNation:
-        """Broadcast sorted (suppkey -> nationkey) arrays; stamp the
-        supplier nation and drop non-ASIA lineitems map-side."""
+    def supp_nation(t: pa.Table) -> pa.Table:
+        # broadcast sorted (suppkey -> nationkey) arrays; stamp the
+        # supplier nation and drop non-ASIA lineitems map-side.  Plain
+        # task: ray.get of the broadcast is a zero-copy local read — an
+        # actor pool here only adds startup latency
+        keys, nats = ray.get(sup_ref)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+        hit = keys[pos] == sk
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]  # reuse the probe; no second searchsorted
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "s_nationkey": pa.array(nats[pos], pa.int64()),
+                         "rev": rev})
 
-        def __init__(self):
-            self.keys, self.nats = ray.get(sup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(self.keys, sk),
-                             len(self.keys) - 1)
-            hit = self.keys[pos] == sk
-            t = t.filter(pa.array(hit))
-            pos = pos[hit]  # reuse the probe; no second searchsorted
-            cents = pc.cast(pc.round(pc.multiply(
-                t.column("l_extendedprice"), 100.0)), pa.int64())
-            disc = pc.cast(pc.round(pc.multiply(
-                t.column("l_discount"), 100.0)), pa.int64())
-            rev = pc.multiply(cents,
-                              pc.subtract(pa.scalar(100, pa.int64()), disc))
-            return pa.table({"l_orderkey": t.column("l_orderkey"),
-                             "s_nationkey": pa.array(self.nats[pos],
-                                                     pa.int64()),
-                             "rev": rev})
-
-    li2 = li.map_batches(SuppNation, batch_format="pyarrow",
-                         concurrency=(1, 8))
+    li2 = li.map_batches(supp_nation, batch_format="pyarrow")
 
     def local_rev(df):
         df = df[df["s_nationkey"] == df["c_nationkey"]]
@@ -2923,34 +2913,30 @@ def q_tpch_q14(sf_dir: str):
              columns=["l_partkey", "l_extendedprice", "l_discount",
                       "l_shipdate"])
 
-    class PromoPartial:
-        def __init__(self):
-            self.keys, self.promo = ray.get(pref)
+    def promo_partial(t: pa.Table) -> pa.Table:
+        keys, promo = ray.get(pref)  # zero-copy broadcast read
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"),
+                                     pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc)) \
+            .to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, pk),
+                         max(len(keys) - 1, 0))
+        is_promo = (keys[pos] == pk) & promo[pos] \
+            if len(keys) else np.zeros(len(pk), bool)
+        return pa.table({
+            "promo_rev": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_rev": pa.array([int(rev.sum())], pa.int64()),
+            "_one": pa.array([1], pa.int64())})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.and_(pc.greater_equal(t.column("l_shipdate"),
-                                         pa.scalar(lo)),
-                        pc.less(t.column("l_shipdate"), pa.scalar(hi)))
-            t = t.filter(m)
-            cents = pc.cast(pc.round(pc.multiply(
-                t.column("l_extendedprice"), 100.0)), pa.int64())
-            disc = pc.cast(pc.round(pc.multiply(
-                t.column("l_discount"), 100.0)), pa.int64())
-            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
-                                                 disc)) \
-                .to_numpy(zero_copy_only=False)
-            pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(self.keys, pk),
-                             max(len(self.keys) - 1, 0))
-            is_promo = (self.keys[pos] == pk) & self.promo[pos] \
-                if len(self.keys) else np.zeros(len(pk), bool)
-            return pa.table({
-                "promo_rev": pa.array([int(rev[is_promo].sum())], pa.int64()),
-                "total_rev": pa.array([int(rev.sum())], pa.int64()),
-                "_one": pa.array([1], pa.int64())})
-
-    partials = li.map_batches(PromoPartial, batch_format="pyarrow",
-                              concurrency=(1, 8))
+    partials = li.map_batches(promo_partial, batch_format="pyarrow")
     tot = grouped_agg(partials, ["_one"],
                       [("sum", "promo_rev", "promo_rev"),
                        ("sum", "total_rev", "total_rev")],

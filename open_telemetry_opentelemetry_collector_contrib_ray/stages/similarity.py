@@ -64,34 +64,33 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     qref = ray.put(qn)
     excl = exclude_ids or set()
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)
+    def score(batch: pa.Table) -> pa.Table:
+        # plain task: the broadcast query matrix reads zero-copy from
+        # the local object store; an actor pool here only adds startup
+        q = ray.get(qref)
+        ids = np.asarray(batch.column(id_col))
+        mat = _to_mat(batch.column(emb_col))
+        if mat.size == 0:
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        keep = ~np.isin(ids, list(excl)) if excl else np.ones(len(ids), bool)
+        ids, mat = ids[keep], mat[keep]
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ q.T  # (n, nq)
+        kk = min(k, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        qi, vi, sv = [], [], []
+        for qidx in range(sims.shape[1]):
+            sel = part[:, qidx]
+            qi.extend([qidx] * len(sel))
+            vi.extend(ids[sel])
+            sv.extend(sims[sel, qidx])
+        return pa.table({"query_idx": pa.array(qi, pa.int32()),
+                         id_col: pa.array(vi),
+                         "sim": pa.array(sv, pa.float64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col))
-            mat = _to_mat(batch.column(emb_col))
-            if mat.size == 0:
-                return pa.table({"query_idx": pa.array([], pa.int32()),
-                                 id_col: pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            keep = ~np.isin(ids, list(excl)) if excl else np.ones(len(ids), bool)
-            ids, mat = ids[keep], mat[keep]
-            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = (mat / norms) @ self.q.T  # (n, nq)
-            kk = min(k, len(ids))
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-            qi, vi, sv = [], [], []
-            for qidx in range(sims.shape[1]):
-                sel = part[:, qidx]
-                qi.extend([qidx] * len(sel))
-                vi.extend(ids[sel])
-                sv.extend(sims[sel, qidx])
-            return pa.table({"query_idx": pa.array(qi, pa.int32()),
-                             id_col: pa.array(vi),
-                             "sim": pa.array(sv, pa.float64())})
-
-    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(partials, k, id_col)
 
 
