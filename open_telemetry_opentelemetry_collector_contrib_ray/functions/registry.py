@@ -282,29 +282,31 @@ def _fnv(ctx, args):
     return pa.array(out, type=pa.int64())
 
 
-@register_converter("Hex")
-def _hex(ctx, args):
+def hex_encode(v):
     """func_hex.go: hex of the value's BINARY representation — bool one
-    byte, ints 8 big-endian bytes (int64), floats the 8 IEEE-754 bytes,
+    byte, ints 8 big-endian bytes (int64; wider Python ints mask to 64
+    bits instead of raising struct.error), floats the 8 IEEE-754 bytes,
     strings/bytes their raw bytes (e2e_test.go:502-523 expectations)."""
     import struct
 
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return format(int(v), "02x")
+    if isinstance(v, int):
+        return struct.pack(">Q", v & 0xFFFFFFFFFFFFFFFF).hex()
+    if isinstance(v, float):
+        return struct.pack(">d", v).hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v).encode().hex()
+
+
+@register_converter("Hex")
+def _hex(ctx, args):
     arr = _ev_arr(ctx, args[0])
-
-    def enc(v):
-        if v is None:
-            return None
-        if isinstance(v, bool):
-            return format(int(v), "02x")
-        if isinstance(v, int):
-            return struct.pack(">q", v).hex()
-        if isinstance(v, float):
-            return struct.pack(">d", v).hex()
-        if isinstance(v, (bytes, bytearray)):
-            return bytes(v).hex()
-        return str(v).encode().hex()
-
-    return pa.array([enc(v) for v in arr.to_pylist()], type=pa.string())
+    return pa.array([hex_encode(v) for v in arr.to_pylist()],
+                    type=pa.string())
 
 
 @register_converter("MD5Number")

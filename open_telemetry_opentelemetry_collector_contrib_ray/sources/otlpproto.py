@@ -227,8 +227,12 @@ def decode_logs_data(buf: bytes, *, body_col: str = "text",
 
 class OtlpProtoWriter:
     """map_batches sink stage: one 4-byte-BE-length-framed LogsData
-    message per batch (file_writer.go framing), content-hash file names
-    (retry-idempotent).  Emits a manifest row per file."""
+    message per batch (file_writer.go framing).  File names combine the
+    content hash with the task id and a per-task batch ordinal: a
+    retried task deterministically replays the same names (idempotent),
+    while two byte-identical batches in different tasks — or in the
+    same task — never collide into one file.  Emits a manifest row per
+    file."""
 
     def __init__(self, out_dir: str, *, body_col: str = "text",
                  time_col: str = "ts", resource_cols: Iterable[str] = (),
@@ -239,6 +243,7 @@ class OtlpProtoWriter:
         self.time_col = time_col
         self.resource_cols = list(resource_cols)
         self.scope_name = scope_name
+        self._seq = 0
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -251,7 +256,16 @@ class OtlpProtoWriter:
                                scope_name=self.scope_name)
         framed = struct.pack(">I", len(msg)) + msg
         digest = hashlib.md5(framed).hexdigest()[:16]
-        path = os.path.join(self.out_dir, f"logs-{digest}.binpb")
+        try:
+            import ray
+
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            tid = "driver"
+        scope = hashlib.md5(tid.encode()).hexdigest()[:8]
+        path = os.path.join(self.out_dir,
+                            f"logs-{digest}-{scope}-{self._seq:04d}.binpb")
+        self._seq += 1
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(framed)
@@ -284,6 +298,10 @@ class OtlpProtoReaderStage:
             while pos + 4 <= len(buf):
                 (ln,) = struct.unpack_from(">I", buf, pos)
                 pos += 4
+                if pos + ln > len(buf):
+                    raise ValueError(
+                        f"truncated OTLP proto frame: header claims {ln} "
+                        f"bytes, {len(buf) - pos} remain")
                 rows.extend(decode_logs_data(buf[pos:pos + ln],
                                              body_col=self.body_col,
                                              time_col=self.time_col))

@@ -297,9 +297,9 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     max_bucket caps one band bucket's membership (deterministic: lowest
     ids kept) so a degenerate corpus (one signature dominating a 16-bit
-    chunk) cannot make a single reduce task quadratic-explode; recall
-    loss applies only to the capped bucket and is logged via the
-    dropped-row count being deterministic."""
+    chunk) cannot make a single reduce task quadratic-explode; a capped
+    bucket logs a warning with the dropped-row count (recall loss is
+    confined to that bucket)."""
     sigs = ds.map_batches(SimHasher(id_col=id_col, text_col=text_col),
                           batch_format="pyarrow")
 
@@ -321,6 +321,14 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         if len(g) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_pairs: band bucket (chunk_id=%s, chunk_val=%s) "
+                "capped at %d members; %d rows dropped from pair "
+                "generation (recall loss confined to this bucket)",
+                g["chunk_id"].iloc[0], g["chunk_val"].iloc[0],
+                max_bucket, len(g) - max_bucket)
             g = g.iloc[:max_bucket]
         ids = g[id_col].to_numpy()
         s = g["simhash"].to_numpy().astype(np.uint64)

@@ -57,7 +57,9 @@ def copy_metric(ds, name: str, new_name: str, unit: str | None = None,
                 copies = _set(copies, "metric_unit", unit)
             if description is not None:
                 copies = _set(copies, "metric_description", description)
-            return pa.concat_tables([batch, copies])
+            # unit=/description= may add columns the batch lacks
+            return pa.concat_tables([batch, copies],
+                                    promote_options="permissive")
         return batch
 
     return ds.map_batches(dup, batch_format="pyarrow")

@@ -102,6 +102,25 @@ def test_scale_metric():
     assert out.column("value_double").to_pylist()[2] == 41.0
 
 
+def test_copy_metric_override_without_unit_column(ray_session):
+    # ADVICE regression: unit=/description= overrides on a batch that
+    # LACKS metric_unit/metric_description must promote, not crash
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        copy_metric,
+    )
+
+    t = _metric_table().drop_columns(["metric_unit"])
+    got = copy_metric(rd.from_arrow(t), "requests", "requests_backup",
+                      unit="req", description="copy").to_pandas()
+    assert len(got) == 5
+    row = got[got.metric_name == "requests_backup"].iloc[0]
+    assert row.metric_unit == "req" and row.metric_description == "copy"
+    # pass-through rows get nulls in the promoted columns
+    assert got[got.metric_name == "requests"].metric_unit.isna().all()
+
+
 def test_copy_and_extract_metrics(ray_session):
     import ray.data as rd
 

@@ -63,10 +63,54 @@ def test_proto_roundtrip_matches_input(tmp_path, ray_session):
     assert (pd.to_datetime(a["ts"]) == pd.to_datetime(b["ts"])).all()
 
 
-def test_proto_writer_is_retry_idempotent(tmp_path, ray_session):
+def test_proto_writer_is_retry_idempotent(tmp_path):
+    # a retried task deterministically replays the same file names: a
+    # fresh writer instance (what a task retry deserializes) over the
+    # same batch sequence overwrites, never duplicates
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        OtlpProtoWriter,
+    )
+
     t = synth_transcripts(80, seed=6)
     out = str(tmp_path / "idem")
-    m1 = write_otlp_proto(ray.data.from_arrow(t), out, batch_size=40)
-    m2 = write_otlp_proto(ray.data.from_arrow(t), out, batch_size=40)
-    assert sorted(m["path"] for m in m1) == sorted(m["path"] for m in m2)
+    w1 = OtlpProtoWriter(out)
+    m1 = [w1(t.slice(0, 40))["path"][0].as_py(),
+          w1(t.slice(40, 40))["path"][0].as_py()]
+    w2 = OtlpProtoWriter(out)  # simulated retry replay
+    m2 = [w2(t.slice(0, 40))["path"][0].as_py(),
+          w2(t.slice(40, 40))["path"][0].as_py()]
+    assert m1 == m2 and len(set(m1)) == 2
+    assert sum(len(decode_logs_data(open(p, "rb").read()[4:]))
+               for p in set(m1)) == 80
+
+
+def test_identical_batches_do_not_collapse(tmp_path, ray_session):
+    # two byte-identical batches must yield two files and a manifest
+    # that agrees with the on-disk row count (ADVICE: content-hash-only
+    # names silently dropped trailing duplicates on read-back)
+    t = synth_transcripts(60, seed=6).slice(0, 40)
+    tt = pa.concat_tables([t, t]).combine_chunks()
+    out = str(tmp_path / "dup")
+    m = write_otlp_proto(ray.data.from_arrow(tt), out, batch_size=40)
+    paths = [r["path"] for r in m]
+    assert len(paths) == len(set(paths))
+    assert sum(r["rows"] for r in m) == 80
     assert read_otlp_proto(out).count() == 80
+
+
+def test_truncated_frame_raises(tmp_path, ray_session):
+    t = synth_transcripts(20, seed=7)
+    out = str(tmp_path / "trunc")
+    m = write_otlp_proto(ray.data.from_arrow(t), out, batch_size=20)
+    p = m[0]["path"]
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:          # cut the last 10 payload bytes
+        f.write(data[:-10])
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        OtlpProtoReaderStage,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        OtlpProtoReaderStage()({"bytes": [open(p, "rb").read()]})

@@ -95,3 +95,17 @@ def test_e2e_extract_patterns_map():
     ).apply(_input())
     got = out.column("attr_test").to_pylist()[0]
     assert dict(got) == {"numbers": "123"}
+
+
+def test_hex_encode_out_of_int64_wraps():
+    # ADVICE regression: ints outside int64 mask to 64 bits instead of
+    # raising struct.error (an unexpected exception type for OTTL)
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.registry import (
+        hex_encode,
+    )
+
+    assert hex_encode(2**64 + 12) == "000000000000000c"
+    assert hex_encode(-1) == "ffffffffffffffff"
+    assert hex_encode(12) == "000000000000000c"
+    assert hex_encode(True) == "01"
+    assert hex_encode(None) is None
