@@ -1127,14 +1127,19 @@ def adjacent_pairs(ds, group_col: str = "conv_id", order_col: str = "turn_idx",
     return bucketed_group_transform(ds, [group_col], pair, n_buckets)
 
 
-def conversation_policy_filter(ds, condition: str, group_col: str = "conv_id"):
+def conversation_policy_filter(ds, condition: str, group_col: str = "conv_id",
+                               max_broadcast_keys: int = 2_000_000,
+                               n_buckets: int = 64):
     """tailsamplingprocessor analog: keep ENTIRE conversations where any
     turn matches the policy condition (config.go:12-69; policies under
     internal/sampling).  The decision wait window == the full run.
 
     Scale path: the per-group decision is an aggregate over a hashed
-    group key; the winning key set is broadcast (ray.put) and applied as
-    a semi-join filter — conversations never shuffle."""
+    group key.  Below ``max_broadcast_keys`` the winning key set is
+    broadcast (ray.put) and applied as a map-only semi-join —
+    conversations never shuffle.  Past the threshold it auto-switches
+    to a bucketed hash SEMI-join (one co-partitioning shuffle, nothing
+    driver-sized), the same guard ``tail_sample`` uses."""
     import pyarrow.compute as pc
     import ray
 
@@ -1147,8 +1152,18 @@ def conversation_policy_filter(ds, condition: str, group_col: str = "conv_id"):
         keys = pc.unique(batch.filter(m).column(group_col))
         return pa.table({group_col: keys})
 
-    key_tables = ds.map_batches(matching_keys, batch_format="pyarrow").take_all()
-    keys = sorted({r[group_col] for r in key_tables})
+    winners = ds.map_batches(matching_keys,
+                             batch_format="pyarrow").materialize()
+    if winners.count() > max_broadcast_keys:
+        from .join import bucketed_hash_join
+
+        # per-batch uniques may repeat across batches; semi-join
+        # semantics are idempotent over duplicate right-side keys
+        return bucketed_hash_join(ds, winners, on=[group_col], how="semi",
+                                  n_buckets=n_buckets)
+    keys = sorted({r[group_col] for r in winners.take_all()})
+    if not keys:
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     keys_ref = ray.put(pa.array(keys))
 
     class SemiJoin:

@@ -164,7 +164,8 @@ def bm25(ds, terms: Sequence[str], text_col: str = "text",
 
 
 def tfidf_keywords(ds_factory, k: int = 3, text_col: str = "text",
-                   id_col: str = "doc_id", n_docs: int | None = None):
+                   id_col: str = "doc_id", n_docs: int | None = None,
+                   min_df: int = 1, top_v: int | None = 5_000_000):
     """Top-k TF-IDF keywords per document (the classic keyword /
     labeling pass): score = tf * ln(N / df), ranked (score desc, token
     asc) within each doc.
@@ -175,7 +176,13 @@ def tfidf_keywords(ds_factory, k: int = 3, text_col: str = "text",
     up once per DISTINCT batch token, per-(row, token) counts come from
     one np.unique, and the top-k per row falls out of a single lexsort.
     Floats derive from exact int64 (tf, df, N) through one fixed op
-    order, so a SQL oracle matches bitwise (the BM25 precedent)."""
+    order, so a SQL oracle matches bitwise (the BM25 precedent).
+
+    The broadcast is bounded: ``min_df`` prunes sub-threshold tokens
+    inside the df combine and ``top_v`` keeps only the highest-df V
+    tokens (the `build_ngram_model` cap idiom) — at web-corpus vocab
+    the dict stays worker-heap-sized instead of growing with distinct
+    tokens.  Pruned tokens simply never rank as keywords."""
     import ray
 
     if n_docs is None:
@@ -183,7 +190,14 @@ def tfidf_keywords(ds_factory, k: int = 3, text_col: str = "text",
         # read_parquet .count() is scan-free) should pass n_docs; this
         # fallback is a full extra pass over a mapped plan
         n_docs = ds_factory().count()
-    df_tbl = token_df(ds_factory(), text_col=text_col).to_pandas()
+    df_ds = token_df(ds_factory(), text_col=text_col,
+                     min_df=min_df).materialize()
+    if top_v is not None and df_ds.count() > top_v:
+        # only pay the sort shuffle when the cap actually binds;
+        # ties at the df boundary break deterministically by token
+        df_ds = df_ds.sort(["df", "token"], descending=[True, False]) \
+                     .limit(top_v)
+    df_tbl = df_ds.to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
 
     class Score:

@@ -86,28 +86,91 @@ def _md5_lower64(values: list) -> np.ndarray:
     return out
 
 
+_FNV32_OFFSET = 2166136261
+_FNV32_PRIME = 16777619
+
+
+def fnv1a32(data: bytes, h: int = _FNV32_OFFSET) -> int:
+    """FNV-1a 32-bit (hash/fnv parity with fnvhasher.go:12-18)."""
+    for b in data:
+        h = ((h ^ b) * _FNV32_PRIME) & 0xFFFFFFFF
+    return h
+
+
+def _fnv32_values(vals: list, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """computeHash(le32(seed) ++ bytes(value)) per row, vectorized
+    column-wise over a padded byte matrix (rows iterate BYTE POSITIONS,
+    not records — max-len passes over the whole batch at once).
+
+    Returns (uint32 hashes, valid mask).  Null/empty values are invalid:
+    getBytesFromValue yields no bytes, which the reference treats as
+    missing randomness -> never sampled (logsprocessor.go:136-144)."""
+    import struct
+
+    h0 = fnv1a32(struct.pack("<I", seed & 0xFFFFFFFF))
+    bs = [v if isinstance(v, (bytes, bytearray)) else
+          (str(v).encode() if v is not None else b"") for v in vals]
+    n = len(bs)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    valid = lens > 0
+    total = int(lens.sum())
+    h = np.full(n, h0, dtype=np.uint32)
+    if total == 0:
+        return h, valid
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    rowidx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    colidx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    maxlen = int(lens.max())
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    mat[rowidx, colidx] = flat
+    prime = np.uint32(_FNV32_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            m = j < lens
+            h[m] = (h[m] ^ mat[m, j].astype(np.uint32)) * prime
+    return h, valid
+
+
 class ProbabilisticSampler:
-    """Keep rows where md5_lower64(attr) % 10000 < percentage*100."""
+    """Keep rows where md5_lower64(attr) % 10000 < percentage*100
+    (mode="md5", the DuckDB-replayable default), or reference-bit-parity
+    mode="fnv": FNV-1a32 over le32(hash_seed) ++ value bytes, low 14
+    bits compared against uint32(float32(pct) * float32(16384/100)) —
+    the exact legacy HashSeed path (fnvhasher.go:12-18,
+    sampler_mode.go:420-455: 32-bit multiply, round toward zero)."""
 
     def __init__(self, percentage: float, attribute_source: str = "conv_id",
-                 invert: bool = False):
+                 invert: bool = False, mode: str = "md5", hash_seed: int = 0):
+        if mode not in ("md5", "fnv"):
+            raise ValueError(f"unknown sampler mode {mode!r}")
         self.threshold = int(round(percentage * 100))  # 0..10000 space; round
         # (0.29*100 float-truncates to 28 and silently under-samples)
+        # fnv mode preserves the reference's truncating float32 multiply
+        self.scaled = int(np.float32(percentage) * np.float32(0x4000 / 100.0))
         self.attribute_source = attribute_source
         self.invert = invert
+        self.mode = mode
+        self.hash_seed = hash_seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         col = batch.column(self.attribute_source)
         vals = col.to_pylist()
-        buckets = _md5_lower64(vals) % np.uint64(10000)
-        keep = buckets < self.threshold
+        if self.mode == "fnv":
+            h, notnull = _fnv32_values(vals, self.hash_seed)
+            # scaled == 0 -> neverSampler (sampler_mode.go:438-440)
+            keep = (h & np.uint32(0x3FFF)) < np.uint32(self.scaled) \
+                if self.scaled else np.zeros(len(vals), dtype=bool)
+        else:
+            buckets = _md5_lower64(vals) % np.uint64(10000)
+            keep = buckets < self.threshold
+            # null keys never pass: DuckDB's md5_number_lower(NULL) is
+            # NULL and a NULL WHERE filters the row in either polarity
+            notnull = np.array([v is not None for v in vals], dtype=bool)
         if self.invert:
             keep = ~keep
-        # null keys never pass: DuckDB's md5_number_lower(NULL) is NULL and
-        # a NULL WHERE filters the row in either polarity (oracle parity)
-        notnull = np.array([v is not None for v in vals], dtype=bool)
         return batch.filter(pa.array(keep & notnull))
 
 

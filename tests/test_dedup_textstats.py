@@ -459,3 +459,32 @@ def test_cluster_keep_best_priority_keeper():
     # cluster 7: doc 8 (quality 2) beats doc 7; doc 9 is in no cluster
     assert list(map(tuple, out[["cluster_id", "doc_id"]].to_numpy())) == \
         [(1, 2), (7, 8)]
+
+
+def test_conversation_policy_filter_semi_join_fallback():
+    # past max_broadcast_keys the filter must switch to the bucketed
+    # semi-join and return the identical row set
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        conversation_policy_filter,
+    )
+
+    rows = []
+    for c in range(40):
+        rows.append({"conv_id": f"c{c:02d}", "turn_idx": 0,
+                     "attr_status": "error" if c % 3 == 0 else "ok"})
+        rows.append({"conv_id": f"c{c:02d}", "turn_idx": 1,
+                     "attr_status": "ok"})
+    cond = 'attributes["status"] == "error"'
+    broad = conversation_policy_filter(rd.from_items(rows), cond) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    joined = conversation_policy_filter(rd.from_items(rows), cond,
+                                        max_broadcast_keys=1, n_buckets=4) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert set(broad.conv_id) == {f"c{c:02d}" for c in range(0, 40, 3)}
+    assert broad[joined.columns].equals(joined[joined.columns]) or \
+        broad.sort_index(axis=1).equals(joined.sort_index(axis=1))
+    # no conversation matches -> empty, both paths
+    none = conversation_policy_filter(
+        rd.from_items(rows), 'attributes["status"] == "nope"').to_pandas()
+    assert len(none) == 0

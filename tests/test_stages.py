@@ -871,3 +871,70 @@ def test_severity_overwrite_text_modes():
     assert keep.column("severity_number").to_pylist() == [13, None, None]
     canon = SeverityParser()(t)  # default: canonical
     assert canon.column("severity_text").to_pylist() == ["WARN", None, None]
+
+
+def test_fnv1a32_reference_golden_vectors():
+    # fnvhasher_test.go TestEmptyHashFunction golden values:
+    # computeHash([]byte{}, 0) & 0x3FFF == 0x3515
+    # computeHash(16 zero bytes, 0) & 0x3FFF == 0x2455
+    import struct
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        fnv1a32,
+    )
+
+    h0 = fnv1a32(struct.pack("<I", 0))
+    assert h0 & 0x3FFF == 0x3515
+    assert fnv1a32(b"\x00" * 16, h=h0) & 0x3FFF == 0x2455
+
+
+def test_fnv32_vectorized_matches_scalar():
+    import struct
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        _fnv32_values,
+        fnv1a32,
+    )
+
+    vals = ["conv-000123", "x", "", None, "a much longer conversation id",
+            b"\x00\x01\x02", "conv-000123"]
+    seed = 4312  # the reference's defaultHashSeed
+    h, valid = _fnv32_values(vals, seed)
+    h0 = fnv1a32(struct.pack("<I", seed))
+    for i, v in enumerate(vals):
+        if v is None or v == "" :
+            assert not valid[i]
+            continue
+        b = v if isinstance(v, bytes) else str(v).encode()
+        assert valid[i]
+        assert int(h[i]) == fnv1a32(b, h=h0), (i, v)
+
+
+def test_probabilistic_sampler_fnv_mode():
+    import struct
+
+    import numpy as np
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        ProbabilisticSampler,
+        fnv1a32,
+    )
+
+    ids = [f"conv{i:04d}" for i in range(1000)] + [None]
+    t = pa.table({"conv_id": pa.array(ids, pa.string())})
+    pct, seed = 25.0, 4312
+    s = ProbabilisticSampler(pct, "conv_id", mode="fnv", hash_seed=seed)
+    out = s(t)
+    # hand-compute the legacy HashSeed verdicts (sampler_mode.go:436-444)
+    scaled = int(np.float32(pct) * np.float32(0x4000 / 100.0))
+    h0 = fnv1a32(struct.pack("<I", seed))
+    expect = [i for i in ids if i is not None
+              and (fnv1a32(i.encode(), h=h0) & 0x3FFF) < scaled]
+    assert out.column("conv_id").to_pylist() == expect
+    assert 150 < out.num_rows < 350  # ~25%
+    # determinism + invert partitions the non-null rows
+    inv = ProbabilisticSampler(pct, "conv_id", mode="fnv", hash_seed=seed,
+                               invert=True)
+    assert inv(t).num_rows == 1000 - out.num_rows
+    # scaled == 0 -> neverSampler (sampler_mode.go:438-440)
+    assert ProbabilisticSampler(0.0, "conv_id", mode="fnv")(t).num_rows == 0

@@ -380,3 +380,30 @@ def test_ordered_prefix_sum_matches_cumsum():
     # offsets are a valid exclusive scan: strictly increasing, start 0
     assert out["off"].iloc[0] == 0
     assert (np.diff(out["off"]) == by_id[:-1]).all()
+
+
+def test_tfidf_keywords_min_df_and_top_v_cap():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.relevance import (
+        tfidf_keywords,
+    )
+
+    texts = ["apple banana apple cherry", "banana cherry cherry date",
+             "apple apple apple", "unique words only here", ""]
+    tbl = _docs(texts)
+    full = tfidf_keywords(lambda: ray.data.from_arrow(tbl), k=10) \
+        .to_pandas()
+    # min_df=2 must drop exactly the df==1 tokens, keep everything else
+    pruned = tfidf_keywords(lambda: ray.data.from_arrow(tbl), k=10,
+                            min_df=2).to_pandas()
+    singletons = {"date", "unique", "words", "only", "here"}
+    assert set(full.token) - set(pruned.token) == singletons
+    kept = full[~full.token.isin(singletons)]
+    m = pruned.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    km = kept.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    # scores of surviving tokens are unchanged; ranks recompute densely
+    assert (m.token == km.token).all() and (m.score == km.score).all()
+    # top_v keeps only the V highest-df tokens (ties break token-asc):
+    # dfs: apple 2, banana 2, cherry 2, rest 1 -> top_v=2 keeps apple,banana
+    capped = tfidf_keywords(lambda: ray.data.from_arrow(tbl), k=10,
+                            top_v=2).to_pandas()
+    assert set(capped.token) == {"apple", "banana"}
