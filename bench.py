@@ -73,6 +73,50 @@ BENCH_QUERIES = [
     "knn_lsh",
     "otlp_proto_roundtrip",
     "exp_to_explicit_hist",
+    # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
+    "attr_hash_extract",
+    "replace_pattern",
+    "match_all_route_counts",
+    "embedding_dim_sums",
+    "top3_events_per_type",
+    "stratified_event_sample",
+    "latency_quantiles_by_tool",
+    "approx_latency_quantiles",
+    "doc_shuffle",
+    "doc_ccnet_buckets",
+    "doc_curriculum",
+    "doc_url_normalize",
+    "doc_length_filter",
+    "doc_zscore",
+    "rollup_event_counts",
+    "pivot_event_counts",
+    "role_pmi",
+    "distinct_users_by_type",
+    "conversion_latency",
+    "doc_validate",
+    "conversation_features",
+    "uri_parse",
+    "kv_parse",
+    "csv_parse",
+    "jsonarray_parse",
+    "grok_parse",
+    "trace_scope_parse",
+    "roundrobin_counts",
+    "failover_counts",
+    "schema_rename_counts",
+    "xml_extract",
+    "recombine_capped",
+    "minhash_neardup",
+    "simhash_neardup",
+    "embedding_neardup",
+    "doc_fingerprint",
+    "knn_ivf",
+    "knn_pq",
+    "image_dedup",
+    "audio_pipeline",
+    "doc_bpe_tokens",
+    "doc_decontaminate_bloom",
+    "multimodal_pipeline",
 ]
 
 

@@ -1117,25 +1117,61 @@ def _planted_dup_docs(sf_dir: str):
     return rd.from_arrow(merged)
 
 
+def _planted_pair_summary(pairs_ds, sf_dir: str, a_col: str, b_col: str):
+    """Self-validating summary of a near-dup pair result against the
+    KNOWN planted set (_planted_dup_docs plants (i, i+100000) for every
+    doc_id % 5 == 0): one deterministic row — planted_pairs,
+    found_planted, extra_pairs, recall_ppm (exact integer, no float
+    hash risk).  The pair list itself is candidate-bucket-bounded, so
+    pulling it to the driver for the summary is test-scale-only
+    bookkeeping; recall floors are additionally pinned in pytest."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    planted = {(i, i + 100_000) for i in ids if i % 5 == 0}
+    got = pairs_ds.to_pandas()
+    got_pairs = {(min(a, b), max(a, b)) for a, b in
+                 zip(got[a_col].astype(int), got[b_col].astype(int))}
+    found = len(planted & got_pairs)
+    return pa.table({
+        "planted_pairs": pa.array([len(planted)], pa.int64()),
+        "found_planted": pa.array([found], pa.int64()),
+        "extra_pairs": pa.array([len(got_pairs) - found], pa.int64()),
+        "recall_ppm": pa.array(
+            [found * 1_000_000 // max(len(planted), 1)], pa.int64()),
+    })
+
+
 def q_minhash_neardup(sf_dir: str):
-    """MinHash+LSH near-dup pairs over documents with planted duplicates."""
+    """MinHash+LSH near-dup pairs over documents with planted
+    duplicates, returned as a SELF-VALIDATING planted-recall summary row
+    (MinHash is not SQL-expressible; the row carries the invariant the
+    driver can see: found_planted/planted_pairs).  The perturbation
+    (drop every 8th word) intentionally straddles the 0.6 shingle-
+    Jaccard threshold, so recall_ppm reads as a boundary-behavior
+    measurement, not a 100% target; the floor is pinned in pytest."""
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = _planted_dup_docs(sf_dir)
-    return minhash_lsh_pairs(ds, threshold=0.6)
+    pairs = minhash_lsh_pairs(ds, threshold=0.6)
+    return _planted_pair_summary(pairs, sf_dir, "doc_a", "doc_b")
 
 
 def q_simhash_neardup(sf_dir: str):
-    """SimHash near-dup pairs (banded 64-bit signatures)."""
+    """SimHash near-dup pairs (banded 64-bit signatures) as a planted
+    recall summary row (self-validating rows-only)."""
     from ..stages.dedup import simhash_pairs
 
     ds = _planted_dup_docs(sf_dir)
-    return simhash_pairs(ds, max_hamming=3)
+    pairs = simhash_pairs(ds, max_hamming=3)
+    return _planted_pair_summary(pairs, sf_dir, "doc_a", "doc_b")
 
 
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup (random-hyperplane LSH buckets) with
-    planted noisy copies."""
+    planted noisy copies, returned as a self-validating planted-recall
+    summary row (same contract as q_minhash_neardup)."""
     import ray.data as rd
     import pyarrow.parquet as pq
     from ..stages.dedup import embedding_neardup_pairs
@@ -1153,7 +1189,19 @@ def q_embedding_neardup(sf_dir: str):
         "embedding": pa.FixedSizeListArray.from_arrays(
             pa.array(allv.reshape(-1), pa.float32()), allv.shape[1]),
     })
-    return embedding_neardup_pairs(rd.from_arrow(merged), threshold=0.98)
+    pairs = embedding_neardup_pairs(rd.from_arrow(merged), threshold=0.98) \
+        .to_pandas()
+    want = {(i, i + 100_000) for i in ids[::5]}
+    got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    got |= {(b, a) for a, b in got}
+    found = len(want & got)
+    return pa.table({
+        "planted_pairs": pa.array([len(want)], pa.int64()),
+        "found_planted": pa.array([found], pa.int64()),
+        "extra_pairs": pa.array([len(got) // 2 - found], pa.int64()),
+        "recall_ppm": pa.array(
+            [found * 1_000_000 // max(len(want), 1)], pa.int64()),
+    })
 
 
 def q_neardup_clusters(sf_dir: str):
@@ -1223,48 +1271,83 @@ def q_doc_quality(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
-    """Rolling-hash fingerprints (rows-only; deterministic)."""
+    """Rolling-hash fingerprints with a self-validating twist: every
+    doc_id % 10 == 0 gets an EXACT copy planted at doc_id + 200000, and
+    the per-doc rows carry ``copy_fp_match`` — the copy's fingerprint
+    must equal the original's (hash determinism across tasks/batches),
+    null for unplanted docs.  Rows-only; deterministic."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
     from ..stages.textstats import Fingerprint
 
-    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(Fingerprint(), batch_format="pyarrow")
-    return ds.map_batches(lambda t: t.select(["doc_id", "fingerprint"]),
-                          batch_format="pyarrow")
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    cids = [i + 200_000 for i in ids if i % 10 == 0]
+    ctxt = [t for i, t in zip(ids, texts) if i % 10 == 0]
+    merged = pa.table({"doc_id": pa.array(ids + cids, pa.int64()),
+                       "text": pa.array(texts + ctxt, pa.string())})
+    out = rd.from_arrow(merged) \
+        .map_batches(Fingerprint(), batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["doc_id", "fingerprint"]),
+                     batch_format="pyarrow").to_pandas()
+    fp = out.set_index("doc_id")["fingerprint"]
+    base = out[out.doc_id < 200_000].sort_values("doc_id")
+    match = [bool(fp[i + 200_000] == fp[i]) if i % 10 == 0 else None
+             for i in base.doc_id]
+    return pa.table({
+        "doc_id": pa.array(base.doc_id, pa.int64()),
+        "fingerprint": pa.array(base.fingerprint),
+        "copy_fp_match": pa.array(match, pa.bool_()),
+    })
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF approximate top-k (scale path of similarity search; rows-only —
-    approximate results have no exact SQL oracle)."""
-    from ..stages.similarity import ivf_topk
+    """IVF approximate top-k (scale path of similarity search) returned
+    as SELF-VALIDATING integer rows: per query, brute-force-top-k hits
+    plus max |sim - exact cosine recompute| over the returned ids in
+    1e-12 units (IVF scores true cosines over probed lists, so 0 by
+    construction).  Rows-only for the driver — approximate search has
+    no SQL oracle — but the rows ARE the invariant."""
+    from ..stages.similarity import ann_self_check, ivf_topk
 
     queries, ds = _embedding_queries(sf_dir)
-    return ivf_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
+    approx = ivf_topk(ds, queries, k=5, exclude_ids={0, 1, 2})
+    return ann_self_check(approx, ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
 def q_knn_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k (random-hyperplane signatures
     prune each batch locally against broadcast query signatures — no
-    shuffle, no index; rows-only)."""
-    from ..stages.similarity import lsh_topk
+    shuffle, no index), returned as per-query self-validating integer
+    rows (brute-force hits + max sim recompute diff in 1e-12 units,
+    expected 0)."""
+    from ..stages.similarity import ann_self_check, lsh_topk
 
     queries, ds = _embedding_queries(sf_dir)
-    return lsh_topk(ds, queries, k=5, n_bits=8, n_tables=16,
-                    exclude_ids={0, 1, 2})
+    approx = lsh_topk(ds, queries, k=5, n_bits=8, n_tables=16,
+                      exclude_ids={0, 1, 2})
+    return ann_self_check(approx, ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
 def q_knn_pq(sf_dir: str):
     """Product-quantization top-k (the STORAGE scale path of similarity
     search: float vectors scan as m uint8 codes, 64x smaller): train
     per-subspace codebooks, map-only encode, ADC LUT scan + exact rerank
-    of the shortlist (stages/similarity.py pq_*).  Approximate ->
-    rows-only; pytest pins recall vs brute force."""
-    from ..stages.similarity import pq_encode, pq_topk, pq_train
+    of the shortlist (stages/similarity.py pq_*).  Returned as per-query
+    self-validating integer rows: rerank emits true cosines, so
+    max_sim_diff_e12 == 0 exactly; brute-force hits are the
+    quantization-quality floor pytest also pins."""
+    from ..stages.similarity import ann_self_check, pq_encode, pq_topk, pq_train
 
     queries, ds = _embedding_queries(sf_dir)
     books = pq_train(ds, m=8, ksub=32)
     codes = pq_encode(ds, books).materialize()
-    return pq_topk(codes, books, queries, k=5, rerank_ds=ds,
-                   rerank_factor=5, exclude_ids={0, 1, 2})
+    approx = pq_topk(codes, books, queries, k=5, rerank_ds=ds,
+                     rerank_factor=5, exclude_ids={0, 1, 2})
+    return ann_self_check(approx, ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
 def q_multimodal_pipeline(sf_dir: str):
@@ -1285,8 +1368,20 @@ def q_multimodal_pipeline(sf_dir: str):
                         batch_size=32)
     frames = ds.map_batches(FrameSampler(frames_per_item=4), batch_format="pyarrow",
                             batch_size=32)
-    return frames.map_batches(lambda t: t.select(["item_id", "frame_idx"]),
-                              batch_format="pyarrow")
+    got = frames.map_batches(lambda t: t.select(["item_id", "frame_idx"]),
+                             batch_format="pyarrow").to_pandas()
+    # self-validating per-item rows: every item must emit exactly
+    # frames_per_item=4 frames with contiguous indices 0..3
+    per = got.groupby("item_id")["frame_idx"]
+    items = sorted(per.groups)
+    return pa.table({
+        "item_id": pa.array(items, pa.int64()),
+        "n_frames": pa.array([len(per.get_group(i)) for i in items],
+                             pa.int64()),
+        "frames_ok": pa.array(
+            [sorted(per.get_group(i)) == [0, 1, 2, 3] for i in items],
+            pa.bool_()),
+    })
 
 
 def q_image_dedup(sf_dir: str):
@@ -1303,17 +1398,28 @@ def q_image_dedup(sf_dir: str):
         synth_bmp_table,
     )
 
-    ds = rd.from_arrow(synth_bmp_table(210, dup_every=7))
+    n, dup_every = 210, 7
+    ds = rd.from_arrow(synth_bmp_table(n, dup_every=dup_every))
     ds = ds.map_batches(ImagePixelDecoder, batch_format="pyarrow",
                         batch_size=64, concurrency=(1, 4))
     ds = ds.map_batches(ImageAHash(), batch_format="pyarrow")
-    groups = ds.map_batches(
+    hashes = ds.map_batches(
         lambda t: t.select(["item_id", "ahash"]), batch_format="pyarrow") \
-        .groupby("ahash").count()
-    dups = groups.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("count()"), 2)),
-        batch_format="pyarrow")
-    return dups.sort("ahash")
+        .to_pandas().set_index("item_id")["ahash"]
+    # self-validating summary: items 7b and 7b+1 share pixels by
+    # construction — their aHashes MUST collide (decode is bit-real);
+    # spurious collisions between distinct patterns show up as
+    # extra_dup_groups (deterministic for the fixed seed)
+    planted = n // dup_every
+    recovered = sum(int(hashes[b * dup_every] == hashes[b * dup_every + 1])
+                    for b in range(planted))
+    counts = hashes.value_counts()
+    return pa.table({
+        "planted_pairs": pa.array([planted], pa.int64()),
+        "recovered_pairs": pa.array([recovered], pa.int64()),
+        "dup_groups": pa.array([int((counts >= 2).sum())], pa.int64()),
+        "max_group_size": pa.array([int(counts.max())], pa.int64()),
+    })
 
 
 def q_embedding_dim_sums(sf_dir: str):
@@ -1397,9 +1503,31 @@ def q_audio_pipeline(sf_dir: str):
                             concurrency=(1, 2))
     feats = chunks.map_batches(AudioFeatureExtractor(), batch_format="pyarrow",
                                batch_size=64)
-    return feats.map_batches(
+    got = feats.map_batches(
         lambda t: t.select(["item_id", "chunk_idx", "rms", "zcr"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").to_pandas()
+    # self-validating per-item rows: a 1 s clip at 16 kHz MUST slice
+    # into exactly four 250 ms chunks with contiguous indices, and the
+    # planted 0.5-amplitude sine bounds the per-chunk RMS; floats
+    # round to integer milli-units so the row hash is exact
+    per = got.groupby("item_id")
+    items = sorted(per.groups)
+    return pa.table({
+        "item_id": pa.array(items, pa.int64()),
+        "n_chunks": pa.array([len(per.get_group(i)) for i in items],
+                             pa.int64()),
+        "chunks_ok": pa.array(
+            [sorted(per.get_group(i)["chunk_idx"]) == [0, 1, 2, 3]
+             for i in items], pa.bool_()),
+        "rms_in_range": pa.array(
+            # PCM normalized to [-1, 1]; the 0.5-amplitude sine + 0.05
+            # noise floor lands near RMS 0.357
+            [bool(per.get_group(i)["rms"].between(0.2, 0.5).all())
+             for i in items], pa.bool_()),
+        "rms_mean_milli": pa.array(
+            [int(round(per.get_group(i)["rms"].mean() * 1000))
+             for i in items], pa.int64()),
+    })
 
 
 RING_ENDPOINTS = ["backend-1", "backend-2", "backend-3"]
@@ -1660,12 +1788,20 @@ def q_doc_decontaminate(sf_dir: str):
 def q_doc_decontaminate_bloom(sf_dir: str):
     """Scale-path decontamination: the reference side compressed into a
     fixed-size Bloom filter (built distributed, OR-reduced partials —
-    constant bytes per batch), probed map-side.  Over-flags by the FP
-    rate, never under-flags (rows-only; exact-vs-bloom agreement is
-    pytest-verified)."""
+    constant bytes per batch), probed map-side.  Returned as a
+    SELF-VALIDATING one-row comparison against the exact 8-gram-set path
+    run in the same plan: ``bloom_missed`` MUST be 0 (a Bloom filter has
+    no false negatives — any miss is a bug, not an approximation) and
+    ``bloom_extra`` is the visible false-positive count.  Rows-only for
+    the driver; the exact path is separately oracle-checked as
+    doc_decontaminate."""
     import ray
 
-    from ..stages.decontam import BloomDecontaminator, build_bloom_ngrams
+    from ..stages.decontam import (
+        BloomDecontaminator,
+        build_bloom_ngrams,
+        decontaminate,
+    )
 
     K = _DECONTAM_BENCH_MAX_ID
     docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1681,9 +1817,19 @@ def q_doc_decontaminate_bloom(sf_dir: str):
 
     def flagged(t: pa.Table) -> pa.Table:
         t = t.filter(t.column("contaminated"))
-        return t.select(["doc_id", "contam_ngrams"])
+        return t.select(["doc_id"])
 
-    return out.map_batches(flagged, batch_format="pyarrow")
+    bloom_ids = set(out.map_batches(flagged, batch_format="pyarrow")
+                    .to_pandas()["doc_id"].astype(int))
+    exact = decontaminate(corpus, bench, n=8, threshold=1)
+    exact_ids = set(exact.map_batches(flagged, batch_format="pyarrow")
+                    .to_pandas()["doc_id"].astype(int))
+    return pa.table({
+        "exact_flagged": pa.array([len(exact_ids)], pa.int64()),
+        "bloom_flagged": pa.array([len(bloom_ids)], pa.int64()),
+        "bloom_missed": pa.array([len(exact_ids - bloom_ids)], pa.int64()),
+        "bloom_extra": pa.array([len(bloom_ids - exact_ids)], pa.int64()),
+    })
 
 
 def q_doc_repetition(sf_dir: str):
@@ -2164,14 +2310,27 @@ def q_approx_distinct_users(sf_dir: str):
     """Per-group approximate COUNT(DISTINCT): one HLL register set per
     (event_type, batch) shuffles instead of one row per distinct pair —
     the scale path past exact distinct_users_by_type (stages/sketch.py
-    approx_distinct_grouped).  Approximate -> rows-only check; pytest
-    bounds the error against the exact counts."""
+    approx_distinct_grouped).  Approximate -> rows-only check, but
+    SELF-VALIDATING: the exact grouped distinct runs in the same plan
+    and every row carries ``err_ppm`` = |approx - exact| * 1e6 / exact
+    (HLL expected well under 80000 ppm; the bound is also pinned in
+    pytest)."""
     from ..stages.sketch import approx_distinct_grouped
 
-    out = approx_distinct_grouped(
+    approx = approx_distinct_grouped(
         _rd(sf_dir, "events", columns=["event_type", "user_id"]),
-        ["event_type"], "user_id")
-    return out.sort("event_type")
+        ["event_type"], "user_id").to_pandas()
+    exact = q_distinct_users_by_type(sf_dir).to_pandas()
+    m = approx.merge(exact, on="event_type").sort_values("event_type")
+    err = ((m["approx_distinct"] - m["n_users"]).abs() * 1_000_000
+           // m["n_users"].clip(lower=1))
+    return pa.table({
+        "event_type": pa.array(m["event_type"]),
+        "approx_distinct": pa.array(m["approx_distinct"].astype(int),
+                                    pa.int64()),
+        "exact_distinct": pa.array(m["n_users"].astype(int), pa.int64()),
+        "err_ppm": pa.array(err.astype(int), pa.int64()),
+    })
 
 
 def q_doc_keywords(sf_dir: str):
@@ -3112,17 +3271,31 @@ def q_doc_bpe_tokens(sf_dir: str):
     collapses to a distinct-word frequency table (per-batch np.unique
     partials, one bucketed combine), merges learn over that table, and a
     broadcast-ranks actor pool encodes map-side with a distinct-word
-    cache.  Rows-only by design: merge learning is an iterative
-    algorithm SQL cannot replay; parity is pinned by tests/test_bpe.py
-    (brute-force trainer equivalence + lossless roundtrip)."""
-    from ..stages.bpe import bpe_tokenize
+    cache.  Rows-only by design (merge learning is iterative — SQL
+    cannot replay it), so every row carries its own invariant:
+    ``detok_ok`` re-concatenates the emitted tokens and compares against
+    the lowercased word stream — BPE is lossless, so TRUE on every row.
+    The tokens are dropped in the same map stage (the list never
+    crosses an exchange).  Trainer parity additionally pinned by
+    tests/test_bpe.py."""
+    from ..stages.bpe import _EOW, _split_words, bpe_tokenize
 
     out, _ = bpe_tokenize(
         lambda: _rd(sf_dir, "documents", columns=["doc_id", "text"]),
-        n_merges=256, min_count=2)
-    return out.map_batches(
-        lambda t: t.select(["doc_id", "n_bpe_tokens"]),
-        batch_format="pyarrow").sort("doc_id")
+        n_merges=256, min_count=2, emit_tokens=True)
+
+    def check(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        # each word ends with the _EOW marker in the token stream
+        words = ["".join(w.lower() + _EOW for w in ws)
+                 for ws in _split_words(texts)]
+        toks = t.column("bpe_tokens").to_pylist()
+        ok = [("".join(tk) == w) for tk, w in zip(toks, words)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bpe_tokens": t.column("n_bpe_tokens"),
+                         "detok_ok": pa.array(ok, pa.bool_())})
+
+    return out.map_batches(check, batch_format="pyarrow").sort("doc_id")
 
 
 def q_event_windows(sf_dir: str):

@@ -584,3 +584,74 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
                                  concurrency=(1, 8))
     return brute_force_topk(cand, queries, k=k, id_col=id_col,
                             emb_col=emb_col, exclude_ids=exclude_ids)
+
+
+def ann_self_check(approx_ds, ds, queries: np.ndarray, k: int = 10,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   exclude_ids: set | None = None):
+    """Per-query invariant rows for an approximate top-k result — the
+    driver-visible self-validation of an op SQL cannot express.
+
+    Returns ONE arrow row per query, ALL-INTEGER so the value hash is
+    batch-layout-independent: ``k_returned``; ``brute_hits`` (overlap
+    with an exact brute-force top-k run in the same plan — the recall
+    numerator, floors pinned in pytest); ``max_sim_diff_e12`` — every
+    approximate ``sim`` recomputed as an INDEPENDENT exact cosine from
+    the raw vectors of just the returned ids (a tiny semi-filter pass),
+    max |diff| scaled by 1e12 and truncated.  IVF/LSH/PQ-with-rerank all
+    score candidates with true cosines, so the expected value is 0 (the
+    recompute agrees to the last few ulps; anything >= 1e-12 is a real
+    scoring bug, not BLAS blocking noise).  Cost: one extra exact scan —
+    a correctness artifact, priced only at test scale (the approximate
+    result itself is the production path)."""
+    import pyarrow.compute as pc
+    import ray
+
+    ap = approx_ds.to_pandas()                     # nq * k rows — tiny
+    nq = len(queries)
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+
+    # independent exact sims for every returned id (vectors fetched via
+    # a broadcast-id semi-filter; never a corpus materialization)
+    wanted = sorted(set(ap[id_col].tolist()))
+    wref = ray.put(pa.array(wanted))
+
+    def grab(batch: pa.Table) -> pa.Table:
+        keys = ray.get(wref)
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=keys))
+
+    sub = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    mat = np.asarray(sub[emb_col].tolist(), dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = (mat / norms) @ qn.T                    # (n_wanted, nq)
+    row_of = {v: i for i, v in enumerate(sub[id_col].tolist())}
+    exact = np.array([sims[row_of[v], q]
+                      for v, q in zip(ap[id_col], ap["query_idx"])])
+    ap = ap.assign(_diff=np.abs(ap["sim"].to_numpy() - exact))
+
+    brute = brute_force_topk(ds, queries, k=k, id_col=id_col,
+                             emb_col=emb_col,
+                             exclude_ids=exclude_ids).to_pandas()
+    btop = brute.groupby("query_idx")[id_col].apply(set)
+    out = []
+    for q in range(nq):
+        g = ap[ap["query_idx"] == q]
+        bset = btop.get(q, set())
+        diff = float(g["_diff"].max()) if len(g) else 0.0
+        out.append({
+            "query_idx": q,
+            "k_returned": len(g),
+            "brute_hits": int(g[id_col].isin(bset).sum()),
+            "max_sim_diff_e12": int(diff * 1e12),  # truncate: ulp-level
+            # recompute noise (~1e-16) reads 0, a real bug (>=1e-12) >= 1
+        })
+    import pandas as pd
+
+    o = pd.DataFrame(out)
+    return pa.table({
+        "query_idx": pa.array(o["query_idx"], pa.int32()),
+        "k_returned": pa.array(o["k_returned"], pa.int64()),
+        "brute_hits": pa.array(o["brute_hits"], pa.int64()),
+        "max_sim_diff_e12": pa.array(o["max_sim_diff_e12"], pa.int64()),
+    })
