@@ -1,9 +1,12 @@
 """Multimodal column stages: image/audio/video as opaque binary columns.
 
-The decode libraries (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode kernels are STUBBED — clearly marked, behind import guards —
-while the Ray-side plumbing (schema, batch sizing, actor signature,
-output layout) is real and tested with the deterministic fake decoder.
+Image decode is REAL in pure numpy+stdlib for BMP / binary PNM / PNG /
+baseline JPEG (jpegcodec.py); audio PCM16 kernels are real; video is
+real only for raw RGB24 frames.  Codecs beyond that (WebP, progressive
+JPEG, mp3/ogg, real video containers) need PIL/ffmpeg — NOT in this
+container — and sit behind import guards that raise honestly, while
+the Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) is identical either way and tested end-to-end.
 
 Design rules for binary payloads at scale:
 - batch_size SMALL (payload bytes x batch x concurrency must fit the
@@ -46,8 +49,8 @@ class ImageDecoder:
     """Actor-pool decode stage over opaque binary payloads.
 
     Real decode runs through :func:`decode_image` — BMP / binary PNM /
-    PNG in pure numpy+stdlib, anything else (JPEG, WebP, ...) through
-    PIL when it is importable.  Modes:
+    PNG / baseline JPEG in pure numpy+stdlib, anything else (WebP,
+    progressive JPEG, ...) through PIL when it is importable.  Modes:
 
     - ``use_fake=None`` (default, "auto"): payloads that sniff as a
       decodable format decode for real; undecodable payloads fall back
@@ -73,7 +76,7 @@ class ImageDecoder:
         self.use_fake = use_fake is True
 
     def _decodable(self, p: bytes) -> bool:
-        if p[:2] in (b"BM", b"P5", b"P6") or p[:8] == _PNG_SIG:
+        if p[:2] in (b"BM", b"P5", b"P6", b"\xff\xd8") or p[:8] == _PNG_SIG:
             return True
         return self.have_pil
 
@@ -429,14 +432,23 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Sniff-and-decode: BMP / binary PNM / PNG in pure numpy+stdlib;
-    anything else needs PIL (raises NotImplementedError without it)."""
+    """Sniff-and-decode: BMP / binary PNM / PNG / baseline JPEG in pure
+    numpy+stdlib (jpegcodec.py closes the formerly PIL-gated path);
+    anything else (WebP, progressive JPEG, ...) needs PIL (raises
+    NotImplementedError without it)."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] in (b"P5", b"P6"):
         return decode_pnm(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        try:
+            return decode_jpeg(buf)
+        except NotImplementedError:
+            pass                       # progressive/12-bit: try PIL below
     try:
         import io
 
@@ -445,7 +457,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         return np.asarray(PIL.Image.open(io.BytesIO(buf)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "decoding this format needs PIL; only BMP/PNM/PNG decode natively")
+            "decoding this format needs PIL; BMP/PNM/PNG/baseline-JPEG "
+            "decode natively")
 
 
 def synth_bmp_table(n: int, seed: int = 5, dup_every: int = 7) -> pa.Table:
@@ -468,13 +481,23 @@ def synth_bmp_table(n: int, seed: int = 5, dup_every: int = 7) -> pa.Table:
             px[:, :, c] = 127.5 * (1 + np.sin(
                 2 * np.pi * (fy * yy / h + fx * xx / w) + phase))
         px = np.clip(px, 0, 255).astype(np.uint8)
-        # mixed wire formats: every 3rd item ships PNG, the rest BMP —
-        # pixels stay IDENTICAL for planted-dup pairs even when the two
-        # copies encode differently (decode_image sniffs per payload,
-        # exactly the re-crawled-image case)
-        is_png = i % 3 == 2
-        payloads.append(encode_png(px) if is_png else encode_bmp(px))
-        mimes.append("image/png" if is_png else "image/bmp")
+        # mixed wire formats keyed by the PATTERN id g (not the item
+        # index) so both members of a planted pair ship the same bytes:
+        # lossless formats would match pixels either way, but a lossy
+        # JPEG pair must share one encode for aHash equality — exactly
+        # the byte-identical re-crawl case the dedup targets
+        fmt = g % 3
+        if fmt == 2:
+            from .jpegcodec import encode_jpeg
+
+            payloads.append(encode_jpeg(px, quality=90))
+            mimes.append("image/jpeg")
+        elif fmt == 1:
+            payloads.append(encode_png(px))
+            mimes.append("image/png")
+        else:
+            payloads.append(encode_bmp(px))
+            mimes.append("image/bmp")
         widths.append(w)
         heights.append(h)
     return pa.table({
