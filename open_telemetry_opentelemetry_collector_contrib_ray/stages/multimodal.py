@@ -2,9 +2,10 @@
 
 Image decode is REAL in pure numpy+stdlib for BMP / binary PNM / PNG /
 baseline JPEG (jpegcodec.py); audio PCM16 kernels are real; video is
-real only for raw RGB24 frames.  Codecs beyond that (WebP, progressive
-JPEG, mp3/ogg, real video containers) need PIL/ffmpeg — NOT in this
-container — and sit behind import guards that raise honestly, while
+real for raw RGB24 frame buffers AND uncompressed-DIB AVI containers
+(encode_avi/decode_avi).  Codecs beyond that (WebP, progressive JPEG,
+mp3/ogg, compressed video) need PIL/ffmpeg — NOT in this container —
+and sit behind import guards that raise honestly, while
 the Ray-side plumbing (schema, batch sizing, actor signature, output
 layout) is identical either way and tested end-to-end.
 
@@ -162,13 +163,15 @@ class FrameSampler:
     """Video frame sampling: one input row -> k frame rows (flat_map
     shape).
 
-    Raw RGB24 video (``width``/``height`` metadata columns present —
-    ffmpeg's ``rawvideo`` pix_fmt rgb24 layout, frame-major) is decoded
-    for REAL: k frames sampled uniformly across the clip, each emitted
-    with its true temporal frame index, exact frame bytes and decoded
-    mean pixel.  Payloads without dimension metadata fall back to the
-    byte-range stub (frame_idx 0..k-1, mean_pixel over raw bytes) so
-    opaque-container plumbing still flows."""
+    REAL decode paths: uncompressed-DIB AVI containers (RIFF sniffed
+    from the payload itself, dims from the strf header — decode_avi)
+    and raw RGB24 buffers (``width``/``height`` metadata columns,
+    ffmpeg ``rawvideo`` pix_fmt rgb24 frame-major layout).  Both sample
+    k frames uniformly across the clip and emit the true temporal frame
+    index, exact RGB24 frame bytes and decoded mean pixel.  Compressed
+    codecs inside a container raise in decode_avi and fall through to
+    the byte-range stub (frame_idx 0..k-1, mean_pixel over raw bytes)
+    so opaque-container plumbing still flows."""
 
     def __init__(self, frames_per_item: int = 4,
                  width_col: str = "width", height_col: str = "height"):
@@ -195,6 +198,23 @@ class FrameSampler:
         for item, p, w, h, vid in zip(item_ids, payloads, widths, heights,
                                       is_video):
             data = p or b""
+            if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                try:
+                    avi_frames, _, _ = decode_avi(data)
+                except (ValueError, NotImplementedError):
+                    avi_frames = None
+                if avi_frames:
+                    n_frames = len(avi_frames)
+                    picks = np.unique((np.arange(self.k) * n_frames)
+                                      // max(1, self.k)).astype(np.int64)
+                    picks = picks[picks < n_frames]
+                    for j in picks:
+                        px = avi_frames[int(j)]
+                        ids.append(item)
+                        fidx.append(int(j))
+                        frames.append(px.tobytes())
+                        means.append(float(px.mean()))
+                    continue
             if (vid and w and h and len(data) >= w * h * 3
                     and len(data) % (w * h * 3) == 0):
                 fsz = w * h * 3
@@ -227,18 +247,25 @@ class FrameSampler:
 
 def synth_video_table(n: int, width: int = 16, height: int = 12,
                       n_frames: int = 24, seed: int = 7) -> pa.Table:
-    """Deterministic raw-RGB24 clips (brightness ramps over time) for
-    exercising the real FrameSampler path without any codec."""
+    """Deterministic clips (brightness ramps over time) for the real
+    FrameSampler paths: even items ship frame-major raw RGB24 buffers,
+    odd items the SAME frames packaged in a real uncompressed-DIB AVI
+    container (encode_avi) — both decode to identical pixels."""
     rng = np.random.RandomState(seed)
-    payloads = []
+    payloads, mimes = [], []
     for i in range(n):
         base = rng.randint(0, 128, size=(height, width, 3), dtype=np.uint8)
         frames = [np.clip(base.astype(np.int32) + 4 * j, 0, 255).astype(np.uint8)
                   for j in range(n_frames)]
-        payloads.append(b"".join(f.tobytes() for f in frames))
+        if i % 2:
+            payloads.append(encode_avi(frames))
+            mimes.append("video/x-msvideo")
+        else:
+            payloads.append(b"".join(f.tobytes() for f in frames))
+            mimes.append("video/raw")
     return pa.table({
         "item_id": pa.array(np.arange(n, dtype=np.int64)),
-        "mime": pa.array(["video/raw"] * n),
+        "mime": pa.array(mimes),
         "width": pa.array([width] * n, pa.int32()),
         "height": pa.array([height] * n, pa.int32()),
         "payload": pa.array(payloads, pa.large_binary()),
@@ -648,3 +675,104 @@ class AudioFeatureExtractor:
                 .append_column("rms", pa.array(rms))
                 .append_column("zcr", pa.array(zcr))
                 .append_column("peak", pa.array(peak)))
+
+
+# ------------------------------------------------------------------ real
+# video container: AVI (RIFF) with uncompressed 'DIB ' frames in pure
+# stdlib — the simplest REAL container format (what `ffmpeg -c:v
+# rawvideo out.avi` writes).  Compressed codecs (h264/vp9/mjpeg) still
+# need ffmpeg and stay honestly NotImplementedError.
+
+
+def encode_avi(frames: list, fps: int = 10) -> bytes:
+    """list of (H, W, 3) uint8 RGB frames -> uncompressed AVI bytes
+    (RIFF 'AVI ': hdrl{avih, strl{strh 'vids'/'DIB ', strf BI_RGB 24}},
+    movi{'00db' bottom-up BGR DIB frames}, idx1)."""
+    assert frames, "need at least one frame"
+    h, w, c = frames[0].shape
+    assert c == 3
+    row_len = (w * 3 + 3) & ~3
+    fsz = row_len * h
+
+    def dib(px: np.ndarray) -> bytes:
+        rows = np.zeros((h, row_len), dtype=np.uint8)
+        rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    avih = struct.pack("<10I", 1_000_000 // fps, fsz * fps, 0, 0x10,
+                       len(frames), 0, 1, fsz, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames), fsz,
+                                            0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsz,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = b"".join(chunk(b"00db", dib(f)) for f in frames)
+    movi = lst(b"movi", movi_frames)
+    # idx1: offsets relative to the start of the movi LIST data
+    idx = bytearray()
+    off = 4                                  # past the 'movi' fourcc
+    for _ in frames:
+        idx += b"00db" + struct.pack("<III", 0x10, off, fsz)
+        off += 8 + fsz + (fsz % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(buf: bytes):
+    """Uncompressed-DIB AVI bytes -> (frames, width, height) where
+    frames is a list of (H, W, 3) uint8 RGB arrays.  Compressed streams
+    (strh handler != 'DIB '/raw, or bpp != 24) raise
+    NotImplementedError; malformed RIFF raises ValueError."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI  header missing)")
+    w = h = None
+    bpp = None
+    handler = None
+    frame_chunks = []
+
+    def walk(data: bytes):
+        nonlocal w, h, bpp, handler
+        pos = 0
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            body = data[pos + 8:pos + 8 + ln]
+            if len(body) < ln:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(body[4:])               # skip the list-type fourcc
+            elif tag == b"strh":
+                if body[:4] == b"vids":
+                    handler = body[4:8]
+            elif tag == b"strf" and w is None:
+                _, w_, h_, _, bpp_ = struct.unpack_from("<IiiHH", body, 0)
+                w, h, bpp = w_, abs(h_), bpp_
+            elif tag in (b"00db", b"00dc"):
+                frame_chunks.append(body)
+            pos += 8 + ln + (ln % 2)         # chunks pad to even
+
+    walk(buf[12:])
+    if w is None or not frame_chunks:
+        raise ValueError("AVI missing strf header or frames")
+    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB ") or bpp != 24:
+        raise NotImplementedError(
+            f"AVI codec {handler!r}/{bpp}bpp needs ffmpeg; only "
+            "uncompressed 24-bit DIB decodes natively")
+    row_len = (w * 3 + 3) & ~3
+    frames = []
+    for fb in frame_chunks:
+        if len(fb) < row_len * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(fb[:row_len * h], np.uint8).reshape(h, row_len)
+        frames.append(rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+    return frames, w, h

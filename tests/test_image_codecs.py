@@ -194,3 +194,71 @@ def test_png_all_filters_and_color_types():
         else:
             exp = np.repeat(px, 3, axis=2)
         assert np.array_equal(got, exp), (ctype_, "filter reconstruction")
+
+
+def test_avi_roundtrip_bit_exact():
+    # uncompressed DIB container: encode -> decode is lossless
+    import numpy as np
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (13, 21, 3), dtype=np.uint8)
+              for _ in range(5)]
+    dec, w, h = decode_avi(encode_avi(frames, fps=8))
+    assert (w, h) == (21, 13) and len(dec) == 5
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+
+
+def test_avi_compressed_handler_raises():
+    import numpy as np
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    buf = bytearray(encode_avi(
+        [np.zeros((8, 8, 3), np.uint8)]))
+    i = buf.find(b"vidsDIB ")
+    buf[i + 4:i + 8] = b"H264"
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(buf))
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00AVI ")  # no strf/frames
+
+
+def test_frame_sampler_avi_equals_raw():
+    # the same pixels through the AVI container and the raw buffer must
+    # sample identical frames
+    import numpy as np
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        FrameSampler,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(4)
+    frames = [rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+              for _ in range(10)]
+    t = pa.table({
+        "item_id": pa.array([0, 1], pa.int64()),
+        "mime": pa.array(["video/raw", "video/x-msvideo"]),
+        "width": pa.array([16, 16], pa.int32()),
+        "height": pa.array([12, 12], pa.int32()),
+        "payload": pa.array([b"".join(f.tobytes() for f in frames),
+                             encode_avi(frames)], pa.large_binary()),
+    })
+    out = FrameSampler(frames_per_item=4)(t).to_pandas()
+    raw = out[out.item_id == 0].reset_index(drop=True)
+    avi = out[out.item_id == 1].reset_index(drop=True)
+    assert list(raw.frame_idx) == list(avi.frame_idx)
+    for a, b in zip(raw.frame_payload, avi.frame_payload):
+        assert a == b
+    assert (raw.mean_pixel == avi.mean_pixel).all()
