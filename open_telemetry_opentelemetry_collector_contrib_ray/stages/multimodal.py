@@ -608,24 +608,75 @@ def synth_audio_table(n: int, seed: int = 4, sample_rate: int = 16000,
     genuine kernels, not fakes."""
     rng = np.random.RandomState(seed)
     t = np.arange(int(sample_rate * seconds)) / sample_rate
-    payloads = []
+    payloads, mimes = [], []
     for i in range(n):
         freq = 100.0 + 50.0 * (i % 20)
         wave = 0.5 * np.sin(2 * np.pi * freq * t) \
             + 0.05 * rng.standard_normal(len(t))
-        payloads.append((np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes())
+        pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+        # odd items ship the SAME samples inside a real RIFF WAVE
+        # container (rate read from the fmt chunk, not the column)
+        if i % 2:
+            payloads.append(encode_wav(pcm, sample_rate))
+            mimes.append("audio/wav")
+        else:
+            payloads.append(pcm)
+            mimes.append("audio/pcm16")
     return pa.table({
         "item_id": pa.array(np.arange(n, dtype=np.int64)),
         "payload": pa.array(payloads, pa.large_binary()),
         "sample_rate": pa.array(np.full(n, sample_rate, dtype=np.int32)),
-        "mime": pa.array(["audio/pcm16"] * n),
+        "mime": pa.array(mimes),
     })
 
 
+def encode_wav(pcm: bytes, sample_rate: int, channels: int = 1) -> bytes:
+    """PCM16 bytes -> RIFF WAVE (format 1, 16-bit) — a real wire format
+    for audio fixtures, pure stdlib."""
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes):
+    """RIFF WAVE bytes -> (pcm16 bytes, sample_rate, channels).  Only
+    uncompressed 16-bit PCM (wFormatTag 1); anything else (float, law,
+    mp3-in-wav) raises NotImplementedError."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV (RIFF/WAVE header missing)")
+    pos, rate, channels, bits, fmt_tag, data = 12, None, None, None, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln % 2)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format {fmt_tag}/{bits}-bit needs ffmpeg; only PCM16 "
+            "decodes natively")
+    return data, rate, channels
+
+
 class AudioChunker:
-    """One clip row -> fixed-duration chunk rows (flat_map shape).  PCM16
-    slicing is real byte arithmetic; compressed codecs (mp3/ogg) would
-    need ffmpeg and raise NotImplementedError."""
+    """One clip row -> fixed-duration chunk rows (flat_map shape).  REAL
+    inputs: bare PCM16 buffers (mime audio/pcm16, rate from the column)
+    and RIFF WAVE containers (sniffed from the payload; rate from the
+    fmt chunk).  PCM16 slicing is real byte arithmetic; compressed
+    codecs (mp3/ogg) would need ffmpeg and raise NotImplementedError."""
 
     def __init__(self, chunk_ms: int = 250):
         self.chunk_ms = chunk_ms
@@ -637,11 +688,13 @@ class AudioChunker:
                 batch.column("item_id").to_pylist(),
                 batch.column("payload").to_pylist(),
                 rates_in, batch.column("mime").to_pylist()):
-            if mime != "audio/pcm16":
+            data = payload or b""
+            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                data, rate, _ = decode_wav(data)
+            elif mime != "audio/pcm16":
                 raise NotImplementedError(
                     f"decoding {mime} needs ffmpeg; not in this container")
             step = int(rate * self.chunk_ms / 1000) * 2  # bytes per chunk
-            data = payload or b""
             for j in range(0, max(len(data), 1), max(step, 2)):
                 ids_out.append(item_id)
                 idx_out.append(j // max(step, 2))

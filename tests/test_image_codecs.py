@@ -262,3 +262,37 @@ def test_frame_sampler_avi_equals_raw():
     for a, b in zip(raw.frame_payload, avi.frame_payload):
         assert a == b
     assert (raw.mean_pixel == avi.mean_pixel).all()
+
+
+def test_wav_container_roundtrip_and_chunk_parity():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        AudioChunker,
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = (np.sin(np.arange(16000) / 20.0) * 20000).astype("<i2").tobytes()
+    back, rate, ch = decode_wav(encode_wav(pcm, 16000))
+    assert back == pcm and rate == 16000 and ch == 1
+    t = pa.table({
+        "item_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([pcm, encode_wav(pcm, 16000)], pa.large_binary()),
+        "sample_rate": pa.array([16000, 0], pa.int32()),
+        "mime": pa.array(["audio/pcm16", "audio/wav"]),
+    })
+    out = AudioChunker(chunk_ms=250)(t).to_pandas()
+    a = out[out.item_id == 0].reset_index(drop=True)
+    b = out[out.item_id == 1].reset_index(drop=True)
+    assert len(a) == len(b) == 4
+    assert all(x == y for x, y in zip(a.payload, b.payload))
+    assert (b.sample_rate == 16000).all()
+    # non-PCM16 WAV raises honestly
+    buf = bytearray(encode_wav(pcm, 16000))
+    i = buf.find(b"fmt ")
+    buf[i + 8] = 3                             # wFormatTag = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(buf))
