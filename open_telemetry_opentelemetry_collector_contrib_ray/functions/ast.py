@@ -41,15 +41,79 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<hex>0[xX][0-9a-fA-F]+)
   | (?P<float>-?\d+\.\d*(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+)
   | (?P<int>-?\d+)
-  | (?P<op>==|!=|<=|>=|&&|\|\||[<>+\-*/%(),\[\]\.{}:])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[<>+\-*/%(),\[\]\.{}:=])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
 )
 
 _KEYWORDS = {"and", "or", "not", "where", "true", "false", "nil"}
+
+# pdata enum symbols the OTTL grammar resolves to int64 (contexts'
+# EnumSymbol tables: ottllog severity numbers, ottlspan kind/status,
+# ottlmetric aggregation temporality)
+OTTL_ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+for _i, _lvl in enumerate(["TRACE", "DEBUG", "INFO", "WARN", "ERROR",
+                           "FATAL"]):
+    for _j in range(4):
+        OTTL_ENUMS[f"SEVERITY_NUMBER_{_lvl}" + (str(_j + 1) if _j else "")] \
+            = _i * 4 + _j + 1
+OTTL_ENUMS.update({
+    "SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1,
+    "SPAN_KIND_SERVER": 2, "SPAN_KIND_CLIENT": 3, "SPAN_KIND_PRODUCER": 4,
+    "SPAN_KIND_CONSUMER": 5,
+    "STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2,
+    "AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+    "AGGREGATION_TEMPORALITY_DELTA": 1,
+    "AGGREGATION_TEMPORALITY_CUMULATIVE": 2,
+    "FLAG_NONE": 0, "FLAG_SAMPLED": 1,
+})
+
+# declared parameter order per function that accepts OTTL named
+# arguments (`name=expr`); named args slot into their position, holes
+# fill with nil — each function's default handling treats None as unset
+_NAMED_PARAMS: dict[str, list[str]] = {
+    "ParseCSV": ["target", "header", "delimiter", "headerDelimiter",
+                 "mode"],
+    "ParseKeyValue": ["target", "delimiter", "pair_delimiter"],
+    "ToKeyValueString": ["target", "delimiter", "pair_delimiter",
+                         "sort_output"],
+    "ExtractGrokPatterns": ["target", "pattern", "namedCapturesOnly",
+                            "patternDefinitions"],
+    "Decode": ["target", "encoding"],
+    "Substring": ["target", "start", "length"],
+    "Sort": ["target", "order"],
+    "flatten": ["target", "prefix", "depth", "resolveConflicts"],
+    "append": ["target", "value", "values"],
+    "limit": ["target", "limit", "priority_keys"],
+    "truncate_all": ["target", "limit"],
+    "replace_pattern": ["target", "regex_pattern", "replacement",
+                        "function", "replacementFormat"],
+    "replace_all_patterns": ["target", "mode", "regex_pattern",
+                             "replacement", "function",
+                             "replacementFormat"],
+}
+
+
+def _merge_named_args(fname: str, args: list, kwargs: dict) -> list:
+    if not kwargs:
+        return args
+    order = _NAMED_PARAMS.get(fname)
+    if order is None:
+        raise SyntaxError(f"{fname} does not accept named arguments")
+    slots: dict[int, Node] = dict(enumerate(args))
+    for name, node in kwargs.items():
+        try:
+            idx = order.index(name)
+        except ValueError:
+            raise SyntaxError(f"unknown named argument {name!r} for {fname}")
+        if idx in slots:
+            raise SyntaxError(f"argument {name!r} given twice in {fname}")
+        slots[idx] = node
+    return [slots.get(i, Literal(None)) for i in range(max(slots) + 1)]
 
 
 @dataclass
@@ -73,6 +137,13 @@ def tokenize(src: str) -> list[Tok]:
         v: Any = m.group()
         if kind == "string":
             v = v[1:-1].encode().decode("unicode_escape")
+        elif kind == "hex":
+            # OTTL bytes literal (0x0102... — grammar.go Bytes); odd
+            # nibble counts pad left like Go's hex.DecodeString rejects,
+            # but OTTL only ever writes even-length ids
+            h = v[2:]
+            v = bytes.fromhex("0" + h if len(h) % 2 else h)
+            kind = "bytes"
         elif kind == "int":
             v = int(v)
         elif kind == "float":
@@ -543,7 +614,7 @@ class Parser:
 
     def _primary(self) -> Node:
         t = self.peek()
-        if t.kind in ("string", "int", "float"):
+        if t.kind in ("string", "int", "float", "bytes"):
             self.next()
             return Literal(t.val)
         if t.kind == "kw" and t.val in ("true", "false"):
@@ -585,16 +656,44 @@ class Parser:
             self.next()
             if self.at_op("("):
                 self.next()
-                args: list[Node] = []
-                if not self.at_op(")"):
-                    args.append(self.parse_expr())
-                    while self.at_op(","):
-                        self.next()
-                        args.append(self.parse_expr())
-                self.expect("op", ")")
-                return Call(t.val, args)
+                args, kwargs = self._call_args(t.val)
+                return Call(t.val, _merge_named_args(t.val, args, kwargs))
+            if t.val in OTTL_ENUMS:
+                # pdata enum symbol (ottl grammar Enum; e.g.
+                # SEVERITY_NUMBER_TRACE == 1) — resolves to its int
+                return Literal(OTTL_ENUMS[t.val])
             return Path((t.val,), self.context)
         raise SyntaxError(f"unexpected {t.val!r} at {t.pos}")
+
+    def _call_args(self, fname: str):
+        """Positional + OTTL named arguments (`name=expr`,
+        grammar.go argument := (ident "=")? expr)."""
+        args: list[Node] = []
+        kwargs: dict[str, Node] = {}
+        if not self.at_op(")"):
+            while True:
+                t = self.peek()
+                nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) \
+                    else None
+                if (t.kind == "ident" and nxt is not None
+                        and nxt.kind == "op" and nxt.val == "="):
+                    self.next()
+                    self.next()
+                    if kwargs and t.val in kwargs:
+                        raise SyntaxError(f"duplicate named arg {t.val!r}")
+                    kwargs[t.val] = self.parse_expr()
+                else:
+                    if kwargs:
+                        raise SyntaxError(
+                            "positional argument after named argument "
+                            f"in {fname} at {t.pos}")
+                    args.append(self.parse_expr())
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+        self.expect("op", ")")
+        return args, kwargs
 
 
 @dataclass
@@ -661,13 +760,8 @@ def parse_statement(src: str, context: str | None = None) -> Statement:
     p = Parser(src, context=context)
     t = p.expect("ident")
     p.expect("op", "(")
-    args: list[Node] = []
-    if not p.at_op(")"):
-        args.append(p.parse_expr())
-        while p.at_op(","):
-            p.next()
-            args.append(p.parse_expr())
-    p.expect("op", ")")
+    pos_args, kwargs = p._call_args(t.val)
+    args = _merge_named_args(t.val, pos_args, kwargs)
     where = None
     if p.at_kw("where"):
         p.next()

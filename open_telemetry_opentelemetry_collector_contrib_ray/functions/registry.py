@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .ast import ExprContext, Node, Path, as_array
+from .ast import ExprContext, Literal, Node, Path, as_array
 from .grok import expand_grok
 
 _REGISTRY: dict[str, tuple[str, Callable]] = {}
@@ -148,6 +148,14 @@ def _convert_case(ctx, args):
     if mode == "snake":
         py = arr.to_pylist()
         out = [None if s is None else re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", s).lower().replace("-", "_").replace(" ", "_") for s in py]
+        return pa.array(out, type=pa.string())
+    if mode == "camel":
+        # strcase.ToCamel ("foo_bar" -> "FooBar"; e2e_test.go:369-373)
+        py = arr.to_pylist()
+        out = [None if s is None else
+               "".join(w[:1].upper() + w[1:]
+                       for w in re.split(r"[_\- ]+", s) if w)
+               for s in py]
         return pa.array(out, type=pa.string())
     raise ValueError(f"ConvertCase mode {mode!r}")
 
@@ -343,6 +351,20 @@ def parse_duration_us(s: str) -> int:
     return int(total)
 
 
+def _dur_to_us(v) -> int:
+    """Duration argument -> int micros: accepts a Go duration string or
+    the duration scalar another converter (Duration, Time arithmetic)
+    produced."""
+    import datetime
+
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    if isinstance(v, datetime.timedelta):
+        return (v.days * 86_400_000_000 + v.seconds * 1_000_000
+                + v.microseconds)
+    return parse_duration_us(v)
+
+
 @register_converter("Duration")
 def _duration(ctx, args):
     return pa.scalar(parse_duration_us(_ev_scalar(args[0], ctx)), pa.duration("us"))
@@ -355,32 +377,50 @@ def _time(ctx, args):
                        unit="us", error_is_null=True)
 
 
+def _time_ns(arr) -> pa.Array:
+    """Normalize a time value to int64 UNIX NANOS regardless of the
+    column's timestamp unit (a timestamp[ns] column cast straight to
+    int64 is nanos while Time()'s output is micros — unit-blind casts
+    silently mix the two; UnixNano on a ns column even overflows)."""
+    if pa.types.is_timestamp(arr.type):
+        return arr.cast(pa.timestamp("ns", tz=arr.type.tz)).cast(pa.int64())
+    # non-timestamp ints keep the engine's legacy micros convention
+    return pc.multiply(arr.cast(pa.int64()), 1_000)
+
+
 @register_converter("UnixSeconds")
 def _unix_seconds(ctx, args):
-    return pc.divide(_ev_arr(ctx, args[0]).cast(pa.int64()), 1_000_000)
+    return pc.divide(_time_ns(_ev_arr(ctx, args[0])), 1_000_000_000)
 
 
 @register_converter("UnixMilli")
 def _unix_milli(ctx, args):
-    return pc.divide(_ev_arr(ctx, args[0]).cast(pa.int64()), 1_000)
+    return pc.divide(_time_ns(_ev_arr(ctx, args[0])), 1_000_000)
 
 
 @register_converter("UnixMicro")
 def _unix_micro(ctx, args):
-    return _ev_arr(ctx, args[0]).cast(pa.int64())
+    return pc.divide(_time_ns(_ev_arr(ctx, args[0])), 1_000)
 
 
 @register_converter("UnixNano")
 def _unix_nano(ctx, args):
-    return pc.multiply(_ev_arr(ctx, args[0]).cast(pa.int64()), 1_000)
+    return _time_ns(_ev_arr(ctx, args[0]))
 
 
 @register_converter("TruncateTime")
 def _truncate_time(ctx, args):
     arr = _ev_arr(ctx, args[0])
-    us = parse_duration_us(_ev_scalar(args[1], ctx))
+    us = _dur_to_us(_ev_scalar(args[1], ctx))
+    # work in the array's own unit so the cast back is lossless
+    step = us
+    if pa.types.is_timestamp(arr.type):
+        step = us * {"s": 1, "ms": 1, "us": 1, "ns": 1000}[arr.type.unit] \
+            if arr.type.unit == "ns" else us // {
+                "s": 1_000_000, "ms": 1_000, "us": 1}[arr.type.unit]
+        step = max(step, 1)
     ints = arr.cast(pa.int64())
-    return pc.multiply(pc.divide(ints, us), us).cast(arr.type)
+    return pc.multiply(pc.divide(ints, step), step).cast(arr.type)
 
 
 for _name, _kern in [("Hour", "hour"), ("Minute", "minute"), ("Second", "second"),
@@ -456,10 +496,43 @@ def _parse_json(ctx, args):
         return pa.array(norm, type=pa.map_(pa.string(), pa.string()))
 
 
+def _opt_scalar(args, i, ctx, default):
+    """args[i] if present and not nil (a named-arg hole) else default."""
+    if len(args) <= i:
+        return default
+    v = _ev_scalar(args[i], ctx)
+    return default if v is None else v
+
+
+def _split_quoted(s: str, sep: str) -> list[str]:
+    """Split on sep OUTSIDE double quotes (stanza keyvalue semantics —
+    pkg/stanza keyvalue parser protects quoted sections)."""
+    out, cur, inq = [], [], False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == '"':
+            inq = not inq
+            cur.append(c)
+            i += 1
+        elif not inq and s.startswith(sep, i):
+            out.append("".join(cur))
+            cur = []
+            i += len(sep)
+        else:
+            cur.append(c)
+            i += 1
+    out.append("".join(cur))
+    return out
+
+
 @register_converter("ParseKeyValue")
 def _parse_kv(ctx, args):
-    kv_sep = _ev_scalar(args[1], ctx) if len(args) > 1 else "="
-    pair_sep = _ev_scalar(args[2], ctx) if len(args) > 2 else " "
+    """ParseKeyValue(target, delimiter="=", pair_delimiter=" ") — ref
+    func_parse_key_value.go: quote-aware (a quoted value may contain
+    both delimiters; quotes strip from the parsed value)."""
+    kv_sep = _opt_scalar(args, 1, ctx, "=")
+    pair_sep = _opt_scalar(args, 2, ctx, " ")
     py = _str(_ev_arr(ctx, args[0])).to_pylist()
     out = []
     for s in py:
@@ -467,22 +540,42 @@ def _parse_kv(ctx, args):
             out.append(None)
             continue
         d = {}
-        for pair in s.split(pair_sep):
-            if kv_sep in pair:
-                k, _, v = pair.partition(kv_sep)
-                if k.strip():
-                    d[k.strip()] = v.strip()
+        for pair in _split_quoted(s, pair_sep):
+            if not pair.strip():
+                continue
+            parts = _split_quoted(pair, kv_sep)
+            if len(parts) >= 2:
+                k = parts[0].strip().strip('"')
+                v = kv_sep.join(parts[1:]).strip()
+                if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+                    v = v[1:-1]
+                if k:
+                    d[k] = v
         out.append(d)
     return pa.array(out, type=pa.map_(pa.string(), pa.string()))
 
 
 @register_converter("ParseCSV")
 def _parse_csv(ctx, args):
+    """ParseCSV(target, header, delimiter=",", headerDelimiter=<delim>,
+    mode="strict") — ref func_parse_csv.go: the HEADER splits on
+    headerDelimiter (defaulting to the value delimiter), the row on
+    delimiter; strict mode errors on a field-count mismatch."""
     header = _ev_scalar(args[1], ctx)
-    delim = _ev_scalar(args[2], ctx) if len(args) > 2 else ","
-    names = header.split(delim)
+    delim = _opt_scalar(args, 2, ctx, ",")
+    hdelim = _opt_scalar(args, 3, ctx, delim)
+    mode = _opt_scalar(args, 4, ctx, "strict")
+    if mode not in ("strict", "lazyQuotes", "ignoreQuotes"):
+        raise ValueError(f"ParseCSV mode {mode!r}")
+    names = header.split(hdelim)
     arr = _str(_ev_arr(ctx, args[0]))
     parts = pc.split_pattern(arr, delim, max_splits=len(names) - 1)
+    if mode == "strict":
+        counts = pc.list_value_length(parts)
+        bad = pc.any(pc.and_(pc.is_valid(counts),
+                             pc.not_equal(counts, len(names)))).as_py()
+        if bad:
+            raise ValueError("ParseCSV strict: wrong number of fields")
     fields = [pc.list_element(pc.list_slice(parts, i, i + 1, return_fixed_size_list=True), 0)
               for i in range(len(names))]
     return pc.make_struct(*fields, field_names=names)
@@ -495,11 +588,67 @@ def _uuid(ctx, args):
     return pa.array([str(uuid.uuid4()) for _ in range(ctx.n)], type=pa.string())
 
 
+def _xml_full(e) -> dict:
+    """xmlElement.intoMap shape (func_parse_xml.go:108-137): keys tag /
+    attributes / content / children, recursively."""
+    d: dict = {"tag": e.tag}
+    if e.attrib:
+        d["attributes"] = dict(e.attrib)
+    content = (e.text or "").strip() + "".join(
+        (c.tail or "").strip() for c in e)
+    if content:
+        d["content"] = content
+    kids = [_xml_full(c) for c in e]
+    if kids:
+        d["children"] = kids
+    return d
+
+
 @register_converter("ParseXML")
 def _parse_xml(ctx, args):
-    """XML string -> map of tag/attr -> text (flattened one level, the
-    ParseSimplifiedXML shape — ref func_parse_simplified_xml.go).  Malformed
-    -> null (on_error handles it)."""
+    """XML string -> nested map {tag, attributes, content, children}
+    (ref func_parse_xml.go).  Malformed -> null (on_error handles it).
+    Output Arrow type is inferred from the rows (nested struct); rows
+    whose documents disagree structurally fall back to null."""
+    import xml.etree.ElementTree as ET
+
+    py = _str(_ev_arr(ctx, args[0])).to_pylist()
+    out = []
+    for s in py:
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            out.append(_xml_full(ET.fromstring(s)))
+        except ET.ParseError:
+            out.append(None)
+    return pa.array(out)
+
+
+def _xml_simplified(e):
+    """parseElement (func_parse_simplified_xml.go:52-107): attributes
+    and extraneous text dropped; repeated child tags collapse to a
+    slice; a childless element contributes its text."""
+    tags: dict[str, int] = {}
+    for c in e:
+        tags[c.tag] = tags.get(c.tag, 0) + 1
+    d: dict = {}
+    for c in e:
+        if len(c):
+            v = _xml_simplified(c)
+        else:
+            v = (c.text or "").strip()
+        if tags[c.tag] > 1:
+            d.setdefault(c.tag, []).append(v)
+        else:
+            d[c.tag] = v
+    return d
+
+
+@register_converter("ParseSimplifiedXML")
+def _parse_simplified_xml(ctx, args):
+    """XML string -> simplified nested map without attributes or
+    extraneous text (ref func_parse_simplified_xml.go)."""
     import xml.etree.ElementTree as ET
 
     py = _str(_ev_arr(ctx, args[0])).to_pylist()
@@ -510,23 +659,12 @@ def _parse_xml(ctx, args):
             continue
         try:
             root = ET.fromstring(s)
-            d: dict[str, str] = {}
-            for k, v in root.attrib.items():
-                d[k] = v
-            for child in root:
-                if child.text and child.text.strip():
-                    d[child.tag] = child.text.strip()
-                for k, v in child.attrib.items():
-                    d[f"{child.tag}_{k}"] = v
-            if root.text and root.text.strip() and not d:
-                d["_text"] = root.text.strip()
-            out.append(d)
+            leaf = _xml_simplified(root) if len(root) \
+                else (root.text or "").strip()
+            out.append({root.tag: leaf})
         except ET.ParseError:
             out.append(None)
-    return pa.array(out, type=pa.map_(pa.string(), pa.string()))
-
-
-_REGISTRY["ParseSimplifiedXML"] = _REGISTRY["ParseXML"]
+    return pa.array(out)
 
 
 @register_converter("Sort")
@@ -544,16 +682,36 @@ def _sort_converter(ctx, args):
         raise ValueError(f"Sort order must be asc|desc, got {order!r}")
     raw = args[0].eval(ctx)
     if isinstance(raw, list):
-        vals = [v for v in raw if v is not None]
+        norm = []
+        for v in raw:
+            if isinstance(v, (pa.Array, pa.ChunkedArray)) and len(v) == 1:
+                v = v[0]
+            if isinstance(v, pa.Scalar):
+                v = v.as_py()
+            norm.append(v)
+
+        def gostr(v):
+            # Go renders bools lowercase; strconv keeps 2.2 as "2.2"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        vals = [v for v in norm if v is not None]
         if all(isinstance(v, bool) for v in vals):
             key = bool
         elif all(isinstance(v, (int, float)) and not isinstance(v, bool)
                  for v in vals):
             key = float
         else:
-            key = str
+            key = gostr  # mixed: compare string renderings (func_sort.go)
         out = sorted(vals, key=key, reverse=(order == "desc"))
-        full = pa.array([out] * max(ctx.n, 1))
+        try:
+            full = pa.array([out] * max(ctx.n, 1))
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # heterogeneous result: the columnar model stores the Go
+            # string renderings (original pvalues have no Arrow type)
+            full = pa.array([[gostr(v) for v in out]] * max(ctx.n, 1),
+                            type=pa.list_(pa.string()))
         return full if ctx.n else full.slice(0, 0)  # typed empty on 0-row
     arr = as_array(raw, ctx.n)
     if isinstance(arr, pa.ChunkedArray):
@@ -582,11 +740,17 @@ def _to_key_value_string(ctx, args):
     sort_output=false) — ref func_to_key_value_string.go.  Target is a
     map path (attributes/resource/cache — joined from its promoted
     columns, fully vectorized) or a map-typed expression (row loop)."""
-    delim = _ev_scalar(args[1], ctx) if len(args) > 1 else "="
-    pair_delim = _ev_scalar(args[2], ctx) if len(args) > 2 else " "
-    sort_output = bool(_ev_scalar(args[3], ctx)) if len(args) > 3 else False
+    delim = _opt_scalar(args, 1, ctx, "=")
+    pair_delim = _opt_scalar(args, 2, ctx, " ")
+    sort_output = bool(_opt_scalar(args, 3, ctx, False))
     if delim == pair_delim:
         raise ValueError("pair delimiter cannot equal delimiter")
+
+    def q(s: str) -> str:
+        # func_to_key_value_string.go quotes any key/value containing
+        # either delimiter (the e2e k2="v2=v3" case)
+        return f'"{s}"' if (delim in s or pair_delim in s) else s
+
     tgt = args[0]
     if isinstance(tgt, Path):
         prefix = _map_prefix(tgt)
@@ -597,8 +761,14 @@ def _to_key_value_string(ctx, args):
         for c in cols:
             key = c[len(prefix):]
             v = _str(as_array(ctx.get_col(c), ctx.n))
+            needs_q = pc.or_(pc.match_substring(v, delim),
+                             pc.match_substring(v, pair_delim))
+            quoted = pc.binary_join_element_wise(
+                pa.repeat(pa.scalar('"'), ctx.n), v,
+                pa.repeat(pa.scalar('"'), ctx.n), "")
+            v = pc.if_else(pc.fill_null(needs_q, False), quoted, v)
             parts.append(pc.binary_join_element_wise(
-                pa.repeat(pa.scalar(key + delim), ctx.n), v, ""))
+                pa.repeat(pa.scalar(q(key) + delim), ctx.n), v, ""))
         if not parts:
             return pa.repeat(pa.scalar(""), ctx.n)
         return pc.binary_join_element_wise(*parts, pair_delim,
@@ -612,7 +782,8 @@ def _to_key_value_string(ctx, args):
         items = d.items() if isinstance(d, dict) else d
         if sort_output:
             items = sorted(items)
-        out.append(pair_delim.join(f"{k}{delim}{v}" for k, v in items))
+        out.append(pair_delim.join(f"{q(k)}{delim}{q(str(v))}"
+                                   for k, v in items))
     return pa.array(out, type=pa.string())
 
 
@@ -688,10 +859,15 @@ def _unix(ctx, args):
 
 def _id_from_bytes(args, ctx, width: int, what: str):
     vals = args[0].eval(ctx)
-    if not isinstance(vals, list):
-        raise TypeError(f"{what} expects a byte list literal")
-    b = [int(_ev_scalar(v, ctx) if isinstance(v, Node) else v) for v in vals] \
-        if vals and isinstance(vals[0], Node) else [int(v) for v in vals]
+    if isinstance(vals, (bytes, bytearray)):
+        # OTTL bytes literal (grammar.go Bytes: TraceID(0x0102...))
+        b = list(vals)
+    elif isinstance(vals, list):
+        b = [int(_ev_scalar(v, ctx) if isinstance(v, Node) else v)
+             for v in vals] \
+            if vals and isinstance(vals[0], Node) else [int(v) for v in vals]
+    else:
+        raise TypeError(f"{what} expects a byte list or 0x literal")
     if len(b) != width:
         raise ValueError(f"{what.lower()}s must be {width} bytes")
     return pa.scalar(bytes(b).hex(), pa.string())
@@ -864,14 +1040,26 @@ def _convert_text_to_elements_xml(ctx, args):
 
     out = []
     for s in py:
-        root = None if s is None else _et_parse(s)
-        if root is None:
+        if s is None:
             out.append(None)
             continue
-        targets = [root] if not xpath else _et_query(root, xpath)
+        root = _et_parse(s)
+        if root is not None:
+            roots = [root]
+        else:
+            # multi-root fragment (the reference's xmlquery parses a
+            # document node): wrap, operate, serialize the children
+            wrapped = _et_parse(f"<d>{s}</d>")
+            if wrapped is None:
+                out.append(None)
+                continue
+            roots = list(wrapped)
+        targets = []
+        for r in roots:
+            targets.extend([r] if not xpath else _et_query(r, xpath))
         for e in targets:
             fix(e)
-        out.append(_et_str(root))
+        out.append("".join(_et_str(r) for r in roots))
     return pa.array(out, type=pa.string())
 
 
@@ -1055,25 +1243,36 @@ def _ua_apply_rules(col, rules):
 
 @register_converter("UserAgent")
 def _user_agent(ctx, args):
-    """UserAgent(target) -> struct{name, version, os, original} — ref
-    func_useragent.go returns the semconv triple (name/version/original)
-    from ua-parser; this engine adds an `os` field as an extension.
-    Ordered rule table, vectorized one RE2 pass per rule; unmatched
-    family is "Other" like ua-parser."""
+    """UserAgent(target) -> struct{user_agent.name, user_agent.version,
+    user_agent.original} — EXACTLY func_useragent.go:40-46's semconv
+    key set (merge_maps of the result promotes attr_user_agent.* like
+    the reference writes user_agent.* attributes).  Ordered rule table,
+    vectorized one RE2 pass per rule; unmatched family is "Other" like
+    ua-parser.  OS detection is the separate extension converter
+    UserAgentOS."""
     arr = _str(_ev_arr(ctx, args[0]))
     col = pc.fill_null(arr, "")
     fam, ver, unmatched = _ua_apply_rules(col, _UA_RULES)
     fam[unmatched] = "Other"
+    isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    fam[isnull] = None
+    return pc.make_struct(
+        pa.array(fam, pa.string()), pa.array(ver, pa.string()), arr,
+        field_names=["user_agent.name", "user_agent.version",
+                     "user_agent.original"])
+
+
+@register_converter("UserAgentOS")
+def _user_agent_os(ctx, args):
+    """Extension (no reference analog): OS family + version string from
+    a user-agent, same rule-table machinery as UserAgent."""
+    arr = _str(_ev_arr(ctx, args[0]))
+    col = pc.fill_null(arr, "")
     osf, osv, os_unmatched = _ua_apply_rules(col, _UA_OS_RULES)
     oss = np.full(len(col), None, dtype=object)
     for i in np.nonzero(~os_unmatched)[0]:
         oss[i] = f"{osf[i]} {osv[i]}" if osv[i] else osf[i]
-    isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
-    fam[isnull] = None
-    return pc.make_struct(
-        pa.array(fam, pa.string()), pa.array(ver, pa.string()),
-        pa.array(oss, pa.string()), arr,
-        field_names=["name", "version", "os", "original"])
+    return pa.array(oss, pa.string())
 
 
 for _name, _kern in [("Sqrt", "sqrt"), ("Abs", "abs"), ("Ceil", "ceil"),
@@ -1165,6 +1364,34 @@ def _keep_matching_keys(ctx, args, mask):
             ctx.set_col(col, pc.if_else(mask, pa.nulls(ctx.n, existing.type), existing))
 
 
+def _apply_repl_function(ctx, args, fi: int, repl: str) -> str:
+    """Optional `function` + `replacementFormat` args of replace_pattern
+    / replace_all_patterns (func_replace_pattern.go:60-96): the named
+    converter applies to the REPLACEMENT value (e2e:
+    replace_pattern(..., "@", SHA256) -> sha256("@") + rest), then
+    replacementFormat's single %s receives the converted value."""
+    if len(args) > fi:
+        node = args[fi]
+        name = node.segments[0] if (isinstance(node, Path)
+                                    and len(node.segments) == 1) else None
+        if name is not None:
+            if name not in _REGISTRY or _REGISTRY[name][0] != "converter":
+                raise ValueError(
+                    f"replace function {name!r} is not a converter")
+            out = _REGISTRY[name][1](ctx, [Literal(repl)])
+            if isinstance(out, pa.ChunkedArray):
+                out = out.combine_chunks()
+            repl = str(out[0].as_py() if isinstance(out, pa.Array) else out)
+    if len(args) > fi + 1:
+        fmt = _ev_scalar(args[fi + 1], ctx)
+        if fmt is not None:
+            if fmt.count("%s") != 1:
+                raise ValueError(
+                    "replacementFormat must contain exactly one %s")
+            repl = fmt.replace("%s", repl)
+    return repl
+
+
 @register_editor("replace_pattern")
 def _replace_pattern(ctx, args, mask):
     target = args[0]
@@ -1173,8 +1400,9 @@ def _replace_pattern(ctx, args, mask):
     arr = ctx.get_col(target.column)
     if arr is None:
         return
+    repl = _apply_repl_function(ctx, args, 3, str(args[2].eval(ctx)))
     out = pc.replace_substring_regex(_str(arr), pattern=str(args[1].eval(ctx)),
-                                     replacement=_go_repl(str(args[2].eval(ctx))))
+                                     replacement=_go_repl(repl))
     ctx.set_col(target.column, out, mask)
 
 
@@ -1197,7 +1425,9 @@ def _replace_match(ctx, args, mask):
 def _replace_all_patterns(ctx, args, mask):
     prefix = _map_prefix(args[0])
     mode = str(args[1].eval(ctx))  # "key" | "value"
-    pat, repl = str(args[2].eval(ctx)), _go_repl(str(args[3].eval(ctx)))
+    pat = str(args[2].eval(ctx))
+    repl = _go_repl(_apply_repl_function(ctx, args, 4,
+                                         str(args[3].eval(ctx))))
     for col in list(ctx.table.column_names):
         if not col.startswith(prefix):
             continue

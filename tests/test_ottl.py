@@ -292,8 +292,9 @@ def test_url_useragent_decode():
     out3 = parse_statement('set(attributes["d"], Decode(b64, "base64"))').apply(t)
     assert out3.column("attr_d").to_pylist() == ["hello", None]
     out4 = parse_statement('merge_maps(attributes, UserAgent(ua), "upsert")').apply(t)
-    assert out4.column("attr_name").to_pylist() == ["Chrome", "curl"]
-    assert out4.column("attr_os").to_pylist()[0].startswith("Windows")
+    assert out4.column("attr_user_agent.name").to_pylist() == ["Chrome", "curl"]
+    out5 = parse_statement('set(attributes["os"], UserAgentOS(ua))').apply(t)
+    assert out5.column("attr_os").to_pylist()[0].startswith("Windows")
 
 
 def test_math_converters():
@@ -319,12 +320,32 @@ def test_context_prefixed_paths():
 
 
 def test_parse_xml():
+    # func_parse_xml.go shape: {tag, attributes, content, children};
+    # malformed rows -> null (on_error semantics)
     t = tbl(x=['<event id="7"><name>boot</name><level>info</level></event>',
                "not xml"])
-    out = parse_statement('merge_maps(attributes, ParseXML(x), "upsert")').apply(t)
-    assert out.column("attr_id").to_pylist() == ["7", None]
-    assert out.column("attr_name").to_pylist() == ["boot", None]
-    assert out.column("attr_level").to_pylist() == ["info", None]
+    out = parse_statement('set(attributes["doc"], ParseXML(x))').apply(t)
+    rows = out.column("attr_doc").to_pylist()
+    assert rows[1] is None
+    d = dict(rows[0])
+    assert d["tag"] == "event"
+    assert dict(d["attributes"]) == {"id": "7"}
+    kids = [dict(k) for k in d["children"]]
+    assert kids == [{"tag": "name", "content": "boot"},
+                    {"tag": "level", "content": "info"}]
+
+
+def test_parse_simplified_xml_slices():
+    # repeated child tags collapse to a slice
+    # (func_parse_simplified_xml.go:70-95)
+    t = tbl(x=['<r><a>1</a><a>2</a><b><c>x</c></b></r>'])
+    out = parse_statement(
+        'set(attributes["doc"], ParseSimplifiedXML(x))').apply(t)
+    d = dict(out.column("attr_doc").to_pylist()[0])
+    r = dict(d["r"]) if not isinstance(d["r"], dict) else d["r"]
+    assert r["a"] == ["1", "2"]
+    assert (dict(r["b"]) if not isinstance(r["b"], dict) else r["b"]) \
+        == {"c": "x"}
 
 
 def test_map_literal():
@@ -580,12 +601,14 @@ def test_user_agent_rule_table():
     name/version/original triple; os is this engine's extension)."""
     t = tbl(ua=[c[0] for c in UA_CASES])
     out = parse_statement('set(attributes["p"], UserAgent(ua))').apply(t)
+    oss = parse_statement('set(attributes["os"], UserAgentOS(ua))') \
+        .apply(t).column("attr_os").to_pylist()
     rows = out.column("attr_p").to_pylist()
-    for (ua, name, ver, os_), row in zip(UA_CASES, rows):
-        assert row["name"] == name, (ua, row)
-        assert row["version"] == ver, (ua, row)
-        assert row["os"] == os_, (ua, row)
-        assert row["original"] == ua
+    for (ua, name, ver, os_), row, got_os in zip(UA_CASES, rows, oss):
+        assert row["user_agent.name"] == name, (ua, row)
+        assert row["user_agent.version"] == ver, (ua, row)
+        assert got_os == os_, (ua, got_os)
+        assert row["user_agent.original"] == ua
 
 
 def test_final_converter_set():
