@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .ast import ExprContext, Literal, Node, Path, as_array
-from .grok import expand_grok
+from .grok import compile_grok, expand_grok
 
 _REGISTRY: dict[str, tuple[str, Callable]] = {}
 
@@ -173,6 +173,19 @@ def _len(ctx, args):
         return pc.utf8_length(arr)
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         return pc.list_value_length(arr)
+    if pa.types.is_map(arr.type):
+        # Go len() of a map — entry count from the offsets (no
+        # list_value_length kernel for map in this pyarrow)
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = pa.array(np.diff(off).astype(np.int32))
+        return pc.if_else(pc.is_null(arr),
+                          pa.nulls(len(arr), pa.int32()), lens)
+    if pa.types.is_struct(arr.type):
+        # struct-encoded map: field count, null rows stay null
+        n = pa.repeat(pa.scalar(arr.type.num_fields, pa.int32()), len(arr))
+        return pc.if_else(pc.is_null(arr), pa.nulls(len(arr), pa.int32()), n)
+    if pa.types.is_null(arr.type):
+        return pa.nulls(len(arr), pa.int32())
     return pc.binary_length(arr)
 
 
@@ -222,7 +235,21 @@ def _double(ctx, args):
 
 @register_converter("String")
 def _string(ctx, args):
-    arr = _ev_arr(ctx, args[0])
+    raw = args[0].eval(ctx)
+    if isinstance(raw, list):
+        # pdata slice rendering (e2e: String([1,2,3]) -> "[1,2,3]"):
+        # JSON-compact with Go bool casing
+        def r(v):
+            if isinstance(v, Node):
+                v = _ev_scalar(v, ctx)
+            if isinstance(v, pa.Scalar):
+                v = v.as_py()
+            return v
+        return pa.scalar(json.dumps([r(v) for v in raw],
+                                    separators=(",", ":")), pa.string())
+    arr = as_array(raw, ctx.n)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if pa.types.is_timestamp(arr.type):
         return pc.strftime(arr, format="%Y-%m-%dT%H:%M:%S.%fZ")
     if pa.types.is_boolean(arr.type):
@@ -466,10 +493,45 @@ def _extract_patterns(ctx, args):
 
 @register_converter("ExtractGrokPatterns")
 def _extract_grok(ctx, args):
+    """ExtractGrokPatterns(target, pattern, namedCapturesOnly=true,
+    patternDefinitions={}) — ref func_extract_grok_patterns.go (elastic
+    go-grok): ECS bracket captures ([url][port]) emit dotted field
+    names, :int/:float/:bool suffixes convert the capture."""
+    from .ast import MapLiteral
+
     pattern = _ev_scalar(args[1], ctx)
-    named_only = _ev_scalar(args[2], ctx) if len(args) > 2 else True
-    regex = expand_grok(pattern, named_captures_only=named_only)
-    return pc.extract_regex(_str(_ev_arr(ctx, args[0])), regex)
+    named_only = _opt_scalar(args, 2, ctx, True)
+    defs = None
+    if len(args) > 3 and args[3] is not None:
+        node = args[3]
+        if isinstance(node, MapLiteral):
+            defs = {k: _ev_scalar(v, ctx) for k, v in node.items}
+        else:
+            v = node.eval(ctx)
+            if isinstance(v, dict):
+                defs = {k: str(x) for k, x in v.items()}
+            elif v is not None:
+                raise TypeError("patternDefinitions must be a map literal")
+    regex, fields = compile_grok(pattern, definitions=defs,
+                                 named_captures_only=named_only)
+    st = pc.extract_regex(_str(_ev_arr(ctx, args[0])), regex)
+    if isinstance(st, pa.ChunkedArray):
+        st = st.combine_chunks()
+    if all(safe == disp and typ is None for safe, disp, typ in fields):
+        return st
+    arrays, names = [], []
+    for safe, display, typ in fields:
+        f = st.field(safe)
+        if typ in ("int", "long"):
+            f = f.cast(pa.int64())
+        elif typ in ("float", "double"):
+            f = f.cast(pa.float64())
+        elif typ in ("bool", "boolean"):
+            f = pc.equal(f, "true")
+        arrays.append(f)
+        names.append(display)
+    return pa.StructArray.from_arrays(arrays, names=names,
+                                      mask=pc.is_null(st))
 
 
 @register_converter("ParseJSON")
