@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "doc_weighted_sample",
     "metric_context_pipeline",
     "recombine_multiline",
+    "filelog_multiline_counts",
     "knn_lsh",
     "otlp_proto_roundtrip",
     "exp_to_explicit_hist",

@@ -105,9 +105,18 @@ def _read_receiver(cfg: dict, component_id: str, data_dir: str):
         ds = ray.data.read_text(cfg["path"])
         return ds.map_batches(
             lambda t: t.rename_columns(["text"]), batch_format="pyarrow")
+    if rtype == "filelog":
+        # full fileconsumer parity: include/exclude globs, encoding,
+        # multiline line_start/line_end patterns, trim, gzip, file
+        # attributes, header metadata sub-pipeline (sources/textlog.py
+        # read_log_files)
+        from ..sources.textlog import read_log_files
+
+        kw = {k: v for k, v in cfg.items() if k not in ("type", "include")}
+        return read_log_files(cfg["include"], **kw)
     raise KeyError(f"unknown receiver type {rtype!r} "
                    "(supported: parquet, generate, otlp_json, jsonl, csv, "
-                   "text)")
+                   "text, filelog)")
 
 
 def run_config(config: dict | str, data_dir: str = "/root/testdata/sf0.001",

@@ -718,6 +718,35 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_filelog_multiline_counts(sf_dir: str):
+    """fileconsumer multiline + gzip path: read_log_files with a
+    line_start_pattern reassembles stack-trace entries per file (half
+    the files gzipped — auto-sniffed), severity extracted from the
+    entry head, per-severity entry and line counts
+    (pkg/stanza/split.go LineStartSplitFunc + fileconsumer decompress;
+    the DuckDB oracle replays the stitch with a windowed running sum
+    over the planted per-file seq)."""
+    from ..sources.textlog import read_log_files, synth_multiline_log_file
+
+    log_dir = synth_multiline_log_file()
+
+    def extract(t: pa.Table) -> pa.Table:
+        sev = pc.extract_regex(t.column("text"), r"^\S+ (?P<sev>[A-Z]+) ")
+        nl = pc.count_substring(t.column("text"), "\n")
+        return pa.table({
+            "severity": pc.struct_field(sev, "sev"),
+            "n_lines": pc.add(nl.cast(pa.int64()), 1),
+        })
+
+    ds = read_log_files(os.path.join(log_dir, "*.log*"),
+                        line_start_pattern=r"^\d{4}-\d{2}-\d{2}T")
+    ds = ds.map_batches(extract, batch_format="pyarrow")
+    return grouped_agg(ds, ["severity"],
+                       [("count", None, "n_entries"),
+                        ("sum", "n_lines", "total_lines")],
+                       combine="driver").sort("severity")
+
+
 def q_otlp_roundtrip_counts(sf_dir: str):
     """fileexporter default wire format end-to-end: transcripts ->
     OTLP/JSON-lines sink (zstd, resource-grouped by conv_id) -> file
@@ -3810,6 +3839,8 @@ def queries():
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "multimodal_pipeline": q_multimodal_pipeline,
         # --- end of the 50-entry round-4 window ---
+        # --- new this round (r05-window candidates) ---
+        "filelog_multiline_counts": q_filelog_multiline_counts,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4329,6 +4360,31 @@ def oracle_sql():
               FROM lines)
             SELECT stream, logtag, count(*) AS n
             FROM parsed WHERE ok GROUP BY 1, 2""",
+        "filelog_multiline_counts": r"""
+            WITH lines AS (
+              SELECT filename, text,
+                     CAST(regexp_extract(text, 'seq=(\d+)$', 1) AS BIGINT) AS seq
+              FROM read_csv('/tmp/graft_textlogs/ml-n4000-s47/*.log*',
+                     columns={'text': 'VARCHAR'}, delim='<SOH>',
+                     header=false, quote='', filename=true)),
+            marked AS (
+              SELECT *, CASE WHEN regexp_matches(text, '^\d{4}-\d{2}-\d{2}T')
+                             THEN 1 ELSE 0 END AS is_start
+              FROM lines),
+            entries AS (
+              SELECT *, sum(is_start) OVER (PARTITION BY filename
+                                            ORDER BY seq) AS eid
+              FROM marked),
+            agg AS (
+              SELECT filename, eid,
+                     max(CASE WHEN is_start = 1 THEN
+                         regexp_extract(text, '^\S+ ([A-Z]+) ', 1) END)
+                       AS severity,
+                     count(*) AS n_lines
+              FROM entries GROUP BY filename, eid)
+            SELECT severity, count(*) AS n_entries,
+                   CAST(sum(n_lines) AS BIGINT) AS total_lines
+            FROM agg GROUP BY 1 ORDER BY 1""".replace("<SOH>", "\x01"),
         "filelog_severity_counts": f"""
             WITH lines AS (
               SELECT text FROM read_csv('/tmp/graft_textlogs/n5000-s21/*.log',

@@ -167,3 +167,29 @@ service:
     t = pads.dataset(line["path"]).to_table()
     assert t.num_rows > 0
     assert set(t.column("event_type").to_pylist()) == {"click"}
+
+
+def test_yaml_filelog_receiver(tmp_path):
+    (tmp_path / "a.log").write_text(
+        "2024-01-01T00:00:00Z ERROR boom\n    at f (line 1)\n"
+        "2024-01-01T00:00:01Z INFO ok\n")
+    yaml = f"""
+receivers:
+  filelog/in:
+    include: '{tmp_path}/*.log'
+    line_start_pattern: '^\\d{{4}}-\\d{{2}}-\\d{{2}}T'
+    include_file_record_number: true
+exporters:
+  collect: {{}}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog/in]
+      processors: []
+      exporters: [collect]
+"""
+    out = run_config(yaml)
+    df = out["logs"]["collect"].to_pandas()
+    assert len(df) == 2
+    assert df["attr_log.file.record_number"].tolist() == [1, 2]
+    assert df.text.iloc[0].endswith("at f (line 1)")
