@@ -247,16 +247,16 @@ def ivf_build(ds, n_centroids: int = 16, emb_col: str = "embedding",
     cref = ray.put(cn)
     eps, cap = float(replicate_eps), int(max_assign)
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # plain task, not an actor pool: ray.get of a broadcast is a
+    # zero-copy local read, and actor startup costs ~1-2 s/pool
+    # (round-3 A/B, BASELINE.md probe-stage table)
+    def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
             mat = _to_mat(batch.column(emb_col))
             if mat.size == 0:
                 return batch.append_column("list_id", pa.array([], pa.int32()))
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = (mat / norms) @ self.c.T  # (n, n_lists)
+            sims = (mat / norms) @ c.T  # (n, n_lists)
             if eps <= 0.0:
                 assign = sims.argmax(1).astype(np.int32)
                 return batch.append_column("list_id", pa.array(assign))
@@ -270,8 +270,7 @@ def ivf_build(ds, n_centroids: int = 16, emb_col: str = "embedding",
             out = batch.take(pa.array(row_idx))
             return out.append_column("list_id", pa.array(lists))
 
-    assigned = ds.map_batches(Assign, batch_format="pyarrow",
-                              concurrency=(1, 8)).materialize()
+    assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
     return assigned, cn
 
 
@@ -293,12 +292,11 @@ def _routed_topk(pruned, qn: np.ndarray, probes: np.ndarray, k: int,
                     for lid, v in probe_of.items()})
     excl = exclude_ids or set()
 
-    class RoutedScore:
-        def __init__(self):
-            self.q = ray.get(qref)
-            self.routes = ray.get(pref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # plain task (see ivf_build.assign): per-batch ray.get of the
+    # broadcast probe tables is a local zero-copy read
+    def routed_score(batch: pa.Table) -> pa.Table:
+            q = ray.get(qref)
+            routes = ray.get(pref)
             empty = pa.table({"query_idx": pa.array([], pa.int32()),
                               id_col: pa.array([], pa.int64()),
                               "sim": pa.array([], pa.float64())})
@@ -316,12 +314,12 @@ def _routed_topk(pruned, qn: np.ndarray, probes: np.ndarray, k: int,
             unit = mat / norms
             qi_out, vi_out, sv_out = [], [], []
             for lid in np.unique(lids):
-                qidx = self.routes.get(int(lid))
+                qidx = routes.get(int(lid))
                 if qidx is None:
                     continue
                 rows = lids == lid
                 sub_ids = ids[rows]
-                sims = unit[rows] @ self.q[qidx].T  # (n_rows, nq_probing)
+                sims = unit[rows] @ q[qidx].T  # (n_rows, nq_probing)
                 kk = min(k, len(sub_ids))
                 part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
                 for j, qg in enumerate(qidx):
@@ -333,8 +331,7 @@ def _routed_topk(pruned, qn: np.ndarray, probes: np.ndarray, k: int,
                              id_col: pa.array(vi_out),
                              "sim": pa.array(sv_out, pa.float64())})
 
-    partials = pruned.map_batches(RoutedScore, batch_format="pyarrow",
-                                  concurrency=(1, 8))
+    partials = pruned.map_batches(routed_score, batch_format="pyarrow")
     return _merge_topk(partials, k, id_col)
 
 
@@ -466,11 +463,10 @@ def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
     cref = ray.put(codebooks)
     m, ksub, dsub = codebooks.shape
 
-    class Encode:
-        def __init__(self):
-            self.books = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # plain task (see ivf_build.assign): broadcast codebooks read
+    # zero-copy per batch; actor startup is pure overhead here
+    def encode(batch: pa.Table) -> pa.Table:
+            books = ray.get(cref)
             mat = _to_mat(batch.column(emb_col))
             n = len(mat)
             if n == 0 or mat.size == 0:
@@ -482,7 +478,7 @@ def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
             codes = np.empty((n, m), dtype=np.uint8)
             for j in range(m):
                 x = mat[:, j * dsub:(j + 1) * dsub]
-                c = self.books[j]
+                c = books[j]
                 # ||x-c||^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row
                 d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
                 codes[:, j] = d2.argmin(1).astype(np.uint8)
@@ -491,8 +487,7 @@ def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
                 id_col: batch.column(id_col),
                 "codes": pa.FixedSizeListArray.from_arrays(flat, m)})
 
-    return ds.map_batches(Encode, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(encode, batch_format="pyarrow")
 
 
 def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
@@ -520,11 +515,9 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     excl = exclude_ids or set()
     shortlist = (rerank_factor * k) if rerank_ds is not None else k
 
-    class Scan:
-        def __init__(self):
-            self.luts = ray.get(lref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # plain task (see ivf_build.assign)
+    def scan(batch: pa.Table) -> pa.Table:
+            luts = ray.get(lref)
             ids = np.asarray(batch.column(id_col))
             col = batch.column("codes")
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
@@ -543,9 +536,9 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
                                  id_col: pa.array([], pa.int64()),
                                  "sim": pa.array([], pa.float64())})
             # dist (nq, n) = sum_j LUT[q, j, codes[:, j]]
-            dist = np.zeros((self.luts.shape[0], len(ids)))
+            dist = np.zeros((luts.shape[0], len(ids)))
             for j in range(m):
-                dist += self.luts[:, j, codes[:, j]]
+                dist += luts[:, j, codes[:, j]]
             kk = min(shortlist, len(ids))
             part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
             qi = np.repeat(np.arange(dist.shape[0], dtype=np.int32), kk)
@@ -557,8 +550,7 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
                              id_col: pa.array(vi),
                              "sim": pa.array(sv, pa.float64())})
 
-    partials = codes_ds.map_batches(Scan, batch_format="pyarrow",
-                                    concurrency=(1, 8))
+    partials = codes_ds.map_batches(scan, batch_format="pyarrow")
     if rerank_ds is None:
         return _merge_topk(partials, k, id_col)
     # exact rerank: shortlist ids -> broadcast set -> one semi-filtered
@@ -568,20 +560,13 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     id_set = set(short[id_col].tolist())
     sref = ray.put(pa.array(sorted(id_set)))
 
-    class SemiFilter:
-        def __init__(self):
-            import pyarrow.compute as pc  # noqa: F401
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-            self.keys = ray.get(sref)
+        return batch.filter(pc.is_in(batch.column(id_col),
+                                     value_set=ray.get(sref)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.filter(pc.is_in(batch.column(id_col),
-                                         value_set=self.keys))
-
-    cand = rerank_ds.map_batches(SemiFilter, batch_format="pyarrow",
-                                 concurrency=(1, 8))
+    cand = rerank_ds.map_batches(semi_filter, batch_format="pyarrow")
     return brute_force_topk(cand, queries, k=k, id_col=id_col,
                             emb_col=emb_col, exclude_ids=exclude_ids)
 
