@@ -316,36 +316,63 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) > max_bucket:
-            import logging
+    # shuffle by hash-bucket of the chunk key, NOT one Ray group per
+    # (chunk_id, chunk_val): a 16-bit chunk space makes tens of
+    # thousands of 1-2-row groups and map_groups pays per-group python
+    # overhead for every one — inside a bucket, singleton chunks drop
+    # vectorized and only multi-doc chunks loop (the minhash idiom)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        v = np.asarray(t.column("chunk_val"), dtype=np.uint64)
+        c = np.asarray(t.column("chunk_id"), dtype=np.uint64)
+        return t.append_column(
+            "__bucket", pa.array(((v ^ (c * np.uint64(0x9E3779B97F4A7C15)))
+                                  % 16).astype(np.int32)))
 
-            logging.getLogger(__name__).warning(
-                "simhash_pairs: band bucket (chunk_id=%s, chunk_val=%s) "
-                "capped at %d members; %d rows dropped from pair "
-                "generation (recall loss confined to this bucket)",
-                g["chunk_id"].iloc[0], g["chunk_val"].iloc[0],
-                max_bucket, len(g) - max_bucket)
-            g = g.iloc[:max_bucket]
-        ids = g[id_col].to_numpy()
-        s = g["simhash"].to_numpy().astype(np.uint64)
+    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(16)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates(subset=["chunk_id", "chunk_val", id_col])
+        sizes = g.groupby(["chunk_id", "chunk_val"])[id_col].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
         out_a, out_b, ham = [], [], []
-        for i in range(len(ids)):
-            d = _popcount64(s[i + 1:] ^ s[i])
-            hit = np.nonzero(d <= max_hamming)[0]
-            if hit.size:
-                out_a.extend([ids[i]] * hit.size)
-                out_b.extend(ids[i + 1 + hit])
-                ham.extend(d[hit])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": ham})
+        for _, sub in g.groupby(["chunk_id", "chunk_val"], sort=False):
+            sub = sub.sort_values(id_col)
+            if len(sub) > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "simhash_pairs: band bucket (chunk_id=%s, chunk_val=%s) "
+                    "capped at %d members; %d rows dropped from pair "
+                    "generation (recall loss confined to this bucket)",
+                    sub["chunk_id"].iloc[0], sub["chunk_val"].iloc[0],
+                    max_bucket, len(sub) - max_bucket)
+                sub = sub.iloc[:max_bucket]
+            ids = sub[id_col].to_numpy()
+            s = sub["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                d = _popcount64(s[i + 1:] ^ s[i])
+                hit = np.nonzero(d <= max_hamming)[0]
+                if hit.size:
+                    out_a.extend([ids[i]] * hit.size)
+                    out_b.extend(ids[i + 1 + hit])
+                    ham.extend(d[hit])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "hamming": ham})
 
     from .aggregate import arrow_out
 
-    cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
-        arrow_out(pairs), batch_format="pandas")
+    cand = bucketed.groupby("__bucket").map_groups(
+        arrow_out(pairs_in_bucket), batch_format="pandas")
     return _dedupe_pairs(cand)
 
 
