@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "metric_context_pipeline",
     "recombine_multiline",
     "filelog_multiline_counts",
+    "semdedup",
     "knn_lsh",
     "otlp_proto_roundtrip",
     "exp_to_explicit_hist",

@@ -1197,6 +1197,34 @@ def q_simhash_neardup(sf_dir: str):
     return _planted_pair_summary(pairs, sf_dir, "doc_a", "doc_b")
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas 2023): k-means the embedding space (deterministic
+    seed centroids), flag within-cluster cosine near-dups against
+    lower-id members.  Exact copies of every 5th vector are planted
+    under shifted ids IN SQL-REPRODUCIBLE form, so the oracle replays
+    the whole thing: list_distance+row_number assignment (the
+    kmeans_assign idiom) + one EXISTS for the keep flag.  Threshold 0.9
+    sits far above the isotropic-corpus natural max (~0.66 at sf0.1)
+    and far below exact-copy cosine (~1.0) — no float-boundary flips."""
+    from ..stages.cluster import seed_centroids
+    from ..stages.dedup import semdedup_flags
+
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        copies = t.filter(pa.array(ids % 5 == 0))
+        copies = copies.set_column(
+            copies.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(copies.column("vec_id"), 100_000))
+        return pa.concat_tables([t, copies])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    cents = seed_centroids(planted, 8)
+    out = semdedup_flags(planted, cents, threshold=0.9)
+    return out.sort("vec_id")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup (random-hyperplane LSH buckets) with
     planted noisy copies, returned as a self-validating planted-recall
@@ -3841,6 +3869,7 @@ def queries():
         # --- end of the 50-entry round-4 window ---
         # --- new this round (r05-window candidates) ---
         "filelog_multiline_counts": q_filelog_multiline_counts,
+        "semdedup": q_semdedup,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -5251,6 +5280,31 @@ def oracle_sql():
         # assignment replay: list_distance over DOUBLE[] (sqrt is
         # monotonic, so argmin equals the squared-distance argmin);
         # ties break toward the lowest centroid id on both sides.
+        "semdedup": """
+            WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 5 = 0),
+            seeds AS (
+              SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id < 8),
+            d AS (
+              SELECT c.vec_id, c.e, s.cid, list_distance(c.e, s.ce) AS dist
+              FROM corpus c CROSS JOIN seeds s),
+            a AS (
+              SELECT vec_id, e, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM d),
+            asg AS (SELECT vec_id, e, cid AS cluster_id FROM a WHERE rn = 1)
+            SELECT x.vec_id, x.cluster_id,
+                   NOT EXISTS (
+                     SELECT 1 FROM asg y
+                     WHERE y.cluster_id = x.cluster_id
+                       AND y.vec_id < x.vec_id
+                       AND list_cosine_similarity(x.e, y.e) >= 0.9) AS keep
+            FROM asg x ORDER BY x.vec_id""",
         "kmeans_assign": """
             WITH seeds AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce

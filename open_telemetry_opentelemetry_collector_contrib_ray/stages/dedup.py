@@ -716,3 +716,59 @@ def cluster_keep_best(clusters_ds, docs_ds, priority_col: str,
     return out.map_batches(
         lambda t: pa.table({c: t.column(c).cast(types[c]) for c in types}),
         batch_format="pyarrow")
+
+
+def semdedup_flags(ds, centroids: np.ndarray, threshold: float = 0.9,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   max_cluster: int = 200_000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then within each cluster flag keep=False for any
+    item whose cosine similarity to a LOWER-ID item of the same cluster
+    is >= threshold (deterministic keeper = lowest id; the flag depends
+    only on earlier items' EXISTENCE, not their own flags, so it is
+    order-free and SQL-replayable with one EXISTS).
+
+    Scale shape: assignment is a broadcast-centroid map (no shuffle);
+    the ONLY shuffle groups (id, embedding) rows by cluster_id; the
+    within-cluster pass is blocked numpy O(n_c^2).  n_c is the knob —
+    at 100 TB, k must grow with the corpus (the paper runs 50k
+    clusters) so clusters stay ~1e4; a cluster past max_cluster logs a
+    warning about its quadratic cost (nothing is dropped).
+
+    Returns Dataset(id, cluster_id, keep).
+    """
+    from .aggregate import arrow_out
+    from .cluster import kmeans_assign
+
+    assigned = kmeans_assign(ds, centroids, vec_col=emb_col)
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        n = len(g)
+        if n > max_cluster:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster %s has %d members (> max_cluster=%d); "
+                "the within-cluster pass is O(n^2) — raise k so clusters "
+                "shrink", g["cluster_id"].iloc[0], n, max_cluster)
+        mat = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        u = mat / norm
+        keep = np.ones(n, dtype=bool)
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = u[s:e] @ u[:e].T            # rows s..e vs ALL j < e
+            # inside the block only strictly-earlier columns count
+            local = sims[:, s:e]
+            local[np.triu_indices(e - s, k=0)] = -np.inf
+            keep[s:e] = sims.max(axis=1) < threshold
+        keep[0] = True  # the globally first row has no earlier item
+        return pd.DataFrame({id_col: g[id_col],
+                             "cluster_id": g["cluster_id"],
+                             "keep": keep})
+
+    return assigned.groupby("cluster_id").map_groups(
+        arrow_out(flags), batch_format="pandas")

@@ -488,3 +488,33 @@ def test_conversation_policy_filter_semi_join_fallback():
     none = conversation_policy_filter(
         rd.from_items(rows), 'attributes["status"] == "nope"').to_pandas()
     assert len(none) == 0
+
+
+def test_semdedup_drops_planted_exact_copies(ray_session):
+    """SemDeDup: exact copies (higher ids) flagged keep=False, their
+    originals keep=True; random isotropic vectors never collide at 0.9."""
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.cluster import (
+        seed_centroids,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+        semdedup_flags,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 400, 32
+    vecs = rng.standard_normal((n, d))
+    ids = list(range(n)) + [i + 10_000 for i in range(0, n, 4)]
+    allv = np.concatenate([vecs, vecs[::4]])
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(allv.reshape(-1), pa.float64()), d),
+    })
+    cents = seed_centroids(rd.from_arrow(tbl), 8)
+    out = semdedup_flags(rd.from_arrow(tbl), cents, threshold=0.9) \
+        .to_pandas().set_index("vec_id")
+    planted = [i + 10_000 for i in range(0, n, 4)]
+    assert not out.loc[planted, "keep"].any()          # all copies dropped
+    assert out.loc[list(range(n)), "keep"].all()       # all originals kept
