@@ -181,8 +181,18 @@ def _len(ctx, args):
         return pc.if_else(pc.is_null(arr),
                           pa.nulls(len(arr), pa.int32()), lens)
     if pa.types.is_struct(arr.type):
-        # struct-encoded map: field count, null rows stay null
-        n = pa.repeat(pa.scalar(arr.type.num_fields, pa.int32()), len(arr))
+        # struct-encoded map: Go len(map) counts PRESENT entries, so
+        # count non-null fields per row; null rows stay null
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = pa.nulls(len(arr), pa.int32()) if arr.type.num_fields == 0 \
+            else None
+        if n is None:
+            acc = np.zeros(len(arr), dtype=np.int32)
+            for i in range(arr.type.num_fields):
+                acc += pc.is_valid(arr.field(i)).to_numpy(
+                    zero_copy_only=False).astype(np.int32)
+            n = pa.array(acc, pa.int32())
         return pc.if_else(pc.is_null(arr), pa.nulls(len(arr), pa.int32()), n)
     if pa.types.is_null(arr.type):
         return pa.nulls(len(arr), pa.int32())
@@ -631,13 +641,43 @@ def _parse_csv(ctx, args):
         raise ValueError(f"ParseCSV mode {mode!r}")
     names = header.split(hdelim)
     arr = _str(_ev_arr(ctx, args[0]))
-    parts = pc.split_pattern(arr, delim, max_splits=len(names) - 1)
+    # quote-aware modes go through csv.reader row-wise IF any row
+    # actually contains a quote; the vectorized split is the hot path
+    # (ignoreQuotes by definition never treats quotes specially)
+    has_quote = mode != "ignoreQuotes" and pc.any(
+        pc.fill_null(pc.match_substring(arr, '"'), False)).as_py()
+    if has_quote:
+        import csv as _csv
+        import io
+
+        py = arr.to_pylist()
+        cols: list[list] = [[] for _ in names]
+        for s in py:
+            if s is None:
+                for c in cols:
+                    c.append(None)
+                continue
+            row = next(_csv.reader(io.StringIO(s), delimiter=delim,
+                                   quotechar='"',
+                                   strict=False,
+                                   skipinitialspace=False),
+                       [])
+            if mode == "strict" and len(row) != len(names):
+                raise ValueError("ParseCSV strict: wrong number of fields")
+            for i, c in enumerate(cols):
+                c.append(row[i] if i < len(row) else None)
+        return pc.make_struct(*[pa.array(c, pa.string()) for c in cols],
+                              field_names=names)
     if mode == "strict":
-        counts = pc.list_value_length(parts)
+        # full split (no max_splits glue) so BOTH too-few and too-many
+        # field rows are caught, like Go's csv reader
+        full = pc.split_pattern(arr, delim)
+        counts = pc.list_value_length(full)
         bad = pc.any(pc.and_(pc.is_valid(counts),
                              pc.not_equal(counts, len(names)))).as_py()
         if bad:
             raise ValueError("ParseCSV strict: wrong number of fields")
+    parts = pc.split_pattern(arr, delim, max_splits=len(names) - 1)
     fields = [pc.list_element(pc.list_slice(parts, i, i + 1, return_fixed_size_list=True), 0)
               for i in range(len(names))]
     return pc.make_struct(*fields, field_names=names)
@@ -1443,7 +1483,13 @@ def _apply_repl_function(ctx, args, fi: int, repl: str) -> str:
             out = _REGISTRY[name][1](ctx, [Literal(repl)])
             if isinstance(out, pa.ChunkedArray):
                 out = out.combine_chunks()
-            repl = str(out[0].as_py() if isinstance(out, pa.Array) else out)
+            if isinstance(out, pa.Array):
+                if len(out) == 0:
+                    # 0-row block: no rows to replace; any scalar works
+                    return repl
+                repl = str(out[0].as_py())
+            else:
+                repl = str(out.as_py() if isinstance(out, pa.Scalar) else out)
     if len(args) > fi + 1:
         fmt = _ev_scalar(args[fi + 1], ctx)
         if fmt is not None:

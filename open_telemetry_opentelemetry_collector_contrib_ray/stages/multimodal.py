@@ -201,7 +201,10 @@ class FrameSampler:
             if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
                 try:
                     avi_frames, _, _ = decode_avi(data)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
+                    # struct.error defensively: the decode contract is
+                    # ValueError, but a corrupt container must never
+                    # kill the whole batch
                     avi_frames = None
                 if avi_frames:
                     n_frames = len(avi_frames)
@@ -474,8 +477,12 @@ def decode_image(buf: bytes) -> np.ndarray:
 
         try:
             return decode_jpeg(buf)
-        except NotImplementedError:
-            pass                       # progressive/12-bit: try PIL below
+        except (NotImplementedError, ValueError):
+            # progressive/12-bit (NotImplementedError) or anything the
+            # baseline parser is stricter about than the spec (e.g.
+            # 0xFF fill bytes before markers raise ValueError): PIL may
+            # still decode it — only give up if PIL is absent too
+            pass
     try:
         import io
 
@@ -690,7 +697,18 @@ class AudioChunker:
                 rates_in, batch.column("mime").to_pylist()):
             data = payload or b""
             if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                data, rate, _ = decode_wav(data)
+                data, rate, channels = decode_wav(data)
+                if channels > 1:
+                    # downmix interleaved PCM16 to mono (mean of
+                    # channels): chunk duration and the downstream
+                    # RMS/ZCR features are defined over ONE stream,
+                    # not channel-interleaved samples
+                    n_fr = len(data) // (2 * channels)
+                    sm = np.frombuffer(data[:n_fr * 2 * channels],
+                                       dtype="<i2")
+                    mono = sm.reshape(n_fr, channels) \
+                        .mean(axis=1).round().astype("<i2")
+                    data = mono.tobytes()
             elif mime != "audio/pcm16":
                 raise NotImplementedError(
                     f"decoding {mime} needs ffmpeg; not in this container")
@@ -808,6 +826,8 @@ def decode_avi(buf: bytes):
                 if body[:4] == b"vids":
                     handler = body[4:8]
             elif tag == b"strf" and w is None:
+                if len(body) < 16:
+                    raise ValueError("truncated AVI strf header")
                 _, w_, h_, _, bpp_ = struct.unpack_from("<IiiHH", body, 0)
                 w, h, bpp = w_, abs(h_), bpp_
             elif tag in (b"00db", b"00dc"):

@@ -117,11 +117,27 @@ def _fnv32_values(vals: list, seed: int) -> tuple[np.ndarray, np.ndarray]:
     h = np.full(n, h0, dtype=np.uint32)
     if total == 0:
         return h, valid
+    maxlen = int(lens.max())
+    # the padded matrix costs n * maxlen: fine for id-like attributes
+    # (the reference hashes trace ids / small attrs), but ONE huge value
+    # in a batch would inflate every row's cost — hash outliers row-wise
+    cap = 256
+    if maxlen > cap and n > 1:
+        big = np.nonzero(lens > cap)[0]
+        for i in big:
+            hh = h0
+            for byte in bs[i]:
+                hh = ((hh ^ byte) * _FNV32_PRIME) & 0xFFFFFFFF
+            h[i] = hh
+        small = np.nonzero(lens <= cap)[0]
+        if small.size:
+            hs, _ = _fnv32_values([bs[i] for i in small], seed)
+            h[small] = hs
+        return h, valid
     flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     rowidx = np.repeat(np.arange(n, dtype=np.int64), lens)
     colidx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-    maxlen = int(lens.max())
     mat = np.zeros((n, maxlen), dtype=np.uint8)
     mat[rowidx, colidx] = flat
     prime = np.uint32(_FNV32_PRIME)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
     ImageAHash,
@@ -296,3 +297,66 @@ def test_wav_container_roundtrip_and_chunk_parity():
     buf[i + 8] = 3                             # wFormatTag = IEEE float
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(buf))
+
+
+# ---------------------------------------------------- session-review fixes
+
+def test_decode_avi_short_strf_raises_valueerror():
+    """Malformed strf (shorter than the 16-byte prefix) must honor the
+    documented ValueError contract, not leak struct.error."""
+    import struct
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_avi,
+    )
+
+    body = b"AVI " + b"strf" + struct.pack("<I", 4) + b"\x00" * 4
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_avi(buf)
+
+
+def test_frame_sampler_corrupt_avi_falls_back():
+    """A corrupt AVI payload must fall back to the byte-range stub, not
+    kill the batch."""
+    import struct
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        FrameSampler,
+    )
+
+    body = b"AVI " + b"strf" + struct.pack("<I", 4) + b"\x00" * 4
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body + b"x" * 64
+    t = pa.table({"item_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([buf], pa.large_binary()),
+                  "mime": pa.array(["video/avi"], pa.string()),
+                  "width": pa.array([4], pa.int32()),
+                  "height": pa.array([4], pa.int32())})
+    out = FrameSampler(frames_per_item=2)(t)
+    assert out.num_rows >= 1  # stub frames, no crash
+
+
+def test_audio_chunker_stereo_downmix():
+    """Stereo WAV: chunk count reflects FRAMES (not interleaved samples)
+    and the payload is the mono mean of both channels."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        AudioChunker,
+        encode_wav,
+    )
+
+    rate = 1000
+    n_frames = 1000  # exactly 1 s
+    left = np.full(n_frames, 100, dtype="<i2")
+    right = np.full(n_frames, 300, dtype="<i2")
+    inter = np.empty(n_frames * 2, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    wav = encode_wav(inter.tobytes(), rate, channels=2)
+    t = pa.table({"item_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([wav], pa.large_binary()),
+                  "sample_rate": pa.array([0], pa.int32()),
+                  "mime": pa.array(["audio/wav"], pa.string())})
+    out = AudioChunker(chunk_ms=250)(t)
+    # 1 s of audio at 250 ms chunks -> exactly 4 chunks (stereo bug gave 8)
+    assert out.num_rows == 4
+    first = np.frombuffer(out.column("payload").to_pylist()[0], dtype="<i2")
+    assert (first == 200).all()  # mono mean of 100/300

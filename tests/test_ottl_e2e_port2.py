@@ -361,3 +361,45 @@ def test_merge_maps_map_typed_source():
         'merge_maps(attributes, attributes["foo"], "upsert")').apply(t)
     assert attrs(ups) == {"http.method": "get", "flags": "pass",
                           "bar": "pass"}
+
+
+# ---------------------------------------------------- session-review fixes
+
+def test_parse_csv_strict_rejects_too_many_fields():
+    t = pa.table({"text": ["1,2,3"]})
+    with pytest.raises(Exception):
+        parse_statement(
+            'set(attributes["x"], ParseCSV(text, "a,b", ",", ",", '
+            '"strict"))').apply(t)
+
+
+def test_parse_csv_quoted_fields():
+    # strict + lazyQuotes interpret quotes; ignoreQuotes splits blindly
+    t = pa.table({"text": ['"a,b",c']})
+    out = parse_statement(
+        'set(attributes["x"], ParseCSV(text, "h1,h2"))').apply(t)
+    assert out.column("attr_x").to_pylist() == [{"h1": "a,b", "h2": "c"}]
+    out2 = parse_statement(
+        'set(attributes["x"], ParseCSV(text, "h1,h2,h3", mode='
+        '"ignoreQuotes"))').apply(t)
+    assert out2.column("attr_x").to_pylist() == [
+        {"h1": '"a', "h2": 'b"', "h3": "c"}]
+
+
+def test_replace_pattern_function_on_empty_batch():
+    t = pa.table({"text": pa.array([], pa.string()),
+                  "attr_msg": pa.array([], pa.string())})
+    out = parse_statement(
+        'replace_pattern(attributes["msg"], "pass", "x", SHA256)').apply(t)
+    assert out.num_rows == 0
+
+
+def test_len_struct_counts_present_entries():
+    # Go len(map) counts populated keys; null struct fields are absent
+    t = pa.table({"text": ["a1b", "nope"]})
+    out = parse_statement(
+        'set(attributes["n"], Len(ExtractPatterns(text, '
+        '"(?P<x>\\\\d)(?P<y>[a-z])?")))').apply(t)
+    vals = out.column("attr_n").to_pylist()
+    assert vals[0] == 2        # both captures hit
+    assert vals[1] in (0, None)  # no match -> null struct row

@@ -938,3 +938,22 @@ def test_probabilistic_sampler_fnv_mode():
     assert inv(t).num_rows == 1000 - out.num_rows
     # scaled == 0 -> neverSampler (sampler_mode.go:438-440)
     assert ProbabilisticSampler(0.0, "conv_id", mode="fnv")(t).num_rows == 0
+
+
+def test_fnv32_values_long_value_rowwise_parity():
+    """Values past the padded-matrix cap hash row-wise; result must be
+    bit-identical to the vectorized path's definition (fnv1a32 over
+    le32(seed) ++ value bytes)."""
+    import struct
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        _fnv32_values,
+        fnv1a32,
+    )
+
+    big = b"z" * 5000
+    vals = ["abc", big.decode(), "de"]
+    h, valid = _fnv32_values(vals, seed=22)
+    assert valid.all()
+    for i, v in enumerate(vals):
+        assert h[i] == fnv1a32(struct.pack("<I", 22) + v.encode())
