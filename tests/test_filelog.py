@@ -177,3 +177,99 @@ def test_splitter_rejects_both_patterns():
         FileSplitter(line_start_pattern="a", line_end_pattern="b")
     with pytest.raises(ValueError):
         FileSplitter(encoding="nop", line_start_pattern="a")
+
+
+# --------- split_test.go case-table port (reference parity, verbatim
+# inputs/expectations from pkg/stanza/split/split_test.go; flush=False
+# models the streaming "wait for more data" state at end-of-buffer)
+
+LINE_START_CASES = [
+    ("OneLogSimple", r"LOGSTART \d+ ", False, False,
+     "LOGSTART 123 log1LOGSTART 123 a", ["LOGSTART 123 log1"]),
+    ("OneLogSimpleOmitPattern", r"LOGSTART \d+ ", True, False,
+     "LOGSTART 123 log1LOGSTART 123 a", ["log1"]),
+    ("TwoLogsSimple", r"LOGSTART \d+ ", False, False,
+     "LOGSTART 123 log1 LOGSTART 234 log2 LOGSTART 345 foo",
+     ["LOGSTART 123 log1 ", "LOGSTART 234 log2 "]),
+    ("TwoLogsSimpleOmitPattern", r"LOGSTART \d+ ", True, False,
+     "LOGSTART 123 log1 LOGSTART 234 log2 LOGSTART 345 foo",
+     ["log1 ", "log2 "]),
+    ("TwoLogsLineStart", r"^LOGSTART \d+ ", False, False,
+     "LOGSTART 123 LOGSTART 345 log1\nLOGSTART 234 log2\nLOGSTART 345 foo",
+     ["LOGSTART 123 LOGSTART 345 log1\n", "LOGSTART 234 log2\n"]),
+    ("TwoLogsLineStartOmitPattern", r"^LOGSTART \d+ ", True, False,
+     "LOGSTART 123 LOGSTART 345 log1\nLOGSTART 234 log2\nLOGSTART 345 foo",
+     ["LOGSTART 345 log1\n", "log2\n"]),
+    ("NoMatches", r"LOGSTART \d+ ", False, False,
+     "file that has no matches in it", []),
+    ("PrecedingNonMatches", r"LOGSTART \d+ ", False, False,
+     "part that doesn't match LOGSTART 123 part that matchesLOGSTART 123 foo",
+     ["part that doesn't match ", "LOGSTART 123 part that matches"]),
+    ("MultipleMultilineLogs", r"^LOGSTART \d+ ", False, False,
+     "LOGSTART 12 log1\t  \nLOGPART log1\nLOGPART log1\t   \n"
+     "LOGSTART 17 log2\nLOGPART log2\nanother line\nLOGSTART 43 log5",
+     ["LOGSTART 12 log1\t  \nLOGPART log1\nLOGPART log1\t   \n",
+      "LOGSTART 17 log2\nLOGPART log2\nanother line\n"]),
+    ("FlushAtEOFNoMatch", r"^LOGSTART \d+ ", False, True,
+     "LOGPART log1\nLOGPART log1\t   \n",
+     ["LOGPART log1\nLOGPART log1\t   \n"]),
+    ("FlushAtEOFMatchThenNoMatch", r"^LOGSTART \d+ ", False, True,
+     "LOGSTART 12 log1\t  \nLOGPART log1\nLOGPART log1\t   \n"
+     "LOGSTART 17 log2\nLOGPART log2\nanother line",
+     ["LOGSTART 12 log1\t  \nLOGPART log1\nLOGPART log1\t   \n",
+      "LOGSTART 17 log2\nLOGPART log2\nanother line"]),
+    ("FlushAtEOFMatchThenNoMatchOmitPattern", r"^LOGSTART \d+ ", True, True,
+     "LOGSTART 12 log1\t  \nLOGPART log1\nLOGPART log1\t   \n"
+     "LOGSTART 17 log2\nLOGPART log2\nanother line",
+     ["log1\t  \nLOGPART log1\nLOGPART log1\t   \n",
+      "log2\nLOGPART log2\nanother line"]),
+]
+
+
+@pytest.mark.parametrize("name,pat,omit,flush,inp,want", LINE_START_CASES,
+                         ids=[c[0] for c in LINE_START_CASES])
+def test_line_start_split_reference_table(name, pat, omit, flush, inp, want):
+    rx = re.compile("(?m)" + pat)
+    assert _line_start_split(inp, rx, omit, flush) == want
+
+
+LINE_END_CASES = [
+    ("OneLogSimple", r"LOGEND \d+ ", False, False,
+     "my log LOGEND 123 ", ["my log LOGEND 123 "]),
+    ("OneLogSimpleOmitPattern", r"LOGEND \d+ ", True, False,
+     "my log LOGEND 123 ", ["my log "]),
+    ("TwoLogsSimple", r"LOGEND \d+ ", False, False,
+     "log1 LOGEND 123 log2 LOGEND 234 ",
+     ["log1 LOGEND 123 ", "log2 LOGEND 234 "]),
+    ("TwoLogsLineEndSimple", r"LOGEND$", False, False,
+     "log1 LOGEND LOGEND\nlog2 LOGEND\n",
+     ["log1 LOGEND LOGEND", "\nlog2 LOGEND"]),
+    ("TwoLogsLineEndSimpleOmitPattern", r"LOGEND$", True, False,
+     "log1 LOGEND LOGEND\nlog2 LOGEND\n",
+     ["log1 LOGEND ", "\nlog2 "]),
+    ("NoMatches", r"LOGEND \d+ ", False, False,
+     "file that has no matches in it", []),
+    ("NonMatchesAfter", r"LOGEND \d+ ", False, False,
+     "part that matches LOGEND 123 part that doesn't match",
+     ["part that matches LOGEND 123 "]),
+    ("MultiplesplitLogs", r"^LOGEND.*\n", False, False,
+     "LOGSTART 12 log1\t  \nLOGPART log1\nLOGEND log1\t   \n"
+     "LOGSTART 17 log2\nLOGPART log2\nLOGEND log2\nLOGSTART 43 log5",
+     ["LOGSTART 12 log1\t  \nLOGPART log1\nLOGEND log1\t   \n",
+      "LOGSTART 17 log2\nLOGPART log2\nLOGEND log2\n"]),
+    ("MultipleMultilineLogsOmitPattern", r"^LOGEND.*\n", True, False,
+     "LOGSTART 12 log1\t  \nLOGPART log1\nLOGEND log1\t   \n"
+     "LOGSTART 17 log2\nLOGPART log2\nLOGEND log2\nLOGSTART 43 log5",
+     ["LOGSTART 12 log1\t  \nLOGPART log1\n",
+      "LOGSTART 17 log2\nLOGPART log2\n"]),
+    ("FlushAtEOFNoMatch", r"^LOGSTART \d+", False, True,
+     "LOGPART log1\nLOGPART log1\t   \n",
+     ["LOGPART log1\nLOGPART log1\t   \n"]),
+]
+
+
+@pytest.mark.parametrize("name,pat,omit,flush,inp,want", LINE_END_CASES,
+                         ids=[c[0] for c in LINE_END_CASES])
+def test_line_end_split_reference_table(name, pat, omit, flush, inp, want):
+    rx = re.compile("(?m)" + pat)
+    assert _line_end_split(inp, rx, omit, flush) == want
