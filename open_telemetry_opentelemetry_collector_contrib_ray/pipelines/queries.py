@@ -718,6 +718,75 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_otlp_metrics_proto_roundtrip(sf_dir: str):
+    """fileexporter `format: proto` for METRICS end-to-end: a
+    deterministic flat metric table (one Gauge datapoint + one
+    monotonic-Sum datapoint per event) -> framed MetricsData sink ->
+    read-back -> aggregate.  Proves encode∘decode = identity on the
+    metrics.proto codec (the oracle sees only the events parquet).
+    Gauge values are 0.5-multiples so float sums are exact in any
+    combine order."""
+    import shutil
+
+    from ..sources.otlpproto import (
+        read_otlp_metrics_proto,
+        write_otlp_metrics_proto,
+    )
+
+    out = f"/tmp/graft_otlpm/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def to_metrics(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_pylist()
+        n = len(eid)
+        gauge = pa.table({
+            "metric_name": pa.array([f"{e}_latency" for e in et]),
+            "metric_type": pa.array(["Gauge"] * n),
+            "metric_unit": pa.array(["ms"] * n),
+            "time_unix_nano": pa.array(eid * 1_000_000, pa.int64()),
+            "value_double": pa.array((eid % 7) * 0.5, pa.float64()),
+            "value_int": pa.nulls(n, pa.int64()),
+            "attr_shard": pa.array(eid % 3, pa.int64()),
+        })
+        sums = pa.table({
+            "metric_name": pa.array([f"{e}_calls" for e in et]),
+            "metric_type": pa.array(["Sum"] * n),
+            "metric_unit": pa.array(["1"] * n),
+            "time_unix_nano": pa.array(eid * 1_000_000, pa.int64()),
+            "value_double": pa.nulls(n, pa.float64()),
+            "value_int": pa.array(eid % 100, pa.int64()),
+            "attr_shard": pa.array(eid % 3, pa.int64()),
+        })
+        return pa.concat_tables([gauge, sums])
+
+    metrics = ds.map_batches(to_metrics, batch_format="pyarrow")
+    write_otlp_metrics_proto(metrics, out)
+    back = read_otlp_metrics_proto(out)
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {
+            "metric_name": t.column("metric_name").cast(pa.string()),
+            "metric_type": t.column("metric_type").cast(pa.string()),
+            "vd": (t.column("value_double").cast(pa.float64())
+                   if "value_double" in t.column_names
+                   else pa.nulls(t.num_rows, pa.float64())),
+            "vi": (t.column("value_int").cast(pa.int64())
+                   if "value_int" in t.column_names
+                   else pa.nulls(t.num_rows, pa.int64())),
+            "shard": t.column("attr_shard").cast(pa.int64()),
+        }
+        return pa.table(cols)
+
+    back = back.map_batches(norm, batch_format="pyarrow")
+    return grouped_agg(back, ["metric_name", "metric_type", "shard"],
+                       [("count", None, "n"), ("sum", "vd", "vd_sum"),
+                        ("sum", "vi", "vi_sum")],
+                       combine="driver") \
+        .sort(["metric_name", "shard"])
+
+
 def q_filelog_multiline_counts(sf_dir: str):
     """fileconsumer multiline + gzip path: read_log_files with a
     line_start_pattern reassembles stack-trace entries per file (half
@@ -3870,6 +3939,7 @@ def queries():
         # --- new this round (r05-window candidates) ---
         "filelog_multiline_counts": q_filelog_multiline_counts,
         "semdedup": q_semdedup,
+        "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4389,6 +4459,24 @@ def oracle_sql():
               FROM lines)
             SELECT stream, logtag, count(*) AS n
             FROM parsed WHERE ok GROUP BY 1, 2""",
+        "otlp_metrics_proto_roundtrip": """
+            WITH pts AS (
+              SELECT event_type || '_latency' AS metric_name,
+                     'Gauge' AS metric_type,
+                     (event_id % 7) * 0.5 AS vd,
+                     CAST(NULL AS BIGINT) AS vi,
+                     event_id % 3 AS shard
+              FROM events
+              UNION ALL
+              SELECT event_type || '_calls', 'Sum',
+                     CAST(NULL AS DOUBLE), event_id % 100, event_id % 3
+              FROM events)
+            SELECT metric_name, metric_type, CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(vd) AS vd_sum,
+                   CAST(sum(vi) AS BIGINT) AS vi_sum
+            FROM pts GROUP BY 1, 2, 3
+            ORDER BY metric_name, shard""",
         "filelog_multiline_counts": r"""
             WITH lines AS (
               SELECT filename, text,

@@ -319,3 +319,254 @@ def read_otlp_proto(path: str, time_col: str = "ts", body_col: str = "text"):
     files = rd.read_binary_files(path, file_extensions=["binpb"])
     return files.map_batches(OtlpProtoReaderStage(time_col, body_col),
                              batch_format="numpy")
+
+
+# --------------------------------------------------------- metrics.proto
+# (opentelemetry-proto metrics/v1/metrics.proto: MetricsData →
+# ResourceMetrics → ScopeMetrics → Metric{gauge|sum} →
+# NumberDataPoint.  Histogram/ExponentialHistogram/Summary rows in this
+# engine use the flat per-bucket `le`-row shape, not a proto message —
+# they raise NotImplementedError here by design.)
+
+_TEMPORALITY = {"delta": 1, "cumulative": 2}
+_TEMPORALITY_INV = {1: "delta", 2: "cumulative"}
+_METRIC_ID_COLS = ("metric_name", "metric_description", "metric_unit",
+                   "metric_type", "metric_aggregation_temporality",
+                   "metric_is_monotonic")
+
+
+def _number_dp(r: dict, time_col: str, skip: set) -> bytes:
+    """NumberDataPoint: start_time=2/time=3 fixed64 ns, as_double=4,
+    as_int=6 (sfixed64), attributes=7."""
+    dp = bytearray()
+    st = r.get("start_time_unix_nano")
+    if st is not None:
+        dp += _key(2, 1) + struct.pack("<Q", int(st))
+    ts = r.get(time_col)
+    if ts is not None:
+        dp += _key(3, 1) + struct.pack("<Q", int(ts))
+    vd, vi = r.get("value_double"), r.get("value_int")
+    if vd is not None:
+        dp += _key(4, 1) + struct.pack("<d", float(vd))
+    elif vi is not None:
+        dp += _key(6, 1) + struct.pack("<q", int(vi))
+    for k, v in r.items():
+        if k in skip or v is None:
+            continue
+        dp += _ld(7, _kv(k, v))
+    return bytes(dp)
+
+
+def encode_metrics_data(rows: list[dict], *,
+                        time_col: str = "time_unix_nano",
+                        resource_cols: Iterable[str] = (),
+                        scope_name: str =
+                        "open_telemetry_opentelemetry_collector_contrib_ray") -> bytes:
+    """Flat datapoint rows -> one MetricsData message (no framing).
+    Row shape = the engine's metric-table convention (stages/metrics.py):
+    metric_* identity columns + value_double/value_int + time_unix_nano
+    (ns) + attribute columns."""
+    resource_cols = list(resource_cols)
+    skip = (set(resource_cols) | set(_METRIC_ID_COLS)
+            | {time_col, "start_time_unix_nano", "value_double",
+               "value_int"})
+    groups: dict[tuple, dict[tuple, list[bytes]]] = {}
+    for r in rows:
+        mtype = r.get("metric_type") or "Gauge"
+        if mtype not in ("Gauge", "Sum"):
+            raise NotImplementedError(
+                f"metrics.proto encode supports Gauge/Sum; {mtype!r} rows "
+                "use the engine's flat per-bucket le-row shape")
+        rkey = tuple(r.get(c) for c in resource_cols)
+        ident = tuple(r.get(c) for c in _METRIC_ID_COLS)
+        groups.setdefault(rkey, {}).setdefault(ident, []).append(
+            _number_dp(r, time_col, skip))
+    scope = _ld(1, _sf(1, scope_name))
+    out = bytearray()
+    for rkey, metrics in groups.items():
+        res = b"".join(_ld(1, _kv(c, v))
+                       for c, v in zip(resource_cols, rkey) if v is not None)
+        ms = bytearray()
+        for ident, dps in metrics.items():
+            name, desc, unit, mtype, temp, mono = ident
+            m = bytearray(_sf(1, str(name or "")))
+            if desc is not None:
+                m += _sf(2, str(desc))
+            if unit is not None:
+                m += _sf(3, str(unit))
+            points = b"".join(_ld(1, dp) for dp in dps)
+            if (mtype or "Gauge") == "Gauge":
+                m += _ld(5, points)                      # Metric.gauge
+            else:
+                body = bytearray(points)
+                body += _key(2, 0) + _varint(
+                    _TEMPORALITY.get(str(temp or "cumulative").lower(), 2))
+                if mono:
+                    body += _key(3, 0) + _varint(1)
+                m += _ld(7, bytes(body))                 # Metric.sum
+            ms += _ld(2, bytes(m))                       # ScopeMetrics.metrics
+        sm = scope + bytes(ms)
+        rm = _ld(1, res) + _ld(2, sm)
+        out += _ld(1, rm)                                # resource_metrics
+    return bytes(out)
+
+
+def _decode_number_dp(buf: bytes, time_col: str) -> dict:
+    row: dict = {}
+    for f, w, v in _iter_fields(buf):
+        if f == 2:
+            row["start_time_unix_nano"] = v
+        elif f == 3:
+            row[time_col] = v
+        elif f == 4:
+            row["value_double"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+        elif f == 6:
+            row["value_int"] = v - (1 << 64) if v >= (1 << 63) else v
+        elif f == 7:
+            k, val = _kv_decode(v)
+            row[k] = val
+    return row
+
+
+def decode_metrics_data(buf: bytes, *,
+                        time_col: str = "time_unix_nano") -> list[dict]:
+    """One MetricsData message -> flat datapoint rows (inverse of
+    encode_metrics_data)."""
+    rows: list[dict] = []
+    for f1, _w, rm in _iter_fields(buf):
+        if f1 != 1:
+            continue
+        res_attrs: dict = {}
+        scopes = []
+        for f2, _w2, v2 in _iter_fields(rm):
+            if f2 == 1:
+                for f3, _w3, v3 in _iter_fields(v2):
+                    if f3 == 1:
+                        k, v = _kv_decode(v3)
+                        res_attrs[k] = v
+            elif f2 == 2:
+                scopes.append(v2)
+        for sm in scopes:
+            for f3, _w3, metric in _iter_fields(sm):
+                if f3 != 2:
+                    continue
+                meta: dict = {"metric_name": None}
+                data = []
+                for f4, _w4, v4 in _iter_fields(metric):
+                    if f4 == 1:
+                        meta["metric_name"] = v4.decode()
+                    elif f4 == 2:
+                        meta["metric_description"] = v4.decode()
+                    elif f4 == 3:
+                        meta["metric_unit"] = v4.decode()
+                    elif f4 == 5:
+                        meta["metric_type"] = "Gauge"
+                        data.append(v4)
+                    elif f4 == 7:
+                        meta["metric_type"] = "Sum"
+                        data.append(v4)
+                for body in data:
+                    temp = mono = None
+                    if meta["metric_type"] == "Sum":
+                        # proto3 scalar defaults are absent on the wire:
+                        # a Sum without field 3 IS is_monotonic=false
+                        mono = False
+                    dps = []
+                    for f5, _w5, v5 in _iter_fields(body):
+                        if f5 == 1:
+                            dps.append(v5)
+                        elif f5 == 2 and meta["metric_type"] == "Sum":
+                            temp = _TEMPORALITY_INV.get(v5)
+                        elif f5 == 3 and meta["metric_type"] == "Sum":
+                            mono = bool(v5)
+                    for dp in dps:
+                        row = dict(res_attrs)
+                        row.update(meta)
+                        if temp is not None:
+                            row["metric_aggregation_temporality"] = temp
+                        if mono is not None:
+                            row["metric_is_monotonic"] = mono
+                        row.update(_decode_number_dp(dp, time_col))
+                        rows.append(row)
+    return rows
+
+
+class OtlpMetricsProtoWriter(OtlpProtoWriter):
+    """Framed MetricsData sink (same naming/framing as the logs writer)."""
+
+    def __init__(self, out_dir: str, *, time_col: str = "time_unix_nano",
+                 resource_cols: Iterable[str] = (),
+                 scope_name: str =
+                 "open_telemetry_opentelemetry_collector_contrib_ray"):
+        super().__init__(out_dir, time_col=time_col,
+                         resource_cols=resource_cols, scope_name=scope_name)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        msg = encode_metrics_data(t.to_pylist(), time_col=self.time_col,
+                                  resource_cols=self.resource_cols,
+                                  scope_name=self.scope_name)
+        framed = struct.pack(">I", len(msg)) + msg
+        digest = hashlib.md5(framed).hexdigest()[:16]
+        try:
+            import ray
+
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            tid = "driver"
+        scope = hashlib.md5(tid.encode()).hexdigest()[:8]
+        path = os.path.join(self.out_dir,
+                            f"metrics-{digest}-{scope}-{self._seq:04d}.binpb")
+        self._seq += 1
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(framed)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+
+def write_otlp_metrics_proto(ds, out_dir: str, **kw) -> list[dict]:
+    batch_size = kw.pop("batch_size", 8192)
+    manifest = ds.map_batches(OtlpMetricsProtoWriter(out_dir, **kw),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return manifest.take_all()
+
+
+class OtlpMetricsProtoReaderStage:
+    """map_batches over read_binary_files output: framed MetricsData
+    bytes -> flat datapoint rows."""
+
+    def __init__(self, time_col: str = "time_unix_nano"):
+        self.time_col = time_col
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import pandas as pd
+
+        rows: list[dict] = []
+        for data in batch["bytes"]:
+            buf = bytes(data)
+            pos = 0
+            while pos + 4 <= len(buf):
+                (ln,) = struct.unpack_from(">I", buf, pos)
+                pos += 4
+                if pos + ln > len(buf):
+                    raise ValueError(
+                        f"truncated OTLP proto frame: header claims {ln} "
+                        f"bytes, {len(buf) - pos} remain")
+                rows.extend(decode_metrics_data(buf[pos:pos + ln],
+                                                time_col=self.time_col))
+                pos += ln
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+
+def read_otlp_metrics_proto(path: str, time_col: str = "time_unix_nano"):
+    import ray.data as rd
+
+    files = rd.read_binary_files(path, file_extensions=["binpb"])
+    return files.map_batches(OtlpMetricsProtoReaderStage(time_col),
+                             batch_format="numpy")

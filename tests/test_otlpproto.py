@@ -8,6 +8,7 @@ field numbers are the public opentelemetry-proto schema."""
 import struct
 
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -114,3 +115,56 @@ def test_truncated_frame_raises(tmp_path, ray_session):
 
     with pytest.raises(ValueError, match="truncated"):
         OtlpProtoReaderStage()({"bytes": [open(p, "rb").read()]})
+
+
+def test_metrics_proto_roundtrip_unit():
+    """encode_metrics_data ∘ decode_metrics_data = identity over the
+    flat metric-table shape (Gauge + Sum, int and double points,
+    temporality/monotonic, resource + datapoint attributes)."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_metrics_data,
+        encode_metrics_data,
+    )
+
+    rows = [
+        {"metric_name": "lat", "metric_type": "Gauge", "metric_unit": "ms",
+         "time_unix_nano": 1_700_000_000_000_000_000, "value_double": 1.5,
+         "attr_tool": "search", "svc": "a"},
+        {"metric_name": "calls", "metric_type": "Sum",
+         "metric_aggregation_temporality": "cumulative",
+         "metric_is_monotonic": True,
+         "time_unix_nano": 1_700_000_000_000_000_001, "value_int": -7,
+         "attr_tool": "email", "svc": "a"},
+        {"metric_name": "calls", "metric_type": "Sum",
+         "metric_aggregation_temporality": "delta",
+         "metric_is_monotonic": False,
+         "value_int": 12, "svc": "b"},
+    ]
+    buf = encode_metrics_data(rows, resource_cols=["svc"])
+    back = decode_metrics_data(buf)
+    assert len(back) == 3
+    by_name = {}
+    for r in back:
+        by_name.setdefault((r["metric_name"], r.get("svc")), []).append(r)
+    g = by_name[("lat", "a")][0]
+    assert g["metric_type"] == "Gauge" and g["value_double"] == 1.5
+    assert g["metric_unit"] == "ms" and g["attr_tool"] == "search"
+    assert g["time_unix_nano"] == 1_700_000_000_000_000_000
+    s = by_name[("calls", "a")][0]
+    assert s["metric_type"] == "Sum" and s["value_int"] == -7
+    assert s["metric_aggregation_temporality"] == "cumulative"
+    assert s["metric_is_monotonic"] is True
+    s2 = by_name[("calls", "b")][0]
+    assert s2["value_int"] == 12
+    assert s2["metric_aggregation_temporality"] == "delta"
+    assert s2["metric_is_monotonic"] is False
+
+
+def test_metrics_proto_histogram_rows_raise():
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        encode_metrics_data,
+    )
+
+    with pytest.raises(NotImplementedError):
+        encode_metrics_data([{"metric_name": "h", "metric_type": "Histogram",
+                              "count": 3}])
