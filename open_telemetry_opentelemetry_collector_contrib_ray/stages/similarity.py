@@ -223,7 +223,7 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 15,
 
 def ivf_build(ds, n_centroids: int = 16, emb_col: str = "embedding",
               sample_size: int = 2048, replicate_eps: float = 0.0,
-              max_assign: int = 4):
+              max_assign: int = 4, id_col: str = "vec_id"):
     """IVF index build (the one-time cost): train centroids on a sample,
     assign every vector to its nearest list, MATERIALIZE the assigned
     dataset (in real use: a partitioned parquet write by list_id so
@@ -240,7 +240,10 @@ def ivf_build(ds, n_centroids: int = 16, emb_col: str = "embedding",
     Query-side: _merge_topk dedups per (query, vector)."""
     import ray
 
-    sample_rows = ds.limit(sample_size).to_pandas()
+    # limit() rows arrive in task-completion order; centroids must not
+    # depend on scheduling
+    sample_rows = ds.limit(sample_size).to_pandas().sort_values(id_col) \
+        .reset_index(drop=True)
     sample = np.stack(sample_rows[emb_col].to_numpy()).astype(np.float64)
     cents = train_centroids(sample, n_centroids)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
@@ -418,7 +421,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
 def pq_train(ds, m: int = 8, ksub: int = 32, emb_col: str = "embedding",
              sample_size: int = 4096, iters: int = 15,
-             seed: int = 7) -> np.ndarray:
+             seed: int = 7, id_col: str = "vec_id") -> np.ndarray:
     """Product-quantization codebooks (Jégou et al. 2011): split the
     (unit-normalized) vector into m subspaces and run Lloyd k-means per
     subspace on a driver-side sample.  Returns (m, ksub, d/m) float64.
@@ -427,7 +430,10 @@ def pq_train(ds, m: int = 8, ksub: int = 32, emb_col: str = "embedding",
     dims collapse to m uint8 codes (64-dim f64 -> 8 bytes = 64x), so a
     100 TB embedding column scans as ~1.6 TB of codes."""
     rng = np.random.RandomState(seed)
-    rows = ds.limit(sample_size).to_pandas()
+    # sort the collected sample: limit() rows arrive in task-completion
+    # order, and codebooks must not depend on scheduling
+    rows = ds.limit(sample_size).to_pandas().sort_values(id_col) \
+        .reset_index(drop=True)
     s = np.stack(rows[emb_col].to_numpy()).astype(np.float64)
     s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
     d = s.shape[1]
