@@ -113,9 +113,16 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
     ~2x less memory traffic — the 100-TB bulk-assignment path when
     near-tie determinism vs an external replay doesn't matter."""
     ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
-    return ds.map_batches(_Assign,
-                          fn_constructor_args=(ref, vec_col, out_col, exact),
-                          batch_format="pyarrow", concurrency=(1, 8))
+
+    # plain task, not an actor pool: per-batch setup is one zero-copy
+    # ray.get of the broadcast centroids (+ a k x d float32 copy in
+    # bulk mode) — actor startup costs more than it saves (the round-3
+    # probe-stage A/B, applied here: kmeans_assign 3.8 -> ~1.4 s warm
+    # at sf0.1/32cpu)
+    def assign(t: pa.Table) -> pa.Table:
+        return _Assign(ref, vec_col, out_col, exact)(t)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def kmeans_fit(ds, k: int, iters: int = 5, vec_col: str = "embedding",
