@@ -273,3 +273,31 @@ LINE_END_CASES = [
 def test_line_end_split_reference_table(name, pat, omit, flush, inp, want):
     rx = re.compile("(?m)" + pat)
     assert _line_end_split(inp, rx, omit, flush) == want
+
+
+NEWLINE_CASES = [
+    ("EmptyFile", "", False, []),
+    ("OneLogSimple", "my log\n", False, ["my log"]),
+    ("OneLogCarriageReturn", "my log\r\n", False, ["my log"]),
+    ("TwoLogsSimple", "log1\nlog2\n", False, ["log1", "log2"]),
+    ("TwoLogsCarriageReturn", "log1\r\nlog2\r\n", False, ["log1", "log2"]),
+    ("NoTailingNewline", "foo", False, []),
+    ("EmptyLine", "LOGEND 333\n\nAnother one", False, ["LOGEND 333", ""]),
+    ("EmptyLineFirst", "\nLOGEND 333\nAnother one", False,
+     ["", "LOGEND 333"]),
+    ("FlushAtEOF", "log1\nlog2", True, ["log1", "log2"]),
+]
+
+
+@pytest.mark.parametrize("name,inp,flush,want", NEWLINE_CASES,
+                         ids=[c[0] for c in NEWLINE_CASES])
+def test_newline_split_reference_table(name, inp, flush, want):
+    assert _newline_split(inp, flush) == want
+
+
+def test_splitter_utf16be_newline(tmp_path):
+    # split_test.go SimpleUTF16: "testlog\n" as UTF-16-BE, no BOM
+    body = bytes([0, 116, 0, 101, 0, 115, 0, 116, 0, 108, 0, 111,
+                  0, 103, 0, 10])
+    out = _run_splitter(tmp_path, {"a.log": body}, encoding="utf-16-be")
+    assert out.column("text").to_pylist() == ["testlog"]
