@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "knn_lsh",
     "otlp_proto_roundtrip",
     "otlp_metrics_proto_roundtrip",
+    "otlp_hist_proto_roundtrip",
     "exp_to_explicit_hist",
     # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
     "attr_hash_extract",

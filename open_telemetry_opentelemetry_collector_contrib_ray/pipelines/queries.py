@@ -787,6 +787,61 @@ def q_otlp_metrics_proto_roundtrip(sf_dir: str):
         .sort(["metric_name", "shard"])
 
 
+def q_otlp_hist_proto_roundtrip(sf_dir: str):
+    """Histogram wire format end-to-end: the latency_histogram pipeline's
+    per-bucket rows -> HistogramDataPoint encoding (packed bucket_counts
+    / explicit_bounds, zero-filled) -> framed file -> read-back ->
+    sparse rows again.  Same oracle as latency_histogram: the codec must
+    be invisible."""
+    import shutil
+
+    from ..sources.otlpproto import (
+        decode_histograms_data,
+        encode_histograms_data,
+    )
+
+    out = f"/tmp/graft_otlph/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    hist = histogram_agg(ds, ["attr_tool_name"], "attr_latency_ms",
+                         [100, 500, 1000, 5000], alias="n")
+    rows = hist.to_pandas().to_dict("records")  # tiny: tools x 5 buckets
+    msg = encode_histograms_data(rows, metric_name="tool_latency",
+                                 key_cols=["attr_tool_name"],
+                                 bounds=[100, 500, 1000, 5000], unit="ms")
+    import struct as _struct
+
+    with open(os.path.join(out, "hist.binpb"), "wb") as f:
+        f.write(_struct.pack(">I", len(msg)) + msg)
+
+    import ray.data as rd
+
+    files = rd.read_binary_files(out, file_extensions=["binpb"])
+
+    def decode(batch: dict) -> pa.Table:
+        recs: list[dict] = []
+        for data in batch["bytes"]:
+            buf = bytes(data)
+            pos = 0
+            while pos + 4 <= len(buf):
+                (ln,) = _struct.unpack_from(">I", buf, pos)
+                pos += 4
+                recs.extend(decode_histograms_data(buf[pos:pos + ln]))
+                pos += ln
+        return pa.table({
+            "tool_name": pa.array([r["attr_tool_name"] for r in recs],
+                                  pa.string()),
+            "le": pa.array([r["le"] for r in recs], pa.string()),
+            "n": pa.array([r["n"] for r in recs], pa.int64()),
+        })
+
+    back = files.map_batches(decode, batch_format="numpy")
+    return back.filter(lambda r: r["n"] > 0)
+
+
 def q_filelog_multiline_counts(sf_dir: str):
     """fileconsumer multiline + gzip path: read_log_files with a
     line_start_pattern reassembles stack-trace entries per file (half
@@ -3940,6 +3995,7 @@ def queries():
         "filelog_multiline_counts": q_filelog_multiline_counts,
         "semdedup": q_semdedup,
         "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
+        "otlp_hist_proto_roundtrip": q_otlp_hist_proto_roundtrip,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4459,6 +4515,18 @@ def oracle_sql():
               FROM lines)
             SELECT stream, logtag, count(*) AS n
             FROM parsed WHERE ok GROUP BY 1, 2""",
+        "otlp_hist_proto_roundtrip": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT tool_name,
+                   CASE WHEN lat <= 100 THEN '100' WHEN lat <= 500 THEN '500'
+                        WHEN lat <= 1000 THEN '1000' WHEN lat <= 5000 THEN '5000'
+                        ELSE 'inf' END AS le,
+                   count(*) AS n
+            FROM parsed GROUP BY 1, 2""",
         "otlp_metrics_proto_roundtrip": """
             WITH pts AS (
               SELECT event_type || '_latency' AS metric_name,

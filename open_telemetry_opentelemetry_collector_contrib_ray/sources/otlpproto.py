@@ -570,3 +570,134 @@ def read_otlp_metrics_proto(path: str, time_col: str = "time_unix_nano"):
     files = rd.read_binary_files(path, file_extensions=["binpb"])
     return files.map_batches(OtlpMetricsProtoReaderStage(time_col),
                              batch_format="numpy")
+
+
+# --------------------------------------------- metrics.proto: Histogram
+# (the engine's canonical histogram shape is one row per (keys..., le)
+# with a per-bucket count — histogram_agg's output; this codec maps
+# that shape onto HistogramDataPoint: bucket_counts packed fixed64,
+# explicit_bounds packed double, count = sum of buckets.)
+
+
+def _bound_label(b: float) -> str:
+    f = float(b)
+    return str(int(f)) if f.is_integer() else str(f)
+
+
+def encode_histograms_data(rows: list[dict], *, metric_name: str,
+                           key_cols: Iterable[str], bounds: Iterable[float],
+                           le_col: str = "le", count_col: str = "n",
+                           unit: str | None = None,
+                           temporality: str = "cumulative",
+                           resource_cols: Iterable[str] = (),
+                           scope_name: str =
+                           "open_telemetry_opentelemetry_collector_contrib_ray") -> bytes:
+    """Sparse per-bucket rows -> one MetricsData message with a single
+    Histogram metric, one HistogramDataPoint per distinct key tuple
+    (missing buckets are zero)."""
+    key_cols, bounds = list(key_cols), [float(b) for b in bounds]
+    resource_cols = list(resource_cols)
+    labels = [_bound_label(b) for b in bounds] + ["inf"]
+    lab_idx = {v: i for i, v in enumerate(labels)}
+    groups: dict[tuple, dict[tuple, list[int]]] = {}
+    for r in rows:
+        rkey = tuple(r.get(c) for c in resource_cols)
+        kv = tuple(r.get(c) for c in key_cols)
+        counts = groups.setdefault(rkey, {}).setdefault(
+            kv, [0] * len(labels))
+        counts[lab_idx[str(r[le_col])]] += int(r[count_col])
+    scope = _ld(1, _sf(1, scope_name))
+    out = bytearray()
+    for rkey, dps in groups.items():
+        res = b"".join(_ld(1, _kv(c, v))
+                       for c, v in zip(resource_cols, rkey) if v is not None)
+        body = bytearray()
+        for kv, counts in sorted(dps.items(), key=lambda x: repr(x[0])):
+            dp = bytearray()
+            dp += _key(4, 1) + struct.pack("<Q", sum(counts))   # count
+            dp += _ld(6, b"".join(struct.pack("<Q", c)          # bucket_counts
+                                  for c in counts))
+            dp += _ld(7, b"".join(struct.pack("<d", b)          # bounds
+                                  for b in bounds))
+            for c, v in zip(key_cols, kv):
+                if v is not None:
+                    dp += _ld(9, _kv(c, v))                     # attributes
+            body += _ld(1, bytes(dp))                           # data_points
+        body += _key(2, 0) + _varint(
+            _TEMPORALITY.get(str(temporality).lower(), 2))
+        m = bytearray(_sf(1, metric_name))
+        if unit is not None:
+            m += _sf(3, unit)
+        m += _ld(9, bytes(body))                                # Metric.histogram
+        rm = _ld(1, res) + _ld(2, scope + _ld(2, bytes(m)))
+        out += _ld(1, rm)
+    return bytes(out)
+
+
+def decode_histograms_data(buf: bytes, *, le_col: str = "le",
+                           count_col: str = "n") -> list[dict]:
+    """Inverse of encode_histograms_data: one row per (attributes, le)
+    bucket INCLUDING zero buckets; metric identity carried on each row."""
+    rows: list[dict] = []
+    for f1, _w, rm in _iter_fields(buf):
+        if f1 != 1:
+            continue
+        res_attrs: dict = {}
+        scopes = []
+        for f2, _w2, v2 in _iter_fields(rm):
+            if f2 == 1:
+                for f3, _w3, v3 in _iter_fields(v2):
+                    if f3 == 1:
+                        k, v = _kv_decode(v3)
+                        res_attrs[k] = v
+            elif f2 == 2:
+                scopes.append(v2)
+        for sm in scopes:
+            for f3, _w3, metric in _iter_fields(sm):
+                if f3 != 2:
+                    continue
+                name = unit = None
+                hists = []
+                for f4, _w4, v4 in _iter_fields(metric):
+                    if f4 == 1:
+                        name = v4.decode()
+                    elif f4 == 3:
+                        unit = v4.decode()
+                    elif f4 == 9:
+                        hists.append(v4)
+                for body in hists:
+                    temp = None
+                    dps = []
+                    for f5, _w5, v5 in _iter_fields(body):
+                        if f5 == 1:
+                            dps.append(v5)
+                        elif f5 == 2:
+                            temp = _TEMPORALITY_INV.get(v5)
+                    for dp in dps:
+                        attrs: dict = {}
+                        counts: list[int] = []
+                        bounds: list[float] = []
+                        for f6, w6, v6 in _iter_fields(dp):
+                            if f6 == 6:
+                                counts = [v for (v,) in struct.iter_unpack(
+                                    "<Q", v6)]
+                            elif f6 == 7:
+                                bounds = [v for (v,) in struct.iter_unpack(
+                                    "<d", v6)]
+                            elif f6 == 9:
+                                k, v = _kv_decode(v6)
+                                attrs[k] = v
+                        labels = [_bound_label(b) for b in bounds] + ["inf"]
+                        for lab, cnt in zip(labels, counts):
+                            row = dict(res_attrs)
+                            row.update(attrs)
+                            row["metric_name"] = name
+                            row["metric_type"] = "Histogram"
+                            if unit is not None:
+                                row["metric_unit"] = unit
+                            if temp is not None:
+                                row["metric_aggregation_temporality"] = temp
+                            row[le_col] = lab
+                            row[count_col] = cnt
+                            rows.append(row)
+    return rows

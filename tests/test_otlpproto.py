@@ -168,3 +168,28 @@ def test_metrics_proto_histogram_rows_raise():
     with pytest.raises(NotImplementedError):
         encode_metrics_data([{"metric_name": "h", "metric_type": "Histogram",
                               "count": 3}])
+
+
+def test_histogram_proto_roundtrip_unit():
+    """Sparse le-rows -> HistogramDataPoint (packed fixed64 counts +
+    packed double bounds, zero-filled) -> rows again."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_histograms_data,
+        encode_histograms_data,
+    )
+
+    rows = [{"tool": "a", "le": "100", "n": 3},
+            {"tool": "a", "le": "inf", "n": 1},
+            {"tool": "b", "le": "500", "n": 7}]
+    buf = encode_histograms_data(rows, metric_name="lat",
+                                 key_cols=["tool"], bounds=[100, 500],
+                                 unit="ms")
+    back = decode_histograms_data(buf)
+    assert len(back) == 6  # 2 tools x 3 buckets, zeros filled
+    got = {(r["tool"], r["le"]): r["n"] for r in back}
+    assert got == {("a", "100"): 3, ("a", "500"): 0, ("a", "inf"): 1,
+                   ("b", "100"): 0, ("b", "500"): 7, ("b", "inf"): 0}
+    r0 = back[0]
+    assert r0["metric_name"] == "lat" and r0["metric_type"] == "Histogram"
+    assert r0["metric_unit"] == "ms"
+    assert r0["metric_aggregation_temporality"] == "cumulative"
