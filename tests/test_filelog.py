@@ -301,3 +301,34 @@ def test_splitter_utf16be_newline(tmp_path):
                   0, 103, 0, 10])
     out = _run_splitter(tmp_path, {"a.log": body}, encoding="utf-16-be")
     assert out.column("text").to_pylist() == ["testlog"]
+
+
+def test_order_files_timestamp_and_mtime(tmp_path):
+    import os as _os
+    import time as _time
+
+    names = ["svc-20240103.log", "svc-20240101.log", "svc-20240102.log"]
+    paths = []
+    for i, n in enumerate(names):
+        p = tmp_path / n
+        p.write_text("x\n")
+        # mtimes deliberately OPPOSITE the name timestamps
+        _os.utime(p, (1_700_000_000 - i, 1_700_000_000 - i))
+        paths.append(str(p))
+    ts = order_files(sorted(paths), {
+        "regex": r"svc-(?P<d>\d{8})\.log",
+        "sort_by": [{"sort_type": "timestamp", "regex_key": "d",
+                     "layout": "%Y%m%d", "ascending": True}]})
+    assert [os.path.basename(p) for p in ts] == [
+        "svc-20240101.log", "svc-20240102.log", "svc-20240103.log"]
+    mt = order_files(sorted(paths), {
+        "regex": r"svc-(?P<d>\d{8})\.log",
+        "sort_by": [{"sort_type": "mtime", "ascending": False}]})
+    assert [os.path.basename(p) for p in mt] == names[:1] + names[1:]
+    # alphabetical on the captured group, descending
+    al = order_files(sorted(paths), {
+        "regex": r"svc-(?P<d>\d{8})\.log",
+        "sort_by": [{"sort_type": "alphabetical", "regex_key": "d",
+                     "ascending": False}]})
+    assert [os.path.basename(p) for p in al] == [
+        "svc-20240103.log", "svc-20240102.log", "svc-20240101.log"]
