@@ -650,6 +650,22 @@ def _parse_csv(ctx, args):
         import csv as _csv
         import io
 
+        def raw_fields(s: str) -> list[str]:
+            # delimiter split respecting quotes (to locate each field's
+            # raw text; Go errors on a bare quote in a non-quoted field)
+            out, cur, inq = [], [], False
+            for ch in s:
+                if ch == '"':
+                    inq = not inq
+                    cur.append(ch)
+                elif ch == delim and not inq:
+                    out.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            out.append("".join(cur))
+            return out
+
         py = arr.to_pylist()
         cols: list[list] = [[] for _ in names]
         for s in py:
@@ -657,26 +673,38 @@ def _parse_csv(ctx, args):
                 for c in cols:
                     c.append(None)
                 continue
-            row = next(_csv.reader(io.StringIO(s), delimiter=delim,
-                                   quotechar='"',
-                                   strict=False,
-                                   skipinitialspace=False),
-                       [])
-            if mode == "strict" and len(row) != len(names):
-                raise ValueError("ParseCSV strict: wrong number of fields")
+            if mode == "strict":
+                for rf in raw_fields(s):
+                    if '"' in rf and not rf.startswith('"'):
+                        raise ValueError(
+                            "ParseCSV strict: bare quote in non-quoted "
+                            "field")  # encoding/csv ErrBareQuote
+            try:
+                row = next(_csv.reader(io.StringIO(s), delimiter=delim,
+                                       quotechar='"',
+                                       strict=(mode == "strict"),
+                                       skipinitialspace=False),
+                           [])
+            except _csv.Error as e:
+                raise ValueError(f"ParseCSV strict: {e}") from e
+            if len(row) != len(names):
+                # parseutils.MapCSVHeaders errors on a count mismatch
+                # in EVERY mode (csv.go:73-76)
+                raise ValueError(
+                    f"ParseCSV: wrong number of fields: expected "
+                    f"{len(names)}, found {len(row)}")
             for i, c in enumerate(cols):
                 c.append(row[i] if i < len(row) else None)
         return pc.make_struct(*[pa.array(c, pa.string()) for c in cols],
                               field_names=names)
-    if mode == "strict":
-        # full split (no max_splits glue) so BOTH too-few and too-many
-        # field rows are caught, like Go's csv reader
-        full = pc.split_pattern(arr, delim)
-        counts = pc.list_value_length(full)
-        bad = pc.any(pc.and_(pc.is_valid(counts),
-                             pc.not_equal(counts, len(names)))).as_py()
-        if bad:
-            raise ValueError("ParseCSV strict: wrong number of fields")
+    # full split (no max_splits glue) so BOTH too-few and too-many
+    # field rows are caught, like MapCSVHeaders — every mode
+    full = pc.split_pattern(arr, delim)
+    counts = pc.list_value_length(full)
+    bad = pc.any(pc.and_(pc.is_valid(counts),
+                         pc.not_equal(counts, len(names)))).as_py()
+    if bad:
+        raise ValueError("ParseCSV: wrong number of fields")
     parts = pc.split_pattern(arr, delim, max_splits=len(names) - 1)
     fields = [pc.list_element(pc.list_slice(parts, i, i + 1, return_fixed_size_list=True), 0)
               for i in range(len(names))]

@@ -403,3 +403,28 @@ def test_len_struct_counts_present_entries():
     vals = out.column("attr_n").to_pylist()
     assert vals[0] == 2        # both captures hit
     assert vals[1] in (0, None)  # no match -> null struct row
+
+
+def test_parse_csv_reference_quote_table():
+    """func_parse_csv_test.go quote cases: strict errors on a bare
+    quote in a non-quoted field (encoding/csv ErrBareQuote); lazyQuotes
+    keeps it literal; ignoreQuotes splits blindly."""
+    t = pa.table({"text": ['val1,val2,v"al3']})
+    with pytest.raises(Exception):
+        parse_statement('set(attributes["x"], ParseCSV(text, '
+                        '"col1,col2,col3"))').apply(t)
+    out = parse_statement('set(attributes["x"], ParseCSV(text, '
+                          '"col1,col2,col3", mode="lazyQuotes"))').apply(t)
+    assert out.column("attr_x").to_pylist() == [
+        {"col1": "val1", "col2": "val2", "col3": 'v"al3'}]
+    # properly-quoted (incl. doubled-quote escape) parses in strict
+    t2 = pa.table({"text": ['"va""l",c']})
+    out2 = parse_statement('set(attributes["x"], ParseCSV(text, '
+                           '"a,b"))').apply(t2)
+    assert out2.column("attr_x").to_pylist() == [{"a": 'va"l', "b": "c"}]
+    # invalid quoting: both strict and lazyQuotes error (field count)
+    t3 = pa.table({"text": ['val1,"val2,"val3,val4"']})
+    for mode in ('"strict"', '"lazyQuotes"'):
+        with pytest.raises(Exception):
+            parse_statement(f'set(attributes["x"], ParseCSV(text, '
+                            f'"col1,col2,col3,col4", mode={mode}))').apply(t3)
