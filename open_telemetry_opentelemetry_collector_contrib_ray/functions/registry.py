@@ -598,32 +598,88 @@ def _split_quoted(s: str, sep: str) -> list[str]:
     return out
 
 
+def _parseutils_split(s: str, delimiter: str) -> list[str]:
+    """parseutils.SplitString (parser.go:16-62): split on delimiter
+    outside quotes.  Both '"' and "'" quote; quote chars strip from the
+    output; a backslash keeps the NEXT char from terminating a quote
+    (and is itself kept); empty segments from leading/trailing/repeated
+    delimiters are dropped; an unterminated quote errors."""
+    result: list[str] = []
+    cur: list[str] = []
+    quote = ""  # "" = not inside quotes
+    escaped = False
+    i, n = 0, len(s)
+    while i < n:
+        if quote == "" and s.startswith(delimiter, i):
+            if cur:  # leading/trailing/repeated delimiter: ignore
+                result.append("".join(cur))
+                cur = []
+            i += len(delimiter)
+            continue
+        c = s[i]
+        if not escaped:
+            if quote == "" and c in ('"', "'"):
+                quote = c
+                i += 1
+                continue
+            if c == quote:
+                quote = ""
+                i += 1
+                continue
+            escaped = c == "\\"
+        else:
+            escaped = False
+        cur.append(c)
+        i += 1
+    if quote != "":
+        raise ValueError("never reached the end of a quoted value")
+    if cur:
+        result.append("".join(cur))
+    return result
+
+
+def _parseutils_kv_pairs(pairs: list[str], delimiter: str) -> dict:
+    """parseutils.ParseKeyValuePairs (parser.go:65-82): SplitN(2) on the
+    delimiter, TrimSpace both sides, error on a pair with no delimiter."""
+    parsed = {}
+    for p in pairs:
+        k, sep, v = p.partition(delimiter)
+        if not sep:
+            raise ValueError(
+                f"cannot split {p!r} into 2 items, got 1 item(s)")
+        parsed[k.strip()] = v.strip()
+    return parsed
+
+
 @register_converter("ParseKeyValue")
 def _parse_kv(ctx, args):
     """ParseKeyValue(target, delimiter="=", pair_delimiter=" ") — ref
-    func_parse_key_value.go: quote-aware (a quoted value may contain
-    both delimiters; quotes strip from the parsed value)."""
+    func_parse_key_value.go: pairs split quote-aware via
+    parseutils.SplitString (quotes strip; either delimiter may appear
+    inside a quoted section), then each pair splits on the FIRST
+    delimiter with both sides trimmed.  Empty target, unterminated
+    quotes and pairs without the delimiter error (error_mode applies
+    per record)."""
     kv_sep = _opt_scalar(args, 1, ctx, "=")
     pair_sep = _opt_scalar(args, 2, ctx, " ")
+    if kv_sep == "":
+        raise ValueError("delimiter cannot be set to an empty string")
+    if pair_sep == "":
+        raise ValueError("pair delimiter cannot be set to an empty string")
+    if kv_sep == pair_sep:
+        raise ValueError(
+            f"pair delimiter {pair_sep!r} cannot be equal to delimiter "
+            f"{kv_sep!r}")
     py = _str(_ev_arr(ctx, args[0])).to_pylist()
     out = []
     for s in py:
         if s is None:
             out.append(None)
             continue
-        d = {}
-        for pair in _split_quoted(s, pair_sep):
-            if not pair.strip():
-                continue
-            parts = _split_quoted(pair, kv_sep)
-            if len(parts) >= 2:
-                k = parts[0].strip().strip('"')
-                v = kv_sep.join(parts[1:]).strip()
-                if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
-                    v = v[1:-1]
-                if k:
-                    d[k] = v
-        out.append(d)
+        if s == "":
+            raise ValueError("cannot parse from empty target")
+        out.append(_parseutils_kv_pairs(_parseutils_split(s, pair_sep),
+                                        kv_sep))
     return pa.array(out, type=pa.map_(pa.string(), pa.string()))
 
 

@@ -388,26 +388,58 @@ class UriParser:
 
 
 class KeyValueParser:
-    """k=v pair parse (stanza key_value_parser analog) — vectorized for the
-    common "all keys known" case via one regex per key."""
+    """k=v pair parse (stanza key_value_parser analog,
+    pkg/stanza/operator/parser/keyvalue/parser.go:42-47) — vectorized
+    for the common "all keys known" case via one regex per key; batches
+    containing quotes fall back to the exact parseutils.SplitString
+    semantics (quotes protect either delimiter and strip)."""
 
     def __init__(self, keys: list[str], parse_from: str = "text", prefix: str = "attr_",
                  kv_sep: str = "=", pair_sep: str = " "):
         self.keys = keys
         self.parse_from = parse_from
         self.prefix = prefix
+        self.kv_sep = kv_sep
+        self.pair_sep = pair_sep
         sep = re.escape(kv_sep)
         stop = re.escape(pair_sep)
         self.patterns = {
             k: f"(?:^|{stop}){re.escape(k)}{sep}(?P<v>[^{stop}]*)" for k in keys
         }
 
+    def _quoted_rows(self, src: pa.Array) -> dict[str, pa.Array]:
+        """parseutils path: best-effort per row (a malformed pair skips
+        that pair, a malformed row yields all-null, per stanza on_error)."""
+        from ..functions.registry import _parseutils_split
+        cols: dict[str, list] = {k: [] for k in self.keys}
+        for s in src.to_pylist():
+            parsed: dict[str, str] = {}
+            if s is not None:
+                try:
+                    for pair in _parseutils_split(s, self.pair_sep):
+                        k, sep, v = pair.partition(self.kv_sep)
+                        if sep:
+                            parsed[k.strip()] = v.strip()
+                except ValueError:
+                    pass  # unterminated quote: record parses to nothing
+            for k in self.keys:
+                cols[k].append(parsed.get(k))
+        return {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         src = batch.column(self.parse_from)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
         out = batch
+        has_quote = pc.any(pc.fill_null(
+            pc.match_substring_regex(src, "[\"']"), False)).as_py()
+        quoted = self._quoted_rows(src) if has_quote else None
         for k, pat in self.patterns.items():
-            struct = pc.extract_regex(src, pat)
-            vals = pc.struct_field(struct, "v")
+            if quoted is not None:
+                vals = quoted[k]
+            else:
+                struct = pc.extract_regex(src, pat)
+                vals = pc.struct_field(struct, "v")
             col = self.prefix + k
             if col in out.column_names:
                 out = out.set_column(out.column_names.index(col), col, vals)

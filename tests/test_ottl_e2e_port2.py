@@ -428,3 +428,104 @@ def test_parse_csv_reference_quote_table():
         with pytest.raises(Exception):
             parse_statement(f'set(attributes["x"], ParseCSV(text, '
                             f'"col1,col2,col3,col4", mode={mode}))').apply(t3)
+
+
+PARSE_KV_TABLE = [
+    # (source, delimiter, pair_delimiter, expected) — verbatim from
+    # pkg/ottl/ottlfuncs/func_parse_key_value_test.go Test_parseKeyValue
+    ("name=ottl func=key_value", None, None,
+     {"name": "ottl", "func": "key_value"}),
+    ('name=ottl age=1 job="software engineering" location="grand rapids '
+     'michigan" src="10.3.3.76" dst=172.217.0.10 protocol=udp '
+     'sport=57112 port=443 translated_src_ip=96.63.176.3 '
+     'translated_port=57112', None, None,
+     {"age": "1", "port": "443", "dst": "172.217.0.10",
+      "job": "software engineering",
+      "location": "grand rapids michigan", "name": "ottl",
+      "protocol": "udp", "sport": "57112", "src": "10.3.3.76",
+      "translated_port": "57112",
+      "translated_src_ip": "96.63.176.3"}),
+    ('a=b c=\'this is a "co ol" value\'', None, None,
+     {"a": "b", "c": 'this is a "co ol" value'}),
+    ('requestClientApplication="Mozilla/5.0 (Windows NT 6.1; WOW64; '
+     'rv:40.0) Gecko/20100101 Firefox/40.0"', None, None,
+     {"requestClientApplication": "Mozilla/5.0 (Windows NT 6.1; WOW64; "
+      "rv:40.0) Gecko/20100101 Firefox/40.0"}),
+    ("requestClientApplication='Mozilla/5.0 (Windows NT 6.1; WOW64; "
+     "rv:40.0) Gecko/20100101 Firefox/40.0'", None, None,
+     {"requestClientApplication": "Mozilla/5.0 (Windows NT 6.1; WOW64; "
+      "rv:40.0) Gecko/20100101 Firefox/40.0"}),
+    ('name="   ottl " func="  key_ value"', None, None,
+     {"name": "ottl", "func": "key_ value"}),
+    ("   name!ottl     func!key_value hello!world  ", "!", None,
+     {"name": "ottl", "func": "key_value", "hello": "world"}),
+    ("   \nname!!ottl     \nfunc!!key_value                      "
+     "hello!!world  ", "!!", None,
+     {"name": "ottl", "func": "key_value", "hello": "world"}),
+    ("name!!ottl     \nfunc!!      key_value another!!pair\n"
+     "hello!!world  ", "!!", "\n",
+     {"name": "ottl", "func": "key_value another!!pair",
+      "hello": "world"}),
+    ('name="ottl="_func="=key_value"', None, "_",
+     {"name": "ottl=", "func": "=key_value"}),
+    ("k1@*v1_!_k2@**v2_!__k3@@*v3__", "@*", "_!_",
+     {"k1": "v1", "k2": "*v2", "_k3@": "v3__"}),
+    ("   k1=v1   k2==v2       k3=v3= ", None, None,
+     {"k1": "v1", "k2": "=v2", "k3": "v3="}),
+    ('a=b c=\'this is a "co ol"\'', None, None,
+     {"a": "b", "c": 'this is a "co ol"'}),
+    ("a=b c=d'='", None, None, {"a": "b", "c": "d="}),
+    ("a=b c=d", None, "aaaaaaaaaaaaaaaa", {"a": "b c=d"}),
+]
+
+
+@pytest.mark.parametrize("source,delim,pdelim,expected", PARSE_KV_TABLE,
+                         ids=[c[0][:40] for c in PARSE_KV_TABLE])
+def test_parse_key_value_reference_table(source, delim, pdelim, expected):
+    t = pa.table({"text": [source]})
+    call = "ParseKeyValue(text"
+    if delim is not None or pdelim is not None:
+        call += f', "{delim or "="}"'
+    if pdelim is not None:
+        lit = '"\\n"' if pdelim == "\n" else f'"{pdelim}"'
+        call += f", {lit}"
+    call += ")"
+    out = parse_statement(f'set(attributes["x"], {call})').apply(t)
+    got = out.column("attr_x").to_pylist()[0]
+    assert dict(got) == expected
+
+
+@pytest.mark.parametrize("source,delim,pdelim", [
+    ("", "=", "!"),                       # empty target
+    ("name=ottl!hello_world", "=", "!"),  # pair without the delimiter
+    ("k1=v1 k2='v2\"", "=", " "),         # mismatched quotes
+    ("a=b c=d", "=============", " "),    # delimiter never found
+], ids=["empty-target", "bad-split", "mismatch-quotes", "bad-delimiter"])
+def test_parse_key_value_reference_errors(source, delim, pdelim):
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.registry import (
+        _parseutils_kv_pairs, _parseutils_split)
+    with pytest.raises(ValueError):
+        if source == "":
+            raise ValueError("cannot parse from empty target")
+        _parseutils_kv_pairs(_parseutils_split(source, pdelim), delim)
+
+
+def test_parse_key_value_delimiter_validation():
+    t = pa.table({"text": ["a=b"]})
+    for call in ('ParseKeyValue(text, "=", "=")',
+                 'ParseKeyValue(text, " ")',
+                 'ParseKeyValue(text, "")',
+                 'ParseKeyValue(text, "=", "")'):
+        with pytest.raises(Exception):
+            parse_statement(f'set(attributes["x"], {call})').apply(t)
+
+
+def test_parse_key_value_error_mode_ignore_skips_record():
+    # one bad row (unterminated quote) must not poison the batch in
+    # ignore mode (parser.go per-record skip semantics)
+    t = pa.table({"text": ["a=b", "k='broken", "c=d"]})
+    stmt = parse_statement('set(attributes["x"], ParseKeyValue(text))')
+    out = stmt.apply(t, error_mode="ignore")
+    vals = out.column("attr_x").to_pylist()
+    assert dict(vals[0]) == {"a": "b"} and dict(vals[2]) == {"c": "d"}
+    assert vals[1] in (None, [], {})

@@ -957,3 +957,21 @@ def test_fnv32_values_long_value_rowwise_parity():
     assert valid.all()
     for i, v in enumerate(vals):
         assert h[i] == fnv1a32(struct.pack("<I", 22) + v.encode())
+
+
+def test_key_value_parser_quote_aware():
+    # quoted values protect the pair delimiter and strip their quotes
+    # (parseutils.SplitString semantics, keyvalue/parser.go:42-47);
+    # quote-free batches stay on the vectorized regex path
+    kt = pa.table({"text": [
+        'user="jane doe" level=info',
+        "user=bob level='very bad'",
+        "user=plain level=warn",      # mixed batch: plain rows still parse
+        "user='broken level=x",       # unterminated quote: all-null row
+        None,
+    ]})
+    out = KeyValueParser(["user", "level"])(kt)
+    assert out.column("attr_user").to_pylist() == [
+        "jane doe", "bob", "plain", None, None]
+    assert out.column("attr_level").to_pylist() == [
+        "info", "very bad", "warn", None, None]
