@@ -529,3 +529,121 @@ def test_parse_key_value_error_mode_ignore_skips_record():
     vals = out.column("attr_x").to_pylist()
     assert dict(vals[0]) == {"a": "b"} and dict(vals[2]) == {"c": "d"}
     assert vals[1] in (None, [], {})
+
+
+STANZA_KV_TABLE = [
+    # (name, source, delimiter, pair_delimiter, expected) — verbatim from
+    # pkg/stanza/operator/parser/keyvalue/parser_test.go TestParser (the
+    # cases not already in PARSE_KV_TABLE).  The stanza parser and the
+    # OTTL converter share parseutils.SplitString/ParseKeyValuePairs
+    # (keyvalue/parser.go:37-48, parseutils/parser.go:16-82), which
+    # ParseKeyValue ports exactly.
+    ("simple", "name=stanza age=2", None, None,
+     {"name": "stanza", "age": "2"}),
+    ("double-quotes-spaces-removed", 'name=" stanza " age=2', None, None,
+     {"name": "stanza", "age": "2"}),
+    ("leading-and-trailing-space", '" name "=" stanza " age=2', None, None,
+     {"name": "stanza", "age": "2"}),
+    ("delimiter", 'name|" stanza " age|2     key|value', "|", None,
+     {"name": "stanza", "age": "2", "key": "value"}),
+    ("double-delimiter", 'name==" stanza " age==2     key==value', "==", None,
+     {"name": "stanza", "age": "2", "key": "value"}),
+    ("pair-delimiter", "name=stanza|age=2     | key=value", None, "|",
+     {"name": "stanza", "age": "2", "key": "value"}),
+    ("pair-delimiter-multiline", "name=stanza^\nage=2^\nkey=value",
+     None, "^\n",
+     {"name": "stanza", "age": "2", "key": "value"}),
+    ("dell-sonic-wall",
+     'id=LVM_Sonicwall sn=22255555 time="2021-09-22 16:30:31" '
+     'fw=14.165.177.10 pri=6 c=1024 gcat=2 m=97 msg="Web site hit" '
+     'srcMac=6c:0b:84:3f:fa:63 src=192.168.50.2:52006:X0 srcZone=LAN '
+     'natSrc=14.165.177.10:58457 dstMac=08:b2:58:46:30:54 '
+     'dst=15.159.150.83:443:X1 dstZone=WAN natDst=15.159.150.83:443 '
+     'proto=tcp/https sent=1422 rcvd=5993 rule="6 (LAN->WAN)" app=48 '
+     'dstname=example.space.dev.com arg=/ code=27 '
+     'Category="Information Technology/Computers" '
+     'note="Policy: a0, Info: 888 " n=3412158', None, None,
+     {"id": "LVM_Sonicwall", "sn": "22255555",
+      "time": "2021-09-22 16:30:31", "fw": "14.165.177.10", "pri": "6",
+      "c": "1024", "gcat": "2", "m": "97", "msg": "Web site hit",
+      "srcMac": "6c:0b:84:3f:fa:63", "src": "192.168.50.2:52006:X0",
+      "srcZone": "LAN", "natSrc": "14.165.177.10:58457",
+      "dstMac": "08:b2:58:46:30:54", "dst": "15.159.150.83:443:X1",
+      "dstZone": "WAN", "natDst": "15.159.150.83:443",
+      "proto": "tcp/https", "sent": "1422", "rcvd": "5993",
+      "rule": "6 (LAN->WAN)", "app": "48",
+      "dstname": "example.space.dev.com", "arg": "/", "code": "27",
+      "Category": "Information Technology/Computers",
+      "note": "Policy: a0, Info: 888", "n": "3412158"}),
+    ("value-contains-delimiter", "test=text=abc", None, None,
+     {"test": "text=abc"}),
+    ("quoted-value-contains-whitespace-delimiter",
+     'msg="Message successfully sent at 2023-12-04 06:47:31.204222276 '
+     '+0000 UTC m=+5115.932279346"', None, None,
+     {"msg": "Message successfully sent at 2023-12-04 "
+             "06:47:31.204222276 +0000 UTC m=+5115.932279346"}),
+    ("multiple-values-contain-delimiter",
+     'one=1=i two="2=ii" three=3=iii', None, None,
+     {"one": "1=i", "two": "2=ii", "three": "3=iii"}),
+    ("custom-pair-delimiter-in-quoted-value", 'a=b_c="d_e"', None, "_",
+     {"a": "b", "c": "d_e"}),
+    ("containerd-output",
+     'time="2024-11-01T12:38:17.992190505Z" level=warning '
+     'msg="cleanup warnings time=\'2024-11-01T12:38:17Z\' level=debug '
+     'msg=\\"starting signal loop\\" namespace=moby-10000.10000 '
+     'pid=1608080 runtime=io.containerd.runc.v2" '
+     'namespace=moby-10000.10000', None, None,
+     {"time": "2024-11-01T12:38:17.992190505Z", "level": "warning",
+      "msg": "cleanup warnings time='2024-11-01T12:38:17Z' level=debug "
+             'msg=\\"starting signal loop\\" namespace=moby-10000.10000 '
+             "pid=1608080 runtime=io.containerd.runc.v2",
+      "namespace": "moby-10000.10000"}),
+]
+
+
+@pytest.mark.parametrize("name,source,delim,pdelim,expected",
+                         STANZA_KV_TABLE,
+                         ids=[c[0] for c in STANZA_KV_TABLE])
+def test_stanza_keyvalue_reference_table(name, source, delim, pdelim,
+                                         expected):
+    t = pa.table({"text": [source]})
+    call = "ParseKeyValue(text"
+    if delim is not None or pdelim is not None:
+        call += f', "{delim or "="}"'
+    if pdelim is not None:
+        lit = '"' + pdelim.replace("\n", "\\n") + '"'
+        call += f", {lit}"
+    call += ")"
+    out = parse_statement(f'set(attributes["x"], {call})').apply(t)
+    got = out.column("attr_x").to_pylist()[0]
+    assert dict(got) == expected
+
+
+@pytest.mark.parametrize("name,source", [
+    # error cases from the same TestParser table
+    ("missing-delimiter", "test text"),
+    ("unclosed-quotes", "k1='v1' k2='v2"),
+    ("empty-input", ""),
+], ids=["missing-delimiter", "unclosed-quotes", "empty-input"])
+def test_stanza_keyvalue_reference_errors(name, source):
+    t = pa.table({"text": [source]})
+    stmt = parse_statement('set(attributes["x"], ParseKeyValue(text))')
+    with pytest.raises(Exception):
+        stmt.apply(t)
+
+
+def test_stanza_keyvalue_stage_quoted_extraction():
+    # KeyValueParser (the column-extraction stage) must agree with the
+    # parseutils semantics when quotes are present: known keys pull the
+    # quote-stripped, trimmed values (parser_test.go "dell-sonic-wall").
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        KeyValueParser)
+    src = STANZA_KV_TABLE[7][1]
+    expected = STANZA_KV_TABLE[7][4]
+    stage = KeyValueParser(keys=["msg", "rule", "note", "src", "n"])
+    out = stage(pa.table({"text": [src, "unquoted=pair n=7"]}))
+    assert out.column("attr_msg").to_pylist() == [expected["msg"], None]
+    assert out.column("attr_rule").to_pylist() == [expected["rule"], None]
+    assert out.column("attr_note").to_pylist() == [expected["note"], None]
+    assert out.column("attr_src").to_pylist() == [expected["src"], None]
+    assert out.column("attr_n").to_pylist() == [expected["n"], "7"]
