@@ -1328,29 +1328,35 @@ def _decode(ctx, args):
     return pa.array(out, type=pa.string())
 
 
+_URL_STR_FIELDS = ("url.original", "url.domain", "url.scheme", "url.path",
+                   "url.fragment", "url.extension", "url.user_info",
+                   "url.username", "url.password", "url.query")
+
+
 @register_converter("URL")
 def _url(ctx, args):
-    # URL(target) -> struct of components — ref func_url.go
-    from urllib.parse import urlparse
+    """URL(target) -> semconv url.* component struct — ref func_url.go:
+    parseutils.ParseURI(value, semconvCompliant=true) via the net/url
+    port in functions/gourl.py.  original/domain/scheme/path are always
+    present (possibly empty, uri.go:56-60); the rest are null when the
+    URI lacks them.  Empty input errors (func_url.go:39-41); error_mode
+    applies per record."""
+    from .gourl import parse_uri
 
     py = _str(_ev_arr(ctx, args[0])).to_pylist()
-    fields = {"scheme": [], "domain": [], "path": [], "query": [], "port": []}
+    fields: dict[str, list] = {k: [] for k in _URL_STR_FIELDS}
+    ports: list = []
     for s in py:
-        try:
-            u = urlparse(s or "")
-            fields["scheme"].append(u.scheme or None)
-            fields["domain"].append(u.hostname)
-            fields["path"].append(u.path or None)
-            fields["query"].append(u.query or None)
-            fields["port"].append(u.port)
-        except Exception:
-            for v in fields.values():
-                v.append(None)
-    return pc.make_struct(
-        pa.array(fields["scheme"], pa.string()), pa.array(fields["domain"], pa.string()),
-        pa.array(fields["path"], pa.string()), pa.array(fields["query"], pa.string()),
-        pa.array(fields["port"], pa.int64()),
-        field_names=["scheme", "domain", "path", "query", "port"])
+        if s == "":
+            raise ValueError("url cannot be empty")
+        m = parse_uri(s, semconv=True) if s is not None else {}
+        for k in _URL_STR_FIELDS:
+            fields[k].append(m.get(k) if s is not None else None)
+        ports.append(m.get("url.port"))
+    arrays = [pa.array(fields[k], pa.string()) for k in _URL_STR_FIELDS]
+    arrays.append(pa.array(ports, pa.int64()))
+    return pc.make_struct(*arrays,
+                          field_names=list(_URL_STR_FIELDS) + ["url.port"])
 
 
 # Ordered browser-family rules in the uap-core style (the PUBLIC

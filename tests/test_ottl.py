@@ -285,8 +285,10 @@ def test_url_useragent_decode():
             b64=["aGVsbG8=", "!!!"],
             ua=["Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/120.0.0.0", "curl/8.1"])
     out = parse_statement('merge_maps(attributes, URL(u), "upsert")').apply(t)
-    assert out.column("attr_domain").to_pylist() == ["example.com", None]
-    assert out.column("attr_port").to_pylist() == [8443, None]
+    assert out.column("attr_url.domain").to_pylist() == ["example.com", ""]
+    assert out.column("attr_url.port").to_pylist() == [8443, None]
+    # Go url.Parse accepts "not a url" as a relative path (no error)
+    assert out.column("attr_url.path").to_pylist() == ["/a/b", "not a url"]
     out2 = parse_statement('set(attributes["d"], Base64Decode(b64))').apply(t)
     assert out2.column("attr_d").to_pylist() == ["hello", None]
     out3 = parse_statement('set(attributes["d"], Decode(b64, "base64"))').apply(t)
