@@ -286,8 +286,24 @@ from ..stages.parse import ContainerParser, SyslogParser  # noqa: E402
 register_step("container_parser")(lambda c: ContainerParser(
     parse_from=c.get("parse_from", "text"),
     on_error=c.get("on_error", "send")))
-register_step("syslog_parser")(lambda c: SyslogParser(
-    parse_from=c.get("parse_from", "text")))
+def _syslog_step(c: dict):
+    """stanza syslog_parser: protocol rfc3164 (default) or rfc5424 with
+    the RFC6587 framing knobs (syslog/config.go)."""
+    if c.get("protocol", "rfc3164") == "rfc5424":
+        from ..stages.parse import Rfc5424SyslogParser
+
+        return Rfc5424SyslogParser(
+            parse_from=c.get("parse_from", "text"),
+            on_error=c.get("on_error", "send"),
+            enable_octet_counting=c.get("enable_octet_counting", False),
+            max_octets=c.get("max_octets", 0),
+            non_transparent_framing_trailer=c.get(
+                "non_transparent_framing_trailer"),
+            allow_skip_pri_header=c.get("allow_skip_pri_header", False))
+    return SyslogParser(parse_from=c.get("parse_from", "text"))
+
+
+register_step("syslog_parser")(_syslog_step)
 
 
 @register_step("flatten")

@@ -3632,6 +3632,73 @@ def _join(*parts):
     return pc.binary_join_element_wise(*flat, "")
 
 
+def q_syslog5424_parse(sf_dir: str):
+    """RFC5424 syslog parse end-to-end (stanza syslog parser protocol
+    rfc5424, pkg/stanza/operator/parser/syslog/parser.go:151-171): each
+    event renders a full 5424 line — pri, version, header fields with
+    nilvalue proc_id every 7th row, one structured-data element — and
+    Rfc5424SyslogParser extracts them back.  Aggregates per (facility,
+    severity_text) with a null-proc count and a sum over the SD param;
+    the oracle replays the derivation arithmetic in SQL."""
+    from ..stages.parse import Rfc5424SyslogParser
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def render(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        pri = pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 192), 192)),
+                      pa.string())
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(pc.subtract(t.column("user_id"),
+                                     pc.multiply(pc.divide(t.column("user_id"), 20), 20)),
+                         pa.string()), "")
+        app = pc.binary_join_element_wise(
+            "app", pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 5), 5)),
+                           pa.string()), "")
+        proc = pc.if_else(
+            pc.equal(pc.subtract(eid, pc.multiply(pc.divide(eid, 7), 7)), 0),
+            pa.scalar("-"),
+            pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 97), 97)),
+                    pa.string()))
+        msgid = pc.binary_join_element_wise(
+            "ID", pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 11), 11)),
+                          pa.string()), "")
+        sd_n = pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 13), 13)),
+                       pa.string())
+        et = pc.fill_null(t.column("event_type"), "none")
+        line = pc.binary_join_element_wise(
+            "<", pri, ">1 2015-08-05T21:58:59.693Z ", host, " ", app, " ",
+            proc, " ", msgid, ' [ex@32473 etype="', et, '" n="', sd_n,
+            '"] ', et, " done", "")
+        return pa.table({"line": line})
+
+    parsed = ds.map_batches(render, batch_format="pyarrow") \
+        .map_batches(Rfc5424SyslogParser(parse_from="line"),
+                     batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        sd = t.column("attr_structured_data")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        inner = pc.map_lookup(sd, query_key="ex@32473", occurrence="first")
+        n_val = pc.map_lookup(inner, query_key="n", occurrence="first")
+        return pa.table({
+            "facility": t.column("attr_facility"),
+            "severity_text": t.column("attr_severity_text"),
+            "proc_null": pc.cast(pc.is_null(t.column("attr_proc_id")),
+                                 pa.int64()),
+            "sd_n": pc.cast(n_val, pa.int64()),
+        })
+
+    ds2 = parsed.map_batches(project, batch_format="pyarrow")
+    out = grouped_agg(ds2, ["facility", "severity_text"],
+                      [("count", None, "n"),
+                       ("sum", "proc_null", "proc_null"),
+                       ("sum", "sd_n", "sd_n_sum")],
+                      combine="driver")
+    return out.sort(["facility", "severity_text"])
+
+
 def q_uri_parse(sf_dir: str):
     """stanza uri_parser (pkg/stanza/operator/parser/uri): derived URIs
     split into scheme/host/port/path/query attr columns, grouped."""
@@ -3996,6 +4063,7 @@ def queries():
         "semdedup": q_semdedup,
         "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
         "otlp_hist_proto_roundtrip": q_otlp_hist_proto_roundtrip,
+        "syslog5424_parse": q_syslog5424_parse,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4203,6 +4271,17 @@ def oracle_sql():
                    count(*) AS n
             FROM pri GROUP BY 1, 2
             ORDER BY facility, severity""",
+        "syslog5424_parse": """
+            SELECT CAST((event_id % 192) // 8 AS BIGINT) AS facility,
+                   (['emerg','alert','crit','err','warning','notice',
+                     'info','debug'])[(event_id % 192) % 8 + 1]
+                       AS severity_text,
+                   count(*) AS n,
+                   CAST(count(*) FILTER (event_id % 7 = 0) AS BIGINT)
+                       AS proc_null,
+                   CAST(sum(event_id % 13) AS BIGINT) AS sd_n_sum
+            FROM events GROUP BY 1, 2
+            ORDER BY facility, severity_text""",
         "sum_latency_by_tool": f"""
             SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
                    CAST(sum(CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT)) AS BIGINT) AS total_latency_ms

@@ -789,6 +789,204 @@ class SyslogParser(RegexParser):
         return out
 
 
+_SYSLOG_SEVERITY_TEXT = ("emerg", "alert", "crit", "err", "warning",
+                         "notice", "info", "debug")
+
+_PRI_RE = re.compile(r"^<(\d{1,3})>")
+_5424_HEADER_RE = re.compile(
+    r"^(\d{1,3}) (\S+) (\S+) (\S+) (\S+) (\S+)(?: |$)")
+
+
+def _unescape_sd_value(v: str) -> str:
+    """go-syslog rfc5424 PARAM-VALUE: only \\", \\] and \\\\ escape."""
+    if "\\" not in v:
+        return v
+    return (v.replace('\\"', '"').replace("\\]", "]")
+            .replace("\\\\", "\\"))
+
+
+def _parse_sd(t: str) -> tuple[dict | None, str | None]:
+    """STRUCTURED-DATA [SP MSG] tail of an RFC5424 line.  Returns
+    (sd-map-or-None, message-or-None); message whitespace is preserved
+    verbatim (go-syslog machine semantics — see the octet-counting
+    preserve-space case in stanza syslog data.go:330-360)."""
+    if t == "-":
+        return None, None
+    if t.startswith("- "):
+        return None, t[2:]
+    if not t.startswith("["):
+        raise ValueError("expecting a structured data section or nilvalue")
+    sd: dict[str, dict[str, str]] = {}
+    i, n = 0, len(t)
+    while i < n and t[i] == "[":
+        j = i + 1
+        while j < n and t[j] not in " ]":
+            j += 1
+        sd_id = t[i + 1:j]
+        if not sd_id:
+            raise ValueError("expecting a structured data element id")
+        params: dict[str, str] = {}
+        i = j
+        while i < n and t[i] == " ":
+            i += 1  # SP before each SD-PARAM
+            j = i
+            while j < n and t[j] != "=":
+                j += 1
+            if j >= n or j + 1 >= n or t[j + 1] != '"':
+                raise ValueError("expecting a structured data param value")
+            name = t[i:j]
+            k = j + 2
+            buf: list[str] = []
+            while k < n and t[k] != '"':
+                if t[k] == "\\" and k + 1 < n:
+                    buf.append(t[k:k + 2])
+                    k += 2
+                else:
+                    buf.append(t[k])
+                    k += 1
+            if k >= n:
+                raise ValueError("unterminated structured data param value")
+            params[name] = _unescape_sd_value("".join(buf))
+            i = k + 1
+        if i >= n or t[i] != "]":
+            raise ValueError("expecting a structured data element end")
+        sd[sd_id] = params
+        i += 1
+    if i == n:
+        return sd, None
+    if t[i] != " ":
+        raise ValueError("unexpected data after structured data section")
+    return sd, t[i + 1:]
+
+
+class Rfc5424SyslogParser:
+    """RFC5424 syslog parse with the stanza syslog parser's field
+    mapping and framing modes (pkg/stanza/operator/parser/syslog/
+    parser.go:94-111,151-171 over go-syslog/v4 rfc5424):
+
+    - ``enable_octet_counting``: RFC6587 ``MSGLEN SP MSG`` frames
+      (parser.go:292-315; ``max_octets`` truncates the counted body).
+    - ``non_transparent_framing_trailer``: "LF" or "NUL" RFC6587
+      trailer stripped before parsing (parser.go:317-328).
+    - ``allow_skip_pri_header``: a line with no ``<pri>`` prefix parses
+      with an implicit ``<0>`` and drops priority/severity/facility
+      from the output (parser.go:88-92,118-128).
+
+    Output columns (``prefix`` + name): priority/facility/
+    syslog_severity/version int64, severity_text, syslog_ts, hostname,
+    appname, proc_id, msg_id, message strings (nilvalue ``-`` -> null,
+    matching toSafeMap's pointer-delete), structured_data as
+    map<str, map<str, str>>.  Rows that fail follow ``on_error``.
+    """
+
+    def __init__(self, parse_from: str = "text", prefix: str = "attr_",
+                 on_error: str = "send",
+                 enable_octet_counting: bool = False,
+                 max_octets: int = 0,
+                 non_transparent_framing_trailer: str | None = None,
+                 allow_skip_pri_header: bool = False):
+        if on_error not in ON_ERROR_MODES:
+            raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
+        if enable_octet_counting and non_transparent_framing_trailer:
+            raise ValueError("octet_counting and non_transparent_framing "
+                             "cannot be enabled at the same time")
+        if non_transparent_framing_trailer not in (None, "LF", "NUL"):
+            raise ValueError("invalid non_transparent_framing_trailer")
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.on_error = on_error
+        self.enable_octet_counting = enable_octet_counting
+        self.max_octets = max_octets
+        self.trailer = non_transparent_framing_trailer
+        self.allow_skip_pri = allow_skip_pri_header
+
+    def _parse_one(self, s: str) -> dict:
+        if self.enable_octet_counting:
+            m = re.match(r"^(\d+) ", s)
+            if not m:
+                raise ValueError("expecting an octet count")
+            ln = int(m.group(1))
+            if self.max_octets and ln > self.max_octets:
+                raise ValueError("message too long")
+            s = s[m.end():m.end() + ln]
+        elif self.trailer is not None:
+            s = s.rstrip("\n" if self.trailer == "LF" else "\x00")
+        skip_pri = False
+        pm = _PRI_RE.match(s)
+        if pm:
+            pri = int(pm.group(1))
+            if pri > 191:
+                raise ValueError("expecting a priority value in [0,191]")
+            rest = s[pm.end():]
+        elif self.allow_skip_pri and not self.enable_octet_counting:
+            skip_pri, pri, rest = True, 0, s
+        else:
+            raise ValueError(
+                "expecting a priority value within angle brackets")
+        hm = _5424_HEADER_RE.match(rest)
+        if not hm:
+            raise ValueError("expecting an RFC5424 header")
+        version = int(hm.group(1))
+        if version < 1:
+            raise ValueError("expecting a version value in the range 1-999")
+        ts, host, app, proc, msgid = (
+            None if g == "-" else g for g in hm.groups()[1:])
+        sd, msg = _parse_sd(rest[hm.end():])
+        out = {"version": version, "syslog_ts": ts, "hostname": host,
+               "appname": app, "proc_id": proc, "msg_id": msgid,
+               "message": msg, "structured_data": sd}
+        if not skip_pri:
+            out["priority"] = pri
+            out["facility"] = pri // 8
+            out["syslog_severity"] = pri % 8
+            out["severity_text"] = _SYSLOG_SEVERITY_TEXT[pri % 8]
+        return out
+
+    _INT_COLS = ("priority", "facility", "syslog_severity", "version")
+    _STR_COLS = ("severity_text", "syslog_ts", "hostname", "appname",
+                 "proc_id", "msg_id", "message")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column(self.parse_from).to_pylist()
+        cols: dict[str, list] = {k: [] for k in
+                                 self._INT_COLS + self._STR_COLS}
+        sds: list = []
+        bad: list[bool] = []
+        for s in src:
+            try:
+                if s is None:
+                    raise ValueError("null body")
+                rec = self._parse_one(s)
+                bad.append(False)
+            except ValueError:
+                rec = {}
+                bad.append(True)
+            for k in self._INT_COLS + self._STR_COLS:
+                cols[k].append(rec.get(k))
+            sds.append(rec.get("structured_data"))
+        out = batch
+        p = self.prefix
+        for k in self._INT_COLS:
+            out = out.append_column(p + k, pa.array(cols[k], pa.int64()))
+        for k in self._STR_COLS:
+            out = out.append_column(p + k, pa.array(cols[k], pa.string()))
+        out = out.append_column(
+            p + "structured_data",
+            pa.array(sds, pa.map_(pa.string(),
+                                  pa.map_(pa.string(), pa.string()))))
+        failure = pa.array(bad, pa.bool_())
+        if "parse_failure" in out.column_names:
+            failure = pc.or_(failure,
+                             pc.fill_null(out.column("parse_failure"), False))
+            out = out.set_column(out.column_names.index("parse_failure"),
+                                 "parse_failure", failure)
+        else:
+            out = out.append_column("parse_failure", failure)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(failure))
+        return out
+
+
 def make_tool_log_parser(on_error: str = "send") -> RegexParser:
     """The flagship transcript parser: tool log lines -> typed attributes.
 
