@@ -599,12 +599,24 @@ class SeverityParser:
 
 
 class TimeParser:
-    """strptime / epoch time parse into a timestamp column
-    (stanza time parser layouts — helper/time.go:19-42)."""
+    """strptime / gotime / epoch time parse into a timestamp column
+    (stanza time parser layouts — helper/time.go:19-42).
+
+    layout_type "strptime" covers the full ctimefmt directive table
+    (fractional seconds, numeric offsets, month names) via the
+    vectorized regex core in stages/timeparse.py; "gotime" takes a Go
+    reference-time layout; "epoch" takes layout s/ms/us/ns/s.ms/s.us/
+    s.ns (helper/time.go epoch branch).  The legacy epoch_s/epoch_ms/
+    epoch_us/epoch_ns names remain as aliases."""
+
+    _EPOCH_ALIASES = {"epoch_s": "s", "epoch_ms": "ms",
+                      "epoch_us": "us", "epoch_ns": "ns"}
 
     def __init__(self, parse_from: str, layout_type: str = "strptime",
                  layout: str = "%Y-%m-%dT%H:%M:%SZ", out: str = "time"):
-        if layout_type not in ("strptime", "epoch_s", "epoch_ms", "epoch_us", "epoch_ns"):
+        if layout_type in self._EPOCH_ALIASES:
+            layout_type, layout = "epoch", self._EPOCH_ALIASES[layout_type]
+        if layout_type not in ("strptime", "gotime", "epoch"):
             raise ValueError(layout_type)
         self.parse_from = parse_from
         self.layout_type = layout_type
@@ -614,18 +626,10 @@ class TimeParser:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.parse_from not in batch.column_names:
             return batch
-        src = batch.column(self.parse_from)
-        if self.layout_type == "strptime":
-            ts = pc.strptime(src.cast(pa.string()), format=self.layout, unit="us",
-                             error_is_null=True)
-        else:
-            mult = {"epoch_s": 1_000_000, "epoch_ms": 1_000, "epoch_us": 1, "epoch_ns": 1}[self.layout_type]
-            ints = pc.cast(src, pa.int64(), safe=False)
-            if self.layout_type == "epoch_ns":
-                ints = pc.divide(ints, 1_000)
-            else:
-                ints = pc.multiply(ints, mult)
-            ts = ints.cast(pa.timestamp("us"))
+        from .timeparse import parse_time_column
+
+        ts = parse_time_column(batch.column(self.parse_from),
+                               self.layout_type, self.layout)
         if self.out in batch.column_names:
             return batch.set_column(batch.column_names.index(self.out), self.out, ts)
         return batch.append_column(self.out, ts)
