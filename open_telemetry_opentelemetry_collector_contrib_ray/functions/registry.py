@@ -409,9 +409,16 @@ def _duration(ctx, args):
 
 @register_converter("Time")
 def _time(ctx, args):
-    # Time(target, strptime_format) — ref func_time.go (ctime layout)
-    return pc.strptime(_str(_ev_arr(ctx, args[0])), format=_ev_scalar(args[1], ctx),
-                       unit="us", error_is_null=True)
+    """Time(target, format[, location[, locale]]) — ref func_time.go:
+    ctime directives via timeutils.ParseStrptime.  The full directive
+    table (fractional %L/%f/%s, offsets %z/%i/%j/%k, month names,
+    am/pm) parses through the vectorized core in stages/timeparse.py;
+    location only supports offset-bearing inputs / UTC (no tzdata in
+    this environment) and locale is not supported."""
+    from ..stages.timeparse import parse_time_column
+
+    fmt = _ev_scalar(args[1], ctx)
+    return parse_time_column(_str(_ev_arr(ctx, args[0])), "strptime", fmt)
 
 
 def _time_ns(arr) -> pa.Array:

@@ -273,7 +273,9 @@ def _parse_with_regex(src: pa.Array, fmt: str,
             mm = int(t[2:4]) if len(t) >= 4 else 0
             off[i] = sign * (hh * 60 + mm)
         off_min = off
-    if "Z" in groups:
+    if "Z" in groups and "z" not in groups:
+        # a numeric %z offset wins over the %Z label when both parse
+        # (Go time.Parse: the name is just a label then)
         zn = pc.ascii_upper(pc.fill_null(pc.struct_field(st, "Z"), "UTC"))
         abbr = list(_TZ_ABBR)
         idx = pc.index_in(zn, pa.array(abbr)).to_numpy(zero_copy_only=False)
@@ -306,8 +308,16 @@ def parse_time_column(src, layout_type: str, layout: str,
     if layout_type == "strptime":
         directives = set(re.findall(r"%.", layout))
         if directives <= _ARROW_OK:
-            return pc.strptime(pc.cast(src, pa.string()), format=layout,
-                               unit="us", error_is_null=True)
+            # Arrow's strptime is the fast path but is lenient where Go
+            # is strict (a 2-digit year satisfies its %Y); one extra RE2
+            # full-match pass restores Go's digit-count strictness at
+            # ~1/4 the cost of the extract_regex slow path.
+            s = pc.cast(src, pa.string())
+            ts = pc.strptime(s, format=layout, unit="us",
+                             error_is_null=True)
+            strict = pc.match_substring_regex(s, ctime_to_regex(layout))
+            return pc.if_else(pc.fill_null(strict, False), ts,
+                              pa.scalar(None, pa.timestamp("us")))
         return _parse_with_regex(src, layout, default_year)
     if layout_type == "epoch":
         return _parse_epoch(src, layout)

@@ -181,3 +181,50 @@ def test_parse_failure_yields_null():
     got = _parse("gotime", "2006-01-02T15:04:05",
                  ["not-a-time", "2020-06-09T15:39:58"])
     assert got == [None, _us(2020, 6, 9, 15, 39, 58)]
+
+
+OTTL_TIME_TABLE = [
+    # (input, ctime format, expected UTC instant) — verbatim from
+    # pkg/ottl/ottlfuncs/func_time_test.go Test_Time (the cases without
+    # location/locale arguments; time.Local == UTC here)
+    ("2023-04-12", "%Y-%m-%d", _us(2023, 4, 12, 0, 0, 0)),
+    ("11/11/11", "%d/%m/%y", _us(2011, 11, 11, 0, 0, 0)),
+    ("02/04/2023", "%m/%d/%Y", _us(2023, 2, 4, 0, 0, 0)),
+    ("July 31, 1993", "%B %d, %Y", _us(1993, 7, 31, 0, 0, 0)),
+    ("Mar 14 2023 17:02:59", "%b %d %Y %H:%M:%S",
+     _us(2023, 3, 14, 17, 2, 59)),
+    ("Monday, May 01, 2023", "%A, %B %d, %Y", _us(2023, 5, 1, 0, 0, 0)),
+    ("Sat, May 20, 2023", "%a, %b %d, %Y", _us(2023, 5, 20, 0, 0, 0)),
+    ("Feb 15, 2023", "%b %d, %Y", _us(2023, 2, 15, 0, 0, 0)),
+    ("2023-05-26 12:34:56 HST", "%Y-%m-%d %H:%M:%S %Z",
+     _us(2023, 5, 26, 22, 34, 56)),
+    ("2023-05-26T12:34:56 GMT", "%Y-%m-%dT%H:%M:%S %Z",
+     _us(2023, 5, 26, 12, 34, 56)),
+    # %z offset (+0000) wins over the %Z label (EST)
+    ("2012-11-01T22:08:41+0000 EST", "%Y-%m-%dT%H:%M:%S%z %Z",
+     _us(2012, 11, 1, 22, 8, 41)),
+    ("1986-10-01T00:17:33 MST", "%Y-%m-%dT%H:%M:%S %Z",
+     _us(1986, 10, 1, 7, 17, 33)),
+    ("2022/01/01", "%Y/%m/%d", _us(2022, 1, 1, 0, 0, 0)),
+]
+
+
+@pytest.mark.parametrize("value,fmt,expected", OTTL_TIME_TABLE,
+                         ids=[c[0] for c in OTTL_TIME_TABLE])
+def test_ottl_time_reference_table(value, fmt, expected):
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.ast import (
+        parse_statement)
+    t = pa.table({"text": [value]})
+    fmt_lit = fmt.replace('"', '\\"')
+    out = parse_statement(
+        f'set(attributes["t"], Time(text, "{fmt_lit}"))').apply(t)
+    assert out.column("attr_t").to_pylist() == [expected]
+
+
+def test_ottl_time_mismatched_format_yields_null():
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.ast import (
+        parse_statement)
+    t = pa.table({"text": ["11/11/11"]})
+    out = parse_statement(
+        'set(attributes["t"], Time(text, "%Y/%m/%d"))').apply(t)
+    assert out.column("attr_t").to_pylist() == [None]
