@@ -3632,6 +3632,67 @@ def _join(*parts):
     return pc.binary_join_element_wise(*flat, "")
 
 
+def q_gotime_parse(sf_dir: str):
+    """Go-layout time parse end-to-end (stanza time parser
+    layout_type=gotime, helper/time.go): each event renders an
+    apache-style stamp ``02/Jan/2006:15:04:05.999 -0700`` with derived
+    components and a varying UTC offset; TimeParser(gotime) parses the
+    month name, millisecond fraction and numeric offset back to a UTC
+    instant.  The oracle recomputes the instant arithmetically
+    (make_timestamp minus the offset) — parser vs arithmetic truth."""
+    from ..stages.parse import TimeParser
+
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+    months = np.array(["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul",
+                       "Aug", "Sep", "Oct", "Nov", "Dec"])
+
+    def render(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+
+        def pad(vals, width):
+            return pc.utf8_lpad(_s(pa.array(vals)), width, "0")
+
+        off_min = ((eid % 5) - 2) * 30
+        off_abs = np.abs(off_min)
+        off = pc.binary_join_element_wise(
+            pa.array(np.where(off_min < 0, "-", "+")),
+            pad(off_abs // 60, 2), pad(off_abs % 60, 2), "")
+        line = pc.binary_join_element_wise(
+            pad(1 + eid % 28, 2), "/", pa.array(months[eid % 12]),
+            "/2019:", pad(eid % 24, 2), ":", pad(eid % 60, 2), ":",
+            pad((eid * 7) % 60, 2), ".", pad(eid % 1000, 3), " ", off,
+            "")
+        return pa.table({"event_id": t.column("event_id"), "line": line})
+
+    parsed = ds.map_batches(render, batch_format="pyarrow") \
+        .map_batches(TimeParser("line", layout_type="gotime",
+                                layout="02/Jan/2006:15:04:05.999 -0700"),
+                     batch_format="pyarrow")
+
+    base_us = 1546300800000000  # 2019-01-01T00:00:00Z
+
+    def project(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        off_min = pc.multiply(
+            pc.subtract(pc.subtract(eid, pc.multiply(pc.divide(eid, 5), 5)),
+                        2), 30)
+        us = pc.cast(t.column("time"), pa.int64())
+        return pa.table({
+            "offset_min": off_min,
+            "us": us,
+            "delta_ms": pc.divide(pc.subtract(us, base_us), 1000),
+        })
+
+    out = grouped_agg(parsed.map_batches(project, batch_format="pyarrow"),
+                      ["offset_min"],
+                      [("count", None, "n"),
+                       ("min", "us", "min_us"),
+                       ("max", "us", "max_us"),
+                       ("sum", "delta_ms", "sum_delta_ms")],
+                      combine="driver")
+    return out.sort("offset_min")
+
+
 def q_syslog5424_parse(sf_dir: str):
     """RFC5424 syslog parse end-to-end (stanza syslog parser protocol
     rfc5424, pkg/stanza/operator/parser/syslog/parser.go:151-171): each
@@ -4064,6 +4125,7 @@ def queries():
         "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
         "otlp_hist_proto_roundtrip": q_otlp_hist_proto_roundtrip,
         "syslog5424_parse": q_syslog5424_parse,
+        "gotime_parse": q_gotime_parse,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4271,6 +4333,23 @@ def oracle_sql():
                    count(*) AS n
             FROM pri GROUP BY 1, 2
             ORDER BY facility, severity""",
+        "gotime_parse": """
+            WITH c AS (
+              SELECT ((event_id % 5) - 2) * 30 AS offset_min,
+                     epoch_us(make_timestamp(
+                         2019, CAST(1 + event_id % 12 AS BIGINT),
+                         CAST(1 + event_id % 28 AS BIGINT),
+                         CAST(event_id % 24 AS BIGINT),
+                         CAST(event_id % 60 AS BIGINT),
+                         CAST((event_id * 7) % 60 AS DOUBLE)))
+                       + (event_id % 1000) * 1000
+                       - ((event_id % 5) - 2) * 30 * 60000000 AS us
+              FROM events)
+            SELECT offset_min, count(*) AS n,
+                   min(us) AS min_us, max(us) AS max_us,
+                   CAST(sum((us - 1546300800000000) // 1000) AS BIGINT)
+                       AS sum_delta_ms
+            FROM c GROUP BY offset_min ORDER BY offset_min""",
         "syslog5424_parse": """
             SELECT CAST((event_id % 192) // 8 AS BIGINT) AS facility,
                    (['emerg','alert','crit','err','warning','notice',
