@@ -372,20 +372,42 @@ def _md5_number(ctx, args):
 # ------------------------------------------------------------ time converters
 
 _DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)")
-_DUR_US = {"ns": 1e-3, "us": 1.0, "µs": 1.0, "ms": 1e3, "s": 1e6, "m": 6e7, "h": 3.6e9, "d": 8.64e10}
+_DUR_NS = {"ns": 1.0, "us": 1e3, "µs": 1e3, "μs": 1e3, "ms": 1e6,
+           "s": 1e9, "m": 6e10, "h": 3.6e12, "d": 8.64e13}
+_DUR_TERM_RE = re.compile(r"(\d+(?:\.\d*)?|\.\d+)([a-zµμ]+)")
+
+
+def parse_duration_ns(s: str) -> int:
+    """Go time.ParseDuration grammar (func_duration.go delegates to it):
+    optional leading sign, bare "0", one or more <number><unit> terms
+    with optional fractions; units ns/us/µs/μs/ms/s/m/h (plus "d"=24h,
+    an extension the reference does not accept).  Result in int ns."""
+    orig, neg = s, False
+    if s and s[0] in "+-":
+        neg = s[0] == "-"
+        s = s[1:]
+    if s == "0":
+        return 0
+    if not s:
+        raise ValueError(f"invalid duration {orig!r}")
+    total = 0.0
+    while s:
+        m = _DUR_TERM_RE.match(s)
+        if not m:
+            raise ValueError(f"invalid duration {orig!r}")
+        unit = m.group(2)
+        if unit not in _DUR_NS:
+            raise ValueError(
+                f"unknown unit {unit!r} in duration {orig!r}")
+        total += float(m.group(1)) * _DUR_NS[unit]
+        s = s[m.end():]
+    return int(-total if neg else total)
 
 
 def parse_duration_us(s: str) -> int:
-    total = 0.0
-    pos = 0
-    for m in _DUR_RE.finditer(s):
-        if m.start() != pos:
-            raise ValueError(f"bad duration {s!r}")
-        total += float(m.group(1)) * _DUR_US[m.group(2)]
-        pos = m.end()
-    if pos != len(s) or pos == 0:
-        raise ValueError(f"bad duration {s!r}")
-    return int(total)
+    """Legacy micros entry point (truncates toward zero, like Go's
+    Duration.Microseconds)."""
+    return int(parse_duration_ns(s) / 1000)
 
 
 def _dur_to_us(v) -> int:
@@ -404,7 +426,10 @@ def _dur_to_us(v) -> int:
 
 @register_converter("Duration")
 def _duration(ctx, args):
-    return pa.scalar(parse_duration_us(_ev_scalar(args[0], ctx)), pa.duration("us"))
+    """Duration(str) -> duration[ns] — ref func_duration.go wraps
+    time.ParseDuration, whose result is int nanoseconds."""
+    return pa.scalar(parse_duration_ns(_ev_scalar(args[0], ctx)),
+                     pa.duration("ns"))
 
 
 @register_converter("Time")
@@ -481,21 +506,31 @@ for _name, _kern in [("Hour", "hour"), ("Minute", "minute"), ("Second", "second"
 # Nanoseconds return int64 — matching Go time.Duration accessors used by
 # func_hours.go, func_minutes.go, func_seconds.go, func_milliseconds.go,
 # func_microseconds.go, func_nanoseconds.go
+def _dur_as_ns(arr) -> pa.Array:
+    """Normalize a duration value to int64 NANOS regardless of the
+    array's duration unit (unit-blind int64 casts silently mix units —
+    same hazard as _time_ns); bare ints keep the engine's legacy
+    micros convention."""
+    if isinstance(arr, pa.Scalar):
+        arr = pa.array([arr.as_py()], type=arr.type)
+    if pa.types.is_duration(arr.type):
+        return arr.cast(pa.duration("ns")).cast(pa.int64())
+    return pc.multiply(arr.cast(pa.int64()), 1_000)
+
+
 def _mk_dur(div: float, as_float: bool):
     def fn(ctx, args):
-        us = _ev_arr(ctx, args[0]).cast(pa.int64())
+        ns = _dur_as_ns(_ev_arr(ctx, args[0]))
         if as_float:
-            return pc.divide(pc.cast(us, pa.float64()), div)
-        if div >= 1:
-            return pc.divide(us, int(div))
-        return pc.multiply(us, int(round(1 / div)))
+            return pc.divide(pc.cast(ns, pa.float64()), div)
+        return pc.divide(ns, int(div))
     return fn
 
 
-for _name, _div, _f in [("Hours", 3.6e9, True), ("Minutes", 6e7, True),
-                        ("Seconds", 1e6, True), ("Milliseconds", 1e3, False),
-                        ("Microseconds", 1.0, False),
-                        ("Nanoseconds", 1e-3, False)]:
+for _name, _div, _f in [("Hours", 3.6e12, True), ("Minutes", 6e10, True),
+                        ("Seconds", 1e9, True), ("Milliseconds", 1e6, False),
+                        ("Microseconds", 1e3, False),
+                        ("Nanoseconds", 1.0, False)]:
     _REGISTRY[_name] = ("converter", _mk_dur(_div, _f))
 
 

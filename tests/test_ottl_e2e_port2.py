@@ -647,3 +647,50 @@ def test_stanza_keyvalue_stage_quoted_extraction():
     assert out.column("attr_note").to_pylist() == [expected["note"], None]
     assert out.column("attr_src").to_pylist() == [expected["src"], None]
     assert out.column("attr_n").to_pylist() == [expected["n"], "7"]
+
+
+DURATION_TABLE = [
+    # (input, expected ns) — verbatim pkg/ottl/ottlfuncs/
+    # func_duration_test.go Test_Duration
+    ("100ms", 100000000),
+    ("234us", 234000),
+    ("777ns", 777),
+    ("1s", 1000000000),
+    ("200s", 200000000000),
+    ("3m", 180000000000),
+    ("45m", 2700000000000),
+    ("7m12s", 432000000000),
+    ("4h", 14400000000000),
+    ("5h23m59s", 19439000000000),
+    ("5h59s", 18059000000000),
+    ("5h23m", 19380000000000),
+    ("2m1s64us", 121000064000),
+    ("59h1m78ms", 212460078000000),
+]
+
+
+@pytest.mark.parametrize("value,ns", DURATION_TABLE,
+                         ids=[c[0] for c in DURATION_TABLE])
+def test_duration_reference_table(value, ns):
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.registry import (
+        parse_duration_ns)
+    assert parse_duration_ns(value) == ns
+    t = pa.table({"text": ["x"]})
+    out = parse_statement(
+        f'set(attributes["ns"], Nanoseconds(Duration("{value}")))').apply(t)
+    assert out.column("attr_ns").to_pylist() == [ns]
+
+
+def test_duration_go_grammar_edges():
+    from open_telemetry_opentelemetry_collector_contrib_ray.functions.registry import (
+        parse_duration_ns)
+    assert parse_duration_ns("0") == 0
+    assert parse_duration_ns("-0") == 0
+    assert parse_duration_ns("-1h30m") == -5400000000000
+    assert parse_duration_ns("+2s") == 2000000000
+    assert parse_duration_ns("1.5h") == 5400000000000
+    assert parse_duration_ns(".5s") == 500000000
+    assert parse_duration_ns("1.s") == 1000000000
+    for bad in ("", "one second", "1", "s", "1x", "1h-30m"):
+        with pytest.raises(ValueError):
+            parse_duration_ns(bad)
