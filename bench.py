@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "otlp_hist_proto_roundtrip",
     "syslog5424_parse",
     "gotime_parse",
+    "otlp_traces_proto_roundtrip",
     "exp_to_explicit_hist",
     # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
     "attr_hash_extract",

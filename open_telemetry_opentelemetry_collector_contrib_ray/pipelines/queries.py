@@ -916,6 +916,65 @@ def q_otlp_proto_roundtrip(sf_dir: str):
                        combine="driver").sort("role")
 
 
+def q_otlp_traces_proto_roundtrip(sf_dir: str):
+    """fileexporter proto wire format for the traces signal: derived
+    spans (hex trace/span ids, kind, ns start/end, status, attributes,
+    resource env) -> length-framed TracesData sink (hand-rolled
+    trace.proto codec) -> read-back -> per-(kind, status_code)
+    aggregate of count + total duration.  The oracle replays the
+    derivation arithmetic only — the wire codec must invert exactly."""
+    import shutil
+
+    from ..sources.otlpproto import (read_otlp_traces_proto,
+                                     write_otlp_traces_proto)
+
+    out = f"/tmp/graft_otlp_traces_pb/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def mk_spans(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tid = np.array([f"{v:032x}" for v in
+                        (eid.astype(np.uint64) * 2654435761 + 1)])
+        sid = np.array([f"{v:016x}" for v in
+                        (eid.astype(np.uint64) * 40503 + 7)])
+        start = 1546300800000000 + eid * 1000
+        return pa.table({
+            "trace_id": pa.array(tid), "span_id": pa.array(sid),
+            "name": pc.binary_join_element_wise(
+                "op-", _s(pa.array(eid % 6)), ""),
+            "kind": pa.array(1 + eid % 5, pa.int64()),
+            "start_ts": pa.array(start, pa.int64()),
+            "end_ts": pa.array(start + (eid % 5000) * 10, pa.int64()),
+            "status_code": pa.array(np.where(eid % 11 == 0, 2, 1),
+                                    pa.int64()),
+            "user": pc.binary_join_element_wise(
+                "u", _s(pa.array(uid % 100)), ""),
+            "env": pa.array(np.where(eid % 2 == 0, "prod", "stage")),
+        })
+
+    write_otlp_traces_proto(ds.map_batches(mk_spans, batch_format="pyarrow"),
+                            out, resource_cols=["env"])
+    back = read_otlp_traces_proto(out)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": t.column("kind"),
+            "status_code": t.column("status_code"),
+            "env": t.column("env"),
+            "dur_us": pc.subtract(t.column("end_ts"),
+                                  t.column("start_ts")),
+        })
+
+    outds = grouped_agg(back.map_batches(project, batch_format="pyarrow"),
+                        ["env", "kind", "status_code"],
+                        [("count", None, "n"),
+                         ("sum", "dur_us", "total_dur_us")],
+                        combine="driver")
+    return outds.sort(["env", "kind", "status_code"])
+
+
 def q_approx_top_tools(sf_dir: str):
     """Space-saving heavy-hitter sketch: top-5 tools by turn count.
     Mergeable per-batch summaries; key cardinality here is far below the
@@ -4126,6 +4185,7 @@ def queries():
         "otlp_hist_proto_roundtrip": q_otlp_hist_proto_roundtrip,
         "syslog5424_parse": q_syslog5424_parse,
         "gotime_parse": q_gotime_parse,
+        "otlp_traces_proto_roundtrip": q_otlp_traces_proto_roundtrip,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4333,6 +4393,17 @@ def oracle_sql():
                    count(*) AS n
             FROM pri GROUP BY 1, 2
             ORDER BY facility, severity""",
+        "otlp_traces_proto_roundtrip": """
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'prod' ELSE 'stage' END
+                       AS env,
+                   CAST(1 + event_id % 5 AS BIGINT) AS kind,
+                   CAST(CASE WHEN event_id % 11 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS status_code,
+                   count(*) AS n,
+                   CAST(sum((event_id % 5000) * 10) AS BIGINT)
+                       AS total_dur_us
+            FROM events GROUP BY 1, 2, 3
+            ORDER BY env, kind, status_code""",
         "gotime_parse": """
             WITH c AS (
               SELECT ((event_id % 5) - 2) * 30 AS offset_min,

@@ -701,3 +701,202 @@ def decode_histograms_data(buf: bytes, *, le_col: str = "le",
                             row[count_col] = cnt
                             rows.append(row)
     return rows
+
+
+# ------------------------------------------------- trace.proto: spans
+# opentelemetry-proto trace/v1/trace.proto: TracesData.resource_spans=1
+# -> ResourceSpans{resource=1, scope_spans=2} -> ScopeSpans{scope=1,
+# spans=2} -> Span{trace_id=1, span_id=2, trace_state=3,
+# parent_span_id=4, name=5, kind=6, start/end_time_unix_nano=7/8
+# (fixed64), attributes=9, status=15{message=2, code=3}}.  Flat span
+# rows use 32/16-hex id strings (TraceParser's normalized shape) and
+# microsecond timestamps; proto3 absent-default fields are omitted on
+# encode and restored as defaults on decode.
+
+_SPAN_WELL_KNOWN = ("trace_id", "span_id", "parent_span_id",
+                    "trace_state", "name", "kind", "start_ts", "end_ts",
+                    "status_code", "status_message")
+
+
+def encode_traces_data(rows: list[dict], *,
+                       resource_cols: Iterable[str] = (),
+                       scope_name: str =
+                       "open_telemetry_opentelemetry_collector_contrib_ray") -> bytes:
+    """Flat span rows -> one TracesData message (no framing)."""
+    resource_cols = list(resource_cols)
+    skip = set(resource_cols) | set(_SPAN_WELL_KNOWN)
+    groups: dict[tuple, list[bytes]] = {}
+    for r in rows:
+        rec = bytearray()
+        tid = r.get("trace_id")
+        if tid:
+            rec += _ld(1, bytes.fromhex(tid))
+        sid = r.get("span_id")
+        if sid:
+            rec += _ld(2, bytes.fromhex(sid))
+        if r.get("trace_state"):
+            rec += _sf(3, str(r["trace_state"]))
+        pid = r.get("parent_span_id")
+        if pid:
+            rec += _ld(4, bytes.fromhex(pid))
+        if r.get("name"):
+            rec += _sf(5, str(r["name"]))
+        if r.get("kind"):
+            rec += _key(6, 0) + _varint(int(r["kind"]))
+        for field, col in ((7, "start_ts"), (8, "end_ts")):
+            ts = r.get(col)
+            if ts is not None:
+                rec += _key(field, 1) + struct.pack("<Q", int(ts) * 1000)
+        for k, v in r.items():
+            if k in skip or v is None:
+                continue
+            rec += _ld(9, _kv(k, v))  # attributes = 9
+        code, msg_s = r.get("status_code"), r.get("status_message")
+        if code or msg_s:
+            status = bytearray()
+            if msg_s:
+                status += _sf(2, str(msg_s))
+            if code:
+                status += _key(3, 0) + _varint(int(code))
+            rec += _ld(15, bytes(status))
+        key = tuple(r.get(c) for c in resource_cols)
+        groups.setdefault(key, []).append(bytes(rec))
+    scope = _ld(1, _sf(1, scope_name))  # ScopeSpans.scope.name
+    out = bytearray()
+    for key, recs in groups.items():
+        res = b"".join(_ld(1, _kv(c, v))
+                       for c, v in zip(resource_cols, key) if v is not None)
+        ss = scope + b"".join(_ld(2, rec) for rec in recs)  # spans = 2
+        rs = _ld(1, res) + _ld(2, ss)
+        out += _ld(1, rs)  # TracesData.resource_spans = 1
+    return bytes(out)
+
+
+def decode_traces_data(buf: bytes) -> list[dict]:
+    """One TracesData message -> flat span rows (inverse of
+    encode_traces_data; absent proto3 defaults restore as kind=0,
+    status_code=0, empty ids -> None)."""
+    rows: list[dict] = []
+    for f1, _w, rs in _iter_fields(buf):
+        if f1 != 1:
+            continue
+        res_attrs: dict = {}
+        scope_spans = []
+        for f2, _w2, v2 in _iter_fields(rs):
+            if f2 == 1:
+                for f3, _w3, v3 in _iter_fields(v2):
+                    if f3 == 1:
+                        k, v = _kv_decode(v3)
+                        res_attrs[k] = v
+            elif f2 == 2:
+                scope_spans.append(v2)
+        for ss in scope_spans:
+            for f3, _w3, v3 in _iter_fields(ss):
+                if f3 != 2:  # spans
+                    continue
+                row = dict(res_attrs)
+                row.update({"kind": 0, "status_code": 0})
+                for f4, w4, v4 in _iter_fields(v3):
+                    if f4 == 1:
+                        row["trace_id"] = v4.hex()
+                    elif f4 == 2:
+                        row["span_id"] = v4.hex()
+                    elif f4 == 3:
+                        row["trace_state"] = v4.decode()
+                    elif f4 == 4:
+                        row["parent_span_id"] = v4.hex()
+                    elif f4 == 5:
+                        row["name"] = v4.decode()
+                    elif f4 == 6:
+                        row["kind"] = v4
+                    elif f4 == 7:
+                        row["start_ts"] = v4 // 1000
+                    elif f4 == 8:
+                        row["end_ts"] = v4 // 1000
+                    elif f4 == 9:
+                        k, v = _kv_decode(v4)
+                        row[k] = v
+                    elif f4 == 15:
+                        for f5, _w5, v5 in _iter_fields(v4):
+                            if f5 == 2:
+                                row["status_message"] = v5.decode()
+                            elif f5 == 3:
+                                row["status_code"] = v5
+                rows.append(row)
+    return rows
+
+
+class OtlpTracesProtoWriter(OtlpProtoWriter):
+    """Framed TracesData sink (same naming/framing as the logs writer)."""
+
+    def __init__(self, out_dir: str, *, resource_cols: Iterable[str] = (),
+                 scope_name: str =
+                 "open_telemetry_opentelemetry_collector_contrib_ray"):
+        super().__init__(out_dir, resource_cols=resource_cols,
+                         scope_name=scope_name)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        msg = encode_traces_data(t.to_pylist(),
+                                 resource_cols=self.resource_cols,
+                                 scope_name=self.scope_name)
+        framed = struct.pack(">I", len(msg)) + msg
+        digest = hashlib.md5(framed).hexdigest()[:16]
+        try:
+            import ray
+
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            tid = "driver"
+        scope = hashlib.md5(tid.encode()).hexdigest()[:8]
+        path = os.path.join(self.out_dir,
+                            f"traces-{digest}-{scope}-{self._seq:04d}.binpb")
+        self._seq += 1
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(framed)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+
+def write_otlp_traces_proto(ds, out_dir: str, **kw) -> list[dict]:
+    batch_size = kw.pop("batch_size", 8192)
+    manifest = ds.map_batches(OtlpTracesProtoWriter(out_dir, **kw),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return manifest.take_all()
+
+
+class OtlpTracesProtoReaderStage:
+    """map_batches over read_binary_files output: framed TracesData
+    bytes -> flat span rows."""
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import pandas as pd
+
+        rows: list[dict] = []
+        for data in batch["bytes"]:
+            buf = bytes(data)
+            pos = 0
+            while pos + 4 <= len(buf):
+                (ln,) = struct.unpack_from(">I", buf, pos)
+                pos += 4
+                if pos + ln > len(buf):
+                    raise ValueError(
+                        f"truncated OTLP proto frame: header claims {ln} "
+                        f"bytes, {len(buf) - pos} remain")
+                rows.extend(decode_traces_data(buf[pos:pos + ln]))
+                pos += ln
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+
+def read_otlp_traces_proto(path: str):
+    import ray.data as rd
+
+    files = rd.read_binary_files(path, file_extensions=["binpb"])
+    return files.map_batches(OtlpTracesProtoReaderStage(),
+                             batch_format="numpy")

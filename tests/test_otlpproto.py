@@ -193,3 +193,49 @@ def test_histogram_proto_roundtrip_unit():
     assert r0["metric_name"] == "lat" and r0["metric_type"] == "Histogram"
     assert r0["metric_unit"] == "ms"
     assert r0["metric_aggregation_temporality"] == "cumulative"
+
+
+def test_traces_roundtrip_all_fields():
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_traces_data, encode_traces_data)
+    rows = [{"trace_id": "0af7651916cd43dd8448eb211c80319c",
+             "span_id": "b7ad6b7169203331",
+             "parent_span_id": "00f067aa0ba902b7",
+             "trace_state": "congo=t61rcWkgMzE",
+             "name": "/api/call", "kind": 3,
+             "start_ts": 1546300800000000, "end_ts": 1546300800123456,
+             "status_code": 2, "status_message": "boom",
+             "tool": "search", "n": 7, "score": 0.5, "env": "prod"}]
+    back = decode_traces_data(encode_traces_data(rows,
+                                                 resource_cols=["env"]))
+    assert len(back) == 1
+    for k, v in rows[0].items():
+        assert back[0][k] == v, k
+
+
+def test_traces_proto3_defaults():
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_traces_data, encode_traces_data)
+    # kind=0 / status_code=0 / empty ids omit on the wire and restore
+    # as defaults; absent optional strings stay absent
+    rows = [{"trace_id": None, "span_id": None, "name": "x", "kind": 0,
+             "start_ts": None, "end_ts": None, "status_code": 0}]
+    buf = encode_traces_data(rows)
+    back = decode_traces_data(buf)
+    assert back[0]["kind"] == 0 and back[0]["status_code"] == 0
+    assert "trace_id" not in back[0] and "status_message" not in back[0]
+    # the wire holds only the name field inside the span
+    assert b"/x" not in buf  # sanity: no stray encoding
+
+
+def test_traces_resource_grouping():
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_traces_data, encode_traces_data)
+    rows = [{"span_id": f"{i:016x}", "name": f"s{i}",
+             "env": "prod" if i % 2 == 0 else "stage"} for i in range(6)]
+    buf = encode_traces_data(rows, resource_cols=["env"])
+    back = decode_traces_data(buf)
+    assert sorted(r["span_id"] for r in back) == \
+        sorted(r["span_id"] for r in rows)
+    assert all(r["env"] == ("prod" if int(r["span_id"], 16) % 2 == 0
+                            else "stage") for r in back)
