@@ -950,30 +950,122 @@ class Rfc5424SyslogParser:
     _STR_COLS = ("severity_text", "syslog_ts", "hostname", "appname",
                  "proc_id", "msg_id", "message")
 
+    # vectorized fast path: plain framing, single SD element without
+    # escaped characters (the overwhelming shape); everything else
+    # falls back to the faithful per-row scanner
+    _FAST_RE = (r"^<(?P<pri>\d{1,3})>(?P<ver>[1-9]\d{0,2}) (?P<ts>\S+) "
+                r"(?P<host>\S+) (?P<app>\S+) (?P<proc>\S+) "
+                r"(?P<msgid>\S+) (?:-|\[(?P<sdid>[^\] \\\"]+)"
+                r"(?P<params>(?: [^=\] ]+=\"[^\"\\]*\")*)\])"
+                r"(?: (?P<msg>.*))?$")
+    _PARAM_RE = re.compile(r' ([^=\] ]+)="([^"\\]*)"')
+
+    @staticmethod
+    def _nilnull(arr: pa.Array) -> pa.Array:
+        return pc.if_else(pc.equal(arr, "-"),
+                          pa.scalar(None, pa.string()), arr)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        src = batch.column(self.parse_from).to_pylist()
-        cols: dict[str, list] = {k: [] for k in
-                                 self._INT_COLS + self._STR_COLS}
-        sds: list = []
-        bad: list[bool] = []
-        for s in src:
-            try:
-                if s is None:
-                    raise ValueError("null body")
-                rec = self._parse_one(s)
-                bad.append(False)
-            except ValueError:
-                rec = {}
-                bad.append(True)
-            for k in self._INT_COLS + self._STR_COLS:
-                cols[k].append(rec.get(k))
-            sds.append(rec.get("structured_data"))
+        src_arr = batch.column(self.parse_from)
+        if isinstance(src_arr, pa.ChunkedArray):
+            src_arr = src_arr.combine_chunks()
+        n = len(src_arr)
+        plain = (not self.enable_octet_counting and self.trailer is None
+                 and not self.allow_skip_pri)
+        arrs: dict[str, pa.Array] = {}
+        if plain:
+            # one RE2 pass; every derived column stays in Arrow
+            st = pc.extract_regex(pc.cast(src_arr, pa.string()),
+                                  self._FAST_RE)
+            pri = pc.cast(pc.struct_field(st, "pri"), pa.int64(),
+                          safe=False)
+            valid = pc.and_kleene(pc.is_valid(st),
+                                  pc.less_equal(pri, 191))
+            valid_np = pc.fill_null(valid, False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            fac = pc.divide(pri, 8)
+            sev = pc.subtract(pri, pc.multiply(fac, 8))
+            sev_text = pc.take(pa.array(_SYSLOG_SEVERITY_TEXT),
+                               pc.if_else(valid, sev, 0))
+            arrs = {"priority": pri, "facility": fac,
+                    "syslog_severity": sev,
+                    "version": pc.cast(pc.struct_field(st, "ver"),
+                                       pa.int64(), safe=False),
+                    "severity_text": sev_text,
+                    "syslog_ts": self._nilnull(pc.struct_field(st, "ts")),
+                    "hostname": self._nilnull(pc.struct_field(st, "host")),
+                    "appname": self._nilnull(pc.struct_field(st, "app")),
+                    "proc_id": self._nilnull(pc.struct_field(st, "proc")),
+                    "msg_id": self._nilnull(pc.struct_field(st, "msgid"))}
+            # RE2 non-participating groups extract as "" — a message is
+            # genuinely empty only when the line ends with the SP
+            # separator; otherwise MSG was absent (nil in go-syslog)
+            msg = pc.struct_field(st, "msg")
+            absent = pc.and_(pc.equal(msg, ""),
+                             pc.invert(pc.ends_with(
+                                 pc.cast(src_arr, pa.string()),
+                                 pattern=" ")))
+            arrs["message"] = pc.if_else(absent,
+                                         pa.scalar(None, pa.string()), msg)
+            sdids = pc.struct_field(st, "sdid").to_pylist()
+            params = pc.struct_field(st, "params").to_pylist()
+            sds: list = [
+                {sdid: dict(self._PARAM_RE.findall(pblob))}
+                if sdid else None
+                for sdid, pblob in zip(sdids, params)]
+            slow_idx = np.flatnonzero(~valid_np)
+        else:
+            valid_np = np.zeros(n, bool)
+            sds = [None] * n
+            slow_idx = np.arange(n)
+        bad = ~valid_np
+        if len(slow_idx):
+            # faithful per-row scanner for rows the fast shape misses
+            src = src_arr.to_pylist()
+            patch: dict[str, dict[int, object]] = {
+                k: {} for k in self._INT_COLS + self._STR_COLS}
+            for i in slow_idx:
+                s = src[i]
+                try:
+                    if s is None:
+                        raise ValueError("null body")
+                    rec = self._parse_one(s)
+                except ValueError:
+                    continue
+                bad[i] = False
+                for k in self._INT_COLS + self._STR_COLS:
+                    patch[k][i] = rec.get(k)
+                sds[i] = rec.get("structured_data")
+            mask = pa.array(np.isin(np.arange(n), slow_idx) & ~bad)
+
+            def patched(name: str, typ) -> pa.Array:
+                base = arrs.get(name)
+                vals = patch[name]
+                if base is None:
+                    py = [vals.get(i) for i in range(n)]
+                    return pa.array(py, typ)
+                if not vals:
+                    return pc.if_else(pa.array(valid_np), base,
+                                      pa.scalar(None, typ))
+                repl = pa.array([vals.get(i) for i in sorted(vals)], typ)
+                base = pc.if_else(pa.array(valid_np),
+                                  pc.cast(base, typ),
+                                  pa.scalar(None, typ))
+                return pc.replace_with_mask(base, mask, repl)
+
+            cols2 = {k: patched(k, pa.int64()) for k in self._INT_COLS}
+            cols2.update({k: patched(k, pa.string())
+                          for k in self._STR_COLS})
+        else:
+            cols2 = {k: pc.cast(arrs[k], pa.int64())
+                     for k in self._INT_COLS}
+            cols2.update({k: arrs[k] for k in self._STR_COLS})
         out = batch
         p = self.prefix
         for k in self._INT_COLS:
-            out = out.append_column(p + k, pa.array(cols[k], pa.int64()))
+            out = out.append_column(p + k, cols2[k])
         for k in self._STR_COLS:
-            out = out.append_column(p + k, pa.array(cols[k], pa.string()))
+            out = out.append_column(p + k, cols2[k])
         out = out.append_column(
             p + "structured_data",
             pa.array(sds, pa.map_(pa.string(),
