@@ -342,3 +342,163 @@ def read_otlp_json(path: str, *, time_col: str = "ts", body_col: str = "text"):
     ds = ray.data.read_binary_files(path, include_paths=True)
     return ds.map_batches(OtlpJsonReaderStage(time_col, body_col),
                           batch_format="numpy", batch_size=4)
+
+
+# ------------------------------------------------ traces signal (JSON)
+# fileexporter JSON marshals every signal through pdata's protojson:
+# camelCase fields, hex-string ids, string-encoded uint64 nanos
+# (exporter/fileexporter/marshaller.go; ptrace/json.go).  Flat span
+# rows use the same column shape as sources/otlpproto.py's trace codec.
+
+_SPAN_FIELDS = ("trace_id", "span_id", "parent_span_id", "trace_state",
+                "name", "kind", "start_ts", "end_ts", "status_code",
+                "status_message")
+
+
+def _span_json(r: dict, skip: set) -> dict:
+    span: dict = {}
+    if r.get("trace_id"):
+        span["traceId"] = r["trace_id"]
+    if r.get("span_id"):
+        span["spanId"] = r["span_id"]
+    if r.get("trace_state"):
+        span["traceState"] = r["trace_state"]
+    if r.get("parent_span_id"):
+        span["parentSpanId"] = r["parent_span_id"]
+    if r.get("name"):
+        span["name"] = r["name"]
+    if r.get("kind"):
+        span["kind"] = int(r["kind"])
+    for key, col in (("startTimeUnixNano", "start_ts"),
+                     ("endTimeUnixNano", "end_ts")):
+        if r.get(col) is not None:
+            span[key] = str(int(r[col]) * 1000)
+    attrs = [{"key": k, "value": _any_value(v)} for k, v in r.items()
+             if k not in skip and v is not None]
+    if attrs:
+        span["attributes"] = attrs
+    status = {}
+    if r.get("status_message"):
+        status["message"] = r["status_message"]
+    if r.get("status_code"):
+        status["code"] = int(r["status_code"])
+    if status:
+        span["status"] = status
+    return span
+
+
+class OtlpTracesJsonWriter:
+    """map_batches stage: one TracesData JSON line per batch, grouped
+    into resourceSpans by the configured resource columns (same framing
+    and naming conventions as OtlpJsonWriter)."""
+
+    def __init__(self, out_dir: str, *, resource_cols: Iterable[str] = (),
+                 compression: str | None = None,
+                 scope_name: str = "open_telemetry_opentelemetry_collector_contrib_ray"):
+        self.out_dir = out_dir
+        self.resource_cols = list(resource_cols)
+        self.compression = compression
+        self.scope_name = scope_name
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        skip = set(self.resource_cols) | set(_SPAN_FIELDS)
+        groups: dict[tuple, list[dict]] = {}
+        for r in t.to_pylist():
+            key = tuple(r.get(c) for c in self.resource_cols)
+            groups.setdefault(key, []).append(_span_json(r, skip))
+        resource_spans = []
+        for key, spans in groups.items():
+            res_attrs = [{"key": c, "value": _any_value(v)}
+                         for c, v in zip(self.resource_cols, key)
+                         if v is not None]
+            resource_spans.append({
+                "resource": {"attributes": res_attrs} if res_attrs else {},
+                "scopeSpans": [{"scope": {"name": self.scope_name},
+                                "spans": spans}]})
+        line = json.dumps({"resourceSpans": resource_spans},
+                          separators=(",", ":")).encode() + b"\n"
+        digest = hashlib.md5(line).hexdigest()[:16]
+        ext = {"gzip": ".jsonl.gz",
+               "zstd": ".jsonl.zst"}.get(self.compression, ".jsonl")
+        path = os.path.join(self.out_dir, f"traces-{digest}{ext}")
+        tmp = path + ".tmp"
+        with _open_out(tmp, self.compression) as f:
+            f.write(line)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+
+def write_otlp_traces_json(ds, out_dir: str, **kw) -> list[dict]:
+    batch_size = kw.pop("batch_size", 8192)
+    manifest = ds.map_batches(OtlpTracesJsonWriter(out_dir, **kw),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return manifest.take_all()
+
+
+class OtlpTracesJsonReaderStage:
+    """map_batches over read_binary_files output: TracesData JSON lines
+    -> flat span rows (inverse of OtlpTracesJsonWriter)."""
+
+    def __call__(self, batch) -> pa.Table:
+        import pandas as pd
+
+        rows: list[dict] = []
+        paths = batch.get("path")
+        for i, data in enumerate(batch["bytes"]):
+            raw = _read_bytes(bytes(data),
+                              str(paths[i]) if paths is not None else "")
+            for ln in raw.splitlines():
+                if not ln.strip():
+                    continue
+                doc = json.loads(ln)
+                for rs in doc.get("resourceSpans", []):
+                    res = {a["key"]: _from_any_value(a["value"])
+                           for a in rs.get("resource", {})
+                           .get("attributes", [])}
+                    for ss in rs.get("scopeSpans", []):
+                        for sp in ss.get("spans", []):
+                            row = dict(res)
+                            row.update({"kind": 0, "status_code": 0})
+                            if "traceId" in sp:
+                                row["trace_id"] = sp["traceId"]
+                            if "spanId" in sp:
+                                row["span_id"] = sp["spanId"]
+                            if "parentSpanId" in sp:
+                                row["parent_span_id"] = sp["parentSpanId"]
+                            if "traceState" in sp:
+                                row["trace_state"] = sp["traceState"]
+                            if "name" in sp:
+                                row["name"] = sp["name"]
+                            if "kind" in sp:
+                                row["kind"] = int(sp["kind"])
+                            if "startTimeUnixNano" in sp:
+                                row["start_ts"] = \
+                                    int(sp["startTimeUnixNano"]) // 1000
+                            if "endTimeUnixNano" in sp:
+                                row["end_ts"] = \
+                                    int(sp["endTimeUnixNano"]) // 1000
+                            for a in sp.get("attributes", []):
+                                row[a["key"]] = _from_any_value(a["value"])
+                            st = sp.get("status", {})
+                            if "message" in st:
+                                row["status_message"] = st["message"]
+                            if "code" in st:
+                                row["status_code"] = int(st["code"])
+                            rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+
+def read_otlp_traces_json(path: str):
+    import ray.data as rd
+
+    files = rd.read_binary_files(path, include_paths=True,
+                                 file_extensions=["jsonl", "gz", "zst"])
+    return files.map_batches(OtlpTracesJsonReaderStage(),
+                             batch_format="numpy")

@@ -120,3 +120,67 @@ def test_writer_rotation_max_megabytes(tmp_path):
         # sized by UTF-8 bytes with envelope headroom: strictly under cap
         assert os.path.getsize(m["path"]) <= 0.01 * 1024 * 1024
     assert read_otlp_json(out).count() == 200
+
+
+def test_traces_json_roundtrip_gzip(tmp_path):
+    import glob
+
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpjson import (
+        OtlpTracesJsonReaderStage, OtlpTracesJsonWriter)
+    t = pa.table({
+        "trace_id": ["0af7651916cd43dd8448eb211c80319c", None],
+        "span_id": ["b7ad6b7169203331", "00f067aa0ba902b7"],
+        "parent_span_id": [None, "b7ad6b7169203331"],
+        "name": ["parent", "child"], "kind": [2, 3],
+        "start_ts": [1546300800000000, 1546300800000500],
+        "end_ts": [1546300800123456, 1546300800000900],
+        "status_code": [0, 2], "status_message": [None, "boom"],
+        "n": [1, 2], "env": ["prod", "prod"]})
+    d = str(tmp_path)
+    OtlpTracesJsonWriter(d, resource_cols=["env"], compression="gzip")(t)
+    files = glob.glob(d + "/*.jsonl.gz")
+    assert len(files) == 1
+    out = OtlpTracesJsonReaderStage()(
+        {"bytes": [open(files[0], "rb").read()], "path": [files[0]]})
+    rows = sorted(out.to_pylist(), key=lambda r: r["span_id"])
+    child, parent = rows[0], rows[1]
+    assert parent["trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+    assert "trace_id" not in child or child["trace_id"] is None
+    assert child["parent_span_id"] == "b7ad6b7169203331"
+    assert child["status_code"] == 2 and child["status_message"] == "boom"
+    assert parent["status_code"] == 0 and parent["kind"] == 2
+    assert child["end_ts"] == 1546300800000900
+    assert parent["n"] == 1 and child["n"] == 2 and parent["env"] == "prod"
+
+
+def test_traces_json_matches_proto_decode():
+    # the two wire formats must invert to the same flat rows
+    import glob
+    import tempfile
+
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpjson import (
+        OtlpTracesJsonReaderStage, OtlpTracesJsonWriter)
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_traces_data, encode_traces_data)
+    rows = [{"trace_id": f"{i:032x}", "span_id": f"{i:016x}",
+             "name": f"s{i}", "kind": 1 + i % 5,
+             "start_ts": 1546300800000000 + i,
+             "end_ts": 1546300800000000 + i * 2,
+             "status_code": i % 3, "tool": f"t{i % 2}",
+             "env": "prod" if i % 2 == 0 else "stage"}
+            for i in range(8)]
+    via_proto = decode_traces_data(
+        encode_traces_data(rows, resource_cols=["env"]))
+    d = tempfile.mkdtemp()
+    OtlpTracesJsonWriter(d, resource_cols=["env"])(
+        pa.table({k: [r.get(k) for r in rows] for k in rows[0]}))
+    f = glob.glob(d + "/*.jsonl")[0]
+    via_json = OtlpTracesJsonReaderStage()(
+        {"bytes": [open(f, "rb").read()], "path": [f]}).to_pylist()
+    key = lambda r: r["span_id"]  # noqa: E731
+    for a, b in zip(sorted(via_proto, key=key), sorted(via_json, key=key)):
+        assert a == b
