@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "syslog5424_parse",
     "gotime_parse",
     "otlp_traces_proto_roundtrip",
+    "otlp_traces_json_roundtrip",
+    "otlp_metrics_json_roundtrip",
     "exp_to_explicit_hist",
     # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
     "attr_hash_extract",

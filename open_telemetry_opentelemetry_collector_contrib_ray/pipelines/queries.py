@@ -975,6 +975,149 @@ def q_otlp_traces_proto_roundtrip(sf_dir: str):
     return outds.sort(["env", "kind", "status_code"])
 
 
+def q_otlp_traces_json_roundtrip(sf_dir: str):
+    """fileexporter `format: json` for the TRACES signal: derived spans
+    exercising the fields the proto query doesn't (parent_span_id,
+    trace_state, status_message) -> TracesData JSON-lines sink (gzip)
+    -> read-back -> per-(env, status_code) aggregate with
+    parent/state/message-roundtrip counters.  The oracle replays the
+    derivation only — the JSON codec must invert exactly."""
+    import shutil
+
+    from ..sources.otlpjson import (read_otlp_traces_json,
+                                    write_otlp_traces_json)
+
+    out = f"/tmp/graft_otlp_traces_js/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+
+    def mk_spans(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tid = np.array([f"{v:032x}" for v in
+                        (eid.astype(np.uint64) * 6364136223846793005 + 3)])
+        sid = np.array([f"{v:016x}" for v in
+                        (eid.astype(np.uint64) * 48271 + 11)])
+        err = eid % 11 == 0
+        return pa.table({
+            "trace_id": pa.array(tid), "span_id": pa.array(sid),
+            "parent_span_id": pa.array(
+                np.where(eid % 3 == 0,
+                         np.array([f"{v:016x}" for v in
+                                   (eid.astype(np.uint64) * 48271 + 12)]),
+                         None)),
+            "trace_state": pa.array(np.where(eid % 4 == 0, "ot=th:0", None)),
+            "name": pc.binary_join_element_wise(
+                "op-", _s(pa.array(eid % 6)), ""),
+            "kind": pa.array(1 + eid % 5, pa.int64()),
+            "start_ts": pa.array(1546300800000000 + eid * 1000, pa.int64()),
+            "end_ts": pa.array(1546300800000000 + eid * 1000
+                               + (eid % 5000) * 10, pa.int64()),
+            "status_code": pa.array(np.where(err, 2, 1), pa.int64()),
+            "status_message": pa.array(
+                np.where(err, np.char.add("err-", (eid % 7).astype(str)),
+                         None)),
+            "env": pa.array(np.where(eid % 2 == 0, "prod", "stage")),
+        })
+
+    write_otlp_traces_json(ds.map_batches(mk_spans, batch_format="pyarrow"),
+                           out, resource_cols=["env"], compression="gzip")
+    back = read_otlp_traces_json(out)
+
+    def project(t: pa.Table) -> pa.Table:
+        names = t.column_names
+
+        def col_or_null(c):
+            return (t.column(c) if c in names
+                    else pa.nulls(t.num_rows, pa.string()))
+
+        msg = col_or_null("status_message")
+        return pa.table({
+            "env": t.column("env"),
+            "status_code": t.column("status_code").cast(pa.int64()),
+            "has_parent": pc.is_valid(col_or_null("parent_span_id"))
+                            .cast(pa.int64()),
+            "has_state": pc.is_valid(col_or_null("trace_state"))
+                           .cast(pa.int64()),
+            "msg_chars": pc.coalesce(
+                pc.utf8_length(msg.cast(pa.string())).cast(pa.int64()),
+                pa.scalar(0, pa.int64())),
+        })
+
+    outds = grouped_agg(back.map_batches(project, batch_format="pyarrow"),
+                        ["env", "status_code"],
+                        [("count", None, "n"),
+                         ("sum", "has_parent", "n_parent"),
+                         ("sum", "has_state", "n_state"),
+                         ("sum", "msg_chars", "msg_chars")],
+                        combine="driver")
+    return outds.sort(["env", "status_code"])
+
+
+def q_otlp_metrics_json_roundtrip(sf_dir: str):
+    """fileexporter `format: json` for METRICS: the same Gauge+Sum
+    datapoint derivation as otlp_metrics_proto_roundtrip, through the
+    MetricsData JSON-lines codec instead (pmetric protojson mapping:
+    asInt/nanos as strings, temporality as int enum).  Same oracle —
+    the wire format must be invisible."""
+    import shutil
+
+    from ..sources.otlpjson import (read_otlp_metrics_json,
+                                    write_otlp_metrics_json)
+
+    out = f"/tmp/graft_otlpm_js/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def to_metrics(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_pylist()
+        n = len(eid)
+        gauge = pa.table({
+            "metric_name": pa.array([f"{e}_latency" for e in et]),
+            "metric_type": pa.array(["Gauge"] * n),
+            "metric_unit": pa.array(["ms"] * n),
+            "time_unix_nano": pa.array(eid * 1_000_000, pa.int64()),
+            "value_double": pa.array((eid % 7) * 0.5, pa.float64()),
+            "value_int": pa.nulls(n, pa.int64()),
+            "attr_shard": pa.array(eid % 3, pa.int64()),
+        })
+        sums = pa.table({
+            "metric_name": pa.array([f"{e}_calls" for e in et]),
+            "metric_type": pa.array(["Sum"] * n),
+            "metric_unit": pa.array(["1"] * n),
+            "time_unix_nano": pa.array(eid * 1_000_000, pa.int64()),
+            "value_double": pa.nulls(n, pa.float64()),
+            "value_int": pa.array(eid % 100, pa.int64()),
+            "attr_shard": pa.array(eid % 3, pa.int64()),
+        })
+        return pa.concat_tables([gauge, sums])
+
+    metrics = ds.map_batches(to_metrics, batch_format="pyarrow")
+    write_otlp_metrics_json(metrics, out, compression="zstd")
+    back = read_otlp_metrics_json(out)
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {
+            "metric_name": t.column("metric_name").cast(pa.string()),
+            "metric_type": t.column("metric_type").cast(pa.string()),
+            "vd": (t.column("value_double").cast(pa.float64())
+                   if "value_double" in t.column_names
+                   else pa.nulls(t.num_rows, pa.float64())),
+            "vi": (t.column("value_int").cast(pa.int64())
+                   if "value_int" in t.column_names
+                   else pa.nulls(t.num_rows, pa.int64())),
+            "shard": t.column("attr_shard").cast(pa.int64()),
+        }
+        return pa.table(cols)
+
+    back = back.map_batches(norm, batch_format="pyarrow")
+    return grouped_agg(back, ["metric_name", "metric_type", "shard"],
+                       [("count", None, "n"), ("sum", "vd", "vd_sum"),
+                        ("sum", "vi", "vi_sum")],
+                       combine="driver") \
+        .sort(["metric_name", "shard"])
+
+
 def q_approx_top_tools(sf_dir: str):
     """Space-saving heavy-hitter sketch: top-5 tools by turn count.
     Mergeable per-batch summaries; key cardinality here is far below the
@@ -4186,6 +4329,8 @@ def queries():
         "syslog5424_parse": q_syslog5424_parse,
         "gotime_parse": q_gotime_parse,
         "otlp_traces_proto_roundtrip": q_otlp_traces_proto_roundtrip,
+        "otlp_traces_json_roundtrip": q_otlp_traces_json_roundtrip,
+        "otlp_metrics_json_roundtrip": q_otlp_metrics_json_roundtrip,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4774,6 +4919,40 @@ def oracle_sql():
                    CAST(sum(vi) AS BIGINT) AS vi_sum
             FROM pts GROUP BY 1, 2, 3
             ORDER BY metric_name, shard""",
+        "otlp_metrics_json_roundtrip": """
+            WITH pts AS (
+              SELECT event_type || '_latency' AS metric_name,
+                     'Gauge' AS metric_type,
+                     (event_id % 7) * 0.5 AS vd,
+                     CAST(NULL AS BIGINT) AS vi,
+                     event_id % 3 AS shard
+              FROM events
+              UNION ALL
+              SELECT event_type || '_calls', 'Sum',
+                     CAST(NULL AS DOUBLE), event_id % 100, event_id % 3
+              FROM events)
+            SELECT metric_name, metric_type, CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(vd) AS vd_sum,
+                   CAST(sum(vi) AS BIGINT) AS vi_sum
+            FROM pts GROUP BY 1, 2, 3
+            ORDER BY metric_name, shard""",
+        "otlp_traces_json_roundtrip": """
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'prod' ELSE 'stage' END
+                       AS env,
+                   CAST(CASE WHEN event_id % 11 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS status_code,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_parent,
+                   CAST(sum(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_state,
+                   CAST(sum(CASE WHEN event_id % 11 = 0
+                            THEN length('err-' ||
+                                        CAST(event_id % 7 AS VARCHAR))
+                            ELSE 0 END) AS BIGINT) AS msg_chars
+            FROM events GROUP BY 1, 2
+            ORDER BY env, status_code""",
         "filelog_multiline_counts": r"""
             WITH lines AS (
               SELECT filename, text,

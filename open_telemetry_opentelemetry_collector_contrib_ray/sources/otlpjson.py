@@ -502,3 +502,286 @@ def read_otlp_traces_json(path: str):
                                  file_extensions=["jsonl", "gz", "zst"])
     return files.map_batches(OtlpTracesJsonReaderStage(),
                              batch_format="numpy")
+
+
+# ----------------------------------------------- metrics signal (JSON)
+# pmetric's protojson mapping (pdata/pmetric/json.go): camelCase,
+# uint64 nanos + int64 asInt as decimal STRINGS, asDouble as a JSON
+# number, enum aggregationTemporality as its int value, isMonotonic as
+# a bool.  Flat datapoint rows use the same column convention as
+# sources/otlpproto.py's metrics codec (stages/metrics.py shape):
+# metric_* identity columns + value_double/value_int + time_unix_nano.
+
+from .otlpproto import (_METRIC_ID_COLS, _TEMPORALITY,  # noqa: E402
+                        _TEMPORALITY_INV, _bound_label)
+
+
+def _metric_dp_json(r: dict, time_col: str, skip: set) -> dict:
+    dp: dict = {}
+    st = r.get("start_time_unix_nano")
+    if st is not None:
+        dp["startTimeUnixNano"] = str(int(st))
+    ts = r.get(time_col)
+    if ts is not None:
+        dp["timeUnixNano"] = str(int(ts))
+    vd, vi = r.get("value_double"), r.get("value_int")
+    if vd is not None:
+        dp["asDouble"] = float(vd)
+    elif vi is not None:
+        dp["asInt"] = str(int(vi))
+    attrs = [{"key": k, "value": _any_value(v)} for k, v in r.items()
+             if k not in skip and v is not None]
+    if attrs:
+        dp["attributes"] = attrs
+    return dp
+
+
+def _metrics_data_json(rows: list[dict], *, time_col: str,
+                       resource_cols: list[str], scope_name: str) -> dict:
+    """Flat Gauge/Sum datapoint rows -> one MetricsData JSON document
+    (inverse of the reader; JSON twin of otlpproto.encode_metrics_data)."""
+    skip = (set(resource_cols) | set(_METRIC_ID_COLS)
+            | {time_col, "start_time_unix_nano", "value_double",
+               "value_int"})
+    groups: dict[tuple, dict[tuple, list[dict]]] = {}
+    for r in rows:
+        mtype = r.get("metric_type") or "Gauge"
+        if mtype not in ("Gauge", "Sum"):
+            raise NotImplementedError(
+                f"metrics JSON encode supports Gauge/Sum; {mtype!r} rows "
+                "use write_otlp_hist_json's sparse per-bucket shape")
+        rkey = tuple(r.get(c) for c in resource_cols)
+        ident = tuple(r.get(c) for c in _METRIC_ID_COLS)
+        groups.setdefault(rkey, {}).setdefault(ident, []).append(
+            _metric_dp_json(r, time_col, skip))
+    resource_metrics = []
+    for rkey, metrics in groups.items():
+        ms = []
+        for ident, dps in metrics.items():
+            name, desc, unit, mtype, temp, mono = ident
+            m: dict = {"name": str(name or "")}
+            if desc is not None:
+                m["description"] = str(desc)
+            if unit is not None:
+                m["unit"] = str(unit)
+            if (mtype or "Gauge") == "Gauge":
+                m["gauge"] = {"dataPoints": dps}
+            else:
+                body = {"dataPoints": dps,
+                        "aggregationTemporality": _TEMPORALITY.get(
+                            str(temp or "cumulative").lower(), 2)}
+                if mono:
+                    body["isMonotonic"] = True
+                m["sum"] = body
+            ms.append(m)
+        res_attrs = [{"key": c, "value": _any_value(v)}
+                     for c, v in zip(resource_cols, rkey) if v is not None]
+        resource_metrics.append({
+            "resource": {"attributes": res_attrs} if res_attrs else {},
+            "scopeMetrics": [{"scope": {"name": scope_name},
+                              "metrics": ms}]})
+    return {"resourceMetrics": resource_metrics}
+
+
+class OtlpMetricsJsonWriter:
+    """map_batches stage: one MetricsData JSON line per batch
+    (Gauge/Sum NumberDataPoint rows), same framing and naming
+    conventions as OtlpJsonWriter."""
+
+    def __init__(self, out_dir: str, *, time_col: str = "time_unix_nano",
+                 resource_cols: Iterable[str] = (),
+                 compression: str | None = None,
+                 scope_name: str = "open_telemetry_opentelemetry_collector_contrib_ray"):
+        self.out_dir = out_dir
+        self.time_col = time_col
+        self.resource_cols = list(resource_cols)
+        self.compression = compression
+        self.scope_name = scope_name
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        doc = _metrics_data_json(t.to_pylist(), time_col=self.time_col,
+                                 resource_cols=self.resource_cols,
+                                 scope_name=self.scope_name)
+        line = json.dumps(doc, separators=(",", ":")).encode() + b"\n"
+        digest = hashlib.md5(line).hexdigest()[:16]
+        ext = {"gzip": ".jsonl.gz",
+               "zstd": ".jsonl.zst"}.get(self.compression, ".jsonl")
+        path = os.path.join(self.out_dir, f"metrics-{digest}{ext}")
+        tmp = path + ".tmp"
+        with _open_out(tmp, self.compression) as f:
+            f.write(line)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+
+def write_otlp_metrics_json(ds, out_dir: str, **kw) -> list[dict]:
+    batch_size = kw.pop("batch_size", 8192)
+    manifest = ds.map_batches(OtlpMetricsJsonWriter(out_dir, **kw),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return manifest.take_all()
+
+
+def write_otlp_hist_json(rows: list[dict], out_path: str, *,
+                         metric_name: str, key_cols: Iterable[str],
+                         bounds: Iterable[float], le_col: str = "le",
+                         count_col: str = "n", unit: str | None = None,
+                         temporality: str = "cumulative",
+                         resource_cols: Iterable[str] = (),
+                         compression: str | None = None,
+                         scope_name: str =
+                         "open_telemetry_opentelemetry_collector_contrib_ray") -> str:
+    """Sparse per-bucket rows (histogram_agg output: one row per
+    (keys..., le)) -> one MetricsData JSON line with a single Histogram
+    metric; JSON twin of otlpproto.encode_histograms_data.  Driver-side
+    helper: histogram results are already tiny aggregates."""
+    key_cols, bounds = list(key_cols), [float(b) for b in bounds]
+    resource_cols = list(resource_cols)
+    labels = [_bound_label(b) for b in bounds] + ["inf"]
+    lab_idx = {v: i for i, v in enumerate(labels)}
+    groups: dict[tuple, dict[tuple, list[int]]] = {}
+    for r in rows:
+        rkey = tuple(r.get(c) for c in resource_cols)
+        kv = tuple(r.get(c) for c in key_cols)
+        counts = groups.setdefault(rkey, {}).setdefault(
+            kv, [0] * len(labels))
+        counts[lab_idx[str(r[le_col])]] += int(r[count_col])
+    resource_metrics = []
+    for rkey, dps in groups.items():
+        points = []
+        for kv, counts in sorted(dps.items(), key=lambda x: repr(x[0])):
+            dp = {"count": str(sum(counts)),
+                  "bucketCounts": [str(c) for c in counts],
+                  "explicitBounds": bounds}
+            attrs = [{"key": c, "value": _any_value(v)}
+                     for c, v in zip(key_cols, kv) if v is not None]
+            if attrs:
+                dp["attributes"] = attrs
+            points.append(dp)
+        m: dict = {"name": metric_name}
+        if unit is not None:
+            m["unit"] = unit
+        m["histogram"] = {"dataPoints": points,
+                          "aggregationTemporality": _TEMPORALITY.get(
+                              str(temporality).lower(), 2)}
+        res_attrs = [{"key": c, "value": _any_value(v)}
+                     for c, v in zip(resource_cols, rkey) if v is not None]
+        resource_metrics.append({
+            "resource": {"attributes": res_attrs} if res_attrs else {},
+            "scopeMetrics": [{"scope": {"name": scope_name},
+                              "metrics": [m]}]})
+    line = json.dumps({"resourceMetrics": resource_metrics},
+                      separators=(",", ":")).encode() + b"\n"
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    with _open_out(tmp, compression) as f:
+        f.write(line)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def _decode_metric_json(m: dict, res: dict, time_col: str,
+                        le_col: str, count_col: str) -> list[dict]:
+    meta: dict = {"metric_name": m.get("name", "")}
+    if "description" in m:
+        meta["metric_description"] = m["description"]
+    if "unit" in m:
+        meta["metric_unit"] = m["unit"]
+    rows: list[dict] = []
+    for kind in ("gauge", "sum"):
+        if kind not in m:
+            continue
+        body = m[kind]
+        meta["metric_type"] = kind.capitalize()
+        if kind == "sum":
+            temp = _TEMPORALITY_INV.get(
+                int(body.get("aggregationTemporality", 0)))
+            if temp is not None:
+                meta["metric_aggregation_temporality"] = temp
+            meta["metric_is_monotonic"] = bool(body.get("isMonotonic",
+                                                        False))
+        for dp in body.get("dataPoints", []):
+            row = dict(res)
+            row.update(meta)
+            if "startTimeUnixNano" in dp:
+                row["start_time_unix_nano"] = int(dp["startTimeUnixNano"])
+            if "timeUnixNano" in dp:
+                row[time_col] = int(dp["timeUnixNano"])
+            if "asDouble" in dp:
+                row["value_double"] = float(dp["asDouble"])
+            elif "asInt" in dp:
+                row["value_int"] = int(dp["asInt"])
+            for a in dp.get("attributes", []):
+                row[a["key"]] = _from_any_value(a["value"])
+            rows.append(row)
+    if "histogram" in m:
+        body = m["histogram"]
+        meta["metric_type"] = "Histogram"
+        temp = _TEMPORALITY_INV.get(
+            int(body.get("aggregationTemporality", 0)))
+        if temp is not None:
+            meta["metric_aggregation_temporality"] = temp
+        for dp in body.get("dataPoints", []):
+            bounds = [float(b) for b in dp.get("explicitBounds", [])]
+            counts = [int(c) for c in dp.get("bucketCounts", [])]
+            labels = [_bound_label(b) for b in bounds] + ["inf"]
+            attrs = {a["key"]: _from_any_value(a["value"])
+                     for a in dp.get("attributes", [])}
+            for lab, cnt in zip(labels, counts):
+                row = dict(res)
+                row.update(attrs)
+                row.update(meta)
+                row[le_col] = lab
+                row[count_col] = cnt
+                rows.append(row)
+    return rows
+
+
+class OtlpMetricsJsonReaderStage:
+    """map_batches over read_binary_files output: MetricsData JSON lines
+    -> flat datapoint rows (Gauge/Sum) or sparse le-rows (Histogram);
+    inverse of OtlpMetricsJsonWriter / write_otlp_hist_json."""
+
+    def __init__(self, time_col: str = "time_unix_nano",
+                 le_col: str = "le", count_col: str = "n"):
+        self.time_col = time_col
+        self.le_col = le_col
+        self.count_col = count_col
+
+    def __call__(self, batch) -> pa.Table:
+        import pandas as pd
+
+        rows: list[dict] = []
+        paths = batch.get("path")
+        for i, data in enumerate(batch["bytes"]):
+            raw = _read_bytes(bytes(data),
+                              str(paths[i]) if paths is not None else "")
+            for ln in raw.splitlines():
+                if not ln.strip():
+                    continue
+                doc = json.loads(ln)
+                for rm in doc.get("resourceMetrics", []):
+                    res = {a["key"]: _from_any_value(a["value"])
+                           for a in rm.get("resource", {})
+                           .get("attributes", [])}
+                    for sm in rm.get("scopeMetrics", []):
+                        for m in sm.get("metrics", []):
+                            rows.extend(_decode_metric_json(
+                                m, res, self.time_col,
+                                self.le_col, self.count_col))
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+
+def read_otlp_metrics_json(path: str, time_col: str = "time_unix_nano"):
+    import ray.data as rd
+
+    files = rd.read_binary_files(path, include_paths=True,
+                                 file_extensions=["jsonl", "gz", "zst"])
+    return files.map_batches(OtlpMetricsJsonReaderStage(time_col),
+                             batch_format="numpy")

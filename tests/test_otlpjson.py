@@ -184,3 +184,67 @@ def test_traces_json_matches_proto_decode():
     key = lambda r: r["span_id"]  # noqa: E731
     for a, b in zip(sorted(via_proto, key=key), sorted(via_json, key=key)):
         assert a == b
+
+
+def test_metrics_json_roundtrip_matches_proto_decode():
+    # Gauge + monotonic Sum datapoints through both wire formats must
+    # invert to the same flat rows
+    import glob
+    import tempfile
+
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpjson import (
+        OtlpMetricsJsonReaderStage, OtlpMetricsJsonWriter)
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_metrics_data, encode_metrics_data)
+    rows = []
+    for i in range(6):
+        rows.append({"metric_name": "lat", "metric_type": "Gauge",
+                     "metric_unit": "ms",
+                     "time_unix_nano": 1_700_000_000_000_000_000 + i,
+                     "value_double": i * 0.5, "shard": i % 2,
+                     "env": "prod"})
+        rows.append({"metric_name": "calls", "metric_type": "Sum",
+                     "metric_unit": "1", "metric_is_monotonic": True,
+                     "metric_aggregation_temporality": "cumulative",
+                     "time_unix_nano": 1_700_000_000_000_000_000 + i,
+                     "value_int": i * 3, "shard": i % 2, "env": "prod"})
+    via_proto = decode_metrics_data(
+        encode_metrics_data(rows, resource_cols=["env"]))
+    d = tempfile.mkdtemp()
+    cols = sorted({k for r in rows for k in r})
+    OtlpMetricsJsonWriter(d, resource_cols=["env"], compression="zstd")(
+        pa.table({k: [r.get(k) for r in rows] for k in cols}))
+    f = glob.glob(d + "/*.jsonl.zst")[0]
+    via_json = OtlpMetricsJsonReaderStage()(
+        {"bytes": [open(f, "rb").read()], "path": [f]}).to_pylist()
+    key = lambda r: (r["metric_name"], r["time_unix_nano"])  # noqa: E731
+    assert len(via_proto) == len(via_json) == 12
+    drop_none = lambda r: {k: v for k, v in r.items()  # noqa: E731
+                           if v is not None}  # DataFrame pads absent keys
+    for a, b in zip(sorted(via_proto, key=key), sorted(via_json, key=key)):
+        assert drop_none(a) == drop_none(b)
+
+
+def test_hist_json_roundtrip_zero_buckets():
+    import tempfile
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpjson import (
+        OtlpMetricsJsonReaderStage, write_otlp_hist_json)
+    rows = [{"tool": "search", "le": "100", "n": 3},
+            {"tool": "search", "le": "inf", "n": 1},
+            {"tool": "calc", "le": "500", "n": 7}]
+    path = tempfile.mkdtemp() + "/h.jsonl"
+    write_otlp_hist_json(rows, path, metric_name="tool_latency",
+                         key_cols=["tool"], bounds=[100, 500], unit="ms")
+    back = OtlpMetricsJsonReaderStage()(
+        {"bytes": [open(path, "rb").read()], "path": [path]}).to_pylist()
+    got = {(r["tool"], r["le"]): r["n"] for r in back}
+    # zero buckets materialize on decode, like the proto codec
+    assert got == {("search", "100"): 3, ("search", "500"): 0,
+                   ("search", "inf"): 1, ("calc", "100"): 0,
+                   ("calc", "500"): 7, ("calc", "inf"): 0}
+    assert all(r["metric_name"] == "tool_latency"
+               and r["metric_type"] == "Histogram"
+               and r["metric_unit"] == "ms" for r in back)
