@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q5",
     "tpch_q10",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
     "event_value_quartiles",
     "event_windows",
     "event_trailing",

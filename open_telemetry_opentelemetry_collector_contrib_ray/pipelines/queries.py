@@ -3534,6 +3534,446 @@ def q_tpch_q18(sf_dir: str):
                      ascending=[False, True]).reset_index(drop=True)
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecast-revenue change: pure scan-aggregate — filter +
+    exact-int cents×disc partial per batch, zero shuffle, one scalar
+    reaches the driver; the only float op is the final /10000.0."""
+    from ..stages.aggregate import grouped_agg
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_quantity", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                       pa.int64())
+        m = pc.and_(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(t.column("l_shipdate"), pa.scalar(hi))),
+            pc.and_(pc.and_(pc.greater_equal(disc, pa.scalar(5, pa.int64())),
+                            pc.less_equal(disc, pa.scalar(7, pa.int64()))),
+                    pc.less(t.column("l_quantity"), pa.scalar(24.0))))
+        t2 = t.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(t2.column("l_extendedprice"),
+                                             100.0)), pa.int64())
+        d2 = pc.cast(pc.round(pc.multiply(t2.column("l_discount"), 100.0)),
+                     pa.int64())
+        units = pc.sum(pc.multiply(cents, d2)).as_py() or 0
+        return pa.table({"units": pa.array([units], pa.int64()),
+                         "_one": pa.array([1], pa.int64())})
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    tot = grouped_agg(partials, ["_one"], [("sum", "units", "units")],
+                      combine="driver").to_pandas()
+    return pd.DataFrame({"revenue": [int(tot["units"].iloc[0]) / 10000.0]})
+
+
+_Q7_NATIONS = (1, 2)  # the adapted NATION_1 <-> NATION_2 shipping pair
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping between two nations: supplier collapses
+    to a broadcast (suppkey -> nationkey, filtered to the pair), the
+    shipdate-filtered lineitem stamps + prunes to pair-supplier rows
+    map-side, customers prune to the pair, and the two big joins
+    (orders x customer on custkey, lineitem x that on orderkey) are each
+    ONE co-partitioning shuffle; the cross-nation check + per-(nation,
+    nation, year) partial sum fuse into the second join's bucket.
+    Revenue stays exact int cents x (100-disc)."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-12-31", "us")
+    nat = _read_small(sf_dir, "nation")
+    names = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])
+             if int(k) in _Q7_NATIONS}
+    nset = pa.array(sorted(names), pa.int64())
+
+    sup = _read_small(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    sup = sup[sup["s_nationkey"].isin(names)].sort_values("s_suppkey")
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                       sup["s_nationkey"].to_numpy(np.int64)))
+
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"),
+                                    value_set=nset)),
+        batch_format="pyarrow")
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("o_custkey"),
+                            "l_orderkey": t.column("o_orderkey")}),
+        batch_format="pyarrow")
+    j1 = bucketed_hash_join(orders, cust, on=["c_custkey"], how="inner",
+                            reduce=lambda df: df[["l_orderkey",
+                                                  "c_nationkey"]]) \
+        .materialize()
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less_equal(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, sk),
+                         max(len(keys) - 1, 0))
+        hit = keys[pos] == sk if len(keys) else np.zeros(len(sk), bool)
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "s_nationkey": pa.array(nats[pos], pa.int64()),
+            "l_year": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), disc)),
+        })
+
+    li2 = li.map_batches(stamp, batch_format="pyarrow")
+
+    def cross_rev(df):
+        df = df[df["s_nationkey"] != df["c_nationkey"]]
+        df = df.assign(rev=df["rev"].astype("int64"),
+                       l_year=df["l_year"].astype("int64"))
+        return df.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                          as_index=False)["rev"].sum()
+
+    j2 = bucketed_hash_join(li2, j1, on=["l_orderkey"], how="inner",
+                            reduce=cross_rev)
+    out = grouped_agg(j2, ["s_nationkey", "c_nationkey", "l_year"],
+                      [("sum", "rev", "revenue")],
+                      combine="driver").to_pandas()
+    out["revenue"] = out["revenue"].astype("int64")
+    out["supp_nation"] = out["s_nationkey"].map(names)
+    out["cust_nation"] = out["c_nationkey"].map(names)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = 1, "ASIA", "ECONOMY"
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share: part + supplier collapse into
+    broadcasts (ECONOMY partkey set; suppkey -> nationkey), ASIA
+    customers prune at the scan, orders date-filter then ONE semi join
+    keeps ASIA-customer orders, lineitem prunes to ECONOMY parts
+    map-side, and the final join fuses the per-(year, is-nation) partial
+    sums into its buckets.  Exact int volumes; the share is one float
+    division of two exact int64 sums per year."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-12-31", "us")
+    nat = _read_small(sf_dir, "nation")
+    reg = _read_small(sf_dir, "region")
+    rk = int(reg.loc[reg["r_name"] == _Q8_REGION, "r_regionkey"].iloc[0])
+    asia = pa.array(sorted(nat.loc[nat["n_regionkey"] == rk,
+                                   "n_nationkey"].astype(int)), pa.int64())
+
+    part = _read_small(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pk = np.sort(part.loc[part["p_type"] == _Q8_TYPE,
+                          "p_partkey"].to_numpy(np.int64))
+    sup = _read_small(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]) \
+        .sort_values("s_suppkey")
+    bref = ray.put((pk, sup["s_suppkey"].to_numpy(np.int64),
+                    sup["s_nationkey"].to_numpy(np.int64)))
+
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.is_in(t.column("c_nationkey"), value_set=asia))
+            .column("c_custkey")}),
+        batch_format="pyarrow")
+
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less_equal(t.column("o_orderdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"c_custkey": t.column("o_custkey"),
+                         "l_orderkey": t.column("o_orderkey"),
+                         "o_year": pc.year(t.column("o_orderdate"))
+                                     .cast(pa.int64())})
+
+    orders = orders.map_batches(ofilter, batch_format="pyarrow")
+    j1 = bucketed_hash_join(orders, cust, on=["c_custkey"], how="semi",
+                            reduce=lambda df: df[["l_orderkey", "o_year"]]) \
+        .materialize()
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        pkeys, skeys, snats = ray.get(bref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, lp),
+                         max(len(pkeys) - 1, 0))
+        hit = pkeys[pos] == lp if len(pkeys) else np.zeros(len(lp), bool)
+        t = t.filter(pa.array(hit))
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        spos = np.minimum(np.searchsorted(skeys, sk),
+                          max(len(skeys) - 1, 0))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "s_nationkey": pa.array(snats[spos], pa.int64()),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), disc)),
+        })
+
+    li2 = li.map_batches(stamp, batch_format="pyarrow")
+
+    def per_year(df):
+        df = df.assign(rev=df["rev"].astype("int64"),
+                       o_year=df["o_year"].astype("int64"),
+                       nrev=np.where(df["s_nationkey"] == _Q8_NATION,
+                                     df["rev"].astype("int64"), 0))
+        return df.groupby("o_year", as_index=False) \
+            .agg(nation_rev=("nrev", "sum"), total_rev=("rev", "sum"))
+
+    j2 = bucketed_hash_join(li2, j1, on=["l_orderkey"], how="inner",
+                            reduce=per_year)
+    out = grouped_agg(j2, ["o_year"],
+                      [("sum", "nation_rev", "nation_rev"),
+                       ("sum", "total_rev", "total_rev")],
+                      combine="driver").to_pandas()
+    for c in ("nation_rev", "total_rev", "o_year"):
+        out[c] = out[c].astype("int64")
+    out["mkt_share"] = out["nation_rev"] / out["total_rev"]
+    return out[["o_year", "nation_rev", "total_rev", "mkt_share"]] \
+        .sort_values("o_year").reset_index(drop=True)
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer order-count distribution (minus the o_comment
+    NOT LIKE filter — the synthetic orders table carries no comment
+    column): per-customer counts via the bucketed combine, a second tiny
+    groupby turns them into the histogram, and the LEFT-JOIN zero bucket
+    is computed as |customer| - |custkeys with orders| (FK integrity
+    makes that identical to the outer join, with no customer shuffle at
+    all)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.aggregate import grouped_agg
+
+    orders = _rd(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = grouped_agg(orders, ["o_custkey"],
+                           [("count", None, "c_count")],
+                           combine="bucket", n_buckets=16)
+    hist = grouped_agg(per_cust, ["c_count"],
+                       [("count", None, "custdist")],
+                       combine="driver").to_pandas()
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    zero = int(n_cust) - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})],
+                         ignore_index=True)
+    return hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]).reset_index(drop=True)
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier: the revenue view is a map-side exact-int
+    partial sum per suppkey + one bucketed combine (supplier
+    cardinality), the max is a scalar aggregate over that small table,
+    winners filter map-side, and names attach driver-side from the
+    dimension read."""
+    from ..stages.aggregate import grouped_agg
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-04-01", "us")
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        return pa.table({
+            "l_suppkey": t.column("l_suppkey"),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), disc))})
+
+    per_supp = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                           ["l_suppkey"], [("sum", "rev", "revenue")],
+                           combine="bucket", n_buckets=16).materialize()
+    mx = per_supp.max("revenue")
+    top = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t.column("revenue"),
+                                    pa.scalar(int(mx), pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    top["revenue"] = top["revenue"].astype("int64")
+    sup = _read_small(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    return out[["s_suppkey", "s_name", "revenue"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+_Q17_BRAND = "Brand#13"
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue (minus the p_container
+    filter — no container column in the synthetic part table): the
+    brand's partkey set broadcasts, lineitem prunes to it map-side, the
+    per-part (sum_qty, n) partials take one small bucketed combine and
+    broadcast back, and the second pruned pass applies the correlated
+    predicate IN EXACT INTEGERS (qty < 0.2*avg  <=>  5*n*qty < sum_qty)
+    so the oracle comparison is float-free until the final /700.0."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+
+    part = _read_small(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pk = np.sort(part.loc[part["p_brand"] == _Q17_BRAND,
+                          "p_partkey"].to_numpy(np.int64))
+    pk_ref = ray.put(pk)
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_rows(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, lp),
+                         max(len(keys) - 1, 0))
+        hit = keys[pos] == lp if len(keys) else np.zeros(len(lp), bool)
+        t = t.filter(pa.array(hit))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "qty": t.column("l_quantity").cast(pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64())})
+
+    pruned = li.map_batches(brand_rows, batch_format="pyarrow")
+    stats = grouped_agg(pruned, ["l_partkey"],
+                        [("sum", "qty", "sum_qty"), ("count", None, "n")],
+                        combine="bucket", n_buckets=8).to_pandas()
+    order = np.argsort(stats["l_partkey"].to_numpy(np.int64))
+    st_ref = ray.put((stats["l_partkey"].to_numpy(np.int64)[order],
+                      stats["sum_qty"].to_numpy(np.int64)[order],
+                      stats["n"].to_numpy(np.int64)[order]))
+
+    def small_qty(t: pa.Table) -> pa.Table:
+        keys, sq, n = ray.get(st_ref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, lp),
+                         max(len(keys) - 1, 0))
+        qty = t.column("qty").to_numpy(zero_copy_only=False)
+        keep = (keys[pos] == lp) & (5 * n[pos] * qty < sq[pos]) \
+            if len(keys) else np.zeros(len(lp), bool)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array([int(cents[keep].sum())],
+                                           pa.int64()),
+                         "_one": pa.array([1], pa.int64())})
+
+    partials = pruned.map_batches(small_qty, batch_format="pyarrow")
+    tot = grouped_agg(partials, ["_one"], [("sum", "cents", "cents")],
+                      combine="driver").to_pandas()
+    return pd.DataFrame(
+        {"avg_yearly": [int(tot["cents"].iloc[0]) / 700.0]})
+
+
+_Q22_CODES = (1, 3, 5, 7, 9, 11, 13)
+_Q22_CUT = "2000-07-01"
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 global sales opportunity, adapted to the synthetic
+    schema (cntrycode := c_nationkey — no phone column; "never placed
+    an order" := no order since 2000-07-01, since every synthetic
+    customer has old orders): the scalar subquery is an exact-int
+    (sum, n) partial pair (bal*n > sum  <=>  bal > avg, float-free),
+    the NOT EXISTS is ONE bucketed anti-join of the qualifying
+    customers against the date-pruned orders, and the final group-by is
+    driver-combined.  totacctbal's only float op is the final /100.0."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    cut = np.datetime64(_Q22_CUT, "us")
+    codes = pa.array(sorted(_Q22_CODES), pa.int64())
+    cust = _rd(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def in_codes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("c_nationkey"), value_set=codes))
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "cntrycode": t.column("c_nationkey").cast(pa.int64()),
+            "bal": pc.cast(pc.round(pc.multiply(
+                t.column("c_acctbal"), 100.0)), pa.int64())})
+
+    cset = cust.map_batches(in_codes, batch_format="pyarrow").materialize()
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("bal"), pa.scalar(0, pa.int64())))
+        return pa.table({
+            "s": pa.array([pc.sum(t.column("bal")).as_py() or 0],
+                          pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+            "_one": pa.array([1], pa.int64())})
+
+    thr = grouped_agg(cset.map_batches(pos_partial, batch_format="pyarrow"),
+                      ["_one"], [("sum", "s", "s"), ("sum", "n", "n")],
+                      combine="driver").to_pandas()
+    s, n = int(thr["s"].iloc[0]), int(thr["n"].iloc[0])
+
+    rich = cset.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t.column("bal"), pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow")
+
+    orders = _rd(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(cut)))
+            .column("o_custkey")}),
+        batch_format="pyarrow")
+    quiet = bucketed_hash_join(rich, recent, on=["c_custkey"], how="anti")
+    out = grouped_agg(quiet, ["cntrycode"],
+                      [("count", None, "numcust"), ("sum", "bal", "bal")],
+                      combine="driver").to_pandas()
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["bal"].astype("int64") / 100.0
+    return out[["cntrycode", "numcust", "totacctbal"]] \
+        .sort_values("cntrycode").reset_index(drop=True)
+
+
 def q_conversation_features(sf_dir: str):
     """Per-conversation feature extraction (the transcripts-axis
     aggregate a fine-tuning pipeline computes before filtering convs):
@@ -4331,6 +4771,13 @@ def queries():
         "otlp_traces_proto_roundtrip": q_otlp_traces_proto_roundtrip,
         "otlp_traces_json_roundtrip": q_otlp_traces_json_roundtrip,
         "otlp_metrics_json_roundtrip": q_otlp_metrics_json_roundtrip,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -4937,6 +5384,118 @@ def oracle_sql():
                    CAST(sum(vi) AS BIGINT) AS vi_sum
             FROM pts GROUP BY 1, 2, 3
             ORDER BY metric_name, shard""",
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24""",
+        "tpch_q7": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1997-01-01'
+                AND l_shipdate <= DATE '1998-12-31')
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   l_year, CAST(sum(rev) AS BIGINT) AS revenue
+            FROM supplier, l, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "tpch_q8": """
+            WITH vol AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev,
+                     s_nationkey
+              FROM lineitem, orders, customer, supplier, part,
+                   nation, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate <= DATE '1998-12-31')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nationkey = 1 THEN rev
+                            ELSE 0 END) AS BIGINT) AS nation_rev,
+                   CAST(sum(rev) AS BIGINT) AS total_rev,
+                   CAST(sum(CASE WHEN s_nationkey = 1 THEN rev
+                            ELSE 0 END) AS BIGINT)
+                   / CAST(sum(rev) AS BIGINT) AS mkt_share
+            FROM vol GROUP BY o_year ORDER BY o_year""",
+        "tpch_q13": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   count(*) AS custdist
+            FROM per_cust GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC""",
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1997-01-01'
+                AND l_shipdate < DATE '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev AS revenue
+            FROM supplier, revenue
+            WHERE s_suppkey = supplier_no
+              AND total_rev = (SELECT max(total_rev) FROM revenue)
+            ORDER BY s_suppkey""",
+        "tpch_q17": """
+            WITH pruned AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem, part
+              WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'),
+            stats AS (
+              SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     count(*) AS n
+              FROM pruned GROUP BY l_partkey)
+            SELECT CAST(sum(cents) AS BIGINT) / 700.0 AS avg_yearly
+            FROM pruned, stats
+            WHERE pruned.l_partkey = stats.l_partkey
+              AND 5 * stats.n * pruned.qty < stats.sum_qty""",
+        "tpch_q22": """
+            WITH cset AS (
+              SELECT c_custkey,
+                     CAST(c_nationkey AS BIGINT) AS cntrycode,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+              FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            thr AS (
+              SELECT CAST(sum(bal) AS BIGINT) AS s, count(*) AS n
+              FROM cset WHERE bal > 0)
+            SELECT cntrycode, count(*) AS numcust,
+                   CAST(sum(bal) AS BIGINT) / 100.0 AS totacctbal
+            FROM cset, thr
+            WHERE bal * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '2000-07-01')
+            GROUP BY cntrycode ORDER BY cntrycode""",
         "otlp_traces_json_roundtrip": """
             SELECT CASE WHEN event_id % 2 = 0 THEN 'prod' ELSE 'stage' END
                        AS env,
