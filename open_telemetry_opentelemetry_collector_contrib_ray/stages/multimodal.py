@@ -2,9 +2,10 @@
 
 Image decode is REAL in pure numpy+stdlib for BMP / binary PNM / PNG /
 baseline JPEG (jpegcodec.py); audio PCM16 kernels are real; video is
-real for raw RGB24 frame buffers AND uncompressed-DIB AVI containers
-(encode_avi/decode_avi).  Codecs beyond that (WebP, progressive JPEG,
-mp3/ogg, compressed video) need PIL/ffmpeg — NOT in this container —
+real for raw RGB24 frame buffers, uncompressed-DIB AVI containers AND
+Motion-JPEG AVI (encode_avi/decode_avi, frames through jpegcodec).
+Codecs beyond that (WebP, progressive JPEG,
+mp3/ogg, h264/vp9 video) need PIL/ffmpeg — NOT in this container —
 and sit behind import guards that raise honestly, while
 the Ray-side plumbing (schema, batch sizing, actor signature, output
 layout) is identical either way and tested end-to-end.
@@ -163,13 +164,13 @@ class FrameSampler:
     """Video frame sampling: one input row -> k frame rows (flat_map
     shape).
 
-    REAL decode paths: uncompressed-DIB AVI containers (RIFF sniffed
-    from the payload itself, dims from the strf header — decode_avi)
-    and raw RGB24 buffers (``width``/``height`` metadata columns,
-    ffmpeg ``rawvideo`` pix_fmt rgb24 frame-major layout).  Both sample
-    k frames uniformly across the clip and emit the true temporal frame
-    index, exact RGB24 frame bytes and decoded mean pixel.  Compressed
-    codecs inside a container raise in decode_avi and fall through to
+    REAL decode paths: uncompressed-DIB and Motion-JPEG AVI containers
+    (RIFF sniffed from the payload itself, dims from the strf header —
+    decode_avi) and raw RGB24 buffers (``width``/``height`` metadata
+    columns, ffmpeg ``rawvideo`` pix_fmt rgb24 frame-major layout).
+    All sample k frames uniformly across the clip and emit the true
+    temporal frame index, RGB24 frame bytes and decoded mean pixel.
+    Other codecs inside a container raise in decode_avi and fall through to
     the byte-range stub (frame_idx 0..k-1, mean_pixel over raw bytes)
     so opaque-container plumbing still flows."""
 
@@ -252,15 +253,19 @@ def synth_video_table(n: int, width: int = 16, height: int = 12,
                       n_frames: int = 24, seed: int = 7) -> pa.Table:
     """Deterministic clips (brightness ramps over time) for the real
     FrameSampler paths: even items ship frame-major raw RGB24 buffers,
-    odd items the SAME frames packaged in a real uncompressed-DIB AVI
-    container (encode_avi) — both decode to identical pixels."""
+    items i%4==1 the SAME frames packaged in a real uncompressed-DIB
+    AVI container (identical pixels), and items i%4==3 a real
+    Motion-JPEG AVI (lossy but structurally identical sampling)."""
     rng = np.random.RandomState(seed)
     payloads, mimes = [], []
     for i in range(n):
         base = rng.randint(0, 128, size=(height, width, 3), dtype=np.uint8)
         frames = [np.clip(base.astype(np.int32) + 4 * j, 0, 255).astype(np.uint8)
                   for j in range(n_frames)]
-        if i % 2:
+        if i % 4 == 3:
+            payloads.append(encode_avi(frames, codec="MJPG"))
+            mimes.append("video/x-msvideo")
+        elif i % 2:
             payloads.append(encode_avi(frames))
             mimes.append("video/x-msvideo")
         else:
@@ -749,70 +754,90 @@ class AudioFeatureExtractor:
 
 
 # ------------------------------------------------------------------ real
-# video container: AVI (RIFF) with uncompressed 'DIB ' frames in pure
-# stdlib — the simplest REAL container format (what `ffmpeg -c:v
-# rawvideo out.avi` writes).  Compressed codecs (h264/vp9/mjpeg) still
-# need ffmpeg and stay honestly NotImplementedError.
+# video container: AVI (RIFF) in pure stdlib — uncompressed 'DIB '
+# frames (what `ffmpeg -c:v rawvideo out.avi` writes) AND Motion-JPEG
+# ('MJPG' handler, one baseline JPEG per '00dc' chunk, decoded by
+# stages/jpegcodec.py — what `ffmpeg -c:v mjpeg out.avi` writes).
+# Other codecs (h264/vp9/...) still need ffmpeg and stay honestly
+# NotImplementedError.
+
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
 
 
-def encode_avi(frames: list, fps: int = 10) -> bytes:
-    """list of (H, W, 3) uint8 RGB frames -> uncompressed AVI bytes
-    (RIFF 'AVI ': hdrl{avih, strl{strh 'vids'/'DIB ', strf BI_RGB 24}},
-    movi{'00db' bottom-up BGR DIB frames}, idx1)."""
+def encode_avi(frames: list, fps: int = 10, codec: str = "DIB",
+               quality: int = 90) -> bytes:
+    """list of (H, W, 3) uint8 RGB frames -> AVI bytes (RIFF 'AVI ':
+    hdrl{avih, strl{strh 'vids', strf}}, movi, idx1).  codec='DIB'
+    writes bottom-up BGR '00db' frames (BI_RGB); codec='MJPG' writes
+    one baseline JPEG per '00dc' chunk (biCompression='MJPG')."""
     assert frames, "need at least one frame"
     h, w, c = frames[0].shape
     assert c == 3
-    row_len = (w * 3 + 3) & ~3
-    fsz = row_len * h
+    if codec == "DIB":
+        row_len = (w * 3 + 3) & ~3
+        fsz = row_len * h
 
-    def dib(px: np.ndarray) -> bytes:
-        rows = np.zeros((h, row_len), dtype=np.uint8)
-        rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
-        return rows.tobytes()
+        def enc(px: np.ndarray) -> bytes:
+            rows = np.zeros((h, row_len), dtype=np.uint8)
+            rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+            return rows.tobytes()
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
+        handler, comp, tag = b"DIB ", 0, b"00db"
+        payloads = [enc(f) for f in frames]
+    elif codec == "MJPG":
+        from .jpegcodec import encode_jpeg
+
+        handler, comp, tag = b"MJPG", _MJPG_FOURCC, b"00dc"
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        fsz = max(len(p) for p in payloads)
+    else:
+        raise NotImplementedError(f"encode_avi codec {codec!r}")
+
+    def chunk(ctag: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
-        return tag + struct.pack("<I", len(data)) + data + pad
+        return ctag + struct.pack("<I", len(data)) + data + pad
 
-    def lst(tag: bytes, data: bytes) -> bytes:
-        return chunk(b"LIST", tag + data)
+    def lst(ltag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltag + data)
 
     avih = struct.pack("<10I", 1_000_000 // fps, fsz * fps, 0, 0x10,
                        len(frames), 0, 1, fsz, w, h) + b"\x00" * 16
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+    strh = (b"vids" + handler + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
                                             1, fps, 0, len(frames), fsz,
                                             0xFFFFFFFF, 0)
             + struct.pack("<4H", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsz,
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, fsz,
                        2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_frames = b"".join(chunk(b"00db", dib(f)) for f in frames)
+    movi_frames = b"".join(chunk(tag, p) for p in payloads)
     movi = lst(b"movi", movi_frames)
     # idx1: offsets relative to the start of the movi LIST data
     idx = bytearray()
     off = 4                                  # past the 'movi' fourcc
-    for _ in frames:
-        idx += b"00db" + struct.pack("<III", 0x10, off, fsz)
-        off += 8 + fsz + (fsz % 2)
+    for p in payloads:
+        idx += tag + struct.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_avi(buf: bytes):
-    """Uncompressed-DIB AVI bytes -> (frames, width, height) where
-    frames is a list of (H, W, 3) uint8 RGB arrays.  Compressed streams
-    (strh handler != 'DIB '/raw, or bpp != 24) raise
+    """AVI bytes -> (frames, width, height) where frames is a list of
+    (H, W, 3) uint8 RGB arrays.  Decodes uncompressed 24-bit DIB
+    streams and Motion-JPEG ('MJPG' handler or biCompression fourcc,
+    via the pure-numpy baseline JPEG decoder).  Other codecs raise
     NotImplementedError; malformed RIFF raises ValueError."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/AVI  header missing)")
     w = h = None
     bpp = None
+    comp = 0
     handler = None
     frame_chunks = []
 
     def walk(data: bytes):
-        nonlocal w, h, bpp, handler
+        nonlocal w, h, bpp, comp, handler
         pos = 0
         while pos + 8 <= len(data):
             tag = data[pos:pos + 4]
@@ -830,6 +855,8 @@ def decode_avi(buf: bytes):
                     raise ValueError("truncated AVI strf header")
                 _, w_, h_, _, bpp_ = struct.unpack_from("<IiiHH", body, 0)
                 w, h, bpp = w_, abs(h_), bpp_
+                if len(body) >= 20:
+                    (comp,) = struct.unpack_from("<I", body, 16)
             elif tag in (b"00db", b"00dc"):
                 frame_chunks.append(body)
             pos += 8 + ln + (ln % 2)         # chunks pad to even
@@ -837,10 +864,20 @@ def decode_avi(buf: bytes):
     walk(buf[12:])
     if w is None or not frame_chunks:
         raise ValueError("AVI missing strf header or frames")
+    if handler == b"MJPG" or comp == _MJPG_FOURCC:
+        from .jpegcodec import decode_jpeg
+
+        frames = []
+        for fb in frame_chunks:
+            px = decode_jpeg(bytes(fb))
+            if px.ndim == 2:                 # grayscale MJPEG stream
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            frames.append(px)
+        return frames, w, h
     if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB ") or bpp != 24:
         raise NotImplementedError(
             f"AVI codec {handler!r}/{bpp}bpp needs ffmpeg; only "
-            "uncompressed 24-bit DIB decodes natively")
+            "uncompressed 24-bit DIB and MJPG decode natively")
     row_len = (w * 3 + 3) & ~3
     frames = []
     for fb in frame_chunks:

@@ -360,3 +360,52 @@ def test_audio_chunker_stereo_downmix():
     assert out.num_rows == 4
     first = np.frombuffer(out.column("payload").to_pylist()[0], dtype="<i2")
     assert (first == 200).all()  # mono mean of 100/300
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """MJPG-in-AVI decodes natively via the pure-numpy JPEG codec:
+    flat-color frames roundtrip exactly, smooth ramps stay close, and
+    FrameSampler samples the same indices as the DIB container."""
+    import numpy as np
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        FrameSampler,
+        decode_avi,
+        encode_avi,
+    )
+
+    flat = [np.full((16, 16, 3), v, np.uint8) for v in (40, 90, 200)]
+    back, w, h = decode_avi(encode_avi(flat, codec="MJPG", quality=95))
+    assert (w, h) == (16, 16) and len(back) == 3
+    for a, b in zip(flat, back):
+        assert np.array_equal(a, b)          # DC-only blocks: exact
+
+    grad = [np.tile(np.arange(16, dtype=np.uint8) * 8,
+                    (12, 1))[:, :, None].repeat(3, axis=2) + j
+            for j in range(6)]
+    gb, _, _ = decode_avi(encode_avi(grad, codec="MJPG", quality=95))
+    assert max(np.abs(a.astype(int) - b.astype(int)).max()
+               for a, b in zip(grad, gb)) <= 12
+
+    dib = encode_avi(grad)
+    mjpg = encode_avi(grad, codec="MJPG", quality=95)
+    t = pa.table({"item_id": pa.array([0, 1], pa.int64()),
+                  "mime": pa.array(["video/x-msvideo"] * 2),
+                  "width": pa.array([16, 16], pa.int32()),
+                  "height": pa.array([12, 12], pa.int32()),
+                  "payload": pa.array([dib, mjpg], pa.large_binary())})
+    out = FrameSampler(frames_per_item=3)(t).to_pandas()
+    a = out[out.item_id == 0].reset_index(drop=True)
+    b = out[out.item_id == 1].reset_index(drop=True)
+    assert list(a.frame_idx) == list(b.frame_idx)
+    assert np.abs(a.mean_pixel.to_numpy()
+                  - b.mean_pixel.to_numpy()).max() < 2.0
+
+    # unknown codec still raises honestly
+    bad = bytearray(encode_avi(grad, codec="MJPG"))
+    i = bad.find(b"MJPG")                     # strh handler fourcc
+    bad[i:i + 4] = b"H264"
+    j = bad.find(b"MJPG", i + 4)              # strf biCompression
+    bad[j:j + 4] = b"H264"
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(bad))
