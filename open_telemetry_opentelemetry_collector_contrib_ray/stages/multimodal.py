@@ -656,9 +656,11 @@ def encode_wav(pcm: bytes, sample_rate: int, channels: int = 1) -> bytes:
 
 
 def decode_wav(buf: bytes):
-    """RIFF WAVE bytes -> (pcm16 bytes, sample_rate, channels).  Only
-    uncompressed 16-bit PCM (wFormatTag 1); anything else (float, law,
-    mp3-in-wav) raises NotImplementedError."""
+    """RIFF WAVE bytes -> (pcm16 bytes, sample_rate, channels).
+    Uncompressed PCM 8/16/24/32-bit (wFormatTag 1) and IEEE-float
+    32/64-bit (wFormatTag 3) decode natively, normalized to PCM16;
+    compressed formats (a/mu-law, ADPCM, mp3-in-wav) raise
+    NotImplementedError."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV (RIFF/WAVE header missing)")
     pos, rate, channels, bits, fmt_tag, data = 12, None, None, None, None, None
@@ -676,11 +678,34 @@ def decode_wav(buf: bytes):
         pos += 8 + ln + (ln % 2)
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if fmt_tag != 1 or bits != 16:
-        raise NotImplementedError(
-            f"WAV format {fmt_tag}/{bits}-bit needs ffmpeg; only PCM16 "
-            "decodes natively")
-    return data, rate, channels
+    if fmt_tag == 1 and bits == 16:
+        return data, rate, channels
+    # real sample-format conversions (pure numpy) -> canonical PCM16
+    if fmt_tag == 1 and bits == 8:           # unsigned 8-bit PCM
+        x = np.frombuffer(data, np.uint8).astype(np.int16)
+        return (((x - 128) << 8).astype("<i2").tobytes(), rate, channels)
+    if fmt_tag == 1 and bits == 24:          # packed little-endian 24-bit
+        b = np.frombuffer(data[:len(data) // 3 * 3], np.uint8) \
+            .reshape(-1, 3)
+        x = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+        return ((x >> 8).astype("<i2").tobytes(), rate, channels)
+    if fmt_tag == 1 and bits == 32:          # signed 32-bit PCM
+        x = np.frombuffer(data[:len(data) // 4 * 4], "<i4")
+        return ((x >> 16).astype("<i2").tobytes(), rate, channels)
+    if fmt_tag == 3 and bits in (32, 64):    # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        step = bits // 8
+        x = np.frombuffer(data[:len(data) // step * step], dt)
+        x = np.clip(x, -1.0, 1.0)
+        return ((x * 32767.0).round().astype("<i2").tobytes(),
+                rate, channels)
+    if fmt_tag == 3:
+        raise ValueError(f"malformed float WAV: {bits}-bit samples")
+    raise NotImplementedError(
+        f"WAV format {fmt_tag}/{bits}-bit needs ffmpeg; PCM 8/16/24/32 "
+        "and IEEE-float 32/64 decode natively")
 
 
 class AudioChunker:

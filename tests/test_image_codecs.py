@@ -291,12 +291,63 @@ def test_wav_container_roundtrip_and_chunk_parity():
     assert len(a) == len(b) == 4
     assert all(x == y for x, y in zip(a.payload, b.payload))
     assert (b.sample_rate == 16000).all()
-    # non-PCM16 WAV raises honestly
+    # compressed WAV raises honestly
     buf = bytearray(encode_wav(pcm, 16000))
     i = buf.find(b"fmt ")
-    buf[i + 8] = 3                             # wFormatTag = IEEE float
+    buf[i + 8] = 85                            # wFormatTag = MPEG layer 3
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(buf))
+
+
+def test_wav_float_and_wide_pcm_decode():
+    """IEEE-float and 8/24/32-bit PCM WAVs decode natively to PCM16."""
+    import struct
+
+    import numpy as np
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_wav,
+    )
+
+    def wav(fmt_tag, bits, payload, rate=8000, ch=1):
+        fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate,
+                          rate * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    ref = (np.sin(np.arange(512) / 9.0) * 0.75).astype(np.float64)
+    want = (ref * 32767.0).round().astype("<i2")
+    for dt, bits in (("<f4", 32), ("<f8", 64)):
+        got, rate, ch = decode_wav(wav(3, bits, ref.astype(dt).tobytes()))
+        g = np.frombuffer(got, "<i2")
+        assert rate == 8000 and ch == 1
+        assert np.abs(g.astype(int) - want.astype(int)).max() <= 1
+
+    # float samples clip to [-1, 1]
+    loud = np.array([2.0, -3.0, 0.5], "<f4")
+    g = np.frombuffer(decode_wav(wav(3, 32, loud.tobytes()))[0], "<i2")
+    assert list(g) == [32767, -32767, 16384]
+
+    # 8-bit unsigned: 128 -> 0, 255 -> 32512, 0 -> -32768
+    g = np.frombuffer(decode_wav(wav(1, 8, bytes([128, 255, 0, 0])))[0],
+                      "<i2")
+    assert list(g) == [0, 32512, -32768, -32768]
+
+    # 24-bit: top 16 bits survive, sign extends
+    x24 = b"\x00\x00\x40" + b"\x00\x00\xc0"   # +2^22, -2^22
+    g = np.frombuffer(decode_wav(wav(1, 24, x24))[0], "<i2")
+    assert list(g) == [0x4000, -0x4000]
+
+    # 32-bit int: arithmetic shift
+    x32 = np.array([1 << 30, -(1 << 30)], "<i4").tobytes()
+    g = np.frombuffer(decode_wav(wav(1, 32, x32))[0], "<i2")
+    assert list(g) == [0x4000, -0x4000]
+
+    # float with non-float width is malformed, not "unsupported"
+    with pytest.raises(ValueError):
+        decode_wav(wav(3, 16, b"\x00" * 32))
 
 
 # ---------------------------------------------------- session-review fixes
