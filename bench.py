@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q15",
     "tpch_q17",
+    "tpch_q19",
     "tpch_q22",
     "event_value_quartiles",
     "event_windows",

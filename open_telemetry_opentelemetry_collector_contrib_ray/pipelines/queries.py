@@ -3908,6 +3908,69 @@ def q_tpch_q17(sf_dir: str):
         {"avg_yearly": [int(tot["cents"].iloc[0]) / 700.0]})
 
 
+_Q19_CLAUSES = (("Brand#2", 1, 5, 1, 11),
+                ("Brand#3", 1, 10, 10, 20),
+                ("Brand#4", 1, 15, 20, 30))
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted revenue (minus the p_container /
+    l_shipmode / l_shipinstruct filters — columns absent in the
+    synthetic tables): the disjunctive OR-of-ANDs predicate evaluates
+    map-side against a broadcast (partkey -> brand-clause, size) table
+    pre-pruned to the three clause brands — lineitem never shuffles,
+    a (revenue, n) int partial pair reaches the driver, and the only
+    float op is the final /10000.0."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+
+    part = _read_small(sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_size"])
+    brands = {c[0]: i for i, c in enumerate(_Q19_CLAUSES)}
+    part = part[part["p_brand"].isin(brands)].sort_values("p_partkey")
+    clause = part["p_brand"].map(brands).to_numpy(np.int64)
+    bref = ray.put((part["p_partkey"].to_numpy(np.int64), clause,
+                    part["p_size"].to_numpy(np.int64)))
+    qlo = np.array([c[3] for c in _Q19_CLAUSES], np.int64)
+    qhi = np.array([c[4] for c in _Q19_CLAUSES], np.int64)
+    slo = np.array([c[1] for c in _Q19_CLAUSES], np.int64)
+    shi = np.array([c[2] for c in _Q19_CLAUSES], np.int64)
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, cl, size = ray.get(bref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, lp),
+                         max(len(keys) - 1, 0))
+        hit = keys[pos] == lp if len(keys) else np.zeros(len(lp), bool)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = np.where(hit, cl[pos], 0)
+        keep = hit & (qty >= qlo[c]) & (qty <= qhi[c]) \
+            & (size[pos] >= slo[c]) & (size[pos] <= shi[c])
+        t2 = t.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(
+            t2.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t2.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.sum(pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()), disc))).as_py() or 0
+        return pa.table({"rev": pa.array([rev], pa.int64()),
+                         "n": pa.array([t2.num_rows], pa.int64()),
+                         "_one": pa.array([1], pa.int64())})
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    tot = grouped_agg(partials, ["_one"],
+                      [("sum", "rev", "rev"), ("sum", "n", "n")],
+                      combine="driver").to_pandas()
+    return pd.DataFrame({"revenue": [int(tot["rev"].iloc[0]) / 10000.0],
+                         "n": [int(tot["n"].iloc[0])]})
+
+
 _Q22_CODES = (1, 3, 5, 7, 9, 11, 13)
 _Q22_CUT = "2000-07-01"
 
@@ -4777,6 +4840,7 @@ def queries():
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
@@ -5478,6 +5542,20 @@ def oracle_sql():
             FROM pruned, stats
             WHERE pruned.l_partkey = stats.l_partkey
               AND 5 * stats.n * pruned.qty < stats.sum_qty""",
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                   / 10000.0 AS revenue,
+                   count(*) AS n
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND ((p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+                    AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 20 AND 30))""",
         "tpch_q22": """
             WITH cset AS (
               SELECT c_custkey,
