@@ -94,6 +94,21 @@ def _read_receiver(cfg: dict, component_id: str, data_dir: str):
         return read_otlp_json(cfg["path"],
                               time_col=cfg.get("time_col", "ts"),
                               body_col=cfg.get("body_col", "text"))
+    if rtype == "otlp_proto":
+        from ..sources.otlpproto import read_otlp_proto
+
+        return read_otlp_proto(cfg["path"],
+                               time_col=cfg.get("time_col", "ts"),
+                               body_col=cfg.get("body_col", "text"))
+    if rtype == "otlp_traces_json":
+        from ..sources.otlpjson import read_otlp_traces_json
+
+        return read_otlp_traces_json(cfg["path"])
+    if rtype == "otlp_metrics_json":
+        from ..sources.otlpjson import read_otlp_metrics_json
+
+        return read_otlp_metrics_json(
+            cfg["path"], time_col=cfg.get("time_col", "time_unix_nano"))
     if rtype == "jsonl":
         # line-delimited JSON (the fluentd/filebeat interchange format)
         return ray.data.read_json(cfg["path"])
@@ -115,7 +130,8 @@ def _read_receiver(cfg: dict, component_id: str, data_dir: str):
         kw = {k: v for k, v in cfg.items() if k not in ("type", "include")}
         return read_log_files(cfg["include"], **kw)
     raise KeyError(f"unknown receiver type {rtype!r} "
-                   "(supported: parquet, generate, otlp_json, jsonl, csv, "
+                   "(supported: parquet, generate, otlp_json, otlp_proto, "
+                   "otlp_traces_json, otlp_metrics_json, jsonl, csv, "
                    "text, filelog)")
 
 
@@ -175,6 +191,24 @@ def run_config(config: dict | str, data_dir: str = "/root/testdata/sf0.001",
                 wkw = {k: v for k, v in ecfg.items() if k != "path"}
                 write_otlp_json(ds, ecfg["path"], **wkw)
                 out[eid] = ecfg["path"]
+            elif etype == "otlp_proto":
+                from ..sources.otlpproto import write_otlp_proto
+
+                wkw = {k: v for k, v in ecfg.items() if k != "path"}
+                write_otlp_proto(ds, ecfg["path"], **wkw)
+                out[eid] = ecfg["path"]
+            elif etype == "otlp_traces_json":
+                from ..sources.otlpjson import write_otlp_traces_json
+
+                wkw = {k: v for k, v in ecfg.items() if k != "path"}
+                write_otlp_traces_json(ds, ecfg["path"], **wkw)
+                out[eid] = ecfg["path"]
+            elif etype == "otlp_metrics_json":
+                from ..sources.otlpjson import write_otlp_metrics_json
+
+                wkw = {k: v for k, v in ecfg.items() if k != "path"}
+                write_otlp_metrics_json(ds, ecfg["path"], **wkw)
+                out[eid] = ecfg["path"]
             elif etype == "jsonl":
                 ds.write_json(ecfg["path"])
                 out[eid] = ecfg["path"]
@@ -183,7 +217,8 @@ def run_config(config: dict | str, data_dir: str = "/root/testdata/sf0.001",
                 out[eid] = ecfg["path"]
             else:
                 raise KeyError(f"unknown exporter type {etype!r} "
-                               "(supported: parquet, otlp_json, jsonl, csv, "
-                               "collect)")
+                               "(supported: parquet, otlp_json, otlp_proto, "
+                               "otlp_traces_json, otlp_metrics_json, "
+                               "jsonl, csv, collect)")
         results[name] = out
     return results

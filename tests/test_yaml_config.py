@@ -193,3 +193,100 @@ service:
     assert len(df) == 2
     assert df["attr_log.file.record_number"].tolist() == [1, 2]
     assert df.text.iloc[0].endswith("at f (line 1)")
+
+
+def test_yaml_otlp_wire_format_exporters_and_receivers(tmp_path):
+    """fileexporter format:proto + the traces/metrics JSON signals
+    through the YAML surface: write with one pipeline config, read back
+    with another, row counts survive the wire."""
+    import pyarrow as pa
+    import ray.data
+
+    # logs -> framed protobuf sink -> read-back
+    cfg_w = f"""
+receivers:
+  generate/g: {{count: 200}}
+exporters:
+  otlp_proto/out: {{path: {tmp_path}/pb, resource_cols: [role]}}
+service:
+  pipelines:
+    w: {{receivers: [generate/g], exporters: [otlp_proto/out]}}
+"""
+    run_config(cfg_w)
+    cfg_r = f"""
+receivers:
+  otlp_proto/in: {{path: {tmp_path}/pb}}
+service:
+  pipelines:
+    r: {{receivers: [otlp_proto/in], exporters: [collect]}}
+"""
+    assert run_config(cfg_r)["r"]["collect"].count() == 200
+
+    # spans -> TracesData JSON sink -> read-back
+    spans = pa.table({
+        "trace_id": [f"{i:032x}" for i in range(1, 9)],
+        "span_id": [f"{i:016x}" for i in range(1, 9)],
+        "name": [f"op{i}" for i in range(8)],
+        "kind": pa.array([1 + i % 5 for i in range(8)], pa.int64()),
+        "start_ts": pa.array([1_700_000_000_000_000 + i for i in range(8)],
+                             pa.int64()),
+        "end_ts": pa.array([1_700_000_000_000_500 + i for i in range(8)],
+                           pa.int64()),
+        "env": ["prod"] * 8})
+    pq_dir = tmp_path / "spans.parquet"
+    ray.data.from_arrow(spans).write_parquet(str(pq_dir))
+    cfg_tw = f"""
+receivers:
+  parquet/spans: {{table: spans}}
+exporters:
+  otlp_traces_json/out: {{path: {tmp_path}/tj, resource_cols: [env]}}
+service:
+  pipelines:
+    tw: {{receivers: [parquet/spans], exporters: [otlp_traces_json/out]}}
+"""
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.config import (
+        load_config,
+    )
+
+    cfg = load_config(cfg_tw)
+    # parquet receiver resolves {data_dir}/{table}.parquet
+    run_config(cfg, data_dir=str(tmp_path), pipeline="tw")
+    cfg_tr = f"""
+receivers:
+  otlp_traces_json/in: {{path: {tmp_path}/tj}}
+service:
+  pipelines:
+    tr: {{receivers: [otlp_traces_json/in], exporters: [collect]}}
+"""
+    back = run_config(cfg_tr)["tr"]["collect"].to_pandas()
+    assert len(back) == 8 and (back["env"] == "prod").all()
+
+    # metric datapoints -> MetricsData JSON sink -> read-back
+    dps = pa.table({
+        "metric_name": ["m"] * 6, "metric_type": ["Sum"] * 6,
+        "metric_is_monotonic": [True] * 6,
+        "time_unix_nano": pa.array(
+            [1_700_000_000_000_000_000 + i for i in range(6)], pa.int64()),
+        "value_int": pa.array(list(range(6)), pa.int64())})
+    ray.data.from_arrow(dps).write_parquet(str(tmp_path / "dps.parquet"))
+    cfg_mw = f"""
+receivers:
+  parquet/dps: {{table: dps}}
+exporters:
+  otlp_metrics_json/out: {{path: {tmp_path}/mj}}
+service:
+  pipelines:
+    mw: {{receivers: [parquet/dps], exporters: [otlp_metrics_json/out]}}
+"""
+    run_config(load_config(cfg_mw), data_dir=str(tmp_path), pipeline="mw")
+    cfg_mr = f"""
+receivers:
+  otlp_metrics_json/in: {{path: {tmp_path}/mj}}
+service:
+  pipelines:
+    mr: {{receivers: [otlp_metrics_json/in], exporters: [collect]}}
+"""
+    mback = run_config(cfg_mr)["mr"]["collect"].to_pandas()
+    assert len(mback) == 6
+    assert sorted(mback["value_int"]) == list(range(6))
+    assert (mback["metric_type"] == "Sum").all()
