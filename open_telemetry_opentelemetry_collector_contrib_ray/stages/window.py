@@ -28,7 +28,7 @@ __all__ = ["WindowSpec", "grouped_window"]
 
 _KINDS = frozenset({
     "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
-    "lag", "lead", "first_value", "last_value", "running_sum",
+    "lag", "lead", "first_value", "last_value", "nth_value", "running_sum",
     "running_count", "moving_sum", "moving_avg", "moving_min",
     "moving_max", "time_sum", "time_avg", "time_min", "time_max",
     "time_count",
@@ -43,7 +43,7 @@ class WindowSpec:
     kind      one of _KINDS
     col       value column (unused for row_number/rank family)
     out       output column name (defaults to kind or kind_col)
-    offset    lag/lead distance (>=1)
+    offset    lag/lead distance (>=1); nth_value's 1-based n
     default   lag/lead fill for out-of-partition rows (None -> null)
     frame     moving_* trailing row count INCLUDING the current row
     range_us  time_* trailing window in microseconds, inclusive both
@@ -155,6 +155,13 @@ def grouped_window(ds, keys: Sequence[str], order_cols: Sequence[str],
                 g[out] = gb[s.col].transform("first")
             elif s.kind == "last_value":
                 g[out] = gb[s.col].transform("last")
+            elif s.kind == "nth_value":
+                # SQL default frame (unbounded preceding .. current row):
+                # null until the partition's n-th order row is reached
+                v = pd.Series(
+                    np.where(rn == s.offset - 1, g[s.col], np.nan),
+                    index=g.index)
+                g[out] = v.groupby(gb.ngroup(), sort=False).ffill()
             elif s.kind == "running_sum":
                 g[out] = gb[s.col].cumsum()
             elif s.kind == "running_count":

@@ -252,3 +252,22 @@ def test_random_windows_match_duckdb_property():
                                   exp[col].to_numpy()), (seed, col)
         assert np.allclose(got_rank["cd"].to_numpy(),
                            exp["cd"].to_numpy()), seed
+
+
+def test_nth_value_matches_duckdb():
+    df = _frame()
+    got = _run(df, ["k"], ["o", "rid"], [
+        WindowSpec("nth_value", col="v", offset=3, out="n3"),
+        WindowSpec("nth_value", col="v", offset=1, out="n1"),
+    ])
+    exp = duckdb.sql("""
+        SELECT rid,
+               nth_value(v, 3) OVER w AS n3,
+               nth_value(v, 1) OVER w AS n1
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o, rid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY rid""").df()
+    for c in ("n3", "n1"):
+        g, x = got[c].to_numpy(float), exp[c].to_numpy(float)
+        assert np.array_equal(np.isnan(g), np.isnan(x)), c
+        assert np.array_equal(g[~np.isnan(g)], x[~np.isnan(x)]), c
