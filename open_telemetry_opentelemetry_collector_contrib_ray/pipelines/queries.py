@@ -842,6 +842,48 @@ def q_otlp_hist_proto_roundtrip(sf_dir: str):
     return back.filter(lambda r: r["n"] > 0)
 
 
+def q_otlp_hist_json_roundtrip(sf_dir: str):
+    """Histogram JSON wire format end-to-end (the `format: json` twin of
+    otlp_hist_proto_roundtrip): sparse per-bucket rows ->
+    write_otlp_hist_json (bucketCounts/explicitBounds as protojson
+    strings, zero-filled) -> read_otlp_metrics_json -> sparse rows
+    again.  Same oracle as latency_histogram: the codec must be
+    invisible."""
+    import shutil
+
+    from ..sources.otlpjson import (OtlpMetricsJsonReaderStage,
+                                    write_otlp_hist_json)
+
+    out = f"/tmp/graft_otlph_js/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    hist = histogram_agg(ds, ["attr_tool_name"], "attr_latency_ms",
+                         [100, 500, 1000, 5000], alias="n")
+    rows = hist.to_pandas().to_dict("records")  # tiny: tools x 5 buckets
+    write_otlp_hist_json(rows, os.path.join(out, "hist.jsonl"),
+                         metric_name="tool_latency",
+                         key_cols=["attr_tool_name"],
+                         bounds=[100, 500, 1000, 5000], unit="ms",
+                         compression="gzip")
+
+    import ray.data as rd
+
+    files = rd.read_binary_files(out, include_paths=True)
+    back = files.map_batches(OtlpMetricsJsonReaderStage(),
+                             batch_format="numpy")
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n"), pa.scalar(0, pa.int64())))
+        return pa.table({
+            "tool_name": t.column("attr_tool_name").cast(pa.string()),
+            "le": t.column("le").cast(pa.string()),
+            "n": t.column("n").cast(pa.int64())})
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
 def q_filelog_multiline_counts(sf_dir: str):
     """fileconsumer multiline + gzip path: read_log_files with a
     line_start_pattern reassembles stack-trace entries per file (half
@@ -3846,14 +3888,17 @@ def q_tpch_q15(sf_dir: str):
 _Q17_BRAND = "Brand#13"
 
 
-def q_tpch_q17(sf_dir: str):
+def q_tpch_q17(sf_dir: str, max_broadcast_parts: int = 5_000_000):
     """TPC-H Q17 small-quantity-order revenue (minus the p_container
     filter — no container column in the synthetic part table): the
     brand's partkey set broadcasts, lineitem prunes to it map-side, the
     per-part (sum_qty, n) partials take one small bucketed combine and
     broadcast back, and the second pruned pass applies the correlated
     predicate IN EXACT INTEGERS (qty < 0.2*avg  <=>  5*n*qty < sum_qty)
-    so the oracle comparison is float-free until the final /700.0."""
+    so the oracle comparison is float-free until the final /700.0.
+    Past `max_broadcast_parts` distinct parts the predicate applies
+    inside a co-partitioned join instead of a driver broadcast
+    (tail_sample's max_broadcast_keys idiom)."""
     import ray
 
     from ..stages.aggregate import grouped_agg
@@ -3879,29 +3924,50 @@ def q_tpch_q17(sf_dir: str):
             "cents": pc.cast(pc.round(pc.multiply(
                 t.column("l_extendedprice"), 100.0)), pa.int64())})
 
-    pruned = li.map_batches(brand_rows, batch_format="pyarrow")
-    stats = grouped_agg(pruned, ["l_partkey"],
-                        [("sum", "qty", "sum_qty"), ("count", None, "n")],
-                        combine="bucket", n_buckets=8).to_pandas()
-    order = np.argsort(stats["l_partkey"].to_numpy(np.int64))
-    st_ref = ray.put((stats["l_partkey"].to_numpy(np.int64)[order],
-                      stats["sum_qty"].to_numpy(np.int64)[order],
-                      stats["n"].to_numpy(np.int64)[order]))
+    pruned = li.map_batches(brand_rows, batch_format="pyarrow") \
+        .materialize()  # scanned twice: stats pass + predicate pass
+    stats_ds = grouped_agg(pruned, ["l_partkey"],
+                           [("sum", "qty", "sum_qty"),
+                            ("count", None, "n")],
+                           combine="bucket", n_buckets=8).materialize()
+    # one brand's partkey set is |part|/|brands| — bounded on TPC-H-like
+    # data, but guard it like tail_sample's max_broadcast_keys: past the
+    # cap, apply the predicate inside a co-partitioned join instead of
+    # a driver broadcast
+    if stats_ds.count() <= max_broadcast_parts:
+        stats = stats_ds.to_pandas()
+        order = np.argsort(stats["l_partkey"].to_numpy(np.int64))
+        st_ref = ray.put((stats["l_partkey"].to_numpy(np.int64)[order],
+                          stats["sum_qty"].to_numpy(np.int64)[order],
+                          stats["n"].to_numpy(np.int64)[order]))
 
-    def small_qty(t: pa.Table) -> pa.Table:
-        keys, sq, n = ray.get(st_ref)
-        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(keys, lp),
-                         max(len(keys) - 1, 0))
-        qty = t.column("qty").to_numpy(zero_copy_only=False)
-        keep = (keys[pos] == lp) & (5 * n[pos] * qty < sq[pos]) \
-            if len(keys) else np.zeros(len(lp), bool)
-        cents = t.column("cents").to_numpy(zero_copy_only=False)
-        return pa.table({"cents": pa.array([int(cents[keep].sum())],
-                                           pa.int64()),
-                         "_one": pa.array([1], pa.int64())})
+        def small_qty(t: pa.Table) -> pa.Table:
+            keys, sq, n = ray.get(st_ref)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(keys, lp),
+                             max(len(keys) - 1, 0))
+            qty = t.column("qty").to_numpy(zero_copy_only=False)
+            keep = (keys[pos] == lp) & (5 * n[pos] * qty < sq[pos]) \
+                if len(keys) else np.zeros(len(lp), bool)
+            cents = t.column("cents").to_numpy(zero_copy_only=False)
+            return pa.table({"cents": pa.array([int(cents[keep].sum())],
+                                               pa.int64()),
+                             "_one": pa.array([1], pa.int64())})
 
-    partials = pruned.map_batches(small_qty, batch_format="pyarrow")
+        partials = pruned.map_batches(small_qty, batch_format="pyarrow")
+    else:
+        from ..stages.join import bucketed_hash_join
+
+        def keep_small(df):
+            m = 5 * df["n"].astype("int64") * df["qty"].astype("int64") \
+                < df["sum_qty"].astype("int64")
+            return pd.DataFrame({
+                "cents": [int(df.loc[m, "cents"].astype("int64").sum())],
+                "_one": [1]})
+
+        partials = bucketed_hash_join(pruned, stats_ds,
+                                      on=["l_partkey"], how="inner",
+                                      reduce=keep_small)
     tot = grouped_agg(partials, ["_one"], [("sum", "cents", "cents")],
                       combine="driver").to_pandas()
     return pd.DataFrame(
@@ -4834,6 +4900,7 @@ def queries():
         "otlp_traces_proto_roundtrip": q_otlp_traces_proto_roundtrip,
         "otlp_traces_json_roundtrip": q_otlp_traces_json_roundtrip,
         "otlp_metrics_json_roundtrip": q_otlp_metrics_json_roundtrip,
+        "otlp_hist_json_roundtrip": q_otlp_hist_json_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -5401,6 +5468,18 @@ def oracle_sql():
             SELECT stream, logtag, count(*) AS n
             FROM parsed WHERE ok GROUP BY 1, 2""",
         "otlp_hist_proto_roundtrip": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT tool_name,
+                   CASE WHEN lat <= 100 THEN '100' WHEN lat <= 500 THEN '500'
+                        WHEN lat <= 1000 THEN '1000' WHEN lat <= 5000 THEN '5000'
+                        ELSE 'inf' END AS le,
+                   count(*) AS n
+            FROM parsed GROUP BY 1, 2""",
+"otlp_hist_json_roundtrip": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
                      CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat

@@ -68,3 +68,15 @@ def test_multimodal_structural_invariants(ray_session):
 def test_approx_distinct_error_bound(ray_session):
     df = _q("approx_distinct_users")
     assert (df.err_ppm < 80_000).all(), df.to_dict("records")
+
+
+def test_tpch_q17_join_fallback_equals_broadcast(sf_dir):
+    """Past max_broadcast_parts the correlated predicate moves into a
+    co-partitioned join; both paths must produce the identical row."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_tpch_q17,
+    )
+
+    a = q_tpch_q17(sf_dir)
+    b = q_tpch_q17(sf_dir, max_broadcast_parts=0)
+    assert a.equals(b)
