@@ -2146,6 +2146,20 @@ def q_latency_quantiles_by_tool(sf_dir: str):
                             qs=(0.5, 0.95, 0.99))
 
 
+def q_event_value_quantiles_cont(sf_dir: str):
+    """Interpolated per-group quantiles (percentile_cont / DuckDB
+    quantile_cont semantics): grouped_quantile(interpolate=True) —
+    pos = q*(n-1), lo + (hi-lo)*frac in double, the exact op order the
+    oracle uses, so the floats hash-match."""
+    from ..stages.aggregate import grouped_quantile
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile(ds, ["event_type"], "value",
+                            qs=(0.25, 0.5, 0.9),
+                            aliases=("q25", "q50", "q90"),
+                            interpolate=True).sort("event_type")
+
+
 def q_approx_latency_quantiles(sf_dir: str):
     """Mergeable bottom-k-by-hash quantile sketch (the 100 TB path when
     one group exceeds a worker): deterministic uniform sample per group,
@@ -4901,6 +4915,7 @@ def queries():
         "otlp_traces_json_roundtrip": q_otlp_traces_json_roundtrip,
         "otlp_metrics_json_roundtrip": q_otlp_metrics_json_roundtrip,
         "otlp_hist_json_roundtrip": q_otlp_hist_json_roundtrip,
+        "event_value_quantiles_cont": q_event_value_quantiles_cont,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -5527,6 +5542,13 @@ def oracle_sql():
                    CAST(sum(vi) AS BIGINT) AS vi_sum
             FROM pts GROUP BY 1, 2, 3
             ORDER BY metric_name, shard""",
+        "event_value_quantiles_cont": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q25,
+                   quantile_cont(value, 0.50) AS q50,
+                   quantile_cont(value, 0.90) AS q90
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1 ORDER BY event_type""",
         "tpch_q6": """
             SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * CAST(round(l_discount * 100) AS BIGINT))

@@ -1040,12 +1040,16 @@ def grouped_top_k(ds, keys: Sequence[str], order_cols: Sequence[str] | str,
 def grouped_quantile(ds, keys: Sequence[str], value_col: str,
                      qs: Sequence[float] = (0.5, 0.95, 0.99),
                      aliases: Sequence[str] | None = None,
-                     n_buckets: int = 64):
-    """Exact per-group discrete quantiles (PostgreSQL/DuckDB
-    percentile_disc semantics: sorted_values[ceil(q*n) - 1]).  One
-    bucketed shuffle co-locates each key's rows; quantile extraction is
-    vectorized across the bucket's groups (sort + offset arithmetic, no
-    per-group Python).  Null values are dropped (SQL aggregate parity).
+                     n_buckets: int = 64, interpolate: bool = False):
+    """Exact per-group quantiles.  Default is discrete
+    (PostgreSQL/DuckDB percentile_disc semantics:
+    sorted_values[ceil(q*n) - 1]); interpolate=True gives
+    percentile_cont / quantile_cont semantics (RN = q*(n-1),
+    down*(CRN-RN) + up*(RN-FRN) in double — DuckDB quantile.cpp's
+    exact op order, so results hash-match its replay).  One bucketed shuffle
+    co-locates each key's rows; quantile extraction is vectorized
+    across the bucket's groups (sort + offset arithmetic, no per-group
+    Python).  Null values are dropped (SQL aggregate parity).
 
     Partitioning contract: a group's rows must fit one bucket worker —
     the same assumption as every per-group op here.  For quantiles over
@@ -1073,8 +1077,23 @@ def grouped_quantile(ds, keys: Sequence[str], value_col: str,
         out = {k: g[k].to_numpy()[starts] for k in keys}
         vals = g[value_col].to_numpy()
         for q, alias in zip(qs, aliases):
-            idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
-            out[alias] = vals[idx]
+            if interpolate:
+                # DuckDB quantile_cont op order (quantile.cpp
+                # Interpolate): RN = q*(n-1), result =
+                # down*(CRN-RN) + up*(RN-FRN), exact row when RN is
+                # integral — mirrored so the doubles hash-match
+                rn = q * (sizes - 1).astype(np.float64)
+                frn = np.floor(rn)
+                crn = np.ceil(rn)
+                lv = vals[starts + frn.astype(np.int64)] \
+                    .astype(np.float64)
+                hv = vals[starts + crn.astype(np.int64)] \
+                    .astype(np.float64)
+                out[alias] = np.where(
+                    crn == frn, lv, lv * (crn - rn) + hv * (rn - frn))
+            else:
+                idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
+                out[alias] = vals[idx]
         return pd.DataFrame(out)
 
     return bucketed_group_transform(ds, keys, compute, n_buckets)

@@ -750,6 +750,34 @@ def test_grouped_quantile_matches_percentile_disc():
             assert out.loc[g, col] == exp, (g, col)
 
 
+def test_grouped_quantile_cont_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages import (
+        grouped_quantile,
+    )
+
+    rng = np.random.RandomState(6)
+    n = 400
+    t = pa.table({"g": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+                  "v": pa.array(rng.uniform(-10, 10, n))})
+    out = grouped_quantile(rd.from_arrow(t), ["g"], "v",
+                           qs=(0.25, 0.5, 0.77), aliases=["a25", "a50", "a77"],
+                           n_buckets=4, interpolate=True) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    df = t.to_pandas()  # noqa: F841
+    exp = duckdb.sql("""
+        SELECT g, quantile_cont(v, 0.25) AS a25,
+               quantile_cont(v, 0.50) AS a50,
+               quantile_cont(v, 0.77) AS a77
+        FROM df GROUP BY g ORDER BY g""").df()
+    for c in ("a25", "a50", "a77"):
+        # bitwise: the interpolation mirrors DuckDB's op order
+        assert np.array_equal(out[c].to_numpy().view(np.uint64),
+                              exp[c].to_numpy().view(np.uint64)), c
+
+
 def test_empty_batches_and_empty_inputs_keep_schemas():
     """A filter that empties SOME batches must not degrade aggregate key
     dtypes (the old hand-built empty partial typed every key as string);
