@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "otlp_metrics_json_roundtrip",
     "otlp_hist_json_roundtrip",
     "event_value_quantiles_cont",
+    "cube_event_counts",
     "exp_to_explicit_hist",
     # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
     "attr_hash_extract",

@@ -3075,6 +3075,37 @@ def q_rollup_event_counts(sf_dir: str):
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_cube_event_counts(sf_dir: str):
+    """GROUP BY CUBE (event_type, iso-dow): like the ROLLUP query, ONE
+    distributed finest-level pass; all 2^k-1 supergroup levels
+    re-aggregate the tiny finest table driver-side (no second scan, no
+    extra shuffle).  Sentinels ('ALL', -1) keep the compare null-free."""
+    import pandas as pd
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts"])
+
+    def dow(t: pa.Table) -> pa.Table:
+        d = pc.add(pc.day_of_week(t.column("ts")).cast(pa.int64()),
+                   pa.scalar(1, pa.int64()))  # ISO: Monday=1..Sunday=7
+        return pa.table({"event_type": t.column("event_type"), "dow": d})
+
+    finest = grouped_count(ds.map_batches(dow, batch_format="pyarrow"),
+                           ["event_type", "dow"], alias="n",
+                           combine="driver").to_pandas()
+    by_type = finest.groupby("event_type", as_index=False)["n"].sum()
+    by_type["dow"] = -1
+    by_dow = finest.groupby("dow", as_index=False)["n"].sum()
+    by_dow["event_type"] = "ALL"
+    total = pd.DataFrame({"event_type": ["ALL"], "dow": [-1],
+                          "n": [finest["n"].sum()]})
+    out = pd.concat([finest, by_type[["event_type", "dow", "n"]],
+                     by_dow[["event_type", "dow", "n"]], total],
+                    ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["dow"] = out["dow"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
 def q_pivot_event_counts(sf_dir: str):
     """PIVOT: wide per-hour table, one count column per event type.
     Single pass — per-batch boolean-mask int columns feed a partial-agg
@@ -4916,6 +4947,7 @@ def queries():
         "otlp_metrics_json_roundtrip": q_otlp_metrics_json_roundtrip,
         "otlp_hist_json_roundtrip": q_otlp_hist_json_roundtrip,
         "event_value_quantiles_cont": q_event_value_quantiles_cont,
+        "cube_event_counts": q_cube_event_counts,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -5542,6 +5574,15 @@ def oracle_sql():
                    CAST(sum(vi) AS BIGINT) AS vi_sum
             FROM pts GROUP BY 1, 2, 3
             ORDER BY metric_name, shard""",
+        "cube_event_counts": """
+            WITH f AS (
+              SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow
+              FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(dow, -1) AS dow,
+                   count(*) AS n
+            FROM f GROUP BY CUBE (event_type, dow)
+            ORDER BY event_type, dow""",
         "event_value_quantiles_cont": """
             SELECT event_type,
                    quantile_cont(value, 0.25) AS q25,
