@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "otlp_hist_json_roundtrip",
     "event_value_quantiles_cont",
     "cube_event_counts",
+    "doc_temperature_mix",
     "exp_to_explicit_hist",
     # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
     "attr_hash_extract",

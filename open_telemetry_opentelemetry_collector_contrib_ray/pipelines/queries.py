@@ -2620,6 +2620,22 @@ def q_doc_budget_sample(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def q_doc_temperature_mix(sf_dir: str):
+    """Temperature-based source mixing (GPT-3/LLaMA recipe, alpha=0.5):
+    per-source budgets proportional to floor(sqrt(source token total)) —
+    small domains up-weight — then budget_sample's deterministic
+    first-N-by-md5-order per source.  Budget arithmetic is exact int64
+    (stages/sample.py temperature_mix)."""
+    from ..stages.sample import temperature_mix
+
+    out = temperature_mix(
+        _rd(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        total_tokens=40000, token_col="n_chars", seed=11)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_classifier(sf_dir: str):
     """fastText-style hashed linear quality scoring: token -> md5 % 1024
     bucket -> integer weight sum; keep when score > 0 (stages/
@@ -4948,6 +4964,7 @@ def queries():
         "otlp_hist_json_roundtrip": q_otlp_hist_json_roundtrip,
         "event_value_quantiles_cont": q_event_value_quantiles_cont,
         "cube_event_counts": q_cube_event_counts,
+        "doc_temperature_mix": q_doc_temperature_mix,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -5574,6 +5591,32 @@ def oracle_sql():
                    CAST(sum(vi) AS BIGINT) AS vi_sum
             FROM pts GROUP BY 1, 2, 3
             ORDER BY metric_name, shard""",
+        "doc_temperature_mix": """
+            WITH tot AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+              FROM documents GROUP BY source),
+            w AS (
+              SELECT source,
+                     CAST(floor(sqrt(CAST(tok AS DOUBLE))) AS BIGINT) AS w
+              FROM tot),
+            b AS (
+              SELECT source,
+                     (40000 * w) // (SELECT sum(w) FROM w) AS budget
+              FROM w),
+            cum AS (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower(
+                           concat(CAST(doc_id AS VARCHAR), ':11'))
+                           % 4611686018427387904, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+              FROM documents)
+            SELECT doc_id, cum.source, n_chars
+            FROM cum JOIN b ON cum.source = b.source
+            WHERE running <= budget
+            ORDER BY doc_id""",
         "cube_event_counts": """
             WITH f AS (
               SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow

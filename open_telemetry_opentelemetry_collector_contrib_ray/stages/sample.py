@@ -743,3 +743,49 @@ def _budget_sample_shuffle(ds, budgets, token_col, source_col, key_col,
         return g[keep.to_numpy(dtype=bool)].drop(columns="__rank")
 
     return bucketed_group_transform(ranked, [source_col], cap, n_buckets)
+
+
+def temperature_mix(ds, total_tokens: int, token_col: str,
+                    source_col: str = "source", key_col: str = "doc_id",
+                    alpha: float = 0.5, seed: int = 0,
+                    strategy: str = "histogram", n_buckets: int = 64):
+    """Temperature-based source mixing (the GPT-3 / LLaMA pretraining
+    recipe): each source's token budget is proportional to its size
+    raised to alpha < 1, up-weighting small domains relative to raw
+    proportions.  budget_s = total_tokens * floor(n_s^alpha) //
+    sum_t floor(n_t^alpha) — the weights FLOOR to integers so the whole
+    budget computation is exact int64 arithmetic (SQL-replayable; for
+    the default alpha=0.5 the weight is floor(sqrt(n_s)), bit-identical
+    to any correctly-rounded sqrt).  Sampling then delegates to
+    budget_sample's distributed first-N-by-deterministic-order
+    (histogram strategy: rows never shuffle).
+
+    Two cheap aggregate passes over `ds` (per-source totals, then the
+    budget histogram) — both kilobyte exchanges; the corpus itself is
+    read twice and shuffled never."""
+    import pandas as pd
+
+    def per_source(t: pa.Table) -> pa.Table:
+        g = pa.table({source_col: t.column(source_col),
+                      token_col: t.column(token_col)}) \
+            .group_by([source_col]).aggregate([(token_col, "sum")])
+        return pa.table({source_col: g.column(source_col),
+                         "__tok": g.column(f"{token_col}_sum")})
+
+    parts = ds.map_batches(per_source, batch_format="pyarrow").to_pandas()
+    totals: dict = {}
+    for src, tok in parts.itertuples(index=False):
+        skey = None if pd.isna(src) else src
+        totals[skey] = totals.get(skey, 0) + int(tok)
+    if alpha == 0.5:
+        weights = {s: int(np.floor(np.sqrt(float(n))))
+                   for s, n in totals.items()}
+    else:
+        weights = {s: int(np.floor(float(n) ** alpha))
+                   for s, n in totals.items()}
+    wsum = sum(weights.values())
+    budgets = {s: (int(total_tokens) * w) // wsum if wsum else 0
+               for s, w in weights.items()}
+    return budget_sample(ds, budgets, token_col, source_col=source_col,
+                         key_col=key_col, seed=seed, strategy=strategy,
+                         n_buckets=n_buckets)

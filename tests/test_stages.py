@@ -1003,3 +1003,37 @@ def test_key_value_parser_quote_aware():
         "jane doe", "bob", "plain", None, None]
     assert out.column("attr_level").to_pylist() == [
         "info", "very bad", "warn", None, None]
+
+
+def test_temperature_mix_budgets_and_determinism():
+    """alpha=0.5 budgets: floor(sqrt(per-source tokens)) shares of the
+    total; small sources get proportionally MORE than raw share; two
+    runs pick identical docs."""
+    import numpy as np
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        temperature_mix,
+    )
+
+    rng = np.random.RandomState(8)
+    n = 600
+    src = np.where(rng.rand(n) < 0.9, "big", "small")
+    t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(n)]),
+                  "source": pa.array(src),
+                  "tok": pa.array(np.full(n, 10, dtype=np.int64))})
+    out = temperature_mix(rd.from_arrow(t), total_tokens=1000,
+                          token_col="tok", seed=3).to_pandas()
+    tot = {s: int(t.to_pandas().loc[t.to_pandas().source == s, "tok"].sum())
+           for s in ("big", "small")}
+    w = {s: int(np.floor(np.sqrt(v))) for s, v in tot.items()}
+    wsum = sum(w.values())
+    for s in ("big", "small"):
+        budget = 1000 * w[s] // wsum
+        got = int(out.loc[out.source == s, "tok"].sum())
+        assert got <= budget and got > budget - 10, (s, got, budget)
+    # sqrt weighting gives `small` a larger share than its raw 10%
+    small_share = (out.source == "small").mean()
+    assert small_share > 0.2
+    out2 = temperature_mix(rd.from_arrow(t), total_tokens=1000,
+                           token_col="tok", seed=3).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
