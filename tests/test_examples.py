@@ -62,3 +62,13 @@ def test_tail_sampling_example():
     # multi-turn slice (no single orphan turns from a kept conv)
     per_conv = df.groupby("conv_id").size()
     assert len(per_conv) > 0 and per_conv.min() >= 2
+
+
+def test_llm_data_prep_example():
+    shutil.rmtree("/tmp/graft_examples/llm_data", ignore_errors=True)
+    out = run_config(os.path.join(EXAMPLES, "llm_data_prep.yaml"),
+                     data_dir="/root/testdata/sf0.01")
+    path = out["docs"]["parquet/kept"]
+    parts = [d for d in os.listdir(path) if d.startswith("source=")]
+    n = _rows(path)
+    assert parts and 0 < n < 500  # classifier + budgets both bit
