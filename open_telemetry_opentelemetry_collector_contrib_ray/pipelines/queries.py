@@ -12,6 +12,7 @@ DuckDB, so text equality is bit-exact).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -66,10 +67,27 @@ def _strip_meta(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+@functools.lru_cache(maxsize=256)
+def _clean_schema(path: str, columns: tuple | None):
+    """Metadata-free (hashable) arrow schema for a testdata parquet —
+    passed to read_parquet so the READ operator's own blocks already
+    carry hashable schemas (the _strip_meta stage only covers operators
+    downstream of it; without this, every ReadParquet bundle logs
+    'Failed to hash the schemas' and skips Ray's schema dedup)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is None:
+        return sch
+    return pa.schema([sch.field(c) for c in columns])
+
+
 def _rd(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    sch = _clean_schema(path, tuple(columns) if columns else None)
+    ds = rd.read_parquet(path, columns=columns, schema=sch)
     return ds.map_batches(_strip_meta, batch_format="pyarrow")
 
 
