@@ -105,6 +105,8 @@ def grouped_window(ds, keys: Sequence[str], order_cols: Sequence[str],
                           "percent_rank", "cume_dist", "running_count",
                           "time_count") and s.col is None:
             raise ValueError(f"{s.kind} needs a value column")
+        if s.kind in ("lag", "lead", "nth_value") and s.offset < 1:
+            raise ValueError(f"{s.kind} offset must be >= 1")
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(keys + orders, kind="stable").reset_index(drop=True)
@@ -156,11 +158,15 @@ def grouped_window(ds, keys: Sequence[str], order_cols: Sequence[str],
             elif s.kind == "last_value":
                 g[out] = gb[s.col].transform("last")
             elif s.kind == "nth_value":
-                # SQL default frame (unbounded preceding .. current row):
-                # null until the partition's n-th order row is reached
-                v = pd.Series(
-                    np.where(rn == s.offset - 1, g[s.col], np.nan),
-                    index=g.index)
+                # positional ROWS frame (unbounded preceding .. current
+                # row) over the TOTAL order, like row_number/lag/lead:
+                # null until the partition's n-th order row is reached.
+                # SQL's default RANGE frame also includes order-peers of
+                # the current row — replay with an explicit ROWS frame
+                # (+ unique tiebreaker), as tests/test_window.py does.
+                # Series.where keeps the column dtype (NaT for
+                # datetimes) where np.where would fail to promote.
+                v = g[s.col].where(rn == s.offset - 1)
                 g[out] = v.groupby(gb.ngroup(), sort=False).ffill()
             elif s.kind == "running_sum":
                 g[out] = gb[s.col].cumsum()
