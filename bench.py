@@ -65,6 +65,14 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "event_value_quartiles",
     "event_windows",
     "event_trailing",

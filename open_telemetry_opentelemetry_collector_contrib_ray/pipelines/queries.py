@@ -4182,6 +4182,547 @@ def q_tpch_q22(sf_dir: str):
         .sort_values("cntrycode").reset_index(drop=True)
 
 
+_Q4_LO, _Q4_HI = "1997-07-01", "1997-10-01"
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 order-priority checking, adapted to the synthetic
+    schema ("late lineitem" := l_returnflag = 'R' — there are no
+    commit/receipt date columns): orders date-prune at the scan,
+    lineitem prunes to R-rows and per-batch-distinct orderkeys, ONE
+    bucketed semi join keeps orders with >= 1 late line, and the
+    5-group priority count driver-combines."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    lo = np.datetime64(_Q4_LO, "us")
+    hi = np.datetime64(_Q4_HI, "us")
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_orderpriority": t.column("o_orderpriority")})
+
+    orders = orders.map_batches(ofilter, batch_format="pyarrow")
+
+    li = _rd(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def late(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        return (pa.table({"l_orderkey": t.column("l_orderkey")})
+                .group_by(["l_orderkey"]).aggregate([]))
+
+    li = li.map_batches(late, batch_format="pyarrow")
+    j = bucketed_hash_join(orders, li, on=["l_orderkey"], how="semi")
+    out = grouped_agg(j, ["o_orderpriority"],
+                      [("count", None, "order_count")],
+                      combine="driver").to_pandas()
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_Q9_NEEDLE = "gear"
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 product-type profit, adapted (the synthetic schema has
+    no partsupp, so supply cost := p_retailprice x quantity; profit =
+    cents x (100-disc) - retail_cents x qty x 100 keeps both terms on
+    the same cents-x-percent scale, exact int64 end-to-end): the
+    LIKE-filtered part (partkey -> retail cents) and supplier (suppkey
+    -> nationkey) collapse into ONE broadcast, lineitem prunes + stamps
+    map-side, and the single co-partitioning shuffle joins lineitem x
+    orders on orderkey, fusing the per-(nation, year) partial profit
+    into its buckets.  The only float op is the final /10000.0."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    nat = _read_small(sf_dir, "nation")
+    names = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+    part = _read_small(sf_dir, "part",
+                       columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part[part["p_name"].str.contains(_Q9_NEEDLE)] \
+        .sort_values("p_partkey")
+    pk = part["p_partkey"].to_numpy(np.int64)
+    pcent = np.round(part["p_retailprice"].to_numpy() * 100.0) \
+        .astype(np.int64)
+    sup = _read_small(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]) \
+        .sort_values("s_suppkey")
+    bref = ray.put((pk, pcent, sup["s_suppkey"].to_numpy(np.int64),
+                    sup["s_nationkey"].to_numpy(np.int64)))
+
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
+                            "o_year": pc.year(t.column("o_orderdate"))
+                                        .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                      "l_extendedprice", "l_discount"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        pkeys, pcents, skeys, snats = ray.get(bref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, lp), max(len(pkeys) - 1, 0))
+        hit = pkeys[pos] == lp if len(pkeys) else np.zeros(len(lp), bool)
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        spos = np.minimum(np.searchsorted(skeys, sk),
+                          max(len(skeys) - 1, 0))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        cost = pc.multiply(pc.multiply(pa.array(pcents[pos], pa.int64()),
+                                       qty), pa.scalar(100, pa.int64()))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "s_nationkey": pa.array(snats[spos], pa.int64()),
+                         "amount": pc.subtract(rev, cost)})
+
+    li2 = li.map_batches(stamp, batch_format="pyarrow")
+
+    def per_ny(df):
+        df = df.assign(amount=df["amount"].astype("int64"),
+                       o_year=df["o_year"].astype("int64"))
+        return df.groupby(["s_nationkey", "o_year"],
+                          as_index=False)["amount"].sum()
+
+    j = bucketed_hash_join(li2, orders, on=["l_orderkey"], how="inner",
+                           reduce=per_ny)
+    out = grouped_agg(j, ["s_nationkey", "o_year"],
+                      [("sum", "amount", "amount")],
+                      combine="driver").to_pandas()
+    out["nation"] = out["s_nationkey"].map(names)
+    out["o_year"] = out["o_year"].astype("int64")
+    out["sum_profit"] = out["amount"].astype("int64") / 10000.0
+    return out[["nation", "o_year", "sum_profit"]] \
+        .sort_values(["nation", "o_year"], ascending=[True, False]) \
+        .reset_index(drop=True)
+
+
+_Q12_FLAGS = ("A", "R")
+_Q12_LO, _Q12_HI = "1997-01-01", "1998-01-01"
+_Q12_LATE_DAYS = 30
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shipping-mode priority counts, adapted (l_returnflag
+    in {A, R} plays shipmode; "received late" := shipped more than 30
+    days after the order date — no commit/receipt columns): lineitem
+    date+flag-prunes map-side, ONE co-partitioning shuffle joins
+    orders, and the cross-table date predicate + the high/low
+    conditional counts fuse into the join buckets; the 2-group result
+    driver-combines."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    lo = np.datetime64(_Q12_LO, "us")
+    hi = np.datetime64(_Q12_HI, "us")
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def lfilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(t.column("l_shipdate"), pa.scalar(hi))),
+            pc.is_in(t.column("l_returnflag"),
+                     value_set=pa.array(list(_Q12_FLAGS))))
+        return t.filter(m)
+
+    li = li.map_batches(lfilter, batch_format="pyarrow")
+
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "high": pc.cast(pc.is_in(
+                t.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64())}),
+        batch_format="pyarrow")
+
+    def counts(df):
+        late = (df["l_shipdate"] - df["o_orderdate"]) \
+            > pd.Timedelta(days=_Q12_LATE_DAYS)
+        df = df[late]
+        h = df["high"].astype("int64")
+        return (df.assign(high_line_count=h, low_line_count=1 - h)
+                .groupby("l_returnflag", as_index=False)
+                [["high_line_count", "low_line_count"]].sum())
+
+    j = bucketed_hash_join(li, orders, on=["l_orderkey"], how="inner",
+                           reduce=counts)
+    out = grouped_agg(j, ["l_returnflag"],
+                      [("sum", "high_line_count", "high_line_count"),
+                       ("sum", "low_line_count", "low_line_count")],
+                      combine="driver").to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_Q2_SIZE, _Q2_TYPE, _Q2_REGION = 15, "LARGE", "EUROPE"
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 minimum-cost supplier, adapted (no partsupp: lineitem
+    IS the part<->supplier relation, and "supply cost" := the lowest
+    observed unit price in integer millicents, (cents*1000)//qty —
+    floor division keeps it exact and oracle-replayable): qualifying
+    partkeys + EUROPE suppkeys broadcast once, lineitem prunes
+    map-side, and ONE bucketed shuffle keyed by partkey makes the
+    per-(part,supplier) min, the per-part min, and the tie-keeping
+    filter all final in-bucket; names/balances attach driver-side from
+    the bounded dimension reads."""
+    import ray
+
+    from ..stages.aggregate import bucketed_group_transform
+
+    nat = _read_small(sf_dir, "nation")
+    reg = _read_small(sf_dir, "region")
+    rk = int(reg.loc[reg["r_name"] == _Q2_REGION, "r_regionkey"].iloc[0])
+    eur_nations = set(nat.loc[nat["n_regionkey"] == rk,
+                              "n_nationkey"].astype(int))
+    names = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+
+    part = _read_small(sf_dir, "part",
+                       columns=["p_partkey", "p_size", "p_type"])
+    pk = np.sort(part.loc[(part["p_size"] <= _Q2_SIZE)
+                          & (part["p_type"] == _Q2_TYPE),
+                          "p_partkey"].to_numpy(np.int64))
+    sup = _read_small(sf_dir, "supplier")
+    sup = sup[sup["s_nationkey"].isin(eur_nations)]
+    sk = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+    bref = ray.put((pk, sk))
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_partkey", "l_suppkey", "l_quantity",
+                      "l_extendedprice"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        pkeys, skeys = ray.get(bref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, lp), max(len(pkeys) - 1, 0))
+        hit = pkeys[pos] == lp if len(pkeys) else np.zeros(len(lp), bool)
+        t = t.filter(pa.array(hit))
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        spos = np.minimum(np.searchsorted(skeys, ls),
+                          max(len(skeys) - 1, 0))
+        shit = skeys[spos] == ls if len(skeys) else np.zeros(len(ls), bool)
+        t = t.filter(pa.array(shit))
+        cents = np.round(t.column("l_extendedprice")
+                          .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "unitmilli": pa.array(cents * 1000 // qty, pa.int64())})
+
+    pruned = li.map_batches(prune, batch_format="pyarrow")
+
+    def per_part(df):
+        pairs = df.groupby(["l_partkey", "l_suppkey"],
+                           as_index=False)["unitmilli"].min()
+        mn = pairs.groupby("l_partkey")["unitmilli"].transform("min")
+        return pairs[pairs["unitmilli"] == mn]
+
+    best = bucketed_group_transform(pruned, ["l_partkey"], per_part,
+                                    n_buckets=16).to_pandas()
+    out = best.merge(sup[["s_suppkey", "s_name", "s_nationkey",
+                          "s_acctbal"]],
+                     left_on="l_suppkey", right_on="s_suppkey")
+    out["s_acctbal_cents"] = np.round(
+        out["s_acctbal"].to_numpy() * 100.0).astype(np.int64)
+    out["n_name"] = out["s_nationkey"].map(names)
+    out = out.rename(columns={"l_partkey": "p_partkey",
+                              "unitmilli": "supplycost_milli"})
+    out["supplycost_milli"] = out["supplycost_milli"].astype("int64")
+    return out[["s_acctbal_cents", "s_name", "n_name", "p_partkey",
+                "supplycost_milli"]] \
+        .sort_values(["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+                     ascending=[False, True, True, True]) \
+        .head(100).reset_index(drop=True)
+
+
+_Q11_NATION = 7
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important stock, adapted (stock value per part :=
+    sum of cents x qty over the nation's lineitems — no partsupp):
+    the nation's suppkeys broadcast (tiny), per-part values combine in
+    ONE bucketed shuffle, the grand total is a second driver-combined
+    scalar pass over the SMALL per-part table, and the fraction filter
+    is the exact integer predicate value*1000 > total (0.1%)."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+
+    sup = _read_small(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    sk = np.sort(sup.loc[sup["s_nationkey"] == _Q11_NATION,
+                         "s_suppkey"].to_numpy(np.int64))
+    sref = ray.put(sk)
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_partkey", "l_suppkey", "l_quantity",
+                      "l_extendedprice"])
+
+    def value(t: pa.Table) -> pa.Table:
+        skeys = ray.get(sref)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(skeys, ls),
+                         max(len(skeys) - 1, 0))
+        hit = skeys[pos] == ls if len(skeys) else np.zeros(len(ls), bool)
+        t = t.filter(pa.array(hit))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        return pa.table({"ps_partkey": t.column("l_partkey"),
+                         "value": pc.multiply(cents, qty)})
+
+    per_part = grouped_agg(li.map_batches(value, batch_format="pyarrow"),
+                           ["ps_partkey"], [("sum", "value", "value")],
+                           combine="bucket", n_buckets=16).materialize()
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array([pc.sum(t.column("value")).as_py()
+                                        or 0], pa.int64()),
+                         "_one": pa.array([1], pa.int64())})
+
+    tot = grouped_agg(per_part.map_batches(total_partial,
+                                           batch_format="pyarrow"),
+                      ["_one"], [("sum", "s", "s")],
+                      combine="driver").to_pandas()
+    total = int(tot["s"].iloc[0])
+    out = per_part.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t.column("value"), pa.scalar(1000, pa.int64())),
+            pa.scalar(total, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values(["value", "ps_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+_Q16_BRAND = "Brand#5"
+_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 parts/supplier relationship, adapted (part<->supplier
+    pairs come from lineitem; the excluded-supplier predicate is
+    s_acctbal < 0 — the synthetic supplier has no comment column):
+    qualifying part attrs + the bad-supplier set broadcast once,
+    lineitem prunes + stamps + per-batch-distincts map-side, the quad
+    dedup is ONE bucketed combine, and the distinct-supplier count per
+    (brand, type, size) driver-combines (group count is bounded by the
+    attr cross product, ~1k)."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+
+    part = _read_small(sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part[(part["p_brand"] != _Q16_BRAND)
+                & part["p_size"].isin(_Q16_SIZES)].sort_values("p_partkey")
+    sup = _read_small(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(sup.loc[sup["s_acctbal"] < 0,
+                          "s_suppkey"].to_numpy(np.int64))
+    bref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                    part["p_brand"].to_numpy(object),
+                    part["p_type"].to_numpy(object),
+                    part["p_size"].to_numpy(np.int64), bad))
+
+    li = _rd(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        pkeys, brands, types, sizes, badk = ray.get(bref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, lp), max(len(pkeys) - 1, 0))
+        hit = pkeys[pos] == lp if len(pkeys) else np.zeros(len(lp), bool)
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(badk):
+            bpos = np.minimum(np.searchsorted(badk, ls), len(badk) - 1)
+            ok = badk[bpos] != ls
+            t = t.filter(pa.array(ok))
+            pos = pos[ok]
+        return pa.table({
+            "p_brand": pa.array(brands[pos], pa.string()),
+            "p_type": pa.array(types[pos], pa.string()),
+            "p_size": pa.array(sizes[pos], pa.int64()),
+            "l_suppkey": t.column("l_suppkey"),
+        }).group_by(["p_brand", "p_type", "p_size",
+                     "l_suppkey"]).aggregate([])
+
+    quads = li.map_batches(stamp, batch_format="pyarrow")
+    distinct = grouped_agg(quads,
+                           ["p_brand", "p_type", "p_size", "l_suppkey"],
+                           [("count", None, "_n")],
+                           combine="bucket", n_buckets=16)
+    out = grouped_agg(distinct, ["p_brand", "p_type", "p_size"],
+                      [("count", None, "supplier_cnt")],
+                      combine="driver").to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]] \
+        .sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                     ascending=[False, True, True, True]) \
+        .reset_index(drop=True)
+
+
+_Q20_PREFIX = "red"
+_Q20_LO, _Q20_HI = "1997-01-01", "1998-01-01"
+_Q20_MINQTY = 50
+_Q20_REGION = "EUROPE"
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 potential part promotion, adapted (no partsupp
+    availqty: a supplier qualifies when some red-prefixed part it
+    shipped in 1997 exceeds MINQTY total units — the same
+    sum-per-(supplier, part)-vs-threshold shape as availqty > 0.5 x
+    shipped): red partkeys broadcast, lineitem date-prunes map-side,
+    per-(supplier, part) quantities combine in ONE bucketed shuffle,
+    and the qualifying suppkey set (bounded by the supplier dim)
+    intersects the EUROPE suppliers driver-side."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+
+    nat = _read_small(sf_dir, "nation")
+    reg = _read_small(sf_dir, "region")
+    rk = int(reg.loc[reg["r_name"] == _Q20_REGION, "r_regionkey"].iloc[0])
+    eur = set(nat.loc[nat["n_regionkey"] == rk, "n_nationkey"].astype(int))
+
+    part = _read_small(sf_dir, "part", columns=["p_partkey", "p_name"])
+    pk = np.sort(part.loc[part["p_name"].str.startswith(_Q20_PREFIX),
+                          "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(pk)
+
+    lo = np.datetime64(_Q20_LO, "us")
+    hi = np.datetime64(_Q20_HI, "us")
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        pkeys = ray.get(pref)
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, lp), max(len(pkeys) - 1, 0))
+        hit = pkeys[pos] == lp if len(pkeys) else np.zeros(len(lp), bool)
+        t = t.filter(pa.array(hit))
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "l_partkey": t.column("l_partkey"),
+                         "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    per_sp = grouped_agg(li.map_batches(prune, batch_format="pyarrow"),
+                         ["l_suppkey", "l_partkey"],
+                         [("sum", "qty", "sq")],
+                         combine="bucket", n_buckets=16)
+    winners = per_sp.map_batches(
+        lambda t: pa.table({"l_suppkey": t.filter(
+            pc.greater(t.column("sq"),
+                       pa.scalar(_Q20_MINQTY, pa.int64())))
+            .column("l_suppkey")}).group_by(["l_suppkey"]).aggregate([]),
+        batch_format="pyarrow").to_pandas()
+    keys = set(winners["l_suppkey"].astype(int))
+
+    sup = _read_small(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_name", "s_nationkey"])
+    out = sup[sup["s_suppkey"].isin(keys)
+              & sup["s_nationkey"].isin(eur)][["s_suppkey", "s_name"]]
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+_Q21_NATION = 1
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 suppliers who kept orders waiting, adapted ("late
+    line" := l_returnflag = 'R'): per-(order, supplier) late flags
+    collapse per batch, F-orders prune at the scan, ONE bucketed semi
+    join co-locates each orderkey, and the EXISTS / NOT EXISTS pair
+    becomes vectorized order-level set logic inside the join bucket
+    (>= 2 distinct suppliers, EXACTLY ONE of them late -> emit that
+    supplier — identical to "another supplier exists, no OTHER
+    supplier is late"); the per-supplier count driver-combines
+    (supplier-dim bounded) and names attach from the dimension read."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bucketed_hash_join
+
+    sup = _read_small(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat_keys = np.sort(sup.loc[sup["s_nationkey"] == _Q21_NATION,
+                               "s_suppkey"].to_numpy(np.int64))
+    nref = ray.put(nat_keys)
+
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t.filter(
+            pc.equal(t.column("o_orderstatus"), "F")).column("o_orderkey")}),
+        batch_format="pyarrow")
+
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "late": pc.cast(pc.equal(t.column("l_returnflag"), "R"),
+                            pa.int64()),
+        }).group_by(["l_orderkey", "l_suppkey"]).aggregate([("late", "max")])
+        return g.rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+    li = li.map_batches(pairs, batch_format="pyarrow")
+
+    def waiting(df):
+        g = df.groupby(["l_orderkey", "l_suppkey"],
+                       as_index=False)["late"].max()
+        o = g.groupby("l_orderkey").agg(n_supp=("l_suppkey", "size"),
+                                        n_late=("late", "sum"))
+        o = o[(o["n_late"] == 1) & (o["n_supp"] >= 2)]
+        lt = g[g["late"] == 1]
+        out = lt[lt["l_orderkey"].isin(o.index)][["l_suppkey"]] \
+            .rename(columns={"l_suppkey": "s_suppkey"})
+        keys = ray.get(nref)
+        return out[out["s_suppkey"].isin(keys)]
+
+    j = bucketed_hash_join(li, orders, on=["l_orderkey"], how="semi",
+                           reduce=waiting)
+    cnt = grouped_agg(j, ["s_suppkey"], [("count", None, "numwait")],
+                      combine="driver").to_pandas()
+    out = cnt.merge(sup[["s_suppkey", "s_name"]], on="s_suppkey")
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_name", "numwait"]] \
+        .sort_values(["numwait", "s_name"], ascending=[False, True]) \
+        .head(100).reset_index(drop=True)
+
+
 def q_conversation_features(sf_dir: str):
     """Per-conversation feature extraction (the transcripts-axis
     aggregate a fine-tuning pipeline computes before filtering convs):
@@ -4991,6 +5532,14 @@ def queries():
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -5777,6 +6326,134 @@ def oracle_sql():
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= DATE '2000-07-01')
             GROUP BY cntrycode ORDER BY cntrycode""",
+        "tpch_q2": """
+            WITH pk AS (
+              SELECT p_partkey FROM part
+              WHERE p_size <= 15 AND p_type = 'LARGE'),
+            es AS (
+              SELECT s_suppkey, s_name, s_nationkey,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS bal
+              FROM supplier, nation, region
+              WHERE s_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+            pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * 1000 // CAST(l_quantity AS BIGINT))
+                       AS supplycost_milli
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM pk)
+                AND l_suppkey IN (SELECT s_suppkey FROM es)
+              GROUP BY 1, 2),
+            best AS (
+              SELECT * FROM pairs
+              WHERE supplycost_milli =
+                    (SELECT min(p2.supplycost_milli) FROM pairs p2
+                     WHERE p2.l_partkey = pairs.l_partkey))
+            SELECT es.bal AS s_acctbal_cents, es.s_name, n_name,
+                   l_partkey AS p_partkey,
+                   CAST(supplycost_milli AS BIGINT) AS supplycost_milli
+            FROM best, es, nation
+            WHERE best.l_suppkey = es.s_suppkey
+              AND es.s_nationkey = n_nationkey
+            ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+            LIMIT 100""",
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1997-07-01'
+              AND o_orderdate < DATE '1997-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY 1 ORDER BY 1""",
+        "tpch_q9": """
+            WITH l AS (
+              SELECT s_nationkey,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     - CAST(round(p_retailprice * 100) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT) * 100 AS amount
+              FROM lineitem, orders, supplier, part
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND p_partkey = l_partkey AND p_name LIKE '%gear%')
+            SELECT n_name AS nation, o_year,
+                   CAST(sum(amount) AS BIGINT) / 10000.0 AS sum_profit
+            FROM l, nation WHERE n_nationkey = s_nationkey
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+        "tpch_q11": """
+            WITH v AS (
+              SELECT l_partkey AS ps_partkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS value
+              FROM lineitem, supplier
+              WHERE s_suppkey = l_suppkey AND s_nationkey = 7
+              GROUP BY 1)
+            SELECT ps_partkey, value FROM v
+            WHERE value * 1000 > (SELECT sum(value) FROM v)
+            ORDER BY value DESC, ps_partkey""",
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_returnflag IN ('A', 'R')
+              AND l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1 ORDER BY 1""",
+        "tpch_q16": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps, part
+            WHERE p_partkey = l_partkey AND p_brand <> 'Brand#5'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "tpch_q20": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red%')
+                AND l_shipdate >= DATE '1997-01-01'
+                AND l_shipdate < DATE '1998-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+              AND s_nationkey IN (SELECT n_nationkey FROM nation
+                                  WHERE n_regionkey = 3)
+            ORDER BY s_suppkey""",
+        "tpch_q21": """
+            WITH per AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS late
+              FROM lineitem GROUP BY 1, 2),
+            ord AS (
+              SELECT l_orderkey, count(*) AS n_supp,
+                     sum(late) AS n_late,
+                     max(CASE WHEN late = 1 THEN l_suppkey END) AS the_supp
+              FROM per GROUP BY 1),
+            w AS (
+              SELECT the_supp AS s_suppkey FROM ord, orders
+              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'
+                AND n_late = 1 AND n_supp >= 2)
+            SELECT s_name, count(*) AS numwait
+            FROM w, supplier
+            WHERE w.s_suppkey = supplier.s_suppkey AND s_nationkey = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
         "otlp_traces_json_roundtrip": """
             SELECT CASE WHEN event_id % 2 = 0 THEN 'prod' ELSE 'stage' END
                        AS env,
