@@ -5448,6 +5448,154 @@ def q_recombine_capped(sf_dir: str):
         batch_format="pyarrow").sort(["conv_id", "part"])
 
 
+# shared decontamination CTE (8-token shingles, benchmark = doc_id < 50)
+# used by the doc_decontaminate oracle and the bloom invariant check
+_DECONTAM_CTE = """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), ng AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                       || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                       || ' ' || lead(w, 7) OVER win AS g
+              FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(w, 7) OVER win IS NOT NULL
+            ), bench AS (
+              SELECT DISTINCT g FROM ng WHERE doc_id < 50
+            ), corpus AS (
+              SELECT DISTINCT doc_id, g FROM ng WHERE doc_id >= 50
+            )"""
+
+
+# --- driver-checkable invariant promotions -------------------------------
+# Rows-only ops (ANN, BPE, Bloom, HLL, k-means) carry per-row
+# self-validation already; these summaries collapse each invariant to a
+# row whose expected value the DuckDB oracle CAN state (counts from the
+# input tables + must-be-zero violation counters), promoting the op from
+# the driver's weak rows-only check to a full value-hash CORRECTNESS row.
+
+
+def q_ann_consistency_check(sf_dir: str):
+    """ANN scoring-exactness invariant across all three approximate
+    index families: every IVF/LSH/PQ-rerank sim must equal an
+    independent exact cosine recompute (max_sim_diff_e12 == 0 per
+    query; ann_self_check docstring).  One row per method: the distinct
+    query count and the count of queries with ANY nonzero sim diff —
+    the oracle states both (3 queries by construction, 0 violations by
+    the invariant)."""
+    rows = []
+    for method, q in (("ivf", q_knn_ivf), ("lsh", q_knn_lsh),
+                      ("pq", q_knn_pq)):
+        df = q(sf_dir)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        rows.append({
+            "method": method,
+            "n_queries": int(df["query_idx"].nunique()),
+            "n_nonzero_diff": int((df["max_sim_diff_e12"] != 0).sum()),
+        })
+    return pa.table({
+        "method": pa.array([r["method"] for r in rows], pa.string()),
+        "n_queries": pa.array([r["n_queries"] for r in rows], pa.int64()),
+        "n_nonzero_diff": pa.array([r["n_nonzero_diff"] for r in rows],
+                                   pa.int64()),
+    })
+
+
+def q_bpe_roundtrip_check(sf_dir: str):
+    """BPE losslessness invariant, oracle-checkable form: across the
+    whole corpus, re-concatenating each doc's emitted tokens must
+    reproduce its lowercased word stream (detok_ok on every row of
+    q_doc_bpe_tokens).  n_docs comes from the documents table (the
+    oracle counts it); n_detok_fail must be 0."""
+    from ..stages.aggregate import grouped_agg
+
+    ds = q_doc_bpe_tokens(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.sum(pc.cast(t.column("detok_ok"), pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "bad": pa.array([t.num_rows - ok], pa.int64()),
+                         "_one": pa.array([1], pa.int64())})
+
+    tot = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["_one"], [("sum", "n", "n"), ("sum", "bad", "bad")],
+                      combine="driver").to_pandas()
+    return pa.table({
+        "n_docs": pa.array([int(tot["n"].iloc[0])], pa.int64()),
+        "n_detok_fail": pa.array([int(tot["bad"].iloc[0])], pa.int64()),
+    })
+
+
+def q_decontam_bloom_check(sf_dir: str):
+    """Bloom-filter no-false-negative invariant, oracle-checkable form:
+    exact_flagged is SQL-replayable (the doc_decontaminate oracle
+    counted per doc); bloom_missed (exact-flagged docs the Bloom probe
+    did NOT flag) must be 0 — a Bloom filter has false positives,
+    never false negatives."""
+    t = q_doc_decontaminate_bloom(sf_dir)
+    return t.select(["exact_flagged", "bloom_missed"])
+
+
+def q_hll_bound_check(sf_dir: str):
+    """HLL error-bound invariant, oracle-checkable form: every
+    per-event-type approximate distinct count must sit within 80000 ppm
+    (8%) of the exact count computed in the same plan (p=12 registers
+    give ~1.6% expected error; the same bound is pinned in pytest).
+    The oracle states n_groups = count(DISTINCT event_type) and
+    n_within_bound = n_groups."""
+    df = q_approx_distinct_users(sf_dir).to_pandas()
+    return pa.table({
+        "n_groups": pa.array([len(df)], pa.int64()),
+        "n_within_bound": pa.array([int((df["err_ppm"] <= 80_000).sum())],
+                                   pa.int64()),
+    })
+
+
+def q_kmeans_opt_check(sf_dir: str):
+    """k-means assignment-optimality invariant, oracle-checkable form:
+    every vector's assigned centroid is re-verified as the true argmin
+    by an INDEPENDENT naive distance recompute (np.sum((x-c)^2) per
+    centroid, a different op order than the stage's |x|^2-2xc+|c|^2
+    expansion) — n_violations must be 0; n_points is the embeddings
+    row count the oracle states."""
+    import ray
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.cluster import kmeans_assign, seed_centroids
+
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = seed_centroids(ds, 8)
+    assigned = kmeans_assign(ds, cents)
+    cref = ray.put(np.asarray(cents, dtype=np.float64))
+
+    def verify(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        got = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        if len(x) == 0:
+            bad = 0
+        else:
+            d = np.stack([np.sum((x - c[j]) ** 2, axis=1)
+                          for j in range(len(c))], axis=1)
+            bad = int((d.argmin(axis=1) != got).sum())
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "bad": pa.array([bad], pa.int64()),
+                         "_one": pa.array([1], pa.int64())})
+
+    tot = grouped_agg(assigned.map_batches(verify, batch_format="pyarrow"),
+                      ["_one"], [("sum", "n", "n"), ("sum", "bad", "bad")],
+                      combine="driver").to_pandas()
+    return pa.table({
+        "n_points": pa.array([int(tot["n"].iloc[0])], pa.int64()),
+        "n_violations": pa.array([int(tot["bad"].iloc[0])], pa.int64()),
+    })
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -5540,6 +5688,11 @@ def queries():
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "ann_consistency_check": q_ann_consistency_check,
+        "bpe_roundtrip_check": q_bpe_roundtrip_check,
+        "decontam_bloom_check": q_decontam_bloom_check,
+        "hll_bound_check": q_hll_bound_check,
+        "kmeans_opt_check": q_kmeans_opt_check,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
@@ -6841,29 +6994,34 @@ def oracle_sql():
         # 8-token-gram decontamination: benchmark slice = doc_id < 50.
         # Ray matches on 64-bit gram hashes, the oracle on gram strings —
         # equivalent modulo 2^-64 collisions.
-        "doc_decontaminate": """
-            WITH tok AS (
-              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
-              FROM (SELECT doc_id,
-                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
-                    FROM documents)
-            ), ng AS (
-              SELECT doc_id,
-                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
-                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
-                       || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
-                       || ' ' || lead(w, 7) OVER win AS g
-              FROM tok
-              WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-              QUALIFY lead(w, 7) OVER win IS NOT NULL
-            ), bench AS (
-              SELECT DISTINCT g FROM ng WHERE doc_id < 50
-            ), corpus AS (
-              SELECT DISTINCT doc_id, g FROM ng WHERE doc_id >= 50
-            )
+        "doc_decontaminate": _DECONTAM_CTE + """
             SELECT c.doc_id, CAST(count(*) AS BIGINT) AS contam_ngrams
             FROM corpus c JOIN bench b USING (g)
             GROUP BY c.doc_id""",
+        "decontam_bloom_check": _DECONTAM_CTE + """
+            , per AS (
+              SELECT c.doc_id FROM corpus c JOIN bench b USING (g)
+              GROUP BY c.doc_id)
+            SELECT count(*) AS exact_flagged,
+                   CAST(0 AS BIGINT) AS bloom_missed
+            FROM per""",
+        "ann_consistency_check": """
+            SELECT * FROM (VALUES
+              ('ivf', CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+              ('lsh', CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+              ('pq',  CAST(3 AS BIGINT), CAST(0 AS BIGINT)))
+              AS t(method, n_queries, n_nonzero_diff)
+            ORDER BY method""",
+        "bpe_roundtrip_check": """
+            SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
+            FROM documents""",
+        "hll_bound_check": """
+            SELECT count(DISTINCT event_type) AS n_groups,
+                   count(DISTINCT event_type) AS n_within_bound
+            FROM events""",
+        "kmeans_opt_check": """
+            SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS n_violations
+            FROM embeddings""",
         # floor(ppm) on both sides with the identical double expression
         # order keeps the integers bit-stable for the value hash.
         "doc_repetition": """
