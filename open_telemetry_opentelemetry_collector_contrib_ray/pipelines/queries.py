@@ -5643,19 +5643,24 @@ def queries():
         "recombine_capped": q_recombine_capped,
         "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
         "exp_to_explicit_hist": q_exp_to_explicit_hist,
-        # --- window positions 40-50: never-driver-seen rows-only
-        # entries (no SQL oracle by nature; the driver records the
-        # weaker rows-only check) ---
+        # --- window positions 40-50: never-driver-seen entries.
+        # Rows-only ops whose internals ARE oracle-checkable enter via
+        # their invariant-promotion queries (ann_consistency_check runs
+        # the full knn_ivf/knn_lsh/knn_pq plans, bpe_roundtrip_check
+        # runs doc_bpe_tokens, decontam_bloom_check runs
+        # doc_decontaminate_bloom, hll_bound_check runs
+        # approx_distinct_users); the rest stay rows-only (no SQL
+        # oracle by nature, self-validating rows) ---
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "doc_fingerprint": q_doc_fingerprint,
-        "knn_ivf": q_knn_ivf,
-        "knn_pq": q_knn_pq,
+        "ann_consistency_check": q_ann_consistency_check,
+        "bpe_roundtrip_check": q_bpe_roundtrip_check,
+        "decontam_bloom_check": q_decontam_bloom_check,
+        "hll_bound_check": q_hll_bound_check,
         "image_dedup": q_image_dedup,
         "audio_pipeline": q_audio_pipeline,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "multimodal_pipeline": q_multimodal_pipeline,
         # --- end of the 50-entry round-4 window ---
         # --- new this round (r05-window candidates) ---
@@ -5688,12 +5693,12 @@ def queries():
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
-        "ann_consistency_check": q_ann_consistency_check,
-        "bpe_roundtrip_check": q_bpe_roundtrip_check,
-        "decontam_bloom_check": q_decontam_bloom_check,
-        "hll_bound_check": q_hll_bound_check,
         "kmeans_opt_check": q_kmeans_opt_check,
         # --- rows-only, driver-seen in earlier windows or queued ---
+        "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "neardup_clusters": q_neardup_clusters,
         "neardup_dedup_docs": q_neardup_dedup_docs,
         "knn_lsh": q_knn_lsh,
