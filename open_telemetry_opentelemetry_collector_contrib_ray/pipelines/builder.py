@@ -561,6 +561,21 @@ def _dedup_against_step(c: dict):
 
     return DatasetStep(run)
 
+@register_step("gopher_filter")
+def _gopher_filter_step(c: dict):
+    """Gopher/MassiveText document-quality gates (flag or drop)."""
+    from ..stages.textfilters import GopherQualityFilter
+
+    return GopherQualityFilter(
+        text_col=c.get("text_col", "text"),
+        min_words=c.get("min_words", 50),
+        max_words=c.get("max_words", 100_000),
+        min_mean_word_len=c.get("min_mean_word_len", 3),
+        max_mean_word_len=c.get("max_mean_word_len", 10),
+        min_stop_hits=c.get("min_stop_hits", 2),
+        mode=c.get("mode", "flag"))
+
+
 @register_step("normalize_text")
 def _normalize_text_step(c: dict):
     """Unicode NFC + lowercase + whitespace-collapse normalization."""

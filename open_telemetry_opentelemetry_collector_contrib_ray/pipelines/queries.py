@@ -2964,6 +2964,72 @@ def q_doc_c4_gate(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def _plant_gopher(t: pa.Table) -> pa.Table:
+    """Deterministically decorate each document so every Gopher gate has
+    both passing and failing rows: bullet-heavy docs (every 4th; every
+    16th exceeds the 90% line ratio), ellipsis-terminated lines (every
+    5th), '#' symbol runs (every 11th), digit-only words (every 13th),
+    truncated-short docs (every 17th).  The SQL side
+    (_gopher_plant_sql) is the identical expression."""
+    d = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    filled = pc.fill_null(t.column("text"), "")
+    base = pc.if_else(pa.array(d % 17 == 5),
+                      pc.utf8_slice_codeunits(filled, 0, 10),
+                      pc.utf8_slice_codeunits(filled, 0, 120))
+    bullets = pc.if_else(
+        pa.array(d % 16 == 0), pa.scalar("\n- bullet item" * 12),
+        pc.if_else(pa.array(d % 4 == 0),
+                   pa.scalar("\n- bullet item" * 3), pa.scalar("")))
+    ell = pc.if_else(pa.array(d % 5 == 1),
+                     pa.scalar("\nto be continued...\nmore to come..."),
+                     pa.scalar(""))
+    sym = pc.if_else(pa.array(d % 11 == 3),
+                     pa.scalar("\n# # # # # # # # # # # # #"),
+                     pa.scalar(""))
+    digits = pc.if_else(
+        pa.array(d % 13 == 4),
+        pa.scalar("\n111 222 333 444 555 666 777 888 999 000 111 222"),
+        pa.scalar(""))
+    t2 = pc.binary_join_element_wise(base, bullets, ell, sym, digits,
+                                     pa.scalar(""))
+    return t.set_column(t.column_names.index("text"), "text", t2)
+
+
+def _gopher_plant_sql() -> str:
+    return (
+        "(SELECT doc_id, "
+        "CASE WHEN doc_id % 17 = 5 THEN substr(coalesce(text,''), 1, 10) "
+        "ELSE substr(coalesce(text,''), 1, 120) END "
+        "|| CASE WHEN doc_id % 16 = 0 THEN repeat(chr(10) || '- bullet item', 12) "
+        "WHEN doc_id % 4 = 0 THEN repeat(chr(10) || '- bullet item', 3) "
+        "ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 1 THEN chr(10) || 'to be continued...' "
+        "|| chr(10) || 'more to come...' ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 3 THEN chr(10) || "
+        "'# # # # # # # # # # # # #' ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 4 THEN chr(10) || "
+        "'111 222 333 444 555 666 777 888 999 000 111 222' ELSE '' END "
+        "AS t FROM documents)")
+
+
+def q_doc_gopher_gate(sf_dir: str):
+    """Gopher/MassiveText document-quality gates (Rae et al. 2021 App.
+    A1.1): word count, mean word length, symbol-to-word ratio, bullet /
+    ellipsis line ratios, alphabetic-word ratio, required-stopword
+    presence — every ratio an exact integer cross-multiplication.
+    Map-only (stages/textfilters.py GopherQualityFilter)."""
+    from ..stages.textfilters import GopherQualityFilter
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_plant_gopher, batch_format="pyarrow")
+    return ds.map_batches(
+        GopherQualityFilter(min_words=5, min_stop_hits=1),
+        batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_words", "n_lines", "n_alpha_words",
+                         "n_stop_hits", "keep"]) \
+        .sort("doc_id")
+
+
 def q_doc_line_dedup(sf_dir: str):
     """Corpus-wide exact line dedup, first occurrence wins (C4's
     repeated-line rule).  Only (hash, doc_id, line_idx) triples shuffle;
@@ -5694,6 +5760,7 @@ def queries():
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "kmeans_opt_check": q_kmeans_opt_check,
+        "doc_gopher_gate": q_doc_gopher_gate,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
@@ -7453,6 +7520,57 @@ def oracle_sql():
                     AND n_sentences >= 1
                     AND NOT regexp_matches(t, '(?i)lorem ipsum|\{'))
                        AS keep
+            FROM m ORDER BY doc_id""",
+        # Gopher document gates: every ratio rule replayed as the same
+        # integer cross-multiplication; stopword hits as 8 regex CASEs.
+        "doc_gopher_gate": r"""
+            WITH s0 AS """ + _gopher_plant_sql() + r""",
+            m AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT)
+                         AS n_words,
+                     CAST(length(t)
+                          - len(regexp_extract_all(t, '\s')) AS BIGINT)
+                         AS nonspace,
+                     CAST(len(regexp_extract_all(t, '#'))
+                          + len(regexp_extract_all(t, '\.\.\.')) AS BIGINT)
+                         AS n_sym,
+                     CAST(len(string_split(t, chr(10))) AS BIGINT)
+                         AS n_lines,
+                     CAST(len(regexp_extract_all(t, '(?m)^[-*•] '))
+                         AS BIGINT) AS n_bullet,
+                     CAST(len(regexp_extract_all(t, '(?m)(?:\.\.\.|…)$'))
+                         AS BIGINT) AS n_ell,
+                     CAST(len(list_filter(regexp_extract_all(t, '\S+'),
+                              x -> regexp_matches(x, '[A-Za-z]')))
+                         AS BIGINT) AS n_alpha,
+                     CAST((CASE WHEN regexp_matches(t, '(?i)\bthe\b')
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(t, '(?i)\bbe\b')
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(t, '(?i)\bto\b')
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(t, '(?i)\bof\b')
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(t, '(?i)\band\b')
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(t, '(?i)\bthat\b')
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(t, '(?i)\bhave\b')
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(t, '(?i)\bwith\b')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+              FROM s0)
+            SELECT doc_id, n_words, n_lines, n_alpha AS n_alpha_words,
+                   n_stop AS n_stop_hits,
+                   (n_words >= 5 AND n_words <= 100000
+                    AND nonspace >= 3 * n_words
+                    AND nonspace <= 10 * n_words
+                    AND 10 * n_sym <= n_words
+                    AND 10 * n_bullet <= 9 * n_lines
+                    AND 10 * n_ell <= 3 * n_lines
+                    AND 5 * n_alpha >= 4 * n_words
+                    AND n_stop >= 1) AS keep
             FROM m ORDER BY doc_id""",
         # corpus-wide line dedup: Ray dedups 64-bit line hashes, the
         # oracle ranks the line strings themselves — equivalent modulo

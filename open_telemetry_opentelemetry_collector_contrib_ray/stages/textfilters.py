@@ -183,6 +183,112 @@ class C4DocFilter:
         return out.append_column("keep", pa.array(keep))
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+class GopherQualityFilter:
+    """map_batches stage: Gopher/MassiveText document-quality gates
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", Appendix A
+    §A1.1) as integer-exact flags.  A document is kept iff
+
+      * word count in [min_words, max_words] (words = ``\\S+`` runs),
+      * mean word length in [min_mean_word_len, max_mean_word_len]
+        (integer inequality min*words <= non-space chars <= max*words),
+      * symbol-to-word ratio ('#' or '...') <= 0.1
+        (10 * n_symbols <= n_words),
+      * <= 90% of lines start with a bullet ('-', '*', or U+2022:
+        10 * n_bullet_lines <= 9 * n_lines),
+      * <= 30% of lines end with an ellipsis ('...' or U+2026:
+        10 * n_ellipsis_lines <= 3 * n_lines),
+      * >= 80% of words contain at least one alphabetic character
+        (5 * n_alpha_words >= 4 * n_words),
+      * at least ``min_stop_hits`` DISTINCT required stopwords appear
+        (case-insensitive whole-word match).
+
+    Every ratio is evaluated as an exact integer cross-multiplication —
+    no float division, bit-stable vs any SQL oracle.  Map-only, pure
+    RE2/Arrow kernels, zero shuffle at any scale (same cost model as
+    `C4DocFilter`).  `mode="flag"` appends the counters and `keep`;
+    `mode="drop"` filters the batch to kept rows."""
+
+    def __init__(self, text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000, min_mean_word_len: int = 3,
+                 max_mean_word_len: int = 10, min_stop_hits: int = 2,
+                 stopwords: Sequence[str] = GOPHER_STOPWORDS,
+                 mode: str = "flag"):
+        if mode not in ("flag", "drop"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.text_col = text_col
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_mwl = min_mean_word_len
+        self.max_mwl = max_mean_word_len
+        self.min_stop_hits = min_stop_hits
+        self.stopwords = tuple(stopwords)
+        self.mode = mode
+
+    def _alpha_words(self, filled, n: int) -> np.ndarray:
+        """Per-row count of whitespace tokens containing [A-Za-z]:
+        split -> flatten -> one RE2 match over the flat tokens -> one
+        bincount per row (the textstats._distinct_tokens idiom)."""
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        parts = pc.split_pattern_regex(filled, r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        lengths = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        hit = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False)
+        return np.bincount(rows[hit], minlength=n).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        filled = pc.fill_null(col, "")
+        n = batch.num_rows
+        words = pc.count_substring_regex(filled, WORD_PAT) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(filled).cast(pa.int64())
+        spaces = pc.count_substring_regex(filled, r"\s").cast(pa.int64())
+        nonspace = pc.subtract(chars, spaces).to_numpy(zero_copy_only=False)
+        n_sym = pc.add(
+            pc.count_substring(filled, "#"),
+            pc.count_substring(filled, "...")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_lines = pc.add(pc.count_substring(filled, "\n"), 1) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_bullet = pc.count_substring_regex(
+            filled, r"(?m)^[-*•] ").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_ell = pc.count_substring_regex(
+            filled, r"(?m)(?:\.\.\.|…)$").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        alpha = self._alpha_words(filled, n)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        for w in self.stopwords:
+            stop_hits += pc.match_substring_regex(
+                filled, rf"(?i)\b{w}\b").to_numpy(zero_copy_only=False)
+        keep = (words >= self.min_words) & (words <= self.max_words)
+        keep &= (nonspace >= self.min_mwl * words) \
+            & (nonspace <= self.max_mwl * words)
+        keep &= 10 * n_sym <= words
+        keep &= 10 * n_bullet <= 9 * n_lines
+        keep &= 10 * n_ell <= 3 * n_lines
+        keep &= 5 * alpha >= 4 * words
+        keep &= stop_hits >= self.min_stop_hits
+        keep &= ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        if self.mode == "drop":
+            return batch.filter(pa.array(keep))
+        out = batch.append_column("n_words", pa.array(words, pa.int64()))
+        out = out.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        out = out.append_column("n_alpha_words", pa.array(alpha, pa.int64()))
+        out = out.append_column("n_stop_hits",
+                                pa.array(stop_hits, pa.int64()))
+        return out.append_column("keep", pa.array(keep))
+
+
 def c4_filter(ds, text_col: str = "text", min_words_per_line: int = 3,
               min_words: int = 5, min_sentences: int = 1):
     """The composed C4 cleanup: line filter then document gate (drop)."""

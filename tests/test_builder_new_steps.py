@@ -96,3 +96,19 @@ def test_normalize_chunk_funnel_retention_steps():
         {"type": "retention", "period_us": 10},
     ]).to_pandas()
     assert r["n_users"].sum() == 3  # u1 in periods 1+2, u2 in period 3
+
+
+def test_gopher_filter_step():
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["the quick brown fox jumps over that lazy dog today.",
+                 "tiny the be"]})
+    out = build_pipeline(_mk(df, 1), [
+        {"type": "gopher_filter", "min_words": 5, "min_stop_hits": 2},
+    ]).to_pandas().sort_values("doc_id")
+    assert out["keep"].tolist() == [True, False]
+    dropped = build_pipeline(_mk(df, 1), [
+        {"type": "gopher_filter", "min_words": 5, "min_stop_hits": 2,
+         "mode": "drop"},
+    ]).to_pandas()
+    assert len(dropped) == 1 and dropped["doc_id"].iloc[0] == 0

@@ -142,3 +142,42 @@ def test_chunk_documents_edges_and_overlap():
     # every chunk boundary overlaps the previous by exactly `overlap`
     assert all(a[-2:] == b[:2] for a, b in zip(d0, d0[1:]))
     assert (out.groupby("doc_id")["n_chunks"].nunique() == 1).all()
+
+
+def test_gopher_quality_filter_rules():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+        GopherQualityFilter,
+    )
+
+    texts = [
+        # passes every gate (2 stopwords: the, that)
+        "the quick brown fox jumps over that lazy dog today.",
+        # word count below min_words
+        "tiny the be",
+        # symbol-to-word: 3 '#' in 15 words (alpha ratio 12/15 still ok)
+        "that with been long word nice warm cold gone tall blue pink # # #",
+        # bullet lines: 10 of 11 lines start '- ' (> 90%)
+        "the fox and dog\n" + "\n".join(["- item number one two"] * 10),
+        # ellipsis lines: 2 of 4 end '...' (> 30%)
+        "the fox and dog\nmore to come...\nanother line here\n"
+        "to be continued...",
+        # alphabetic-word ratio: 6 of 9 words (< 80%)
+        "the fox and dog ran far 111 222 333",
+        # zero required stopwords
+        "big fast cars race down empty streets quickly today maybe.",
+        # stopword match is case-insensitive (The, With)
+        "The fierce Wolf ran With great speed around everything else.",
+        None,
+    ]
+    t = _tbl(texts)
+    out = GopherQualityFilter(min_words=5, min_stop_hits=2)(t)
+    assert out.column("keep").to_pylist() == [
+        True, False, False, False, False, False, False, True, False]
+    # counters are exact (hand-computed)
+    assert out.column("n_words").to_pylist()[:6] == [10, 3, 15, 54, 13, 9]
+    assert out.column("n_lines").to_pylist()[3:5] == [11, 4]
+    assert out.column("n_alpha_words").to_pylist()[2] == 12
+    assert out.column("n_stop_hits").to_pylist()[:2] == [2, 2]
+    dropped = GopherQualityFilter(min_words=5, min_stop_hits=2,
+                                  mode="drop")(t)
+    assert dropped.num_rows == 2
