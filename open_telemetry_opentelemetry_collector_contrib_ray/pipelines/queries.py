@@ -4582,6 +4582,11 @@ def q_tpch_q11(sf_dir: str):
             pc.multiply(t.column("value"), pa.scalar(1000, pa.int64())),
             pa.scalar(total, pa.int64()))),
         batch_format="pyarrow").to_pandas()
+    if "value" not in out.columns:
+        # every part below the 0.1% share threshold (possible at larger
+        # sf): an all-filtered Dataset loses its schema in to_pandas
+        out = pd.DataFrame({"ps_partkey": pd.Series([], dtype="int64"),
+                            "value": pd.Series([], dtype="int64")})
     out["value"] = out["value"].astype("int64")
     return out.sort_values(["value", "ps_partkey"],
                            ascending=[False, True]).reset_index(drop=True)
