@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "cube_event_counts",
     "doc_temperature_mix",
     "doc_gopher_gate",
+    "doc_top_ngrams",
     "exp_to_explicit_hist",
     # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
     "attr_hash_extract",

@@ -3039,6 +3039,18 @@ def q_doc_line_dedup(sf_dir: str):
     return dedup_lines(lambda: _plant_lines_ds(sf_dir)).sort("doc_id")
 
 
+def q_doc_top_ngrams(sf_dir: str):
+    """Corpus-wide most-frequent word 3-grams (boilerplate/template
+    mining before writing dedup rules — the RefinedWeb diagnostic).
+    Per-batch gram counts collapse text before any exchange; one
+    bucketed combine + per-bucket top-k pre-prune; count-desc/gram-asc
+    total order (stages/relevance.py top_ngrams)."""
+    from ..stages.relevance import top_ngrams
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_ngrams(ds, n=3, k=20, min_count=2)
+
+
 _BM25_TERMS = ["spark", "vector", "stream"]
 
 
@@ -5766,6 +5778,7 @@ def queries():
         "tpch_q21": q_tpch_q21,
         "kmeans_opt_check": q_kmeans_opt_check,
         "doc_gopher_gate": q_doc_gopher_gate,
+        "doc_top_ngrams": q_doc_top_ngrams,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
@@ -7526,6 +7539,25 @@ def oracle_sql():
                     AND NOT regexp_matches(t, '(?i)lorem ipsum|\{'))
                        AS keep
             FROM m ORDER BY doc_id""",
+        # corpus 3-gram heavy hitters: same lead()-window gram build as
+        # the decontamination CTE, count (not distinct), top-20 with the
+        # count-desc/gram-asc tiebreak replayed on both sides.
+        "doc_top_ngrams": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), ng AS (
+              SELECT w || ' ' || lead(w, 1) OVER win
+                       || ' ' || lead(w, 2) OVER win AS g
+              FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(w, 2) OVER win IS NOT NULL
+            )
+            SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ng GROUP BY g HAVING count(*) >= 2
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 20""",
         # Gopher document gates: every ratio rule replayed as the same
         # integer cross-multiplication; stopword hits as 8 regex CASEs.
         "doc_gopher_gate": r"""

@@ -262,3 +262,87 @@ def tfidf_keywords(ds_factory, k: int = 3, text_col: str = "text",
 
     return ds_factory().map_batches(Score, batch_format="pyarrow",
                                     concurrency=(1, 24))
+
+
+def _ngram_counts_partial(batch: pa.Table, text_col: str,
+                          n: int) -> pa.Table:
+    """Per-batch word n-gram counts: flatten the lowercased token
+    stream once, build gram strings from n zero-copy Arrow slices
+    joined element-wise, mask grams that straddle a document boundary,
+    then one dictionary-encode + bincount.  No Python loop over rows
+    or grams."""
+    nrows = batch.num_rows
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64())})
+    if nrows == 0:
+        return empty
+    lower = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+    parts = pc.split_pattern_regex(lower, r"\W+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    lengths = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
+    keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    flat = flat.filter(pa.array(keep))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    rows = rows[keep]
+    total = len(rows)
+    if total < n:
+        return empty
+    m = total - n + 1
+    grams = pc.binary_join_element_wise(
+        *[flat.slice(i, m) for i in range(n)], pa.scalar(" "))
+    valid = rows[:m] == rows[n - 1:]
+    grams = grams.filter(pa.array(valid))
+    if len(grams) == 0:
+        return empty
+    enc = grams.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(codes, minlength=len(enc.dictionary))
+    return pa.table({"gram": enc.dictionary.cast(pa.string()),
+                     "c": pa.array(counts.astype(np.int64))})
+
+
+def top_ngrams(ds, n: int = 3, k: int = 20, text_col: str = "text",
+               min_count: int = 2, n_buckets: int = 16):
+    """Corpus-wide most-frequent word n-grams (boilerplate / template
+    mining, the RefinedWeb-style diagnostic before writing line or
+    substring dedup rules).
+
+    Shape: per-batch gram counts collapse the text to a (gram, count)
+    table BEFORE any exchange, so shuffle volume is the batch-distinct
+    gram vocabulary, never the corpus; the combine is one bucketed
+    groupby; each bucket pre-prunes to its local top-k so the final
+    global sort+limit sees at most n_buckets*k rows.  ``min_count``
+    bounds the combined table on web-scale corpora (singleton grams
+    dominate the long tail); for 100-TB heavy-hitters-only use, feed
+    the exploded grams to stages/sketch.py ``approx_top_k``
+    (SpaceSaving) instead — this function is the exact path.
+
+    Deterministic total order: count desc, gram asc."""
+    from .aggregate import grouped_agg
+
+    partials = ds.map_batches(
+        lambda t: _ngram_counts_partial(t, text_col, n),
+        batch_format="pyarrow")
+    totals = grouped_agg(partials, ["gram"], [("sum", "c", "n_occurrences")],
+                         combine="bucket", n_buckets=n_buckets)
+    if min_count > 1:
+        totals = totals.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("n_occurrences"), min_count)),
+            batch_format="pyarrow")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_occurrences", "descending"),
+                          ("gram", "ascending")])
+        return t.take(idx[:k])
+
+    return totals.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["n_occurrences", "gram"], descending=[True, False]).limit(k)

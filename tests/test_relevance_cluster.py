@@ -332,3 +332,41 @@ def test_kmeans_assign_fast_path_agrees_on_separated_blobs():
     a = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
     b = kmeans_assign(ds, cents, exact=False).to_pandas().sort_values("vec_id")
     assert (a.cluster_id.to_numpy() == b.cluster_id.to_numpy()).all()
+
+
+def test_top_ngrams_bruteforce_parity():
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.relevance import (
+        top_ngrams,
+    )
+
+    texts = [
+        "click here to subscribe now",
+        "click here to subscribe now",
+        "click here to unsubscribe",
+        "the quick brown fox and the quick brown dog",
+        "Mixed CASE click HERE to Subscribe now!",
+        "",
+        None,
+        "ab",  # fewer tokens than n
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+
+    brute = Counter()
+    for t in texts:
+        toks = re.findall(r"[a-z0-9_]+", (t or "").lower())
+        for i in range(len(toks) - 1):
+            brute[" ".join(toks[i:i + 2])] += 1
+    expect = sorted(((c, g) for g, c in brute.items() if c >= 2),
+                    key=lambda x: (-x[0], x[1]))[:5]
+
+    got = top_ngrams(ds, n=2, k=5, min_count=2).take_all()
+    assert [(r["n_occurrences"], r["gram"]) for r in got] == expect
+    # boundary: grams never straddle documents
+    assert all(" " in r["gram"] for r in got)
