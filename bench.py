@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "doc_temperature_mix",
     "doc_gopher_gate",
     "doc_top_ngrams",
+    "doc_fuzzy_new_vs_ref",
     "exp_to_explicit_hist",
     # round-4 window coverage: BENCH_r04 times what CORRECTNESS_r04 checks
     "attr_hash_extract",

@@ -1558,6 +1558,58 @@ def _planted_pair_summary(pairs_ds, sf_dir: str, a_col: str, b_col: str):
     })
 
 
+def q_doc_fuzzy_new_vs_ref(sf_dir: str):
+    """Cross-corpus FUZZY dedup (the near-dup companion of
+    doc_new_vs_ref): docs 0-249 are the existing training set, docs
+    250-499 the new crawl, plus planted perturbed copies (ref docs with
+    doc_id % 5 == 0, every 16th word dropped — Jaccard safely above the
+    0.6 band threshold — new_id = ref_id + 100000).  MinHash bands
+    match new against ref only (stages/dedup.py minhash_pairs_against);
+    self-validating summary row: planted copies found (100% at this
+    perturbation), clean new docs flagged (a DETERMINISTIC count — the
+    synthetic corpus contains genuine cross-half near-dups, cf.
+    doc_exact_dups), and the survivor count of the full
+    minhash_dedup_against drop (MinHash is not SQL-expressible; the
+    recall floor is additionally pinned in pytest)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_dedup_against, minhash_pairs_against
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    cut = len(ids) // 2
+    ref_ids, ref_texts = ids[:cut], texts[:cut]
+    new_ids = list(ids[cut:])
+    new_texts = list(texts[cut:])
+    planted = []
+    for i, t in zip(ref_ids, ref_texts):
+        if i % 5 == 0:
+            words = (t or "").split()
+            new_ids.append(i + 100_000)
+            new_texts.append(" ".join(
+                w for j, w in enumerate(words) if j % 16 != 15))
+            planted.append(i + 100_000)
+    ref = rd.from_arrow(pa.table({"doc_id": pa.array(ref_ids, pa.int64()),
+                                  "text": pa.array(ref_texts, pa.string())}))
+    new = rd.from_arrow(pa.table({"doc_id": pa.array(new_ids, pa.int64()),
+                                  "text": pa.array(new_texts, pa.string())}))
+    pairs = minhash_pairs_against(new, ref, threshold=0.6).to_pandas()
+    flagged = set(pairs["new_id"].astype(int))
+    planted_found = sum(1 for p in planted if p in flagged)
+    clean_flagged = len(flagged - set(planted))
+    survivors = minhash_dedup_against(new, ref, threshold=0.6).count()
+    return pa.table({
+        "planted_copies": pa.array([len(planted)], pa.int64()),
+        "planted_found": pa.array([planted_found], pa.int64()),
+        "clean_new_flagged": pa.array([clean_flagged], pa.int64()),
+        "survivors": pa.array([survivors], pa.int64()),
+        "n_new": pa.array([len(new_ids)], pa.int64()),
+    })
+
+
 def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup pairs over documents with planted
     duplicates, returned as a SELF-VALIDATING planted-recall summary row
@@ -5779,6 +5831,7 @@ def queries():
         "kmeans_opt_check": q_kmeans_opt_check,
         "doc_gopher_gate": q_doc_gopher_gate,
         "doc_top_ngrams": q_doc_top_ngrams,
+        "doc_fuzzy_new_vs_ref": q_doc_fuzzy_new_vs_ref,
         # --- rows-only, driver-seen in earlier windows or queued ---
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,

@@ -679,6 +679,131 @@ def dedup_against(new_ds, ref_ds, text_col: str = "text",
                            batch_format="pyarrow")
 
 
+def minhash_pairs_against(new_ds, ref_ds, id_col: str = "doc_id",
+                          text_col: str = "text", num_perm: int = 128,
+                          bands: int = 32, shingle_w: int = 3,
+                          threshold: float = 0.7, max_bucket: int = 100_000):
+    """Cross-corpus fuzzy-dup candidates: (new_id, ref_id, est_jaccard)
+    pairs with minhash-estimated Jaccard >= threshold, NEW docs matched
+    only against REFERENCE docs (neither side is self-paired) — the
+    fuzzy companion of `dedup_against` for the "new crawl vs existing
+    training set" refresh, where near-copies (boilerplate drift, ad
+    rotation) survive the exact 128-bit hash.
+
+    Shape mirrors `minhash_lsh_pairs`: each side signs map-only, bands
+    explode with a constant side tag, one band-hash bucketed shuffle,
+    and inside a bucket every mixed-side band compares new×ref
+    signatures with ONE vectorized equality mean per band.  Only
+    (id, band, signature) rows shuffle — text never leaves its side's
+    map tasks.  Ids may collide across corpora (sides are compared by
+    tag, never merged)."""
+    import pandas as pd
+
+    def sigs(ds, side: int):
+        s = ds.map_batches(
+            MinHasher, fn_constructor_kwargs=dict(
+                num_perm=num_perm, shingle_w=shingle_w,
+                id_col=id_col, text_col=text_col),
+            batch_format="pyarrow", concurrency=(1, 8))
+        exploded = s.map_batches(_BandsWithSig(num_perm, bands, id_col),
+                                 batch_format="pyarrow")
+        return exploded.map_batches(
+            lambda t: t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8))),
+            batch_format="pyarrow")
+
+    both = sigs(new_ds, 1).union(sigs(ref_ds, 0))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        h = np.asarray(t.column("band_hash"), dtype=np.uint64)
+        b = np.asarray(t.column("band_id"), dtype=np.uint64)
+        return t.append_column(
+            "__bucket", pa.array(((h ^ (b * np.uint64(0x9E3779B97F4A7C15)))
+                                  % 16).astype(np.int32)))
+
+    bucketed = both.map_batches(add_bucket, batch_format="pyarrow") \
+        .repartition(16)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
+                              "ref_id": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates(subset=["band_id", "band_hash", "__side",
+                                      id_col])
+        # only bands holding BOTH sides can produce a cross pair
+        mixed = g.groupby(["band_id", "band_hash"])["__side"] \
+            .transform("nunique") == 2
+        g = g[mixed]
+        if g.empty:
+            return empty
+        out_n, out_r, est = [], [], []
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(sub) > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash_pairs_against: band bucket capped at %d "
+                    "members; %d rows dropped (recall loss confined to "
+                    "this bucket)", max_bucket, len(sub) - max_bucket)
+                sub = sub.sort_values([id_col]).iloc[:max_bucket]
+            news = sub[sub["__side"] == 1]
+            refs = sub[sub["__side"] == 0]
+            if news.empty or refs.empty:
+                continue
+            sn = np.stack(news["minhash"].to_numpy())
+            sr = np.stack(refs["minhash"].to_numpy())
+            eq = (sn[:, None, :] == sr[None, :, :]).mean(axis=2)
+            ni, rj = np.nonzero(eq >= threshold)
+            out_n.extend(news[id_col].to_numpy()[ni])
+            out_r.extend(refs[id_col].to_numpy()[rj])
+            est.extend(eq[ni, rj])
+        return pd.DataFrame({"new_id": np.asarray(out_n, dtype=np.int64),
+                             "ref_id": np.asarray(out_r, dtype=np.int64),
+                             "est_jaccard": np.asarray(est,
+                                                       dtype=np.float64)})
+
+    from .aggregate import arrow_out
+
+    cand = bucketed.groupby("__bucket").map_groups(
+        arrow_out(pairs_in_bucket), batch_format="pandas")
+    # a pair can surface from several bands — reuse the bucketed
+    # pair-dedup with its (doc_a, doc_b) column contract
+    cand = cand.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "est_jaccard"]),
+        batch_format="pyarrow")
+    out = _dedupe_pairs(cand)
+    return out.map_batches(
+        lambda t: t.rename_columns(["new_id", "ref_id", "est_jaccard"]),
+        batch_format="pyarrow")
+
+
+def minhash_dedup_against(new_ds, ref_ds, id_col: str = "doc_id",
+                          text_col: str = "text", num_perm: int = 128,
+                          bands: int = 32, shingle_w: int = 3,
+                          threshold: float = 0.7, n_buckets: int = 32):
+    """Drop NEW documents that fuzzy-match any REFERENCE document:
+    `minhash_pairs_against` candidates -> distinct flagged new ids ->
+    one bucketed anti join (the flagged set can be corpus-fraction
+    sized at high dup rates — never broadcast it).  Chain after the
+    exact `dedup_against` pass, which removes byte-identical copies
+    more cheaply."""
+    from .join import bucketed_hash_join
+
+    pairs = minhash_pairs_against(
+        new_ds, ref_ds, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, bands=bands, shingle_w=shingle_w,
+        threshold=threshold)
+    flagged = pairs.map_batches(
+        lambda t: pa.table({id_col: pc.unique(t.column("new_id"))}),
+        batch_format="pyarrow")
+    return bucketed_hash_join(new_ds, flagged, on=[id_col], how="anti",
+                              n_buckets=n_buckets)
+
+
 def cluster_keep_best(clusters_ds, docs_ds, priority_col: str,
                       id_col: str = "doc_id", n_buckets: int = 32):
     """Pick each near-dup cluster's surviving document by PRIORITY

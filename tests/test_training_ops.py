@@ -407,3 +407,39 @@ def test_tfidf_keywords_min_df_and_top_v_cap():
     capped = tfidf_keywords(lambda: ray.data.from_arrow(tbl), k=10,
                             top_v=2).to_pandas()
     assert set(capped.token) == {"apple", "banana"}
+
+
+def test_minhash_dedup_against_drops_fuzzy_copies():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+        minhash_dedup_against,
+        minhash_pairs_against,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the old farm "
+            "house where children play games every single summer day %d")
+    ref_texts = [base % i for i in range(12)]
+    # near-copies of refs 0-3 (one word swapped), plus 6 unrelated docs
+    new_texts = [t.replace("softly", "gently") for t in ref_texts[:4]] + [
+        f"completely unrelated database vector query engine text {i} "
+        f"columnar storage arrow batches shuffle partitions" +
+        " filler" * i for i in range(6)]
+    ref = ray.data.from_arrow(_docs(ref_texts))
+    new = ray.data.from_arrow(_docs(new_texts, start_id=100))
+
+    pairs = minhash_pairs_against(new, ref, threshold=0.5).to_pandas()
+    flagged = set(pairs["new_id"].astype(np.int64))
+    # every planted near-copy is flagged; est column bounded in [0, 1]
+    assert {100, 101, 102, 103} <= flagged
+    assert ((pairs["est_jaccard"] >= 0.5) & (pairs["est_jaccard"] <= 1)).all()
+    # pairs point new -> ref, never ref ids on the new side
+    assert (pairs["new_id"] >= 100).all()
+    assert (pairs["ref_id"] < 100).all()
+
+    kept = minhash_dedup_against(new, ref, threshold=0.5).to_pandas()
+    kept_ids = set(kept["doc_id"].astype(np.int64))
+    # unrelated docs survive, planted copies are gone
+    assert kept_ids & {100, 101, 102, 103} == set()
+    assert {104, 105, 106, 107, 108, 109} <= kept_ids
+    # survivors = new - flagged (exact set identity)
+    assert kept_ids == set(range(100, 110)) - flagged
