@@ -561,6 +561,29 @@ def _dedup_against_step(c: dict):
 
     return DatasetStep(run)
 
+@register_step("fuzzy_dedup_against")
+def _fuzzy_dedup_against_step(c: dict):
+    """Cross-corpus MinHash near-dup removal; `ref` is a Dataset
+    (programmatic configs) or a parquet path."""
+    from ..stages.dedup import minhash_dedup_against
+
+    def run(ds):
+        ref = c["ref"]
+        if isinstance(ref, str):
+            import ray.data
+
+            ref = ray.data.read_parquet(ref)
+        return minhash_dedup_against(
+            ds, ref, id_col=c.get("id_col", "doc_id"),
+            text_col=c.get("text_col", "text"),
+            num_perm=c.get("num_perm", 128), bands=c.get("bands", 32),
+            shingle_w=c.get("shingle_w", 3),
+            threshold=c.get("threshold", 0.7),
+            n_buckets=c.get("n_buckets", 32))
+
+    return DatasetStep(run)
+
+
 @register_step("gopher_filter")
 def _gopher_filter_step(c: dict):
     """Gopher/MassiveText document-quality gates (flag or drop)."""

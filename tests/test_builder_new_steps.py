@@ -112,3 +112,18 @@ def test_gopher_filter_step():
          "mode": "drop"},
     ]).to_pandas()
     assert len(dropped) == 1 and dropped["doc_id"].iloc[0] == 0
+
+
+def test_fuzzy_dedup_against_step():
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the farm %d")
+    ref = pd.DataFrame({"doc_id": [0, 1], "text": [base % 0, base % 1]})
+    new = pd.DataFrame({"doc_id": [100, 101],
+                        "text": [(base % 0).replace("softly", "gently"),
+                                 "totally different text about arrow "
+                                 "columnar batches and ray datasets"]})
+    out = build_pipeline(_mk(new, 1), [
+        {"type": "fuzzy_dedup_against", "ref": _mk(ref, 1),
+         "threshold": 0.5},
+    ]).to_pandas()
+    assert out["doc_id"].tolist() == [101]
