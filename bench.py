@@ -142,6 +142,11 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "embedding_neardup",
     "doc_fingerprint",
+    "ann_consistency_check",
+    "bpe_roundtrip_check",
+    "decontam_bloom_check",
+    "hll_bound_check",
+    "kmeans_opt_check",
     "knn_ivf",
     "knn_pq",
     "image_dedup",

@@ -2294,6 +2294,35 @@ def q_doc_decontaminate(sf_dir: str):
     return out.map_batches(flagged, batch_format="pyarrow")
 
 
+def q_doc_decontaminate_frac(sf_dir: str):
+    """Overlap-FRACTION decontamination (the PaLM/FLAN/Llama variant of
+    the GPT-3 recipe): a corpus doc is contaminated when >= 95% (19/20)
+    of its distinct 8-grams appear in the benchmark slice, evaluated as
+    the integer cross-multiplication matching*20 >= 19*total — exact,
+    no float boundary.  The 19/20 gate splits the sf0.01 fixture's
+    planted near-copies (one sits at 17/18 < 0.95), so both branches of
+    the flag are exercised.  Same broadcast-probe shape as
+    doc_decontaminate: map-only, zero shuffle at 100 TB."""
+    from ..stages.decontam import decontaminate
+
+    K = _DECONTAM_BENCH_MAX_ID
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), K)),
+        batch_format="pyarrow")
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), K)),
+        batch_format="pyarrow")
+    out = decontaminate(corpus, bench, n=8, frac=(19, 20))
+
+    def hits(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("contam_ngrams"), 0))
+        return t.select(["doc_id", "contam_ngrams", "total_ngrams",
+                         "contaminated"])
+
+    return out.map_batches(hits, batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_decontaminate_bloom(sf_dir: str):
     """Scale-path decontamination: the reference side compressed into a
     fixed-size Bloom filter (built distributed, OR-reduced partials —
@@ -5947,6 +5976,7 @@ def queries():
         "cumulative_to_delta": q_cumulative_to_delta,
         "delta_to_rate": q_delta_to_rate,
         "tail_sampling_errors": q_tail_sampling_errors,
+        "doc_decontaminate_frac": q_doc_decontaminate_frac,
     }
 
 
@@ -7141,6 +7171,21 @@ def oracle_sql():
             SELECT c.doc_id, CAST(count(*) AS BIGINT) AS contam_ngrams
             FROM corpus c JOIN bench b USING (g)
             GROUP BY c.doc_id""",
+        # overlap-fraction variant: flag at >= 19/20 of the doc's
+        # distinct grams (integer cross-multiplication on both sides)
+        "doc_decontaminate_frac": _DECONTAM_CTE + """
+            , tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams
+              FROM corpus GROUP BY doc_id)
+            SELECT h.doc_id, h.contam_ngrams, t.total_ngrams,
+                   h.contam_ngrams * 20 >= 19 * t.total_ngrams
+                     AS contaminated
+            FROM (SELECT c.doc_id,
+                         CAST(count(*) AS BIGINT) AS contam_ngrams
+                  FROM corpus c JOIN bench b USING (g)
+                  GROUP BY c.doc_id) h
+            JOIN tot t USING (doc_id)
+            ORDER BY doc_id""",
         "decontam_bloom_check": _DECONTAM_CTE + """
             , per AS (
               SELECT c.doc_id FROM corpus c JOIN bench b USING (g)

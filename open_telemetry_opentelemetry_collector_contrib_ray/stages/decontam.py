@@ -100,7 +100,7 @@ class Decontaminator:
     """
 
     def __init__(self, bench_grams, text_col: str = "text", n: int = 8,
-                 threshold: int = 1):
+                 threshold: int = 1, frac: tuple[int, int] | None = None):
         import ray
 
         if isinstance(bench_grams, ray.ObjectRef):
@@ -109,6 +109,11 @@ class Decontaminator:
         self.text_col = text_col
         self.n = n
         self.threshold = threshold
+        # overlap-fraction mode (PaLM / Llama decontamination recipe):
+        # contaminated iff matching/total distinct grams >= num/den,
+        # evaluated as the integer cross-multiplication
+        # matching * den >= num * total (exact, no float boundary).
+        self.frac = frac
         self._th = _TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -123,33 +128,47 @@ class Decontaminator:
             seg = np.repeat(np.arange(len(texts)), lens)
             np.add.at(counts, seg, hit.astype(np.int64))
         batch = batch.append_column("contam_ngrams", pa.array(counts, pa.int64()))
+        if self.frac is not None:
+            num, den = self.frac
+            batch = batch.append_column(
+                "total_ngrams", pa.array(lens, pa.int64()))
+            flag = (lens > 0) & (counts * den >= num * lens)
+            return batch.append_column("contaminated", pa.array(flag))
         return batch.append_column(
             "contaminated", pa.array(counts >= self.threshold))
 
 
 def decontaminate(ds, bench, text_col: str = "text", n: int = 8,
-                  threshold: int = 1, mode: str = "flag", concurrency=None):
+                  threshold: int = 1, mode: str = "flag", concurrency=None,
+                  frac: tuple[int, int] | None = None):
     """Decontaminate `ds` against `bench` (Dataset | list[str] | sorted
     uint64 array).  mode="flag" annotates; mode="drop" removes
-    contaminated docs.  One broadcast, zero shuffle."""
+    contaminated docs.  `frac=(num, den)` switches the flag from the
+    absolute `threshold` to the overlap-fraction rule
+    matching/total >= num/den (integer-exact).  One broadcast, zero
+    shuffle."""
     import ray
 
     if not isinstance(bench, np.ndarray):
         bench = build_benchmark_ngrams(bench, text_col=text_col, n=n)
     ref = ray.put(bench)
-    kwargs = dict(bench_grams=ref, text_col=text_col, n=n, threshold=threshold)
+    kwargs = dict(bench_grams=ref, text_col=text_col, n=n,
+                  threshold=threshold, frac=frac)
     if concurrency:
         out = ds.map_batches(Decontaminator, fn_constructor_kwargs=kwargs,
                              batch_format="pyarrow", concurrency=concurrency)
     else:
-        dec = Decontaminator(bench, text_col=text_col, n=n, threshold=threshold)
+        dec = Decontaminator(bench, text_col=text_col, n=n,
+                             threshold=threshold, frac=frac)
         out = ds.map_batches(dec, batch_format="pyarrow")
     if mode == "drop":
         import pyarrow.compute as pc
 
         def keep(t: pa.Table) -> pa.Table:
             t = t.filter(pc.invert(t.column("contaminated")))
-            return t.drop_columns(["contam_ngrams", "contaminated"])
+            drop = [c for c in ("contam_ngrams", "total_ngrams",
+                                "contaminated") if c in t.column_names]
+            return t.drop_columns(drop)
 
         out = out.map_batches(keep, batch_format="pyarrow")
     return out

@@ -118,3 +118,33 @@ def test_repetition_stats_hand_computed():
     assert top[0] == int(np.floor(3 / 5 * 1e6))
     assert dup[1] == 0 and top[1] == int(np.floor(1 / 3 * 1e6))
     assert dup[2] == 0 and top[2] == 0
+
+
+def test_decontaminator_fraction_mode_exact_cross_multiplication():
+    bench = build_benchmark_ngrams(BENCH, n=8)
+    # doc 1 has 6 distinct 8-grams, 2 matching -> 2/6 = 1/3 of grams
+    dec = Decontaminator(bench, n=8, frac=(1, 3))
+    out = dec(CORPUS)
+    rows = {d: (c, t, f) for d, c, t, f in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("contam_ngrams").to_pylist(),
+        out.column("total_ngrams").to_pylist(),
+        out.column("contaminated").to_pylist())}
+    assert rows[1][0] == 2 and rows[1][2] is True   # 2*3 >= 1*total(6)
+    assert rows[2][2] is False and rows[3][2] is False
+    assert rows[4] == (0, 0, False)  # <8 tokens: zero grams, never flagged
+    # one gram tighter and the same doc falls below the gate
+    dec2 = Decontaminator(bench, n=8, frac=(1, 2))
+    out2 = dec2(CORPUS)
+    f2 = dict(zip(out2.column("doc_id").to_pylist(),
+                  out2.column("contaminated").to_pylist()))
+    assert f2[1] is False
+
+
+def test_decontaminate_frac_drop_mode_strips_all_annotations():
+    ds = _ray_ds(CORPUS)
+    out = decontaminate(ds, list(BENCH), n=8, frac=(1, 3), mode="drop")
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    assert sorted(tbl.column("doc_id").to_pylist()) == [2, 3, 4]
+    assert tbl.schema.names == ["doc_id", "text"]
