@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "embedding_neardup",
     "doc_fingerprint",
+    "doc_decontaminate_frac",
+    "event_value_trend",
+    "doc_fuzzy_match_blocked",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

@@ -584,6 +584,42 @@ def _fuzzy_dedup_against_step(c: dict):
     return DatasetStep(run)
 
 
+@register_step("fuzzy_match")
+def _fuzzy_match_step(c: dict):
+    """Blocked fuzzy matching: prefix blocking + exact Levenshtein
+    verify -> (id_a, id_b, dist) pairs."""
+    from ..stages.linkage import blocked_levenshtein_pairs
+
+    def run(ds):
+        return blocked_levenshtein_pairs(
+            ds, id_col=c.get("id_col", "doc_id"),
+            text_col=c.get("text_col", "text"),
+            block_chars=c.get("block_chars", 16),
+            cmp_chars=c.get("cmp_chars", 200),
+            max_dist=c.get("max_dist", 20),
+            n_buckets=c.get("n_buckets", 32),
+            max_block=c.get("max_block", 256))
+
+    return DatasetStep(run)
+
+
+@register_step("linear_stats")
+def _linear_stats_step(c: dict):
+    """Per-group Pearson corr + OLS slope from exact int64 sufficient
+    statistics (x/y must already be integer columns)."""
+    from ..stages.aggregate import grouped_linear_stats
+
+    def run(ds):
+        import ray.data
+
+        tbl = grouped_linear_stats(
+            ds, c["keys"], c["x"], c["y"],
+            combine=c.get("combine", "driver"))
+        return ray.data.from_arrow(tbl)
+
+    return DatasetStep(run)
+
+
 @register_step("gopher_filter")
 def _gopher_filter_step(c: dict):
     """Gopher/MassiveText document-quality gates (flag or drop)."""

@@ -2294,6 +2294,48 @@ def q_doc_decontaminate(sf_dir: str):
     return out.map_batches(flagged, batch_format="pyarrow")
 
 
+def q_doc_fuzzy_match_blocked(sf_dir: str):
+    """Record-linkage fuzzy match: block documents on their first 16
+    code points, then EXACT-verify same-block pairs by Levenshtein
+    distance over the first 200 code points, keeping dist <= 20
+    (stages/linkage.py — the exact-verify counterpart of the MinHash
+    candidate generators; the banded DP drops far pairs early).  The
+    oracle replays it verbatim: substr self-join + DuckDB
+    levenshtein()."""
+    from ..stages.linkage import blocked_levenshtein_pairs
+
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = blocked_levenshtein_pairs(
+        docs, id_col="doc_id", text_col="text",
+        block_chars=16, cmp_chars=200, max_dist=20)
+    return pairs.sort(["id_a", "id_b"])
+
+
+def q_event_value_trend(sf_dir: str):
+    """Per-event-type value drift: Pearson correlation + OLS slope of
+    integer event-value cents against the epoch-day of the event — the
+    regr_slope/corr analytics family, computed from EXACT int64
+    sufficient statistics with one fixed float op order so the oracle's
+    HUGEINT-sum arithmetic matches bitwise
+    (stages/aggregate.py grouped_linear_stats)."""
+    from ..stages.aggregate import grouped_linear_stats
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                        pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": day, "cents": cents})
+
+    tbl = grouped_linear_stats(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        ["event_type"], "day", "cents")
+    return tbl.sort_by("event_type")
+
+
 def q_doc_decontaminate_frac(sf_dir: str):
     """Overlap-FRACTION decontamination (the PaLM/FLAN/Llama variant of
     the GPT-3 recipe): a corpus doc is contaminated when >= 95% (19/20)
@@ -5977,6 +6019,8 @@ def queries():
         "delta_to_rate": q_delta_to_rate,
         "tail_sampling_errors": q_tail_sampling_errors,
         "doc_decontaminate_frac": q_doc_decontaminate_frac,
+        "event_value_trend": q_event_value_trend,
+        "doc_fuzzy_match_blocked": q_doc_fuzzy_match_blocked,
     }
 
 
@@ -7171,6 +7215,41 @@ def oracle_sql():
             SELECT c.doc_id, CAST(count(*) AS BIGINT) AS contam_ngrams
             FROM corpus c JOIN bench b USING (g)
             GROUP BY c.doc_id""",
+        # blocking self-join + exact Levenshtein verify (code-point
+        # semantics on both sides)
+        "doc_fuzzy_match_blocked": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 200) AS s,
+                     substr(text, 1, 16) AS blk
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 20
+            ORDER BY id_a, id_b""",
+        # exact-int sufficient statistics -> one fixed float op order on
+        # both sides (HUGEINT sums in DuckDB, Python ints in the stage)
+        "event_value_trend": """
+            WITH p AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+            ), s AS (
+              SELECT event_type, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy
+              FROM p GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                              * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0)
+                     AS corr,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0) AS slope
+            FROM s ORDER BY event_type""",
         # overlap-fraction variant: flag at >= 19/20 of the doc's
         # distinct grams (integer cross-multiplication on both sides)
         "doc_decontaminate_frac": _DECONTAM_CTE + """

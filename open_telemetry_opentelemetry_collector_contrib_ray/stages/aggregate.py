@@ -297,6 +297,59 @@ def grouped_count(ds, keys: Sequence[str], conditions: Sequence[str] | None = No
     return grouped_agg(ds, keys, [("count", None, alias)], conditions, combine=combine)
 
 
+def grouped_linear_stats(ds, keys: Sequence[str], x_col: str, y_col: str,
+                         combine: str = "driver") -> pa.Table:
+    """Per-group Pearson correlation + OLS slope (y on x) from EXACT
+    integer sufficient statistics — the mergeable-sketch shape: each
+    batch contributes int64 partials (n, Σx, Σy, Σxy, Σx², Σy²), the
+    combine is a kilobyte grouped sum, and the float result is computed
+    ONCE per group from exact Python-int cross terms with a fixed op
+    order, so a SQL oracle over HUGEINT sums matches bitwise:
+
+        num   = n*Σxy - Σx*Σy          (exact int)
+        den_x = n*Σx² - Σx*Σx          (exact int, >= 0)
+        den_y = n*Σy² - Σy*Σy          (exact int, >= 0)
+        corr  = double(num) / (sqrt(double(den_x)) * sqrt(double(den_y)))
+        slope = double(num) / double(den_x)
+
+    `x_col`/`y_col` must already be int64 (quantize floats upstream —
+    the integer-cents idiom).  Zero rows shuffle; only per-(key, batch)
+    partial rows move.  NULL (None) when a denominator is zero
+    (constant x or y within the group)."""
+    import math
+
+    xy, xx, yy = "__xy", "__xx", "__yy"
+
+    def cross_terms(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column(xy, pa.array(x * y, pa.int64()))
+        t = t.append_column(xx, pa.array(x * x, pa.int64()))
+        return t.append_column(yy, pa.array(y * y, pa.int64()))
+
+    specs = [("count", None, "n"), ("sum", x_col, "sx"),
+             ("sum", y_col, "sy"), ("sum", xy, "sxy"),
+             ("sum", xx, "sxx"), ("sum", yy, "syy")]
+    sums = grouped_agg(ds.map_batches(cross_terms, batch_format="pyarrow"),
+                       keys, specs, combine=combine).to_pandas()
+    corr, slope = [], []
+    for _, r in sums.iterrows():
+        # Python-int math: n*Σxy overflows int64 long before the int64
+        # partials themselves do
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        den_x = n * int(r["sxx"]) - sx * sx
+        den_y = n * int(r["syy"]) - sy * sy
+        prod = math.sqrt(float(den_x)) * math.sqrt(float(den_y))
+        corr.append(float(num) / prod if prod != 0.0 else None)
+        slope.append(float(num) / float(den_x) if den_x != 0 else None)
+    cols = {k: pa.array(sums[k]) for k in keys}
+    cols["n"] = pa.array(sums["n"].astype("int64"), pa.int64())
+    cols["corr"] = pa.array(corr, pa.float64())
+    cols["slope"] = pa.array(slope, pa.float64())
+    return pa.table(cols)
+
+
 def grouped_sum(ds, keys: Sequence[str], source_col: str,
                 conditions: Sequence[str] | None = None, alias: str = "total",
                 combine: str = "driver"):

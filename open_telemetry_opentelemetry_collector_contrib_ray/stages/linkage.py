@@ -1,0 +1,144 @@
+"""Blocked fuzzy matching (record linkage / near-dup verification).
+
+The classic two-stage record-linkage pipeline over a Ray Dataset:
+
+1. BLOCKING — a cheap deterministic key (here: the first ``block_chars``
+   code points of the text) so only same-block rows are ever compared.
+   One bucketed shuffle moves (block, id, cmp-prefix) triples — never
+   whole documents — and each hash bucket holds many blocks, so the
+   per-bucket callback runs once per bucket, not once per block.
+2. VERIFICATION — exact Levenshtein distance over the first
+   ``cmp_chars`` code points of each same-block pair, keeping pairs
+   with ``dist <= max_dist``.
+
+This is the exact-verify counterpart to the probabilistic candidate
+generators in stages/dedup.py (MinHash/SimHash/embedding LSH): those
+scale candidate generation, this verifies candidates that a
+SQL-expressible blocking key can reach — which is what makes the whole
+operator DuckDB-oracle-checkable (``levenshtein()`` + a self-join on
+``substr``).
+
+100 TB design notes:
+* pairs are quadratic IN THE BLOCK, so ``max_block`` caps degenerate
+  blocks (boilerplate prefixes); oversized blocks are dropped with a
+  ``warnings.warn`` so the recall loss is visible, the same contract as
+  simhash_pairs ``max_bucket``;
+* the Levenshtein DP is banded: rows where ``|len_a - len_b| >
+  max_dist`` short-circuit, and the row loop aborts as soon as the
+  whole DP row exceeds ``max_dist`` — O(cmp_chars * max_dist) per pair
+  in practice, not O(cmp_chars^2);
+* each DP row is vectorized numpy: substitution/deletion are pure
+  vector ops and the insertion scan uses the
+  ``min_{k<=j}(cur[k] - k) + j`` prefix-minimum identity, so there is
+  no per-character Python loop over the second string.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _codepoints(s: str) -> np.ndarray:
+    # utf-32-le = one uint32 per code point, zero-copy into numpy
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def levenshtein(a: str, b: str, max_dist: int | None = None) -> int:
+    """Exact Levenshtein distance (unit insert/delete/substitute costs,
+    code-point alphabet — the semantics of DuckDB's ``levenshtein``).
+
+    With ``max_dist`` the DP early-exits once the distance provably
+    exceeds it, returning ``max_dist + 1`` (a sentinel, not the true
+    distance)."""
+    if a == b:
+        return 0
+    ca, cb = _codepoints(a), _codepoints(b)
+    if len(ca) > len(cb):          # iterate over the shorter string
+        ca, cb = cb, ca
+    if len(ca) == 0:
+        d = len(cb)
+        return d if max_dist is None or d <= max_dist else max_dist + 1
+    if max_dist is not None and len(cb) - len(ca) > max_dist:
+        return max_dist + 1
+    n = len(cb)
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(n + 1, dtype=np.int64)
+    for i, ch in enumerate(ca):
+        # substitution / deletion are elementwise over the prev row
+        cur[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (cb != ch), out=cur[1:])
+        # insertion closure: min over k<=j of cur[k] + (j-k)
+        #                  = prefix-min of (cur - idx), plus idx
+        np.minimum(cur, np.minimum.accumulate(cur - idx) + idx, out=cur)
+        if max_dist is not None and cur.min() > max_dist:
+            return max_dist + 1
+        prev, cur = cur, prev
+    d = int(prev[-1])
+    return d if max_dist is None or d <= max_dist else max_dist + 1
+
+
+def _verify_block_pairs(df: pd.DataFrame, id_col: str, max_dist: int,
+                        max_block: int) -> pd.DataFrame:
+    """Vectorized-across-blocks pair generation + per-pair banded DP.
+    ``df`` holds MANY blocks (one hash bucket); runs once per bucket."""
+    out_a, out_b, out_d = [], [], []
+    for blk, g in df.groupby("__blk", sort=False):
+        m = len(g)
+        if m < 2:
+            continue
+        if m > max_block:
+            warnings.warn(
+                f"blocked_levenshtein_pairs: dropping block of {m} rows "
+                f"(> max_block={max_block}); prefix {blk[:40]!r}")
+            continue
+        ids = g[id_col].to_numpy()
+        texts = g["__s"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, texts = ids[order], texts[order]
+        for i in range(m - 1):
+            for j in range(i + 1, m):
+                d = levenshtein(texts[i], texts[j], max_dist=max_dist)
+                if d <= max_dist:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_d.append(d)
+    return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                         "id_b": pd.Series(out_b, dtype="int64"),
+                         "dist": pd.Series(out_d, dtype="int64")})
+
+
+def blocked_levenshtein_pairs(ds, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              block_chars: int = 16, cmp_chars: int = 200,
+                              max_dist: int = 20, n_buckets: int = 32,
+                              max_block: int = 256):
+    """Same-block pairs (id_a < id_b) whose first-``cmp_chars``
+    Levenshtein distance is <= ``max_dist``.
+
+    Returns a Dataset with columns id_a, id_b, dist.  Rows with NULL
+    text never match (SQL join semantics)."""
+    from .aggregate import bucketed_group_transform
+
+    def project(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        keep = pc.is_valid(txt)
+        t = t.filter(keep)
+        txt = t.column(text_col)
+        return pa.table({
+            id_col: t.column(id_col),
+            "__blk": pc.utf8_slice_codeunits(txt, 0, block_chars),
+            "__s": pc.utf8_slice_codeunits(txt, 0, cmp_chars),
+        })
+
+    slim = ds.map_batches(project, batch_format="pyarrow")
+    return bucketed_group_transform(
+        slim, ["__blk"],
+        lambda df: _verify_block_pairs(df, id_col, max_dist, max_block),
+        n_buckets=n_buckets)

@@ -127,3 +127,21 @@ def test_fuzzy_dedup_against_step():
          "threshold": 0.5},
     ]).to_pandas()
     assert out["doc_id"].tolist() == [101]
+
+
+def test_fuzzy_match_step():
+    base = "shared sixteen!! tail goes here with plenty of words"
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [base, base + " x", "other prefix doc"]})
+    out = build_pipeline(_mk(df, 1), [
+        {"type": "fuzzy_match", "max_dist": 3},
+    ]).to_pandas()
+    assert list(zip(out["id_a"], out["id_b"], out["dist"])) == [(1, 2, 2)]
+
+
+def test_linear_stats_step():
+    df = pd.DataFrame({"k": ["a"] * 3, "x": [1, 2, 3], "y": [2, 4, 6]})
+    out = build_pipeline(_mk(df, 1), [
+        {"type": "linear_stats", "keys": ["k"], "x": "x", "y": "y"},
+    ]).to_pandas()
+    assert out["slope"].iloc[0] == 2.0 and out["n"].iloc[0] == 3

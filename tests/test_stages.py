@@ -1037,3 +1037,38 @@ def test_temperature_mix_budgets_and_determinism():
     out2 = temperature_mix(rd.from_arrow(t), total_tokens=1000,
                            token_col="tok", seed=3).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_grouped_linear_stats_hand_computed():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (  # noqa: E501
+        grouped_linear_stats,
+    )
+
+    # group "a": y = 2x exactly -> corr 1, slope 2
+    # group "b": constant y -> zero variance -> corr/slope NULL
+    # group "c": hand case x=[0,1,2], y=[1,3,2]
+    tbl = pa.table({
+        "k": ["a"] * 4 + ["b"] * 3 + ["c"] * 3 + ["d"] * 2,
+        "x": [1, 2, 3, 4, 5, 6, 7, 0, 1, 2, 4, 4],
+        "y": [2, 4, 6, 8, 9, 9, 9, 1, 3, 2, 1, 5],
+    })
+    out = grouped_linear_stats(ray.data.from_arrow(tbl), ["k"], "x", "y")
+    rows = {r["k"]: r for r in out.to_pylist()}
+    # a: num=40, den_x=20, den_y=80 — corr is num/(sqrt*sqrt) in THE
+    # fixed op order (sqrt(20)*sqrt(80) != 40.0 exactly in binary64)
+    assert rows["a"]["corr"] == 40.0 / (math.sqrt(20.0) * math.sqrt(80.0))
+    assert rows["a"]["slope"] == 2.0
+    # b: constant y -> den_y=0 kills corr; slope is a true 0 (den_x>0)
+    assert rows["b"]["corr"] is None and rows["b"]["slope"] == 0.0
+    # d: constant x -> den_x=0 kills both
+    assert rows["d"]["corr"] is None and rows["d"]["slope"] is None
+    # c: n=3 sx=3 sy=6 sxy=7 sxx=5 syy=14 -> num=21-18=3,
+    # den_x=15-9=6, den_y=42-36=6 -> slope=3/6, corr=3/(sqrt6*sqrt6)
+    assert rows["c"]["slope"] == 0.5
+    assert rows["c"]["corr"] == 3.0 / (math.sqrt(6.0) * math.sqrt(6.0))
+    assert rows["c"]["n"] == 3
