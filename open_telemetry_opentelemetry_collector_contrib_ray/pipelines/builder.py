@@ -612,9 +612,7 @@ def _linear_stats_step(c: dict):
     def run(ds):
         import ray.data
 
-        tbl = grouped_linear_stats(
-            ds, c["keys"], c["x"], c["y"],
-            combine=c.get("combine", "driver"))
+        tbl = grouped_linear_stats(ds, c["keys"], c["x"], c["y"])
         return ray.data.from_arrow(tbl)
 
     return DatasetStep(run)

@@ -7215,17 +7215,23 @@ def oracle_sql():
             SELECT c.doc_id, CAST(count(*) AS BIGINT) AS contam_ngrams
             FROM corpus c JOIN bench b USING (g)
             GROUP BY c.doc_id""",
-        # blocking self-join + exact Levenshtein verify (code-point
-        # semantics on both sides)
+        # blocking self-join + exact Levenshtein verify.  DuckDB's
+        # levenshtein edits UTF-8 BYTES; the stage defaults to the same
+        # byte unit.  The qualified-blocks filter mirrors the stage's
+        # max_block=256 degenerate-block cap.
         "doc_fuzzy_match_blocked": """
             WITH d AS (
               SELECT doc_id, substr(text, 1, 200) AS s,
                      substr(text, 1, 16) AS blk
               FROM documents WHERE text IS NOT NULL
+            ), ok AS (
+              SELECT blk FROM d GROUP BY blk
+              HAVING count(*) BETWEEN 2 AND 256
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
             FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            JOIN ok ON ok.blk = a.blk
             WHERE levenshtein(a.s, b.s) <= 20
             ORDER BY id_a, id_b""",
         # exact-int sufficient statistics -> one fixed float op order on

@@ -297,14 +297,16 @@ def grouped_count(ds, keys: Sequence[str], conditions: Sequence[str] | None = No
     return grouped_agg(ds, keys, [("count", None, alias)], conditions, combine=combine)
 
 
-def grouped_linear_stats(ds, keys: Sequence[str], x_col: str, y_col: str,
-                         combine: str = "driver") -> pa.Table:
+def grouped_linear_stats(ds, keys: Sequence[str], x_col: str,
+                         y_col: str) -> pa.Table:
     """Per-group Pearson correlation + OLS slope (y on x) from EXACT
     integer sufficient statistics — the mergeable-sketch shape: each
-    batch contributes int64 partials (n, Σx, Σy, Σxy, Σx², Σy²), the
-    combine is a kilobyte grouped sum, and the float result is computed
-    ONCE per group from exact Python-int cross terms with a fixed op
-    order, so a SQL oracle over HUGEINT sums matches bitwise:
+    batch contributes per-group partials (n, Σx, Σy, Σxy, Σx², Σy²)
+    summed in decimal128 (exact 128-bit, matching DuckDB's HUGEINT sum
+    of BIGINT — int64 accumulation would silently wrap on big corpora),
+    the combine is a kilobyte worker-side re-merge, and the float
+    result is computed ONCE per group from exact Python-int terms with
+    a fixed op order, so a SQL oracle matches bitwise:
 
         num   = n*Σxy - Σx*Σy          (exact int)
         den_x = n*Σx² - Σx*Σx          (exact int, >= 0)
@@ -312,42 +314,91 @@ def grouped_linear_stats(ds, keys: Sequence[str], x_col: str, y_col: str,
         corr  = double(num) / (sqrt(double(den_x)) * sqrt(double(den_y)))
         slope = double(num) / double(den_x)
 
-    `x_col`/`y_col` must already be int64 (quantize floats upstream —
-    the integer-cents idiom).  Zero rows shuffle; only per-(key, batch)
-    partial rows move.  NULL (None) when a denominator is zero
-    (constant x or y within the group)."""
+    `x_col`/`y_col` must be integer columns with |value| < 2^31
+    (quantize floats upstream — the integer-cents idiom; the bound
+    keeps every per-ROW product inside int64 and is checked per batch).
+    Rows where x or y is NULL are skipped — pairwise deletion, the SQL
+    `corr`/`regr_*` NULL semantics.  Zero rows shuffle; only
+    per-(key, batch) partial rows move.  corr/slope are NULL when the
+    matching denominator is zero (constant x or y within the group)."""
     import math
 
-    xy, xx, yy = "__xy", "__xx", "__yy"
+    import ray
+    import ray.data  # noqa: F401  (Dataset API on ds)
 
-    def cross_terms(t: pa.Table) -> pa.Table:
+    keys = list(keys)
+    dec = pa.decimal128(38, 0)
+    sum_cols = ["sx", "sy", "sxy", "sxx", "syy"]
+    LIM = 1 << 31
+
+    def partial(t: pa.Table) -> pa.Table:
+        xa, ya = t.column(x_col), t.column(y_col)
+        valid = pc.and_(pc.is_valid(xa), pc.is_valid(ya))
+        t = t.filter(valid)
         x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
         y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        t = t.append_column(xy, pa.array(x * y, pa.int64()))
-        t = t.append_column(xx, pa.array(x * x, pa.int64()))
-        return t.append_column(yy, pa.array(y * y, pa.int64()))
+        if len(x) and (np.abs(x).max() >= LIM or np.abs(y).max() >= LIM):
+            raise ValueError(
+                f"grouped_linear_stats: |{x_col}| and |{y_col}| must be "
+                f"< 2^31 so per-row products stay exact in int64 — "
+                f"rescale/quantize upstream")
+        g = pa.table({
+            **{k: t.column(k) for k in keys},
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pc.cast(pa.array(x), dec),
+            "sy": pc.cast(pa.array(y), dec),
+            "sxy": pc.cast(pa.array(x * y), dec),
+            "sxx": pc.cast(pa.array(x * x), dec),
+            "syy": pc.cast(pa.array(y * y), dec),
+        })
+        return _merge_linear_partials(g, keys)
 
-    specs = [("count", None, "n"), ("sum", x_col, "sx"),
-             ("sum", y_col, "sy"), ("sum", xy, "sxy"),
-             ("sum", xx, "sxx"), ("sum", yy, "syy")]
-    sums = grouped_agg(ds.map_batches(cross_terms, batch_format="pyarrow"),
-                       keys, specs, combine=combine).to_pandas()
-    corr, slope = [], []
-    for _, r in sums.iterrows():
-        # Python-int math: n*Σxy overflows int64 long before the int64
-        # partials themselves do
-        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
-        num = n * int(r["sxy"]) - sx * sy
-        den_x = n * int(r["sxx"]) - sx * sx
-        den_y = n * int(r["syy"]) - sy * sy
+    # worker-side re-merge so the driver sees one row per key per
+    # 64Ki-row re-batch, not one per (key, input batch) — the
+    # grouped_agg driver-combine tree shape
+    reduced = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize() \
+        .map_batches(lambda t: _merge_linear_partials(t, keys),
+                     batch_format="pyarrow", batch_size=65536)
+    parts = [t for t in ray.get(reduced.materialize().to_arrow_refs())
+             if t.num_rows]
+    if not parts:
+        cols = {k: pa.array([], pa.string()) for k in keys}
+        cols.update({"n": pa.array([], pa.int64()),
+                     "corr": pa.array([], pa.float64()),
+                     "slope": pa.array([], pa.float64())})
+        return pa.table(cols)
+    sums = _merge_linear_partials(
+        pa.concat_tables(parts, promote_options="permissive"), keys)
+    corr, slope, ns = [], [], []
+    for i in range(sums.num_rows):
+        # exact Python-int math (decimal128 partials -> int): n*Σxy
+        # overflows int64 long before the inputs do
+        n = int(sums.column("n")[i].as_py())
+        sx, sy, sxy, sxx, syy = (int(sums.column(c)[i].as_py())
+                                 for c in sum_cols)
+        num = n * sxy - sx * sy
+        den_x = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
         prod = math.sqrt(float(den_x)) * math.sqrt(float(den_y))
         corr.append(float(num) / prod if prod != 0.0 else None)
         slope.append(float(num) / float(den_x) if den_x != 0 else None)
-    cols = {k: pa.array(sums[k]) for k in keys}
-    cols["n"] = pa.array(sums["n"].astype("int64"), pa.int64())
+        ns.append(n)
+    cols = {k: sums.column(k) for k in keys}
+    cols["n"] = pa.array(ns, pa.int64())
     cols["corr"] = pa.array(corr, pa.float64())
     cols["slope"] = pa.array(slope, pa.float64())
     return pa.table(cols)
+
+
+def _merge_linear_partials(t: pa.Table, keys: Sequence[str]) -> pa.Table:
+    """Merge grouped_linear_stats partial rows by key (decimal128 sums
+    stay exact through every merge level)."""
+    aggs = [("n", "sum")] + [(c, "sum")
+                             for c in ("sx", "sy", "sxy", "sxx", "syy")]
+    out = t.group_by(list(keys)).aggregate(aggs)
+    return out.rename_columns(
+        list(keys) + ["n", "sx", "sy", "sxy", "sxx", "syy"])
 
 
 def grouped_sum(ds, keys: Sequence[str], source_col: str,

@@ -44,21 +44,28 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _codepoints(s: str) -> np.ndarray:
+def _units(s: str, unit: str) -> np.ndarray:
+    if unit == "byte":
+        # DuckDB's levenshtein edits UTF-8 BYTES ('é' counts as 2)
+        return np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
     # utf-32-le = one uint32 per code point, zero-copy into numpy
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
-def levenshtein(a: str, b: str, max_dist: int | None = None) -> int:
-    """Exact Levenshtein distance (unit insert/delete/substitute costs,
-    code-point alphabet — the semantics of DuckDB's ``levenshtein``).
+def levenshtein(a: str, b: str, max_dist: int | None = None,
+                unit: str = "byte") -> int:
+    """Exact Levenshtein distance with unit insert/delete/substitute
+    costs.  ``unit="byte"`` (default) edits the UTF-8 byte stream —
+    the semantics of DuckDB's ``levenshtein``, which the oracle relies
+    on (on pure-ASCII text the two units agree); ``unit="codepoint"``
+    edits Unicode code points (the usual linguistic definition).
 
     With ``max_dist`` the DP early-exits once the distance provably
     exceeds it, returning ``max_dist + 1`` (a sentinel, not the true
     distance)."""
     if a == b:
         return 0
-    ca, cb = _codepoints(a), _codepoints(b)
+    ca, cb = _units(a, unit), _units(b, unit)
     if len(ca) > len(cb):          # iterate over the shorter string
         ca, cb = cb, ca
     if len(ca) == 0:
@@ -85,7 +92,7 @@ def levenshtein(a: str, b: str, max_dist: int | None = None) -> int:
 
 
 def _verify_block_pairs(df: pd.DataFrame, id_col: str, max_dist: int,
-                        max_block: int) -> pd.DataFrame:
+                        max_block: int, unit: str = "byte") -> pd.DataFrame:
     """Vectorized-across-blocks pair generation + per-pair banded DP.
     ``df`` holds MANY blocks (one hash bucket); runs once per bucket."""
     out_a, out_b, out_d = [], [], []
@@ -104,13 +111,16 @@ def _verify_block_pairs(df: pd.DataFrame, id_col: str, max_dist: int,
         ids, texts = ids[order], texts[order]
         for i in range(m - 1):
             for j in range(i + 1, m):
-                d = levenshtein(texts[i], texts[j], max_dist=max_dist)
+                d = levenshtein(texts[i], texts[j], max_dist=max_dist,
+                                unit=unit)
                 if d <= max_dist:
                     out_a.append(ids[i])
                     out_b.append(ids[j])
                     out_d.append(d)
-    return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                         "id_b": pd.Series(out_b, dtype="int64"),
+    # id dtype follows the input id column (string/uuid ids work too)
+    id_dtype = df[id_col].dtype
+    return pd.DataFrame({"id_a": pd.Series(out_a, dtype=id_dtype),
+                         "id_b": pd.Series(out_b, dtype=id_dtype),
                          "dist": pd.Series(out_d, dtype="int64")})
 
 
@@ -118,12 +128,14 @@ def blocked_levenshtein_pairs(ds, id_col: str = "doc_id",
                               text_col: str = "text",
                               block_chars: int = 16, cmp_chars: int = 200,
                               max_dist: int = 20, n_buckets: int = 32,
-                              max_block: int = 256):
+                              max_block: int = 256, unit: str = "byte"):
     """Same-block pairs (id_a < id_b) whose first-``cmp_chars``
     Levenshtein distance is <= ``max_dist``.
 
     Returns a Dataset with columns id_a, id_b, dist.  Rows with NULL
-    text never match (SQL join semantics)."""
+    text never match (SQL join semantics).  A SQL oracle must mirror
+    the ``max_block`` cap (exclude blocks with more members) and use
+    byte-unit distances (DuckDB's levenshtein) — the defaults here."""
     from .aggregate import bucketed_group_transform
 
     def project(t: pa.Table) -> pa.Table:
@@ -140,5 +152,6 @@ def blocked_levenshtein_pairs(ds, id_col: str = "doc_id",
     slim = ds.map_batches(project, batch_format="pyarrow")
     return bucketed_group_transform(
         slim, ["__blk"],
-        lambda df: _verify_block_pairs(df, id_col, max_dist, max_block),
+        lambda df: _verify_block_pairs(df, id_col, max_dist, max_block,
+                                       unit),
         n_buckets=n_buckets)

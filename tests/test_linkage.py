@@ -45,9 +45,9 @@ def test_levenshtein_matches_duckdb():
     import duckdb
 
     rng = np.random.RandomState(11)
-    alpha = "abcde "
+    alpha = "abcde é✓"  # include multibyte code points
     cases = []
-    for _ in range(50):
+    for _ in range(80):
         la, lb = rng.randint(0, 30, size=2)
         cases.append(("".join(rng.choice(list(alpha), la)),
                       "".join(rng.choice(list(alpha), lb))))
@@ -55,6 +55,12 @@ def test_levenshtein_matches_duckdb():
     for a, b in cases:
         want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert levenshtein(a, b) == want, (a, b)
+
+
+def test_levenshtein_unit_semantics():
+    # DuckDB (byte unit): 'é' is two UTF-8 bytes -> substitution costs 2
+    assert levenshtein("héllo", "hallo") == 2
+    assert levenshtein("héllo", "hallo", unit="codepoint") == 1
 
 
 def test_levenshtein_band_sentinel():
@@ -113,3 +119,18 @@ def test_blocked_pairs_max_block_drops_with_warning():
         ray.data.from_arrow(tbl), block_chars=16, cmp_chars=200,
         max_dist=5, max_block=64).to_pandas()
     assert len(out2) == 15
+
+
+def test_blocked_pairs_string_ids():
+    import ray.data
+
+    base = "shared sixteen!! tail goes here"
+    tbl = pa.table({
+        "doc_id": ["u-1", "u-2"],
+        "text": [base, base + " x"],
+    })
+    out = blocked_levenshtein_pairs(
+        ray.data.from_arrow(tbl), block_chars=16, cmp_chars=200,
+        max_dist=3).to_pandas()
+    assert list(zip(out["id_a"], out["id_b"], out["dist"])) == \
+        [("u-1", "u-2", 2)]

@@ -1072,3 +1072,50 @@ def test_grouped_linear_stats_hand_computed():
     assert rows["c"]["slope"] == 0.5
     assert rows["c"]["corr"] == 3.0 / (math.sqrt(6.0) * math.sqrt(6.0))
     assert rows["c"]["n"] == 3
+
+
+def test_grouped_linear_stats_nulls_and_128bit_sums():
+    import pyarrow as pa
+    import ray.data
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (  # noqa: E501
+        grouped_linear_stats,
+    )
+
+    # null x or y rows are skipped (SQL corr/regr pairwise deletion):
+    # group reduces to x=[1,2,3], y=[2,4,6]
+    tbl = pa.table({
+        "k": ["a"] * 5,
+        "x": [1, 2, 3, None, 9],
+        "y": [2, 4, 6, 7, None],
+    })
+    out = grouped_linear_stats(ray.data.from_arrow(tbl), ["k"], "x", "y")
+    r = out.to_pylist()[0]
+    assert r["n"] == 3 and r["slope"] == 2.0
+
+    # Σy² past int64: 200 rows of y = 2^30 -> syy = 200 * 2^60 ≈ 2.3e20.
+    # int64 accumulation would wrap; decimal128 partials must stay exact
+    # (constant y -> corr NULL, slope exactly 0.0 — garbage if wrapped).
+    big = 1 << 30
+    n = 200
+    tbl2 = pa.table({"k": ["g"] * n,
+                     "x": pa.array(list(range(n)), pa.int64()),
+                     "y": pa.array([big] * n, pa.int64())})
+    out2 = grouped_linear_stats(ray.data.from_arrow(tbl2), ["k"], "x", "y")
+    r2 = out2.to_pylist()[0]
+    assert r2["n"] == n and r2["corr"] is None and r2["slope"] == 0.0
+
+
+def test_grouped_linear_stats_overflow_guard():
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (  # noqa: E501
+        grouped_linear_stats,
+    )
+
+    tbl = pa.table({"k": ["a"], "x": pa.array([1 << 32], pa.int64()),
+                    "y": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="2\\^31"):
+        grouped_linear_stats(ray.data.from_arrow(tbl), ["k"], "x", "y")
