@@ -1596,11 +1596,15 @@ def q_doc_fuzzy_new_vs_ref(sf_dir: str):
                                   "text": pa.array(ref_texts, pa.string())}))
     new = rd.from_arrow(pa.table({"doc_id": pa.array(new_ids, pa.int64()),
                                   "text": pa.array(new_texts, pa.string())}))
-    pairs = minhash_pairs_against(new, ref, threshold=0.6).to_pandas()
+    # sign both corpora ONCE: the pairs Dataset feeds the summary stats
+    # AND the dedup anti-join (pairs= reuse, not a second band shuffle)
+    pairs_ds = minhash_pairs_against(new, ref, threshold=0.6).materialize()
+    pairs = pairs_ds.to_pandas()
     flagged = set(pairs["new_id"].astype(int))
     planted_found = sum(1 for p in planted if p in flagged)
     clean_flagged = len(flagged - set(planted))
-    survivors = minhash_dedup_against(new, ref, threshold=0.6).count()
+    survivors = minhash_dedup_against(new, ref, threshold=0.6,
+                                      pairs=pairs_ds).count()
     return pa.table({
         "planted_copies": pa.array([len(planted)], pa.int64()),
         "planted_found": pa.array([planted_found], pa.int64()),

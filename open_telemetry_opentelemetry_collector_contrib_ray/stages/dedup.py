@@ -784,19 +784,24 @@ def minhash_pairs_against(new_ds, ref_ds, id_col: str = "doc_id",
 def minhash_dedup_against(new_ds, ref_ds, id_col: str = "doc_id",
                           text_col: str = "text", num_perm: int = 128,
                           bands: int = 32, shingle_w: int = 3,
-                          threshold: float = 0.7, n_buckets: int = 32):
+                          threshold: float = 0.7, n_buckets: int = 32,
+                          pairs=None):
     """Drop NEW documents that fuzzy-match any REFERENCE document:
     `minhash_pairs_against` candidates -> distinct flagged new ids ->
     one bucketed anti join (the flagged set can be corpus-fraction
     sized at high dup rates — never broadcast it).  Chain after the
     exact `dedup_against` pass, which removes byte-identical copies
-    more cheaply."""
+    more cheaply.  Pass `pairs` (a prior minhash_pairs_against result)
+    to reuse already-computed candidates instead of re-signing both
+    corpora — callers that inspect the pairs AND drop should compute
+    them once."""
     from .join import bucketed_hash_join
 
-    pairs = minhash_pairs_against(
-        new_ds, ref_ds, id_col=id_col, text_col=text_col,
-        num_perm=num_perm, bands=bands, shingle_w=shingle_w,
-        threshold=threshold)
+    if pairs is None:
+        pairs = minhash_pairs_against(
+            new_ds, ref_ds, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, bands=bands, shingle_w=shingle_w,
+            threshold=threshold)
     flagged = pairs.map_batches(
         lambda t: pa.table({id_col: pc.unique(t.column("new_id"))}),
         batch_format="pyarrow")

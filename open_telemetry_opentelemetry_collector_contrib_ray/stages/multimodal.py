@@ -166,7 +166,8 @@ class FrameSampler:
 
     REAL decode paths: uncompressed-DIB and Motion-JPEG AVI containers
     (RIFF sniffed from the payload itself, dims from the strf header —
-    decode_avi) and raw RGB24 buffers (``width``/``height`` metadata
+    decode_avi), YUV4MPEG2 streams (magic-sniffed, C444/C420*/Cmono —
+    decode_y4m) and raw RGB24 buffers (``width``/``height`` metadata
     columns, ffmpeg ``rawvideo`` pix_fmt rgb24 frame-major layout).
     All sample k frames uniformly across the clip and emit the true
     temporal frame index, RGB24 frame bytes and decoded mean pixel.
@@ -199,9 +200,11 @@ class FrameSampler:
         for item, p, w, h, vid in zip(item_ids, payloads, widths, heights,
                                       is_video):
             data = p or b""
-            if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            is_avi = data[:4] == b"RIFF" and data[8:12] == b"AVI "
+            if is_avi or data[:10] == b"YUV4MPEG2 ":
                 try:
-                    avi_frames, _, _ = decode_avi(data)
+                    avi_frames, _, _ = (decode_avi(data) if is_avi
+                                        else decode_y4m(data))
                 except (ValueError, NotImplementedError, struct.error):
                     # struct.error defensively: the decode contract is
                     # ValueError, but a corrupt container must never
@@ -910,4 +913,126 @@ def decode_avi(buf: bytes):
             raise ValueError("truncated AVI frame")
         rows = np.frombuffer(fb[:row_len * h], np.uint8).reshape(h, row_len)
         frames.append(rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+    return frames, w, h
+
+
+# ------------------------------------------------------------------ Y4M
+# YUV4MPEG2 — the standard uncompressed video interchange container
+# (ffmpeg/mjpegtools): one ASCII header line, then "FRAME\n" + planar
+# YUV per frame.  Pure-numpy decode, no ffmpeg.  Color conversion is
+# FIXED-POINT integer (the libjpeg constants scaled by 2^16) so decoded
+# pixels are deterministic across platforms — documented approximation
+# of the float JPEG full-range matrix, exact for grayscale (Cmono).
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Full-range JPEG YCbCr -> RGB, fixed-point (>>16 arithmetic)."""
+    yy = y.astype(np.int32)
+    cu = u.astype(np.int32) - 128
+    cv = v.astype(np.int32) - 128
+    r = yy + ((91881 * cv) >> 16)
+    g = yy - ((22554 * cu + 46802 * cv) >> 16)
+    b = yy + ((116130 * cu) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_yuv(px: np.ndarray):
+    """Full-range JPEG RGB -> YCbCr, fixed-point with round-half-up."""
+    r = px[..., 0].astype(np.int32)
+    g = px[..., 1].astype(np.int32)
+    b = px[..., 2].astype(np.int32)
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    u = ((-11058 * r - 21710 * g + 32768 * b + 32768) >> 16) + 128
+    v = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128
+    clip = lambda a: np.clip(a, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(u), clip(v)
+
+
+def encode_y4m(frames: list, fps: int = 10,
+               colorspace: str = "C444") -> bytes:
+    """RGB frames -> YUV4MPEG2 bytes.  colorspace: C444 (no chroma
+    subsampling), C420jpeg (2x2 box-averaged chroma) or Cmono
+    (luma only — exact round trip for gray inputs)."""
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if colorspace == "C420jpeg" and (w % 2 or h % 2):
+        raise ValueError("C420jpeg needs even dimensions")
+    out = [b"%sW%d H%d F%d:1 Ip A1:1 %s\n"
+           % (_Y4M_MAGIC, w, h, fps, colorspace.encode())]
+    for px in frames:
+        y, u, v = _rgb_to_yuv(px)
+        out.append(b"FRAME\n")
+        out.append(y.tobytes())
+        if colorspace == "C444":
+            out.append(u.tobytes())
+            out.append(v.tobytes())
+        elif colorspace == "C420jpeg":
+            for c in (u, v):
+                c4 = c.astype(np.uint16).reshape(h // 2, 2, w // 2, 2)
+                out.append(((c4.sum(axis=(1, 3)) + 2) >> 2)
+                           .astype(np.uint8).tobytes())
+        elif colorspace != "Cmono":
+            raise NotImplementedError(f"colorspace {colorspace}")
+    return b"".join(out)
+
+
+def decode_y4m(buf: bytes):
+    """YUV4MPEG2 bytes -> (frames, width, height); frames are (H, W, 3)
+    uint8 RGB.  Handles C444, C420/C420jpeg/C420mpeg2/C420paldv
+    (nearest-neighbor chroma upsample) and Cmono.  Other colorspaces
+    raise NotImplementedError; malformed streams raise ValueError."""
+    if not buf.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated Y4M header")
+    w = h = None
+    cs = "C420jpeg"                      # the spec default is 4:2:0
+    for tok in buf[len(_Y4M_MAGIC):nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            cs = tok.decode()
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("C420"):
+        fsz, sub = w * h + 2 * ((w // 2) * (h // 2)), 2
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+    elif cs == "C444":
+        fsz, sub = 3 * w * h, 1
+    elif cs == "Cmono":
+        fsz, sub = w * h, 0
+    else:
+        raise NotImplementedError(f"Y4M colorspace {cs} needs ffmpeg")
+    frames, pos = [], nl + 1
+    while pos < len(buf):
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0 or buf[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        pos = fnl + 1
+        if pos + fsz > len(buf):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(buf[pos:pos + w * h], np.uint8).reshape(h, w)
+        if sub == 0:
+            frames.append(np.repeat(y[:, :, None], 3, axis=2))
+        else:
+            cw, ch = w // sub, h // sub
+            csz = cw * ch
+            u = np.frombuffer(buf[pos + w * h:pos + w * h + csz],
+                              np.uint8).reshape(ch, cw)
+            v = np.frombuffer(buf[pos + w * h + csz:pos + fsz],
+                              np.uint8).reshape(ch, cw)
+            if sub == 2:
+                u = u.repeat(2, 0).repeat(2, 1)
+                v = v.repeat(2, 0).repeat(2, 1)
+            frames.append(_yuv_to_rgb(y, u, v))
+        pos += fsz
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
     return frames, w, h

@@ -460,3 +460,75 @@ def test_avi_mjpeg_roundtrip_and_sampling():
     bad[j:j + 4] = b"H264"
     with pytest.raises(NotImplementedError):
         decode_avi(bytes(bad))
+
+
+def test_y4m_roundtrip_c444_and_mono():
+    import numpy as np
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (  # noqa: E501
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+              for _ in range(3)]
+    out, w, h = decode_y4m(encode_y4m(frames, colorspace="C444"))
+    assert (w, h, len(out)) == (16, 12, 3)
+    # C444 fixed-point YCbCr round trip is within ±2 per channel
+    for a, b in zip(out, frames):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+    # grayscale through Cmono is bit-exact
+    g = np.repeat(rng.randint(0, 256, (8, 8, 1), dtype=np.uint8), 3, axis=2)
+    mono, _, _ = decode_y4m(encode_y4m([g], colorspace="Cmono"))
+    assert (mono[0] == g).all()
+
+
+def test_y4m_c420_and_errors():
+    import numpy as np
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (  # noqa: E501
+        decode_y4m,
+        encode_y4m,
+    )
+
+    # flat-color frame survives 4:2:0 chroma subsampling within ±2
+    px = np.full((8, 8, 3), (200, 40, 90), dtype=np.uint8)
+    out, _, _ = decode_y4m(encode_y4m([px], colorspace="C420jpeg"))
+    assert np.abs(out[0].astype(int) - px.astype(int)).max() <= 2
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a y4m stream")
+    with pytest.raises(ValueError):
+        # truncated frame payload
+        full = encode_y4m([px], colorspace="C444")
+        decode_y4m(full[:-10])
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + b"\x00" * 6)
+    with pytest.raises(ValueError):
+        encode_y4m([px[:7, :7]], colorspace="C420jpeg")  # odd dims
+
+
+def test_frame_sampler_y4m_path():
+    import numpy as np
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.multimodal import (  # noqa: E501
+        FrameSampler,
+        encode_y4m,
+    )
+    import pyarrow as pa
+
+    frames = [np.full((6, 8, 3), 10 * (j + 1), dtype=np.uint8)
+              for j in range(6)]
+    t = pa.table({
+        "item_id": pa.array([0], pa.int64()),
+        "mime": pa.array(["video/x-yuv4mpeg"]),
+        "payload": pa.array([encode_y4m(frames, colorspace="C444")],
+                            pa.large_binary()),
+    })
+    out = FrameSampler(frames_per_item=3)(t).to_pandas()
+    # real temporal indices from the container, not byte-range stubs
+    assert sorted(out["frame_idx"]) == [0, 2, 4]
+    # gray flat frames decode to their exact value -> exact means
+    assert list(out.sort_values("frame_idx")["mean_pixel"]) == \
+        [10.0, 30.0, 50.0]
