@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "doc_decontaminate_frac",
     "event_value_trend",
     "doc_fuzzy_match_blocked",
+    "video_decode_check",
+    "image_decode_check",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

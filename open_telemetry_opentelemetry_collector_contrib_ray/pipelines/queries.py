@@ -5648,6 +5648,163 @@ def q_video_pipeline(sf_dir: str):
                        combine="driver").sort("item_id")
 
 
+def q_video_decode_check(sf_dir: str):
+    """Cross-container video decode-parity invariant, oracle-checkable
+    form: the SAME deterministic grayscale clips are packaged four ways
+    (raw RGB24, uncompressed-DIB AVI, YUV4MPEG2 Cmono, Motion-JPEG AVI)
+    and pushed through the one FrameSampler stage.  DIB and Y4M
+    grayscale decode are lossless, so their sampled frame payloads must
+    equal the raw reference BYTE-FOR-BYTE (mismatch counters == 0); the
+    lossy MJPG variant must sample the same temporal indices and stay
+    within a 16/255 mean-abs-error bound per frame (out-of-tol == 0).
+    The oracle states every column (12 items, 4 sampled frames each)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import FrameSampler, encode_avi, encode_y4m
+
+    rng = np.random.RandomState(21)
+    n_items, w, h, n_frames = 12, 16, 12, 24
+    rows = {"item_id": [], "mime": [], "variant": [], "payload": [],
+            "width": [], "height": []}
+    for i in range(n_items):
+        g = rng.randint(0, 200, size=(h, w), dtype=np.uint8)
+        frames = [np.repeat(np.clip(g.astype(np.int32) + 2 * j, 0, 255)
+                            .astype(np.uint8)[:, :, None], 3, axis=2)
+                  for j in range(n_frames)]
+        for variant, payload, mime in (
+                ("raw", b"".join(f.tobytes() for f in frames), "video/raw"),
+                ("dib", encode_avi(frames), "video/x-msvideo"),
+                ("y4m", encode_y4m(frames, colorspace="Cmono"),
+                 "video/x-yuv4mpeg"),
+                ("mjpg", encode_avi(frames, codec="MJPG"),
+                 "video/x-msvideo")):
+            rows["item_id"].append(i)
+            rows["mime"].append(mime)
+            rows["variant"].append(variant)
+            rows["payload"].append(payload)
+            rows["width"].append(w)
+            rows["height"].append(h)
+    tbl = pa.table({
+        "item_id": pa.array(rows["item_id"], pa.int64()),
+        "mime": pa.array(rows["mime"]),
+        "variant": pa.array(rows["variant"]),
+        "payload": pa.array(rows["payload"], pa.large_binary()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+    })
+    # variant rides along item_id by packing: FrameSampler keys output
+    # rows by item_id only, so give each variant its own id space
+    vmap = {"raw": 0, "dib": 1, "y4m": 2, "mjpg": 3}
+    packed = tbl.set_column(
+        0, "item_id",
+        pa.array([i * 4 + vmap[v] for i, v in
+                  zip(rows["item_id"], rows["variant"])], pa.int64()))
+    out = rd.from_arrow(packed).map_batches(
+        FrameSampler(frames_per_item=4), batch_format="pyarrow",
+        batch_size=8).to_pandas()
+    out["item"] = out["item_id"] // 4
+    out["variant"] = out["item_id"] % 4
+    ref = {(r.item, r.frame_idx): r.frame_payload
+           for r in out[out["variant"] == 0].itertuples()}
+    dib_mis = y4m_mis = mjpg_tol = idx_mis = 0
+    for v, counter in ((1, "dib"), (2, "y4m"), (3, "mjpg")):
+        sub = out[out["variant"] == v]
+        for r in sub.itertuples():
+            key = (r.item, r.frame_idx)
+            if key not in ref:
+                idx_mis += 1
+                continue
+            a = np.frombuffer(r.frame_payload, np.uint8).astype(np.int32)
+            b = np.frombuffer(ref[key], np.uint8).astype(np.int32)
+            if v == 3:
+                if len(a) != len(b) or np.abs(a - b).mean() > 16.0:
+                    mjpg_tol += 1
+            elif not np.array_equal(a, b):
+                if v == 1:
+                    dib_mis += 1
+                else:
+                    y4m_mis += 1
+    return pa.table({
+        "n_items": pa.array([n_items], pa.int64()),
+        "frames_per_variant": pa.array(
+            [int((out["variant"] == 0).sum()) // n_items], pa.int64()),
+        "frame_idx_mismatch": pa.array([idx_mis], pa.int64()),
+        "dib_mismatch": pa.array([dib_mis], pa.int64()),
+        "y4m_mismatch": pa.array([y4m_mis], pa.int64()),
+        "mjpg_out_of_tol": pa.array([mjpg_tol], pa.int64()),
+    })
+
+
+def q_image_decode_check(sf_dir: str):
+    """Image codec decode-parity invariant, oracle-checkable form: the
+    SAME deterministic pixels encode through every native codec and
+    decode back via the one sniffing decode_image entry point — BMP,
+    binary PNM (P6) and PNG are lossless (byte-exact, mismatch
+    counters == 0); baseline JPEG (q=85) must stay within an 8/255
+    mean-abs-error bound (out-of-tol == 0).  Runs distributed as one
+    map_batches over the encoded table.  The oracle states every
+    column."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_image, encode_bmp, encode_png
+
+    def encode_pnm(px):
+        h, w = px.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+    from ..stages.jpegcodec import encode_jpeg
+
+    rng = np.random.RandomState(22)
+    n_images = 10
+    rows = {"img": [], "codec": [], "payload": []}
+    pixels = {}
+    for i in range(n_images):
+        # smooth gradient + low noise: a fair JPEG subject (pure noise
+        # is the pathological worst case for any DCT codec)
+        gx = np.linspace(0, 255, 16, dtype=np.float64)[None, :, None]
+        gy = np.linspace(0, 255, 16, dtype=np.float64)[:, None, None]
+        base = (gx * 0.5 + gy * 0.5 + rng.randint(-8, 9, (16, 16, 3)))
+        px = np.clip(base + 10 * i % 64, 0, 255).astype(np.uint8)
+        pixels[i] = px
+        for codec, enc in (("bmp", encode_bmp), ("pnm", encode_pnm),
+                           ("png", encode_png),
+                           ("jpeg", lambda p: encode_jpeg(p, quality=85))):
+            rows["img"].append(i)
+            rows["codec"].append(codec)
+            rows["payload"].append(enc(px))
+    tbl = pa.table({"img": pa.array(rows["img"], pa.int64()),
+                    "codec": pa.array(rows["codec"]),
+                    "payload": pa.array(rows["payload"], pa.large_binary())})
+
+    def check(t: pa.Table) -> pa.Table:
+        lossless_mis = jpeg_tol = 0
+        for img, codec, payload in zip(t.column("img").to_pylist(),
+                                       t.column("codec").to_pylist(),
+                                       t.column("payload").to_pylist()):
+            got = decode_image(payload).astype(np.int32)
+            want = pixels[img].astype(np.int32)
+            if codec == "jpeg":
+                if got.shape != want.shape or \
+                        np.abs(got - want).mean() > 8.0:
+                    jpeg_tol += 1
+            elif not np.array_equal(got, want):
+                lossless_mis += 1
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "lossless_mismatch": pa.array([lossless_mis], pa.int64()),
+            "jpeg_out_of_tol": pa.array([jpeg_tol], pa.int64())})
+
+    parts = rd.from_arrow(tbl).map_batches(
+        check, batch_format="pyarrow", batch_size=8).to_pandas()
+    return pa.table({
+        "n_payloads": pa.array([int(parts["n"].sum())], pa.int64()),
+        "lossless_mismatch": pa.array(
+            [int(parts["lossless_mismatch"].sum())], pa.int64()),
+        "jpeg_out_of_tol": pa.array(
+            [int(parts["jpeg_out_of_tol"].sum())], pa.int64()),
+    })
+
+
 def q_recombine_capped(sf_dir: str):
     """recombine max_batch_size (transformer/recombine/config.go:49):
     a conversation's stitch flushes every 8 turns (ordered chunks)."""
@@ -6025,6 +6182,8 @@ def queries():
         "doc_decontaminate_frac": q_doc_decontaminate_frac,
         "event_value_trend": q_event_value_trend,
         "doc_fuzzy_match_blocked": q_doc_fuzzy_match_blocked,
+        "video_decode_check": q_video_decode_check,
+        "image_decode_check": q_image_decode_check,
     }
 
 
@@ -7289,6 +7448,17 @@ def oracle_sql():
               ('pq',  CAST(3 AS BIGINT), CAST(0 AS BIGINT)))
               AS t(method, n_queries, n_nonzero_diff)
             ORDER BY method""",
+        "video_decode_check": """
+            SELECT CAST(12 AS BIGINT) AS n_items,
+                   CAST(4 AS BIGINT) AS frames_per_variant,
+                   CAST(0 AS BIGINT) AS frame_idx_mismatch,
+                   CAST(0 AS BIGINT) AS dib_mismatch,
+                   CAST(0 AS BIGINT) AS y4m_mismatch,
+                   CAST(0 AS BIGINT) AS mjpg_out_of_tol""",
+        "image_decode_check": """
+            SELECT CAST(40 AS BIGINT) AS n_payloads,
+                   CAST(0 AS BIGINT) AS lossless_mismatch,
+                   CAST(0 AS BIGINT) AS jpeg_out_of_tol""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",
