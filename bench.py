@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "doc_fuzzy_match_blocked",
     "video_decode_check",
     "image_decode_check",
+    "audio_decode_check",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

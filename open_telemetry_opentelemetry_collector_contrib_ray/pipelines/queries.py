@@ -5805,6 +5805,94 @@ def q_image_decode_check(sf_dir: str):
     })
 
 
+def q_audio_decode_check(sf_dir: str):
+    """WAV sample-format decode-parity invariant, oracle-checkable
+    form: the SAME deterministic int16 clips are containered as PCM
+    16/24/32-bit (exact by construction: the extra low bits are zero),
+    IEEE-float 32/64 (round-trips within 1 LSB after the *32767
+    re-quantization) and unsigned 8-bit (lossy: 256-step quantization,
+    bounded by 255) — all decoded by the one decode_wav entry point to
+    canonical PCM16 and compared to the reference.  Distributed as one
+    map_batches over the encoded table; the oracle states every
+    counter."""
+    import struct
+
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_wav, encode_wav
+
+    def wav(fmt_tag, bits, payload, rate=8000, ch=1):
+        fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate,
+                          rate * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng = np.random.RandomState(23)
+    n_clips = 8
+    rows = {"clip": [], "variant": [], "payload": []}
+    refs = {}
+    for i in range(n_clips):
+        s = ((np.sin(np.arange(1024) / (5.0 + i)) * 0.7
+              + rng.standard_normal(1024) * 0.05) * 32767.0) \
+            .clip(-32767, 32767).round().astype("<i2")
+        refs[i] = s
+        s32 = s.astype(np.int32)
+        b24 = np.zeros((len(s), 3), np.uint8)
+        v = np.where(s32 < 0, s32 + (1 << 16), s32) << 8  # s<<8 as u24
+        b24[:, 0] = v & 0xFF
+        b24[:, 1] = (v >> 8) & 0xFF
+        b24[:, 2] = (v >> 16) & 0xFF
+        for variant, payload in (
+                ("pcm16", encode_wav(s.tobytes(), 8000)),
+                ("pcm24", wav(1, 24, b24.tobytes())),
+                ("pcm32", wav(1, 32, (s32 << 16).astype("<i4").tobytes())),
+                ("f32", wav(3, 32, (s / 32767.0).astype("<f4").tobytes())),
+                ("f64", wav(3, 64, (s / 32767.0).astype("<f8").tobytes())),
+                ("pcm8", wav(1, 8, ((s32 >> 8) + 128).astype(np.uint8)
+                             .tobytes()))):
+            rows["clip"].append(i)
+            rows["variant"].append(variant)
+            rows["payload"].append(payload)
+    tbl = pa.table({"clip": pa.array(rows["clip"], pa.int64()),
+                    "variant": pa.array(rows["variant"]),
+                    "payload": pa.array(rows["payload"], pa.large_binary())})
+
+    def check(t: pa.Table) -> pa.Table:
+        exact_mis = float_tol = pcm8_tol = 0
+        for clip, variant, payload in zip(t.column("clip").to_pylist(),
+                                          t.column("variant").to_pylist(),
+                                          t.column("payload").to_pylist()):
+            pcm, rate, ch = decode_wav(payload)
+            got = np.frombuffer(pcm, "<i2").astype(np.int32)
+            want = refs[clip].astype(np.int32)
+            if rate != 8000 or ch != 1 or len(got) != len(want):
+                exact_mis += 1
+                continue
+            err = np.abs(got - want).max() if len(want) else 0
+            if variant in ("pcm16", "pcm24", "pcm32"):
+                exact_mis += int(err != 0)
+            elif variant in ("f32", "f64"):
+                float_tol += int(err > 1)
+            else:
+                pcm8_tol += int(err > 255)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "e": pa.array([exact_mis], pa.int64()),
+            "f": pa.array([float_tol], pa.int64()),
+            "p8": pa.array([pcm8_tol], pa.int64())})
+
+    parts = rd.from_arrow(tbl).map_batches(
+        check, batch_format="pyarrow", batch_size=8).to_pandas()
+    return pa.table({
+        "n_payloads": pa.array([int(parts["n"].sum())], pa.int64()),
+        "pcm_exact_mismatch": pa.array([int(parts["e"].sum())], pa.int64()),
+        "float_out_of_tol": pa.array([int(parts["f"].sum())], pa.int64()),
+        "pcm8_out_of_tol": pa.array([int(parts["p8"].sum())], pa.int64()),
+    })
+
+
 def q_recombine_capped(sf_dir: str):
     """recombine max_batch_size (transformer/recombine/config.go:49):
     a conversation's stitch flushes every 8 turns (ordered chunks)."""
@@ -6184,6 +6272,7 @@ def queries():
         "doc_fuzzy_match_blocked": q_doc_fuzzy_match_blocked,
         "video_decode_check": q_video_decode_check,
         "image_decode_check": q_image_decode_check,
+        "audio_decode_check": q_audio_decode_check,
     }
 
 
@@ -7459,6 +7548,11 @@ def oracle_sql():
             SELECT CAST(40 AS BIGINT) AS n_payloads,
                    CAST(0 AS BIGINT) AS lossless_mismatch,
                    CAST(0 AS BIGINT) AS jpeg_out_of_tol""",
+        "audio_decode_check": """
+            SELECT CAST(48 AS BIGINT) AS n_payloads,
+                   CAST(0 AS BIGINT) AS pcm_exact_mismatch,
+                   CAST(0 AS BIGINT) AS float_out_of_tol,
+                   CAST(0 AS BIGINT) AS pcm8_out_of_tol""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",
