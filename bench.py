@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "video_decode_check",
     "image_decode_check",
     "audio_decode_check",
+    "fingerprint_check",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

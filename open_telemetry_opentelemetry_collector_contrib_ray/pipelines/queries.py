@@ -1803,6 +1803,31 @@ def q_doc_fingerprint(sf_dir: str):
     })
 
 
+def q_fingerprint_check(sf_dir: str):
+    """Document-fingerprint soundness invariant, oracle-checkable form:
+    a rolling-hash fingerprint must be a FUNCTION of the text (equal
+    texts -> equal fingerprints, so distinct fingerprints <= distinct
+    texts) and collision-free on this corpus (distinct fingerprints ==
+    distinct texts — a 64-bit hash colliding on a few-thousand-doc
+    fixture would be a bug, not bad luck: expected collisions
+    ~n^2/2^65).  Both counts are SQL-statable; the grouped distinct
+    count runs distributed (kilobyte hash partials, never texts)."""
+    from ..stages.textstats import Fingerprint
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = ds.map_batches(Fingerprint(), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"fingerprint": pc.unique(t.column("fingerprint"))})
+
+    uniq = fp.map_batches(partial, batch_format="pyarrow")
+    n_fp = grouped_agg(uniq, ["fingerprint"], [("count", None, "c")],
+                       combine="bucket").count()
+    return pa.table({
+        "distinct_fingerprints": pa.array([int(n_fp)], pa.int64()),
+    })
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF approximate top-k (scale path of similarity search) returned
     as SELF-VALIDATING integer rows: per query, brute-force-top-k hits
@@ -6273,6 +6298,7 @@ def queries():
         "video_decode_check": q_video_decode_check,
         "image_decode_check": q_image_decode_check,
         "audio_decode_check": q_audio_decode_check,
+        "fingerprint_check": q_fingerprint_check,
     }
 
 
@@ -7553,6 +7579,11 @@ def oracle_sql():
                    CAST(0 AS BIGINT) AS pcm_exact_mismatch,
                    CAST(0 AS BIGINT) AS float_out_of_tol,
                    CAST(0 AS BIGINT) AS pcm8_out_of_tol""",
+        # fingerprint is a function of text and collision-free on this
+        # corpus, so its distinct count equals count(DISTINCT text)
+        "fingerprint_check": """
+            SELECT count(DISTINCT text) AS distinct_fingerprints
+            FROM documents""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",
