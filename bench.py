@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "image_decode_check",
     "audio_decode_check",
     "fingerprint_check",
+    "entity_clusters",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

@@ -2340,6 +2340,29 @@ def q_doc_fuzzy_match_blocked(sf_dir: str):
     return pairs.sort(["id_a", "id_b"])
 
 
+def q_entity_clusters(sf_dir: str):
+    """Entity resolution end-to-end: blocked Levenshtein match edges ->
+    connected components -> (doc_id, cluster_id) with the min doc id as
+    the canonical representative.  This drives dedup_clusters (the same
+    min-label-propagation CC that backs the MinHash dedup pipelines)
+    through a fully SQL-expressible edge set, so the CLUSTERING step
+    itself is oracle-checked: DuckDB replays the closure as a recursive
+    min-reachability CTE.  Only nodes incident to at least one edge are
+    returned (singletons are their own trivial cluster on both sides)."""
+    from ..stages.dedup import dedup_clusters
+    from ..stages.linkage import blocked_levenshtein_pairs
+
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = blocked_levenshtein_pairs(
+        docs, id_col="doc_id", text_col="text",
+        block_chars=16, cmp_chars=200, max_dist=20)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"doc_a": t.column("id_a"),
+                            "doc_b": t.column("id_b")}),
+        batch_format="pyarrow")
+    return dedup_clusters(edges).sort("doc_id")
+
+
 def q_event_value_trend(sf_dir: str):
     """Per-event-type value drift: Pearson correlation + OLS slope of
     integer event-value cents against the epoch-day of the event — the
@@ -6299,6 +6322,7 @@ def queries():
         "image_decode_check": q_image_decode_check,
         "audio_decode_check": q_audio_decode_check,
         "fingerprint_check": q_fingerprint_check,
+        "entity_clusters": q_entity_clusters,
     }
 
 
@@ -7584,6 +7608,34 @@ def oracle_sql():
         "fingerprint_check": """
             SELECT count(DISTINCT text) AS distinct_fingerprints
             FROM documents""",
+        # connected components replayed as recursive min-reachability:
+        # cluster_id(v) = min(u reachable from v) over the symmetric
+        # closure of the SAME edge set the Ray side verifies (blocked
+        # Levenshtein pairs, identical block/cap/dist parameters).
+        "entity_clusters": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, substr(text, 1, 200) AS s,
+                     substr(text, 1, 16) AS blk
+              FROM documents WHERE text IS NOT NULL
+            ), ok AS (
+              SELECT blk FROM d GROUP BY blk
+              HAVING count(*) BETWEEN 2 AND 256
+            ), e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              JOIN ok ON ok.blk = a.blk
+              WHERE levenshtein(a.s, b.s) <= 20
+            ), edges AS (
+              SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+            ), reach(doc_id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.doc_id, edges.v
+              FROM reach JOIN edges ON reach.r = edges.u
+            )
+            SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY doc_id ORDER BY doc_id""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",

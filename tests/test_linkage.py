@@ -134,3 +134,36 @@ def test_blocked_pairs_string_ids():
         max_dist=3).to_pandas()
     assert list(zip(out["id_a"], out["id_b"], out["dist"])) == \
         [("u-1", "u-2", 2)]
+
+
+def test_entity_clusters_query_driver_vs_distributed_cc():
+    """entity_clusters (blocked match edges -> CC) must be identical
+    whether the components are found by driver union-find or by the
+    distributed min-label propagation path."""
+    import ray.data
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_entity_clusters,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.dedup import (
+        dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_entity_clusters(sf).to_pandas()
+    assert (got["doc_id"] != got["cluster_id"]).any()  # non-trivial clusters
+    # representative is the component minimum: every cluster_id is itself
+    # a member labelled with itself
+    reps = got.set_index("doc_id")["cluster_id"].to_dict()
+    assert all(reps[c] == c for c in set(got["cluster_id"]))
+
+    pairs = blocked_levenshtein_pairs(
+        ray.data.read_parquet(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        block_chars=16, cmp_chars=200, max_dist=20)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"doc_a": t.column("id_a"),
+                            "doc_b": t.column("id_b")}),
+        batch_format="pyarrow")
+    dist = dedup_clusters(edges, max_driver_pairs=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert dist.equals(got)
