@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "audio_decode_check",
     "fingerprint_check",
     "entity_clusters",
+    "metric_resample",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

@@ -2363,6 +2363,22 @@ def q_entity_clusters(sf_dir: str):
     return dedup_clusters(edges).sort("doc_id")
 
 
+def q_metric_resample(sf_dir: str):
+    """Gap-fill / forward-fill resample: every event series aligned to
+    an hourly grid, value = latest observation at or before each grid
+    point, null in the staleness region before the first one
+    (stages/resample.py — the batch re-expression of the collector's
+    intervalprocessor tick semantics).  The oracle replays the plan as
+    DISTINCT keys x generate_series grid ASOF LEFT JOIN the per-(key,ts)
+    max-reduced observations."""
+    from ..stages.resample import resample_ffill
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = resample_ffill(ds, by="event_type", ts_col="ts",
+                         value_col="value", step_us=3_600_000_000)
+    return out.sort(["event_type", "grid_ts"])
+
+
 def q_event_value_trend(sf_dir: str):
     """Per-event-type value drift: Pearson correlation + OLS slope of
     integer event-value cents against the epoch-day of the event — the
@@ -6323,6 +6339,7 @@ def queries():
         "audio_decode_check": q_audio_decode_check,
         "fingerprint_check": q_fingerprint_check,
         "entity_clusters": q_entity_clusters,
+        "metric_resample": q_metric_resample,
     }
 
 
@@ -7636,6 +7653,32 @@ def oracle_sql():
             )
             SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY doc_id ORDER BY doc_id""",
+        # grid x series ASOF LEFT JOIN per-(key,ts)-max observations;
+        # the generate_series ceiling (100k steps) mirrors nothing on
+        # the Ray side — it is just a DuckDB-side upper bound well above
+        # any test corpus's hour count.
+        "metric_resample": """
+            WITH b AS (
+              SELECT CAST(floor(epoch_us(min(ts)) / 3600000000) AS BIGINT)
+                       * 3600000000 AS t0,
+                     epoch_us(max(ts)) AS t1 FROM events
+            ), g AS (
+              SELECT t0 + 3600000000 * CAST(u.k AS BIGINT) AS us
+              FROM b JOIN (SELECT unnest(generate_series(0, 100000)) AS k) u
+                ON u.k <= CAST((b.t1 - b.t0) // 3600000000 AS BIGINT)
+            ), grid AS (
+              SELECT et.event_type, make_timestamp(g.us) AS grid_ts
+              FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN g
+            ), obs AS (
+              SELECT event_type, ts, max(value) AS v
+              FROM events GROUP BY 1, 2
+            )
+            SELECT grid.event_type AS event_type,
+                   grid.grid_ts AS grid_ts, obs.v AS value
+            FROM grid ASOF LEFT JOIN obs
+              ON grid.event_type = obs.event_type
+             AND grid.grid_ts >= obs.ts
+            ORDER BY grid.event_type, grid.grid_ts""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",

@@ -1,0 +1,126 @@
+"""Fixed-grid resampling (gap-fill / forward-fill) for metric streams.
+
+Reference analog: the collector's interval processor
+(processor/intervalprocessor/processor.go) emits the LAST point per
+series per interval tick, and Prometheus-style range evaluation aligns
+irregular scrapes onto a step grid with last-observation-carried-forward
+semantics.  This stage is the batch re-expression: for every series key
+and every grid timestamp t, the value of the latest observation at or
+before t (null before the first observation — the "staleness" region).
+
+Ray-Data-first plan — ONE co-partitioning shuffle end to end:
+
+1. global [min, max] timestamp -> two driver scalars (an aggregate of
+   per-block partials; the data itself never leaves the workers).
+2. distinct series keys: per-block local distinct, then a keys-only
+   groupby — only key tuples are shuffled, never observations.
+3. grid expansion map-side: numpy repeat x tile per key block.  Grid
+   size = |series| x |steps| — calendar-scale metadata, not data-scale
+   (100 TB of observations over a month is still ~720 hourly steps).
+4. grid rows and observations are tagged into one union, hash-bucketed
+   by series key, and each bucket runs a vectorized per-(key, ts) max
+   reduce followed by ``pandas.merge_asof`` — the same partitioning
+   contract as stages/join.asof_join (ALL of a key's history lands in
+   one bucket; skewed keys bound bucket size via ``n_buckets``; salting
+   is inapplicable because the match needs the whole key's history).
+
+Ties: several observations of one series at the same microsecond reduce
+to their max value BEFORE the as-of match, making the result independent
+of block arrival order (and replayable as SQL ``GROUP BY key, ts``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .aggregate import arrow_out
+from .join import _tag_union
+
+
+def resample_ffill(ds, by: Sequence[str] | str, ts_col: str = "ts",
+                   value_col: str = "value",
+                   step_us: int = 3_600_000_000,
+                   start_us: int | None = None,
+                   end_us: int | None = None,
+                   n_buckets: int = 32):
+    """Align irregular (key, ts, value) observations onto a fixed grid.
+
+    Returns one row per (series key, grid timestamp): ``by`` columns,
+    ``grid_ts`` (timestamp[us]) and ``value_col`` = latest observed
+    value at or before the grid point (null before the first one).
+
+    The grid starts at ``start_us`` floored to a step multiple (default:
+    the corpus min timestamp) and extends through ``end_us`` (default:
+    the corpus max timestamp), inclusive.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+
+    if start_us is None or end_us is None:
+        from ray.data.aggregate import Max, Min
+        b = ds.map_batches(
+            lambda t: pa.table(
+                {"__us": pc.cast(t.column(ts_col), pa.int64())}),
+            batch_format="pyarrow").aggregate(Min("__us"), Max("__us"))
+        if start_us is None:
+            start_us = b["min(__us)"]
+        if end_us is None:
+            end_us = b["max(__us)"]
+    t0 = (int(start_us) // step_us) * step_us
+    n_steps = int((int(end_us) - t0) // step_us) + 1 if int(end_us) >= t0 else 0
+    grid_us = t0 + step_us * np.arange(n_steps, dtype=np.int64)
+
+    # distinct series keys: local distinct per block, then a keys-only
+    # global groupby (what travels is one tuple per key per block)
+    keys = ds.map_batches(
+        lambda t: t.select(by).group_by(by).aggregate([]),
+        batch_format="pyarrow").groupby(by).count()
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_steps))
+        cols = {c: t.column(c).take(idx) for c in by}
+        cols["__grid_us"] = pa.array(np.tile(grid_us, n), pa.int64())
+        return pa.table(cols)
+
+    grid = keys.map_batches(expand, batch_format="pyarrow")
+
+    obs = ds.map_batches(
+        lambda t: pa.table({**{c: t.column(c) for c in by},
+                            "__obs_us": pc.cast(t.column(ts_col),
+                                                pa.int64()),
+                            value_col: t.column(value_col)}),
+        batch_format="pyarrow")
+
+    tagged, left_cols, right_cols = _tag_union(grid, obs, by, n_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"]][left_cols].sort_values("__grid_us",
+                                                   kind="stable")
+        rg = g[~g["__side"]][right_cols]
+        # per-(key, ts) max reduce -> block-order-independent as-of input
+        rg = rg.groupby(by + ["__obs_us"], as_index=False,
+                        sort=True)[value_col].max()
+        rg = rg.sort_values("__obs_us", kind="stable")
+        m = pd.merge_asof(lg, rg, left_on="__grid_us",
+                          right_on="__obs_us", by=by,
+                          direction="backward")
+        m = m.drop(columns=["__obs_us"])
+        # the union's typed-null padding floats the int64 grid column in
+        # pandas; restore it (microsecond epochs are far below 2^53, so
+        # the round-trip is exact)
+        m["__grid_us"] = m["__grid_us"].astype("int64")
+        return m
+
+    out = tagged.groupby("__bucket").map_groups(arrow_out(merge),
+                                                batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({**{c: t.column(c) for c in by},
+                            "grid_ts": pc.cast(t.column("__grid_us"),
+                                               pa.timestamp("us")),
+                            value_col: t.column(value_col)}),
+        batch_format="pyarrow")

@@ -1,0 +1,60 @@
+"""Fixed-grid forward-fill resample (stages/resample.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+    resample_ffill,
+)
+
+US = 1_000_000
+
+
+def _ds(rows):
+    import ray.data as rd
+    k, ts, v = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "k": pa.array(k),
+        "ts": pa.array(np.array(ts, dtype="int64"),
+                       pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(v, pa.float64()),
+    })).repartition(3)
+
+
+def test_resample_ffill_basic_and_staleness():
+    # series a: obs at t=5s and t=125s; series b: first obs only at
+    # 170s, plus a later 190s point that fixes the corpus max
+    ds = _ds([("a", 5 * US, 1.0), ("a", 125 * US, 2.0),
+              ("b", 170 * US, 9.0), ("b", 190 * US, 9.5)])
+    out = resample_ffill(ds, by="k", step_us=60 * US).to_pandas() \
+        .sort_values(["k", "grid_ts"]).reset_index(drop=True)
+    # bounds: min=5s -> grid floor 0s, max=190s -> steps 0,60,120,180
+    assert len(out) == 8
+    a = out[out["k"] == "a"]["value"].tolist()
+    b = out[out["k"] == "b"]["value"].tolist()
+    assert np.isnan(a[0]) and a[1:] == [1.0, 1.0, 2.0]  # ffill across gap
+    assert all(np.isnan(x) for x in b[:3]) and b[3] == 9.0  # staleness
+
+    # grid timestamps are the floored step multiples
+    g = out[out["k"] == "a"]["grid_ts"].astype("int64").tolist()
+    assert g == [0, 60 * US, 120 * US, 180 * US]
+
+
+def test_resample_ffill_same_ts_ties_take_max():
+    # two observations of one series at the SAME microsecond: the
+    # pre-asof reduce must pick the max regardless of block order
+    ds = _ds([("a", 0, 3.0), ("a", 0, 7.0), ("a", 0, 5.0)])
+    out = resample_ffill(ds, by="k", step_us=60 * US).to_pandas()
+    assert out["value"].tolist() == [7.0]
+
+
+def test_resample_ffill_explicit_bounds_and_exact_grid_match():
+    # observation exactly ON a grid point is included (allow-exact asof)
+    ds = _ds([("a", 60 * US, 4.0)])
+    out = resample_ffill(ds, by="k", step_us=60 * US,
+                         start_us=0, end_us=180 * US).to_pandas() \
+        .sort_values("grid_ts").reset_index(drop=True)
+    vals = out["value"].tolist()
+    assert np.isnan(vals[0]) and vals[1:] == [4.0, 4.0, 4.0]
+    assert len(out) == 4
