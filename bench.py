@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "fingerprint_check",
     "entity_clusters",
     "metric_resample",
+    "cms_bound_check",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

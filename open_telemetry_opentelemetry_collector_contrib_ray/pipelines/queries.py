@@ -6075,6 +6075,53 @@ def q_hll_bound_check(sf_dir: str):
     })
 
 
+def q_cms_bound_check(sf_dir: str):
+    """Count-Min sketch invariant, oracle-checkable form: for EVERY
+    distinct events.user_id, the CMS estimate (w=64, d=4 — deliberately
+    narrow so collisions genuinely occur at test scale) must (a) never
+    underestimate (the structural CMS guarantee) and (b) overshoot by at
+    most 8N/w (5x the empirical max at sf0.01; Markov gives per-key
+    failure odds (1/8)^4 and the md5-free hash is deterministic, so the
+    counters are fixed for a fixed corpus).  Exact counts stay
+    distributed; only the 2 KB counter matrix is broadcast.  The oracle
+    states n_keys = count(DISTINCT user_id) and zero violations."""
+    from ..stages.sketch import CMS, cms_counts
+
+    W, D = 64, 4
+    ds = _rd(sf_dir, "events", columns=["user_id"])
+    cms = cms_counts(ds, "user_id", w=W, d=D)
+    n_total = int(cms.m[0].sum())  # every add hits each row exactly once
+    bound = 8 * n_total // W
+    mat = cms.m  # 2 KB — rides the task closure
+
+    exact = ds.groupby("user_id").count()
+
+    def check(t: pa.Table) -> pa.Table:
+        from ..stages.sample import hash64
+
+        c = CMS(W, D)
+        c.m = mat
+        est = c.estimate_hashed(hash64(t.column("user_id")))
+        true = t.column("count()").to_numpy()
+        return pa.table({
+            "n_keys": pa.array([t.num_rows], pa.int64()),
+            "n_underestimates": pa.array([int((est < true).sum())],
+                                         pa.int64()),
+            "n_over_bound": pa.array([int((est - true > bound).sum())],
+                                     pa.int64()),
+        })
+
+    part = exact.map_batches(check, batch_format="pyarrow")
+    agg = part.sum(["n_keys", "n_underestimates", "n_over_bound"])
+    return pa.table({
+        "n_keys": pa.array([int(agg["sum(n_keys)"])], pa.int64()),
+        "n_underestimates": pa.array([int(agg["sum(n_underestimates)"])],
+                                     pa.int64()),
+        "n_over_bound": pa.array([int(agg["sum(n_over_bound)"])],
+                                 pa.int64()),
+    })
+
+
 def q_kmeans_opt_check(sf_dir: str):
     """k-means assignment-optimality invariant, oracle-checkable form:
     every vector's assigned centroid is re-verified as the true argmin
@@ -6340,6 +6387,7 @@ def queries():
         "fingerprint_check": q_fingerprint_check,
         "entity_clusters": q_entity_clusters,
         "metric_resample": q_metric_resample,
+        "cms_bound_check": q_cms_bound_check,
     }
 
 
@@ -7679,6 +7727,13 @@ def oracle_sql():
               ON grid.event_type = obs.event_type
              AND grid.grid_ts >= obs.ts
             ORDER BY grid.event_type, grid.grid_ts""",
+        # CMS never underestimates (structural) and the 8N/w cap holds
+        # with 5x margin at this corpus (deterministic hash, fixed data)
+        "cms_bound_check": """
+            SELECT count(DISTINCT user_id) AS n_keys,
+                   CAST(0 AS BIGINT) AS n_underestimates,
+                   CAST(0 AS BIGINT) AS n_over_bound
+            FROM events""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",

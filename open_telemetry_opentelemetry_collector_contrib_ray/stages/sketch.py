@@ -294,3 +294,81 @@ def approx_distinct_grouped(ds, keys, col: str, p: int = 12):
         return pd.DataFrame(rows, columns=keys + ["approx_distinct"])
 
     return bucketed_group_transform(parts, keys, merge)
+
+
+# ----------------------------------------------------------- count-min
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain, Steele et al. 2014) — derives
+    the second hash of the Kirsch–Mitzenmacher double-hashing scheme from
+    the first without touching the data again."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = ((z ^ (z >> np.uint64(30)))
+             * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        z = ((z ^ (z >> np.uint64(27)))
+             * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+
+
+class CMS:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a d x w int64
+    counter matrix.  add = +count at h_i(key) mod w in every row i;
+    estimate = min over rows (NEVER an underestimate — every counter a
+    key touches holds its true count plus non-negative collision mass);
+    merge = element-wise sum (associative, any combine tree).  Row
+    hashes are h_i = a + i*b mod w with (a, b) = (hash64(key),
+    splitmix64(a)) — the Kirsch–Mitzenmacher construction."""
+
+    def __init__(self, w: int = 1024, d: int = 4):
+        self.w, self.d = w, d
+        self.m = np.zeros((d, w), dtype=np.int64)
+
+    def _rows(self, a: np.ndarray) -> list:
+        b = _splitmix64(a)
+        out = []
+        with np.errstate(over="ignore"):
+            for i in range(self.d):
+                out.append(((a + np.uint64(i) * b)
+                            % np.uint64(self.w)).astype(np.int64))
+        return out
+
+    def add_hashed(self, a: np.ndarray, counts: np.ndarray):
+        for i, idx in enumerate(self._rows(a)):
+            np.add.at(self.m[i], idx, counts)
+
+    def estimate_hashed(self, a: np.ndarray) -> np.ndarray:
+        est = None
+        for i, idx in enumerate(self._rows(a)):
+            e = self.m[i][idx]
+            est = e if est is None else np.minimum(est, e)
+        return est
+
+    def merge(self, other: "CMS") -> "CMS":
+        self.m += other.m
+        return self
+
+
+def cms_counts(ds, col: str, w: int = 1024, d: int = 4) -> CMS:
+    """Build one corpus-wide CMS over `col`: each batch pre-counts its
+    keys (np.unique-style group_by) and collapses to ONE d*w*8-byte
+    matrix; the constant-size partials merge by addition on the driver
+    (kilobytes per batch regardless of input size — tree-reduce through
+    an extra map stage if batch count ever makes even that wide)."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from .sample import hash64
+
+        gb = batch.group_by([col]).aggregate([([], "count_all")])
+        c = CMS(w, d)
+        c.add_hashed(hash64(gb.column(col)),
+                     gb.column("count_all").to_numpy())
+        return pa.table({"sketch": pa.array([c.m.tobytes()], pa.binary())})
+
+    acc = CMS(w, d)
+    for row in ds.map_batches(summarize, batch_format="pyarrow").take_all():
+        o = CMS(w, d)
+        o.m = np.frombuffer(row["sketch"], dtype=np.int64).reshape(d, w).copy()
+        acc.merge(o)
+    return acc

@@ -518,3 +518,45 @@ def test_semdedup_drops_planted_exact_copies(ray_session):
     planted = [i + 10_000 for i in range(0, n, 4)]
     assert not out.loc[planted, "keep"].any()          # all copies dropped
     assert out.loc[list(range(n)), "keep"].all()       # all originals kept
+
+
+def test_cms_never_underestimates_and_merges():
+    import numpy as np
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sketch import (
+        CMS,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.sample import (
+        hash64,
+    )
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    keys = pa.array([f"u{i}" for i in range(300)])
+    counts = rng.randint(1, 50, size=300).astype(np.int64)
+    h = hash64(keys)
+
+    # one-shot build vs a 3-way split merge must be identical
+    whole = CMS(w=32, d=4)
+    whole.add_hashed(h, counts)
+    parts = [CMS(w=32, d=4) for _ in range(3)]
+    for i in range(3):
+        parts[i].add_hashed(h[i::3], counts[i::3])
+    merged = parts[0].merge(parts[1]).merge(parts[2])
+    assert np.array_equal(whole.m, merged.m)
+
+    est = whole.estimate_hashed(h)
+    assert (est >= counts).all()          # structural: never under
+    assert int(whole.m[0].sum()) == int(counts.sum())  # N readable
+
+
+def test_cms_bound_check_query_other_scales():
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_cms_bound_check,
+    )
+
+    for sf in ("/root/testdata/sf0.001",):
+        t = q_cms_bound_check(sf)
+        row = t.to_pylist()[0]
+        assert row["n_underestimates"] == 0
+        assert row["n_over_bound"] == 0
+        assert row["n_keys"] > 0
