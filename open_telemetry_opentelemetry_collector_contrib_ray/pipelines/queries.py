@@ -6122,6 +6122,52 @@ def q_cms_bound_check(sf_dir: str):
     })
 
 
+def q_unigram_lm_check(sf_dir: str):
+    """Unigram-LM tokenizer (SentencePiece model) invariants,
+    oracle-checkable form: (a) corpus log-likelihood is non-decreasing
+    across EM iterations at fixed vocabulary (the EM guarantee;
+    segments are per prune round, slack 1e-9 relative for distributed
+    float partial order), (b) Viterbi encode is detok-lossless for
+    every document (the lattice only contains exact covers), (c) the
+    pruned vocabulary meets its target.  The oracle states n_docs and
+    zeros/one for the invariant counters (stages/unigram.py)."""
+    import ray
+
+    from ..stages.bpe import word_frequencies
+    from ..stages.unigram import UnigramEncoder, unigram_train
+
+    MAXLEN = 5
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    wt = word_frequencies(ds)
+    logp, segments = unigram_train(wt, vocab_size=200, seed_size=1024,
+                                   max_piece_len=MAXLEN, em_iters=3)
+    viol = 0
+    for seg in segments:
+        for a, b in zip(seg, seg[1:]):
+            if b < a - 1e-9 * abs(a):
+                viol += 1
+    n_chars = sum(1 for s in logp if len(s) == 1)
+    vocab_ok = int(len(logp) <= max(200, n_chars))
+
+    enc = ds.map_batches(UnigramEncoder,
+                         fn_constructor_args=(ray.put(logp), MAXLEN),
+                         batch_format="pyarrow", concurrency=4)
+    agg = enc.map_batches(
+        lambda t: pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "detok_fails": pa.array(
+                [int(pc.sum(pc.cast(pc.invert(t.column("detok_ok")),
+                                    pa.int64())).as_py() or 0)],
+                pa.int64())}),
+        batch_format="pyarrow").sum(["n_docs", "detok_fails"])
+    return pa.table({
+        "n_docs": pa.array([int(agg["sum(n_docs)"])], pa.int64()),
+        "ll_violations": pa.array([viol], pa.int64()),
+        "detok_fails": pa.array([int(agg["sum(detok_fails)"])], pa.int64()),
+        "vocab_at_target": pa.array([vocab_ok], pa.int64()),
+    })
+
+
 def q_kmeans_opt_check(sf_dir: str):
     """k-means assignment-optimality invariant, oracle-checkable form:
     every vector's assigned centroid is re-verified as the true argmin
@@ -6388,6 +6434,7 @@ def queries():
         "entity_clusters": q_entity_clusters,
         "metric_resample": q_metric_resample,
         "cms_bound_check": q_cms_bound_check,
+        "unigram_lm_check": q_unigram_lm_check,
     }
 
 
@@ -7734,6 +7781,14 @@ def oracle_sql():
                    CAST(0 AS BIGINT) AS n_underestimates,
                    CAST(0 AS BIGINT) AS n_over_bound
             FROM events""",
+        # EM monotonicity + Viterbi detok losslessness + prune target —
+        # the bpe_roundtrip_check idiom for the unigram tokenizer
+        "unigram_lm_check": """
+            SELECT count(*) AS n_docs,
+                   CAST(0 AS BIGINT) AS ll_violations,
+                   CAST(0 AS BIGINT) AS detok_fails,
+                   CAST(1 AS BIGINT) AS vocab_at_target
+            FROM documents""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",
