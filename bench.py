@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "entity_clusters",
     "metric_resample",
     "cms_bound_check",
+    "unigram_lm_check",
+    "doc_html_extract",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

@@ -633,6 +633,19 @@ def _gopher_filter_step(c: dict):
         mode=c.get("mode", "flag"))
 
 
+@register_step("html_extract")
+def _html_extract_step(c: dict):
+    """HTML -> readable text extraction (web-crawl preprocessing)."""
+    from ..stages.textfilters import HtmlExtractor
+
+    return HtmlExtractor(html_col=c.get("html_col", "text"),
+                         out_col=c.get("out_col"),
+                         separator=c.get("separator", " "),
+                         collapse_ws=c.get("collapse_ws", True),
+                         count_links=c.get("count_links", False),
+                         numeric_entities=c.get("numeric_entities", False))
+
+
 @register_step("normalize_text")
 def _normalize_text_step(c: dict):
     """Unicode NFC + lowercase + whitespace-collapse normalization."""

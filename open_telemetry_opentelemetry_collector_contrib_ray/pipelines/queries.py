@@ -2924,6 +2924,47 @@ def q_doc_normalize(sf_dir: str):
                      batch_format="pyarrow").sort("doc_id")
 
 
+_HTML_PLANT_SCRIPT = ('<script type="text/javascript">'
+                      'var x = 1 < 2; // </p> trap</script>')
+_HTML_PLANT_EXTRAS = '<!-- hidden --> &amp;amp; &lt;tag&gt;&nbsp;&#39;q&#39;'
+
+
+def _plant_html(t: pa.Table) -> pa.Table:
+    """Wrap each doc's text in deterministic HTML (tags, one href, a
+    script block with a </p> trap on doc_id%3==0, comment + entity
+    soup on doc_id%4==0).  The SQL side of doc_html_extract builds the
+    identical expression, so extraction is compared end-to-end."""
+    d = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    did = pc.cast(t.column("doc_id"), pa.string())
+    txt = pc.fill_null(t.column("text"), "")
+    script = pc.if_else(pa.array(d % 3 == 0),
+                        pa.scalar(_HTML_PLANT_SCRIPT), pa.scalar(""))
+    extras = pc.if_else(pa.array(d % 4 == 0),
+                        pa.scalar(_HTML_PLANT_EXTRAS), pa.scalar(""))
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><body><h1>Doc "), did,
+        pa.scalar('</h1><p class="b">'), txt,
+        pa.scalar('</p><a href="https://example.com/d/'), did,
+        pa.scalar('">link</a>'), script, extras,
+        pa.scalar("</body></html>"), pa.scalar(""))
+    return t.set_column(t.column_names.index("text"), "text", html)
+
+
+def q_doc_html_extract(sf_dir: str):
+    """Web-corpus HTML -> text extraction (stages/textfilters.py
+    HtmlExtractor): script/style/comment drop, block tags -> separator,
+    tag strip, named-entity decode, whitespace collapse, plus n_links
+    counted on the raw html.  Map-only RE2 Arrow kernels; the oracle
+    replays every step with regexp_replace/replace/trim on identically
+    planted HTML."""
+    from ..stages.textfilters import HtmlExtractor
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_plant_html, batch_format="pyarrow") \
+        .map_batches(HtmlExtractor(count_links=True),
+                     batch_format="pyarrow").sort("doc_id")
+
+
 def q_doc_chunks(sf_dir: str):
     """RAG-style overlapping character chunking: 180-codepoint chunks
     with 30 overlap, one row per chunk (stages/textfilters.py
@@ -6226,6 +6267,7 @@ def queries():
         "approx_latency_quantiles": q_approx_latency_quantiles,
         "doc_shuffle": q_doc_shuffle,
         "doc_normalize": q_doc_normalize,
+        "doc_html_extract": q_doc_html_extract,
         "doc_chunks": q_doc_chunks,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "doc_keywords": q_doc_keywords,
@@ -8123,6 +8165,54 @@ def oracle_sql():
                    trim(regexp_replace(lower(nfc_normalize(
                        coalesce(text, ''))), '\s+', ' ', 'g')) AS text_norm
             FROM documents ORDER BY doc_id""",
+        # replays HtmlExtractor step-for-step on identically planted
+        # HTML: drop script/style/comments -> block tags -> ' ' ->
+        # strip tags -> entity replace chain (&amp; last) -> collapse
+        "doc_html_extract": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                     || '</h1><p class="b">' || coalesce(text, '')
+                     || '</p><a href="https://example.com/d/'
+                     || CAST(doc_id AS VARCHAR) || '">link</a>'
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          '<script type="text/javascript">var x = 1 < 2; // </p> trap</script>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN
+                          '<!-- hidden --> &amp;amp; &lt;tag&gt;&nbsp;&#39;q&#39;'
+                        ELSE '' END
+                     || '</body></html>' AS html
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     regexp_replace(html,
+                       '(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->',
+                       '', 'g') AS t,
+                     CAST(len(regexp_extract_all(html, 'href="[^"]*"'))
+                          AS BIGINT) AS n_links
+              FROM h
+            ), b AS (
+              SELECT doc_id,
+                     regexp_replace(t,
+                       '(?i)</(?:p|div|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|pre|figure|figcaption|nav|aside)>|<br\s*/?>',
+                       ' ', 'g') AS t, n_links
+              FROM s
+            ), g AS (
+              SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t,
+                     n_links
+              FROM b
+            ), e AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(
+                       replace(t, '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                       '&nbsp;', ' '), '&amp;', '&') AS t, n_links
+              FROM g
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(t, '\s+', ' ', 'g'), ' ') AS text,
+                   n_links
+            FROM e ORDER BY doc_id""",
         "doc_chunks": """
             WITH d AS (
               SELECT doc_id, coalesce(text, '') AS t,

@@ -559,3 +559,83 @@ def chunk_documents(ds, chunk_size: int, overlap: int = 0,
             "n_chunks", pa.array(n_chunks[row_idx], pa.int64()))
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction (web-corpus text extraction, the step before C4/CCNet
+# filtering in a crawl pipeline)
+
+# block-level closing tags + <br> become a separator so adjacent blocks
+# don't concatenate into one word (the trafilatura/jusText convention)
+_HTML_BLOCK_RE = (r"(?i)</(?:p|div|h[1-6]|li|ul|ol|tr|td|th|table|"
+                  r"blockquote|section|article|header|footer|pre|"
+                  r"figure|figcaption|nav|aside)>|<br\s*/?>")
+_HTML_DROP_RE = (r"(?is)<script\b[^>]*>.*?</script>"
+                 r"|<style\b[^>]*>.*?</style>"
+                 r"|<!--.*?-->")
+_HTML_TAG_RE = r"<[^>]*>"
+# exact-replace chain; &amp; LAST so '&amp;lt;' decodes to the literal
+# '&lt;' (single-pass HTML semantics), mirrored verbatim by the oracle's
+# replace() chain
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                  ("&amp;", "&")]
+
+
+class HtmlExtractor:
+    """Extract readable text from an HTML column (the web-crawl ->
+    training-text step): drop <script>/<style> bodies and comments, turn
+    block-closing tags into separators, strip remaining tags, decode the
+    named entities, collapse whitespace.  Map-only, zero-shuffle, pure
+    RE2 Arrow kernels — every step has an exact DuckDB twin
+    (regexp_replace / replace / trim), so extracted text is
+    oracle-checkable (queries.py doc_html_extract).
+
+    count_links=True adds n_links counted on the RAW html
+    (count_substring_regex == len(regexp_extract_all)).
+    numeric_entities=True additionally decodes &#NNN;/&#xHH; via a
+    sparse Python pass over ONLY the rows containing '&#' (not
+    SQL-expressible; off by default, pytest-covered)."""
+
+    def __init__(self, html_col: str = "text", out_col: str | None = None,
+                 separator: str = " ", collapse_ws: bool = True,
+                 count_links: bool = False, numeric_entities: bool = False):
+        self.html_col = html_col
+        self.out_col = out_col or html_col
+        self.separator = separator
+        self.collapse_ws = collapse_ws
+        self.count_links = count_links
+        self.numeric_entities = numeric_entities
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = pc.fill_null(batch.column(self.html_col), "")
+        s = pc.replace_substring_regex(raw, _HTML_DROP_RE, "")
+        s = pc.replace_substring_regex(s, _HTML_BLOCK_RE, self.separator)
+        s = pc.replace_substring_regex(s, _HTML_TAG_RE, "")
+        for ent, ch in _HTML_ENTITIES:
+            s = pc.replace_substring(s, ent, ch)
+        if self.numeric_entities:
+            has_num = pc.match_substring_regex(s, r"&#[0-9xX]")
+            if pc.any(has_num).as_py():
+                import html as _html
+
+                idx = np.flatnonzero(has_num.to_numpy(zero_copy_only=False))
+                sub = pc.take(s, pa.array(idx, pa.int64())).to_pylist()
+                repl = np.full(len(s), None, dtype=object)
+                for j, i in enumerate(idx):
+                    repl[i] = _html.unescape(sub[j])
+                s = pc.if_else(has_num, pa.array(repl, pa.string()), s)
+        if self.collapse_ws:
+            # trim SPACES only — same DuckDB-trim contract as
+            # TextNormalizer above
+            s = pc.utf8_trim(pc.replace_substring_regex(s, r"\s+", " "),
+                             " ")
+        if self.out_col in batch.column_names:
+            batch = batch.drop_columns([self.out_col])
+        batch = batch.append_column(self.out_col, s)
+        if self.count_links:
+            batch = batch.append_column(
+                "n_links",
+                pc.cast(pc.count_substring_regex(raw, r'href="[^"]*"'),
+                        pa.int64()))
+        return batch
