@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "cms_bound_check",
     "unigram_lm_check",
     "doc_html_extract",
+    "pagerank_parts",
     "ann_consistency_check",
     "bpe_roundtrip_check",
     "decontam_bloom_check",

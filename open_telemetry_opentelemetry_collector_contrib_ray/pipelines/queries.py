@@ -6209,6 +6209,30 @@ def q_unigram_lm_check(sf_dir: str):
     })
 
 
+def q_pagerank_parts(sf_dir: str):
+    """Integer-exact PageRank (3 power iterations) over the supplier ->
+    part bipartite graph from lineitem (stages/graph.py): node ids
+    suppkey*2 / partkey*2+1, per-edge floor(rank*17/(20*outdeg)),
+    dangling mass dropped — order-independent int64 arithmetic, so the
+    distributed result is bit-equal to the DuckDB CTE replay."""
+    li = _rd(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        two = pa.scalar(2, pa.int64())
+        return pa.table({
+            "src": pc.multiply(pc.cast(t.column("l_suppkey"), pa.int64()),
+                               two),
+            "dst": pc.add(pc.multiply(
+                pc.cast(t.column("l_partkey"), pa.int64()), two),
+                pa.scalar(1, pa.int64()))})
+
+    from ..stages.graph import pagerank
+
+    out = pagerank(li.map_batches(mk_edges, batch_format="pyarrow"),
+                   iters=3)
+    return out.sort("node")
+
+
 def q_kmeans_opt_check(sf_dir: str):
     """k-means assignment-optimality invariant, oracle-checkable form:
     every vector's assigned centroid is re-verified as the true argmin
@@ -6477,6 +6501,7 @@ def queries():
         "metric_resample": q_metric_resample,
         "cms_bound_check": q_cms_bound_check,
         "unigram_lm_check": q_unigram_lm_check,
+        "pagerank_parts": q_pagerank_parts,
     }
 
 
@@ -7831,6 +7856,48 @@ def oracle_sql():
                    CAST(0 AS BIGINT) AS detok_fails,
                    CAST(1 AS BIGINT) AS vocab_at_target
             FROM documents""",
+        # bit-exact CTE replay of the integer PageRank variant:
+        # per-edge floor BEFORE the sum makes every term exact
+        "pagerank_parts": """
+            WITH edges AS (
+              SELECT DISTINCT l_suppkey * 2 AS src,
+                              l_partkey * 2 + 1 AS dst
+              FROM lineitem
+            ), deg AS (
+              SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges
+            ), r0 AS (
+              SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes
+            ), c1 AS (
+              SELECT e.dst AS node,
+                     sum((r.pr * 17) // (20 * d.outdeg)) AS c
+              FROM edges e JOIN r0 r ON r.node = e.src
+                           JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ), r1 AS (
+              SELECT n.node, 150000 + coalesce(c.c, 0) AS pr
+              FROM nodes n LEFT JOIN c1 c USING (node)
+            ), c2 AS (
+              SELECT e.dst AS node,
+                     sum((r.pr * 17) // (20 * d.outdeg)) AS c
+              FROM edges e JOIN r1 r ON r.node = e.src
+                           JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ), r2 AS (
+              SELECT n.node, 150000 + coalesce(c.c, 0) AS pr
+              FROM nodes n LEFT JOIN c2 c USING (node)
+            ), c3 AS (
+              SELECT e.dst AS node,
+                     sum((r.pr * 17) // (20 * d.outdeg)) AS c
+              FROM edges e JOIN r2 r ON r.node = e.src
+                           JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            )
+            SELECT n.node, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c3 c USING (node)
+            ORDER BY n.node""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",
