@@ -6233,6 +6233,32 @@ def q_pagerank_parts(sf_dir: str):
     return out.sort("node")
 
 
+def q_triangle_parts(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (parts
+    sharing an order are adjacent): per-order pair expansion via ONE
+    bucketed group transform, then stages/graph.py triangle_count —
+    degree-ordered orientation bounds the wedge join's hub fan-out, a
+    self-join on the wedge source and a closing-edge semi join finish.
+    All-integer set arithmetic, replayed exactly by the DuckDB oracle."""
+    import pandas as pd
+
+    from ..stages.aggregate import bucketed_group_transform
+    from ..stages.graph import triangle_count
+
+    li = _rd(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    edge_ds = bucketed_group_transform(li, ["l_orderkey"], pairs,
+                                       n_buckets=32)
+    n = triangle_count(edge_ds, n_buckets=32)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
 def q_kmeans_opt_check(sf_dir: str):
     """k-means assignment-optimality invariant, oracle-checkable form:
     every vector's assigned centroid is re-verified as the true argmin
@@ -6502,6 +6528,7 @@ def queries():
         "cms_bound_check": q_cms_bound_check,
         "unigram_lm_check": q_unigram_lm_check,
         "pagerank_parts": q_pagerank_parts,
+        "triangle_parts": q_triangle_parts,
     }
 
 
@@ -7898,6 +7925,42 @@ def oracle_sql():
             SELECT n.node, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS pr
             FROM nodes n LEFT JOIN c3 c USING (node)
             ORDER BY n.node""",
+        # same degree-ordered orientation as the distributed path, so
+        # each triangle is counted exactly once on both sides
+        "triangle_parts": """
+            WITH pairs AS (
+              SELECT l1.l_partkey AS a, l2.l_partkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey < l2.l_partkey
+            ), und AS (
+              SELECT DISTINCT a, b FROM pairs
+            ), deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b AS node FROM und
+              ) GROUP BY node
+            ), o AS (
+              SELECT CASE WHEN da.deg < db.deg
+                            OR (da.deg = db.deg AND u.a < u.b)
+                          THEN u.a ELSE u.b END AS u,
+                     CASE WHEN da.deg < db.deg
+                            OR (da.deg = db.deg AND u.a < u.b)
+                          THEN u.b ELSE u.a END AS v
+              FROM und u JOIN deg da ON da.node = u.a
+                         JOIN deg db ON db.node = u.b
+            ), od AS (
+              SELECT o.u, o.v, d.deg AS degv
+              FROM o JOIN deg d ON d.node = o.v
+            ), w AS (
+              SELECT e1.v AS u, e2.v AS v
+              FROM od e1 JOIN od e2 ON e1.u = e2.u
+              WHERE e1.degv < e2.degv
+                 OR (e1.degv = e2.degv AND e1.v < e2.v)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM w WHERE EXISTS (
+              SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",

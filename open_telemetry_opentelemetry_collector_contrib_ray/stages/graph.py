@@ -184,3 +184,191 @@ def _pagerank_broadcast(edges_d, deg, nodes, src, dst, iters, scale, base,
             pr[idx] += summed.column("c").to_numpy(zero_copy_only=False)
     return rd.from_arrow(pa.table({"node": pa.array(node_arr, pa.int64()),
                                    "pr": pa.array(pr, pa.int64())}))
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   n_buckets: int = 64,
+                   max_broadcast_nodes: int = 4_000_000,
+                   max_broadcast_edges: int = 10_000_000) -> int:
+    """Exact triangle count of the undirected simple graph given by an
+    edge Dataset (self-loops and duplicate/reversed edges collapse).
+
+    Degree-ordered orientation first — every edge points from its
+    lower-(deg, id) endpoint — which bounds each node's out-degree by
+    O(sqrt(m)), so the wedge self-join cannot explode on hub nodes (the
+    node-iterator++ bound; a naive a<b orientation is quadratic in hub
+    degree).  Pipeline: canonicalize+distinct (one bucketed aggregate),
+    degree count (node-sized), orient (broadcast sorted degree arrays
+    when nodes <= max_broadcast_nodes, two co-partitioned joins past
+    it), then close the wedges:
+
+    - when the oriented edge set also fits driver-side (nodes within
+      the broadcast bound AND edges <= max_broadcast_edges), closing
+      edges are rank-encoded to a sorted int64 key array
+      (u_rank * n_nodes + v_rank), ray.put once, and the count happens
+      INSIDE the wedge join's per-bucket reduce via searchsorted
+      membership — wedges are never materialized or reshuffled; only
+      one int per bucket leaves the join.
+    - otherwise the wedges stream into a closing-edge SEMI join
+      (one more co-partitioned shuffle) and a distributed count.
+
+    Every step is integer/set arithmetic — the result is exact and
+    SQL-replayable (queries.py triangle_parts)."""
+    from .aggregate import grouped_agg
+    from .join import bucketed_hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column(src), pa.int64())
+        d = pc.cast(t.column(dst), pa.int64())
+        tb = pa.table({"a": pc.min_element_wise(s, d),
+                       "b": pc.max_element_wise(s, d)})
+        return tb.filter(pc.not_equal(tb.column("a"), tb.column("b")))
+
+    und = _distinct(edges.map_batches(canon, batch_format="pyarrow"),
+                    ["a", "b"], n_buckets).materialize()
+
+    def col_nodes(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column(col)})
+        return f
+
+    deg = grouped_agg(
+        und.map_batches(col_nodes("a"), batch_format="pyarrow").union(
+            und.map_batches(col_nodes("b"), batch_format="pyarrow")),
+        ["node"], [("count", None, "deg")],
+        combine="bucket", n_buckets=n_buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("dega").to_numpy(zero_copy_only=False)
+        db = t.column("degb").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            "u": pa.array(np.where(a_first, a, b), pa.int64()),
+            "v": pa.array(np.where(a_first, b, a), pa.int64()),
+            "degv": pa.array(np.where(a_first, db, da), pa.int64())})
+
+    n_nodes_est = None
+    deg_mat = deg.materialize()
+    n_nodes_est = deg_mat.count()
+    if n_nodes_est <= max_broadcast_nodes:
+        import ray
+
+        deg_tbl = _collect(deg_mat)
+        order = np.argsort(deg_tbl.column("node").to_numpy(
+            zero_copy_only=False))
+        nd = deg_tbl.column("node").to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        dg = deg_tbl.column("deg").to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        ref = ray.put((nd, dg))
+
+        def attach_and_orient(t: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            da = degs[np.searchsorted(nodes, a)]
+            db = degs[np.searchsorted(nodes, b)]
+            return orient(pa.table({
+                "a": t.column("a"), "b": t.column("b"),
+                "dega": pa.array(da, pa.int64()),
+                "degb": pa.array(db, pa.int64())}))
+
+        od = und.map_batches(attach_and_orient,
+                             batch_format="pyarrow").materialize()
+    else:
+        d_a = deg_mat.map_batches(
+            lambda t: t.rename_columns(["a", "dega"]),
+            batch_format="pyarrow")
+        d_b = deg_mat.map_batches(
+            lambda t: t.rename_columns(["b", "degb"]),
+            batch_format="pyarrow")
+        j = bucketed_hash_join(und, d_a, on=["a"], n_buckets=n_buckets)
+        j = bucketed_hash_join(j, d_b, on=["b"], n_buckets=n_buckets)
+        od = j.map_batches(orient, batch_format="pyarrow").materialize()
+
+    if n_nodes_est <= max_broadcast_nodes:
+        m = od.count()
+        if m <= max_broadcast_edges:
+            import ray
+
+            from .aggregate import bucketed_group_transform
+
+            keys_tbl = _collect(od.map_batches(
+                lambda t: t.select(["u", "v"]), batch_format="pyarrow"))
+            n = np.int64(len(nd))
+            ek = np.sort(
+                np.searchsorted(nd, keys_tbl.column("u").to_numpy(
+                    zero_copy_only=False)) * n
+                + np.searchsorted(nd, keys_tbl.column("v").to_numpy(
+                    zero_copy_only=False)))
+            kref = ray.put((nd, ek))
+
+            def count_closed(df):
+                # one bucket's oriented edges, ALL wedges generated in
+                # numpy (no pandas merge): sort by (u, degv, v), pair
+                # each row with its later group-mates via the
+                # ranges-from-reps trick, then membership-count against
+                # the broadcast rank-encoded closing-edge keys.
+                # Chunked so peak pair memory stays ~tens of MB.
+                import pandas as pd
+
+                nodes, ekeys = ray.get(kref)
+                nn = np.int64(len(nodes))
+                df = df.sort_values(["u", "degv", "v"], kind="stable")
+                u = df["u"].to_numpy()
+                vr = np.searchsorted(nodes, df["v"].to_numpy())
+                # local position within each run of equal u
+                grp_start = np.flatnonzero(
+                    np.r_[True, u[1:] != u[:-1]])
+                run_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+                pos = np.arange(len(u)) - grp_start[run_id]
+                run_len = np.diff(np.r_[grp_start, len(u)])
+                reps = (run_len[run_id] - 1 - pos).astype(np.int64)
+                total = 0
+                CH = 4_000_000
+                i0 = 0
+                while i0 < len(u):
+                    i1 = i0
+                    acc = 0
+                    while i1 < len(u) and acc + reps[i1] <= CH:
+                        acc += reps[i1]
+                        i1 += 1
+                    i1 = max(i1, i0 + 1)
+                    r = reps[i0:i1]
+                    first = np.repeat(np.arange(i0, i1), r)
+                    off = np.arange(len(first)) \
+                        - np.repeat(np.cumsum(r) - r, r)
+                    second = first + 1 + off
+                    q = vr[first] * nn + vr[second]
+                    j = np.searchsorted(ekeys, q)
+                    j[j == len(ekeys)] = 0
+                    if len(ekeys):
+                        total += int((ekeys[j] == q).sum())
+                    i0 = i1
+                return pd.DataFrame({"c": [total]})
+
+            per_bucket = bucketed_group_transform(od, ["u"],
+                                                  count_closed,
+                                                  n_buckets=n_buckets)
+            return int(per_bucket.sum("c") or 0)
+
+    wedges = bucketed_hash_join(od, od, on=["u"], n_buckets=n_buckets,
+                                suffix="_r")
+
+    def pick(t: pa.Table) -> pa.Table:
+        dv = t.column("degv")
+        dr = t.column("degv_r")
+        keep = pc.or_(pc.less(dv, dr),
+                      pc.and_(pc.equal(dv, dr),
+                              pc.less(t.column("v"), t.column("v_r"))))
+        t = t.filter(keep)
+        return pa.table({"u": t.column("v"), "v": t.column("v_r")})
+
+    closing = od.map_batches(lambda t: t.select(["u", "v"]),
+                             batch_format="pyarrow")
+    closed = bucketed_hash_join(
+        wedges.map_batches(pick, batch_format="pyarrow"),
+        closing, on=["u", "v"], how="semi", n_buckets=n_buckets)
+    return closed.count()

@@ -54,3 +54,39 @@ def test_pagerank_empty_edges():
     # schema is the contract
     assert out.count() == 0
     assert out.schema().names == ["node", "pr"]
+
+
+def test_triangle_count_hand_graphs():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.graph import (
+        triangle_count,
+    )
+
+    # K4 has 4 triangles; dup/reversed edges and a self-loop collapse
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert triangle_count(_edges(k4 + [(2, 2), (0, 1)])) == 4
+    # a path has none
+    assert triangle_count(_edges([(0, 1), (1, 2), (2, 3)])) == 0
+    # two triangles sharing an edge
+    assert triangle_count(_edges([(0, 1), (1, 2), (0, 2), (2, 3),
+                                  (1, 3)])) == 2
+
+
+def test_triangle_count_paths_equal_vs_bruteforce():
+    import itertools
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.graph import (
+        triangle_count,
+    )
+
+    rng = np.random.RandomState(11)
+    pairs = {(int(min(a, b)), int(max(a, b)))
+             for a, b in rng.randint(0, 25, (120, 2)) if a != b}
+    adj = set(pairs)
+    brute = sum(1 for x, y, z in itertools.combinations(range(25), 3)
+                if (x, y) in adj and (y, z) in adj and (x, z) in adj)
+    got_bc = triangle_count(_edges(sorted(pairs)))
+    got_semi = triangle_count(_edges(sorted(pairs)),
+                              max_broadcast_edges=0, n_buckets=8)
+    got_jn = triangle_count(_edges(sorted(pairs)), max_broadcast_nodes=0,
+                            n_buckets=8)
+    assert got_bc == got_semi == got_jn == brute
