@@ -6259,6 +6259,55 @@ def q_triangle_parts(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_inverted_token_stats(sf_dir: str):
+    """Inverted-index lexicon build (stages/invindex.py token_stats):
+    per-token df / tf / doc-id range over the documents corpus.  The
+    corpus text never shuffles — per-batch pyarrow group_by partials
+    over (token, doc) pairs, one bucketed hash aggregate to combine.
+    min_df=2 exercises the post-agg dictionary prune."""
+    from ..stages.invindex import token_stats
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_stats(ds, min_df=2).sort("token")
+
+
+def q_phrase_search_counts(sf_dir: str):
+    """Positional phrase search through the inverted index probe path
+    (stages/invindex.py phrase_search): postings of the phrase terms
+    only leave the scan, co-partition by doc once, adjacency closes as
+    sorted-key membership (doc<<21|pos rank keys).  One bigram + one
+    trigram phrase; the oracle replays adjacency with positional
+    self-joins over the exploded token table."""
+    from ..stages.invindex import phrase_search
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = []
+    for ph in (("table", "value"), ("slow", "hash", "batch")):
+        t = phrase_search(ds, ph)
+        rows.append({"phrase": " ".join(ph),
+                     "n_docs": t.column("n_docs")[0].as_py(),
+                     "n_occurrences": t.column("n_occurrences")[0].as_py()})
+    return pa.table({
+        "phrase": pa.array([r["phrase"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "n_occurrences": pa.array([r["n_occurrences"] for r in rows],
+                                  pa.int64())})
+
+
+def q_boolean_search_docs(sf_dir: str):
+    """Index-backed boolean retrieval (stages/invindex.py
+    boolean_search): docs containing spark AND vector, and the same
+    with NOT slow — doc sets intersect/differ per co-partitioned
+    bucket, counts sum exactly because a doc never spans buckets."""
+    from ..stages.invindex import boolean_search
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    n1 = boolean_search(ds, must=["spark", "vector"])
+    n2 = boolean_search(ds, must=["spark", "vector"], must_not=["slow"])
+    return pa.table({"n_and": pa.array([n1], pa.int64()),
+                     "n_and_not": pa.array([n2], pa.int64())})
+
+
 def q_kmeans_opt_check(sf_dir: str):
     """k-means assignment-optimality invariant, oracle-checkable form:
     every vector's assigned centroid is re-verified as the true argmin
@@ -6529,6 +6578,9 @@ def queries():
         "unigram_lm_check": q_unigram_lm_check,
         "pagerank_parts": q_pagerank_parts,
         "triangle_parts": q_triangle_parts,
+        "inverted_token_stats": q_inverted_token_stats,
+        "phrase_search_counts": q_phrase_search_counts,
+        "boolean_search_docs": q_boolean_search_docs,
     }
 
 
@@ -7961,6 +8013,66 @@ def oracle_sql():
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM w WHERE EXISTS (
               SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""",
+        # inverted index: same tokenization as doc_top_ngrams
+        # (regexp_extract_all(lower(text), '[a-z0-9_]+'))
+        "inverted_token_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS tok
+              FROM documents)
+            SELECT tok AS token,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS tf,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc
+            FROM toks GROUP BY tok
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY token""",
+        # adjacency replayed as positional self-joins over the
+        # exploded token table (generate_subscripts = 1-based position)
+        "phrase_search_counts": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text),
+                                              '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), m2 AS (
+              SELECT a.doc_id FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              WHERE a.w = 'table' AND b.w = 'value'
+            ), m3 AS (
+              SELECT a.doc_id FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+              WHERE a.w = 'slow' AND b.w = 'hash' AND c.w = 'batch'
+            )
+            SELECT 'table value' AS phrase,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM m2
+            UNION ALL
+            SELECT 'slow hash batch',
+                   CAST(count(DISTINCT doc_id) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM m3""",
+        "boolean_search_docs": """
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+              FROM documents)
+            SELECT CAST(count(*) FILTER (
+                     WHERE list_contains(ws, 'spark')
+                       AND list_contains(ws, 'vector')) AS BIGINT)
+                     AS n_and,
+                   CAST(count(*) FILTER (
+                     WHERE list_contains(ws, 'spark')
+                       AND list_contains(ws, 'vector')
+                       AND NOT list_contains(ws, 'slow')) AS BIGINT)
+                     AS n_and_not
+            FROM s""",
         "bpe_roundtrip_check": """
             SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_detok_fail
             FROM documents""",
