@@ -6259,6 +6259,50 @@ def q_triangle_parts(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_qdigest_bound_check(sf_dir: str):
+    """q-digest rank-error invariant, oracle-checkable form: the
+    deterministic mergeable quantile summary (stages/sketch.py QDigest,
+    Shrivastava 2004) built over floor(events.value * 100) with
+    bits=16, k=512 must answer every probed quantile within its
+    WORST-CASE eps = bits/k = 3.125% rank bound — checked against
+    exact ranks computed distributed in the same plan (one map pass
+    counting values <= v_q per batch; the digest itself is a kilobyte
+    of partials per batch merged on the driver).  The oracle states n
+    and zero violations."""
+    from ..stages.sketch import qdigest_build
+
+    QS = (0.25, 0.5, 0.75, 0.95)
+    ds = _rd(sf_dir, "events", columns=["value"])
+    dig = qdigest_build(ds, "value", bits=16, k=512, scale=100.0)
+    cuts = np.array([dig.quantile(q) for q in QS], np.int64)
+
+    def part(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 100.0).astype(np.int64)
+        cols = {"n": pa.array([t.num_rows], pa.int64())}
+        for i, c in enumerate(cuts):
+            cols[f"le{i}"] = pa.array([int((v <= c).sum())], pa.int64())
+            cols[f"lt{i}"] = pa.array([int((v < c).sum())], pa.int64())
+        return pa.table(cols)
+
+    agg = ds.map_batches(part, batch_format="pyarrow") \
+        .sum(["n"] + [f"le{i}" for i in range(len(QS))]
+             + [f"lt{i}" for i in range(len(QS))])
+    n = int(agg["sum(n)"])
+    slack = dig.eps * n + 1
+    viol = 0
+    for i, q in enumerate(QS):
+        # eps-approximate-quantile guarantee: the returned value's rank
+        # interval [count(<v), count(<=v)] intersects q*n +- eps*n
+        r_le, r_lt = int(agg[f"sum(le{i})"]), int(agg[f"sum(lt{i})"])
+        target = max(int(np.ceil(q * n)), 1)
+        if r_le < target - slack or r_lt > target + slack:
+            viol += 1
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "n_quantiles": pa.array([len(QS)], pa.int64()),
+                     "n_violations": pa.array([viol], pa.int64())})
+
+
 def q_inverted_token_stats(sf_dir: str):
     """Inverted-index lexicon build (stages/invindex.py token_stats):
     per-token df / tf / doc-id range over the documents corpus.  The
@@ -6578,6 +6622,7 @@ def queries():
         "unigram_lm_check": q_unigram_lm_check,
         "pagerank_parts": q_pagerank_parts,
         "triangle_parts": q_triangle_parts,
+        "qdigest_bound_check": q_qdigest_bound_check,
         "inverted_token_stats": q_inverted_token_stats,
         "phrase_search_counts": q_phrase_search_counts,
         "boolean_search_docs": q_boolean_search_docs,
@@ -8013,6 +8058,11 @@ def oracle_sql():
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM w WHERE EXISTS (
               SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""",
+        "qdigest_bound_check": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(4 AS BIGINT) AS n_quantiles,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM events""",
         # inverted index: same tokenization as doc_top_ngrams
         # (regexp_extract_all(lower(text), '[a-z0-9_]+'))
         "inverted_token_stats": """

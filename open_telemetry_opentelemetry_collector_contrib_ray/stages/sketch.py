@@ -372,3 +372,154 @@ def cms_counts(ds, col: str, w: int = 1024, d: int = 4) -> CMS:
         o.m = np.frombuffer(row["sketch"], dtype=np.int64).reshape(d, w).copy()
         acc.merge(o)
     return acc
+
+
+class QDigest:
+    """q-digest (Shrivastava et al. 2004): a deterministic mergeable
+    quantile summary over the integer universe [0, 2**bits).
+
+    Nodes are heap-numbered dyadic ranges (root=1, leaf for value v is
+    v + 2**bits); compression collapses any (children + parent) group
+    whose total is <= floor(n/k) into the parent, bottom-up, so size
+    stays O(k * bits) while rank queries answer within
+    eps*n = bits/k * n of the true rank — a WORST-CASE bound, unlike
+    the probabilistic HLL/CMS guarantees.  merge = per-node count
+    addition + one compress (associative up to structure; the error
+    bound is preserved under any merge tree, which is what makes it a
+    Ray-reduce-friendly partial).
+
+    State is two sorted int64 arrays (ids, counts) + n; every step —
+    add (np.unique), compress (one vectorized pass per level), rank
+    scan (lexsort + cumsum) — is numpy, no per-node Python.
+    """
+
+    def __init__(self, bits: int = 20, k: int = 256):
+        self.bits, self.k = bits, k
+        self.ids = np.zeros(0, np.int64)
+        self.cnt = np.zeros(0, np.int64)
+        self.n = 0
+
+    # -- construction ------------------------------------------------
+    def add_values(self, vals: np.ndarray):
+        vals = np.asarray(vals, np.int64)
+        if not len(vals):
+            return self
+        if vals.min() < 0 or vals.max() >= (1 << self.bits):
+            raise ValueError("value outside the digest universe")
+        leaves, counts = np.unique(vals + (1 << self.bits),
+                                   return_counts=True)
+        self._absorb(leaves, counts.astype(np.int64))
+        self.n += int(len(vals))
+        self.compress()
+        return self
+
+    def _absorb(self, ids: np.ndarray, cnt: np.ndarray):
+        ids = np.concatenate([self.ids, ids])
+        cnt = np.concatenate([self.cnt, cnt])
+        u, inv = np.unique(ids, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cnt)
+        self.ids, self.cnt = u, s
+
+    def merge(self, other: "QDigest") -> "QDigest":
+        if (other.bits, other.k) != (self.bits, self.k):
+            raise ValueError("incompatible digests")
+        self._absorb(other.ids, other.cnt)
+        self.n += other.n
+        self.compress()
+        return self
+
+    # -- compression -------------------------------------------------
+    def compress(self):
+        thr = self.n // self.k
+        if thr <= 0 or not len(self.ids):
+            return self
+        ids, cnt = self.ids, self.cnt
+        for d in range(self.bits, 0, -1):
+            lvl = np.int64(1) << d
+            sel = (ids >= lvl) & (ids < (lvl << 1))
+            if not sel.any():
+                continue
+            ch_ids, ch_cnt = ids[sel], cnt[sel]
+            rest_ids, rest_cnt = ids[~sel], cnt[~sel].copy()
+            par = ch_ids >> 1
+            upar, inv = np.unique(par, return_inverse=True)
+            ch_sum = np.zeros(len(upar), np.int64)
+            np.add.at(ch_sum, inv, ch_cnt)
+            pos = np.searchsorted(rest_ids, upar)
+            safe = np.minimum(pos, max(len(rest_ids) - 1, 0))
+            has = (pos < len(rest_ids)) & (len(rest_ids) > 0)
+            if len(rest_ids):
+                has &= rest_ids[safe] == upar
+            par_cnt = np.where(has, rest_cnt[safe] if len(rest_ids)
+                               else 0, 0)
+            collapse = (ch_sum + par_cnt) <= thr
+            keep = ~collapse[inv]
+            upd = has & collapse
+            if upd.any():
+                np.add.at(rest_cnt, pos[upd], ch_sum[upd])
+            new = collapse & ~has
+            ids = np.concatenate([rest_ids, ch_ids[keep], upar[new]])
+            cnt = np.concatenate([rest_cnt, ch_cnt[keep], ch_sum[new]])
+            order = np.argsort(ids, kind="stable")
+            ids, cnt = ids[order], cnt[order]
+        live = cnt > 0
+        self.ids, self.cnt = ids[live], cnt[live]
+        return self
+
+    # -- queries -----------------------------------------------------
+    def _ranges(self):
+        depth = np.floor(np.log2(self.ids)).astype(np.int64)
+        shift = self.bits - depth
+        hi = ((self.ids + 1) << shift) - 1 - (np.int64(1) << self.bits)
+        return depth, hi
+
+    def quantile(self, q: float) -> int:
+        """Smallest node max whose prefix mass reaches ceil(q*n), nodes
+        scanned in (hi asc, deeper-first) order.  Guarantee: the true
+        rank of the returned value is >= ceil(q*n) - eps*n and
+        <= ceil(q*n) + eps*n with eps = bits/k."""
+        if not len(self.ids):
+            raise ValueError("empty digest")
+        depth, hi = self._ranges()
+        order = np.lexsort((-depth, hi))
+        cum = np.cumsum(self.cnt[order])
+        target = max(int(np.ceil(q * self.n)), 1)
+        i = min(int(np.searchsorted(cum, target)), len(cum) - 1)
+        return int(hi[order][i])
+
+    @property
+    def eps(self) -> float:
+        return self.bits / self.k
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.bits, self.k, self.n,
+                             self.ids, self.cnt))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "QDigest":
+        bits, k, n, ids, cnt = pickle.loads(b)
+        d = cls(bits, k)
+        d.n, d.ids, d.cnt = n, ids, cnt
+        return d
+
+
+def qdigest_build(ds, col: str, bits: int = 20, k: int = 256,
+                  scale: float = 1.0) -> QDigest:
+    """One corpus-wide q-digest over ``floor(col * scale)``: each batch
+    builds its own digest (np.unique + compress, already O(k*bits)
+    bytes) and the constant-size partials merge on the driver — same
+    kilobytes-per-batch contract as cms_counts, so the reduce is
+    size-bounded at any corpus scale."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        v = np.floor(v.astype(np.float64) * scale).astype(np.int64)
+        d = QDigest(bits, k)
+        d.add_values(v)
+        return pa.table({"sketch": pa.array([d.to_bytes()], pa.binary())})
+
+    acc = QDigest(bits, k)
+    for row in ds.map_batches(summarize, batch_format="pyarrow").take_all():
+        acc.merge(QDigest.from_bytes(row["sketch"]))
+    return acc
