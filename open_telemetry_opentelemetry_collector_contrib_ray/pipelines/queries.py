@@ -6259,6 +6259,47 @@ def q_triangle_parts(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_audio_stft_check(sf_dir: str):
+    """STFT frequency-recovery invariant, oracle-checkable form: 160
+    deterministic clips (0.5-amp sine at 100 + 50*(i%20) Hz plus 0.05
+    noise, half raw PCM16 / half inside real RIFF WAVE containers) run
+    through AudioSpectralExtractor (stages/multimodal.py) — the
+    dominant STFT bin must land within ONE bin width (sr/n_fft =
+    15.625 Hz) of the planted frequency for EVERY item, and the
+    per-frame Parseval identity must hold to 1e-9 (a structural check
+    that the FFT path is a real transform, not a fake).  The oracle
+    states all three counters."""
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioSpectralExtractor, synth_audio_table
+
+    N, SR, NFFT = 160, 16000, 1024
+    ds = rd.from_arrow(synth_audio_table(N, sample_rate=SR))
+    feats = ds.map_batches(AudioSpectralExtractor,
+                           fn_constructor_kwargs={"n_fft": NFFT},
+                           batch_format="pyarrow", batch_size=32,
+                           concurrency=(1, 2))
+
+    def check(t: pa.Table) -> pa.Table:
+        item = t.column("item_id").to_numpy(zero_copy_only=False)
+        planted = 100.0 + 50.0 * (item % 20)
+        dom = t.column("dominant_freq_hz").to_numpy(zero_copy_only=False)
+        perr = t.column("parseval_rel_err").to_numpy(zero_copy_only=False)
+        bin_hz = SR / NFFT
+        return pa.table({
+            "n_items": pa.array([t.num_rows], pa.int64()),
+            "n_peak_within_bin": pa.array(
+                [int((np.abs(dom - planted) <= bin_hz).sum())], pa.int64()),
+            "n_parseval_ok": pa.array([int((perr <= 1e-9).sum())],
+                                      pa.int64())})
+
+    agg = feats.map_batches(check, batch_format="pyarrow") \
+        .sum(["n_items", "n_peak_within_bin", "n_parseval_ok"])
+    return pa.table({k: pa.array([int(agg[f"sum({k})"])], pa.int64())
+                     for k in ("n_items", "n_peak_within_bin",
+                               "n_parseval_ok")})
+
+
 def q_qdigest_bound_check(sf_dir: str):
     """q-digest rank-error invariant, oracle-checkable form: the
     deterministic mergeable quantile summary (stages/sketch.py QDigest,
@@ -6623,6 +6664,7 @@ def queries():
         "pagerank_parts": q_pagerank_parts,
         "triangle_parts": q_triangle_parts,
         "qdigest_bound_check": q_qdigest_bound_check,
+        "audio_stft_check": q_audio_stft_check,
         "inverted_token_stats": q_inverted_token_stats,
         "phrase_search_counts": q_phrase_search_counts,
         "boolean_search_docs": q_boolean_search_docs,
@@ -8058,6 +8100,10 @@ def oracle_sql():
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM w WHERE EXISTS (
               SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""",
+        "audio_stft_check": """
+            SELECT CAST(160 AS BIGINT) AS n_items,
+                   CAST(160 AS BIGINT) AS n_peak_within_bin,
+                   CAST(160 AS BIGINT) AS n_parseval_ok""",
         "qdigest_bound_check": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(4 AS BIGINT) AS n_quantiles,

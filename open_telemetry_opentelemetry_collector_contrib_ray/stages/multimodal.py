@@ -781,6 +781,75 @@ class AudioFeatureExtractor:
                 .append_column("peak", pa.array(peak)))
 
 
+class AudioSpectralExtractor:
+    """STFT spectral features over audio payloads — the real DSP leg
+    of the audio family (AudioFeatureExtractor covers time-domain
+    RMS/ZCR/peak).  Hann-windowed frames (n_fft, hop) -> rfft -> mean
+    magnitude spectrum per item, emitting:
+
+    - dominant_freq_hz: argmax bin (DC excluded) * sr / n_fft — for a
+      planted pure tone this lands within one bin width of the true
+      frequency (Hann main lobe spans < 1 bin either side);
+    - spectral_centroid_hz: magnitude-weighted mean frequency;
+    - parseval_rel_err: max relative |sum(x_w^2) - (1/N) sum|X|^2|
+      over frames — a built-in correctness check of the FFT path
+      (identically ~1e-12 when the transform is right).
+
+    Actor-pool stage: the window is built once in __init__; payloads
+    decode PCM16 (raw or via the WAV container) per row, the FFT over
+    all frames of an item is one vectorized rfft call.
+    """
+
+    def __init__(self, n_fft: int = 1024, hop: int = 512):
+        self.n_fft, self.hop = n_fft, hop
+        self.win = np.hanning(n_fft)
+
+    def _pcm(self, payload: bytes, mime: str, sr: int):
+        if mime == "audio/wav" or payload[:4] == b"RIFF":
+            data, rate, _ch = decode_wav(payload)
+            return np.frombuffer(data, "<i2").astype(np.float64) / 32768.0, \
+                rate
+        x = np.frombuffer(payload[:len(payload) // 2 * 2], "<i2")
+        return x.astype(np.float64) / 32768.0, sr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        dom = np.full(n, np.nan)
+        cen = np.full(n, np.nan)
+        perr = np.full(n, np.nan)
+        rates = (batch.column("sample_rate").to_numpy(zero_copy_only=False)
+                 if "sample_rate" in batch.column_names
+                 else np.full(n, 16000))
+        mimes = (batch.column("mime").to_pylist()
+                 if "mime" in batch.column_names else [""] * n)
+        for i, payload in enumerate(batch.column("payload").to_pylist()):
+            if not payload or len(payload) < 2 * self.n_fft:
+                continue
+            x, sr = self._pcm(payload, mimes[i], int(rates[i]))
+            nf = (len(x) - self.n_fft) // self.hop + 1
+            if nf < 1:
+                continue
+            idx = (np.arange(nf)[:, None] * self.hop
+                   + np.arange(self.n_fft)[None, :])
+            frames = x[idx] * self.win[None, :]
+            spec = np.fft.rfft(frames, axis=1)
+            p = np.abs(spec) ** 2
+            # Parseval per frame: sum x^2 == (1/N)(|X0|^2 + 2*mid + |Xn|^2)
+            tot = p[:, 0] + 2.0 * p[:, 1:-1].sum(axis=1) + p[:, -1]
+            te = (frames * frames).sum(axis=1)
+            perr[i] = float(np.max(np.abs(te - tot / self.n_fft)
+                                   / np.maximum(te, 1e-30)))
+            mag = np.sqrt(p).mean(axis=0)
+            k = 1 + int(np.argmax(mag[1:]))
+            dom[i] = k * sr / self.n_fft
+            cen[i] = float((np.arange(len(mag)) * mag).sum()
+                           / max(mag.sum(), 1e-30) * sr / self.n_fft)
+        return (batch.drop_columns(["payload"])
+                .append_column("dominant_freq_hz", pa.array(dom))
+                .append_column("spectral_centroid_hz", pa.array(cen))
+                .append_column("parseval_rel_err", pa.array(perr)))
+
+
 # ------------------------------------------------------------------ real
 # video container: AVI (RIFF) in pure stdlib — uncompressed 'DIB '
 # frames (what `ffmpeg -c:v rawvideo out.avi` writes) AND Motion-JPEG
