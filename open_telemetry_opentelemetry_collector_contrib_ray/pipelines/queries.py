@@ -6259,6 +6259,48 @@ def q_triangle_parts(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def _zorder_expr() -> str:
+    """DuckDB twin of stages/layout.py zorder_key over dims (x, y)."""
+    from ..stages.layout import zorder_sql_expr
+
+    return zorder_sql_expr("x", "y")
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering layout over events on
+    (user_id, value) — stages/layout.py add_zorder_partition: the
+    interleaved-bit key and its top-4-bit partition id are pure
+    map-side kernels (NO sort, NO shuffle — the 100 TB trade:
+    top-bits bucketing gives the same file-pruning envelopes as a
+    global z-sort for 1/16 of the cost).  Returns per-partition row
+    counts and min/max envelopes of BOTH dimensions; the oracle
+    rebuilds the identical key with a 32-term bit expression."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.layout import add_zorder_partition
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "value"])
+    zds = add_zorder_partition(
+        ds, "user_id", "value",
+        y_expr=lambda v: np.floor(v * 100.0), part_bits=4)
+
+    def dims(t: pa.Table) -> pa.Table:
+        x = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & 0xFFFF
+        y = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64) & 0xFFFF
+        return pa.table({"zpart": t.column("zpart"),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    out = grouped_agg(zds.map_batches(dims, batch_format="pyarrow"),
+                      ["zpart"],
+                      [("count", None, "n"),
+                       ("min", "x", "min_x"), ("max", "x", "max_x"),
+                       ("min", "y", "min_y"), ("max", "y", "max_y")],
+                      combine="driver")
+    return out.sort("zpart")
+
+
 def q_audio_stft_check(sf_dir: str):
     """STFT frequency-recovery invariant, oracle-checkable form: 160
     deterministic clips (0.5-amp sine at 100 + 50*(i%20) Hz plus 0.05
@@ -6665,6 +6707,7 @@ def queries():
         "triangle_parts": q_triangle_parts,
         "qdigest_bound_check": q_qdigest_bound_check,
         "audio_stft_check": q_audio_stft_check,
+        "zorder_layout": q_zorder_layout,
         "inverted_token_stats": q_inverted_token_stats,
         "phrase_search_counts": q_phrase_search_counts,
         "boolean_search_docs": q_boolean_search_docs,
@@ -8100,6 +8143,21 @@ def oracle_sql():
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM w WHERE EXISTS (
               SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""",
+        # identical Morton key rebuilt as a 32-term bit expression
+        "zorder_layout": """
+            WITH d AS (
+              SELECT (user_id & 65535) AS x,
+                     (CAST(floor(value * 100) AS BIGINT) & 65535) AS y
+              FROM events
+            ), z AS (
+              SELECT x, y, """ + _zorder_expr() + """ AS zkey FROM d)
+            SELECT (zkey >> 28) AS zpart,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(x) AS BIGINT) AS min_x,
+                   CAST(max(x) AS BIGINT) AS max_x,
+                   CAST(min(y) AS BIGINT) AS min_y,
+                   CAST(max(y) AS BIGINT) AS max_y
+            FROM z GROUP BY 1 ORDER BY 1""",
         "audio_stft_check": """
             SELECT CAST(160 AS BIGINT) AS n_items,
                    CAST(160 AS BIGINT) AS n_peak_within_bin,
