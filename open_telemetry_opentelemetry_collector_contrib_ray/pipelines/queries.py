@@ -6259,6 +6259,32 @@ def q_triangle_parts(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_bfs_hops_parts(sf_dir: str):
+    """Multi-source BFS distances (stages/graph.py bfs_distances) over
+    the UNDIRECTED supplier<->part bipartite graph (same node encoding
+    as pagerank_parts: suppkey*2 / partkey*2+1), seeds = suppliers
+    1,2,3, capped at 3 hops.  Level-synchronous expansion; frontier +
+    visited broadcast map-side at this scale (edges never shuffle),
+    auto-switching to bucketed semi/anti joins past the threshold.
+    Oracle = recursive CTE min-distance replay."""
+    from ..stages.graph import bfs_distances
+
+    li = _rd(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        two = pa.scalar(2, pa.int64())
+        return pa.table({
+            "src": pc.multiply(pc.cast(t.column("l_suppkey"), pa.int64()),
+                               two),
+            "dst": pc.add(pc.multiply(
+                pc.cast(t.column("l_partkey"), pa.int64()), two),
+                pa.scalar(1, pa.int64()))})
+
+    out = bfs_distances(li.map_batches(mk_edges, batch_format="pyarrow"),
+                        seeds=[2, 4, 6], max_hops=3, undirected=True)
+    return out.sort("node")
+
+
 def _zorder_expr() -> str:
     """DuckDB twin of stages/layout.py zorder_key over dims (x, y)."""
     from ..stages.layout import zorder_sql_expr
@@ -6708,6 +6734,7 @@ def queries():
         "qdigest_bound_check": q_qdigest_bound_check,
         "audio_stft_check": q_audio_stft_check,
         "zorder_layout": q_zorder_layout,
+        "bfs_hops_parts": q_bfs_hops_parts,
         "inverted_token_stats": q_inverted_token_stats,
         "phrase_search_counts": q_phrase_search_counts,
         "boolean_search_docs": q_boolean_search_docs,
@@ -8143,6 +8170,27 @@ def oracle_sql():
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM w WHERE EXISTS (
               SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""",
+        # min-distance BFS replayed as a bounded recursive CTE over the
+        # symmetric (undirected) edge closure, UNION-deduped per level
+        "bfs_hops_parts": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT l_suppkey * 2 AS src,
+                              l_partkey * 2 + 1 AS dst
+              FROM lineitem
+              UNION
+              SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2
+              FROM lineitem
+            ), bfs(node, dist) AS (
+              SELECT * FROM (VALUES (CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+                                    (CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+                                    (CAST(6 AS BIGINT), CAST(0 AS BIGINT)))
+              UNION
+              SELECT e.dst, bfs.dist + 1
+              FROM bfs JOIN e ON e.src = bfs.node
+              WHERE bfs.dist < 3
+            )
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY node ORDER BY node""",
         # identical Morton key rebuilt as a 32-term bit expression
         "zorder_layout": """
             WITH d AS (

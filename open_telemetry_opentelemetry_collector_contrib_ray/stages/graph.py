@@ -372,3 +372,104 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         wedges.map_batches(pick, batch_format="pyarrow"),
         closing, on=["u", "v"], how="semi", n_buckets=n_buckets)
     return closed.count()
+
+
+def bfs_distances(edges, seeds, src: str = "src", dst: str = "dst",
+                  max_hops: int = 3, n_buckets: int = 32,
+                  undirected: bool = False,
+                  max_broadcast_frontier: int = 4_000_000):
+    """Level-synchronous multi-source BFS: Dataset of (node, dist) with
+    dist = minimum hop count from any seed, capped at ``max_hops``.
+
+    Per hop, neighbors of the frontier are found and the visited set
+    subtracted.  Two paths, auto-switched per hop on the CURRENT
+    frontier/visited size (the tail_sample / pagerank idiom):
+
+    - small frontier+visited (<= max_broadcast_frontier): both are
+      broadcast once via ray.put as sorted numpy arrays; each edge
+      batch keeps dst where src is in the frontier (searchsorted
+      membership) and drops already-visited dst MAP-SIDE, so the only
+      shuffle is the distinct over new node ids.  Edges never move.
+    - big frontier: ONE bucketed semi join (edges vs frontier on src),
+      a bucketed distinct, and ONE bucketed anti join against visited
+      — all node-id-sized exchanges.
+
+    The result is exact min-dist BFS either way (level-synchronous
+    expansion discovers every node at its true distance first); both
+    paths are pinned equal in tests/test_graph.py.
+    """
+    import ray
+    import ray.data as rd
+
+    from .join import bucketed_hash_join
+
+    if undirected:
+        def rev(t: pa.Table) -> pa.Table:
+            return pa.table({src: t.column(dst), dst: t.column(src)})
+
+        edges = edges.union(edges.map_batches(rev, batch_format="pyarrow"))
+
+    seed_list = sorted({int(s) for s in seeds})
+    if not seed_list:
+        raise ValueError("bfs_distances needs at least one seed")
+    frontier = rd.from_arrow(pa.table({"node": pa.array(seed_list,
+                                                        pa.int64())}))
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array(seed_list, pa.int64()),
+        "dist": pa.array([0] * len(seed_list), pa.int64())})).materialize()
+    n_frontier, n_visited = len(seed_list), len(seed_list)
+
+    for h in range(1, max_hops + 1):
+        if n_frontier + n_visited <= max_broadcast_frontier:
+            f_arr = np.sort(_collect(frontier).column("node")
+                            .to_numpy(zero_copy_only=False).astype(np.int64))
+            v_arr = np.sort(_collect(
+                visited.map_batches(lambda t: t.select(["node"]),
+                                    batch_format="pyarrow"))
+                .column("node").to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+            ref = ray.put((f_arr, v_arr))
+
+            def probe(t: pa.Table) -> pa.Table:
+                fa, va = ray.get(ref)
+                s = t.column(src).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                d = t.column(dst).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+
+                def member(arr, keys):
+                    if not len(arr):
+                        return np.zeros(len(keys), bool)
+                    j = np.searchsorted(arr, keys)
+                    j[j == len(arr)] = 0
+                    return arr[j] == keys
+
+                keep = member(fa, s) & ~member(va, d)
+                return pa.table({"node": pa.array(d[keep], pa.int64())})
+
+            new = _distinct(edges.map_batches(probe, batch_format="pyarrow"),
+                            ["node"], n_buckets).materialize()
+        else:
+            f_src = frontier.map_batches(
+                lambda t: t.rename_columns([src]), batch_format="pyarrow")
+            hit = bucketed_hash_join(edges, f_src, on=[src], how="semi",
+                                     n_buckets=n_buckets)
+            nbrs = _distinct(hit.map_batches(
+                lambda t: pa.table({"node": t.column(dst)}),
+                batch_format="pyarrow"), ["node"], n_buckets)
+            new = bucketed_hash_join(
+                nbrs,
+                visited.map_batches(lambda t: t.select(["node"]),
+                                    batch_format="pyarrow"),
+                on=["node"], how="anti", n_buckets=n_buckets).materialize()
+        n_frontier = new.count()
+        if n_frontier == 0:
+            break
+        new_d = new.map_batches(
+            lambda t, _h=h: t.append_column(
+                "dist", pa.array(np.full(t.num_rows, _h), pa.int64())),
+            batch_format="pyarrow")
+        visited = visited.union(new_d).materialize()
+        n_visited += n_frontier
+        frontier = new
+    return visited

@@ -90,3 +90,37 @@ def test_triangle_count_paths_equal_vs_bruteforce():
     got_jn = triangle_count(_edges(sorted(pairs)), max_broadcast_nodes=0,
                             n_buckets=8)
     assert got_bc == got_semi == got_jn == brute
+
+
+def test_bfs_hand_graph_and_path_parity():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.graph import (
+        bfs_distances,
+    )
+
+    # path 1-2-3-4-5 plus a detached pair 8-9; directed edges ascending
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3, 4, 8], pa.int64()),
+        "dst": pa.array([2, 3, 4, 5, 9], pa.int64()),
+    }))
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, [1], max_hops=3).take_all()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond cap, 8/9 unreachable
+
+    # undirected: seed in the middle reaches both ways
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, [3], max_hops=2,
+                                  undirected=True).take_all()}
+    assert got == {3: 0, 2: 1, 4: 1, 1: 2, 5: 2}
+
+    # broadcast path == bucketed join path
+    a = bfs_distances(edges, [1, 8], max_hops=4,
+                      undirected=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = bfs_distances(edges, [1, 8], max_hops=4, undirected=True,
+                      max_broadcast_frontier=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["node"]) == {1, 2, 3, 4, 5, 8, 9}
