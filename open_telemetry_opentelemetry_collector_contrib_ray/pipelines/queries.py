@@ -6259,6 +6259,37 @@ def q_triangle_parts(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_cdc_merge_balances(sf_dir: str):
+    """CDC merge / MERGE INTO (stages/cdc.py): a changelog derived
+    deterministically from orders (per order: upsert the customer's
+    balance to o_totalprice, or delete the customer when the order
+    status is 'F'; o_orderkey is the sequence) applied to the customer
+    snapshot — highest-sequence change per key wins, winning deletes
+    drop the key, untouched customers keep c_acctbal.  One bucketed
+    co-partition of base+changes; the oracle replays with a
+    row_number() window + left join."""
+    from ..stages.cdc import cdc_merge
+
+    base = _rd(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(lambda t: pa.table({
+            "custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+            "balance": pc.cast(t.column("c_acctbal"), pa.float64())}),
+            batch_format="pyarrow")
+    changes = _rd(sf_dir, "orders",
+                  columns=["o_custkey", "o_totalprice", "o_orderkey",
+                           "o_orderstatus"]) \
+        .map_batches(lambda t: pa.table({
+            "custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "balance": pc.cast(t.column("o_totalprice"), pa.float64()),
+            "seq": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "op": pc.if_else(
+                pc.equal(t.column("o_orderstatus"), "F"),
+                pa.scalar("D", pa.string()), pa.scalar("U", pa.string()))}),
+            batch_format="pyarrow")
+    out = cdc_merge(base, changes, keys=["custkey"], seq_col="seq")
+    return out.sort("custkey")
+
+
 def q_bfs_hops_parts(sf_dir: str):
     """Multi-source BFS distances (stages/graph.py bfs_distances) over
     the UNDIRECTED supplier<->part bipartite graph (same node encoding
@@ -6735,6 +6766,7 @@ def queries():
         "audio_stft_check": q_audio_stft_check,
         "zorder_layout": q_zorder_layout,
         "bfs_hops_parts": q_bfs_hops_parts,
+        "cdc_merge_balances": q_cdc_merge_balances,
         "inverted_token_stats": q_inverted_token_stats,
         "phrase_search_counts": q_phrase_search_counts,
         "boolean_search_docs": q_boolean_search_docs,
@@ -8170,6 +8202,27 @@ def oracle_sql():
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM w WHERE EXISTS (
               SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""",
+        # MERGE replay: latest change per key via row_number(), then a
+        # left join back onto the snapshot (orders custkeys are a
+        # subset of customer, so insert semantics don't fire here —
+        # pytest covers them on a hand table)
+        "cdc_merge_balances": """
+            WITH ch AS (
+              SELECT o_custkey AS k, o_totalprice AS bal, o_orderkey AS s,
+                     CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END
+                         AS op
+              FROM orders
+            ), last AS (
+              SELECT k, bal, op,
+                     row_number() OVER (PARTITION BY k ORDER BY s DESC)
+                         AS rn
+              FROM ch
+            ), app AS (SELECT k, bal, op FROM last WHERE rn = 1)
+            SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+                   CAST(coalesce(a.bal, c.c_acctbal) AS DOUBLE) AS balance
+            FROM customer c LEFT JOIN app a ON a.k = c.c_custkey
+            WHERE a.op IS NULL OR a.op <> 'D'
+            ORDER BY custkey""",
         # min-distance BFS replayed as a bounded recursive CTE over the
         # symmetric (undirected) edge closure, UNION-deduped per level
         "bfs_hops_parts": """
