@@ -167,6 +167,22 @@ BENCH_QUERIES = [
     "doc_bpe_tokens",
     "doc_decontaminate_bloom",
     "multimodal_pipeline",
+    # twelfth-session additions (round-5 rotation candidates)
+    "entity_clusters",
+    "metric_resample",
+    "cms_bound_check",
+    "unigram_lm_check",
+    "doc_html_extract",
+    "pagerank_parts",
+    "triangle_parts",
+    "inverted_token_stats",
+    "phrase_search_counts",
+    "boolean_search_docs",
+    "qdigest_bound_check",
+    "audio_stft_check",
+    "zorder_layout",
+    "bfs_hops_parts",
+    "cdc_merge_balances",
 ]
 
 
