@@ -6532,6 +6532,53 @@ def q_kmeans_opt_check(sf_dir: str):
     })
 
 
+def q_bloom_join_revenue(sf_dir: str):
+    """Bloom-prefiltered selective join (stages/join.py bloom_prefilter):
+    revenue of lineitems belonging to 1-URGENT orders.  The urgent key
+    set builds a fixed-size Bloom filter DISTRIBUTED (per-batch partial
+    blooms OR-reduced on the driver — kilobytes per batch regardless of
+    key count), broadcasts once via ray.put, and prunes the lineitem
+    scan MAP-SIDE before the single co-partitioning shuffle of the
+    exact semi join.  Bloom false positives only ship a few extra rows
+    into the exact join — the result stays exact — while the ~80%
+    non-matching majority of the big side never leaves its block: at
+    100 TB this turns a full-table exchange into an exchange of the
+    matching fraction for one 1 MB broadcast.  Revenue stays int64
+    (cents × (100 − disc%)) end-to-end so the oracle hash is exact."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import bloom_prefilter, bucketed_hash_join
+
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+            .column("o_orderkey")}),
+        batch_format="pyarrow")
+    li = _rd(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_returnflag"])
+    pruned = bloom_prefilter(li, urgent, on=["l_orderkey"])
+    joined = bucketed_hash_join(pruned, urgent, on=["l_orderkey"],
+                                how="semi")
+
+    def rev(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                             100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                       pa.int64())
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "rev": pc.multiply(cents,
+                               pc.subtract(pa.scalar(100, pa.int64()),
+                                           disc))})
+
+    out = grouped_agg(joined.map_batches(rev, batch_format="pyarrow"),
+                      ["l_returnflag"], [("sum", "rev", "revenue"),
+                                         ("count", None, "n_items")],
+                      combine="driver")
+    return out.sort("l_returnflag")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -6770,6 +6817,7 @@ def queries():
         "inverted_token_stats": q_inverted_token_stats,
         "phrase_search_counts": q_phrase_search_counts,
         "boolean_search_docs": q_boolean_search_docs,
+        "bloom_join_revenue": q_bloom_join_revenue,
     }
 
 
@@ -9250,4 +9298,14 @@ def oracle_sql():
                        AS duration_us
             FROM {_T} GROUP BY conv_id ORDER BY conv_id""",
         "doc_split": _doc_split_sql(),
+        "bloom_join_revenue": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1""",
     }

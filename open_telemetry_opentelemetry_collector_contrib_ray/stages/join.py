@@ -479,3 +479,95 @@ def broadcast_join(left, right_table: pa.Table, on: Sequence[str],
 
     return left.map_batches(Joiner, batch_format="pyarrow",
                             concurrency=(1, 8))
+
+
+def build_key_bloom(keys_ds, on: Sequence[str], m_bits: int = 1 << 23,
+                    k: int = 4):
+    """Distributed Bloom filter over a Dataset's join-key tuples.
+
+    Every batch emits ONE row holding its partial bloom's packed bits
+    (m_bits/8 bytes, constant regardless of batch size); the driver
+    OR-reduces the partials streaming — at 100 TB the driver sees
+    num_batches × m/8 bytes of fixed-size partials, never the keys
+    (the `build_bloom_ngrams` pattern, decontam.py).  Keys hash with
+    the vectorized internal `hash64` (polars Rust kernels), so any key
+    type / multi-column tuple works with zero Python objects.
+    """
+    from .decontam import BloomFilter
+    from .sample import hash64
+
+    on = list(on)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits=m_bits, k=k)
+        kt = t.select(on)
+        # null keys never match in SQL join semantics: drop before adding
+        mask = None
+        for c in on:
+            v = pa.compute.is_valid(kt.column(c))
+            mask = v if mask is None else pa.compute.and_(mask, v)
+        kt = kt.filter(mask)
+        if kt.num_rows:
+            bf.add(hash64(kt, cols=on))
+        return pa.table({"bloom": pa.array([bf.to_bytes()],
+                                           pa.large_binary())})
+
+    acc = BloomFilter(m_bits=m_bits, k=k)
+    for b in keys_ds.map_batches(partial, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for raw in b.column("bloom"):
+            acc.merge(BloomFilter.from_bytes(raw.as_py(), k=k))
+    return acc
+
+
+def bloom_prefilter(big, keys_ds, on: Sequence[str],
+                    right_on: Sequence[str] | None = None,
+                    m_bits: int = 1 << 23, k: int = 4, bloom=None):
+    """Map-side Bloom prune of `big` ahead of a shuffle join.
+
+    The classic large✕large join optimization when the join is
+    SELECTIVE (most big-side rows have no match): build a fixed-size
+    Bloom filter of the other side's key set (distributed, OR-reduced
+    partials), broadcast it ONCE via `ray.put`, and drop big-side rows
+    whose key cannot match BEFORE the all-to-all shuffle.  False
+    positives only ever ship a few extra rows into the exact join that
+    follows — the result stays exact — while true negatives (the bulk,
+    when selectivity is high) never leave their block.  At 100 TB this
+    turns a full-table exchange into an exchange of the matching
+    fraction, for one m_bits/8-byte broadcast.
+
+    `on` names the key columns of `big`; `right_on` those of `keys_ds`
+    when they differ (hashed in the given order, so tuple positions
+    must correspond).  Pass a prebuilt `bloom` (from `build_key_bloom`)
+    to reuse one filter across several scans.  Null-key big rows are
+    dropped (they cannot match — inner/semi join semantics; do NOT use
+    this in front of a left/outer join's probe side).
+    """
+    import ray
+
+    from .decontam import BloomFilter
+    from .sample import hash64
+
+    on = list(on)
+    bf = bloom if bloom is not None else build_key_bloom(
+        keys_ds, list(right_on) if right_on is not None else on,
+        m_bits=m_bits, k=k)
+    ref = ray.put(bf.to_bytes())
+    kk = bf.k
+
+    def prune(t: pa.Table) -> pa.Table:
+        # ray.get of the broadcast bytes is a zero-copy local read;
+        # np.frombuffer wraps it read-only — contains() only reads
+        words = np.frombuffer(ray.get(ref), dtype=np.uint64)
+        local = BloomFilter(m_bits=len(words) * 64, k=kk, words=words)
+        mask = None
+        for c in on:
+            v = pa.compute.is_valid(t.column(c))
+            mask = v if mask is None else pa.compute.and_(mask, v)
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return t
+        keep = local.contains(hash64(t.select(on), cols=on))
+        return t.filter(pa.array(keep))
+
+    return big.map_batches(prune, batch_format="pyarrow")
