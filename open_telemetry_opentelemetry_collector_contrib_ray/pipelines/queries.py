@@ -6579,6 +6579,42 @@ def q_bloom_join_revenue(sf_dir: str):
     return out.sort("l_returnflag")
 
 
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+def _q_attribution(sf_dir: str, model: str):
+    from ..stages.attribution import attribute_conversions
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "ts"])
+    out = attribute_conversions(ds, "purchase",
+                                ["view", "click", "signup"],
+                                window_us=_ATTR_WINDOW_US, model=model)
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "user_id", "touch_id",
+                            "touch_type"]),
+        batch_format="pyarrow").sort("conv_id")
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch attribution (stages/attribution.py): every purchase
+    attributed to the user's latest view/click/signup inside a 7-day
+    half-open lookback [conv_ts - 7d, conv_ts), same-timestamp ties to
+    the larger event id, unattributed purchases kept with null touch
+    columns.  ONE bucketed co-partition by user + a vectorized
+    backward merge_asof per bucket; only (user, ts, type, id) tuples
+    shuffle.  Oracle = LEFT JOIN + QUALIFY row_number window."""
+    return _q_attribution(sf_dir, "last")
+
+
+def q_attribution_first_touch(sf_dir: str):
+    """First-touch attribution: the EARLIEST qualifying touch in the
+    same window (ties to the smaller event id) — a forward merge_asof
+    anchored at the window start, then the half-open upper bound
+    re-applied.  Same shuffle shape as last-touch."""
+    return _q_attribution(sf_dir, "first")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -6818,6 +6854,8 @@ def queries():
         "phrase_search_counts": q_phrase_search_counts,
         "boolean_search_docs": q_boolean_search_docs,
         "bloom_join_revenue": q_bloom_join_revenue,
+        "attribution_last_touch": q_attribution_last_touch,
+        "attribution_first_touch": q_attribution_first_touch,
     }
 
 
@@ -9308,4 +9346,38 @@ def oracle_sql():
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY 1 ORDER BY 1""",
+        "attribution_last_touch": """
+            WITH conv AS (
+              SELECT event_id AS conv_id, user_id, ts AS conv_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT event_id AS touch_id, user_id,
+                     event_type AS touch_type, ts AS touch_ts
+              FROM events WHERE event_type IN ('view', 'click', 'signup'))
+            SELECT c.conv_id, c.user_id, t.touch_id, t.touch_type
+            FROM conv c LEFT JOIN t
+              ON t.user_id = c.user_id
+             AND t.touch_ts < c.conv_ts
+             AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+            QUALIFY row_number() OVER (
+              PARTITION BY c.conv_id
+              ORDER BY t.touch_ts DESC, t.touch_id DESC) = 1
+            ORDER BY c.conv_id""",
+        "attribution_first_touch": """
+            WITH conv AS (
+              SELECT event_id AS conv_id, user_id, ts AS conv_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT event_id AS touch_id, user_id,
+                     event_type AS touch_type, ts AS touch_ts
+              FROM events WHERE event_type IN ('view', 'click', 'signup'))
+            SELECT c.conv_id, c.user_id, t.touch_id, t.touch_type
+            FROM conv c LEFT JOIN t
+              ON t.user_id = c.user_id
+             AND t.touch_ts < c.conv_ts
+             AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+            QUALIFY row_number() OVER (
+              PARTITION BY c.conv_id
+              ORDER BY t.touch_ts ASC, t.touch_id ASC) = 1
+            ORDER BY c.conv_id""",
     }

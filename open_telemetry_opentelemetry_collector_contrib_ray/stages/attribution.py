@@ -1,0 +1,110 @@
+"""Marketing-attribution over event streams, Ray-Data-first.
+
+Attributes each CONVERSION event (e.g. `purchase`) to a TOUCH event
+(e.g. `view`/`click`/`signup`) by the same user inside a lookback
+window:
+
+- model="last":  the latest touch strictly before the conversion
+  (ties at the same timestamp break to the larger event id);
+- model="first": the earliest touch at-or-after the window start and
+  strictly before the conversion (ties break to the smaller event id).
+
+Scale shape: ONE bucketed co-partition of conversions + touches by
+user (`bucketed_group_transform`); inside each bucket both sides sort
+once and a vectorized `pandas.merge_asof` (backward for last-touch,
+forward-from-window-start for first-touch) resolves every conversion
+without per-user Python loops.  Only (user, ts, type, id) tuples
+shuffle — payload columns never ship.  This is "beyond the reference"
+training/analytics functionality in the funnel/retention family
+(stages/aggregate.py funnel), with SQL-window oracle twins.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def attribute_conversions(ds, conversion_type: str,
+                          touch_types: Sequence[str],
+                          window_us: int,
+                          model: str = "last",
+                          user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          id_col: str = "event_id",
+                          n_buckets: int = 64):
+    """One attributed row per conversion event.
+
+    Output columns: conv_id, user_id (typed as the inputs), conv_ts,
+    touch_id / touch_type / touch_ts (null when no qualifying touch —
+    "unattributed" conversions are kept, LEFT-join semantics).
+    Window semantics: touch_ts in [conv_ts - window_us, conv_ts), the
+    half-open lookback SQL states as ``t.ts >= c.ts - w AND t.ts < c.ts``.
+    """
+    if model not in ("last", "first"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    from .aggregate import bucketed_group_transform
+
+    touch_set = list(touch_types)
+
+    def prune(t: pa.Table) -> pa.Table:
+        # only the 4 needed columns of conversion/touch rows shuffle
+        m = pc.or_(pc.equal(t.column(type_col), conversion_type),
+                   pc.is_in(t.column(type_col),
+                            value_set=pa.array(touch_set)))
+        return t.select([user_col, ts_col, type_col, id_col]).filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        is_conv = g[type_col] == conversion_type
+        conv = g[is_conv].sort_values([ts_col, id_col],
+                                      kind="mergesort").reset_index(drop=True)
+        touch = g[~is_conv].sort_values([ts_col, id_col],
+                                        kind="mergesort").reset_index(drop=True)
+        conv = conv.rename(columns={id_col: "conv_id", ts_col: "conv_ts"}) \
+                   .drop(columns=[type_col])
+        touch = touch.rename(columns={id_col: "touch_id",
+                                      type_col: "touch_type",
+                                      ts_col: "touch_ts"})
+        if conv.empty:
+            out = conv.assign(touch_id=pd.Series(dtype="Int64"),
+                              touch_type=pd.Series(dtype=object),
+                              touch_ts=pd.Series(dtype="datetime64[us]"))
+            return out[["conv_id", user_col, "conv_ts",
+                        "touch_id", "touch_type", "touch_ts"]]
+        tol = pd.Timedelta(window_us, unit="us")
+        if model == "last":
+            # latest touch with touch_ts < conv_ts and
+            # touch_ts >= conv_ts - window: backward asof, exact excluded;
+            # right sorted (ts, id) ascending -> equal-ts tie = max id
+            m = pd.merge_asof(conv.sort_values("conv_ts", kind="mergesort"),
+                              touch, left_on="conv_ts", right_on="touch_ts",
+                              by=user_col, direction="backward",
+                              allow_exact_matches=False, tolerance=tol)
+        else:
+            # earliest touch with touch_ts >= conv_ts - window: forward
+            # asof from the window start (equal-ts tie = min id), then
+            # require touch_ts < conv_ts (half-open upper bound)
+            conv2 = conv.sort_values("conv_ts", kind="mergesort").copy()
+            conv2["__wstart"] = (conv2["conv_ts"] - tol) \
+                .astype(conv2["conv_ts"].dtype)  # keep the input's unit
+            conv2 = conv2.sort_values("__wstart", kind="mergesort")
+            m = pd.merge_asof(conv2, touch, left_on="__wstart",
+                              right_on="touch_ts", by=user_col,
+                              direction="forward", allow_exact_matches=True)
+            bad = ~(m["touch_ts"] < m["conv_ts"])
+            m.loc[bad, ["touch_id", "touch_type", "touch_ts"]] = \
+                [pd.NA, None, pd.NaT]
+            m = m.drop(columns="__wstart")
+        m["touch_id"] = m["touch_id"].astype("Int64")  # no float NaN coercion
+        return m[["conv_id", user_col, "conv_ts",
+                  "touch_id", "touch_type", "touch_ts"]]
+
+    return bucketed_group_transform(pruned, [user_col], attribute,
+                                    n_buckets=n_buckets)

@@ -1,0 +1,84 @@
+import pyarrow as pa
+import ray.data as rd
+
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+    attribute_conversions,
+)
+
+US = 1_000_000
+
+
+def _events(rows):
+    # rows: (event_id, user_id, event_type, ts_us)
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })
+
+
+def _run(rows, model, window_us=10 * US):
+    out = attribute_conversions(
+        rd.from_arrow(_events(rows)), "purchase", ["view", "click"],
+        window_us=window_us, model=model, n_buckets=4)
+    return {r["conv_id"]: (r["touch_id"], r["touch_type"])
+            for r in out.take_all()}
+
+
+BASE = [
+    (1, 7, "view", 0 * US),
+    (2, 7, "click", 3 * US),
+    (3, 7, "view", 5 * US),
+    (4, 7, "purchase", 8 * US),
+]
+
+
+def test_last_touch_picks_latest():
+    assert _run(BASE, "last")[4] == (3, "view")
+
+
+def test_first_touch_picks_earliest_in_window():
+    # window [t-10, t) covers all three touches; earliest = id 1
+    assert _run(BASE, "first")[4] == (1, "view")
+    # tight window [3, 8): view@0 excluded, earliest inside = click@3
+    assert _run(BASE, "first", window_us=5 * US)[4] == (2, "click")
+
+
+def test_window_boundaries_half_open():
+    rows = [
+        (1, 1, "view", 0 * US),          # exactly at window start: IN
+        (2, 1, "click", 10 * US),        # same ts as conversion: OUT
+        (3, 1, "purchase", 10 * US),
+    ]
+    assert _run(rows, "last", window_us=10 * US)[3] == (1, "view")
+    assert _run(rows, "first", window_us=10 * US)[3] == (1, "view")
+
+
+def test_same_ts_tie_breaks():
+    rows = [
+        (5, 2, "view", 4 * US),
+        (9, 2, "click", 4 * US),         # same ts, larger id
+        (10, 2, "purchase", 6 * US),
+    ]
+    assert _run(rows, "last")[10] == (9, "click")    # max id at max ts
+    assert _run(rows, "first")[10] == (5, "view")    # min id at min ts
+
+
+def test_unattributed_conversion_kept_with_nulls():
+    rows = [
+        (1, 3, "view", 0 * US),
+        (2, 3, "purchase", 50 * US),     # view is outside the window
+    ]
+    assert _run(rows, "last")[2] == (None, None)
+    assert _run(rows, "first")[2] == (None, None)
+
+
+def test_users_isolated():
+    rows = [
+        (1, 1, "view", 0 * US),
+        (2, 2, "purchase", 5 * US),      # user 2 has no touches
+        (3, 1, "purchase", 5 * US),
+    ]
+    got = _run(rows, "last")
+    assert got[3] == (1, "view") and got[2] == (None, None)
