@@ -6615,6 +6615,68 @@ def q_attribution_first_touch(sf_dir: str):
     return _q_attribution(sf_dir, "first")
 
 
+def q_ewma_anomaly_events(sf_dir: str):
+    """Integer-exact truncated EWMA + anomaly flags
+    (stages/resample.py ewma_smooth): per user, each event's value (as
+    exact cents) is compared to the alpha=1/2 exponentially weighted
+    mean of its previous 8 values — kept as an int64 fraction
+    (num = Σ v_{t-j}·2^{8-j}, den = Σ weights present) so the
+    distributed result is BIT-equal to the SQL lag-window replay; the
+    anomaly flag is the exact cross-multiplication v·den > 2·num.
+    ONE bucketed co-partition by user; 8 vectorized groupby-shifts per
+    bucket, no per-key Python."""
+    from ..stages.resample import ewma_smooth
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "c": pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                         pa.int64())}),
+        batch_format="pyarrow")
+    out = ewma_smooth(cents, by="user_id", value_col="c",
+                      order_cols=["event_id"], horizon=8, anomaly_mult=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "ewma_num": t.column("ewma_num"),
+            "ewma_den": t.column("ewma_den"),
+            "is_anom": pc.cast(t.column("is_anom"), pa.int64())}),
+        batch_format="pyarrow").sort("event_id")
+
+
+def _ewma_sql(H: int = 8, mult: int = 2) -> str:
+    lags = ",\n                     ".join(
+        f"lag(c, {j}) OVER w AS l{j}" for j in range(1, H + 1))
+    num = " + ".join(f"coalesce(l{j}, 0) * {1 << (H - j)}"
+                     for j in range(1, H + 1))
+    den = " + ".join(f"(CASE WHEN l{j} IS NULL THEN 0 ELSE {1 << (H - j)} "
+                     "END)" for j in range(1, H + 1))
+    return f"""
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+            l AS (
+              SELECT event_id, c,
+                     {lags}
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            f AS (
+              SELECT event_id, c,
+                     CAST({num} AS BIGINT) AS ewma_num,
+                     CAST({den} AS BIGINT) AS ewma_den
+              FROM l)
+            SELECT event_id, ewma_num, ewma_den,
+                   CAST(CASE WHEN ewma_den > 0
+                              AND c * ewma_den > {mult} * ewma_num
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+            FROM f ORDER BY event_id"""
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -6856,6 +6918,7 @@ def queries():
         "bloom_join_revenue": q_bloom_join_revenue,
         "attribution_last_touch": q_attribution_last_touch,
         "attribution_first_touch": q_attribution_first_touch,
+        "ewma_anomaly_events": q_ewma_anomaly_events,
     }
 
 
@@ -9380,4 +9443,5 @@ def oracle_sql():
               PARTITION BY c.conv_id
               ORDER BY t.touch_ts ASC, t.touch_id ASC) = 1
             ORDER BY c.conv_id""",
+        "ewma_anomaly_events": _ewma_sql(),
     }

@@ -124,3 +124,62 @@ def resample_ffill(ds, by: Sequence[str] | str, ts_col: str = "ts",
                                                pa.timestamp("us")),
                             value_col: t.column(value_col)}),
         batch_format="pyarrow")
+
+
+def ewma_smooth(ds, by: Sequence[str] | str, value_col: str,
+                ts_col: str = "ts", order_cols: Sequence[str] = (),
+                horizon: int = 8, anomaly_mult: int = 2,
+                n_buckets: int = 64):
+    """Integer-exact truncated EWMA + anomaly flag per series.
+
+    For each row t of a series (ordered by ``ts_col`` then
+    ``order_cols``), the smoother is the alpha=1/2 exponentially
+    weighted mean of the PREVIOUS ``horizon`` values, kept as an exact
+    integer fraction so the distributed result is bit-equal to a SQL
+    window replay regardless of summation order:
+
+        num_t = sum_{j=1..H} v_{t-j} * 2^(H-j)      (missing lags skip)
+        den_t = sum of the 2^(H-j) weights actually present
+
+    ``value_col`` must already be integer (scale floats upstream —
+    cents, micros); num/den stay int64 (bound: max|v| * 2^H * H).  The
+    anomaly flag is the exact integer cross-multiplication
+    ``v_t * den_t > anomaly_mult * num_t`` (den_t > 0) — "this point is
+    more than `mult`× its smoothed history", flat false for the first
+    point of every series.
+
+    Scale shape: ONE bucketed co-partition by series key
+    (`bucketed_group_transform`); inside a bucket the H lag columns are
+    H vectorized groupby-shifts — no per-key Python.  A 100 TB stream
+    ships only (key, ts, order, value) tuples through the single
+    shuffle.  Streaming twin of the reference's interval/rate family
+    (deltatorate computes per-window rates; this smooths them).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [ts_col, *order_cols]
+    from .aggregate import bucketed_group_transform
+
+    H = int(horizon)
+    if not (1 <= H <= 32):
+        raise ValueError("horizon must be in [1, 32]")
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*keys, *order], kind="mergesort") \
+             .reset_index(drop=True)
+        v = g[value_col].astype("int64")
+        grp = g.groupby(keys, sort=False)[value_col]
+        num = np.zeros(len(g), dtype=np.int64)
+        den = np.zeros(len(g), dtype=np.int64)
+        for j in range(1, H + 1):
+            w = np.int64(1) << (H - j)
+            lag = grp.shift(j)
+            have = lag.notna().to_numpy()
+            num[have] += lag.fillna(0).to_numpy().astype(np.int64)[have] * w
+            den[have] += w
+        g = g.assign(
+            ewma_num=num, ewma_den=den,
+            is_anom=(den > 0) & (v.to_numpy() * den
+                                 > np.int64(anomaly_mult) * num))
+        return g
+
+    return bucketed_group_transform(ds, keys, smooth, n_buckets=n_buckets)
