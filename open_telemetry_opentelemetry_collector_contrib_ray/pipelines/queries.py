@@ -6677,6 +6677,89 @@ def _ewma_sql(H: int = 8, mult: int = 2) -> str:
             FROM f ORDER BY event_id"""
 
 
+def q_theta_sketch_check(sf_dir: str):
+    """Theta/KMV sketch set-operation invariant, oracle-checkable form
+    (stages/sketch.py ThetaSketch): distinct "user-minute" keys
+    (user_id·10^6 + minute-of-day — ~2k distinct per side at sf0.01 so
+    the k=256 sketches genuinely SATURATE and estimate) of 'view' vs
+    'purchase' events.  Sketches are <= 2 KB per-batch partials
+    merge-trimmed on the driver; the estimates of view / purchase /
+    UNION must land within the 4/√k = 25% relative KMV bound of EXACT
+    counts computed distributed in the same plan (per-key any-flags,
+    one co-partition, three tiny sums), and the INTERSECTION — the set
+    op HLL cannot answer without compounding inclusion–exclusion
+    error — within the standard theta absolute bound 4/√k · |union|
+    (intersection error scales with the union, not the overlap).  The
+    oracle states the exact counts and all-within-bound; deterministic
+    SplitMix64 hashing makes the check run-stable."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.sketch import theta_sketch
+
+    K = 256
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        k = u * np.int64(1_000_000) + (us // 60_000_000) % 1440
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "event_type": t.column("event_type")})
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "ts", "event_type"]) \
+        .map_batches(keyed, batch_format="pyarrow")
+
+    def side(tp):
+        return ds.map_batches(
+            lambda t, tp=tp: t.filter(pc.equal(t.column("event_type"), tp))
+                              .select(["k"]),
+            batch_format="pyarrow")
+
+    sk_v = theta_sketch(side("view"), "k", k=K)
+    sk_p = theta_sketch(side("purchase"), "k", k=K)
+    est = {"view": sk_v.estimate(), "purchase": sk_p.estimate(),
+           "union": sk_v.union(sk_p).estimate(),
+           "intersection": sk_v.intersect_estimate(sk_p)}
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("k"),
+            "is_v": pc.cast(pc.equal(t.column("event_type"), "view"),
+                            pa.int64()),
+            "is_p": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                            pa.int64())})
+
+    per_key = grouped_agg(ds.map_batches(flags, batch_format="pyarrow"),
+                          ["k"], [("max", "is_v", "v"),
+                                  ("max", "is_p", "p")])
+
+    def caps(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_view": pa.array([int(v.sum())], pa.int64()),
+            "n_purchase": pa.array([int(p.sum())], pa.int64()),
+            "n_union": pa.array([int((v | p).sum())], pa.int64()),
+            "n_inter": pa.array([int((v & p).sum())], pa.int64())})
+
+    tot = per_key.map_batches(caps, batch_format="pyarrow") \
+        .sum(["n_view", "n_purchase", "n_union", "n_inter"])
+    exact = {"view": int(tot["sum(n_view)"]),
+             "purchase": int(tot["sum(n_purchase)"]),
+             "union": int(tot["sum(n_union)"]),
+             "intersection": int(tot["sum(n_inter)"])}
+    bound = 4.0 / (K ** 0.5)
+    slack = {m: bound * max(exact[m], 1) for m in ("view", "purchase",
+                                                   "union")}
+    slack["intersection"] = bound * max(exact["union"], 1)
+    ms = sorted(exact)
+    return pa.table({
+        "measure": pa.array(ms, pa.string()),
+        "exact_count": pa.array([exact[m] for m in ms], pa.int64()),
+        "within_bound": pa.array(
+            [int(abs(est[m] - exact[m]) <= slack[m]) for m in ms],
+            pa.int64())})
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -6919,6 +7002,7 @@ def queries():
         "attribution_last_touch": q_attribution_last_touch,
         "attribution_first_touch": q_attribution_first_touch,
         "ewma_anomaly_events": q_ewma_anomaly_events,
+        "theta_sketch_check": q_theta_sketch_check,
     }
 
 
@@ -9444,4 +9528,27 @@ def oracle_sql():
               ORDER BY t.touch_ts ASC, t.touch_id ASC) = 1
             ORDER BY c.conv_id""",
         "ewma_anomaly_events": _ewma_sql(),
+        "theta_sketch_check": """
+            WITH e AS (
+              SELECT user_id * 1000000
+                     + (epoch_us(ts) // 60000000) % 1440 AS k,
+                     event_type
+              FROM events),
+                 v AS (SELECT DISTINCT k FROM e
+                       WHERE event_type = 'view'),
+                 p AS (SELECT DISTINCT k FROM e
+                       WHERE event_type = 'purchase')
+            SELECT * FROM (
+              SELECT 'intersection' AS measure,
+                     (SELECT count(*) FROM (SELECT * FROM v
+                        INTERSECT SELECT * FROM p)) AS exact_count,
+                     CAST(1 AS BIGINT) AS within_bound
+              UNION ALL
+              SELECT 'purchase', (SELECT count(*) FROM p), 1
+              UNION ALL
+              SELECT 'union', (SELECT count(*) FROM (SELECT * FROM v
+                        UNION SELECT * FROM p)), 1
+              UNION ALL
+              SELECT 'view', (SELECT count(*) FROM v), 1)
+            ORDER BY measure""",
     }

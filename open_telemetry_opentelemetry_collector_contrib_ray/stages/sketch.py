@@ -523,3 +523,84 @@ def qdigest_build(ds, col: str, bits: int = 20, k: int = 256,
     for row in ds.map_batches(summarize, batch_format="pyarrow").take_all():
         acc.merge(QDigest.from_bytes(row["sketch"]))
     return acc
+
+
+class ThetaSketch:
+    """KMV / theta sketch (Beyer 2007; the Apache DataSketches theta
+    family): keep the k smallest distinct 64-bit hashes; theta = the
+    k-th smallest / 2^64 and the estimate is (k-1)/theta once
+    saturated, exact below k.  Unlike HLL, retaining the SAMPLE of
+    hashes makes SET OPERATIONS first-class: union = merge-and-trim,
+    intersection = the shared hashes below min(theta) scaled by
+    1/theta — an unbiased distinct-intersection estimator HLL cannot
+    provide (inclusion–exclusion on HLL compounds error).  Mergeable:
+    per-batch partials are <= k*8 bytes regardless of input size.
+    """
+
+    __slots__ = ("k", "hashes")
+    _M = float(1 << 64)
+
+    def __init__(self, k: int = 256, hashes: np.ndarray | None = None):
+        self.k = int(k)
+        self.hashes = (np.empty(0, np.uint64) if hashes is None
+                       else np.asarray(hashes, np.uint64))
+
+    def add_hashes(self, h: np.ndarray) -> "ThetaSketch":
+        self.hashes = np.unique(np.concatenate(
+            [self.hashes, np.asarray(h, np.uint64)]))[:self.k]
+        return self
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        assert self.k == other.k
+        return self.add_hashes(other.hashes)
+
+    @property
+    def theta(self) -> float:
+        if len(self.hashes) < self.k:
+            return 1.0
+        # k-th smallest retained hash defines the sampling threshold
+        return float(self.hashes[self.k - 1]) / self._M
+
+    def estimate(self) -> float:
+        if len(self.hashes) < self.k:
+            return float(len(self.hashes))
+        return (self.k - 1) / self.theta
+
+    def union(self, other: "ThetaSketch") -> "ThetaSketch":
+        return ThetaSketch(self.k, self.hashes).merge(other)
+
+    def intersect_estimate(self, other: "ThetaSketch") -> float:
+        th = min(self.theta, other.theta)
+        cut = np.uint64(int(th * self._M)) if th < 1.0 else None
+        a, b = self.hashes, other.hashes
+        if cut is not None:
+            a, b = a[a < cut], b[b < cut]
+        common = np.intersect1d(a, b, assume_unique=True)
+        return len(common) / th
+
+    def to_bytes(self) -> bytes:
+        return self.hashes.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, k: int) -> "ThetaSketch":
+        return cls(k, np.frombuffer(data, np.uint64))
+
+
+def theta_sketch(ds, col: str, k: int = 256) -> ThetaSketch:
+    """Distributed theta-sketch build: each batch emits one <= k*8-byte
+    partial (its k smallest hashes of the int64 column, SplitMix64 —
+    version-stable, unlike library hashes); the driver merge-trims the
+    partials streaming.  The column's values never leave their block."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = ThetaSketch(k).add_hashes(
+            _splitmix64(v.view(np.uint64)))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.large_binary())})
+
+    acc = ThetaSketch(k)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for raw in b.column("sk"):
+            acc.merge(ThetaSketch.from_bytes(raw.as_py(), k))
+    return acc
