@@ -6760,6 +6760,90 @@ def q_theta_sketch_check(sf_dir: str):
             pa.int64())})
 
 
+def _synth_log_lines(t: pa.Table) -> pa.Table:
+    """Deterministic log line per event — three format-string shapes
+    mixing constants with the variable fields (service id, user id,
+    latency, props json).  Built from the SAME expressions the oracle
+    SQL uses (planted-PII precedent), so template mining runs on
+    byte-identical input both sides."""
+    uid = t.column("user_id")
+    eid = t.column("event_id")
+    cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                    pa.int64())
+    uid_np = uid.to_numpy(zero_copy_only=False)
+    svc = pa.array(uid_np % 8, pa.int64())
+
+    def s(col):
+        return pc.cast(col, pa.string())
+
+    def cat(*parts):
+        return pc.binary_join_element_wise(*[p if isinstance(p, (pa.Array,
+                                                                 pa.ChunkedArray))
+                                             else pa.scalar(p) for p in parts],
+                                           "")
+
+    line_a = cat("svc-", s(svc), " INFO user ", s(uid), " performed ",
+                 t.column("event_type"), " in ", s(cents), "ms props=",
+                 t.column("props"))
+    line_b = cat("WARN slow ", t.column("event_type"), " took ", s(cents),
+                 "ms user=", s(uid))
+    eid_np = eid.to_numpy(zero_copy_only=False)
+    is_b = pa.array(eid_np % 4 == 0)
+    line = pc.if_else(is_b, line_b, line_a)
+    line = pc.if_else(pa.array(eid_np == 0),
+                      pa.scalar("FATAL unique marker alpha beta"), line)
+    return pa.table({"event_id": eid, "line": line})
+
+
+def q_log_templates(sf_dir: str):
+    """Drain-style log template mining (stages/logmine.py
+    mine_templates): raw log lines are masked by an RE2 chain
+    (uuid -> hex -> any-token-with-a-digit -> whitespace collapse) and
+    the surviving skeletons counted — lines differing only in their
+    variable fields collapse to one template row with a count and the
+    smallest matching event id as a deterministic example pointer;
+    templates below min_count=2 are pruned (the planted FATAL
+    singleton).  Map-only masking; what shuffles is one distinct-
+    template partial row per batch, never the line text.  Oracle
+    replays the identical RE2 chain via mask_sql_expr (single source
+    of truth)."""
+    from ..stages.logmine import mine_templates
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "value",
+                      "props"])
+    lines = ds.map_batches(_synth_log_lines, batch_format="pyarrow")
+    out = mine_templates(lines, "line", id_col="event_id", min_count=2)
+    return out.sort("template")
+
+
+def _log_templates_sql() -> str:
+    from ..stages.logmine import mask_sql_expr
+
+    masked = mask_sql_expr("line")
+    return f"""
+        WITH raw AS (
+          SELECT event_id,
+                 CASE
+                   WHEN event_id = 0 THEN 'FATAL unique marker alpha beta'
+                   WHEN event_id % 4 = 0 THEN
+                     'WARN slow ' || event_type || ' took '
+                     || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                     || 'ms user=' || CAST(user_id AS VARCHAR)
+                   ELSE
+                     'svc-' || CAST(user_id % 8 AS VARCHAR)
+                     || ' INFO user ' || CAST(user_id AS VARCHAR)
+                     || ' performed ' || event_type || ' in '
+                     || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                     || 'ms props=' || props
+                 END AS line
+          FROM events),
+        m AS (SELECT event_id, {masked} AS template FROM raw)
+        SELECT template, count(*) AS n, min(event_id) AS example_id
+        FROM m GROUP BY template HAVING count(*) >= 2
+        ORDER BY template"""
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7003,6 +7087,7 @@ def queries():
         "attribution_first_touch": q_attribution_first_touch,
         "ewma_anomaly_events": q_ewma_anomaly_events,
         "theta_sketch_check": q_theta_sketch_check,
+        "log_templates": q_log_templates,
     }
 
 
@@ -9551,4 +9636,5 @@ def oracle_sql():
               UNION ALL
               SELECT 'view', (SELECT count(*) FROM v), 1)
             ORDER BY measure""",
+        "log_templates": _log_templates_sql(),
     }
