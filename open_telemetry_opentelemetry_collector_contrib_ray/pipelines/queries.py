@@ -6844,6 +6844,57 @@ def _log_templates_sql() -> str:
         ORDER BY template"""
 
 
+def _events_cents(sf_dir: str):
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "c": pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                         pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_alert_hysteresis_events(sf_dir: str):
+    """Latched hysteresis alerting (stages/alerting.py
+    threshold_alerts): per user, ordered by (ts, event_id), the alert
+    state SETS at value >= $100 and only CLEARS at <= $20 — values
+    oscillating inside the band keep the previous state (Alertmanager
+    set/resolve semantics, which a per-row OTTL threshold cannot
+    express).  The latch is a grouped forward-fill of the nonzero
+    band-crossing markers — ONE bucketed co-partition by user, no
+    per-key Python; alert_fired marks exactly the clear->alerting
+    flips.  Oracle = last_value(IGNORE NULLS) + lag window replay."""
+    from ..stages.alerting import threshold_alerts
+
+    out = threshold_alerts(_events_cents(sf_dir), by="user_id",
+                           value_col="c", order_cols=["event_id"],
+                           hi=10000, lo=2000)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "alert_state", "alert_fired"]),
+        batch_format="pyarrow").sort("event_id")
+
+
+def q_cusum_change_events(sf_dir: str):
+    """CUSUM change-point statistic (stages/alerting.py
+    cusum_changes): per user, s_t = max(0, s_{t-1} + (cents_t - 6000))
+    flags sustained upward mean shifts when s_t > 20000.  The
+    max-recursion telescopes to prefix-sum minus running-min — two
+    vectorized grouped scans after ONE co-partition by user, int64
+    end to end so the distributed result is bit-equal to the SQL
+    window replay."""
+    from ..stages.alerting import cusum_changes
+
+    out = cusum_changes(_events_cents(sf_dir), by="user_id",
+                        value_col="c", order_cols=["event_id"],
+                        target_k=6000, threshold_h=20000)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "cusum", "is_change"]),
+        batch_format="pyarrow").sort("event_id")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7088,6 +7139,8 @@ def queries():
         "ewma_anomaly_events": q_ewma_anomaly_events,
         "theta_sketch_check": q_theta_sketch_check,
         "log_templates": q_log_templates,
+        "alert_hysteresis_events": q_alert_hysteresis_events,
+        "cusum_change_events": q_cusum_change_events,
     }
 
 
@@ -9637,4 +9690,55 @@ def oracle_sql():
               SELECT 'view', (SELECT count(*) FROM v), 1)
             ORDER BY measure""",
         "log_templates": _log_templates_sql(),
+        "alert_hysteresis_events": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+            m AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN c >= 10000 THEN 1
+                          WHEN c <= 2000 THEN -1 END AS mk
+              FROM e),
+            s AS (
+              SELECT event_id, user_id, ts,
+                     CAST(coalesce(last_value(mk IGNORE NULLS) OVER w, -1)
+                          AS BIGINT) AS alert_state
+              FROM m
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            f AS (
+              SELECT event_id, alert_state,
+                     coalesce(lag(alert_state) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), -1)
+                     AS prev
+              FROM s)
+            SELECT event_id, alert_state,
+                   CAST(CASE WHEN alert_state = 1 AND prev = -1
+                             THEN 1 ELSE 0 END AS BIGINT) AS alert_fired
+            FROM f ORDER BY event_id""",
+        "cusum_change_events": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) - 6000 AS d
+              FROM events),
+            p AS (
+              SELECT event_id, user_id, ts,
+                     CAST(sum(d) OVER w AS BIGINT) AS pf
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            s AS (
+              SELECT event_id,
+                     pf - least(0, min(pf) OVER w) AS cusum
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT event_id, CAST(cusum AS BIGINT) AS cusum,
+                   CAST(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_change
+            FROM s ORDER BY event_id""",
     }
