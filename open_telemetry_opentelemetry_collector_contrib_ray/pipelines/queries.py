@@ -6895,6 +6895,77 @@ def q_cusum_change_events(sf_dir: str):
         batch_format="pyarrow").sort("event_id")
 
 
+def q_table_diff_orders(sf_dir: str):
+    """Keyed snapshot reconciliation (stages/cdc.py table_diff): diff
+    the orders snapshot against a deterministically mutated twin
+    (every 7th key removed, every surviving 5th repriced +100 cents,
+    every 13th re-inserted under key+10M) and emit per key a status of
+    added/removed/changed/same plus null-aware per-column change
+    flags.  Both snapshots move ONCE through a bucketed co-partition;
+    each bucket is one vectorized outer merge — only keys + compare
+    columns shuffle.  Oracle = FULL OUTER JOIN with IS DISTINCT FROM."""
+    from ..stages.cdc import table_diff
+
+    base = _rd(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    before = base.map_batches(
+        lambda t: pa.table({
+            "k": t.column("o_orderkey"),
+            "c": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                              100.0)), pa.int64()),
+            "s": t.column("o_orderstatus")}),
+        batch_format="pyarrow")
+
+    def make_after(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        keep = k % 7 != 0
+        c2 = np.where(k % 5 == 0, c + 100, c)
+        surv = pa.table({"k": pa.array(k[keep], pa.int64()),
+                         "c": pa.array(c2[keep], pa.int64()),
+                         "s": t.column("s").filter(pa.array(keep))})
+        addm = k % 13 == 0
+        added = pa.table({"k": pa.array(k[addm] + 10_000_000, pa.int64()),
+                          "c": pa.array(c[addm], pa.int64()),
+                          "s": t.column("s").filter(pa.array(addm))})
+        return pa.concat_tables([surv, added])
+
+    after = before.map_batches(make_after, batch_format="pyarrow")
+    return table_diff(before, after, keys=["k"],
+                      compare_cols=["c", "s"]).sort("k")
+
+
+def q_scd2_customer_history(sf_dir: str):
+    """SCD type-2 history build (stages/cdc.py scd2_history): a
+    deterministic per-customer changelog (seq = order key, balance =
+    order cents, every 11th change a delete) becomes one VERSION row
+    per upsert with [valid_from, valid_to) bounds and an is_current
+    flag — deletes close intervals without emitting, so a trailing
+    delete leaves the key with no current version.  ONE bucketed
+    co-partition by customer; the successor lookup is a single
+    vectorized groupby-shift.  Oracle = lead() window over the raw
+    changelog."""
+    from ..stages.cdc import scd2_history
+
+    ch = _rd(sf_dir, "orders",
+             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "seq": t.column("o_orderkey"),
+            "bal": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                                100.0)), pa.int64()),
+            "op": pc.if_else(pa.array(key % 11 == 0),
+                             pa.scalar("D"), pa.scalar("U"))})
+
+    changes = ch.map_batches(to_changes, batch_format="pyarrow")
+    out = scd2_history(changes, keys=["o_custkey"], seq_col="seq",
+                       payload=["bal"])
+    return out.sort(["o_custkey", "valid_from"])
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7141,6 +7212,8 @@ def queries():
         "log_templates": q_log_templates,
         "alert_hysteresis_events": q_alert_hysteresis_events,
         "cusum_change_events": q_cusum_change_events,
+        "table_diff_orders": q_table_diff_orders,
+        "scd2_customer_history": q_scd2_customer_history,
     }
 
 
@@ -9741,4 +9814,46 @@ def oracle_sql():
                    CAST(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END
                         AS BIGINT) AS is_change
             FROM s ORDER BY event_id""",
+        "table_diff_orders": """
+            WITH b AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                     o_orderstatus AS s
+              FROM orders),
+            a AS (
+              SELECT k, CASE WHEN k % 5 = 0 THEN c + 100 ELSE c END AS c,
+                     s
+              FROM b WHERE k % 7 <> 0
+              UNION ALL
+              SELECT k + 10000000, c, s FROM b WHERE k % 13 = 0)
+            SELECT coalesce(b.k, a.k) AS k,
+                   CASE WHEN b.k IS NULL THEN 'added'
+                        WHEN a.k IS NULL THEN 'removed'
+                        WHEN b.c IS DISTINCT FROM a.c
+                             OR b.s IS DISTINCT FROM a.s THEN 'changed'
+                        ELSE 'same' END AS status,
+                   CAST(CASE WHEN b.k IS NOT NULL AND a.k IS NOT NULL
+                              AND b.c IS DISTINCT FROM a.c
+                             THEN 1 ELSE 0 END AS BIGINT) AS chg_c,
+                   CAST(CASE WHEN b.k IS NOT NULL AND a.k IS NOT NULL
+                              AND b.s IS DISTINCT FROM a.s
+                             THEN 1 ELSE 0 END AS BIGINT) AS chg_s
+            FROM b FULL OUTER JOIN a ON b.k = a.k
+            ORDER BY k""",
+        "scd2_customer_history": """
+            WITH ch AS (
+              SELECT o_custkey, o_orderkey AS seq,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS bal,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END
+                       AS op
+              FROM orders),
+            v AS (
+              SELECT *, lead(seq) OVER (PARTITION BY o_custkey
+                                        ORDER BY seq) AS valid_to
+              FROM ch)
+            SELECT o_custkey, bal, seq AS valid_from, valid_to,
+                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_current
+            FROM v WHERE op = 'U'
+            ORDER BY o_custkey, valid_from""",
     }

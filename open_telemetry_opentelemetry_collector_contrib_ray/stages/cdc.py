@@ -68,3 +68,101 @@ def cdc_merge(base, changes, keys: Sequence[str], seq_col: str,
         return keep[keys + payload].reset_index(drop=True)
 
     return bucketed_group_transform(both, keys, pick, n_buckets=n_buckets)
+
+
+def table_diff(left, right, keys: Sequence[str],
+               compare_cols: Sequence[str], n_buckets: int = 64):
+    """Keyed reconciliation of two snapshots (data-diff / audit).
+
+    Emits one row per key present in either side: the key columns, a
+    ``status`` of ``added`` (right only) / ``removed`` (left only) /
+    ``changed`` (both sides, any compare column differs, null-aware) /
+    ``same``, and one int64 ``chg_<col>`` flag per compare column (1
+    only when both sides have the key and that column differs).  The
+    validation twin of `cdc_merge`: run it after a merge to prove the
+    produced snapshot against an independently-built one.
+
+    Keys must be unique per side (these are snapshots, not logs).
+    Scale shape: both inputs move ONCE through a bucketed co-partition
+    by key; each bucket runs one vectorized outer merge + null-aware
+    column compares — only keys + compare columns ever shuffle, and the
+    output is one row per key (the reconciliation report), never wider
+    than the inputs.
+    """
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys, cmp_cols = list(keys), list(compare_cols)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(keys + cmp_cols)
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side), pa.int8()))
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def diff(g: "pd.DataFrame") -> "pd.DataFrame":
+        l = g[g["__side"] == 0][keys + cmp_cols]
+        r = g[g["__side"] == 1][keys + cmp_cols]
+        m = l.merge(r, on=keys, how="outer", suffixes=("__l", "__r"),
+                    indicator=True)
+        present_both = (m["_merge"] == "both").to_numpy()
+        status = np.where(m["_merge"] == "right_only", "added",
+                          np.where(m["_merge"] == "left_only", "removed",
+                                   "same")).astype(object)
+        out = {k: m[k] for k in keys}
+        chg_any = np.zeros(len(m), dtype=bool)
+        for c in cmp_cols:
+            a, b = m[f"{c}__l"], m[f"{c}__r"]
+            eq = (a == b) | (a.isna() & b.isna())
+            f = (~eq.to_numpy()) & present_both
+            chg_any |= f
+            out[f"chg_{c}"] = f.astype(np.int64)
+        status[present_both & chg_any] = "changed"
+        out["status"] = status
+        return pd.DataFrame(out)[keys + ["status"]
+                                 + [f"chg_{c}" for c in cmp_cols]]
+
+    return bucketed_group_transform(both, keys, diff, n_buckets=n_buckets)
+
+
+def scd2_history(changes, keys: Sequence[str], seq_col: str,
+                 payload: Sequence[str], op_col: str = "op",
+                 delete_op: str = "D", n_buckets: int = 64):
+    """Slowly-changing-dimension type-2 history from a changelog.
+
+    Every upsert becomes one VERSION row: keys + payload +
+    ``valid_from`` (its own sequence) + ``valid_to`` (the sequence of
+    the key's NEXT change of any op — null while the version is still
+    open) + ``is_current`` (int64; a version is current iff nothing
+    superseded it, so a trailing delete closes the last version and
+    leaves the key with no current row).  Delete rows close intervals
+    but emit nothing themselves.
+
+    Sequence values must be unique per key.  ONE bucketed co-partition
+    by key; inside a bucket the successor lookup is a single vectorized
+    groupby-shift(-1) over all keys at once.
+    """
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys, payload = list(keys), list(payload)
+
+    def hist(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(keys + [seq_col], kind="mergesort") \
+             .reset_index(drop=True)
+        nxt = g.groupby(keys, sort=False, dropna=False)[seq_col].shift(-1)
+        g = g.assign(valid_from=g[seq_col], valid_to=nxt,
+                     is_current=nxt.isna().astype(np.int64))
+        g = g[g[op_col] != delete_op]
+        return g[keys + payload
+                 + ["valid_from", "valid_to", "is_current"]] \
+            .reset_index(drop=True)
+
+    return bucketed_group_transform(changes, keys, hist,
+                                    n_buckets=n_buckets)
