@@ -6966,6 +6966,44 @@ def q_scd2_customer_history(sf_dir: str):
     return out.sort(["o_custkey", "valid_from"])
 
 
+def q_profile_events(sf_dir: str):
+    """One-pass data profiler (stages/profile.py profile_table): per
+    column of the events table — row/null counts, EXACT distinct
+    count, integer min/max, total string length.  Count/range/length
+    stats reduce through one kilobyte partial row per column per
+    batch (driver tree-merge); the exact distinct path ships each
+    block's LOCAL distinct value strings once through a bucketed
+    distinct — the same cost SQL count(DISTINCT) pays — with an HLL
+    approx mode (constant-size partials, zero value shuffle) as the
+    100-TB default for high-cardinality columns.  Oracle = one
+    UNION ALL branch per column."""
+    from ..stages.profile import profile_table
+
+    ds = _rd(sf_dir, "events")
+    return profile_table(ds).sort("col")
+
+
+def _profile_events_sql() -> str:
+    branch = """
+        SELECT '{c}' AS col, count(*) AS n,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               {mn} AS min_i, {mx} AS max_i, {sl} AS sum_len
+        FROM events"""
+    null_i = "CAST(NULL AS BIGINT)"
+    parts = []
+    for c in ["event_id", "ts", "user_id", "event_type", "value",
+              "props"]:
+        is_int = c in ("event_id", "user_id")
+        is_str = c in ("event_type", "props")
+        parts.append(branch.format(
+            c=c,
+            mn=f"min({c})" if is_int else null_i,
+            mx=f"max({c})" if is_int else null_i,
+            sl=f"sum(length({c}))" if is_str else null_i))
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7214,6 +7252,7 @@ def queries():
         "cusum_change_events": q_cusum_change_events,
         "table_diff_orders": q_table_diff_orders,
         "scd2_customer_history": q_scd2_customer_history,
+        "profile_events": q_profile_events,
     }
 
 
@@ -9856,4 +9895,5 @@ def oracle_sql():
                         AS BIGINT) AS is_current
             FROM v WHERE op = 'U'
             ORDER BY o_custkey, valid_from""",
+        "profile_events": _profile_events_sql(),
     }
