@@ -7004,6 +7004,30 @@ def _profile_events_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col"
 
 
+def q_global_sort_events(sf_dir: str):
+    """Exact global rank via sample-split range partitioning
+    (stages/sort.py global_sort_ranks — the TeraSort shape): rank
+    every event by (value cents, event_id).  Two column-pruned
+    kilobyte-partial metadata passes (split sampling + per-partition
+    counts) then ONE shuffle where each range partition lands whole in
+    a bucket and rank = broadcast prefix offset + vectorized
+    cumcount.  Row-level oracle: SQL row_number() OVER a total order."""
+    from ..stages.sort import global_sort_ranks
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                    pa.int64())
+        return pa.table({"event_id": t.column("event_id"), "cents": c})
+
+    ranked = global_sort_ranks(ds.map_batches(cents,
+                                              batch_format="pyarrow"),
+                               "cents", tiebreak=["event_id"],
+                               n_parts=16)
+    return ranked.sort("event_id")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7253,6 +7277,7 @@ def queries():
         "table_diff_orders": q_table_diff_orders,
         "scd2_customer_history": q_scd2_customer_history,
         "profile_events": q_profile_events,
+        "global_sort_events": q_global_sort_events,
     }
 
 
@@ -9896,4 +9921,11 @@ def oracle_sql():
             FROM v WHERE op = 'U'
             ORDER BY o_custkey, valid_from""",
         "profile_events": _profile_events_sql(),
+        "global_sort_events": """
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (
+                        ORDER BY CAST(round(value * 100) AS BIGINT),
+                                 event_id) - 1 AS BIGINT) AS rank
+            FROM events ORDER BY event_id""",
     }
