@@ -7028,6 +7028,43 @@ def q_global_sort_events(sf_dir: str):
     return ranked.sort("event_id")
 
 
+def q_cidr_route_counts(sf_dir: str):
+    """CIDR longest-prefix-match enrichment (stages/iptools.py
+    cidr_enrich — the geoipprocessor/pod-CIDR lookup shape): derive a
+    deterministic dotted-quad IP per event (Knuth-hash of user_id so
+    the 32-bit space is covered), parse it back with the vectorized
+    dotted-quad kernel, LPM against an overlapping prefix table
+    (10/8 and 64/4 nest inside 0/1; 160/3 nests inside 128/2 — longest
+    wins), count per label.  Map-only broadcast lookup, <= one
+    searchsorted per distinct prefix length per batch; the oracle
+    rebuilds ip, RE-PARSES the string with split_part, and replays LPM
+    as a lateral join + QUALIFY longest-prefix row_number."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.iptools import cidr_enrich
+
+    ds = _rd(sf_dir, "events", columns=["user_id"])
+
+    def mk_ip(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ip = (u * 2654435761) & 0xFFFFFFFF
+        octs = [pc.cast(pa.array(x, pa.int64()), pa.string())
+                for x in (ip >> 24, (ip >> 16) & 255,
+                          (ip >> 8) & 255, ip & 255)]
+        return pa.table({"ip": pc.binary_join_element_wise(
+            *octs, pa.scalar("."))})
+
+    labeled = cidr_enrich(
+        ds.map_batches(mk_ip, batch_format="pyarrow"), "ip",
+        [("0.0.0.0/1", "low"), ("64.0.0.0/4", "x"),
+         ("10.0.0.0/8", "ten"), ("128.0.0.0/2", "q2"),
+         ("160.0.0.0/3", "q2b"), ("192.0.0.0/3", "q3")])
+    out = grouped_agg(labeled.select_columns(["net_label"]),
+                      ["net_label"], [("count", None, "n")],
+                      combine="driver")
+    return out.sort("net_label")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7278,6 +7315,7 @@ def queries():
         "scd2_customer_history": q_scd2_customer_history,
         "profile_events": q_profile_events,
         "global_sort_events": q_global_sort_events,
+        "cidr_route_counts": q_cidr_route_counts,
     }
 
 
@@ -9928,4 +9966,44 @@ def oracle_sql():
                         ORDER BY CAST(round(value * 100) AS BIGINT),
                                  event_id) - 1 AS BIGINT) AS rank
             FROM events ORDER BY event_id""",
+        # build ip -> dotted string -> RE-PARSE with split_part -> LPM
+        # join (longest prefix wins) — the string parse is exercised on
+        # both sides
+        "cidr_route_counts": """
+            WITH ip0 AS (
+              SELECT row_number() OVER () AS rid,
+                     ((user_id * 2654435761) % 4294967296) AS ipn
+              FROM events
+            ), s AS (
+              SELECT rid,
+                     CAST(ipn // 16777216 AS VARCHAR) || '.' ||
+                     CAST((ipn // 65536) % 256 AS VARCHAR) || '.' ||
+                     CAST((ipn // 256) % 256 AS VARCHAR) || '.' ||
+                     CAST(ipn % 256 AS VARCHAR) AS ip
+              FROM ip0
+            ), p AS (
+              SELECT rid,
+                     CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216 +
+                     CAST(split_part(ip, '.', 2) AS BIGINT) * 65536 +
+                     CAST(split_part(ip, '.', 3) AS BIGINT) * 256 +
+                     CAST(split_part(ip, '.', 4) AS BIGINT) AS ip
+              FROM s
+            ), t(net, plen, label) AS (VALUES
+              (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'low'),
+              (CAST(1073741824 AS BIGINT), CAST(4 AS BIGINT), 'x'),
+              (CAST(167772160 AS BIGINT), CAST(8 AS BIGINT), 'ten'),
+              (CAST(2147483648 AS BIGINT), CAST(2 AS BIGINT), 'q2'),
+              (CAST(2684354560 AS BIGINT), CAST(3 AS BIGINT), 'q2b'),
+              (CAST(3221225472 AS BIGINT), CAST(3 AS BIGINT), 'q3')
+            ), m AS (
+              SELECT p.rid, coalesce(t.label, 'other') AS net_label,
+                     row_number() OVER (
+                       PARTITION BY p.rid
+                       ORDER BY coalesce(t.plen, 0) DESC) AS rn
+              FROM p LEFT JOIN t
+                ON (p.ip >> (32 - t.plen)) = (t.net >> (32 - t.plen))
+            )
+            SELECT net_label, CAST(count(*) AS BIGINT) AS n
+            FROM m WHERE rn = 1
+            GROUP BY net_label ORDER BY net_label""",
     }
