@@ -7065,6 +7065,48 @@ def q_cidr_route_counts(sf_dir: str):
     return out.sort("net_label")
 
 
+def q_scd2_point_in_time(sf_dir: str):
+    """Point-in-time temporal lookup (stages/cdc.py point_in_time_join
+    composed on scd2_history): the customer balance-version table from
+    scd2_customer_history's changelog is probed by a fact stream
+    (orders, ts = o_orderkey rounded down to even so half the facts hit
+    a version start EXACTLY — inclusive boundary — and odd first orders
+    fall BEFORE their key's first version -> typed-null payload; facts
+    after a delete-closed interval null too).  Both inputs co-partition
+    ONCE by customer, one vectorized merge_asof per bucket.  Row-level
+    oracle: interval LEFT JOIN on valid_from <= ts < valid_to."""
+    from ..stages.cdc import point_in_time_join, scd2_history
+
+    orders = _rd(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "seq": t.column("o_orderkey"),
+            "bal": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                                100.0)), pa.int64()),
+            "op": pc.if_else(pa.array(key % 11 == 0),
+                             pa.scalar("D"), pa.scalar("U"))})
+
+    hist = scd2_history(
+        orders.map_batches(to_changes, batch_format="pyarrow"),
+        keys=["o_custkey"], seq_col="seq", payload=["bal"])
+
+    def to_facts(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fact_id": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "ts": pa.array(k - (k % 2), pa.int64())})
+
+    facts = orders.map_batches(to_facts, batch_format="pyarrow")
+    out = point_in_time_join(facts, hist, keys=["o_custkey"],
+                             ts_col="ts", payload=["bal"])
+    return out.sort("fact_id")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7316,6 +7358,7 @@ def queries():
         "profile_events": q_profile_events,
         "global_sort_events": q_global_sort_events,
         "cidr_route_counts": q_cidr_route_counts,
+        "scd2_point_in_time": q_scd2_point_in_time,
     }
 
 
@@ -10006,4 +10049,31 @@ def oracle_sql():
             SELECT net_label, CAST(count(*) AS BIGINT) AS n
             FROM m WHERE rn = 1
             GROUP BY net_label ORDER BY net_label""",
+        # versions from the scd2_customer_history changelog; facts probe
+        # with ts = o_orderkey rounded down to even; interval LEFT JOIN
+        # (at most one version interval covers a ts per key)
+        "scd2_point_in_time": """
+            WITH ch AS (
+              SELECT o_custkey, o_orderkey AS seq,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS bal,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END
+                       AS op
+              FROM orders),
+            v AS (
+              SELECT *, lead(seq) OVER (PARTITION BY o_custkey
+                                        ORDER BY seq) AS valid_to
+              FROM ch),
+            ver AS (
+              SELECT o_custkey, bal, seq AS valid_from, valid_to
+              FROM v WHERE op = 'U'),
+            f AS (
+              SELECT o_orderkey AS fact_id, o_custkey,
+                     o_orderkey - (o_orderkey % 2) AS ts
+              FROM orders)
+            SELECT f.o_custkey, f.fact_id, f.ts, ver.bal, ver.valid_from
+            FROM f LEFT JOIN ver
+              ON f.o_custkey = ver.o_custkey
+             AND ver.valid_from <= f.ts
+             AND (ver.valid_to IS NULL OR f.ts < ver.valid_to)
+            ORDER BY f.fact_id""",
     }

@@ -70,6 +70,91 @@ def cdc_merge(base, changes, keys: Sequence[str], seq_col: str,
     return bucketed_group_transform(both, keys, pick, n_buckets=n_buckets)
 
 
+def point_in_time_join(facts, dims, keys: Sequence[str], ts_col: str,
+                       payload: Sequence[str],
+                       valid_from: str = "valid_from",
+                       valid_to: str = "valid_to",
+                       n_buckets: int = 64):
+    """Temporal dimension lookup: attach to every fact row the dim
+    VERSION valid at the fact's timestamp — ``valid_from <= ts <
+    valid_to`` (half-open, open current versions have null valid_to).
+    Facts whose key has no version covering ts (before the first
+    version, or in a gap after a delete closed one) keep typed-null
+    payload.  The consumer of `scd2_history`: point-in-time-correct
+    enrichment for ML feature backfill / as-was reporting.
+
+    Scale shape: both inputs move ONCE through a bucketed co-partition
+    by key; inside a bucket ONE vectorized ``merge_asof`` (backward on
+    the version start) resolves every fact against every key at once,
+    then expired matches (``valid_to <= ts``) are nulled.  Only keys +
+    ts + payload columns shuffle.  ``ts_col`` and ``valid_from`` must
+    be non-null int64-castable.
+
+    Output = all fact columns + ``payload`` + ``valid_from`` (the
+    matched version's identity, null when unmatched).
+    """
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys, payload = list(keys), list(payload)
+    fs, ds_ = facts.schema(), dims.schema()
+    fact_types = dict(zip(fs.names, fs.types))
+    dim_types = dict(zip(ds_.names, ds_.types))
+    fact_extra = [c for c in fs.names if c not in keys]
+    dim_cols = payload + [valid_from, valid_to]
+
+    def _null(n: int, name: str, types: dict) -> pa.Array:
+        return pa.nulls(n, types[name])
+
+    def tag_facts(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in keys + fact_extra}
+        cols["__t"] = pa.compute.cast(t.column(ts_col), pa.int64())
+        for c in dim_cols:
+            cols[c] = _null(t.num_rows, c, dim_types)
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def tag_dims(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in keys}
+        for c in fact_extra:
+            cols[c] = _null(t.num_rows, c, fact_types)
+        cols["__t"] = pa.compute.cast(t.column(valid_from), pa.int64())
+        for c in dim_cols:
+            cols[c] = t.column(c)
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    both = facts.map_batches(tag_facts, batch_format="pyarrow").union(
+        dims.map_batches(tag_dims, batch_format="pyarrow"))
+
+    def _recast(s: "pd.Series", typ) -> "pd.Series":
+        if pa.types.is_integer(typ):
+            return s.astype("Int64")
+        if pa.types.is_floating(typ):
+            return s.astype("float64")
+        return s.astype(object).where(s.notna(), None)
+
+    def pit(g: "pd.DataFrame") -> "pd.DataFrame":
+        f = g[g["__side"] == 0].sort_values("__t", kind="mergesort")
+        d = g[g["__side"] == 1].sort_values("__t", kind="mergesort")
+        m = pd.merge_asof(
+            f[keys + fact_extra + ["__t"]].reset_index(drop=True),
+            d[keys + ["__t"] + dim_cols].reset_index(drop=True),
+            on="__t", by=keys, direction="backward")
+        expired = m[valid_to].notna() & (m[valid_to] <= m["__t"])
+        for c in payload + [valid_from]:
+            m[c] = _recast(m[c].mask(expired), dim_types[c])
+        # the union's dim-side nulls widened int fact columns to float
+        # in the pandas bucket — restore the fact schema's types
+        for c in fact_extra:
+            m[c] = _recast(m[c], fact_types[c])
+        return m[keys + fact_extra + payload + [valid_from]] \
+            .reset_index(drop=True)
+
+    return bucketed_group_transform(both, keys, pit, n_buckets=n_buckets)
+
+
 def table_diff(left, right, keys: Sequence[str],
                compare_cols: Sequence[str], n_buckets: int = 64):
     """Keyed reconciliation of two snapshots (data-diff / audit).
