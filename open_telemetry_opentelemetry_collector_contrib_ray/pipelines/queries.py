@@ -7107,6 +7107,53 @@ def q_scd2_point_in_time(sf_dir: str):
     return out.sort("fact_id")
 
 
+def q_mad_outlier_events(sf_dir: str):
+    """Robust per-group anomaly flags (stages/robust.py mad_outliers):
+    |x - median| > 3*MAD per event_type over integer cents, kept EXACT
+    as doubled/quadrupled int64s (med_x2 = sum of the two middle
+    elements, mad_x4 likewise over doubled deviations) so the
+    distributed flags are bit-equal to the SQL replay — two vectorized
+    lexsorts per bucket across ALL keys at once after ONE co-partition.
+    Row-level oracle: nested-median CTEs (DuckDB median of BIGINT is
+    interpolated, so 2*median is exactly the middle-sum)."""
+    from ..stages.robust import mad_outliers
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                    pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "cents": c})
+
+    out = mad_outliers(ds.map_batches(cents, batch_format="pyarrow"),
+                       ["event_type"], "cents", k=3)
+    return out.sort("event_id")
+
+
+def q_event_mode_by_type(sf_dir: str):
+    """Grouped statistical mode (stages/robust.py grouped_mode): the
+    most frequent cents value per event_type, smallest-value
+    tie-break.  Per-batch (key, value) count partials collapse rows to
+    distinct pairs BEFORE the shuffle — the row values never move.
+    Oracle: counts CTE + row_number(count DESC, value ASC)."""
+    from ..stages.robust import grouped_mode
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                    pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": c})
+
+    out = grouped_mode(ds.map_batches(cents, batch_format="pyarrow"),
+                       ["event_type"], "cents")
+    return out.sort("event_type")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7359,6 +7406,8 @@ def queries():
         "global_sort_events": q_global_sort_events,
         "cidr_route_counts": q_cidr_route_counts,
         "scd2_point_in_time": q_scd2_point_in_time,
+        "mad_outlier_events": q_mad_outlier_events,
+        "event_mode_by_type": q_event_mode_by_type,
     }
 
 
@@ -10076,4 +10125,45 @@ def oracle_sql():
              AND ver.valid_from <= f.ts
              AND (ver.valid_to IS NULL OR f.ts < ver.valid_to)
             ORDER BY f.fact_id""",
+        # med_x2 = 2*median is the exact middle-sum (ints + halves only);
+        # mad_x4 likewise over doubled deviations; flag by integer
+        # cross-multiplication — bit-equal to the distributed result
+        "mad_outlier_events": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            m AS (
+              SELECT event_type,
+                     CAST(2 * median(cents) AS BIGINT) AS med_x2
+              FROM c GROUP BY 1),
+            d AS (
+              SELECT c.*, m.med_x2,
+                     abs(2 * c.cents - m.med_x2) AS dev
+              FROM c JOIN m USING (event_type)),
+            md AS (
+              SELECT event_type,
+                     CAST(2 * median(dev) AS BIGINT) AS mad_x4
+              FROM d GROUP BY 1)
+            SELECT d.event_id, d.event_type, d.cents, d.med_x2,
+                   md.mad_x4,
+                   CAST(CASE WHEN 2 * d.dev > 3 * md.mad_x4
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM d JOIN md USING (event_type)
+            ORDER BY d.event_id""",
+        "event_mode_by_type": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            cnt AS (
+              SELECT event_type, cents, count(*) AS n
+              FROM c GROUP BY 1, 2),
+            r AS (
+              SELECT event_type, cents AS mode_cents, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, cents) AS rn
+              FROM cnt)
+            SELECT event_type, mode_cents, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1 ORDER BY event_type""",
     }

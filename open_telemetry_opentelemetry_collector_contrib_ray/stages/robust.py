@@ -1,0 +1,104 @@
+"""Robust grouped statistics: exact median / MAD outlier flags, mode.
+
+Robust anomaly scoring for skewed telemetry values (latencies, sizes):
+mean/stddev break under heavy tails, so the standard robust z-score is
+``|x - median| > k * MAD`` with MAD = median(|x - median|).  Both
+medians are kept as EXACT doubled int64s (a median of ints is either an
+int or an int + 1/2, so 2*median = the sum of the two middle elements —
+pure int64), and the flag is the cross-multiplied integer comparison
+``2*|2x - med2| > k * mad4`` — bit-equal to a SQL replay regardless of
+partitioning or summation order.
+
+Scale shape: ONE bucketed co-partition by group key; inside a bucket
+everything is numpy sorts + gathers vectorized across ALL keys at once
+(two lexsorts, no per-key Python).  `grouped_mode` pre-aggregates
+(key, value) counts inside each batch first, so only distinct pairs —
+not rows — enter its shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+
+def _doubled_group_median(sorted_vals: np.ndarray, counts: np.ndarray,
+                          offsets: np.ndarray) -> np.ndarray:
+    """2*median per group over values already sorted within groups:
+    the sum of the two middle elements (equal when the count is odd)."""
+    lo = offsets + (counts - 1) // 2
+    hi = offsets + counts // 2
+    return sorted_vals[lo] + sorted_vals[hi]
+
+
+def mad_outliers(ds, keys: Sequence[str], value_col: str,
+                 k: int = 3, n_buckets: int = 64):
+    """Append exact ``med_x2`` (2*group median), ``mad_x4`` (4*group
+    MAD) and ``is_outlier`` (2*|2v - med_x2| > k*mad_x4) to every row.
+    ``value_col`` must be integer (pre-scale floats to cents);
+    ``k`` is an integer multiplier.  A constant group has mad_x4 = 0,
+    so any deviation flags — SQL-identical semantics."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(keys)
+
+    def flag(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(keys + [value_col], kind="mergesort") \
+             .reset_index(drop=True)
+        gb = g.groupby(keys, sort=False, dropna=False)
+        pos = gb.cumcount().to_numpy()
+        gid = np.cumsum(pos == 0) - 1
+        counts = np.bincount(gid)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        v = g[value_col].to_numpy().astype(np.int64)
+        med2 = _doubled_group_median(v, counts, offsets)
+        dev = np.abs(2 * v - med2[gid])
+        order = np.lexsort((dev, gid))
+        mad4 = _doubled_group_median(dev[order], counts, offsets)
+        g["med_x2"] = med2[gid]
+        g["mad_x4"] = mad4[gid]
+        g["is_outlier"] = (2 * dev > k * mad4[gid]).astype(np.int64)
+        return g
+
+    return bucketed_group_transform(ds, keys, flag, n_buckets=n_buckets)
+
+
+def grouped_mode(ds, keys: Sequence[str], value_col: str,
+                 n_buckets: int = 64):
+    """Statistical mode per group with a deterministic tie-break (the
+    SMALLEST most-frequent value).  Per-batch (key, value) count
+    partials collapse rows to distinct pairs before the shuffle; the
+    bucketed reduce sums pair counts and picks each key's winner with
+    one vectorized sort + drop_duplicates.  Output: keys +
+    ``mode_<value_col>`` + ``n`` (the winner's count)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(keys)
+    out_col = f"mode_{value_col}"
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(keys + [value_col]),
+                               keys + [value_col]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(keys + [value_col, "n"])
+
+    partial = ds.map_batches(pre, batch_format="pyarrow")
+
+    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        tot = g.groupby(keys + [value_col], sort=False, dropna=False,
+                        as_index=False)["n"].sum()
+        tot = tot.sort_values(keys + ["n", value_col], kind="mergesort",
+                              ascending=[True] * len(keys)
+                              + [False, True])
+        win = tot.drop_duplicates(subset=keys, keep="first")
+        win = win.rename(columns={value_col: out_col})
+        return win[keys + [out_col, "n"]].reset_index(drop=True)
+
+    return bucketed_group_transform(partial, keys, pick,
+                                    n_buckets=n_buckets)

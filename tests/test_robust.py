@@ -1,0 +1,84 @@
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+    grouped_mode,
+    mad_outliers,
+)
+
+
+def _tbl(ks, vs):
+    return pa.table({"k": pa.array(ks, pa.int64()),
+                     "id": pa.array(range(len(ks)), pa.int64()),
+                     "v": pa.array(vs, pa.int64())})
+
+
+def _run_mad(ks, vs, k=3):
+    out = mad_outliers(rd.from_arrow(_tbl(ks, vs)), ["k"], "v", k=k,
+                       n_buckets=4)
+    rows = sorted(out.take_all(), key=lambda r: r["id"])
+    return rows
+
+
+def test_mad_odd_group_exact():
+    # group: [1, 2, 100] -> med 2, devs [1, 0, 98], MAD 1
+    rows = _run_mad([7, 7, 7], [1, 2, 100])
+    assert [r["med_x2"] for r in rows] == [4, 4, 4]
+    assert [r["mad_x4"] for r in rows] == [4, 4, 4]  # 4*MAD(=1)
+    # outlier iff |v-2| > 3*1 -> only 100
+    assert [r["is_outlier"] for r in rows] == [0, 0, 1]
+
+
+def test_mad_even_group_half_median_exact():
+    # [1, 2, 3, 10]: med 2.5 -> med_x2 5; devs |2v-5|/2 = 1.5,.5,.5,7.5
+    # doubled devs: 3,1,1,15 -> sorted 1,1,3,15 -> mad4 = 1+3 = 4 (MAD 1)
+    rows = _run_mad([1, 1, 1, 1], [1, 2, 3, 10])
+    assert rows[0]["med_x2"] == 5
+    assert rows[0]["mad_x4"] == 4
+    # flag: 2*|2v-5| > 3*4 -> dev>1.5 : v=1 (3->6 no), v=10 (15->30 yes)
+    assert [r["is_outlier"] for r in rows] == [0, 0, 0, 1]
+
+
+def test_constant_group_flags_any_deviation():
+    rows = _run_mad([1, 1, 1, 1], [5, 5, 5, 9])
+    assert rows[0]["mad_x4"] == 0
+    assert [r["is_outlier"] for r in rows] == [0, 0, 0, 1]
+    rows2 = _run_mad([2, 2], [5, 5])
+    assert [r["is_outlier"] for r in rows2] == [0, 0]
+
+
+def test_groups_isolated_and_match_slow_reference():
+    rng = np.random.default_rng(5)
+    ks = rng.integers(0, 9, 500).tolist()
+    vs = rng.integers(-1000, 1000, 500).tolist()
+    rows = _run_mad(ks, vs, k=2)
+    for key in set(ks):
+        grp = sorted(v for kk, v in zip(ks, vs) if kk == key)
+        n = len(grp)
+        med2 = grp[(n - 1) // 2] + grp[n // 2]
+        devs = sorted(abs(2 * v - med2) for v in grp)
+        mad4 = devs[(n - 1) // 2] + devs[n // 2]
+        for r in rows:
+            if r["k"] == key:
+                assert r["med_x2"] == med2 and r["mad_x4"] == mad4
+                assert r["is_outlier"] == int(
+                    2 * abs(2 * r["v"] - med2) > 2 * mad4)
+
+
+def test_grouped_mode_tiebreak_min_value():
+    tbl = _tbl([1, 1, 1, 1, 2, 2], [5, 5, 3, 3, 9, 8])
+    out = grouped_mode(rd.from_arrow(tbl), ["k"], "v", n_buckets=4)
+    got = {r["k"]: (r["mode_v"], r["n"]) for r in out.take_all()}
+    # k=1: 3 and 5 tie at 2 -> min value 3; k=2: 8 and 9 tie -> 8
+    assert got == {1: (3, 2), 2: (8, 1)}
+
+
+def test_grouped_mode_across_blocks():
+    ks = [1] * 30 + [2] * 30
+    vs = [7] * 10 + [8] * 20 + [1] * 16 + [2] * 14
+    tbl = _tbl(ks, vs)
+    ds = rd.from_arrow([tbl.slice(i * 12, 12) for i in range(5)])
+    out = grouped_mode(ds, ["k"], "v", n_buckets=4)
+    got = {r["k"]: (r["mode_v"], r["n"]) for r in out.take_all()}
+    assert got == {1: (8, 20), 2: (1, 16)}
