@@ -7154,6 +7154,82 @@ def q_event_mode_by_type(sf_dir: str):
     return out.sort("event_type")
 
 
+def q_log_new_templates(sf_dir: str):
+    """New-template detection (stages/logmine.py template_novelty):
+    the baseline window (even event_ids) emits only the steady-state
+    INFO format; the current window (odd event_ids) emits the same
+    format PLUS a planted 'ERROR retry storm' shape on ids = 5 mod 10
+    — after masking, the anti join surfaces exactly the storm
+    templates (one per event_type) as never-seen-in-baseline.  Both
+    windows collapse to metadata-sized template tables before any
+    shuffle; the corpus text never moves.  Oracle replays the mask
+    chain (mask_sql_expr) + NOT IN."""
+    from ..stages.logmine import template_novelty
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "value"])
+
+    def mk(window: str):
+        def f(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            keep = (eid % 2 == 0) if window == "base" else (eid % 2 == 1)
+            t = t.filter(pa.array(keep))
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            uid = pc.cast(t.column("user_id"), pa.string())
+            cents = pc.cast(pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100)), pa.int64()), pa.string())
+            info = pc.binary_join_element_wise(
+                pa.array(["svc"] * t.num_rows), uid,
+                pa.array(["INFO user"] * t.num_rows), uid,
+                pa.array(["performed"] * t.num_rows),
+                t.column("event_type"),
+                pa.array(["in"] * t.num_rows), cents,
+                pa.array(["ms"] * t.num_rows), pa.scalar(" "))
+            if window == "cur":
+                storm = pc.binary_join_element_wise(
+                    pa.array(["ERROR retry storm on"] * t.num_rows),
+                    t.column("event_type"),
+                    pa.array(["attempt"] * t.num_rows), cents,
+                    pa.scalar(" "))
+                line = pc.if_else(pa.array(eid % 10 == 5), storm, info)
+            else:
+                line = info
+            return pa.table({"event_id": t.column("event_id"),
+                             "line": line})
+        return f
+
+    base = ds.map_batches(mk("base"), batch_format="pyarrow")
+    cur = ds.map_batches(mk("cur"), batch_format="pyarrow")
+    out = template_novelty(base, cur, "line", id_col="event_id")
+    return out.sort("template")
+
+
+def _log_new_templates_sql() -> str:
+    from ..stages.logmine import mask_sql_expr
+
+    cents = "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)"
+    info = (f"'svc ' || CAST(user_id AS VARCHAR) || ' INFO user ' || "
+            f"CAST(user_id AS VARCHAR) || ' performed ' || event_type "
+            f"|| ' in ' || {cents} || ' ms'")
+    storm = (f"'ERROR retry storm on ' || event_type || ' attempt ' "
+             f"|| {cents}")
+    return f"""
+        WITH base AS (
+          SELECT {mask_sql_expr(info)} AS template
+          FROM events WHERE event_id % 2 = 0),
+        cur AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 10 = 5 THEN {mask_sql_expr(storm)}
+                      ELSE {mask_sql_expr(info)} END AS template
+          FROM events WHERE event_id % 2 = 1),
+        mined AS (
+          SELECT template, count(*) AS n, min(event_id) AS example_id
+          FROM cur GROUP BY template)
+        SELECT template, n, example_id FROM mined
+        WHERE template NOT IN (SELECT DISTINCT template FROM base)
+        ORDER BY template"""
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7408,6 +7484,7 @@ def queries():
         "scd2_point_in_time": q_scd2_point_in_time,
         "mad_outlier_events": q_mad_outlier_events,
         "event_mode_by_type": q_event_mode_by_type,
+        "log_new_templates": q_log_new_templates,
     }
 
 
@@ -10166,4 +10243,5 @@ def oracle_sql():
               FROM cnt)
             SELECT event_type, mode_cents, CAST(n AS BIGINT) AS n
             FROM r WHERE rn = 1 ORDER BY event_type""",
+        "log_new_templates": _log_new_templates_sql(),
     }

@@ -111,3 +111,31 @@ def mine_templates(ds, line_col: str, id_col: str | None = None,
                                                           pa.int64()))),
             batch_format="pyarrow")
     return out
+
+
+def template_novelty(baseline, current, line_col: str,
+                     id_col: str | None = None,
+                     patterns: Sequence[tuple[str, str, str]] = MASK_PATTERNS,
+                     min_count: int = 1, n_buckets: int = 16):
+    """New-template detection — the log-anomaly primitive: mine the
+    template set of a BASELINE window and of a CURRENT window, and
+    return the current templates (with counts/example pointers) whose
+    skeleton never occurred in the baseline.  A new template after a
+    deploy is the classic "new kind of error" signal that per-line
+    filters cannot express (the line is new precisely because no rule
+    matches it).
+
+    Both inputs collapse to metadata-sized template tables map-side
+    (the corpus text never shuffles — see mine_templates); the anti
+    join then runs over template strings only, via the bucketed hash
+    join's NOT EXISTS path."""
+    from .join import bucketed_hash_join
+
+    base = mine_templates(baseline, line_col, patterns=patterns,
+                          n_buckets=n_buckets)
+    cur = mine_templates(current, line_col, id_col=id_col,
+                         patterns=patterns, min_count=min_count,
+                         n_buckets=n_buckets)
+    return bucketed_hash_join(cur, base.select_columns(["template"]),
+                              ["template"], how="anti",
+                              n_buckets=n_buckets)

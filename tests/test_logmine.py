@@ -61,3 +61,41 @@ def test_hex_masked_before_generic_digit_rule():
     out = mask_line(pa.array(["ptr 0xDEAD3F, ok"])).to_pylist()
     assert out == ["ptr <*>, ok"]
     assert [n for n, _, _ in MASK_PATTERNS] == ["uuid", "hex", "num"]
+
+
+def test_template_novelty_detects_only_new_shapes():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.logmine import (
+        template_novelty,
+    )
+
+    base = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                     "line": pa.array(["user 1 login ok",
+                                       "user 22 login ok",
+                                       "cache miss key 9"], pa.string())})
+    cur = pa.table({"id": pa.array([10, 11, 12, 13], pa.int64()),
+                    "line": pa.array(["user 777 login ok",      # known
+                                      "disk full on /dev/sda1",  # new
+                                      "disk full on /dev/sdb2",  # same new
+                                      "cache miss key 123"],     # known
+                                     pa.string())})
+    out = template_novelty(rd.from_arrow(base), rd.from_arrow(cur),
+                           "line", id_col="id", n_buckets=4)
+    rows = {r["template"]: (r["n"], r["example_id"])
+            for r in out.take_all()}
+    assert rows == {"disk full on <*>": (2, 11)}
+
+
+def test_template_novelty_empty_when_no_new():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.logmine import (
+        template_novelty,
+    )
+
+    base = pa.table({"id": pa.array([1], pa.int64()),
+                     "line": pa.array(["job 5 done"], pa.string())})
+    cur = pa.table({"id": pa.array([2], pa.int64()),
+                    "line": pa.array(["job 6 done"], pa.string())})
+    out = template_novelty(rd.from_arrow(base), rd.from_arrow(cur),
+                           "line", id_col="id", n_buckets=2)
+    assert out.count() == 0
