@@ -7230,6 +7230,77 @@ def _log_new_templates_sql() -> str:
         ORDER BY template"""
 
 
+def q_merged_user_intervals(sf_dir: str):
+    """Interval coalescing / islands (stages/intervals.py
+    merge_intervals): each event opens a [ts, ts + (cents+1) seconds)
+    activity interval; overlapping or touching intervals per user merge
+    into maximal islands via a grouped running-max prefix scan — ONE
+    bucketed co-partition, vectorized across all users, integer-exact.
+    Oracle = the classic SQL islands construction (running max(end)
+    OVER preceding rows -> new-island flag -> island id by running
+    sum)."""
+    from ..stages.intervals import merge_intervals
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("ts"), pa.int64())
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                    pa.int64())
+        dur = pc.multiply(pc.add(pc.abs(c), pa.scalar(1, pa.int64())),
+                          pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"user_id": t.column("user_id"),
+                         "start": s, "end": pc.add(s, dur)})
+
+    out = merge_intervals(ds.map_batches(iv, batch_format="pyarrow"),
+                          ["user_id"])
+    return out.sort(["user_id", "start"])
+
+
+def q_heartbeat_gaps_events(sf_dir: str):
+    """Missed-heartbeat detection (stages/intervals.py sequence_gaps):
+    per-user holes longer than one day in the event stream, one row
+    per gap with its bounds — a grouped shift after ONE bucketed
+    co-partition; duplicate timestamps step zero and never flag.
+    Oracle = lag() window twin."""
+    from ..stages.intervals import sequence_gaps
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "ts"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "tsu": pc.cast(t.column("ts"), pa.int64())})
+
+    out = sequence_gaps(ds.map_batches(us, batch_format="pyarrow"),
+                        ["user_id"], ts_col="tsu",
+                        min_gap=86_400_000_000)
+    return out.sort(["user_id", "gap_start"])
+
+
+def q_state_change_events(sf_dir: str):
+    """Change-point compression (stages/intervals.py
+    distinct_until_changed): per user ordered by (ts, event_id), keep
+    only rows whose event_type differs from the user's previous row
+    (null-aware IS DISTINCT FROM; every user's first row kept) —
+    turns a sampled state stream into an SCD-style changelog.  Oracle
+    = lag() + IS DISTINCT FROM."""
+    from ..stages.intervals import distinct_until_changed
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "tsu": pc.cast(t.column("ts"), pa.int64()),
+                         "event_type": t.column("event_type")})
+
+    out = distinct_until_changed(
+        ds.map_batches(us, batch_format="pyarrow"),
+        ["user_id"], ["tsu", "event_id"], ["event_type"])
+    return out.sort("event_id")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7485,6 +7556,9 @@ def queries():
         "mad_outlier_events": q_mad_outlier_events,
         "event_mode_by_type": q_event_mode_by_type,
         "log_new_templates": q_log_new_templates,
+        "merged_user_intervals": q_merged_user_intervals,
+        "heartbeat_gaps_events": q_heartbeat_gaps_events,
+        "state_change_events": q_state_change_events,
     }
 
 
@@ -10244,4 +10318,54 @@ def oracle_sql():
             SELECT event_type, mode_cents, CAST(n AS BIGINT) AS n
             FROM r WHERE rn = 1 ORDER BY event_type""",
         "log_new_templates": _log_new_templates_sql(),
+        # classic SQL islands: running max(end) over preceding rows ->
+        # new-island flag -> island id by running sum -> group
+        "merged_user_intervals": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                     + (abs(CAST(round(value * 100) AS BIGINT)) + 1)
+                       * 1000000 AS e
+              FROM events),
+            o AS (
+              SELECT *, max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_end
+              FROM iv),
+            fl AS (
+              SELECT *, CASE WHEN prev_end IS NULL OR s > prev_end
+                        THEN 1 ELSE 0 END AS ni
+              FROM o),
+            isl AS (
+              SELECT *, sum(ni) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM fl)
+            SELECT user_id, min(s) AS start, max(e) AS "end",
+                   CAST(count(*) AS BIGINT) AS n_merged
+            FROM isl GROUP BY user_id, island
+            ORDER BY user_id, start""",
+        "heartbeat_gaps_events": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) AS tsu,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts)) AS prev
+              FROM events)
+            SELECT user_id, prev AS gap_start, tsu AS gap_end,
+                   (tsu - prev) AS gap
+            FROM d
+            WHERE prev IS NOT NULL AND tsu - prev > 86400000000
+            ORDER BY user_id, gap_start""",
+        "state_change_events": """
+            WITH d AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev
+              FROM events)
+            SELECT event_id, user_id, tsu, event_type
+            FROM d WHERE event_type IS DISTINCT FROM prev
+            ORDER BY event_id""",
     }
