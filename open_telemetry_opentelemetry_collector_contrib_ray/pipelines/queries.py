@@ -7301,6 +7301,21 @@ def q_state_change_events(sf_dir: str):
     return out.sort("event_id")
 
 
+def q_user_event_diversity(sf_dir: str):
+    """Categorical diversity audit (stages/robust.py
+    grouped_diversity): per user — event count, distinct event types,
+    Shannon entropy (nats) and Gini impurity of the type distribution.
+    Per-batch (user, type) count partials collapse rows to distinct
+    pairs before the ONE bucketed shuffle; the float kernels see exact
+    int64 totals, so results are deterministic.  Oracle = counts CTE +
+    ln/sum replay (compared at 6dp)."""
+    from ..stages.robust import grouped_diversity
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_diversity(ds, ["user_id"], "event_type")
+    return out.sort("user_id")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7556,6 +7571,7 @@ def queries():
         "mad_outlier_events": q_mad_outlier_events,
         "event_mode_by_type": q_event_mode_by_type,
         "log_new_templates": q_log_new_templates,
+        "user_event_diversity": q_user_event_diversity,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10368,4 +10384,14 @@ def oracle_sql():
             SELECT event_id, user_id, tsu, event_type
             FROM d WHERE event_type IS DISTINCT FROM prev
             ORDER BY event_id""",
+        "user_event_diversity": """
+            WITH cnt AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k_distinct,
+                   ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy,
+                   1 - sum(c * c) / (sum(c) * sum(c)) AS gini
+            FROM cnt GROUP BY user_id ORDER BY user_id""",
     }

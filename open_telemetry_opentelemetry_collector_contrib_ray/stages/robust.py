@@ -102,3 +102,51 @@ def grouped_mode(ds, keys: Sequence[str], value_col: str,
 
     return bucketed_group_transform(partial, keys, pick,
                                     n_buckets=n_buckets)
+
+
+def grouped_diversity(ds, keys: Sequence[str], value_col: str,
+                      n_buckets: int = 64):
+    """Categorical diversity per group: ``n`` (rows), ``k_distinct``
+    (distinct values), ``entropy`` (Shannon, nats: ln n - sum(c*ln c)/n) and
+    ``gini`` (impurity: 1 - sum((c/n)^2)) of the ``value_col``
+    distribution.  The audit metric for label balance / source mixing
+    in training-data pipelines.
+
+    Same scale shape as `grouped_mode`: per-batch (key, value) count
+    partials collapse rows to distinct pairs before the ONE bucketed
+    shuffle; the reduce is two vectorized groupby sums (counts enter
+    the float kernels as exact int64 totals, so the result is
+    deterministic to float rounding regardless of partitioning).
+    """
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(keys)
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(keys + [value_col]),
+                               keys + [value_col]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(keys + [value_col, "c"])
+
+    partial = ds.map_batches(pre, batch_format="pyarrow")
+
+    def reduce(g: "pd.DataFrame") -> "pd.DataFrame":
+        tot = g.groupby(keys + [value_col], sort=False, dropna=False,
+                        as_index=False)["c"].sum()
+        c = tot["c"].to_numpy().astype(np.float64)
+        tot["clnc"] = c * np.log(c)
+        tot["c2"] = c * c
+        out = tot.groupby(keys, sort=False, as_index=False).agg(
+            n=("c", "sum"), k_distinct=("c", "size"),
+            clnc=("clnc", "sum"), c2=("c2", "sum"))
+        n = out["n"].to_numpy().astype(np.float64)
+        out["entropy"] = np.log(n) - out["clnc"].to_numpy() / n
+        out["gini"] = 1.0 - out["c2"].to_numpy() / (n * n)
+        out["n"] = out["n"].astype(np.int64)
+        out["k_distinct"] = out["k_distinct"].astype(np.int64)
+        return out[keys + ["n", "k_distinct", "entropy", "gini"]]
+
+    return bucketed_group_transform(partial, keys, reduce,
+                                    n_buckets=n_buckets)

@@ -82,3 +82,40 @@ def test_grouped_mode_across_blocks():
     out = grouped_mode(ds, ["k"], "v", n_buckets=4)
     got = {r["k"]: (r["mode_v"], r["n"]) for r in out.take_all()}
     assert got == {1: (8, 20), 2: (1, 16)}
+
+
+def test_grouped_diversity_exact_small():
+    import math
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+        grouped_diversity,
+    )
+    # k=1: [a,a,b,b] -> H = ln2, gini = .5 ; k=2: [x] -> H=0, gini=0
+    tbl = pa.table({"k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                    "v": pa.array(["a", "a", "b", "b", "x"],
+                                  pa.string())})
+    ds = rd.from_arrow([tbl.slice(0, 2), tbl.slice(2, 3)])
+    out = grouped_diversity(ds, ["k"], "v", n_buckets=4)
+    got = {r["k"]: r for r in out.take_all()}
+    assert got[1]["n"] == 4 and got[1]["k_distinct"] == 2
+    assert abs(got[1]["entropy"] - math.log(2)) < 1e-12
+    assert abs(got[1]["gini"] - 0.5) < 1e-12
+    assert got[2]["n"] == 1 and got[2]["k_distinct"] == 1
+    assert got[2]["entropy"] == 0.0 and got[2]["gini"] == 0.0
+
+
+def test_grouped_diversity_partials_merge_across_blocks():
+    import math
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+        grouped_diversity,
+    )
+    # same value split across blocks must count as ONE distinct value
+    tbl = pa.table({"k": pa.array([1] * 6, pa.int64()),
+                    "v": pa.array(["a", "a", "a", "a", "a", "b"],
+                                  pa.string())})
+    ds = rd.from_arrow([tbl.slice(i, 1) for i in range(6)])
+    out = grouped_diversity(ds, ["k"], "v", n_buckets=2)
+    r = out.take_all()[0]
+    assert r["k_distinct"] == 2 and r["n"] == 6
+    exp_h = math.log(6) - (5 * math.log(5)) / 6
+    assert abs(r["entropy"] - exp_h) < 1e-12
+    assert abs(r["gini"] - (1 - (25 + 1) / 36)) < 1e-12
