@@ -7316,6 +7316,24 @@ def q_user_event_diversity(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_doc_collocations(sf_dir: str):
+    """Skip-gram collocation mining (stages/collocate.py
+    collocations): ordered same-document token pairs within a 3-token
+    window over the documents corpus, scored by self-normalizing PMI
+    against the pair-marginal distribution; pairs with count >= 5
+    returned (marginals over the FULL pair population).  Pair
+    generation is zero-copy Arrow slices (text never shuffles),
+    per-batch partials collapse occurrences to distinct pairs before
+    the one bucketed exchange, marginals broadcast vocabulary-sized.
+    Oracle replays the identical counting rule via
+    generate_subscripts + windowed self-join."""
+    from ..stages.collocate import collocations
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = collocations(ds, window=3, min_count=5)
+    return out.sort(["left", "right"])
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7572,6 +7590,7 @@ def queries():
         "event_mode_by_type": q_event_mode_by_type,
         "log_new_templates": q_log_new_templates,
         "user_event_diversity": q_user_event_diversity,
+        "doc_collocations": q_doc_collocations,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10394,4 +10413,33 @@ def oracle_sql():
                    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy,
                    1 - sum(c * c) / (sum(c) * sum(c)) AS gini
             FROM cnt GROUP BY user_id ORDER BY user_id""",
+        # same tokenization as the inverted-index oracles; PMI is
+        # self-normalizing over pair marginals, so one counting rule
+        # defines the whole statistic on both sides
+        "doc_collocations": """
+            WITH tok AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text),
+                                              '[a-z0-9_]+') AS ws
+                    FROM documents)
+            ), pairs AS (
+              SELECT a.w AS "left", b.w AS "right"
+              FROM tok a JOIN tok b
+                ON b.doc_id = a.doc_id AND b.i > a.i AND b.i <= a.i + 2
+            ), pc AS (
+              SELECT "left", "right", CAST(count(*) AS BIGINT) AS c
+              FROM pairs GROUP BY 1, 2
+            ), lm AS (
+              SELECT "left", count(*) AS cl FROM pairs GROUP BY 1
+            ), rm AS (
+              SELECT "right", count(*) AS cr FROM pairs GROUP BY 1
+            ), tot AS (SELECT count(*) AS np FROM pairs)
+            SELECT pc."left", pc."right", pc.c,
+                   ln(CAST(pc.c AS DOUBLE) * np / (cl * cr)) AS pmi
+            FROM pc
+            JOIN lm USING ("left") JOIN rm USING ("right") CROSS JOIN tot
+            WHERE pc.c >= 5
+            ORDER BY 1, 2""",
     }
