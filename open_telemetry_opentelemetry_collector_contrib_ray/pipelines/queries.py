@@ -7334,6 +7334,20 @@ def q_doc_collocations(sf_dir: str):
     return out.sort(["left", "right"])
 
 
+def q_frequent_part_pairs(sf_dir: str):
+    """Market-basket frequent pairs (stages/itemsets.py
+    frequent_pairs): part pairs co-purchased in >= 2 distinct orders.
+    Items co-partition ONCE by order; pairs are one vectorized
+    self-merge per bucket (item_a < item_b) bounded by max_basket;
+    only distinct-pair partial counts enter the second exchange.
+    Oracle = distinct-items self-join + HAVING."""
+    from ..stages.itemsets import frequent_pairs
+
+    li = _rd(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    out = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return out.sort(["item_a", "item_b"])
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7591,6 +7605,7 @@ def queries():
         "log_new_templates": q_log_new_templates,
         "user_event_diversity": q_user_event_diversity,
         "doc_collocations": q_doc_collocations,
+        "frequent_part_pairs": q_frequent_part_pairs,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10441,5 +10456,17 @@ def oracle_sql():
             FROM pc
             JOIN lm USING ("left") JOIN rm USING ("right") CROSS JOIN tot
             WHERE pc.c >= 5
+            ORDER BY 1, 2""",
+        "frequent_part_pairs": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+              FROM lineitem),
+            p AS (
+              SELECT a.item AS item_a, b.item AS item_b
+              FROM li a JOIN li b
+                ON a.g = b.g AND a.item < b.item)
+            SELECT item_a, item_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY 1, 2""",
     }
