@@ -7348,6 +7348,63 @@ def q_frequent_part_pairs(sf_dir: str):
     return out.sort(["item_a", "item_b"])
 
 
+def q_compact_files_check(sf_dir: str):
+    """Small-file compaction invariant (stages/compact.py
+    compact_parquet): 37 deterministic event shards (event_id % 37,
+    driver-built fixture) are bin-packed into ~5 target-size outputs —
+    plan is driver metadata only, each bin one independent task
+    streaming row groups (memory bounded by one row group, atomic
+    rename for resumability).  The check: every row and the exact
+    cents sum survive the round trip, and the output file count landed
+    in [2, 12].  Oracle states the conserved quantities."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..stages.compact import compact_parquet
+
+    base = "/tmp/graft_compact/" + os.path.basename(sf_dir.rstrip("/"))
+    shutil.rmtree(base, ignore_errors=True)
+    ind, outd = f"{base}/in", f"{base}/out"
+    os.makedirs(ind)
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "value"])
+    eid = t.column("event_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    part = pa.array(eid % 37, pa.int64())
+    for i in range(37):
+        pq.write_table(t.filter(pc.equal(part, pa.scalar(i, pa.int64()))),
+                       f"{ind}/shard-{i:03d}.parquet")
+    total_bytes = sum(os.path.getsize(f"{ind}/{f}")
+                      for f in os.listdir(ind))
+    compact_parquet(ind, outd, target_bytes=max(total_bytes // 5, 1),
+                    compression="snappy").take_all()
+    n_out = len(os.listdir(outd))
+
+    import ray.data as rd
+    back = rd.read_parquet(outd)
+
+    def cents(tb: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(tb.column("value"), 100)),
+                    pa.int64())
+        return pa.table({"rows": pa.array([tb.num_rows], pa.int64()),
+                         "cents": pa.array([pc.sum(c).as_py() or 0],
+                                           pa.int64())})
+
+    agg = back.map_batches(cents, batch_format="pyarrow") \
+        .sum(["rows", "cents"])
+    cin = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                  pa.int64())
+    return pa.table({
+        "files_in": pa.array([37], pa.int64()),
+        "rows_in": pa.array([t.num_rows], pa.int64()),
+        "rows_out": pa.array([int(agg["sum(rows)"])], pa.int64()),
+        "cents_in": pa.array([int(pc.sum(cin).as_py())], pa.int64()),
+        "cents_out": pa.array([int(agg["sum(cents)"])], pa.int64()),
+        "files_out_bounded": pa.array([int(2 <= n_out <= 12)],
+                                      pa.int64())})
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7606,6 +7663,7 @@ def queries():
         "user_event_diversity": q_user_event_diversity,
         "doc_collocations": q_doc_collocations,
         "frequent_part_pairs": q_frequent_part_pairs,
+        "compact_files_check": q_compact_files_check,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10469,4 +10527,14 @@ def oracle_sql():
                    CAST(count(*) AS BIGINT) AS support
             FROM p GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY 1, 2""",
+        "compact_files_check": """
+            SELECT CAST(37 AS BIGINT) AS files_in,
+                   CAST(count(*) AS BIGINT) AS rows_in,
+                   CAST(count(*) AS BIGINT) AS rows_out,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents_in,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents_out,
+                   CAST(1 AS BIGINT) AS files_out_bounded
+            FROM events""",
     }
