@@ -168,12 +168,6 @@ BENCH_QUERIES = [
     "doc_decontaminate_bloom",
     "multimodal_pipeline",
     # twelfth-session additions (round-5 rotation candidates)
-    "entity_clusters",
-    "metric_resample",
-    "cms_bound_check",
-    "unigram_lm_check",
-    "doc_html_extract",
-    "pagerank_parts",
     "triangle_parts",
     "inverted_token_stats",
     "phrase_search_counts",
@@ -183,6 +177,31 @@ BENCH_QUERIES = [
     "zorder_layout",
     "bfs_hops_parts",
     "cdc_merge_balances",
+    # thirteenth-session additions (round-5 rotation candidates)
+    "bloom_join_revenue",
+    "attribution_last_touch",
+    "attribution_first_touch",
+    "ewma_anomaly_events",
+    "theta_sketch_check",
+    "log_templates",
+    "alert_hysteresis_events",
+    "cusum_change_events",
+    "table_diff_orders",
+    "scd2_customer_history",
+    "profile_events",
+    "global_sort_events",
+    "cidr_route_counts",
+    "scd2_point_in_time",
+    "mad_outlier_events",
+    "event_mode_by_type",
+    "log_new_templates",
+    "user_event_diversity",
+    "merged_user_intervals",
+    "heartbeat_gaps_events",
+    "state_change_events",
+    "doc_collocations",
+    "frequent_part_pairs",
+    "compact_files_check",
 ]
 
 
