@@ -7405,6 +7405,22 @@ def q_compact_files_check(sf_dir: str):
                                       pa.int64())})
 
 
+def q_metric_lerp_events(sf_dir: str):
+    """Linear-interpolation resampling (stages/resample.py
+    resample_lerp): per event_type, hourly grid values interpolated on
+    the straight line between the surrounding observations — exact at
+    hits, null outside the observed span (never extrapolates).  Same
+    one-shuffle plan as metric_resample with TWO merge_asofs per
+    bucket (backward prev, forward next); per-(key,ts) ties max-reduce
+    first.  Oracle = two ASOF joins + the interpolation formula
+    (compared at 6dp)."""
+    from ..stages.resample import resample_lerp
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = resample_lerp(ds, "event_type")
+    return out.sort(["event_type", "grid_ts"])
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7664,6 +7680,7 @@ def queries():
         "doc_collocations": q_doc_collocations,
         "frequent_part_pairs": q_frequent_part_pairs,
         "compact_files_check": q_compact_files_check,
+        "metric_lerp_events": q_metric_lerp_events,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10537,4 +10554,44 @@ def oracle_sql():
                         AS BIGINT) AS cents_out,
                    CAST(1 AS BIGINT) AS files_out_bounded
             FROM events""",
+        # two ASOF joins (backward prev / forward next) + straight-line
+        # interpolation, null outside the observed span
+        "metric_lerp_events": """
+            WITH b AS (
+              SELECT CAST(floor(epoch_us(min(ts)) / 3600000000) AS BIGINT)
+                       * 3600000000 AS t0,
+                     epoch_us(max(ts)) AS t1 FROM events
+            ), g AS (
+              SELECT t0 + 3600000000 * CAST(u.k AS BIGINT) AS us
+              FROM b JOIN (SELECT unnest(generate_series(0, 100000)) AS k) u
+                ON u.k <= CAST((b.t1 - b.t0) // 3600000000 AS BIGINT)
+            ), grid AS (
+              SELECT et.event_type, make_timestamp(g.us) AS grid_ts
+              FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN g
+            ), obs AS (
+              SELECT event_type, ts, max(value) AS v
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT grid.event_type, grid.grid_ts,
+                     obs.ts AS tp, obs.v AS vp
+              FROM grid ASOF LEFT JOIN obs
+                ON grid.event_type = obs.event_type
+               AND grid.grid_ts >= obs.ts
+            ), n AS (
+              SELECT grid.event_type, grid.grid_ts,
+                     obs.ts AS tn, obs.v AS vn
+              FROM grid ASOF LEFT JOIN obs
+                ON grid.event_type = obs.event_type
+               AND grid.grid_ts <= obs.ts
+            )
+            SELECT p.event_type, p.grid_ts,
+                   CASE
+                     WHEN p.tp IS NULL OR n.tn IS NULL THEN NULL
+                     WHEN epoch_us(n.tn) = epoch_us(p.tp) THEN p.vp
+                     ELSE p.vp + (n.vn - p.vp)
+                          * (epoch_us(p.grid_ts) - epoch_us(p.tp))
+                          / (epoch_us(n.tn) - epoch_us(p.tp))
+                   END AS value
+            FROM p JOIN n USING (event_type, grid_ts)
+            ORDER BY 1, 2""",
     }

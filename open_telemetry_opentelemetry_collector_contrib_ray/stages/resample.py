@@ -126,6 +126,101 @@ def resample_ffill(ds, by: Sequence[str] | str, ts_col: str = "ts",
         batch_format="pyarrow")
 
 
+def resample_lerp(ds, by: Sequence[str] | str, ts_col: str = "ts",
+                  value_col: str = "value",
+                  step_us: int = 3_600_000_000,
+                  start_us: int | None = None,
+                  end_us: int | None = None,
+                  n_buckets: int = 32):
+    """Linear-interpolation resampling: like `resample_ffill` but each
+    grid point BETWEEN two observations takes the straight-line value
+
+        prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+
+    (float64; exactly the observed value when t hits an observation),
+    and grid points strictly before the first or strictly after the
+    last observation are null — interpolation, never extrapolation.
+    Same one-shuffle plan as `resample_ffill`; the bucket runs TWO
+    merge_asofs (backward for prev, forward for next).  Per-(key, ts)
+    ties reduce to max first, so prev == next at an exact hit and the
+    formula degenerates safely."""
+    by = [by] if isinstance(by, str) else list(by)
+
+    if start_us is None or end_us is None:
+        from ray.data.aggregate import Max, Min
+        b = ds.map_batches(
+            lambda t: pa.table(
+                {"__us": pc.cast(t.column(ts_col), pa.int64())}),
+            batch_format="pyarrow").aggregate(Min("__us"), Max("__us"))
+        if start_us is None:
+            start_us = b["min(__us)"]
+        if end_us is None:
+            end_us = b["max(__us)"]
+    t0 = (int(start_us) // step_us) * step_us
+    n_steps = int((int(end_us) - t0) // step_us) + 1 \
+        if int(end_us) >= t0 else 0
+    grid_us = t0 + step_us * np.arange(n_steps, dtype=np.int64)
+
+    keys = ds.map_batches(
+        lambda t: t.select(by).group_by(by).aggregate([]),
+        batch_format="pyarrow").groupby(by).count()
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_steps))
+        cols = {c: t.column(c).take(idx) for c in by}
+        cols["__grid_us"] = pa.array(np.tile(grid_us, n), pa.int64())
+        return pa.table(cols)
+
+    grid = keys.map_batches(expand, batch_format="pyarrow")
+
+    obs = ds.map_batches(
+        lambda t: pa.table({**{c: t.column(c) for c in by},
+                            "__obs_us": pc.cast(t.column(ts_col),
+                                                pa.int64()),
+                            value_col: t.column(value_col)}),
+        batch_format="pyarrow")
+
+    tagged, left_cols, right_cols = _tag_union(grid, obs, by, n_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"]][left_cols].sort_values("__grid_us",
+                                                   kind="stable")
+        rg = g[~g["__side"]][right_cols]
+        rg = rg.groupby(by + ["__obs_us"], as_index=False,
+                        sort=True)[value_col].max()
+        rg = rg.sort_values("__obs_us", kind="stable")
+        prev = pd.merge_asof(lg, rg, left_on="__grid_us",
+                             right_on="__obs_us", by=by,
+                             direction="backward") \
+            .rename(columns={"__obs_us": "__tp", value_col: "__vp"})
+        m = pd.merge_asof(prev, rg, left_on="__grid_us",
+                          right_on="__obs_us", by=by,
+                          direction="forward") \
+            .rename(columns={"__obs_us": "__tn", value_col: "__vn"})
+        t = m["__grid_us"].astype("float64")
+        tp, tn = m["__tp"], m["__tn"]
+        vp = m["__vp"].astype("float64")
+        vn = m["__vn"].astype("float64")
+        span = tn - tp
+        frac = np.where(span > 0, (t - tp) / span, 0.0)
+        val = vp + (vn - vp) * frac
+        val[tp.isna() | tn.isna()] = np.nan
+        m[value_col] = val
+        m["__grid_us"] = m["__grid_us"].astype("int64")
+        return m[by + ["__grid_us", value_col]]
+
+    out = tagged.groupby("__bucket").map_groups(arrow_out(merge),
+                                                batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({**{c: t.column(c) for c in by},
+                            "grid_ts": pc.cast(t.column("__grid_us"),
+                                               pa.timestamp("us")),
+                            value_col: pc.cast(t.column(value_col),
+                                               pa.float64())}),
+        batch_format="pyarrow")
+
+
 def ewma_smooth(ds, by: Sequence[str] | str, value_col: str,
                 ts_col: str = "ts", order_cols: Sequence[str] = (),
                 horizon: int = 8, anomaly_mult: int = 2,

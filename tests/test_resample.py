@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray.data as rd
 
 from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
     resample_ffill,
@@ -58,3 +59,54 @@ def test_resample_ffill_explicit_bounds_and_exact_grid_match():
     vals = out["value"].tolist()
     assert np.isnan(vals[0]) and vals[1:] == [4.0, 4.0, 4.0]
     assert len(out) == 4
+
+
+def test_resample_lerp_hand_values():
+    import numpy as np
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        resample_lerp,
+    )
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b"], pa.string()),
+        "ts": pa.array([100, 300, 400, 250], pa.timestamp("us")),
+        "value": pa.array([10.0, 30.0, 10.0, 5.0], pa.float64()),
+    })
+    out = resample_lerp(rd.from_arrow(t), "k", step_us=100,
+                        start_us=0, end_us=400, n_buckets=2)
+    rows = {(r["k"], r["grid_ts"].timestamp() * 1e6 if hasattr(
+        r["grid_ts"], "timestamp") else r["grid_ts"]): r["value"]
+        for r in out.take_all()}
+    got = {(k, int(ts)): v for (k, ts), v in rows.items()}
+    import math
+    # a: t=0 before first -> null; t=100 exact hit 10; t=200 midpoint 20
+    # t=300 exact 30; t=400 exact 10
+    def _isnull(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    assert _isnull(got[("a", 0)])
+    assert got[("a", 100)] == 10.0
+    assert got[("a", 200)] == 20.0
+    assert got[("a", 300)] == 30.0
+    assert got[("a", 400)] == 10.0
+    # b: single obs at 250 -> all grid points null except none on-grid
+    for ts in (0, 100, 200, 300, 400):
+        assert _isnull(got[("b", ts)])
+
+
+def test_resample_lerp_ties_reduce_to_max():
+    import math
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        resample_lerp,
+    )
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a"], pa.string()),
+        "ts": pa.array([0, 0, 200], pa.timestamp("us")),
+        "value": pa.array([1.0, 9.0, 9.0], pa.float64()),
+    })
+    out = resample_lerp(rd.from_arrow(t), "k", step_us=100,
+                        start_us=0, end_us=200, n_buckets=2)
+    got = {int(r["grid_ts"].timestamp() * 1e6): r["value"]
+           for r in out.take_all()}
+    assert got[0] == 9.0 and got[100] == 9.0 and got[200] == 9.0
