@@ -7421,6 +7421,31 @@ def q_metric_lerp_events(sf_dir: str):
     return out.sort(["event_type", "grid_ts"])
 
 
+def q_value_psi_drift(sf_dir: str):
+    """Population-stability-index drift (stages/drift.py psi_drift):
+    the event-value cents distribution of the first half of the month
+    (epoch day < 19738) vs the rest, over fixed cents bin edges with
+    Laplace-smoothed bin probabilities (empty bins well-defined, no
+    epsilon fudge).  Bin assignment is one map-side searchsorted;
+    only constant-size (window, bin) count partials shuffle.  Oracle
+    replays the bin rule + smoothing + contribution formula per bin."""
+    from ..stages.drift import psi_drift
+
+    ds = _rd(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                    pa.int64())
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        w = pc.cast(pc.greater_equal(day, pa.scalar(19738, pa.int64())),
+                    pa.int64())
+        return pa.table({"cents": c, "win": w})
+
+    return psi_drift(ds.map_batches(prep, batch_format="pyarrow"),
+                     "cents", "win", [1000, 2500, 5000, 10000, 25000])
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7681,6 +7706,7 @@ def queries():
         "frequent_part_pairs": q_frequent_part_pairs,
         "compact_files_check": q_compact_files_check,
         "metric_lerp_events": q_metric_lerp_events,
+        "value_psi_drift": q_value_psi_drift,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10594,4 +10620,37 @@ def oracle_sql():
                    END AS value
             FROM p JOIN n USING (event_type, grid_ts)
             ORDER BY 1, 2""",
+        "value_psi_drift": """
+            WITH d AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN epoch_us(ts) // 86400000000 < 19738
+                          THEN 0 ELSE 1 END AS win
+              FROM events),
+            bnn AS (
+              SELECT win,
+                     CAST(cents >= 1000 AS INT)
+                     + CAST(cents >= 2500 AS INT)
+                     + CAST(cents >= 5000 AS INT)
+                     + CAST(cents >= 10000 AS INT)
+                     + CAST(cents >= 25000 AS INT) AS bin_id
+              FROM d),
+            cnt AS (SELECT win, bin_id, count(*) AS n
+                    FROM bnn GROUP BY 1, 2),
+            bins AS (SELECT unnest(generate_series(0, 5)) AS bin_id),
+            m AS (
+              SELECT bins.bin_id,
+                     CAST(coalesce(c0.n, 0) AS BIGINT) AS c_base,
+                     CAST(coalesce(c1.n, 0) AS BIGINT) AS c_cur
+              FROM bins
+              LEFT JOIN cnt c0 ON c0.win = 0 AND c0.bin_id = bins.bin_id
+              LEFT JOIN cnt c1 ON c1.win = 1 AND c1.bin_id = bins.bin_id),
+            t AS (SELECT sum(c_base) AS na, sum(c_cur) AS nb FROM m)
+            SELECT CAST(m.bin_id AS BIGINT) AS bin_id, m.c_base, m.c_cur,
+                   (m.c_base + 1.0) / (t.na + 6) AS p_base,
+                   (m.c_cur + 1.0) / (t.nb + 6) AS p_cur,
+                   ((m.c_base + 1.0) / (t.na + 6)
+                    - (m.c_cur + 1.0) / (t.nb + 6))
+                   * ln(((m.c_base + 1.0) / (t.na + 6))
+                        / ((m.c_cur + 1.0) / (t.nb + 6))) AS contrib
+            FROM m, t ORDER BY m.bin_id""",
     }

@@ -1,0 +1,52 @@
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+    psi_drift,
+)
+
+
+def _run(vals_a, vals_b, edges):
+    tbl = pa.table({
+        "v": pa.array(list(vals_a) + list(vals_b), pa.float64()),
+        "w": pa.array([0] * len(vals_a) + [1] * len(vals_b), pa.int64()),
+    })
+    ds = rd.from_arrow([tbl.slice(i * 3, 3)
+                        for i in range((tbl.num_rows + 2) // 3)])
+    return psi_drift(ds, "v", "w", edges)
+
+
+def test_identical_distributions_near_zero_psi():
+    vals = [1, 5, 5, 12, 20, 20, 30] * 3
+    out = _run(vals, vals, [10, 25])
+    total = sum(out.column("contrib").to_pylist())
+    assert abs(total) < 1e-12
+    assert out.num_rows == 3
+
+
+def test_hand_computed_psi_with_smoothing():
+    # base: 4 in bin0; cur: 4 in bin1; edges [10] -> 2 bins
+    out = _run([1, 2, 3, 4], [11, 12, 13, 14], [10])
+    p = np.array([(4 + 1) / 6, (0 + 1) / 6])
+    q = np.array([(0 + 1) / 6, (4 + 1) / 6])
+    exp = (p - q) * np.log(p / q)
+    got = out.column("contrib").to_pylist()
+    assert np.allclose(got, exp, atol=1e-12)
+    assert out.column("c_base").to_pylist() == [4, 0]
+    assert out.column("c_cur").to_pylist() == [0, 4]
+
+
+def test_bin_edges_inclusive_right():
+    # bin_id = number of edges <= v: v=10 with edge 10 -> bin 1
+    out = _run([10.0], [9.999], [10])
+    assert out.column("c_base").to_pylist() == [0, 1]
+    assert out.column("c_cur").to_pylist() == [1, 0]
+
+
+def test_bad_edges_raise():
+    with pytest.raises(ValueError):
+        _run([1], [1], [5, 5])
