@@ -7446,6 +7446,26 @@ def q_value_psi_drift(sf_dir: str):
                      "cents", "win", [1000, 2500, 5000, 10000, 25000])
 
 
+def q_benford_value_audit(sf_dir: str):
+    """Benford first-digit audit (stages/drift.py benford_audit) of
+    event cents — fabricated-data / unit-mixup detector: observed
+    first-digit counts vs log10(1+1/d) expectations with chi-square
+    contributions.  First digit by decimal string slice (exact both
+    sides), 9-bucket constant-size partials, nothing else shuffles;
+    non-positive values excluded.  Oracle replays digit extraction,
+    expectation and chi2 per digit."""
+    from ..stages.drift import benford_audit
+
+    ds = _rd(sf_dir, "events", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100)), pa.int64())})
+
+    return benford_audit(ds.map_batches(cents, batch_format="pyarrow"),
+                         "cents")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7707,6 +7727,7 @@ def queries():
         "compact_files_check": q_compact_files_check,
         "metric_lerp_events": q_metric_lerp_events,
         "value_psi_drift": q_value_psi_drift,
+        "benford_value_audit": q_benford_value_audit,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10653,4 +10674,25 @@ def oracle_sql():
                    * ln(((m.c_base + 1.0) / (t.na + 6))
                         / ((m.c_cur + 1.0) / (t.nb + 6))) AS contrib
             FROM m, t ORDER BY m.bin_id""",
+        "benford_value_audit": """
+            WITH d AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            fd AS (
+              SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+              FROM d WHERE cents > 0),
+            cnt AS (SELECT digit, count(*) AS n FROM fd GROUP BY 1),
+            digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+            m AS (
+              SELECT digits.digit,
+                     CAST(coalesce(cnt.n, 0) AS BIGINT) AS c
+              FROM digits LEFT JOIN cnt USING (digit)),
+            t AS (SELECT sum(c) AS n FROM m)
+            SELECT m.digit, m.c,
+                   m.c / CAST(t.n AS DOUBLE) AS obs_p,
+                   log10(1.0 + 1.0 / m.digit) AS benford_p,
+                   pow(m.c - log10(1.0 + 1.0 / m.digit) * t.n, 2)
+                     / (log10(1.0 + 1.0 / m.digit) * t.n) AS chi2_contrib
+            FROM m, t ORDER BY m.digit""",
     }

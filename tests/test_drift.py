@@ -50,3 +50,22 @@ def test_bin_edges_inclusive_right():
 def test_bad_edges_raise():
     with pytest.raises(ValueError):
         _run([1], [1], [5, 5])
+
+
+def test_benford_counts_and_expectations():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        benford_audit,
+    )
+    vals = [1, 19, 123, 2, 25, 3, 999, 0, -7]  # 0 and -7 excluded
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    ds = rd.from_arrow([tbl.slice(i * 3, 3) for i in range(3)])
+    out = benford_audit(ds, "v")
+    c = out.column("c").to_pylist()
+    assert c == [3, 2, 1, 0, 0, 0, 0, 0, 1]  # digits 1..9
+    assert sum(c) == 7
+    bp = out.column("benford_p").to_pylist()
+    assert abs(bp[0] - math.log10(2)) < 1e-12
+    assert abs(sum(bp) - 1.0) < 1e-12
+    chi = out.column("chi2_contrib").to_pylist()
+    exp1 = math.log10(2) * 7
+    assert abs(chi[0] - (3 - exp1) ** 2 / exp1) < 1e-12
