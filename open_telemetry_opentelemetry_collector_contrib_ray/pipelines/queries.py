@@ -7466,6 +7466,38 @@ def q_benford_value_audit(sf_dir: str):
                          "cents")
 
 
+def q_ab_conversion_ztest(sf_dir: str):
+    """A/B experiment readout (stages/drift.py two_proportion_ztest):
+    users split by user_id parity, success = the user has at least one
+    purchase event; pooled two-proportion z between the arms.  The
+    unit collapse is a bucketed per-user max (only (user, flag)
+    partials shuffle); the z pass itself is four-int partials with
+    zero data shuffle.  Oracle replays the per-user flag and the
+    fixed-order float expression."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.drift import two_proportion_ztest
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = pc.cast(pc.equal(t.column("event_type"),
+                             pa.scalar("purchase")), pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "f": f})
+
+    users = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["user_id"], [("max", "f", "f")],
+                        combine="bucket")
+
+    def variant(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"w": pa.array(u % 2, pa.int64()),
+                         "f": t.column("f")})
+
+    return two_proportion_ztest(
+        users.map_batches(variant, batch_format="pyarrow"), "w", "f")
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7728,6 +7760,7 @@ def queries():
         "metric_lerp_events": q_metric_lerp_events,
         "value_psi_drift": q_value_psi_drift,
         "benford_value_audit": q_benford_value_audit,
+        "ab_conversion_ztest": q_ab_conversion_ztest,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10695,4 +10728,30 @@ def oracle_sql():
                    pow(m.c - log10(1.0 + 1.0 / m.digit) * t.n, 2)
                      / (log10(1.0 + 1.0 / m.digit) * t.n) AS chi2_contrib
             FROM m, t ORDER BY m.digit""",
+        "ab_conversion_ztest": """
+            WITH u AS (
+              SELECT user_id, user_id % 2 AS w,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS f
+              FROM events GROUP BY 1),
+            a AS (
+              SELECT CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN w = 0 THEN f ELSE 0 END)
+                          AS BIGINT) AS conv0,
+                     CAST(sum(CASE WHEN w = 1 THEN f ELSE 0 END)
+                          AS BIGINT) AS conv1
+              FROM u)
+            SELECT n0, n1, conv0, conv1,
+                   conv0 / CAST(n0 AS DOUBLE) AS rate0,
+                   conv1 / CAST(n1 AS DOUBLE) AS rate1,
+                   (conv0 / CAST(n0 AS DOUBLE)
+                    - conv1 / CAST(n1 AS DOUBLE))
+                   / sqrt(((conv0 + conv1) / CAST(n0 + n1 AS DOUBLE))
+                          * (1 - (conv0 + conv1)
+                               / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 / n0 + 1.0 / n1)) AS z
+            FROM a""",
     }

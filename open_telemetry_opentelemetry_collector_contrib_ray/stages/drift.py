@@ -120,3 +120,50 @@ def benford_audit(ds, value_col: str):
         "obs_p": pa.array(obs_p, pa.float64()),
         "benford_p": pa.array(_BENFORD_P, pa.float64()),
         "chi2_contrib": pa.array(chi2, pa.float64())})
+
+
+def two_proportion_ztest(ds, variant_col: str, flag_col: str):
+    """A/B experiment readout: pooled two-proportion z-test between
+    variant 0 and variant 1 over a 0/1 success flag (one row per
+    UNIT — dedupe to units upstream).
+
+        z = (r0 - r1) / sqrt(p*(1-p) * (1/n0 + 1/n1)),  p pooled.
+
+    One map-side pass of four-int partials (n, successes per variant),
+    zero data shuffle; the float expression is fixed-order, so the
+    result replays exactly in SQL.  Returns one row: n0, n1, conv0,
+    conv1, rate0, rate1, z (z is null when either arm is empty or the
+    pooled rate is degenerate 0 or 1)."""
+    from .aggregate import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t.column(variant_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        f = t.column(flag_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n0": pa.array([int((w == 0).sum())], pa.int64()),
+            "n1": pa.array([int((w == 1).sum())], pa.int64()),
+            "conv0": pa.array([int(f[w == 0].sum())], pa.int64()),
+            "conv1": pa.array([int(f[w == 1].sum())], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .sum(["n0", "n1", "conv0", "conv1"])
+    n0, n1 = int(agg["sum(n0)"]), int(agg["sum(n1)"])
+    c0, c1 = int(agg["sum(conv0)"]), int(agg["sum(conv1)"])
+    cols = {
+        "n0": pa.array([n0], pa.int64()),
+        "n1": pa.array([n1], pa.int64()),
+        "conv0": pa.array([c0], pa.int64()),
+        "conv1": pa.array([c1], pa.int64()),
+        "rate0": pa.array([c0 / n0 if n0 else None], pa.float64()),
+        "rate1": pa.array([c1 / n1 if n1 else None], pa.float64()),
+    }
+    if n0 and n1 and 0 < c0 + c1 < n0 + n1:
+        p = (c0 + c1) / (n0 + n1)
+        z = (c0 / n0 - c1 / n1) / np.sqrt(
+            p * (1 - p) * (1 / n0 + 1 / n1))
+        cols["z"] = pa.array([float(z)], pa.float64())
+    else:
+        cols["z"] = pa.array([None], pa.float64())
+    return pa.table(cols)

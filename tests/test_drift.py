@@ -69,3 +69,31 @@ def test_benford_counts_and_expectations():
     chi = out.column("chi2_contrib").to_pylist()
     exp1 = math.log10(2) * 7
     assert abs(chi[0] - (3 - exp1) ** 2 / exp1) < 1e-12
+
+
+def test_two_proportion_ztest_hand_computed():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        two_proportion_ztest,
+    )
+    # arm0: 3/6 convert; arm1: 1/4 convert
+    w = [0] * 6 + [1] * 4
+    f = [1, 1, 1, 0, 0, 0, 1, 0, 0, 0]
+    tbl = pa.table({"w": pa.array(w, pa.int64()),
+                    "f": pa.array(f, pa.int64())})
+    ds = rd.from_arrow([tbl.slice(i * 2, 2) for i in range(5)])
+    out = two_proportion_ztest(ds, "w", "f")
+    r = out.to_pylist()[0]
+    assert (r["n0"], r["n1"], r["conv0"], r["conv1"]) == (6, 4, 3, 1)
+    p = 4 / 10
+    z = (0.5 - 0.25) / math.sqrt(p * (1 - p) * (1 / 6 + 1 / 4))
+    assert abs(r["z"] - z) < 1e-12
+
+
+def test_two_proportion_ztest_degenerate_null():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        two_proportion_ztest,
+    )
+    tbl = pa.table({"w": pa.array([0, 1], pa.int64()),
+                    "f": pa.array([0, 0], pa.int64())})
+    out = two_proportion_ztest(rd.from_arrow(tbl), "w", "f")
+    assert out.to_pylist()[0]["z"] is None
