@@ -7498,6 +7498,29 @@ def q_ab_conversion_ztest(sf_dir: str):
         users.map_batches(variant, batch_format="pyarrow"), "w", "f")
 
 
+def q_attribution_linear(sf_dir: str):
+    """Linear multi-touch attribution (stages/attribution.py
+    attribute_linear): every view/click/signup in the 7-day half-open
+    lookback shares a purchase's credit equally (weight 1/k); one row
+    per (conversion, touch) pair, unattributed purchases kept once
+    with null touch + weight.  Same one-co-partition-by-user shape as
+    last/first-touch, pair expansion bounded by the window.  Oracle =
+    window-bounded join + 1.0/count() OVER per conversion."""
+    from ..stages.attribution import attribute_linear
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"])
+    out = attribute_linear(ds, "purchase", ["view", "click", "signup"],
+                           window_us=7 * 86_400_000_000)
+
+    def trim(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "user_id", "touch_id",
+                         "touch_type", "weight"])
+
+    return out.map_batches(trim, batch_format="pyarrow") \
+        .sort(["conv_id", "touch_id"])
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7761,6 +7784,7 @@ def queries():
         "value_psi_drift": q_value_psi_drift,
         "benford_value_audit": q_benford_value_audit,
         "ab_conversion_ztest": q_ab_conversion_ztest,
+        "attribution_linear": q_attribution_linear,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10754,4 +10778,27 @@ def oracle_sql():
                                / CAST(n0 + n1 AS DOUBLE))
                           * (1.0 / n0 + 1.0 / n1)) AS z
             FROM a""",
+        "attribution_linear": """
+            WITH conv AS (
+              SELECT event_id AS conv_id, user_id, ts AS conv_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT event_id AS touch_id, user_id,
+                     event_type AS touch_type, ts AS touch_ts
+              FROM events
+              WHERE event_type IN ('view', 'click', 'signup')),
+            j AS (
+              SELECT c.conv_id, c.user_id, t.touch_id, t.touch_type
+              FROM conv c JOIN t
+                ON t.user_id = c.user_id
+               AND t.touch_ts < c.conv_ts
+               AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY)
+            SELECT conv_id, user_id, touch_id, touch_type,
+                   1.0 / count(*) OVER (PARTITION BY conv_id) AS weight
+            FROM j
+            UNION ALL
+            SELECT c.conv_id, c.user_id, NULL, NULL, NULL
+            FROM conv c
+            WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id)
+            ORDER BY conv_id, touch_id""",
     }

@@ -108,3 +108,64 @@ def attribute_conversions(ds, conversion_type: str,
 
     return bucketed_group_transform(pruned, [user_col], attribute,
                                     n_buckets=n_buckets)
+
+
+def attribute_linear(ds, conversion_type: str,
+                     touch_types: Sequence[str],
+                     window_us: int,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id",
+                     n_buckets: int = 64):
+    """Linear multi-touch attribution: EVERY touch in the half-open
+    lookback [conv_ts - window, conv_ts) shares the conversion's
+    credit equally — weight 1/k with k the conversion's qualifying
+    touch count.  One row per (conversion, touch) pair; unattributed
+    conversions kept once with null touch columns and null weight.
+
+    Same one-co-partition shape as `attribute_conversions`; inside a
+    bucket the pair expansion is ONE vectorized user-merge bounded by
+    the window (each user's conversions x in-window touches — the
+    inherent output size of the multi-touch model itself)."""
+    from .aggregate import bucketed_group_transform
+
+    touch_set = list(touch_types)
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(t.column(type_col), conversion_type),
+                   pc.is_in(t.column(type_col),
+                            value_set=pa.array(touch_set)))
+        return t.select([user_col, ts_col, type_col, id_col]).filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    out_cols = ["conv_id", user_col, "conv_ts",
+                "touch_id", "touch_type", "touch_ts", "weight"]
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        is_conv = g[type_col] == conversion_type
+        conv = g[is_conv].rename(
+            columns={id_col: "conv_id", ts_col: "conv_ts"}) \
+            .drop(columns=[type_col])
+        touch = g[~is_conv].rename(
+            columns={id_col: "touch_id", type_col: "touch_type",
+                     ts_col: "touch_ts"})
+        m = conv.merge(touch, on=user_col, how="inner")
+        tol = pd.Timedelta(window_us, unit="us")
+        in_win = (m["touch_ts"] < m["conv_ts"]) \
+            & (m["touch_ts"] >= m["conv_ts"] - tol)
+        mw = m[in_win].copy()
+        k = mw.groupby("conv_id", sort=False)["touch_id"] \
+            .transform("size")
+        mw["weight"] = 1.0 / k
+        missing = conv[~conv["conv_id"].isin(mw["conv_id"])].copy()
+        missing["touch_id"] = pd.Series(dtype="Int64")
+        missing["touch_type"] = None
+        missing["touch_ts"] = pd.NaT
+        missing["weight"] = np.nan
+        out = pd.concat([mw, missing], ignore_index=True)
+        out["touch_id"] = out["touch_id"].astype("Int64")
+        return out[out_cols]
+
+    return bucketed_group_transform(pruned, [user_col], attribute,
+                                    n_buckets=n_buckets)

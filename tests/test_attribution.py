@@ -82,3 +82,48 @@ def test_users_isolated():
     ]
     got = _run(rows, "last")
     assert got[3] == (1, "view") and got[2] == (None, None)
+
+
+def test_linear_weights_split_equally():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_linear,
+    )
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([100, 200, 300, 250, 50], pa.timestamp("us")),
+        "event_type": pa.array(
+            ["view", "click", "purchase", "view", "purchase"],
+            pa.string()),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    out = attribute_linear(rd.from_arrow(t), "purchase",
+                           ["view", "click"], window_us=1000,
+                           n_buckets=2)
+    rows = sorted(((r["conv_id"], r["touch_id"], r["weight"])
+                   for r in out.take_all()),
+                  key=lambda x: (x[0], x[1] if x[1] is not None else -1))
+    # conv 12 (user1): touches 10,11,13 all in window -> 1/3 each
+    # conv 14 (user2): no touches -> single null row
+    assert rows == [(12, 10, 1 / 3), (12, 11, 1 / 3), (12, 13, 1 / 3),
+                    (14, None, None)] or \
+        rows == [(14, None, None), (12, 10, 1 / 3), (12, 11, 1 / 3),
+                 (12, 13, 1 / 3)]
+
+
+def test_linear_window_bound_half_open():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_linear,
+    )
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([100, 200, 300, 300], pa.timestamp("us")),
+        "event_type": pa.array(["view", "view", "view", "purchase"],
+                               pa.string()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    # window 100: touch at 200 qualifies (>= 300-100), 300 excluded
+    # (< conv_ts strict), 100 outside
+    out = attribute_linear(rd.from_arrow(t), "purchase", ["view"],
+                           window_us=100, n_buckets=2)
+    rows = [(r["touch_id"], r["weight"]) for r in out.take_all()]
+    assert rows == [(2, 1.0)]
