@@ -7521,6 +7521,34 @@ def q_attribution_linear(sf_dir: str):
         .sort(["conv_id", "touch_id"])
 
 
+def q_doc_sentences(sf_dir: str):
+    """Sentence segmentation (stages/textfilters.py split_sentences):
+    explode documents into one row per sentence on the deterministic
+    RE2 rule [.!?]+ + whitespace-or-end (abbreviation-naive by design
+    — the same rule replays in SQL), terminal punctuation dropped,
+    whitespace trimmed, fragments under 2 chars removed, positions
+    renumbered over kept sentences.  Map-only zero-shuffle flat
+    expansion.  Oracle = regexp_split_to_array + unnest +
+    generate_subscripts + row_number, row-level."""
+    from ..stages.textfilters import split_sentences
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # plant sentence boundaries (the corpus text is punctuation-light):
+    # same construction on the SQL side
+    def plant(t: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            pa.array(["Alpha beta!"] * t.num_rows),
+            pc.replace_substring(pc.fill_null(
+                pc.cast(t.column("text"), pa.string()), ""),
+                " the ", ". The "),
+            pa.array(["Tail gamma?"] * t.num_rows), pa.scalar(" "))
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    return split_sentences(ds.map_batches(plant, batch_format="pyarrow"),
+                           min_chars=2).sort(["doc_id", "sent_idx"])
+
+
 def queries():
     return {
         # --- round-4 driver-verification window (the driver checks the
@@ -7785,6 +7813,7 @@ def queries():
         "benford_value_audit": q_benford_value_audit,
         "ab_conversion_ztest": q_ab_conversion_ztest,
         "attribution_linear": q_attribution_linear,
+        "doc_sentences": q_doc_sentences,
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
@@ -10801,4 +10830,30 @@ def oracle_sql():
             FROM conv c
             WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id)
             ORDER BY conv_id, touch_id""",
+        "doc_sentences": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     'Alpha beta! ' ||
+                     replace(coalesce(text, ''), ' the ', '. The ')
+                     || ' Tail gamma?' AS text
+              FROM documents),
+            raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                       text, '[.!?]+(\s+|$)')) AS frag,
+                     generate_subscripts(regexp_split_to_array(
+                       text, '[.!?]+(\s+|$)'), 1) AS i
+              FROM planted),
+            trimmed AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(frag, '^\s+', ''),
+                                    '\s+$', '') AS sentence, i
+              FROM raw)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY i) - 1 AS BIGINT)
+                     AS sent_idx,
+                   sentence
+            FROM trimmed WHERE length(sentence) >= 2
+            ORDER BY doc_id, sent_idx""",
     }

@@ -639,3 +639,55 @@ class HtmlExtractor:
                 pc.cast(pc.count_substring_regex(raw, r'href="[^"]*"'),
                         pa.int64()))
         return batch
+
+
+def split_sentences(ds, text_col: str = "text", id_col: str = "doc_id",
+                    min_chars: int = 1):
+    """Sentence segmentation: explode each document into one row per
+    sentence — the unit most corpus pipelines dedupe, score, and pack
+    at (sentence-level dedup a la C4's line dedup, sentence sampling
+    for seq2seq).  The splitter is the deterministic RE2 rule
+    ``[.!?]+`` followed by whitespace-or-end (abbreviation-naive by
+    design: the SAME rule replays in SQL, and corpus-scale statistics
+    care about determinism, not linguistic edge perfection).
+
+    Map-only zero-shuffle flat expansion (the split/flatten/repeat
+    kernel of the inverted-index tokenizer); terminal punctuation is
+    dropped, surrounding whitespace trimmed, fragments shorter than
+    ``min_chars`` removed.  Output: ``id_col``, ``sent_idx`` (0-based
+    among the KEPT sentences), ``sentence``.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        la = pc.split_pattern_regex(txt, r"[.!?]+(\s+|$)")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = pc.utf8_trim_whitespace(la.flatten())
+        offs = np.asarray(la.offsets)
+        npr = np.diff(offs).astype(np.int64)
+        docs = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_rep = np.repeat(docs, npr)
+        keep = pc.greater_equal(pc.utf8_length(flat),
+                                pa.scalar(min_chars)) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(keep)
+        flat = flat.take(pa.array(idx, pa.int64()))
+        doc_rep = doc_rep[idx]
+        if len(doc_rep):
+            change = np.r_[True, doc_rep[1:] != doc_rep[:-1]]
+            starts = np.flatnonzero(change)
+            runlen = np.diff(np.r_[starts, len(doc_rep)])
+            pos = np.arange(len(doc_rep), dtype=np.int64) \
+                - np.repeat(starts, runlen)
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+        return pa.table({id_col: pa.array(doc_rep, pa.int64()),
+                         "sent_idx": pa.array(pos, pa.int64()),
+                         "sentence": flat})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -560,3 +560,42 @@ def test_cms_bound_check_query_other_scales():
         assert row["n_underestimates"] == 0
         assert row["n_over_bound"] == 0
         assert row["n_keys"] > 0
+
+
+def test_split_sentences_rule_and_positions():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+        split_sentences,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "Hello world. How are you?  Fine!",
+            "No terminal punctuation here",
+            "Multi!!! Marks... and end.",
+        ], pa.string()),
+    })
+    out = split_sentences(rd.from_arrow(t), min_chars=2)
+    rows = sorted((r["doc_id"], r["sent_idx"], r["sentence"])
+                  for r in out.take_all())
+    assert rows == [
+        (1, 0, "Hello world"), (1, 1, "How are you"), (1, 2, "Fine"),
+        (2, 0, "No terminal punctuation here"),
+        (3, 0, "Multi"), (3, 1, "Marks"), (3, 2, "and end"),
+    ]
+
+
+def test_split_sentences_min_chars_and_empty():
+    import ray.data as rd
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+        split_sentences,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["A. Bc. D.", ""], pa.string())})
+    out = split_sentences(rd.from_arrow(t), min_chars=2)
+    rows = sorted((r["doc_id"], r["sent_idx"], r["sentence"])
+                  for r in out.take_all())
+    # 'A' and 'D' dropped (< 2 chars); positions renumber over KEPT
+    assert rows == [(1, 0, "Bc")]
