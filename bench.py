@@ -202,6 +202,12 @@ BENCH_QUERIES = [
     "doc_collocations",
     "frequent_part_pairs",
     "compact_files_check",
+    "metric_lerp_events",
+    "value_psi_drift",
+    "benford_value_audit",
+    "ab_conversion_ztest",
+    "attribution_linear",
+    "doc_sentences",
 ]
 
 
