@@ -58,12 +58,24 @@ def sample_splits(ds, col: str, n_parts: int,
             v = v[idx]
         return pa.table({"v": pa.array(v)})
 
-    pooled = np.sort(np.concatenate(
-        [b.column("v").to_numpy(zero_copy_only=False)
-         for b in ds.select_columns([col])
-                    .map_batches(sample, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")] or
-        [np.array([], np.int64)]))
+    # stream per-batch samples to the driver with a hard pool cap: at
+    # 1M-block scale the naive pool is 64M values — instead, once the
+    # pool would exceed the cap, stride-decimate it (keeps the pooled
+    # sample an (approximately) uniform subsample, which is all split
+    # selection needs)
+    cap = max(4096 * n_parts, 1 << 20)
+    chunks: list[np.ndarray] = []
+    total = 0
+    for b in ds.select_columns([col]) \
+               .map_batches(sample, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        chunks.append(b.column("v").to_numpy(zero_copy_only=False))
+        total += len(chunks[-1])
+        if total > 2 * cap:
+            pool = np.concatenate(chunks)
+            idx = np.linspace(0, len(pool) - 1, cap).astype(np.int64)
+            chunks, total = [np.sort(pool)[idx]], cap
+    pooled = np.sort(np.concatenate(chunks or [np.array([], np.int64)]))
     if len(pooled) == 0 or n_parts <= 1:
         return pooled[:0]
     idx = (np.arange(1, n_parts) * len(pooled)) // n_parts

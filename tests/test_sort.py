@@ -71,3 +71,18 @@ def test_rank_is_dense_and_complete():
                     "v": pa.array(vals, pa.int64())})
     ranks = _ranked(tbl, n_parts=6)
     assert sorted(ranks) == list(range(257))
+
+
+def test_sample_pool_cap_decimation_path():
+    # force the decimation branch with a tiny synthetic pool cap by
+    # many blocks; ranks must still be exact (splits are approximate,
+    # ranks never are)
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 10_000, 600).tolist()
+    tbl = pa.table({"id": pa.array(range(600), pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    ds = rd.from_arrow([tbl.slice(i * 30, 30) for i in range(20)])
+    out = global_sort_ranks(ds, "v", tiebreak=["id"], n_parts=7,
+                            n_buckets=4)
+    rows = sorted(out.take_all(), key=lambda r: r["id"])
+    assert [r["rank"] for r in rows] == _expect(vals, [*range(600)])
