@@ -7521,6 +7521,84 @@ def q_attribution_linear(sf_dir: str):
         .sort(["conv_id", "touch_id"])
 
 
+def q_skyline_parts(sf_dir: str):
+    """Pareto skyline (stages/skyline.py skyline): parts not dominated
+    on (p_size max, name length max, p_retailprice min) — b dominates a
+    iff at-least-as-good everywhere and strictly better once; exact
+    duplicates all survive.  Two-phase distributed skyline (ICDE'01
+    block-nested-loop, distributed): every block keeps only its local
+    frontier (vectorized best-first lexsort + chunked archive sweep),
+    then the small candidate union merges in ONE block — dominated rows
+    die where they live, nothing corpus-sized moves.  Oracle = the
+    NOT EXISTS dominance definition."""
+    from ..stages.skyline import skyline
+
+    ds = _rd(sf_dir, "part",
+             columns=["p_partkey", "p_name", "p_size", "p_retailprice"])
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "p_name_len",
+            pc.cast(pc.utf8_length(t.column("p_name")), pa.int64()))
+
+    out = skyline(ds.map_batches(add_len, batch_format="pyarrow"),
+                  cols=["p_size", "p_name_len", "p_retailprice"],
+                  directions=["max", "max", "min"])
+    return out.map_batches(
+        lambda t: t.select(["p_partkey", "p_size", "p_name_len",
+                            "p_retailprice"]),
+        batch_format="pyarrow").sort("p_partkey")
+
+
+def q_attribution_time_decay(sf_dir: str):
+    """Time-decay multi-touch attribution (stages/attribution.py
+    attribute_weighted model="time_decay"): raw weight halves every
+    1-day bucket of lookback age (2**-(delta_us // day), INTEGER
+    exponent so raw weights, per-conversion sums and normalized shares
+    are float64-exact and order-independent), shares normalized per
+    conversion; unattributed purchases kept with null weight.  One
+    co-partition by user.  Oracle replays the identical
+    1.0/(1 << (delta//day)) rule + sum() OVER."""
+    from ..stages.attribution import attribute_weighted
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"])
+    out = attribute_weighted(ds, "purchase", ["view", "click", "signup"],
+                             window_us=7 * 86_400_000_000,
+                             model="time_decay",
+                             half_life_us=86_400_000_000)
+
+    def trim(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "user_id", "touch_id",
+                         "touch_type", "weight"])
+
+    return out.map_batches(trim, batch_format="pyarrow") \
+        .sort(["conv_id", "touch_id"])
+
+
+def q_attribution_position(sf_dir: str):
+    """Position-based (U-shaped) attribution (stages/attribution.py
+    attribute_weighted model="position"): touches ordered by
+    (touch_ts, touch_id) per conversion; k=1 -> 1.0, k=2 -> 0.5 each,
+    k>=3 -> 0.4 first + 0.4 last + 0.2/(k-2) middles; unattributed
+    purchases kept with null weight.  Oracle = row_number()/count()
+    OVER + the same CASE arithmetic."""
+    from ..stages.attribution import attribute_weighted
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"])
+    out = attribute_weighted(ds, "purchase", ["view", "click", "signup"],
+                             window_us=7 * 86_400_000_000,
+                             model="position")
+
+    def trim(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "user_id", "touch_id",
+                         "touch_type", "weight"])
+
+    return out.map_batches(trim, batch_format="pyarrow") \
+        .sort(["conv_id", "touch_id"])
+
+
 def q_doc_sentences(sf_dir: str):
     """Sentence segmentation (stages/textfilters.py split_sentences):
     explode documents into one row per sentence on the deterministic
@@ -7817,6 +7895,9 @@ def queries():
         "merged_user_intervals": q_merged_user_intervals,
         "heartbeat_gaps_events": q_heartbeat_gaps_events,
         "state_change_events": q_state_change_events,
+        "skyline_parts": q_skyline_parts,
+        "attribution_time_decay": q_attribution_time_decay,
+        "attribution_position": q_attribution_position,
     }
 
 
@@ -10856,4 +10937,83 @@ def oracle_sql():
                    sentence
             FROM trimmed WHERE length(sentence) >= 2
             ORDER BY doc_id, sent_idx""",
+        "skyline_parts": """
+            WITH p AS (
+              SELECT p_partkey, p_size,
+                     CAST(length(p_name) AS BIGINT) AS p_name_len,
+                     p_retailprice
+              FROM part)
+            SELECT p_partkey, p_size, p_name_len, p_retailprice
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.p_size >= a.p_size
+                AND b.p_name_len >= a.p_name_len
+                AND b.p_retailprice <= a.p_retailprice
+                AND (b.p_size > a.p_size
+                     OR b.p_name_len > a.p_name_len
+                     OR b.p_retailprice < a.p_retailprice))
+            ORDER BY p_partkey""",
+        "attribution_time_decay": """
+            WITH conv AS (
+              SELECT event_id AS conv_id, user_id, ts AS conv_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT event_id AS touch_id, user_id,
+                     event_type AS touch_type, ts AS touch_ts
+              FROM events
+              WHERE event_type IN ('view', 'click', 'signup')),
+            j AS (
+              SELECT c.conv_id, c.user_id, t.touch_id, t.touch_type,
+                     (epoch_us(c.conv_ts) - epoch_us(t.touch_ts))
+                       // 86400000000 AS n
+              FROM conv c JOIN t
+                ON t.user_id = c.user_id
+               AND t.touch_ts < c.conv_ts
+               AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+            r AS (
+              SELECT conv_id, user_id, touch_id, touch_type,
+                     1.0 / CAST(1 << CAST(n AS INTEGER) AS DOUBLE) AS raw
+              FROM j)
+            SELECT conv_id, user_id, touch_id, touch_type,
+                   raw / sum(raw) OVER (PARTITION BY conv_id) AS weight
+            FROM r
+            UNION ALL
+            SELECT c.conv_id, c.user_id, NULL, NULL, NULL
+            FROM conv c
+            WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id)
+            ORDER BY conv_id, touch_id""",
+        "attribution_position": """
+            WITH conv AS (
+              SELECT event_id AS conv_id, user_id, ts AS conv_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT event_id AS touch_id, user_id,
+                     event_type AS touch_type, ts AS touch_ts
+              FROM events
+              WHERE event_type IN ('view', 'click', 'signup')),
+            j AS (
+              SELECT c.conv_id, c.user_id, t.touch_id, t.touch_type,
+                     t.touch_ts
+              FROM conv c JOIN t
+                ON t.user_id = c.user_id
+               AND t.touch_ts < c.conv_ts
+               AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+            w AS (
+              SELECT conv_id, user_id, touch_id, touch_type,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY touch_ts, touch_id) AS pos,
+                     count(*) OVER (PARTITION BY conv_id) AS k
+              FROM j)
+            SELECT conv_id, user_id, touch_id, touch_type,
+                   CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+                        WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+                        WHEN pos = 1 OR pos = k THEN CAST(0.4 AS DOUBLE)
+                        ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS weight
+            FROM w
+            UNION ALL
+            SELECT c.conv_id, c.user_id, NULL, NULL, NULL
+            FROM conv c
+            WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id)
+            ORDER BY conv_id, touch_id""",
     }

@@ -110,6 +110,96 @@ def attribute_conversions(ds, conversion_type: str,
                                     n_buckets=n_buckets)
 
 
+def attribute_weighted(ds, conversion_type: str,
+                       touch_types: Sequence[str],
+                       window_us: int,
+                       model: str = "time_decay",
+                       half_life_us: int = 86_400_000_000,
+                       user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       n_buckets: int = 64):
+    """Weighted multi-touch attribution over the half-open lookback
+    [conv_ts - window, conv_ts); one row per (conversion, touch) pair,
+    unattributed conversions kept once with typed-null touch + weight.
+
+    - model="time_decay": raw weight 2**-(delta // half_life_us) —
+      halves every half-life BUCKET (integer exponent, so every raw
+      weight, their per-conversion sum, and the normalized share
+      weight = raw / sum are float64-EXACT and order-independent;
+      the identical integer-exponent rule replays in SQL as
+      ``1.0 / (1 << (delta_us // half_life))``).
+    - model="position" (U-shaped): touches ordered by (touch_ts,
+      touch_id); k=1 -> 1.0, k=2 -> 0.5 each, k>=3 -> first 0.4,
+      last 0.4, middles 0.2/(k-2).
+
+    Same ONE co-partition-by-user shape as `attribute_linear`; only
+    (user, ts, type, id) tuples shuffle."""
+    if model not in ("time_decay", "position"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    from .aggregate import bucketed_group_transform
+
+    touch_set = list(touch_types)
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(t.column(type_col), conversion_type),
+                   pc.is_in(t.column(type_col),
+                            value_set=pa.array(touch_set)))
+        return t.select([user_col, ts_col, type_col, id_col]).filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    out_cols = ["conv_id", user_col, "conv_ts",
+                "touch_id", "touch_type", "touch_ts", "weight"]
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        is_conv = g[type_col] == conversion_type
+        conv = g[is_conv].rename(
+            columns={id_col: "conv_id", ts_col: "conv_ts"}) \
+            .drop(columns=[type_col])
+        touch = g[~is_conv].rename(
+            columns={id_col: "touch_id", type_col: "touch_type",
+                     ts_col: "touch_ts"})
+        m = conv.merge(touch, on=user_col, how="inner")
+        tol = pd.Timedelta(window_us, unit="us")
+        in_win = (m["touch_ts"] < m["conv_ts"]) \
+            & (m["touch_ts"] >= m["conv_ts"] - tol)
+        mw = m[in_win].copy()
+        if model == "time_decay":
+            delta_us = (mw["conv_ts"].to_numpy(dtype="datetime64[us]")
+                        .astype(np.int64)
+                        - mw["touch_ts"].to_numpy(dtype="datetime64[us]")
+                        .astype(np.int64))
+            n = delta_us // half_life_us
+            raw = np.ldexp(1.0, -n.astype(np.int64))
+            mw["__raw"] = raw
+            s = mw.groupby("conv_id", sort=False)["__raw"].transform("sum")
+            mw["weight"] = mw["__raw"].to_numpy() / s.to_numpy()
+            mw = mw.drop(columns="__raw")
+        else:  # position
+            mw = mw.sort_values(["conv_id", "touch_ts", "touch_id"],
+                                kind="mergesort")
+            grp = mw.groupby("conv_id", sort=False)
+            k = grp["touch_id"].transform("size").to_numpy()
+            pos = grp.cumcount().to_numpy() + 1
+            w = np.where(k == 1, 1.0,
+                         np.where(k == 2, 0.5,
+                                  np.where((pos == 1) | (pos == k), 0.4,
+                                           0.2 / np.maximum(k - 2, 1))))
+            mw["weight"] = w
+        missing = conv[~conv["conv_id"].isin(mw["conv_id"])].copy()
+        missing["touch_id"] = pd.Series(dtype="Int64")
+        missing["touch_type"] = None
+        missing["touch_ts"] = pd.NaT
+        missing["weight"] = np.nan
+        out = pd.concat([mw, missing], ignore_index=True)
+        out["touch_id"] = out["touch_id"].astype("Int64")
+        return out[out_cols]
+
+    return bucketed_group_transform(pruned, [user_col], attribute,
+                                    n_buckets=n_buckets)
+
+
 def attribute_linear(ds, conversion_type: str,
                      touch_types: Sequence[str],
                      window_us: int,

@@ -127,3 +127,76 @@ def test_linear_window_bound_half_open():
                            window_us=100, n_buckets=2)
     rows = [(r["touch_id"], r["weight"]) for r in out.take_all()]
     assert rows == [(2, 1.0)]
+
+
+def test_time_decay_buckets_and_normalization():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_weighted,
+    )
+    # half-life 100us; touches at ages 50 (bucket 0), 150 (bucket 1),
+    # 250 (bucket 2) -> raw 1, 1/2, 1/4; sum 7/4 -> shares 4/7, 2/7, 1/7
+    t = _events([(1, 1, "view", 750), (2, 1, "view", 850),
+                 (3, 1, "view", 950), (4, 1, "purchase", 1000)])
+    out = attribute_weighted(rd.from_arrow(t), "purchase", ["view"],
+                             window_us=1000, model="time_decay",
+                             half_life_us=100, n_buckets=2)
+    rows = sorted((r["touch_id"], r["weight"]) for r in out.take_all())
+    assert rows == [(1, 1 / 7), (2, 2 / 7), (3, 4 / 7)]
+
+
+def test_time_decay_unattributed_null_row():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_weighted,
+    )
+    t = _events([(1, 9, "purchase", 1000)])
+    out = attribute_weighted(rd.from_arrow(t), "purchase", ["view"],
+                             window_us=1000, model="time_decay",
+                             half_life_us=100, n_buckets=2)
+    rows = [(r["conv_id"], r["touch_id"], r["weight"])
+            for r in out.take_all()]
+    assert rows == [(1, None, None)]
+
+
+def test_position_u_shape_weights():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_weighted,
+    )
+    # k=4 touches ordered by ts: 0.4, 0.1, 0.1, 0.4
+    t = _events([(1, 1, "view", 100), (2, 1, "click", 200),
+                 (3, 1, "view", 300), (4, 1, "click", 400),
+                 (5, 1, "purchase", 500)])
+    out = attribute_weighted(rd.from_arrow(t), "purchase",
+                             ["view", "click"], window_us=1000,
+                             model="position", n_buckets=2)
+    rows = sorted((r["touch_id"], r["weight"]) for r in out.take_all())
+    assert rows == [(1, 0.4), (2, 0.2 / 2), (3, 0.2 / 2), (4, 0.4)]
+
+
+def test_position_small_k_and_ties():
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_weighted,
+    )
+    # user 1: k=1 -> 1.0; user 2: k=2 -> 0.5/0.5; user 3: tie on ts,
+    # order falls back to touch_id (6 first, 7 last)
+    t = _events([(1, 1, "view", 100), (2, 1, "purchase", 200),
+                 (3, 2, "view", 100), (4, 2, "view", 150),
+                 (5, 2, "purchase", 200),
+                 (6, 3, "view", 100), (7, 3, "view", 100),
+                 (8, 3, "view", 120), (9, 3, "purchase", 200)])
+    out = attribute_weighted(rd.from_arrow(t), "purchase", ["view"],
+                             window_us=1000, model="position",
+                             n_buckets=2)
+    rows = sorted((r["conv_id"], r["touch_id"], r["weight"])
+                  for r in out.take_all())
+    assert rows == [(2, 1, 1.0), (5, 3, 0.5), (5, 4, 0.5),
+                    (9, 6, 0.4), (9, 7, 0.2), (9, 8, 0.4)]
+
+
+def test_weighted_rejects_unknown_model():
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_weighted,
+    )
+    with pytest.raises(ValueError):
+        attribute_weighted(None, "p", ["v"], 10, model="bogus")
