@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     "ab_conversion_ztest",
     "attribution_linear",
     "doc_sentences",
+    "skyline_parts",
+    "attribution_time_decay",
+    "attribution_position",
 ]
 
 

@@ -7629,12 +7629,70 @@ def q_doc_sentences(sf_dir: str):
 
 def queries():
     return {
-        # --- round-4 driver-verification window (the driver checks the
-        # FIRST 50 dict entries at sf0.01): the oracle-checked queries
-        # queued by rounds 2/3 that no driver window has seen yet
-        # (positions 1-39), padded with never-driver-seen rows-only /
-        # invariant entries (positions 40-50).  Round-2 and round-3
-        # green entries (CORRECTNESS_r02/r03.json) move to the tail.
+        # --- ROUND-5 DRIVER WINDOW (the driver oracle-checks the
+        # FIRST 50 dict entries at sf0.01).  All 50 are queries no
+        # driver CORRECTNESS window has ever recorded (99 such
+        # existed after r04; these 50 prioritize operator FAMILIES
+        # with zero driver history: skyline, multi-touch attribution,
+        # drift/audit stats, intervals, robust stats, CDC/SCD2,
+        # global sort, CIDR LPM, graph (pagerank/bfs/triangles),
+        # inverted index, q-digest/CMS/theta sketches, unigram LM,
+        # log templates, compaction, multimodal decode checks.  The
+        # families left out (TPC-H, OTLP roundtrips, gopher gate, ...)
+        # already have driver-green siblings from r02-r04 windows. ---
+        "skyline_parts": q_skyline_parts,
+        "attribution_time_decay": q_attribution_time_decay,
+        "attribution_position": q_attribution_position,
+        "attribution_linear": q_attribution_linear,
+        "attribution_last_touch": q_attribution_last_touch,
+        "attribution_first_touch": q_attribution_first_touch,
+        "metric_lerp_events": q_metric_lerp_events,
+        "value_psi_drift": q_value_psi_drift,
+        "benford_value_audit": q_benford_value_audit,
+        "ab_conversion_ztest": q_ab_conversion_ztest,
+        "doc_sentences": q_doc_sentences,
+        "merged_user_intervals": q_merged_user_intervals,
+        "heartbeat_gaps_events": q_heartbeat_gaps_events,
+        "state_change_events": q_state_change_events,
+        "global_sort_events": q_global_sort_events,
+        "cidr_route_counts": q_cidr_route_counts,
+        "scd2_point_in_time": q_scd2_point_in_time,
+        "mad_outlier_events": q_mad_outlier_events,
+        "event_mode_by_type": q_event_mode_by_type,
+        "log_new_templates": q_log_new_templates,
+        "user_event_diversity": q_user_event_diversity,
+        "doc_collocations": q_doc_collocations,
+        "frequent_part_pairs": q_frequent_part_pairs,
+        "compact_files_check": q_compact_files_check,
+        "bloom_join_revenue": q_bloom_join_revenue,
+        "ewma_anomaly_events": q_ewma_anomaly_events,
+        "theta_sketch_check": q_theta_sketch_check,
+        "log_templates": q_log_templates,
+        "alert_hysteresis_events": q_alert_hysteresis_events,
+        "cusum_change_events": q_cusum_change_events,
+        "table_diff_orders": q_table_diff_orders,
+        "scd2_customer_history": q_scd2_customer_history,
+        "profile_events": q_profile_events,
+        "triangle_parts": q_triangle_parts,
+        "pagerank_parts": q_pagerank_parts,
+        "bfs_hops_parts": q_bfs_hops_parts,
+        "inverted_token_stats": q_inverted_token_stats,
+        "phrase_search_counts": q_phrase_search_counts,
+        "boolean_search_docs": q_boolean_search_docs,
+        "qdigest_bound_check": q_qdigest_bound_check,
+        "audio_stft_check": q_audio_stft_check,
+        "zorder_layout": q_zorder_layout,
+        "cdc_merge_balances": q_cdc_merge_balances,
+        "cms_bound_check": q_cms_bound_check,
+        "unigram_lm_check": q_unigram_lm_check,
+        "entity_clusters": q_entity_clusters,
+        "fingerprint_check": q_fingerprint_check,
+        "image_decode_check": q_image_decode_check,
+        "audio_decode_check": q_audio_decode_check,
+        "video_decode_check": q_video_decode_check,
+        # --- end of the 50-entry round-5 window; remaining catalog
+        # in prior order (driver-green r02-r04 entries + the oracle-
+        # checked never-windowed tail the 50 slots could not fit) ---
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
         "match_all_route_counts": q_match_all_route_counts,
@@ -7675,14 +7733,6 @@ def queries():
         "recombine_capped": q_recombine_capped,
         "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
         "exp_to_explicit_hist": q_exp_to_explicit_hist,
-        # --- window positions 40-50: never-driver-seen entries.
-        # Rows-only ops whose internals ARE oracle-checkable enter via
-        # their invariant-promotion queries (ann_consistency_check runs
-        # the full knn_ivf/knn_lsh/knn_pq plans, bpe_roundtrip_check
-        # runs doc_bpe_tokens, decontam_bloom_check runs
-        # doc_decontaminate_bloom, hll_bound_check runs
-        # approx_distinct_users); the rest stay rows-only (no SQL
-        # oracle by nature, self-validating rows) ---
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
@@ -7694,8 +7744,6 @@ def queries():
         "image_dedup": q_image_dedup,
         "audio_pipeline": q_audio_pipeline,
         "multimodal_pipeline": q_multimodal_pipeline,
-        # --- end of the 50-entry round-4 window ---
-        # --- new this round (r05-window candidates) ---
         "filelog_multiline_counts": q_filelog_multiline_counts,
         "semdedup": q_semdedup,
         "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
@@ -7729,7 +7777,6 @@ def queries():
         "doc_gopher_gate": q_doc_gopher_gate,
         "doc_top_ngrams": q_doc_top_ngrams,
         "doc_fuzzy_new_vs_ref": q_doc_fuzzy_new_vs_ref,
-        # --- rows-only, driver-seen in earlier windows or queued ---
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -7742,7 +7789,6 @@ def queries():
         "approx_distinct_users": q_approx_distinct_users,
         "hard_negatives": q_hard_negatives,
         "kmeans_clusters": q_kmeans_clusters,
-        # --- round-3 driver-verified (green in CORRECTNESS_r03.json) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -7793,7 +7839,6 @@ def queries():
         "kmeans_assign": q_kmeans_assign,
         "funnel_stages": q_funnel_stages,
         "retention_weekly": q_retention_weekly,
-        # --- round-2 driver-verified (green in CORRECTNESS_r02.json) ---
         "parse_tool_logs": q_parse_tool_logs,
         "parse_failures": q_parse_failures,
         "route_counts": q_route_counts,
@@ -7847,57 +7892,7 @@ def queries():
         "doc_decontaminate_frac": q_doc_decontaminate_frac,
         "event_value_trend": q_event_value_trend,
         "doc_fuzzy_match_blocked": q_doc_fuzzy_match_blocked,
-        "video_decode_check": q_video_decode_check,
-        "image_decode_check": q_image_decode_check,
-        "audio_decode_check": q_audio_decode_check,
-        "fingerprint_check": q_fingerprint_check,
-        "entity_clusters": q_entity_clusters,
         "metric_resample": q_metric_resample,
-        "cms_bound_check": q_cms_bound_check,
-        "unigram_lm_check": q_unigram_lm_check,
-        "pagerank_parts": q_pagerank_parts,
-        "triangle_parts": q_triangle_parts,
-        "qdigest_bound_check": q_qdigest_bound_check,
-        "audio_stft_check": q_audio_stft_check,
-        "zorder_layout": q_zorder_layout,
-        "bfs_hops_parts": q_bfs_hops_parts,
-        "cdc_merge_balances": q_cdc_merge_balances,
-        "inverted_token_stats": q_inverted_token_stats,
-        "phrase_search_counts": q_phrase_search_counts,
-        "boolean_search_docs": q_boolean_search_docs,
-        "bloom_join_revenue": q_bloom_join_revenue,
-        "attribution_last_touch": q_attribution_last_touch,
-        "attribution_first_touch": q_attribution_first_touch,
-        "ewma_anomaly_events": q_ewma_anomaly_events,
-        "theta_sketch_check": q_theta_sketch_check,
-        "log_templates": q_log_templates,
-        "alert_hysteresis_events": q_alert_hysteresis_events,
-        "cusum_change_events": q_cusum_change_events,
-        "table_diff_orders": q_table_diff_orders,
-        "scd2_customer_history": q_scd2_customer_history,
-        "profile_events": q_profile_events,
-        "global_sort_events": q_global_sort_events,
-        "cidr_route_counts": q_cidr_route_counts,
-        "scd2_point_in_time": q_scd2_point_in_time,
-        "mad_outlier_events": q_mad_outlier_events,
-        "event_mode_by_type": q_event_mode_by_type,
-        "log_new_templates": q_log_new_templates,
-        "user_event_diversity": q_user_event_diversity,
-        "doc_collocations": q_doc_collocations,
-        "frequent_part_pairs": q_frequent_part_pairs,
-        "compact_files_check": q_compact_files_check,
-        "metric_lerp_events": q_metric_lerp_events,
-        "value_psi_drift": q_value_psi_drift,
-        "benford_value_audit": q_benford_value_audit,
-        "ab_conversion_ztest": q_ab_conversion_ztest,
-        "attribution_linear": q_attribution_linear,
-        "doc_sentences": q_doc_sentences,
-        "merged_user_intervals": q_merged_user_intervals,
-        "heartbeat_gaps_events": q_heartbeat_gaps_events,
-        "state_change_events": q_state_change_events,
-        "skyline_parts": q_skyline_parts,
-        "attribution_time_decay": q_attribution_time_decay,
-        "attribution_position": q_attribution_position,
     }
 
 

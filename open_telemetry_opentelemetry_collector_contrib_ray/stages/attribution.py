@@ -129,7 +129,12 @@ def attribute_weighted(ds, conversion_type: str,
       weight, their per-conversion sum, and the normalized share
       weight = raw / sum are float64-EXACT and order-independent;
       the identical integer-exponent rule replays in SQL as
-      ``1.0 / (1 << (delta_us // half_life))``).
+      ``1.0 / (1 << (delta_us // half_life))``).  Requires
+      ``window_us // half_life_us < 63``: past that the SQL BIGINT
+      shift overflows while np.ldexp merely underflows (and at
+      n >= 1075 every raw weight would hit 0.0, turning shares into
+      0/0 NaN), so the bound is VALIDATED here rather than letting
+      the two sides drift apart.
     - model="position" (U-shaped): touches ordered by (touch_ts,
       touch_id); k=1 -> 1.0, k=2 -> 0.5 each, k>=3 -> first 0.4,
       last 0.4, middles 0.2/(k-2).
@@ -138,6 +143,16 @@ def attribute_weighted(ds, conversion_type: str,
     (user, ts, type, id) tuples shuffle."""
     if model not in ("time_decay", "position"):
         raise ValueError(f"unknown attribution model: {model!r}")
+    if model == "time_decay":
+        if half_life_us <= 0:
+            raise ValueError(f"half_life_us must be > 0: {half_life_us}")
+        n_max = window_us // half_life_us
+        if n_max >= 63:
+            raise ValueError(
+                f"window_us // half_life_us = {n_max} >= 63: the "
+                "integer-exponent decay rule no longer replays as a "
+                "BIGINT shift (1 << n overflows) — use a larger "
+                "half_life or a smaller window")
     from .aggregate import bucketed_group_transform
 
     touch_set = list(touch_types)

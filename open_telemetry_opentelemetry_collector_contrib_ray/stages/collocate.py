@@ -20,10 +20,18 @@ text never shuffles); per-batch pair-count partials collapse
 occurrences to distinct pairs before the ONE bucketed exchange; the
 merged pair table is materialized ONCE (it is the aggregate, orders of
 magnitude smaller than the corpus), marginals reduce from it through
-kilobyte partials, and PMI attaches map-side from broadcast marginal
-dicts (vocabulary-sized, the token_df contract).  ``min_count`` prunes
-the OUTPUT only — marginals are computed over the full pair population
-first, matching the SQL definition.
+kilobyte partials, and PMI attaches map-side from ``ray.put``-broadcast
+sorted marginal arrays (put once, zero-copy read in every scoring
+task — never re-shipped per batch).  ``min_count`` prunes the OUTPUT
+only — marginals are SUMS over the full pair population, matching the
+SQL definition — but the marginal pull itself is min_count-pruned
+EXACTLY: a key whose full marginal is below ``min_count`` can never be
+a side of a surviving pair (the marginal includes that pair's own
+count), so dropping it changes no surviving PMI bit.  ``total`` (N) is
+reduced from the pair table directly, before any pruning.  A
+``max_marginals`` guard bounds driver/broadcast memory honestly —
+raise ``min_count`` for bigger corpora (the build_ngram_model
+contract, lmscore.py).
 """
 
 from __future__ import annotations
@@ -58,12 +66,49 @@ def _pair_partials(t: pa.Table, text_col: str, id_col: str,
         .rename_columns(["left", "right", "c"])
 
 
+def _marginal_arrays(counts, key_col: str, min_count: int,
+                     max_marginals: int):
+    """Distributed marginal pull: groupby-sum, the exact min_count
+    prune (see module docstring), a metadata-count guard, then ONE
+    driver gather into sorted (keys, vals) numpy arrays + ray.put."""
+    import ray
+
+    m = counts.groupby(key_col).sum("c")
+    if min_count > 1:
+        m = m.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(
+                t.column("sum(c)"), pa.scalar(min_count, pa.int64()))),
+            batch_format="pyarrow")
+    m = m.materialize()
+    n = m.count()
+    if n > max_marginals:
+        raise ValueError(
+            f"collocation {key_col!r} marginal table has {n} keys "
+            f"(> max_marginals={max_marginals}); raise min_count")
+    parts = [ray.get(r) for r in m.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if parts:
+        tbl = pa.concat_tables(parts)
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        vals = tbl.column("sum(c)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    else:
+        keys = np.array([], dtype=object)
+        vals = np.array([], dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    return ray.put((keys[order], np.ascontiguousarray(vals[order])))
+
+
 def collocations(ds, text_col: str = "text", id_col: str = "doc_id",
                  window: int = 3, min_count: int = 2,
-                 n_buckets: int = 32):
+                 n_buckets: int = 32, max_marginals: int = 5_000_000):
     """Mine windowed collocations (see module docstring).  Returns a
     Dataset of ``left, right, c, pmi`` for pairs with ``c >=
-    min_count`` (marginals over the full pair population)."""
+    min_count`` (marginals are full-population sums; keys whose full
+    marginal is below min_count are pruned from the broadcast — exact,
+    they cannot touch a surviving pair)."""
+    import ray
+
     from .aggregate import grouped_agg
 
     counts = grouped_agg(
@@ -73,24 +118,28 @@ def collocations(ds, text_col: str = "text", id_col: str = "doc_id",
         ["left", "right"], [("sum", "c", "c")], combine="bucket",
         n_buckets=n_buckets).materialize()
 
-    lm = counts.groupby("left").sum("c").to_pandas()
-    rm = counts.groupby("right").sum("c").to_pandas()
-    total = int(lm["sum(c)"].sum())
-    l_keys = lm["left"].to_numpy()
-    l_vals = lm["sum(c)"].to_numpy().astype(np.int64)
-    l_order = np.argsort(l_keys)
-    r_keys = rm["right"].to_numpy()
-    r_vals = rm["sum(c)"].to_numpy().astype(np.int64)
-    r_order = np.argsort(r_keys)
+    total = int(counts.sum("c") or 0)  # N over the FULL pair population
+    l_ref = _marginal_arrays(counts, "left", min_count, max_marginals)
+    r_ref = _marginal_arrays(counts, "right", min_count, max_marginals)
 
     def score(t: pa.Table) -> pa.Table:
         if min_count > 1:
             t = t.filter(pa.compute.greater_equal(
                 t.column("c"), pa.scalar(min_count, pa.int64())))
+        # zero-copy object-store reads after the first fetch per node
+        l_keys, l_vals = ray.get(l_ref)
+        r_keys, r_vals = ray.get(r_ref)
         lv = t.column("left").to_numpy(zero_copy_only=False)
         rv = t.column("right").to_numpy(zero_copy_only=False)
-        cl = l_vals[l_order[np.searchsorted(l_keys[l_order], lv)]]
-        cr = r_vals[r_order[np.searchsorted(r_keys[r_order], rv)]]
+        li = np.searchsorted(l_keys, lv)
+        ri = np.searchsorted(r_keys, rv)
+        # every surviving pair's keys must be present (the prune is
+        # exact by construction); verify rather than trust searchsorted
+        if len(lv) and (not (l_keys[np.minimum(li, len(l_keys) - 1)] == lv).all()
+                        or not (r_keys[np.minimum(ri, len(r_keys) - 1)] == rv).all()):
+            raise AssertionError("pruned marginal missing a surviving key")
+        cl = l_vals[li]
+        cr = r_vals[ri]
         c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
         pmi = np.log(c * float(total) / (cl.astype(np.float64) * cr))
         return t.append_column("pmi", pa.array(pmi, pa.float64()))

@@ -28,9 +28,11 @@ block-nested-loop phase distributed):
 
 The per-block kernel is exact and avoids O(n^2) memory: rows are
 lexsorted best-first (a dominator always sorts before its victims),
-then swept in chunks against the running frontier archive; chunk-vs-
-archive and chunk-vs-chunk dominance are numpy broadcast compares of
-size ``chunk x |archive| x d``.
+then swept in chunks against the running frontier archive; the archive
+axis is ALSO tiled, so every numpy broadcast temporary is at most
+``chunk x chunk x d`` bools (~12 MB at the defaults for d=3) no matter
+how large the archive grows — an anti-correlated input can make the
+archive millions of rows without inflating kernel memory.
 """
 
 from __future__ import annotations
@@ -56,12 +58,19 @@ def skyline_mask(X: np.ndarray, chunk: int = 2048) -> np.ndarray:
     for s in range(0, n, chunk):
         idx = order[s:s + chunk]
         C = X[idx]
-        if len(archive):
-            ge = (archive[None, :, :] >= C[:, None, :]).all(-1)
-            gt = (archive[None, :, :] > C[:, None, :]).any(-1)
-            dom = (ge & gt).any(1)
-        else:
-            dom = np.zeros(len(C), dtype=bool)
+        dom = np.zeros(len(C), dtype=bool)
+        # archive sweep, tiled along the archive axis: peak temporary is
+        # chunk x chunk x d regardless of archive size.  Rows already
+        # dominated drop out of later tiles' compares.
+        for a in range(0, len(archive), chunk):
+            alive = np.flatnonzero(~dom)
+            if not len(alive):
+                break
+            A = archive[a:a + chunk]
+            Ca = C[alive]
+            ge = (A[None, :, :] >= Ca[:, None, :]).all(-1)
+            gt = (A[None, :, :] > Ca[:, None, :]).any(-1)
+            dom[alive] |= (ge & gt).any(1)
         # intra-chunk: ge[i, j] <=> C[j] >= C[i] on all dims.  In the
         # best-first order a dominator always precedes its victim, and
         # transitivity makes checking against ALL chunk rows (even
@@ -106,16 +115,20 @@ def skyline(ds, cols: Sequence[str], directions: Sequence[str],
         return t.filter(pa.array(skyline_mask(_oriented(t, cols, directions),
                                               chunk=chunk)))
 
-    def merge(t: pa.Table) -> pa.Table:
-        if t.num_rows > max_candidates:
-            raise ValueError(
-                f"skyline candidate union has {t.num_rows} rows "
-                f"(> max_candidates={max_candidates}); the frontier is "
-                "too anti-correlated for a single-block merge")
-        return local(t)
-
-    cands = ds.map_batches(local, batch_format="pyarrow")
+    # Materialize the (small, already-pruned) local frontiers so the
+    # max_candidates guard can fire from block METADATA — before the
+    # repartition(1) would gather the oversized union into one block.
+    # The frontier lives in the (spillable) object store, never in a
+    # single worker heap, until the guard has passed.
+    cands = ds.map_batches(local, batch_format="pyarrow").materialize()
+    n_cand = cands.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"skyline candidate union has {n_cand} rows "
+            f"(> max_candidates={max_candidates}); the frontier is "
+            "too anti-correlated for a single-block merge")
     # batch_size=None = whole block; after repartition(1) the merge
-    # kernel sees the entire candidate union at once.
-    return cands.repartition(1).map_batches(merge, batch_format="pyarrow",
+    # kernel sees the entire candidate union at once (tiled internally,
+    # so kernel memory stays chunk x chunk x d).
+    return cands.repartition(1).map_batches(local, batch_format="pyarrow",
                                             batch_size=None)

@@ -157,6 +157,24 @@ def test_time_decay_unattributed_null_row():
     assert rows == [(1, None, None)]
 
 
+def test_time_decay_ratio_bound_validated():
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
+        attribute_weighted,
+    )
+    # window/half_life >= 63 would overflow the SQL BIGINT shift replay
+    # (and underflow to 0/0 NaN shares at n >= 1075): rejected eagerly
+    with pytest.raises(ValueError, match="63"):
+        attribute_weighted(None, "purchase", ["view"],
+                           window_us=63_000, model="time_decay",
+                           half_life_us=1_000)
+    with pytest.raises(ValueError, match="half_life_us"):
+        attribute_weighted(None, "purchase", ["view"],
+                           window_us=1000, model="time_decay",
+                           half_life_us=0)
+
+
 def test_position_u_shape_weights():
     from open_telemetry_opentelemetry_collector_contrib_ray.stages.attribution import (
         attribute_weighted,

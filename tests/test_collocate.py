@@ -45,3 +45,25 @@ def test_min_count_prunes_output_but_not_marginals():
 def test_case_folding_and_punct():
     got = _run(["Hello, WORLD!"], window=2, min_count=1)
     assert set(got) == {("hello", "world")}
+
+
+def test_pruned_marginals_bit_identical():
+    # corpus where the prune binds: 'q'/'z' sides have full marginals
+    # of 1 and are dropped from the broadcast.  The surviving PMI must
+    # be BIT-identical to the unpruned (min_count=1, filtered after)
+    # computation.
+    texts = ["a b", "a b", "a c", "q z", "b a", "b a", "c q"]
+    full = _run(texts, window=2, min_count=1)
+    pruned = _run(texts, window=2, min_count=2)
+    expect = {k: v for k, v in full.items() if v[0] >= 2}
+    assert set(pruned) == set(expect)
+    for k in expect:
+        assert pruned[k][0] == expect[k][0]
+        assert pruned[k][1] == expect[k][1]  # exact, not approx
+
+
+def test_max_marginals_guard():
+    import pytest
+
+    with pytest.raises(ValueError, match="max_marginals"):
+        _run(["a b c d e f g h"], window=2, min_count=1, max_marginals=3)

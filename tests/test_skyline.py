@@ -60,9 +60,22 @@ def test_skyline_max_candidates_guard():
         "b": pa.array(list(range(100, 0, -1)), pa.int64()),
     })
     ds = rd.from_arrow(t)
-    out = skyline(ds, ["a", "b"], ["max", "max"], max_candidates=10)
-    with pytest.raises(Exception):
-        out.take_all()
+    # the guard now fires from candidate-count metadata BEFORE the
+    # repartition(1) gather, i.e. eagerly inside skyline() itself
+    with pytest.raises(ValueError, match="max_candidates"):
+        skyline(ds, ["a", "b"], ["max", "max"], max_candidates=10)
+
+
+def test_mask_archive_tiling_anti_correlated():
+    # archive grows to ~n while chunk=16: forces many archive tiles and
+    # the early-break path; anti-correlated input keeps every row
+    n = 300
+    X = np.column_stack([np.arange(float(n)), -np.arange(float(n))])
+    assert skyline_mask(X, chunk=16).all()
+    # and a dominated tail dies across tile boundaries
+    Y = np.vstack([X, X - 1.0])
+    got = skyline_mask(Y, chunk=16)
+    assert got[:n].all() and not got[n:].any()
 
 
 def test_skyline_validates_args():
