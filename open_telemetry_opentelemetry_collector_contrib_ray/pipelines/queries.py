@@ -3264,11 +3264,16 @@ def q_doc_gopher_gate(sf_dir: str):
 
 def q_doc_line_dedup(sf_dir: str):
     """Corpus-wide exact line dedup, first occurrence wins (C4's
-    repeated-line rule).  Only (hash, doc_id, line_idx) triples shuffle;
-    the cut set broadcasts once (stages/textfilters.py dedup_lines)."""
+    repeated-line rule).  Only (hash, doc_id, line_idx) triples shuffle
+    (stages/textfilters.py dedup_lines).  Runs strategy="join" — the
+    co-partitioned cut-delivery scale path (cuts grouped per doc and
+    joined to the documents; nothing corpus-wide on the driver) — so
+    the oracle validates the 100 TB plan, not just the broadcast one;
+    a pytest pins broadcast-vs-join parity."""
     from ..stages.textfilters import dedup_lines
 
-    return dedup_lines(lambda: _plant_lines_ds(sf_dir)).sort("doc_id")
+    return dedup_lines(lambda: _plant_lines_ds(sf_dir),
+                       strategy="join").sort("doc_id")
 
 
 def q_doc_top_ngrams(sf_dir: str):

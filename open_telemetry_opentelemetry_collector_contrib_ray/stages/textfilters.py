@@ -395,9 +395,52 @@ class _LineDropper:
         return out.append_column("n_lines_kept", kept)
 
 
+class _JoinedLineDropper:
+    """_LineDropper over a joined ``__cut_lines`` list column instead of
+    the broadcast array pair (the co-partitioned scale path, the
+    substringdedup.JoinedSpanCutter idiom): each doc row arrives with
+    its OWN cut indices, so no task ever holds the corpus-wide cut
+    set — the 100 TB path when duplication is pervasive."""
+
+    def __init__(self, id_col: str, text_col: str, sep: str):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cut_col = batch.column("__cut_lines")
+        if isinstance(cut_col, pa.ChunkedArray):
+            cut_col = cut_col.combine_chunks()
+        batch = batch.drop_columns(["__cut_lines"])
+        n = batch.num_rows
+        nulls, lines = _split_lines(batch.column(self.text_col), self.sep)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        if n:
+            np.cumsum(counts[:-1], out=starts[1:])
+        total = int(counts.sum()) if n else 0
+        keep = np.ones(total, dtype=bool)
+        if n and total:
+            # null list rows (docs with no cuts) emit no parent indices
+            flat = pc.list_flatten(cut_col) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(flat):
+                rows = pc.list_parent_indices(cut_col) \
+                    .to_numpy(zero_copy_only=False)
+                ok = flat < counts[rows]
+                keep[starts[rows[ok]] + flat[ok]] = False
+        text, kept = _rebuild_text(lines, keep, n, self.sep, nulls)
+        idx = batch.column_names.index(self.text_col)
+        out = batch.set_column(idx, self.text_col, text)
+        return out.append_column("n_lines_kept", kept)
+
+
 def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
                 sep: str = "\n", n_buckets: int = 16,
-                driver_threshold: int = 5_000_000):
+                driver_threshold: int = 5_000_000,
+                strategy: str = "auto",
+                max_driver_cuts: int = 2_000_000):
     """Corpus-wide exact line dedup, first occurrence wins (C4 §2.2).
 
     `ds_factory()` must rebuild the doc Dataset (read twice: triples,
@@ -411,7 +454,17 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
     Below `driver_threshold` triples the keeper selection is ONE
     vectorized driver pass (no shuffle at all — the dedup_clusters /
     grouped_agg combine="driver" idiom); above it, a bucket exchange
-    keeps every worker's slice bounded."""
+    keeps every worker's slice bounded.
+
+    Cut DELIVERY follows the dedup_substrings contract:
+    strategy="auto" broadcasts the sorted cut arrays via ray.put while
+    the cut count is <= ``max_driver_cuts`` (cuts are O(duplicated
+    lines) — tiny at normal dup rates) and switches to the
+    co-partitioned join path past it; "broadcast"/"join" force a path.
+    The join path groups cut indices per doc (bucket exchange over
+    (doc_id, line_idx) pairs only) and delivers them to the doc rows
+    through ONE bucketed_hash_join — nothing corpus-wide ever sits on
+    the driver or in any single task."""
     import pandas as pd
     import ray
 
@@ -434,6 +487,7 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              "line_idx": g["line_idx"].to_numpy()})
 
+    cut_df = cut_ds = None
     if triples.count() <= driver_threshold:
         whole = pa.concat_tables(ray.get(triples.to_arrow_refs()))
         cut_df = cuts_in_bucket(whole.to_pandas())
@@ -448,11 +502,52 @@ def dedup_lines(ds_factory, id_col: str = "doc_id", text_col: str = "text",
         bucketed = triples.map_batches(add_bucket, batch_format="pyarrow") \
             .repartition(n_buckets)
         cut_ds = bucketed.groupby("__bucket") \
-            .map_groups(arrow_out(cuts_in_bucket), batch_format="pandas")
+            .map_groups(arrow_out(cuts_in_bucket), batch_format="pandas") \
+            .materialize()
+
+    if strategy == "auto":
+        n_cuts = len(cut_df) if cut_df is not None else cut_ds.count()
+        strategy = "broadcast" if n_cuts <= max_driver_cuts else "join"
+
+    if strategy == "join":
+        import ray.data as rd
+
+        from .join import bucketed_hash_join
+        from .sample import bucket_column
+
+        if cut_ds is None:
+            cut_ds = rd.from_arrow(pa.Table.from_pandas(
+                cut_df, preserve_index=False))
+
+        def add_b(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__bucket", bucket_column(t, n_buckets, [id_col]))
+
+        # global per-doc grouping (bucket exchange: one doc's cuts can
+        # span emit batches, so per-batch grouping would hand the join
+        # multiple list rows for one doc)
+        def group_doc(t: pa.Table) -> pa.Table:
+            t = t.select([id_col, "line_idx"])
+            g = t.group_by([id_col]).aggregate([("line_idx", "list")])
+            return pa.table({id_col: g.column(id_col),
+                             "__cut_lines": g.column("line_idx_list")})
+
+        cuts = cut_ds.map_batches(add_b, batch_format="pyarrow") \
+            .repartition(n_buckets) \
+            .groupby("__bucket").map_groups(group_doc,
+                                            batch_format="pyarrow")
+        joined = bucketed_hash_join(ds_factory(), cuts, on=[id_col],
+                                    how="left", n_buckets=n_buckets)
+        return joined.map_batches(
+            _JoinedLineDropper(id_col=id_col, text_col=text_col, sep=sep),
+            batch_format="pyarrow")
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if cut_df is None:
         cut_df = pa.concat_tables(
             [t.select([id_col, "line_idx"])
-             for t in ray.get(cut_ds.materialize().to_arrow_refs())]) \
-            .to_pandas()
+             for t in ray.get(cut_ds.to_arrow_refs())]).to_pandas()
     cd = cut_df[id_col].to_numpy()  # int64 for the test corpus; any
     # comparable dtype works (searchsorted/lexsort are generic)
     ci = cut_df["line_idx"].to_numpy().astype(np.int64)

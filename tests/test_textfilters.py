@@ -97,6 +97,47 @@ def test_dedup_lines_idempotent():
     assert list(again["text"]) == list(exp["text"])
 
 
+def test_dedup_lines_join_matches_broadcast():
+    # cut delivery parity: the co-partitioned join path must produce
+    # byte-identical text and counts to the broadcast path, including
+    # docs with no cuts (null list rows after the left join) and
+    # within-doc duplicates
+    texts = ["shared footer\nalpha\nshared footer",
+             "beta\nshared footer",
+             "no dups here at all",
+             "\n\n",
+             "gamma\nshared footer\ngamma"]
+    tbl = _tbl(texts)
+
+    def run(strategy):
+        return dedup_lines(lambda: ray.data.from_arrow(tbl),
+                           strategy=strategy, n_buckets=3) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    b, j = run("broadcast"), run("join")
+    assert list(b.columns) == list(j.columns)
+    assert list(b["text"]) == list(j["text"])
+    assert list(b["n_lines_kept"]) == list(j["n_lines_kept"])
+
+
+def test_dedup_lines_join_forced_from_driver_branch():
+    # strategy="join" with triples under driver_threshold: the driver
+    # cut frame is lifted back into a Dataset and delivered by join
+    texts = ["dup\nx", "dup\ny"]
+    out = dedup_lines(lambda: ray.data.from_arrow(_tbl(texts)),
+                      strategy="join") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["text"]) == ["dup\nx", "y"]
+
+
+def test_dedup_lines_unknown_strategy():
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        dedup_lines(lambda: ray.data.from_arrow(_tbl(["a"])),
+                    strategy="bogus")
+
+
 def test_text_normalizer_nfc_lower_ws():
     import unicodedata
 
