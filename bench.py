@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "skyline_parts",
     "attribution_time_decay",
     "attribution_position",
+    "tcp_replay_counts",
 ]
 
 

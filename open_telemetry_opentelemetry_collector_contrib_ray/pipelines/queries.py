@@ -736,6 +736,42 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_tcp_replay_counts(sf_dir: str):
+    """tcpreceiver / stanza tcp input seam (reference
+    pkg/stanza/operator/input/tcp/input.go; testbed tcp-batch-100
+    scenario): the SAME fixture lines the filelog query reads are
+    replayed through a localhost TCP socket in 100-line sends
+    (sources/push.py serve_lines_tcp), drained by the bounded
+    read_tcp_log ingest, and fed to the identical stanza parse DAG —
+    proving push ingest and file ingest are the same seam.  The oracle
+    reads the fixture files directly, so a green run pins the socket
+    path byte-for-byte to the file path."""
+    from ..sources.push import read_tcp_log, serve_lines_tcp
+    from ..sources.textlog import synth_log_file
+    from ..stages.parse import RegexParser, SeverityParser
+
+    log_dir = synth_log_file()
+    lines = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".log"):
+            with open(os.path.join(log_dir, f)) as fh:
+                lines.extend(fh.read().splitlines())
+    port, stop = serve_lines_tcp(lines, batch=100)
+    try:
+        ds = read_tcp_log("127.0.0.1", port)
+    finally:
+        stop.set()
+    parser = RegexParser(
+        r"^(?P<log_ts>\S+) (?P<level>[A-Z]+) tool=(?P<tool_name>\w+) "
+        r"status=(?P<status>\w+) latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$")
+    ds = ds.map_batches(parser, batch_format="pyarrow")
+    ds = ds.map_batches(SeverityParser(parse_from="attr_level"),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage("not (parse_failure == true)"),
+                        batch_format="pyarrow")
+    return grouped_count(ds, ["severity_text"], alias="n")
+
+
 def q_otlp_metrics_proto_roundtrip(sf_dir: str):
     """fileexporter `format: proto` for METRICS end-to-end: a
     deterministic flat metric table (one Gauge datapoint + one
@@ -7694,10 +7730,11 @@ def queries():
         "fingerprint_check": q_fingerprint_check,
         "image_decode_check": q_image_decode_check,
         "audio_decode_check": q_audio_decode_check,
-        "video_decode_check": q_video_decode_check,
+        "tcp_replay_counts": q_tcp_replay_counts,
         # --- end of the 50-entry round-5 window; remaining catalog
         # in prior order (driver-green r02-r04 entries + the oracle-
         # checked never-windowed tail the 50 slots could not fit) ---
+        "video_decode_check": q_video_decode_check,
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
         "match_all_route_counts": q_match_all_route_counts,
@@ -8743,6 +8780,19 @@ def oracle_sql():
                    CAST(sum(n_lines) AS BIGINT) AS total_lines
             FROM agg GROUP BY 1 ORDER BY 1""".replace("<SOH>", "\x01"),
         "filelog_severity_counts": f"""
+            WITH lines AS (
+              SELECT text FROM read_csv('/tmp/graft_textlogs/n5000-s21/*.log',
+                     columns={{'text': 'VARCHAR'}}, delim='\x01', header=false, quote='')),
+            parsed AS (
+              SELECT upper(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 2)) AS lvl
+              FROM lines WHERE regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT CASE lvl WHEN 'TRACE' THEN 'TRACE' WHEN 'DEBUG' THEN 'DEBUG'
+                        WHEN 'INFO' THEN 'INFO' WHEN 'WARN' THEN 'WARN'
+                        WHEN 'ERROR' THEN 'ERROR' WHEN 'FATAL' THEN 'FATAL' END
+                     AS severity_text,
+                   count(*) AS n
+            FROM parsed GROUP BY 1""",
+        "tcp_replay_counts": f"""
             WITH lines AS (
               SELECT text FROM read_csv('/tmp/graft_textlogs/n5000-s21/*.log',
                      columns={{'text': 'VARCHAR'}}, delim='\x01', header=false, quote='')),

@@ -1,0 +1,151 @@
+"""Bounded push-ingest seam: TCP log replay (stanza tcp input analog).
+
+Reference: pkg/stanza/operator/input/tcp/input.go:130-196 — one
+scanner per connection, newline splitFunc, handleMessage building one
+entry per token, optional ``add_attributes`` stamping net.transport /
+net.peer.* / net.host.* — and the testbed ``tcp-batch-100`` scenario
+(testbed/tests/log_test.go:152-158, datasenders.NewTCPUDPWriter with
+100 lines per send).
+
+A collector's TCP input is a LIVE unbounded push source; a batch
+engine exposes the same seam as a BOUNDED replay: drain one socket
+stream to EOF (or ``max_records``), split exactly like the stanza
+newline splitFunc (strip one trailing ``\\r``; the trailing
+unterminated partial IS emitted at EOF, matching bufio.Scanner), stamp
+the net.* attributes, and hand the rows to the same downstream stanza
+step DAG the file sources feed.  The socket drain is inherently one
+sequential stream — exactly the reference's model (one goroutine per
+connection) — so the driver accepts the bytes and emits block-sized
+Arrow tables; parallelism starts at the first map_batches after
+ingest.  At scale the fan-in is many sockets -> many bounded replay
+datasets unioned, one per listener, each a few MB of Arrow before the
+first stage.
+
+``serve_lines_tcp`` is the in-sandbox stand-in for the remote sender
+(the TCPUDPWriter side of the testbed scenario): a localhost replay
+server that writes the fixture lines in ``batch``-line sends.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from collections.abc import Sequence
+
+import pyarrow as pa
+
+_DEFAULT_BLOCK_LINES = 65_536
+
+
+def serve_lines_tcp(lines: Sequence[str], batch: int = 100,
+                    host: str = "127.0.0.1") -> tuple[int, threading.Event]:
+    """Start a localhost replay server on an ephemeral port: every
+    connection receives ``lines`` newline-terminated in ``batch``-line
+    sends (the testbed TCPUDPWriter shape), then the connection closes.
+    Returns ``(port, stop_event)``; set the event to stop serving."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, 0))
+    srv.listen(4)
+    srv.settimeout(0.2)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+    payloads = [("\n".join(lines[i:i + batch]) + "\n").encode("utf-8")
+                for i in range(0, len(lines), batch)]
+
+    def run():
+        try:
+            while not stop.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
+                with conn:
+                    for p in payloads:
+                        conn.sendall(p)
+        finally:
+            srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return port, stop
+
+
+def _split_stream(buf: str) -> tuple[list[str], str]:
+    """Split completed newline tokens off ``buf`` (one trailing \\r
+    stripped per token — split.go NewlineSplitFunc); returns (tokens,
+    remaining partial)."""
+    if "\n" not in buf:
+        return [], buf
+    head, _, rest = buf.rpartition("\n")
+    toks = head.split("\n")
+    return [t[:-1] if t.endswith("\r") else t for t in toks], rest
+
+
+def read_tcp_log(host: str, port: int, max_records: int | None = None,
+                 add_attributes: bool = False, encoding: str = "utf-8",
+                 timeout: float = 30.0,
+                 block_lines: int = _DEFAULT_BLOCK_LINES):
+    """Bounded TCP ingest: connect, drain to EOF (or ``max_records``
+    entries), return a ``ray.data.Dataset`` with one ``text`` row per
+    log entry — the schema ``read_log_lines`` emits, so the same stanza
+    step DAG runs downstream unchanged.
+
+    ``add_attributes=True`` appends the input.go:174-190 net.* columns
+    (transport, peer ip/port, host ip/port; ports as STRINGS, matching
+    the reference's strconv.FormatInt attributes).  Rows accumulate in
+    ``block_lines``-sized Arrow tables so a large replay becomes many
+    blocks, not one."""
+    import ray.data as rd
+
+    sock = socket.create_connection((host, port), timeout=timeout)
+    peer_ip, peer_port = sock.getpeername()[:2]
+    host_ip, host_port = sock.getsockname()[:2]
+    tables: list[pa.Table] = []
+    rows: list[str] = []
+    done = False
+
+    def flush():
+        tables.append(pa.table({"text": pa.array(rows, pa.string())}))
+        rows.clear()
+
+    try:
+        partial = ""
+        while not done:
+            data = sock.recv(1 << 16)
+            if not data:
+                break
+            toks, partial = _split_stream(partial + data.decode(encoding))
+            for t in toks:
+                rows.append(t)
+                if max_records is not None \
+                        and sum(x.num_rows for x in tables) + len(rows) \
+                        >= max_records:
+                    done = True
+                    break
+                if len(rows) >= block_lines:
+                    flush()
+        # EOF flush: the unterminated trailing partial is an entry
+        # (bufio.Scanner's final token), unless the record cap hit first
+        if not done and partial:
+            rows.append(partial)
+    finally:
+        sock.close()
+    if rows or not tables:
+        flush()
+
+    if add_attributes:
+        attrs = {"net.transport": "IP.TCP",
+                 "net.peer.ip": str(peer_ip),
+                 "net.peer.port": str(peer_port),
+                 "net.peer.name": str(peer_ip),
+                 "net.host.ip": str(host_ip),
+                 "net.host.port": str(host_port),
+                 "net.host.name": str(host_ip)}
+        out = []
+        for t in tables:
+            for k, v in attrs.items():
+                t = t.append_column(k, pa.array([v] * t.num_rows,
+                                                pa.string()))
+            out.append(t)
+        tables = out
+    return rd.from_arrow(tables)

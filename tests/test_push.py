@@ -1,0 +1,88 @@
+import pyarrow as pa
+
+from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+    _split_stream,
+    read_tcp_log,
+    serve_lines_tcp,
+)
+
+
+def test_split_stream_newline_semantics():
+    toks, rest = _split_stream("a\r\nb\nc")
+    assert toks == ["a", "b"] and rest == "c"
+    toks, rest = _split_stream("no newline yet")
+    assert toks == [] and rest == "no newline yet"
+    toks, rest = _split_stream("x\n")
+    assert toks == ["x"] and rest == ""
+
+
+def test_tcp_replay_roundtrip_batch100():
+    # the testbed tcp-batch-100 shape: 250 lines sent 100 per write;
+    # the bounded reader must recover every line in order
+    lines = [f"line-{i:04d} payload" for i in range(250)]
+    port, stop = serve_lines_tcp(lines, batch=100)
+    try:
+        ds = read_tcp_log("127.0.0.1", port, block_lines=64)
+        got = [r["text"] for r in ds.take_all()]
+    finally:
+        stop.set()
+    assert got == lines
+
+
+def test_tcp_replay_max_records_and_attributes():
+    lines = ["a", "b", "c", "d"]
+    port, stop = serve_lines_tcp(lines, batch=1)
+    try:
+        ds = read_tcp_log("127.0.0.1", port, max_records=2,
+                          add_attributes=True)
+        rows = ds.take_all()
+    finally:
+        stop.set()
+    assert [r["text"] for r in rows] == ["a", "b"]
+    # net.* attribute columns per input.go:174-190 (ports as strings)
+    assert rows[0]["net.transport"] == "IP.TCP"
+    assert rows[0]["net.peer.ip"] == "127.0.0.1"
+    assert rows[0]["net.peer.port"] == str(port)
+    assert rows[0]["net.host.port"].isdigit()
+
+
+def test_tcp_replay_trailing_partial_emitted():
+    # an unterminated final token is an entry (bufio.Scanner EOF flush)
+    port, stop = serve_lines_tcp(["full"], batch=1)
+    stop.set()  # replace with a raw one-shot server for the partial
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    p = srv.getsockname()[1]
+
+    def run():
+        conn, _ = srv.accept()
+        conn.sendall(b"first\nsecond-no-newline")
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    ds = read_tcp_log("127.0.0.1", p)
+    assert [r["text"] for r in ds.take_all()] == ["first",
+                                                  "second-no-newline"]
+
+
+def test_tcp_replay_feeds_parse_dag():
+    # the seam: replayed rows run the same stanza step DAG as file input
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        RegexParser,
+    )
+
+    lines = ["ts=1 level=ERROR msg=boom", "ts=2 level=INFO msg=ok"]
+    port, stop = serve_lines_tcp(lines, batch=100)
+    try:
+        ds = read_tcp_log("127.0.0.1", port)
+        parser = RegexParser(
+            r"^ts=(?P<ts>\d+) level=(?P<level>[A-Z]+) msg=(?P<msg>\w+)$")
+        out = ds.map_batches(parser, batch_format="pyarrow").to_pandas()
+    finally:
+        stop.set()
+    assert list(out["attr_level"]) == ["ERROR", "INFO"]
