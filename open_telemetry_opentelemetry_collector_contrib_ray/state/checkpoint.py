@@ -40,36 +40,52 @@ def run_resumable(
     out_root: str,
     run_shard: Callable[[list[str], str], dict],
     n_shards: int = 16,
+    store=None,
 ) -> dict:
     """Process shards, skipping completed ones.
 
     run_shard(input_files, tmp_out_dir) -> stats dict; it must write its
     output under tmp_out_dir.  On return the shard dir is atomically
     renamed into place and the manifest written.  Returns run summary.
-    """
+
+    ``store``: optional ``state.dbstorage.DbStorage`` — the dbstorage-
+    extension analog.  When given, shard manifests are ALSO recorded
+    under key ``shard=<id>`` in the sqlite file and completion is
+    decided from the store (a missing/mismatching store entry reruns
+    the shard even if a directory manifest exists — single source of
+    truth, like swapping the collector's file_storage for dbstorage).
+    The store entry is written AFTER the atomic rename, so a crash
+    between the two reruns the shard idempotently."""
     os.makedirs(out_root, exist_ok=True)
     shards = shard_inputs(files, n_shards)
     summary = {"shards_total": len(shards), "shards_skipped": 0, "shards_run": 0,
                "stats": []}
     for sid, shard_files in enumerate(shards):
         final_dir = os.path.join(out_root, f"shard={sid:05d}")
-        if os.path.exists(_manifest_path(final_dir)):
+        if store is not None:
+            prev = store.get_json(f"shard={sid:05d}") or {}
+        else:
+            prev = {}
+            if os.path.exists(_manifest_path(final_dir)):
+                try:
+                    with open(_manifest_path(final_dir)) as f:
+                        prev = json.load(f)
+                except (OSError, ValueError):
+                    prev = {}
+        if prev:
             # a manifest proves SOME run completed this shard id — only
             # skip if it covered the SAME input files (file list or
             # n_shards changes remap shard ids; stale outputs must rerun)
-            try:
-                with open(_manifest_path(final_dir)) as f:
-                    prev = json.load(f)
-            except (OSError, ValueError):
-                prev = {}
-            if prev.get("input_files") == list(shard_files):
+            if prev.get("input_files") == list(shard_files) \
+                    and os.path.exists(_manifest_path(final_dir)):
                 summary["shards_skipped"] += 1
                 continue
             import warnings
 
             warnings.warn(
-                f"shard {sid}: manifest input_files mismatch "
-                f"(inputs or n_shards changed) — rerunning", stacklevel=2)
+                f"shard {sid}: manifest input_files mismatch or missing "
+                f"output (inputs or n_shards changed) — rerunning",
+                stacklevel=2)
         shutil.rmtree(final_dir, ignore_errors=True)  # partial leftovers
         tmp_dir = os.path.join(out_root, f".tmp-shard={sid:05d}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -85,6 +101,8 @@ def run_resumable(
         with open(os.path.join(tmp_dir, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
         os.rename(tmp_dir, final_dir)
+        if store is not None:
+            store.set_json(f"shard={sid:05d}", manifest)
         summary["shards_run"] += 1
         summary["stats"].append(manifest)
     return summary
