@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "filelog_multiline_counts",
     "semdedup",
     "knn_lsh",
+    "knn_lsh_production",
     "otlp_proto_roundtrip",
     "otlp_metrics_proto_roundtrip",
     "otlp_hist_proto_roundtrip",
@@ -212,6 +213,8 @@ BENCH_QUERIES = [
     "attribution_time_decay",
     "attribution_position",
     "tcp_replay_counts",
+    "udp_replay_counts",
+    "exp_histogram_scale2",
 ]
 
 
@@ -312,6 +315,27 @@ def run_headline() -> dict:
             "compute_turns_per_sec": n_turns / compute_sec}
 
 
+def _knn_lsh_production(sf_dir: str):
+    """The knn_lsh PRODUCTION path alone (lsh_topk, no in-plan
+    brute-force self-validation) — benched separately so the catalog
+    row's invariant pass doesn't read as a pipeline regression
+    (the r3->r4 knn_lsh delta was the verify pass, not the operator)."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.queries import (
+        _embedding_queries,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.similarity import (
+        lsh_topk,
+    )
+
+    queries, ds = _embedding_queries(sf_dir)
+    return lsh_topk(ds, queries, k=5, n_bits=8, n_tables=16,
+                    exclude_ids={0, 1, 2})
+
+
+# bench-only rows that are not catalog queries (production-path splits)
+EXTRA_BENCH = {"knn_lsh_production": _knn_lsh_production}
+
+
 def run_queries() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as e
@@ -319,8 +343,9 @@ def run_queries() -> dict:
     qs = e.queries()
     out = {}
     for name in BENCH_QUERIES:
+        fn = qs.get(name) or EXTRA_BENCH[name]
         t0 = time.perf_counter()
-        _consume(qs[name](SF_DIR))
+        _consume(fn(SF_DIR))
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

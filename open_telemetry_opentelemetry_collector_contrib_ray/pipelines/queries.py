@@ -362,6 +362,26 @@ def q_exp_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_exp_histogram_scale2(sf_dir: str):
+    """spanmetrics exponential histogram at NONZERO scale (scale=2,
+    base = 2^(1/4) — 4 subbuckets per power of two): the stage maps via
+    the OTel spec's logarithm-free exact subbucket method (frexp +
+    searchsorted over the 2^scale precomputed boundaries,
+    stages/aggregate.py exp_histogram_agg), while the oracle replays
+    the naive ceil(log2(v)*4)-1 rule in SQL — a green run pins the two
+    mappings equal over the corpus domain (a pytest pins them equal
+    exhaustively to 1M)."""
+    from ..stages.aggregate import exp_histogram_agg
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    return exp_histogram_agg(ds, ["attr_tool_name"], "attr_latency_ms",
+                             scale=2, alias="n").map_batches(
+        lambda t: t.rename_columns(["tool_name", "bucket", "n"]),
+        batch_format="pyarrow")
+
+
 def q_exp_to_explicit_hist(sf_dir: str):
     """convert_exponential_hist_to_explicit_hist (upper distribution,
     func_convert_exponential_hist_to_explicit_hist.go): spanmetrics
@@ -761,6 +781,42 @@ def q_tcp_replay_counts(sf_dir: str):
         ds = read_tcp_log("127.0.0.1", port)
     finally:
         stop.set()
+    parser = RegexParser(
+        r"^(?P<log_ts>\S+) (?P<level>[A-Z]+) tool=(?P<tool_name>\w+) "
+        r"status=(?P<status>\w+) latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$")
+    ds = ds.map_batches(parser, batch_format="pyarrow")
+    ds = ds.map_batches(SeverityParser(parse_from="attr_level"),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage("not (parse_failure == true)"),
+                        batch_format="pyarrow")
+    return grouped_count(ds, ["severity_text"], alias="n")
+
+
+def q_udp_replay_counts(sf_dir: str):
+    """udpreceiver / stanza udp input seam (reference
+    pkg/stanza/operator/input/udp/input.go; testbed syslog-udp-batch-100
+    shape): the filelog fixture lines replayed as 100-line datagrams
+    into the bounded read_udp_log listener (packet boundary flushes the
+    tail token), then the identical parse DAG.  Oracle reads the same
+    files — datagram path pinned to the file path."""
+    import threading
+
+    from ..sources.push import read_udp_log, send_lines_udp
+    from ..sources.textlog import synth_log_file
+    from ..stages.parse import RegexParser, SeverityParser
+
+    log_dir = synth_log_file()
+    lines = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".log"):
+            with open(os.path.join(log_dir, f)) as fh:
+                lines.extend(fh.read().splitlines())
+
+    def sender(port):
+        threading.Thread(target=send_lines_udp, args=(lines, port),
+                         kwargs={"batch": 100}, daemon=True).start()
+
+    ds = read_udp_log(max_records=len(lines), on_ready=sender)
     parser = RegexParser(
         r"^(?P<log_ts>\S+) (?P<level>[A-Z]+) tool=(?P<tool_name>\w+) "
         r"status=(?P<status>\w+) latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$")
@@ -7735,6 +7791,7 @@ def queries():
         # in prior order (driver-green r02-r04 entries + the oracle-
         # checked never-windowed tail the 50 slots could not fit) ---
         "video_decode_check": q_video_decode_check,
+        "udp_replay_counts": q_udp_replay_counts,
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
         "match_all_route_counts": q_match_all_route_counts,
@@ -7898,6 +7955,7 @@ def queries():
         "tool_category_counts": q_tool_category_counts,
         "latency_histogram": q_latency_histogram,
         "exp_histogram": q_exp_histogram,
+        "exp_histogram_scale2": q_exp_histogram_scale2,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8261,6 +8319,18 @@ def oracle_sql():
                    CAST(CASE WHEN lat <= 0 THEN NULL
                              WHEN lat = 1 THEN -1
                              ELSE length(bin(lat - 1)) - 1 END AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM parsed GROUP BY 1, 2""",
+        "exp_histogram_scale2": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT tool_name,
+                   CAST(CASE WHEN lat <= 0 THEN NULL
+                             ELSE CAST(ceil(log2(CAST(lat AS DOUBLE)) * 4.0) AS BIGINT) - 1
+                        END AS BIGINT) AS bucket,
                    count(*) AS n
             FROM parsed GROUP BY 1, 2""",
         "exp_to_explicit_hist": f"""
@@ -8793,6 +8863,19 @@ def oracle_sql():
                    count(*) AS n
             FROM parsed GROUP BY 1""",
         "tcp_replay_counts": f"""
+            WITH lines AS (
+              SELECT text FROM read_csv('/tmp/graft_textlogs/n5000-s21/*.log',
+                     columns={{'text': 'VARCHAR'}}, delim='\x01', header=false, quote='')),
+            parsed AS (
+              SELECT upper(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 2)) AS lvl
+              FROM lines WHERE regexp_matches(text, '{TOOL_LINE_SQL_PAT}'))
+            SELECT CASE lvl WHEN 'TRACE' THEN 'TRACE' WHEN 'DEBUG' THEN 'DEBUG'
+                        WHEN 'INFO' THEN 'INFO' WHEN 'WARN' THEN 'WARN'
+                        WHEN 'ERROR' THEN 'ERROR' WHEN 'FATAL' THEN 'FATAL' END
+                     AS severity_text,
+                   count(*) AS n
+            FROM parsed GROUP BY 1""",
+        "udp_replay_counts": f"""
             WITH lines AS (
               SELECT text FROM read_csv('/tmp/graft_textlogs/n5000-s21/*.log',
                      columns={{'text': 'VARCHAR'}}, delim='\x01', header=false, quote='')),

@@ -81,6 +81,65 @@ def _split_stream(buf: str) -> tuple[list[str], str]:
     return [t[:-1] if t.endswith("\r") else t for t in toks], rest
 
 
+def _drain_stream(read_chunk, max_records: int | None, block_lines: int,
+                  encoding: str) -> list[pa.Table]:
+    """Drain a byte stream (socket/FIFO) to EOF or ``max_records``
+    entries with NewlineSplitFunc semantics; the unterminated trailing
+    partial is an entry (bufio.Scanner's EOF token) unless the cap hit
+    first.  Returns block-sized Arrow tables (at least one)."""
+    tables: list[pa.Table] = []
+    rows: list[str] = []
+    done = False
+
+    def flush():
+        tables.append(pa.table({"text": pa.array(rows, pa.string())}))
+        rows.clear()
+
+    partial = ""
+    while not done:
+        data = read_chunk()
+        if not data:
+            break
+        toks, partial = _split_stream(partial + data.decode(encoding))
+        for t in toks:
+            rows.append(t)
+            if max_records is not None \
+                    and sum(x.num_rows for x in tables) + len(rows) \
+                    >= max_records:
+                done = True
+                break
+            if len(rows) >= block_lines:
+                flush()
+    if not done and partial:
+        rows.append(partial)
+    if rows or not tables:
+        flush()
+    return tables
+
+
+def read_namedpipe_log(path: str, max_records: int | None = None,
+                       encoding: str = "utf-8", create: bool = True,
+                       mode: int = 0o622,
+                       block_lines: int = _DEFAULT_BLOCK_LINES):
+    """stanza namedpipe input analog (reference
+    pkg/stanza/operator/input/namedpipe/input.go — mkfifo with the
+    configured mode, then consume the pipe like a file stream): create
+    the FIFO if absent, block until a writer connects, drain to the
+    writer's EOF (or ``max_records``) with the same NewlineSplitFunc
+    semantics as the tcp/udp seams, return a Dataset of ``text`` rows
+    feeding the same downstream step DAG."""
+    import os
+
+    import ray.data as rd
+
+    if create and not os.path.exists(path):
+        os.mkfifo(path, mode)
+    with open(path, "rb") as f:
+        tables = _drain_stream(lambda: f.read(1 << 16), max_records,
+                               block_lines, encoding)
+    return rd.from_arrow(tables)
+
+
 def read_tcp_log(host: str, port: int, max_records: int | None = None,
                  add_attributes: bool = False, encoding: str = "utf-8",
                  timeout: float = 30.0,
@@ -100,38 +159,11 @@ def read_tcp_log(host: str, port: int, max_records: int | None = None,
     sock = socket.create_connection((host, port), timeout=timeout)
     peer_ip, peer_port = sock.getpeername()[:2]
     host_ip, host_port = sock.getsockname()[:2]
-    tables: list[pa.Table] = []
-    rows: list[str] = []
-    done = False
-
-    def flush():
-        tables.append(pa.table({"text": pa.array(rows, pa.string())}))
-        rows.clear()
-
     try:
-        partial = ""
-        while not done:
-            data = sock.recv(1 << 16)
-            if not data:
-                break
-            toks, partial = _split_stream(partial + data.decode(encoding))
-            for t in toks:
-                rows.append(t)
-                if max_records is not None \
-                        and sum(x.num_rows for x in tables) + len(rows) \
-                        >= max_records:
-                    done = True
-                    break
-                if len(rows) >= block_lines:
-                    flush()
-        # EOF flush: the unterminated trailing partial is an entry
-        # (bufio.Scanner's final token), unless the record cap hit first
-        if not done and partial:
-            rows.append(partial)
+        tables = _drain_stream(lambda: sock.recv(1 << 16), max_records,
+                               block_lines, encoding)
     finally:
         sock.close()
-    if rows or not tables:
-        flush()
 
     if add_attributes:
         attrs = {"net.transport": "IP.TCP",
@@ -141,6 +173,85 @@ def read_tcp_log(host: str, port: int, max_records: int | None = None,
                  "net.host.ip": str(host_ip),
                  "net.host.port": str(host_port),
                  "net.host.name": str(host_ip)}
+        out = []
+        for t in tables:
+            for k, v in attrs.items():
+                t = t.append_column(k, pa.array([v] * t.num_rows,
+                                                pa.string()))
+            out.append(t)
+        tables = out
+    return rd.from_arrow(tables)
+
+
+def send_lines_udp(lines: Sequence[str], port: int, batch: int = 100,
+                   host: str = "127.0.0.1") -> None:
+    """Replay sender (the testbed TCPUDPWriter udp side): one datagram
+    per ``batch`` newline-joined lines."""
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        for i in range(0, len(lines), batch):
+            s.sendto(("\n".join(lines[i:i + batch]) + "\n").encode("utf-8"),
+                     (host, port))
+    finally:
+        s.close()
+
+
+def read_udp_log(max_records: int, port: int | None = None,
+                 host: str = "127.0.0.1", add_attributes: bool = False,
+                 encoding: str = "utf-8", timeout: float = 30.0,
+                 on_ready=None, block_lines: int = _DEFAULT_BLOCK_LINES):
+    """Bounded UDP ingest (stanza udp input analog,
+    pkg/stanza/operator/input/udp/input.go:93-227): bind a datagram
+    socket, split EACH packet with the newline splitFunc (a packet is a
+    message boundary, so its unterminated tail is an entry), stop after
+    ``max_records`` entries — UDP has no EOF, so the bound is the
+    contract.  ``on_ready(port)`` fires once the socket is bound (start
+    the replay sender there).  Returns a Dataset with one ``text`` row
+    per entry (+ net.* columns when ``add_attributes``; peer columns
+    come from the LAST sender, matching the reference's per-entry
+    remoteAddr collapsed to one bounded replay source)."""
+    import ray.data as rd
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(timeout)
+    sock.bind((host, port or 0))
+    bound_port = sock.getsockname()[1]
+    if on_ready is not None:
+        on_ready(bound_port)
+    tables: list[pa.Table] = []
+    rows: list[str] = []
+    peer = (host, 0)
+
+    def flush():
+        tables.append(pa.table({"text": pa.array(rows, pa.string())}))
+        rows.clear()
+
+    try:
+        while sum(t.num_rows for t in tables) + len(rows) < max_records:
+            data, peer = sock.recvfrom(1 << 16)
+            toks, partial = _split_stream(data.decode(encoding))
+            if partial:
+                toks.append(partial)  # packet boundary flushes the tail
+            for t in toks:
+                rows.append(t)
+                if sum(x.num_rows for x in tables) + len(rows) \
+                        >= max_records:
+                    break
+                if len(rows) >= block_lines:
+                    flush()
+    finally:
+        sock.close()
+    if rows or not tables:
+        flush()
+
+    if add_attributes:
+        attrs = {"net.transport": "IP.UDP",
+                 "net.peer.ip": str(peer[0]),
+                 "net.peer.port": str(peer[1]),
+                 "net.peer.name": str(peer[0]),
+                 "net.host.ip": host,
+                 "net.host.port": str(bound_port),
+                 "net.host.name": host}
         out = []
         for t in tables:
             for k, v in attrs.items():

@@ -516,11 +516,22 @@ def exp_histogram_agg(ds, keys: Sequence[str], value_col: str, scale: int = 0,
     the zero bucket (index null, the reference's zero_count).
 
     scale=0 uses an EXACT integer mapping (index = bit_length(v-1) - 1,
-    via np.frexp) so boundary values never ride on float log precision;
-    other scales use the standard ceil(log2(v) * 2^scale) - 1 mapping.
+    via np.frexp) so boundary values never ride on float log precision.
+    scale>0 uses the OTel spec's logarithm-free subbucket method
+    (opentelemetry specification data-model exponential histograms;
+    the reference's mapping/exponent package shape): v = u * 2^(e-1)
+    with u in [1,2) exact via np.frexp, subbucket j = first of the
+    2^scale precomputed boundaries 2^(j/2^scale) at-or-above u, index
+    = (e-1)*2^scale + j - 1.  Exact for all finite v: u is an exact
+    dyadic rational and the irrational boundaries can never tie it, so
+    the half-ulp rounding of a boundary cannot flip the comparison.  A
+    pytest pins exhaustive agreement with the naive
+    ceil(log2(v)*2^scale)-1 rule (which is what a SQL oracle replays).
     Two-phase: vectorized np bucketing + per-batch partial counts, then
     a small combine — same shape as histogram_agg."""
-    factor = float(2 ** scale)
+    if scale > 0:
+        sub = 1 << scale
+        bounds = 2.0 ** (np.arange(sub + 1, dtype=np.float64) / sub)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -535,8 +546,17 @@ def exp_histogram_agg(ds, keys: Sequence[str], value_col: str, scale: int = 0,
             v = vals.astype(np.int64)
             _, e = np.frexp(np.maximum(v - 1, 1))
             idx[pos] = np.where(v[pos] <= 1, -1, e[pos].astype(np.int64) - 1)
-        else:
-            idx[pos] = np.ceil(np.log2(vals[pos]) * factor).astype(np.int64) - 1
+        elif scale == 0:
+            idx[pos] = np.ceil(np.log2(vals[pos])).astype(np.int64) - 1
+        elif scale > 0:
+            m, e = np.frexp(vals[pos])
+            u = 2.0 * m  # in [1, 2), exact (scaling by a power of two)
+            j = np.searchsorted(bounds, u, side="left")
+            idx[pos] = (e.astype(np.int64) - 1) * sub + j - 1
+        else:  # scale < 0: boundaries are all powers of two, so the
+            # float rule is exact (log2/2^scale/ceil all exact there)
+            idx[pos] = np.ceil(np.log2(vals[pos]) * (2.0 ** scale)) \
+                .astype(np.int64) - 1
         arr = pa.array(idx, type=pa.int64())
         # sentinel -> null = zero bucket
         arr = pc.if_else(pc.equal(arr, np.iinfo(np.int64).min),

@@ -86,3 +86,94 @@ def test_tcp_replay_feeds_parse_dag():
     finally:
         stop.set()
     assert list(out["attr_level"]) == ["ERROR", "INFO"]
+
+
+def test_udp_replay_roundtrip_and_packet_tail():
+    import threading
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        read_udp_log,
+        send_lines_udp,
+    )
+
+    lines = [f"udp-{i}" for i in range(120)]
+
+    def sender(port):
+        threading.Thread(target=send_lines_udp, args=(lines, port),
+                         kwargs={"batch": 50}, daemon=True).start()
+
+    ds = read_udp_log(max_records=120, on_ready=sender, block_lines=32)
+    got = [r["text"] for r in ds.take_all()]
+    assert got == lines  # per-packet tail emitted, order preserved
+
+
+def test_udp_replay_attributes_and_bound():
+    import threading
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        read_udp_log,
+        send_lines_udp,
+    )
+
+    def sender(port):
+        threading.Thread(target=send_lines_udp,
+                         args=(["a", "b", "c"], port),
+                         kwargs={"batch": 1}, daemon=True).start()
+
+    ds = read_udp_log(max_records=2, on_ready=sender, add_attributes=True)
+    rows = ds.take_all()
+    assert [r["text"] for r in rows] == ["a", "b"]
+    assert rows[0]["net.transport"] == "IP.UDP"
+    assert rows[0]["net.host.ip"] == "127.0.0.1"
+    assert rows[0]["net.peer.port"].isdigit()
+
+
+def test_namedpipe_replay(tmp_path):
+    import threading
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        read_namedpipe_log,
+    )
+
+    p = str(tmp_path / "graft.pipe")
+    lines = [f"pipe-{i}" for i in range(300)]
+
+    def writer():
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    # reader creates the fifo; writer opens it once it exists
+    def delayed_writer():
+        import os
+        import time
+
+        while not os.path.exists(p):
+            time.sleep(0.01)
+        writer()
+
+    threading.Thread(target=delayed_writer, daemon=True).start()
+    ds = read_namedpipe_log(p, block_lines=64)
+    assert [r["text"] for r in ds.take_all()] == lines
+
+
+def test_namedpipe_max_records_and_partial(tmp_path):
+    import threading
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        read_namedpipe_log,
+    )
+
+    p = str(tmp_path / "g2.pipe")
+
+    def delayed_writer():
+        import os
+        import time
+
+        while not os.path.exists(p):
+            time.sleep(0.01)
+        with open(p, "w") as f:
+            f.write("a\nb\nc-no-newline")
+
+    threading.Thread(target=delayed_writer, daemon=True).start()
+    ds = read_namedpipe_log(p)
+    assert [r["text"] for r in ds.take_all()] == ["a", "b", "c-no-newline"]

@@ -271,3 +271,51 @@ def test_nth_value_matches_duckdb():
         g, x = got[c].to_numpy(float), exp[c].to_numpy(float)
         assert np.array_equal(np.isnan(g), np.isnan(x)), c
         assert np.array_equal(g[~np.isnan(g)], x[~np.isnan(x)]), c
+
+
+def test_exp_histogram_nonzero_scale_mappings_agree():
+    # the spec's logarithm-free subbucket mapping (stage) vs the naive
+    # ceil(log2(v) * 2^scale) - 1 rule (what SQL oracles replay):
+    # exhaustively equal for integers 1..1M at scales 1..4, and exact
+    # at every power-of-two boundary
+    import numpy as np
+
+    v = np.arange(1, 1_000_001, dtype=np.float64)
+    for scale in (1, 2, 3, 4):
+        sub = 1 << scale
+        bounds = 2.0 ** (np.arange(sub + 1, dtype=np.float64) / sub)
+        m, e = np.frexp(v)
+        j = np.searchsorted(bounds, 2.0 * m, side="left")
+        exact = (e.astype(np.int64) - 1) * sub + j - 1
+        naive = np.ceil(np.log2(v) * sub).astype(np.int64) - 1
+        assert (exact == naive).all(), scale
+        # powers of two land exactly at k*sub - 1
+        p = 2.0 ** np.arange(0, 20)
+        mp, ep = np.frexp(p)
+        jp = np.searchsorted(bounds, 2.0 * mp, side="left")
+        got = (ep.astype(np.int64) - 1) * sub + jp - 1
+        assert (got == np.arange(0, 20) * sub - 1).all()
+
+
+def test_exp_histogram_agg_scales(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        exp_histogram_agg,
+    )
+
+    t = pa.table({"k": ["a"] * 6,
+                  "v": pa.array([1, 2, 3, 4, 5, 0], pa.int64())})
+    # scale=2: v=1 -> -1, 2 -> 3, 3 -> 6 (2^(6/4)=2.83 < 3 <= 2^(7/4)=3.36),
+    # 4 -> 7, 5 -> 9, 0 -> zero bucket (null)
+    out = {r["bucket"]: r["n"]
+           for r in exp_histogram_agg(rd.from_arrow(t), ["k"], "v",
+                                      scale=2).take_all()}
+    assert out == {-1: 1, 3: 1, 6: 1, 7: 1, 9: 1, None: 1}
+    # scale=-1 (base 4): 1 -> -1 bucket? ceil(log2(1)*0.5)-1 = -1;
+    # 2,3,4 -> 0 ((1,4]); 5 -> 1 ((4,16])
+    out = {r["bucket"]: r["n"]
+           for r in exp_histogram_agg(rd.from_arrow(t), ["k"], "v",
+                                      scale=-1).take_all()}
+    assert out == {-1: 1, 0: 3, 1: 1, None: 1}
