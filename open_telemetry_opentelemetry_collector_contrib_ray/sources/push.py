@@ -117,6 +117,82 @@ def _drain_stream(read_chunk, max_records: int | None, block_lines: int,
     return tables
 
 
+_OCTET_RE = __import__("re").compile(rb"^[1-9]\d*\s")
+
+
+def _split_octet_frames(buf: bytes) -> tuple[list[bytes], bytes]:
+    """RFC 6587 octet-counting framing (reference syslog input
+    newOctetFrameSplitFunc, input.go:54-84): each frame is
+    ``<len><space><len bytes of message>``.  Complete frames yield the
+    MESSAGE bytes (prefix stripped — the parser-facing payload; the
+    reference hands prefix+message to its octet-aware syslog parser,
+    which strips it there).  Returns (messages, unconsumed tail)."""
+    toks: list[bytes] = []
+    while True:
+        m = _OCTET_RE.match(buf)
+        if not m:
+            break
+        n = int(buf[:m.end() - 1])
+        end = m.end() + n
+        if end > len(buf):
+            break
+        toks.append(buf[m.end():end])
+        buf = buf[end:]
+    return toks, buf
+
+
+def _drain_octet(read_chunk, max_records: int | None, block_lines: int,
+                 encoding: str) -> list[pa.Table]:
+    """Octet-framed variant of _drain_stream; at EOF a leftover that is
+    not a complete frame is flushed raw (the reference's flushAtEOF)."""
+    tables: list[pa.Table] = []
+    rows: list[str] = []
+    done = False
+
+    def flush():
+        tables.append(pa.table({"text": pa.array(rows, pa.string())}))
+        rows.clear()
+
+    buf = b""
+    while not done:
+        data = read_chunk()
+        if not data:
+            break
+        buf += data
+        toks, buf = _split_octet_frames(buf)
+        for t in toks:
+            rows.append(t.decode(encoding))
+            if max_records is not None \
+                    and sum(x.num_rows for x in tables) + len(rows) \
+                    >= max_records:
+                done = True
+                break
+            if len(rows) >= block_lines:
+                flush()
+    if not done and buf:
+        rows.append(buf.decode(encoding))
+    if rows or not tables:
+        flush()
+    return tables
+
+
+def read_stdin_log(max_records: int | None = None, stream=None,
+                   encoding: str = "utf-8",
+                   block_lines: int = _DEFAULT_BLOCK_LINES):
+    """stanza stdin input analog (reference
+    pkg/stanza/operator/input/stdin — bufio.Scanner over os.Stdin):
+    drain the process's standard input (or any binary file-like
+    ``stream``) to EOF with newline split semantics."""
+    import sys
+
+    import ray.data as rd
+
+    f = stream if stream is not None else sys.stdin.buffer
+    tables = _drain_stream(lambda: f.read(1 << 16), max_records,
+                           block_lines, encoding)
+    return rd.from_arrow(tables)
+
+
 def read_namedpipe_log(path: str, max_records: int | None = None,
                        encoding: str = "utf-8", create: bool = True,
                        mode: int = 0o622,
@@ -142,7 +218,7 @@ def read_namedpipe_log(path: str, max_records: int | None = None,
 
 def read_tcp_log(host: str, port: int, max_records: int | None = None,
                  add_attributes: bool = False, encoding: str = "utf-8",
-                 timeout: float = 30.0,
+                 timeout: float = 30.0, framing: str = "newline",
                  block_lines: int = _DEFAULT_BLOCK_LINES):
     """Bounded TCP ingest: connect, drain to EOF (or ``max_records``
     entries), return a ``ray.data.Dataset`` with one ``text`` row per
@@ -153,15 +229,23 @@ def read_tcp_log(host: str, port: int, max_records: int | None = None,
     (transport, peer ip/port, host ip/port; ports as STRINGS, matching
     the reference's strconv.FormatInt attributes).  Rows accumulate in
     ``block_lines``-sized Arrow tables so a large replay becomes many
-    blocks, not one."""
+    blocks, not one.
+
+    ``framing="octet"`` switches to RFC 6587 octet-counting frames
+    (the syslog-over-TCP wire form; reference syslog input
+    OctetSplitFuncBuilder) — complete frames yield the message bytes,
+    an incomplete EOF leftover flushes raw."""
     import ray.data as rd
 
+    if framing not in ("newline", "octet"):
+        raise ValueError(f"unknown framing: {framing!r}")
+    drain = _drain_stream if framing == "newline" else _drain_octet
     sock = socket.create_connection((host, port), timeout=timeout)
     peer_ip, peer_port = sock.getpeername()[:2]
     host_ip, host_port = sock.getsockname()[:2]
     try:
-        tables = _drain_stream(lambda: sock.recv(1 << 16), max_records,
-                               block_lines, encoding)
+        tables = drain(lambda: sock.recv(1 << 16), max_records,
+                       block_lines, encoding)
     finally:
         sock.close()
 

@@ -177,3 +177,70 @@ def test_namedpipe_max_records_and_partial(tmp_path):
     threading.Thread(target=delayed_writer, daemon=True).start()
     ds = read_namedpipe_log(p)
     assert [r["text"] for r in ds.take_all()] == ["a", "b", "c-no-newline"]
+
+
+def test_octet_frame_split():
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        _split_octet_frames,
+    )
+
+    toks, rest = _split_octet_frames(b"5 hello3 foo")
+    assert toks == [b"hello", b"foo"] and rest == b""
+    # incomplete frame stays buffered
+    toks, rest = _split_octet_frames(b"20 only-seven")
+    assert toks == [] and rest == b"20 only-seven"
+    # message containing digits+space is NOT re-framed (length-driven)
+    toks, rest = _split_octet_frames(b"4 12 x")
+    assert toks == [b"12 x"] and rest == b""
+
+
+def test_tcp_octet_framing_syslog():
+    import socket
+    import threading
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        read_tcp_log,
+    )
+
+    msgs = [f"<34>1 2024-01-01T00:00:0{i}Z host app - - - msg {i}"
+            for i in range(5)]
+    framed = b"".join(f"{len(m.encode())} ".encode() + m.encode()
+                      for m in msgs)
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def run():
+        conn, _ = srv.accept()
+        # split mid-frame to exercise re-buffering
+        conn.sendall(framed[:17])
+        conn.sendall(framed[17:])
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    ds = read_tcp_log("127.0.0.1", port, framing="octet")
+    assert [r["text"] for r in ds.take_all()] == msgs
+
+
+def test_tcp_unknown_framing():
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        read_tcp_log,
+    )
+
+    with pytest.raises(ValueError, match="framing"):
+        read_tcp_log("127.0.0.1", 1, framing="weird")
+
+
+def test_stdin_replay_stream():
+    import io
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.push import (
+        read_stdin_log,
+    )
+
+    ds = read_stdin_log(stream=io.BytesIO(b"one\ntwo\r\nthree"))
+    assert [r["text"] for r in ds.take_all()] == ["one", "two", "three"]
