@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "tcp_replay_counts",
     "udp_replay_counts",
     "exp_histogram_scale2",
+    "opq_check",
 ]
 
 

@@ -1948,6 +1948,30 @@ def q_knn_lsh(sf_dir: str):
     return ann_self_check(approx, ds, queries, k=5, exclude_ids={0, 1, 2})
 
 
+def q_opq_check(sf_dir: str):
+    """OPQ learned-rotation invariants (stages/similarity.py opq_train,
+    Ge et al. CVPR 2013), self-validating integer row the oracle
+    states: (a) the learned R is orthonormal (max |R'R - I| entry
+    > 1e-10 counts as a violation -> expected 0); (b) corpus-wide
+    quantization MSE under (R, OPQ books) is <= plain pq_train's
+    (guaranteed: round 1 of the warm-started alternation IS plain PQ
+    with the same seeded RNG, and every later step is non-increasing)
+    -> mse_improved expected 1; (c) n_vectors = count(*)."""
+    from ..stages.similarity import opq_train, pq_quantization_mse, pq_train
+
+    _, ds = _embedding_queries(sf_dir)
+    books_pq = pq_train(ds, m=8, ksub=32)
+    R, books_opq = opq_train(ds, m=8, ksub=32, opq_iters=4)
+    n_vectors = ds.count()
+    n_rot = int((np.abs(R.T @ R - np.eye(len(R))) > 1e-10).sum())
+    mse_pq = pq_quantization_mse(ds, books_pq)
+    mse_opq = pq_quantization_mse(ds, books_opq, R=R)
+    improved = 1 if mse_opq <= mse_pq + 1e-12 else 0
+    return pa.table({"n_vectors": pa.array([n_vectors], pa.int64()),
+                     "n_rot_violations": pa.array([n_rot], pa.int64()),
+                     "mse_improved": pa.array([improved], pa.int64())})
+
+
 def q_knn_pq(sf_dir: str):
     """Product-quantization top-k (the STORAGE scale path of similarity
     search: float vectors scan as m uint8 codes, 64x smaller): train
@@ -7878,6 +7902,7 @@ def queries():
         "doc_fuzzy_new_vs_ref": q_doc_fuzzy_new_vs_ref,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "opq_check": q_opq_check,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "neardup_clusters": q_neardup_clusters,
@@ -9598,6 +9623,10 @@ def oracle_sql():
             FROM events""",
         "kmeans_opt_check": """
             SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS n_violations
+            FROM embeddings""",
+        "opq_check": """
+            SELECT count(*) AS n_vectors, CAST(0 AS BIGINT) AS n_rot_violations,
+                   CAST(1 AS BIGINT) AS mse_improved
             FROM embeddings""",
         # floor(ppm) on both sides with the identical double expression
         # order keeps the integers bit-stable for the value hash.

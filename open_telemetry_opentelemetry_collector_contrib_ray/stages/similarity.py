@@ -429,13 +429,8 @@ def pq_train(ds, m: int = 8, ksub: int = 32, emb_col: str = "embedding",
     This is THE storage scale path for embedding search: d float64
     dims collapse to m uint8 codes (64-dim f64 -> 8 bytes = 64x), so a
     100 TB embedding column scans as ~1.6 TB of codes."""
+    s = _pq_sample(ds, sample_size, id_col, emb_col)
     rng = np.random.RandomState(seed)
-    # sort the collected sample: limit() rows arrive in task-completion
-    # order, and codebooks must not depend on scheduling
-    rows = ds.limit(sample_size).to_pandas().sort_values(id_col) \
-        .reset_index(drop=True)
-    s = np.stack(rows[emb_col].to_numpy()).astype(np.float64)
-    s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
     d = s.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -444,19 +439,145 @@ def pq_train(ds, m: int = 8, ksub: int = 32, emb_col: str = "embedding",
     dsub = d // m
     books = np.empty((m, ksub, dsub))
     for j in range(m):
-        x = s[:, j * dsub:(j + 1) * dsub]
+        books[j] = _lloyd(s[:, j * dsub:(j + 1) * dsub], ksub, iters, rng)
+    return books
+
+
+def _pq_sample(ds, sample_size: int, id_col: str, emb_col: str) -> np.ndarray:
+    # sort the collected sample: limit() rows arrive in task-completion
+    # order, and codebooks must not depend on scheduling
+    rows = ds.limit(sample_size).to_pandas().sort_values(id_col) \
+        .reset_index(drop=True)
+    s = np.stack(rows[emb_col].to_numpy()).astype(np.float64)
+    return s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+
+
+def _lloyd(x: np.ndarray, ksub: int, iters: int, rng,
+           init: np.ndarray | None = None) -> np.ndarray:
+    """Plain L2 Lloyd; cold start = seeded sample choice, warm start
+    (``init``) continues from given centroids (never increases the
+    quantization objective — the OPQ monotonicity hook)."""
+    if init is None:
         idx = rng.choice(len(x), size=ksub, replace=False)
         c = x[idx].copy()
-        for _ in range(iters):
-            # plain L2 Lloyd per subspace
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for g in range(len(c)):
-                mask = assign == g
-                if mask.any():
-                    c[g] = x[mask].mean(0)
-        books[j] = c
-    return books
+    else:
+        c = init.copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for g in range(len(c)):
+            mask = assign == g
+            if mask.any():
+                c[g] = x[mask].mean(0)
+    return c
+
+
+def _pq_reconstruct(Xr: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Quantize-then-reconstruct each rotated vector against its
+    subspace codebooks (the q(x) of the OPQ objective)."""
+    m, ksub, dsub = books.shape
+    Y = np.empty_like(Xr)
+    for j in range(m):
+        x = Xr[:, j * dsub:(j + 1) * dsub]
+        c = books[j]
+        d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        Y[:, j * dsub:(j + 1) * dsub] = c[d2.argmin(1)]
+    return Y
+
+
+def opq_train(ds, m: int = 8, ksub: int = 32, emb_col: str = "embedding",
+              sample_size: int = 4096, iters: int = 15, opq_iters: int = 8,
+              seed: int = 7, id_col: str = "vec_id"):
+    """Optimized Product Quantization (Ge et al., CVPR 2013 §4, the
+    non-parametric alternation): learn an orthonormal rotation R
+    jointly with the codebooks by alternating (1) PQ codebook training
+    on the rotated sample — Lloyd WARM-STARTED from the previous
+    round's codebooks, so the joint objective ||s R − q(s R)||_F² never
+    increases — and (2) the orthogonal-Procrustes solve R = U Vᵀ of
+    svd(sᵀ Y).  Round 1 (R = I, cold-start Lloyd, same seeded RNG
+    sequence) reproduces ``pq_train`` exactly, so the final sample
+    quantization error is ≤ plain PQ's by construction (the
+    ``opq_check`` invariant).  Returns ``(R, books)``; encode with
+    ``pq_encode(rotate_embeddings(ds, R), books)`` and search with
+    rotated queries ``q @ R``.  Rotation helps ANISOTROPIC / clustered
+    embeddings; on isotropic vectors it converges near identity gain
+    (NOTES.md round-3 analysis) — which is exactly what the invariant
+    tolerates (≤, not <)."""
+    s = _pq_sample(ds, sample_size, id_col, emb_col)
+    rng = np.random.RandomState(seed)
+    d = s.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ksub = min(ksub, len(s))
+    dsub = d // m
+    R = np.eye(d)
+    books: np.ndarray | None = None
+    for _ in range(max(1, opq_iters)):
+        Xr = s @ R
+        new = np.empty((m, ksub, dsub))
+        for j in range(m):
+            new[j] = _lloyd(Xr[:, j * dsub:(j + 1) * dsub], ksub, iters,
+                            rng, init=None if books is None else books[j])
+        books = new
+        Y = _pq_reconstruct(Xr, books)
+        U, _, Vt = np.linalg.svd(s.T @ Y)
+        R = U @ Vt
+    # final codebook refresh under the final R (the alternation ends on
+    # a codebook step so books match the returned rotation)
+    Xr = s @ R
+    for j in range(m):
+        books[j] = _lloyd(Xr[:, j * dsub:(j + 1) * dsub], ksub, iters,
+                          rng, init=books[j])
+    return R, books
+
+
+def rotate_embeddings(ds, R: np.ndarray, emb_col: str = "embedding"):
+    """Map-only: replace the embedding column with x @ R (R broadcast
+    once via ray.put).  Orthonormal R preserves norms, so downstream
+    unit-normalization commutes with the rotation."""
+    import ray
+
+    rref = ray.put(np.ascontiguousarray(R))
+
+    def rot(batch: pa.Table) -> pa.Table:
+        mat = _to_mat(batch.column(emb_col))
+        if mat.size == 0:
+            return batch
+        out = mat @ ray.get(rref)
+        d = out.shape[1]
+        flat = pa.array(out.reshape(-1), pa.float64())
+        idx = batch.column_names.index(emb_col)
+        return batch.set_column(
+            idx, emb_col, pa.FixedSizeListArray.from_arrays(flat, d))
+
+    return ds.map_batches(rot, batch_format="pyarrow")
+
+
+def pq_quantization_mse(ds, books: np.ndarray, R: np.ndarray | None = None,
+                        emb_col: str = "embedding") -> float:
+    """Corpus-wide mean squared quantization error ||xn R − q(xn R)||²
+    (xn unit-normalized) — kilobyte per-batch (sum, count) partials."""
+    import ray
+
+    refs = ray.put((books, R))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b, rot = ray.get(refs)
+        mat = _to_mat(batch.column(emb_col))
+        if mat.size == 0:
+            return pa.table({"se": pa.array([0.0]),
+                             "n": pa.array([0], pa.int64())})
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        if rot is not None:
+            mat = mat @ rot
+        err = mat - _pq_reconstruct(mat, b)
+        return pa.table({"se": pa.array([float((err * err).sum())]),
+                         "n": pa.array([len(mat)], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .sum(["se", "n"])
+    return agg["sum(se)"] / max(agg["sum(n)"], 1)
 
 
 def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
