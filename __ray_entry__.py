@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from open_telemetry_opentelemetry_collector_contrib_ray.sources.textlog import (
         synth_container_log_file,
+        synth_journald_export,
         synth_log_file,
     )
 
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_transcripts("/root/testdata/sf0.01")
     synth_log_file()
     synth_container_log_file()
+    synth_journald_export()
     return q.queries()
 
 

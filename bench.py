@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "udp_replay_counts",
     "exp_histogram_scale2",
     "opq_check",
+    "journald_priority_counts",
 ]
 
 

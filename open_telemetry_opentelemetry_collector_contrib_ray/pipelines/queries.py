@@ -756,6 +756,38 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_journald_priority_counts(sf_dir: str):
+    """journald input, the parse half (reference
+    pkg/stanza/operator/input/journald/input.go parseJournalEntry —
+    the journalctl exec half is live environment I/O; its `-o json`
+    output replays from a deterministic fixture): read_text ->
+    JournaldParser (ts from __REALTIME_TIMESTAMP us, cursor from
+    __CURSOR, MESSAGE byte-array conversion, attr_* fields) ->
+    per-priority counts + EXACT timestamp-microsecond sums.  Oracle
+    reads the same JSON-lines fixture with read_json."""
+    import ray.data as rd
+
+    from ..sources.textlog import synth_journald_export
+    from ..stages.parse import JournaldParser
+
+    path = synth_journald_export()
+    ds = rd.read_text(path)
+    ds = ds.map_batches(JournaldParser(), batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage("not (parse_failure == true)"),
+                        batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "priority": t.column("attr_PRIORITY"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["priority"],
+                       [("count", "ts_us", "n"),
+                        ("sum", "ts_us", "sum_ts_us")],
+                       combine="driver")
+
+
 def q_tcp_replay_counts(sf_dir: str):
     """tcpreceiver / stanza tcp input seam (reference
     pkg/stanza/operator/input/tcp/input.go; testbed tcp-batch-100
@@ -7816,6 +7848,7 @@ def queries():
         # checked never-windowed tail the 50 slots could not fit) ---
         "video_decode_check": q_video_decode_check,
         "udp_replay_counts": q_udp_replay_counts,
+        "journald_priority_counts": q_journald_priority_counts,
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
         "match_all_route_counts": q_match_all_route_counts,
@@ -8913,6 +8946,12 @@ def oracle_sql():
                      AS severity_text,
                    count(*) AS n
             FROM parsed GROUP BY 1""",
+        "journald_priority_counts": """
+            SELECT "PRIORITY" AS priority, count(*) AS n,
+                   CAST(sum(CAST("__REALTIME_TIMESTAMP" AS BIGINT)) AS BIGINT) AS sum_ts_us
+            FROM read_json('/tmp/graft_textlogs/journald-s21/export.json',
+                           format='newline_delimited')
+            GROUP BY 1""",
         "orders_per_nation": """
             SELECT n.n_name AS nation_name, count(*) AS n_orders,
                    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -528,3 +528,47 @@ def synth_multiline_log_file(n_entries: int = 4_000, seed: int = 47,
 
         shutil.rmtree(out_dir + ".tmp", ignore_errors=True)
     return out_dir
+
+
+def synth_journald_export(seed: int = 21) -> str:
+    """Deterministic journalctl ``-o json`` export fixture derived from
+    the synth_log_file lines (same corpus both sides of the oracle):
+    one JSON object per line with __REALTIME_TIMESTAMP / __CURSOR /
+    MESSAGE / PRIORITY / _SYSTEMD_UNIT; severity levels map to syslog
+    priorities (FATAL->2 ERROR->3 WARN->4 INFO->6 TRACE/DEBUG->7),
+    malformed source lines get priority 6.  Returns the file path."""
+    import json as _json
+    import re as _re
+
+    log_dir = synth_log_file(seed=seed)
+    out_dir = os.path.join(LOG_CACHE, f"journald-s{seed}")
+    out_path = os.path.join(out_dir, "export.json")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_path
+    prio = {"FATAL": 2, "ERROR": 3, "WARN": 4, "INFO": 6,
+            "DEBUG": 7, "TRACE": 7}
+    pat = _re.compile(r"^\S+ ([A-Z]+) ")
+    lines = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".log"):
+            with open(os.path.join(log_dir, f)) as fh:
+                lines.extend(fh.read().splitlines())
+    os.makedirs(out_dir + ".tmp", exist_ok=True)
+    with open(os.path.join(out_dir + ".tmp", "export.json"), "w") as f:
+        for i, line in enumerate(lines):
+            m = pat.match(line)
+            p = prio.get(m.group(1), 6) if m else 6
+            f.write(_json.dumps({
+                "__REALTIME_TIMESTAMP": str(1_700_000_000_000_000 + i),
+                "__CURSOR": f"s=graft;i={i:x}",
+                "MESSAGE": line,
+                "PRIORITY": str(p),
+                "_SYSTEMD_UNIT": "graft-app.service",
+            }, sort_keys=True) + "\n")
+    open(os.path.join(out_dir + ".tmp", "_SUCCESS"), "w").close()
+    try:
+        os.rename(out_dir + ".tmp", out_dir)
+    except OSError:
+        pass
+    return out_path

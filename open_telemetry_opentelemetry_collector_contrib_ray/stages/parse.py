@@ -1096,3 +1096,94 @@ def make_tool_log_parser(on_error: str = "send") -> RegexParser:
         if_condition='role == "tool"',
         types={"latency_ms": pa.int64()},
     )
+
+
+class JournaldParser:
+    """journalctl ``-o json`` export entries -> structured columns
+    (the stanza journald input's parseJournalEntry, reference
+    pkg/stanza/operator/input/journald/input.go:209-262).  The exec
+    half (spawning journalctl with cursor/unit/grep flags) is live
+    environment I/O outside a batch engine; its JSON-lines output
+    arrives through any text source (file, tcp/stdin replay seam) and
+    THIS stage is the parse half:
+
+    - ``ts`` = __REALTIME_TIMESTAMP microseconds as timestamp[us]
+      (input.go:216-230; missing/non-numeric -> parse_failure),
+    - ``cursor`` = __CURSOR (the checkpoint token, input.go:248-257;
+      missing -> parse_failure),
+    - MESSAGE given as a journald byte ARRAY is converted to a string
+      (convert_message_bytes, input.go:232-243),
+    - ``keys`` body fields surface as ``attr_<key>`` string columns.
+
+    Per-row json.loads loop — the JsonParser precedent (no vectorized
+    JSON kernel in this stack); journald exports are control-plane
+    sized, not the 100 TB data path."""
+
+    def __init__(self, parse_from: str = "text",
+                 keys: tuple = ("MESSAGE", "PRIORITY", "SYSLOG_IDENTIFIER",
+                                "_SYSTEMD_UNIT", "_HOSTNAME"),
+                 prefix: str = "attr_", convert_message_bytes: bool = True,
+                 on_error: str = "send"):
+        self.parse_from = parse_from
+        self.keys = list(keys)
+        self.prefix = prefix
+        self.convert_message_bytes = convert_message_bytes
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column(self.parse_from)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        py = src.to_pylist()
+        n = len(py)
+        ts = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        cursor: list[str | None] = [None] * n
+        attrs: dict[str, list] = {k: [None] * n for k in self.keys}
+        failure = np.zeros(n, dtype=bool)
+        for i, s in enumerate(py):
+            try:
+                body = json.loads(s) if s is not None else None
+            except (ValueError, TypeError):
+                body = None
+            if not isinstance(body, dict):
+                failure[i] = True
+                continue
+            try:
+                ts[i] = int(body["__REALTIME_TIMESTAMP"])
+            except (KeyError, ValueError, TypeError):
+                failure[i] = True
+                continue
+            cur = body.get("__CURSOR")
+            if not isinstance(cur, str):
+                failure[i] = True
+                continue
+            cursor[i] = cur
+            msg = body.get("MESSAGE")
+            if self.convert_message_bytes and isinstance(msg, list):
+                body["MESSAGE"] = bytes(
+                    int(b) for b in msg
+                    if isinstance(b, (int, float))).decode(
+                        "utf-8", errors="replace")
+            for k in self.keys:
+                v = body.get(k)
+                if v is not None:
+                    attrs[k][i] = v if isinstance(v, str) else json.dumps(v)
+        ts_arr = pa.array(
+            [None if failure[i] else int(ts[i]) for i in range(n)],
+            pa.int64()).cast(pa.timestamp("us"))
+        out = batch.append_column("ts", ts_arr)
+        out = out.append_column("cursor", pa.array(cursor, pa.string()))
+        for k in self.keys:
+            out = out.append_column(self.prefix + k,
+                                    pa.array(attrs[k], pa.string()))
+        fail = pa.array(failure)
+        if "parse_failure" in out.column_names:
+            fail = pc.or_(pc.fill_null(out.column("parse_failure"), False),
+                          fail)
+            out = out.set_column(out.column_names.index("parse_failure"),
+                                 "parse_failure", fail)
+        else:
+            out = out.append_column("parse_failure", fail)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(out.column("parse_failure")))
+        return out

@@ -244,3 +244,38 @@ def test_stdin_replay_stream():
 
     ds = read_stdin_log(stream=io.BytesIO(b"one\ntwo\r\nthree"))
     assert [r["text"] for r in ds.take_all()] == ["one", "two", "three"]
+
+
+def test_journald_parser_fields_and_failures():
+    import json
+
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        JournaldParser,
+    )
+
+    lines = [
+        json.dumps({"__REALTIME_TIMESTAMP": "1587047866229555",
+                    "__CURSOR": "s=abc;i=1", "MESSAGE": "unit ok",
+                    "PRIORITY": "6", "_SYSTEMD_UNIT": "app.service"}),
+        # MESSAGE as journald byte array -> string (input.go:232-243)
+        json.dumps({"__REALTIME_TIMESTAMP": "1587047866229600",
+                    "__CURSOR": "s=abc;i=2",
+                    "MESSAGE": [104, 105], "PRIORITY": "3"}),
+        "not json",
+        json.dumps({"MESSAGE": "missing ts", "__CURSOR": "x"}),
+        json.dumps({"__REALTIME_TIMESTAMP": "5", "MESSAGE": "no cursor"}),
+    ]
+    out = JournaldParser()(pa.table({"text": pa.array(lines)}))
+    assert out.column("parse_failure").to_pylist() == \
+        [False, False, True, True, True]
+    assert out.column("cursor").to_pylist()[:2] == ["s=abc;i=1", "s=abc;i=2"]
+    assert out.column("attr_MESSAGE").to_pylist()[:2] == ["unit ok", "hi"]
+    assert out.column("attr__SYSTEMD_UNIT").to_pylist()[0] == "app.service"
+    ts = out.column("ts").to_pylist()
+    assert ts[0].microsecond == 229555 and ts[2] is None
+    # drop mode filters failures
+    dropped = JournaldParser(on_error="drop")(
+        pa.table({"text": pa.array(lines)}))
+    assert dropped.num_rows == 2
