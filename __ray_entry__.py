@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from open_telemetry_opentelemetry_collector_contrib_ray.sources.textlog import (
         synth_container_log_file,
         synth_journald_export,
+        synth_wineventlog,
         synth_log_file,
     )
 
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     synth_log_file()
     synth_container_log_file()
     synth_journald_export()
+    synth_wineventlog()
     return q.queries()
 
 

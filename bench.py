@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "exp_histogram_scale2",
     "opq_check",
     "journald_priority_counts",
+    "wineventlog_severity_counts",
 ]
 
 

@@ -756,6 +756,41 @@ def q_filelog_severity_counts(sf_dir: str):
     return grouped_count(ds, ["severity_text"], alias="n")
 
 
+def q_wineventlog_severity_counts(sf_dir: str):
+    """windowseventlogreceiver / stanza windows input, the parse half
+    (reference pkg/stanza/operator/input/windows/xml.go — the
+    EvtSubscribe half is Windows API I/O; rendered event XML replays
+    from a deterministic fixture): read_text -> WindowsEventParser
+    (System fields, TimeCreated microseconds, parseSeverity mapping,
+    EventData JSON) -> per-severity counts + EXACT record-id and
+    timestamp-microsecond sums.  The oracle re-parses the SAME raw XML
+    lines independently with SQL regexp_extract + strptime — no shared
+    parser code."""
+    import ray.data as rd
+
+    from ..sources.textlog import synth_wineventlog
+    from ..stages.parse import WindowsEventParser
+
+    path = synth_wineventlog()
+    ds = rd.read_text(path)
+    ds = ds.map_batches(WindowsEventParser(), batch_format="pyarrow")
+    ds = ds.map_batches(KeepStage("not (parse_failure == true)"),
+                        batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "severity_text": t.column("severity_text"),
+            "record_id": t.column("record_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["severity_text"],
+                       [("count", "record_id", "n"),
+                        ("sum", "record_id", "sum_record_id"),
+                        ("sum", "ts_us", "sum_ts_us")],
+                       combine="driver")
+
+
 def q_journald_priority_counts(sf_dir: str):
     """journald input, the parse half (reference
     pkg/stanza/operator/input/journald/input.go parseJournalEntry —
@@ -7849,6 +7884,7 @@ def queries():
         "video_decode_check": q_video_decode_check,
         "udp_replay_counts": q_udp_replay_counts,
         "journald_priority_counts": q_journald_priority_counts,
+        "wineventlog_severity_counts": q_wineventlog_severity_counts,
         "attr_hash_extract": q_attr_hash_extract,
         "replace_pattern": q_replace_pattern,
         "match_all_route_counts": q_match_all_route_counts,
@@ -8952,6 +8988,26 @@ def oracle_sql():
             FROM read_json('/tmp/graft_textlogs/journald-s21/export.json',
                            format='newline_delimited')
             GROUP BY 1""",
+        "wineventlog_severity_counts": """
+            WITH raw AS (
+              SELECT text FROM read_csv('/tmp/graft_textlogs/winevt-s21/events.xml.log',
+                     columns={'text': 'VARCHAR'}, delim='\x01', header=false, quote='')),
+            ex AS (
+              SELECT CAST(regexp_extract(text, '<Level>(\\d+)</Level>', 1) AS BIGINT) AS lvl,
+                     CAST(regexp_extract(text, '<EventRecordID>(\\d+)</EventRecordID>', 1) AS BIGINT) AS record_id,
+                     regexp_extract(text, 'SystemTime=\"([^\"]+)\"', 1) AS st
+              FROM raw),
+            sev AS (
+              SELECT CASE lvl WHEN 1 THEN 'FATAL' WHEN 2 THEN 'ERROR'
+                              WHEN 3 THEN 'WARN' WHEN 4 THEN 'INFO'
+                              ELSE 'DEFAULT' END AS severity_text,
+                     record_id,
+                     epoch_us(strptime(st, '%Y-%m-%dT%H:%M:%S.%fZ')) AS ts_us
+              FROM ex)
+            SELECT severity_text, count(*) AS n,
+                   CAST(sum(record_id) AS BIGINT) AS sum_record_id,
+                   CAST(sum(ts_us) AS BIGINT) AS sum_ts_us
+            FROM sev GROUP BY 1""",
         "orders_per_nation": """
             SELECT n.n_name AS nation_name, count(*) AS n_orders,
                    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

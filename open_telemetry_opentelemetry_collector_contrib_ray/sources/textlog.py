@@ -572,3 +572,57 @@ def synth_journald_export(seed: int = 21) -> str:
     except OSError:
         pass
     return out_path
+
+
+def synth_wineventlog(seed: int = 21) -> str:
+    """Deterministic Windows Event Log rendered-XML fixture (one
+    single-line <Event> per synth_log_file line): Level from the
+    severity word (FATAL->1 ERROR->2 WARN->3 INFO->4, DEBUG/TRACE->5 =
+    DEFAULT, malformed->4), EventRecordID = line index, SystemTime =
+    base + index microseconds.  Returns the file path."""
+    import re as _re
+    from xml.sax.saxutils import escape as _esc
+
+    log_dir = synth_log_file(seed=seed)
+    out_dir = os.path.join(LOG_CACHE, f"winevt-s{seed}")
+    out_path = os.path.join(out_dir, "events.xml.log")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_path
+    lvl = {"FATAL": 1, "ERROR": 2, "WARN": 3, "INFO": 4,
+           "DEBUG": 5, "TRACE": 5}
+    pat = _re.compile(r"^\S+ ([A-Z]+) ")
+    lines = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".log"):
+            with open(os.path.join(log_dir, f)) as fh:
+                lines.extend(fh.read().splitlines())
+    base_us = 1_700_000_000_000_000
+    os.makedirs(out_dir + ".tmp", exist_ok=True)
+    with open(os.path.join(out_dir + ".tmp", "events.xml.log"), "w") as f:
+        for i, line in enumerate(lines):
+            m = pat.match(line)
+            level = lvl.get(m.group(1), 4) if m else 4
+            us = base_us + i
+            sec, micro = divmod(us, 1_000_000)
+            import datetime as _dt
+
+            stamp = _dt.datetime.fromtimestamp(
+                sec, _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(
+                '<Event xmlns="http://schemas.microsoft.com/win/2004/08/'
+                'events/event"><System><Provider Name="graft-app"/>'
+                f'<EventID>{1000 + level}</EventID>'
+                f'<Level>{level}</Level>'
+                f'<TimeCreated SystemTime="{stamp}.{micro:06d}Z"/>'
+                f'<EventRecordID>{i}</EventRecordID>'
+                '<Channel>Application</Channel>'
+                '<Computer>graft-host</Computer></System>'
+                f'<EventData><Data Name="msg">{_esc(line)}</Data>'
+                '</EventData></Event>\n')
+    open(os.path.join(out_dir + ".tmp", "_SUCCESS"), "w").close()
+    try:
+        os.rename(out_dir + ".tmp", out_dir)
+    except OSError:
+        pass
+    return out_path

@@ -1187,3 +1187,144 @@ class JournaldParser:
         if self.on_error.startswith("drop"):
             out = out.filter(pc.invert(out.column("parse_failure")))
         return out
+
+
+_WINEVT_SEV = {"1": "FATAL", "2": "ERROR", "3": "WARN", "4": "INFO"}
+_WINEVT_RENDERED = {"Critical": "FATAL", "Error": "ERROR",
+                    "Warning": "WARN", "Information": "INFO"}
+
+
+class WindowsEventParser:
+    """Windows Event Log XML records -> structured columns (the stanza
+    windows input's EventXML/formattedBody contract, reference
+    pkg/stanza/operator/input/windows/xml.go:15-120).  The live
+    EvtSubscribe half is Windows API I/O; rendered event XML arrives
+    through any text source and THIS stage is the parse:
+
+    - System>TimeCreated@SystemTime (RFC3339Nano) -> ``ts``
+      timestamp[us] (null on absence — the reference substitutes
+      time.Now(), which a deterministic batch engine must not),
+    - System fields -> ``provider_name``, ``event_id`` (int),
+      ``record_id`` (int), ``computer``, ``channel``, ``level``,
+    - RenderingInfo>Message -> ``message``,
+    - severity per parseSeverity (xml.go:46-72): RenderingInfo>Level
+      (Critical/Error/Warning/Information) wins, else numeric
+      System>Level 1-4 -> FATAL/ERROR/WARN/INFO, else DEFAULT,
+    - EventData Data elements -> ``event_data`` JSON (named ->
+      object, unnamed -> array — parseEventData parity),
+    - malformed XML / missing System -> parse_failure.
+
+    stdlib ElementTree per row (the JsonParser loop precedent);
+    namespaces are stripped so schema-qualified and bare events parse
+    alike."""
+
+    def __init__(self, parse_from: str = "text", on_error: str = "send"):
+        self.parse_from = parse_from
+        self.on_error = on_error
+
+    @staticmethod
+    def _strip(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+        from datetime import datetime, timezone
+
+        src = batch.column(self.parse_from)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        py = src.to_pylist()
+        n = len(py)
+        cols = {k: [None] * n for k in
+                ("provider_name", "computer", "channel", "level",
+                 "message", "severity_text", "event_data")}
+        event_id = [None] * n
+        record_id = [None] * n
+        ts_us = [None] * n
+        failure = np.zeros(n, dtype=bool)
+        for i, s in enumerate(py):
+            try:
+                root = ET.fromstring(s) if s else None
+            except ET.ParseError:
+                root = None
+            if root is None:
+                failure[i] = True
+                continue
+            tags = {self._strip(c.tag): c for c in root}
+            system = tags.get("System")
+            if system is None:
+                failure[i] = True
+                continue
+            sysel = {self._strip(c.tag): c for c in system}
+            prov = sysel.get("Provider")
+            if prov is not None:
+                cols["provider_name"][i] = prov.get("Name")
+            for name, col in (("Computer", "computer"),
+                              ("Channel", "channel"), ("Level", "level")):
+                el = sysel.get(name)
+                if el is not None and el.text is not None:
+                    cols[col][i] = el.text
+            for name, out in (("EventID", event_id),
+                              ("EventRecordID", record_id)):
+                el = sysel.get(name)
+                if el is not None and el.text:
+                    try:
+                        out[i] = int(el.text)
+                    except ValueError:
+                        pass
+            tc = sysel.get("TimeCreated")
+            if tc is not None and tc.get("SystemTime"):
+                raw = tc.get("SystemTime").replace("Z", "+00:00")
+                try:
+                    dt = datetime.fromisoformat(raw)
+                    ts_us[i] = int(dt.astimezone(timezone.utc)
+                                   .timestamp() * 1_000_000)
+                except ValueError:
+                    pass
+            rendered_level = None
+            ri = tags.get("RenderingInfo")
+            if ri is not None:
+                riel = {self._strip(c.tag): c for c in ri}
+                msg = riel.get("Message")
+                if msg is not None:
+                    cols["message"][i] = msg.text
+                lv = riel.get("Level")
+                if lv is not None:
+                    rendered_level = lv.text
+            if rendered_level:
+                cols["severity_text"][i] = _WINEVT_RENDERED.get(
+                    rendered_level, "DEFAULT")
+            else:
+                cols["severity_text"][i] = _WINEVT_SEV.get(
+                    cols["level"][i], "DEFAULT")
+            ed = tags.get("EventData")
+            if ed is not None:
+                named, unnamed = {}, []
+                for c in ed:
+                    if self._strip(c.tag) != "Data":
+                        continue
+                    if c.get("Name"):
+                        named[c.get("Name")] = c.text
+                    else:
+                        unnamed.append(c.text)
+                cols["event_data"][i] = json.dumps(
+                    named if named else unnamed, sort_keys=True)
+        out = batch
+        out = out.append_column("ts", pa.array(ts_us, pa.int64())
+                                .cast(pa.timestamp("us")))
+        out = out.append_column("event_id", pa.array(event_id, pa.int64()))
+        out = out.append_column("record_id", pa.array(record_id, pa.int64()))
+        for k in ("provider_name", "computer", "channel", "level",
+                  "message", "severity_text", "event_data"):
+            out = out.append_column(k, pa.array(cols[k], pa.string()))
+        fail = pa.array(failure)
+        if "parse_failure" in out.column_names:
+            fail = pc.or_(pc.fill_null(out.column("parse_failure"), False),
+                          fail)
+            out = out.set_column(out.column_names.index("parse_failure"),
+                                 "parse_failure", fail)
+        else:
+            out = out.append_column("parse_failure", fail)
+        if self.on_error.startswith("drop"):
+            out = out.filter(pc.invert(out.column("parse_failure")))
+        return out

@@ -279,3 +279,44 @@ def test_journald_parser_fields_and_failures():
     dropped = JournaldParser(on_error="drop")(
         pa.table({"text": pa.array(lines)}))
     assert dropped.num_rows == 2
+
+
+def test_windows_event_parser_contract():
+    import pyarrow as pa
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.parse import (
+        WindowsEventParser,
+    )
+
+    xml1 = ('<Event xmlns="http://schemas.microsoft.com/win/2004/08/'
+            'events/event"><System><Provider Name="App"/>'
+            '<EventID>1000</EventID><Level>2</Level>'
+            '<TimeCreated SystemTime="2024-01-02T03:04:05.123456Z"/>'
+            '<EventRecordID>42</EventRecordID>'
+            '<Channel>Application</Channel><Computer>host1</Computer>'
+            '</System><EventData><Data Name="p1">v1</Data>'
+            '<Data Name="p2">v2</Data></EventData></Event>')
+    # RenderingInfo level (Warning) wins over numeric System level (4);
+    # unnamed Data -> JSON array (parseEventData parity)
+    xml2 = ('<Event><System><Provider Name="Sec"/><EventID>5</EventID>'
+            '<Level>4</Level><EventRecordID>43</EventRecordID></System>'
+            '<RenderingInfo><Message>logon ok</Message>'
+            '<Level>Warning</Level></RenderingInfo>'
+            '<EventData><Data>a</Data><Data>b</Data></EventData></Event>')
+    out = WindowsEventParser()(pa.table({
+        "text": pa.array([xml1, xml2, "<bad", "<Other/>"])}))
+    assert out.column("parse_failure").to_pylist() == \
+        [False, False, True, True]
+    assert out.column("severity_text").to_pylist()[:2] == ["ERROR", "WARN"]
+    assert out.column("event_id").to_pylist()[:2] == [1000, 5]
+    assert out.column("record_id").to_pylist()[:2] == [42, 43]
+    assert out.column("event_data").to_pylist()[:2] == \
+        ['{"p1": "v1", "p2": "v2"}', '["a", "b"]']
+    assert out.column("message").to_pylist()[1] == "logon ok"
+    ts = out.column("ts").to_pylist()
+    assert ts[0].microsecond == 123456 and ts[1] is None
+    # level 5 and missing rendered mapping -> DEFAULT
+    xml3 = ('<Event><System><Level>5</Level><EventRecordID>1'
+            '</EventRecordID></System></Event>')
+    out3 = WindowsEventParser()(pa.table({"text": pa.array([xml3])}))
+    assert out3.column("severity_text").to_pylist() == ["DEFAULT"]
