@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     "doc_c4_line_filter",
     "doc_line_dedup",
+    "doc_line_dedup_broadcast",
     "doc_bm25",
     "kmeans_assign",
     "tpch_q3",
@@ -218,6 +219,7 @@ BENCH_QUERIES = [
     "opq_check",
     "journald_priority_counts",
     "wineventlog_severity_counts",
+    "latency_histogram_quantile",
 ]
 
 
@@ -335,8 +337,25 @@ def _knn_lsh_production(sf_dir: str):
                     exclude_ids={0, 1, 2})
 
 
+def _doc_line_dedup_broadcast(sf_dir: str):
+    """doc_line_dedup's broadcast cut-delivery path (the small-cut-set
+    default of strategy="auto") — benched beside the catalog query,
+    which deliberately forces strategy="join" so its oracle validates
+    the scale plan."""
+    from open_telemetry_opentelemetry_collector_contrib_ray.pipelines.queries import (
+        _plant_lines_ds,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.textfilters import (
+        dedup_lines,
+    )
+
+    return dedup_lines(lambda: _plant_lines_ds(sf_dir),
+                       strategy="broadcast")
+
+
 # bench-only rows that are not catalog queries (production-path splits)
-EXTRA_BENCH = {"knn_lsh_production": _knn_lsh_production}
+EXTRA_BENCH = {"knn_lsh_production": _knn_lsh_production,
+               "doc_line_dedup_broadcast": _doc_line_dedup_broadcast}
 
 
 def run_queries() -> dict:

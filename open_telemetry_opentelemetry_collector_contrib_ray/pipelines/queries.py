@@ -347,6 +347,28 @@ def q_latency_histogram(sf_dir: str):
         lambda t: t.rename_columns(["tool_name", "le", "n"]), batch_format="pyarrow")
 
 
+def q_latency_histogram_quantile(sf_dir: str):
+    """PromQL histogram_quantile over the spanmetrics explicit-bucket
+    latency histogram (stages/metrics.py histogram_quantile,
+    prometheus promql/quantile.go bucketQuantile): p50/p90/p99 per
+    tool, densified against the full bound list so the interpolation
+    is bucket-for-bucket PromQL.  The oracle replays the histogram AND
+    the exact selection + interpolation expression (same float64
+    operation order) with SQL window functions."""
+    from ..stages.metrics import histogram_quantile
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+    edges = [100, 500, 1000, 5000]
+    hist = histogram_agg(ds, ["attr_tool_name"], "attr_latency_ms",
+                         edges, alias="n").map_batches(
+        lambda t: t.rename_columns(["tool_name", "le", "n"]),
+        batch_format="pyarrow")
+    return histogram_quantile(hist, [0.5, 0.9, 0.99], ["tool_name"],
+                              edges=edges).sort(["tool_name", "q"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8050,6 +8072,7 @@ def queries():
         "latency_histogram": q_latency_histogram,
         "exp_histogram": q_exp_histogram,
         "exp_histogram_scale2": q_exp_histogram_scale2,
+        "latency_histogram_quantile": q_latency_histogram_quantile,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8403,6 +8426,50 @@ def oracle_sql():
                         ELSE 'inf' END AS le,
                    count(*) AS n
             FROM parsed GROUP BY 1, 2""",
+        "latency_histogram_quantile": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')),
+            hist AS (
+              SELECT tool_name,
+                     CASE WHEN lat <= 100 THEN 100.0 WHEN lat <= 500 THEN 500.0
+                          WHEN lat <= 1000 THEN 1000.0 WHEN lat <= 5000 THEN 5000.0
+                          ELSE CAST('inf' AS DOUBLE) END AS ub,
+                     count(*) AS n
+              FROM parsed GROUP BY 1, 2),
+            dense AS (
+              SELECT k.tool_name, e.ub, coalesce(h.n, 0) AS n
+              FROM (SELECT DISTINCT tool_name FROM hist) k
+              CROSS JOIN (VALUES (100.0), (500.0), (1000.0), (5000.0),
+                                 (CAST('inf' AS DOUBLE))) e(ub)
+              LEFT JOIN hist h ON h.tool_name = k.tool_name AND h.ub = e.ub),
+            c AS (
+              SELECT tool_name, ub, n,
+                     sum(n) OVER w_cum AS cum,
+                     coalesce(sum(n) OVER w_prev, 0) AS cum_prev,
+                     coalesce(lag(ub) OVER w_ord, 0.0) AS strt,
+                     row_number() OVER w_ord AS rn,
+                     sum(n) OVER (PARTITION BY tool_name) AS total,
+                     max(CASE WHEN isfinite(ub) THEN ub END)
+                         OVER (PARTITION BY tool_name) AS hi_fin
+              FROM dense
+              WINDOW w_ord AS (PARTITION BY tool_name ORDER BY ub),
+                     w_cum AS (PARTITION BY tool_name ORDER BY ub
+                               ROWS UNBOUNDED PRECEDING),
+                     w_prev AS (PARTITION BY tool_name ORDER BY ub
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING))
+            SELECT tool_name, qq.q AS q,
+                   CASE WHEN NOT isfinite(ub) THEN hi_fin
+                        ELSE strt + (ub - strt)
+                             * ((qq.q * total - cum_prev) / n) END AS value
+            FROM c JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qq
+              ON c.cum >= qq.q * c.total
+                 AND (c.cum_prev < qq.q * c.total OR c.rn = 1)
+                 AND c.n > 0
+            ORDER BY tool_name, q""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

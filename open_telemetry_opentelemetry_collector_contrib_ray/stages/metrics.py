@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -219,3 +220,83 @@ def aggregate_on_attributes(ds, fn: str = "sum",
              for a in (attributes or [])]
     spec = (fn, None if fn == "count" else value_col, value_col)
     return grouped_agg(ds, keys, [spec], combine=combine)
+
+
+def histogram_quantile(hist_ds, qs: Sequence[float], keys: Sequence[str],
+                       le_col: str = "le", count_col: str = "n",
+                       edges: Sequence[float] | None = None,
+                       n_buckets: int = 16):
+    """PromQL ``histogram_quantile`` over an explicit-bucket histogram
+    (prometheus promql/quantile.go bucketQuantile; the consumer side of
+    the spanmetrics histogram family): per key group, buckets sort by
+    upper bound (the 'inf' label last), counts accumulate, and for each
+    q the estimate is
+
+        rank = q * total
+        b    = first bucket with cum(b) >= rank
+        b is the +Inf bucket  -> highest finite upper bound
+        else                  -> start + (end - start) * ((rank - cum(b-1)) / count(b))
+
+    with start = 0 for the first bucket (PromQL's implicit lower
+    bound).  ``edges`` densifies each key against the full bound list
+    (histogram_agg emits only observed buckets; without densification
+    the interpolation start is the previous PRESENT bound — a coarser
+    but still valid estimator; WITH edges the math is bucket-for-bucket
+    PromQL).  The EXACT operation order is mirrored by the SQL oracle,
+    so the float64 results replay bit-for-bit.  One bucketed
+    co-partition of the (tiny, keys x buckets) histogram table;
+    vectorized across keys per bucket.  Returns keys + ``q`` float64 +
+    ``value`` float64."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(keys)
+    q_arr = np.asarray(list(qs), dtype=np.float64)
+    if not len(q_arr) or (q_arr < 0).any() or (q_arr > 1).any():
+        raise ValueError(f"quantiles must be in [0, 1]: {list(qs)}")
+    full_ubs = None if edges is None else         [float(e) for e in edges] + [np.inf]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(__ub=pd.to_numeric(
+            g[le_col].replace("inf", np.inf))).drop(columns=[le_col])
+        if full_ubs is not None:
+            uk = g[keys].drop_duplicates()
+            dense = uk.merge(pd.DataFrame({"__ub": full_ubs}), how="cross")
+            g = dense.merge(g[keys + ["__ub", count_col]],
+                            on=keys + ["__ub"], how="left")
+            g[count_col] = g[count_col].fillna(0).astype(np.int64)
+        g = g.sort_values(keys + ["__ub"], kind="mergesort")
+        grp = g.groupby(keys, sort=False)
+        pos = grp.cumcount().to_numpy()
+        cum = grp[count_col].cumsum().to_numpy(dtype=np.float64)
+        cnt = g[count_col].to_numpy(dtype=np.float64)
+        ubv = g["__ub"].to_numpy(dtype=np.float64)
+        start = np.where(pos > 0, np.roll(ubv, 1), 0.0)
+        cum_prev = np.where(pos > 0, np.roll(cum, 1), 0.0)
+        total = grp[count_col].transform("sum").to_numpy(dtype=np.float64)
+        hi_fin = pd.Series(np.where(np.isfinite(ubv), ubv, np.nan)) \
+            .groupby([g[k].reset_index(drop=True) for k in keys],
+                     sort=False).transform("max").to_numpy()
+        out = []
+        for q in q_arr:
+            rank = q * total
+            # first bucket whose cumulative reaches the rank: rows after
+            # it have cum_prev >= rank, rows before it fail cum >= rank
+            sel = (cum >= rank) & ((cum_prev < rank) | (pos == 0)) \
+                & (cnt > 0)
+            r = g.loc[sel, keys].copy()
+            ub_s = ubv[sel]
+            val = np.where(
+                np.isinf(ub_s), hi_fin[sel],
+                start[sel] + (ub_s - start[sel])
+                * ((rank[sel] - cum_prev[sel]) / cnt[sel]))
+            r["q"] = q
+            r["value"] = val
+            out.append(r)
+        res = pd.concat(out, ignore_index=True) if out else             pd.DataFrame(columns=keys + ["q", "value"])
+        return res.sort_values(keys + ["q"],
+                               kind="mergesort").reset_index(drop=True)
+
+    return bucketed_group_transform(hist_ds, keys, per_bucket,
+                                    n_buckets=n_buckets)
