@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "journald_priority_counts",
     "wineventlog_severity_counts",
     "latency_histogram_quantile",
+    "counter_rate_by_user",
 ]
 
 

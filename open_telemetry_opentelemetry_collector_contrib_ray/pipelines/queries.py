@@ -369,6 +369,39 @@ def q_latency_histogram_quantile(sf_dir: str):
                               edges=edges).sort(["tool_name", "q"])
 
 
+def q_counter_rate_by_user(sf_dir: str):
+    """Prometheus counter increase()/rate() with RESET detection
+    (stages/aggregate.py counter_increase — the deltatocumulative
+    reset rule cumulative_to_delta's plain lag-diff deliberately
+    omits): a per-user cumulative counter is PLANTED as running
+    cents-sum mod 1e6 (mod forces genuine resets), then per (user,
+    1-day window) the reset-aware increase, observation span and rate
+    are reduced.  Everything integer-exact except rate, whose float64
+    expression order the oracle mirrors."""
+    from ..stages.aggregate import bucketed_group_transform, counter_increase
+
+    ds = _rd(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                    pa.int64())
+        return t.append_column("cents", c)
+
+    def plant(g):
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["counter"] = g.groupby("user_id", sort=False)["cents"]             .cumsum() % 1_000_000
+        return g.drop(columns=["cents", "value"])
+
+    planted = bucketed_group_transform(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["user_id"], plant)
+    out = counter_increase(planted, ["user_id"], "counter", ts_col="ts",
+                           window_us=86_400_000_000,
+                           tie_cols=["event_id"])
+    return out.sort(["user_id", "window_start"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8073,6 +8106,7 @@ def queries():
         "exp_histogram": q_exp_histogram,
         "exp_histogram_scale2": q_exp_histogram_scale2,
         "latency_histogram_quantile": q_latency_histogram_quantile,
+        "counter_rate_by_user": q_counter_rate_by_user,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8470,6 +8504,39 @@ def oracle_sql():
                  AND (c.cum_prev < qq.q * c.total OR c.rn = 1)
                  AND c.n > 0
             ORDER BY tool_name, q""",
+        "counter_rate_by_user": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            c AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     sum(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                       % 1000000 AS counter
+              FROM e),
+            w AS (
+              SELECT user_id,
+                     (ts_us // 86400000000) * 86400000000 AS window_start,
+                     ts_us, counter,
+                     lag(counter) OVER (
+                       PARTITION BY user_id, ts_us // 86400000000
+                       ORDER BY ts_us, event_id) AS prev
+              FROM c),
+            a AS (
+              SELECT user_id, window_start,
+                     count(*) AS n_points,
+                     CAST(sum(CASE WHEN prev IS NULL THEN 0
+                                   WHEN counter >= prev THEN counter - prev
+                                   ELSE counter END) AS BIGINT) AS increase,
+                     CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+              FROM w GROUP BY 1, 2)
+            SELECT user_id, window_start, n_points, increase, span_us,
+                   CASE WHEN span_us > 0
+                        THEN CAST(increase AS DOUBLE) * 1000000.0
+                             / CAST(span_us AS DOUBLE) END AS rate
+            FROM a ORDER BY user_id, window_start""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -1451,3 +1451,59 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
     return bucketed_group_transform(bucketed, ["__rb"], scan, n_buckets)
+
+
+def counter_increase(ds, key_cols: Sequence[str], value_col: str,
+                     ts_col: str = "ts", window_us: int | None = None,
+                     tie_cols: Sequence[str] = (), n_buckets: int = 64):
+    """Prometheus counter ``increase()`` / ``rate()`` semantics with
+    RESET detection (prometheus promql rate extrapolation aside — batch
+    windows are closed, so no extrapolation): per key in time order,
+
+        delta_i = v_i - v_{i-1}   if v_i >= v_{i-1}
+                  v_i             otherwise (a reset zeroed the counter;
+                                  the post-reset value IS the increase)
+
+    summed per (key[, window]); the first observation of each
+    key/window contributes nothing (no predecessor).  This is what
+    ``cumulative_to_delta`` (plain lag diff, negative deltas surface
+    as-is) deliberately does NOT do — the deltatocumulative processor's
+    reset rule lives here.  Returns keys [+ ``window_start``] +
+    ``n_points``, ``increase`` (int64-exact for integer counters),
+    ``span_us`` (last-first observation), ``rate`` = increase *
+    1000000.0 / span_us (null when span is 0 — fewer than two points).
+    ONE bucketed co-partition; grouped shifts vectorized across keys."""
+    keys = list(key_cols)
+    ties = list(tie_cols)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [ts_col] + ties, kind="mergesort")
+        part_keys = list(keys)
+        tsv = g[ts_col].astype("int64")
+        if window_us is not None:
+            g = g.assign(window_start=(tsv // window_us) * window_us)
+            part_keys = keys + ["window_start"]
+        grp = g.groupby(part_keys, sort=False)
+        pv = grp[value_col].shift().to_numpy(dtype=np.float64)
+        vv = g[value_col].to_numpy(dtype=np.float64)
+        # first point -> 0; monotone -> v - prev; reset -> v (since 0)
+        delta = pd.Series(
+            np.where(np.isnan(pv), 0.0,
+                     np.where(vv >= pv, vv - pv, vv)), index=g.index)
+        out = grp.agg(n_points=(value_col, "size")).reset_index()
+        d = delta.groupby([g[k] for k in part_keys], sort=False).sum()
+        span = tsv.groupby([g[k] for k in part_keys], sort=False) \
+            .agg(lambda s: s.iloc[-1] - s.iloc[0])
+        out = out.merge(d.rename("increase").reset_index(), on=part_keys)
+        out = out.merge(span.rename("span_us").reset_index(), on=part_keys)
+        if pd.api.types.is_integer_dtype(g[value_col].dtype):
+            out["increase"] = out["increase"].astype("int64")
+        out["span_us"] = out["span_us"].astype("int64")
+        spanv = out["span_us"].to_numpy(dtype=np.float64)
+        inc = out["increase"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = inc * 1_000_000.0 / spanv
+        out["rate"] = np.where(spanv > 0, rate, np.nan)
+        return out
+
+    return bucketed_group_transform(ds, keys, agg, n_buckets)
