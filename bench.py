@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "wineventlog_severity_counts",
     "latency_histogram_quantile",
     "counter_rate_by_user",
+    "otlpjson_connector_split",
 ]
 
 

@@ -402,6 +402,61 @@ def q_counter_rate_by_user(sf_dir: str):
     return out.sort(["user_id", "window_start"])
 
 
+def q_otlpjson_connector_split(sf_dir: str):
+    """otlpjsonconnector analog (connector/otlpjsonconnector): log
+    bodies embedding OTLP/JSON payloads are classified by the
+    reference's verbatim signal regexes (factory.go:18-20) and routed
+    per signal; payload ids are re-extracted from the embedded JSON so
+    the oracle (a pure CASE over the generating rule) pins BOTH the
+    classification and that the payload survives the embed/extract
+    roundtrip.  Map-only, zero shuffle before the final small count."""
+    from ..sources.otlpjson import classify_otlpjson
+
+    ds = _rd(sf_dir, "events", columns=["event_id"])
+
+    def embed(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        eids = pc.cast(eid, pa.string())
+        kind = pc.cast(pc.bit_wise_and(eid, pa.scalar(3, pa.int64())),
+                       pa.int64())
+        logs = pc.binary_join_element_wise(
+            pa.array(['{ "resourceLogs": [{"scopeLogs": [{"logRecords": '
+                      '[{"body": {"stringValue": "e'] * t.num_rows),
+            eids, pa.array(['"}}]}]}]}'] * t.num_rows), pa.scalar(""))
+        mets = pc.binary_join_element_wise(
+            pa.array(['{"resourceMetrics": [{"scopeMetrics": [{"metrics": '
+                      '[{"name": "m'] * t.num_rows),
+            eids, pa.array(['"}]}]}]}'] * t.num_rows), pa.scalar(""))
+        trcs = pc.binary_join_element_wise(
+            pa.array(['{  "resourceSpans": [{"scopeSpans": [{"spans": '
+                      '[{"name": "s'] * t.num_rows),
+            eids, pa.array(['"}]}]}]}'] * t.num_rows), pa.scalar(""))
+        bad = pc.binary_join_element_wise(
+            pa.array(['not an otlp payload '] * t.num_rows), eids,
+            pa.scalar(""))
+        body = pc.if_else(pc.equal(kind, 0), logs,
+               pc.if_else(pc.equal(kind, 1), mets,
+               pc.if_else(pc.equal(kind, 2), trcs, bad)))
+        return pa.table({"event_id": eid, "text": body})
+
+    ds = classify_otlpjson(ds.map_batches(embed, batch_format="pyarrow"))
+
+    def extract(t: pa.Table) -> pa.Table:
+        # recover the embedded id from the payload (proves the body
+        # routed to a signal still carries its record intact)
+        got = pc.extract_regex(
+            pc.cast(t.column("text"), pa.string()),
+            r'"(?:body".*stringValue": "e|name": "[ms])(?P<id>\d+)"')
+        rid = pc.cast(pc.struct_field(got, "id"), pa.int64())
+        return pa.table({"signal": t.column("signal"),
+                         "rid": pc.fill_null(rid, 0)})
+
+    return grouped_agg(ds.map_batches(extract, batch_format="pyarrow"),
+                       ["signal"],
+                       [("count", "rid", "n"), ("sum", "rid", "sum_id")],
+                       combine="driver")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8107,6 +8162,7 @@ def queries():
         "exp_histogram_scale2": q_exp_histogram_scale2,
         "latency_histogram_quantile": q_latency_histogram_quantile,
         "counter_rate_by_user": q_counter_rate_by_user,
+        "otlpjson_connector_split": q_otlpjson_connector_split,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8537,6 +8593,14 @@ def oracle_sql():
                         THEN CAST(increase AS DOUBLE) * 1000000.0
                              / CAST(span_us AS DOUBLE) END AS rate
             FROM a ORDER BY user_id, window_start""",
+        "otlpjson_connector_split": """
+            SELECT CASE event_id % 4 WHEN 0 THEN 'logs'
+                        WHEN 1 THEN 'metrics' WHEN 2 THEN 'traces'
+                        ELSE 'invalid' END AS signal,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN event_id % 4 = 3 THEN 0
+                                 ELSE event_id END) AS BIGINT) AS sum_id
+            FROM events GROUP BY 1""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

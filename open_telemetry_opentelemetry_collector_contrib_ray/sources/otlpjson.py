@@ -785,3 +785,34 @@ def read_otlp_metrics_json(path: str, time_col: str = "time_unix_nano"):
                                  file_extensions=["jsonl", "gz", "zst"])
     return files.map_batches(OtlpMetricsJsonReaderStage(time_col),
                              batch_format="numpy")
+
+
+# otlpjsonconnector signal-detection regexes, verbatim from the
+# reference (connector/otlpjsonconnector/factory.go:18-20) — RE2 and
+# Arrow share this syntax, so the match semantics are identical.
+OTLPJSON_SIGNAL_PATTERNS = {
+    "logs": r'^\{\s*"resourceLogs"\s*:\s*\[',
+    "metrics": r'^\{\s*"resourceMetrics"\s*:\s*\[',
+    "traces": r'^\{\s*"resourceSpans"\s*:\s*\[',
+}
+
+
+def classify_otlpjson(ds, text_col: str = "text", out_col: str = "signal"):
+    """otlpjsonconnector analog (connector/otlpjsonconnector — each log
+    body holding an embedded OTLP/JSON payload is routed to the
+    matching signal pipeline; anything else is an invalid payload):
+    map-only Arrow regex classification appending ``out_col`` in
+    {"logs", "metrics", "traces", "invalid"}.  Decode of the selected
+    signal is the existing OTLP JSON reader family (sources/otlpjson
+    readers / write_routed for the per-signal split sink)."""
+    import pyarrow.compute as _pc
+
+    def classify(t: pa.Table) -> pa.Table:
+        s = _pc.fill_null(_pc.cast(t.column(text_col), pa.string()), "")
+        sig = pa.array(["invalid"] * t.num_rows, pa.string())
+        for name, pat in OTLPJSON_SIGNAL_PATTERNS.items():
+            m = _pc.match_substring_regex(s, pat)
+            sig = _pc.if_else(m, pa.scalar(name, pa.string()), sig)
+        return t.append_column(out_col, sig)
+
+    return ds.map_batches(classify, batch_format="pyarrow")

@@ -320,3 +320,26 @@ def test_windows_event_parser_contract():
             '</EventRecordID></System></Event>')
     out3 = WindowsEventParser()(pa.table({"text": pa.array([xml3])}))
     assert out3.column("severity_text").to_pylist() == ["DEFAULT"]
+
+
+def test_otlpjson_signal_classification():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.sources.otlpjson import (
+        classify_otlpjson,
+    )
+
+    rows = [
+        '{ "resourceLogs": [ ] }',
+        '{"resourceMetrics": []}',
+        '{\n  "resourceSpans": []}',
+        '{"resourceLogsX": []}',       # key must match exactly
+        ' {"resourceLogs": []}',       # leading space: ^ anchor fails
+        "plain text",
+        None,
+    ]
+    out = classify_otlpjson(rd.from_arrow(pa.table({
+        "text": pa.array(rows, pa.string())}))).to_pandas()
+    assert list(out["signal"]) == ["logs", "metrics", "traces", "invalid",
+                                   "invalid", "invalid", "invalid"]
