@@ -365,8 +365,12 @@ def q_latency_histogram_quantile(sf_dir: str):
                          edges, alias="n").map_batches(
         lambda t: t.rename_columns(["tool_name", "le", "n"]),
         batch_format="pyarrow")
-    return histogram_quantile(hist, [0.5, 0.9, 0.99], ["tool_name"],
-                              edges=edges).sort(["tool_name", "q"])
+    out = histogram_quantile(hist, [0.5, 0.9, 0.99], ["tool_name"],
+                              edges=edges)
+
+    # DuckDB may FMA-fuse the interpolation multiply-add, drifting
+    # ~1 ulp from numpy; tie-safe floor-rounding makes the hash stable
+    return _floor_round(out, [("value", 1e9)]).sort(["tool_name", "q"])
 
 
 def q_counter_rate_by_user(sf_dir: str):
@@ -931,6 +935,33 @@ def q_journald_priority_counts(sf_dir: str):
                        [("count", "ts_us", "n"),
                         ("sum", "ts_us", "sum_ts_us")],
                        combine="driver")
+
+
+def _floor_round(ds, cols_scales):
+    """Tie-safe cross-engine rounding for float output columns:
+    x -> floor(x * scale + 0.5) / scale.  Unlike round(), floor has NO
+    tie-breaking mode, so numpy/Arrow and DuckDB agree even when the
+    value sits exactly on a rounding boundary (round() diverges there:
+    numpy half-to-even vs SQL half-away — the gini lesson).  Collapses
+    1-ulp libm (ln/log10) and FMA drift between engines so the driver
+    value hash is stable; nulls propagate.  SQL twin:
+    ``floor(x * S + 0.5) / S``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for c, s in cols_scales:
+            i = t.column_names.index(c)
+            col = pc.divide(
+                pc.floor(pc.add(pc.multiply(
+                    pc.cast(t.column(c), pa.float64()),
+                    pa.scalar(float(s), pa.float64())),
+                    pa.scalar(0.5, pa.float64()))),
+                pa.scalar(float(s), pa.float64()))
+            t = t.set_column(i, c, col)
+        return t
+
+    if isinstance(ds, pa.Table):  # driver-combined small results
+        return f(ds)
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def q_tcp_replay_counts(sf_dir: str):
@@ -7605,13 +7636,19 @@ def q_user_event_diversity(sf_dir: str):
     Shannon entropy (nats) and Gini impurity of the type distribution.
     Per-batch (user, type) count partials collapse rows to distinct
     pairs before the ONE bucketed shuffle; the float kernels see exact
-    int64 totals, so results are deterministic.  Oracle = counts CTE +
-    ln/sum replay (compared at 6dp)."""
+    int64 totals.  Both sides ROUND entropy/gini to 6dp: sums of ln()
+    terms cannot be made bit-stable across engines (summation order +
+    possible FMA), and the driver hashes raw values — rounding is the
+    check_bitwise-clean contract."""
     from ..stages.robust import grouped_diversity
 
     ds = _rd(sf_dir, "events", columns=["user_id", "event_type"])
     out = grouped_diversity(ds, ["user_id"], "event_type")
-    return out.sort("user_id")
+
+    # entropy only: gini is one fixed-order rational expression and
+    # already bit-stable (rounding would HURT it — gini values are
+    # often exact dyadics on rounding half-boundaries)
+    return _floor_round(out, [("entropy", 1e9)]).sort("user_id")
 
 
 def q_doc_collocations(sf_dir: str):
@@ -7624,12 +7661,15 @@ def q_doc_collocations(sf_dir: str):
     per-batch partials collapse occurrences to distinct pairs before
     the one bucketed exchange, marginals broadcast vocabulary-sized.
     Oracle replays the identical counting rule via
-    generate_subscripts + windowed self-join."""
+    generate_subscripts + windowed self-join.  PMI is ROUNDED to 6dp
+    on both sides (ln() cannot be bit-stable across engines; the
+    driver hashes raw values)."""
     from ..stages.collocate import collocations
 
     ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
     out = collocations(ds, window=3, min_count=5)
-    return out.sort(["left", "right"])
+
+    return _floor_round(out, [("pmi", 1e9)]).sort(["left", "right"])
 
 
 def q_frequent_part_pairs(sf_dir: str):
@@ -7715,7 +7755,7 @@ def q_metric_lerp_events(sf_dir: str):
     from ..stages.resample import resample_lerp
 
     ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
-    out = resample_lerp(ds, "event_type")
+    out = _floor_round(resample_lerp(ds, "event_type"), [("value", 1e9)])
     return out.sort(["event_type", "grid_ts"])
 
 
@@ -7740,8 +7780,10 @@ def q_value_psi_drift(sf_dir: str):
                     pa.int64())
         return pa.table({"cents": c, "win": w})
 
-    return psi_drift(ds.map_batches(prep, batch_format="pyarrow"),
-                     "cents", "win", [1000, 2500, 5000, 10000, 25000])
+    return _floor_round(
+        psi_drift(ds.map_batches(prep, batch_format="pyarrow"),
+                  "cents", "win", [1000, 2500, 5000, 10000, 25000]),
+        [("contrib", 1e12)])
 
 
 def q_benford_value_audit(sf_dir: str):
@@ -7760,8 +7802,10 @@ def q_benford_value_audit(sf_dir: str):
         return pa.table({"cents": pc.cast(
             pc.round(pc.multiply(t.column("value"), 100)), pa.int64())})
 
-    return benford_audit(ds.map_batches(cents, batch_format="pyarrow"),
-                         "cents")
+    return _floor_round(
+        benford_audit(ds.map_batches(cents, batch_format="pyarrow"),
+                      "cents"),
+        [("benford_p", 1e12), ("chi2_contrib", 1e9)])
 
 
 def q_ab_conversion_ztest(sf_dir: str):
@@ -8552,9 +8596,11 @@ def oracle_sql():
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND 1 PRECEDING))
             SELECT tool_name, qq.q AS q,
-                   CASE WHEN NOT isfinite(ub) THEN hi_fin
-                        ELSE strt + (ub - strt)
-                             * ((qq.q * total - cum_prev) / n) END AS value
+                   floor(CASE WHEN NOT isfinite(ub) THEN hi_fin
+                              ELSE strt + (ub - strt)
+                                   * ((qq.q * total - cum_prev) / n)
+                         END * 1000000000.0 + 0.5) / 1000000000.0
+                     AS value
             FROM c JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qq
               ON c.cum >= qq.q * c.total
                  AND (c.cum_prev < qq.q * c.total OR c.rn = 1)
@@ -11169,7 +11215,8 @@ def oracle_sql():
             SELECT user_id,
                    CAST(sum(c) AS BIGINT) AS n,
                    CAST(count(*) AS BIGINT) AS k_distinct,
-                   ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy,
+                   floor((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS entropy,
                    1 - sum(c * c) / (sum(c) * sum(c)) AS gini
             FROM cnt GROUP BY user_id ORDER BY user_id""",
         # same tokenization as the inverted-index oracles; PMI is
@@ -11196,7 +11243,8 @@ def oracle_sql():
               SELECT "right", count(*) AS cr FROM pairs GROUP BY 1
             ), tot AS (SELECT count(*) AS np FROM pairs)
             SELECT pc."left", pc."right", pc.c,
-                   ln(CAST(pc.c AS DOUBLE) * np / (cl * cr)) AS pmi
+                   floor(ln(CAST(pc.c AS DOUBLE) * np / (cl * cr))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS pmi
             FROM pc
             JOIN lm USING ("left") JOIN rm USING ("right") CROSS JOIN tot
             WHERE pc.c >= 5
@@ -11254,13 +11302,13 @@ def oracle_sql():
                AND grid.grid_ts <= obs.ts
             )
             SELECT p.event_type, p.grid_ts,
-                   CASE
+                   floor(CASE
                      WHEN p.tp IS NULL OR n.tn IS NULL THEN NULL
                      WHEN epoch_us(n.tn) = epoch_us(p.tp) THEN p.vp
                      ELSE p.vp + (n.vn - p.vp)
                           * (epoch_us(p.grid_ts) - epoch_us(p.tp))
                           / (epoch_us(n.tn) - epoch_us(p.tp))
-                   END AS value
+                   END * 1000000000.0 + 0.5) / 1000000000.0 AS value
             FROM p JOIN n USING (event_type, grid_ts)
             ORDER BY 1, 2""",
         "value_psi_drift": """
@@ -11291,10 +11339,11 @@ def oracle_sql():
             SELECT CAST(m.bin_id AS BIGINT) AS bin_id, m.c_base, m.c_cur,
                    (m.c_base + 1.0) / (t.na + 6) AS p_base,
                    (m.c_cur + 1.0) / (t.nb + 6) AS p_cur,
-                   ((m.c_base + 1.0) / (t.na + 6)
+                   floor(((m.c_base + 1.0) / (t.na + 6)
                     - (m.c_cur + 1.0) / (t.nb + 6))
                    * ln(((m.c_base + 1.0) / (t.na + 6))
-                        / ((m.c_cur + 1.0) / (t.nb + 6))) AS contrib
+                        / ((m.c_cur + 1.0) / (t.nb + 6)))
+                   * 1000000000000.0 + 0.5) / 1000000000000.0 AS contrib
             FROM m, t ORDER BY m.bin_id""",
         "benford_value_audit": """
             WITH d AS (
@@ -11313,9 +11362,12 @@ def oracle_sql():
             t AS (SELECT sum(c) AS n FROM m)
             SELECT m.digit, m.c,
                    m.c / CAST(t.n AS DOUBLE) AS obs_p,
-                   log10(1.0 + 1.0 / m.digit) AS benford_p,
-                   pow(m.c - log10(1.0 + 1.0 / m.digit) * t.n, 2)
-                     / (log10(1.0 + 1.0 / m.digit) * t.n) AS chi2_contrib
+                   floor(log10(1.0 + 1.0 / m.digit)
+                         * 1000000000000.0 + 0.5) / 1000000000000.0
+                     AS benford_p,
+                   floor(pow(m.c - log10(1.0 + 1.0 / m.digit) * t.n, 2)
+                     / (log10(1.0 + 1.0 / m.digit) * t.n)
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS chi2_contrib
             FROM m, t ORDER BY m.digit""",
         "ab_conversion_ztest": """
             WITH u AS (
