@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "latency_histogram_quantile",
     "counter_rate_by_user",
     "otlpjson_connector_split",
+    "incremental_dedup_events",
 ]
 
 

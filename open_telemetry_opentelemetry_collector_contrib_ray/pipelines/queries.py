@@ -461,6 +461,42 @@ def q_otlpjson_connector_split(sf_dir: str):
                        combine="driver")
 
 
+def q_incremental_dedup_events(sf_dir: str):
+    """Cross-RUN incremental dedup (state/incremental.py
+    incremental_dedup over the DbStorage sqlite backend — the stanza
+    known-offsets restart pattern generalized to record identity):
+    "yesterday's run" = even event_ids seeds the persisted seen-hash
+    store, "today's run" = odd event_ids drops every (user_id,
+    event_type) key yesterday already emitted.  Row-level oracle: odd
+    rows whose key has no even-row occurrence (NOT EXISTS).  The
+    filter is map-side searchsorted against one broadcast sorted-hash
+    array; only 8-byte distinct-hash partials reach the driver."""
+    import os as _os
+
+    from ..state import DbStorage, incremental_dedup
+
+    store_path = f"/tmp/graft_incdedup-{_os.path.basename(_os.path.normpath(sf_dir))}.sqlite"
+    if _os.path.exists(store_path):
+        _os.remove(store_path)
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def split(parity):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(t.column("event_id"),
+                                         pa.scalar(1, pa.int64())),
+                         pa.scalar(parity, pa.int64()))
+            return t.filter(m)
+        return f
+
+    with DbStorage(store_path) as st:
+        incremental_dedup(ds.map_batches(split(0), batch_format="pyarrow"),
+                          st, ["user_id", "event_type"])
+        today = incremental_dedup(
+            ds.map_batches(split(1), batch_format="pyarrow"),
+            st, ["user_id", "event_type"])
+    return today.sort("event_id")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8207,6 +8243,7 @@ def queries():
         "latency_histogram_quantile": q_latency_histogram_quantile,
         "counter_rate_by_user": q_counter_rate_by_user,
         "otlpjson_connector_split": q_otlpjson_connector_split,
+        "incremental_dedup_events": q_incremental_dedup_events,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8647,6 +8684,16 @@ def oracle_sql():
                    CAST(sum(CASE WHEN event_id % 4 = 3 THEN 0
                                  ELSE event_id END) AS BIGINT) AS sum_id
             FROM events GROUP BY 1""",
+        "incremental_dedup_events": """
+            SELECT o.event_id, o.user_id, o.event_type
+            FROM events o
+            WHERE o.event_id % 2 = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM events e
+                WHERE e.event_id % 2 = 0
+                  AND e.user_id = o.user_id
+                  AND e.event_type = o.event_type)
+            ORDER BY o.event_id""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -6,3 +6,4 @@ from .lineage import (  # noqa: F401
     summarize_lineage,
 )
 from .epochs import dedup_epoch, dedup_state_view, list_epochs  # noqa: F401
+from .incremental import incremental_dedup  # noqa: F401
