@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     synth_container_log_file()
     synth_journald_export()
     synth_wineventlog()
+    q._evolve_fixture("/root/testdata/sf0.01")
     return q.queries()
 
 

@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "counter_rate_by_user",
     "otlpjson_connector_split",
     "incremental_dedup_events",
+    "schema_evolved_union",
 ]
 
 

@@ -497,6 +497,68 @@ def q_incremental_dedup_events(sf_dir: str):
     return today.sort("event_id")
 
 
+def _evolve_fixture(sf_dir: str) -> str:
+    """Two-schema-version parquet fixture from the events table: v1
+    ("old pipeline") = even event_ids with renamed columns (eid/uid/
+    etype), an int32 event id, a dead column and NO cents; v2 = odd
+    event_ids in the current layout with cents.  Deterministic, cached
+    per sf."""
+    import pyarrow.parquet as _pq
+
+    out = f"/tmp/graft_evolve/{os.path.basename(os.path.normpath(sf_dir))}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    t = _pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "user_id", "event_type", "value"])
+    even = pc.equal(pc.bit_wise_and(t.column("event_id"),
+                                    pa.scalar(1, pa.int64())),
+                    pa.scalar(0, pa.int64()))
+    t1 = t.filter(even)
+    t2 = t.filter(pc.invert(even))
+    os.makedirs(out + ".tmp", exist_ok=True)
+    _pq.write_table(pa.table({
+        "eid": pc.cast(t1.column("event_id"), pa.int32()),
+        "uid": t1.column("user_id"),
+        "etype": t1.column("event_type"),
+        "legacy_note": pa.array(["v1"] * t1.num_rows, pa.string()),
+    }), os.path.join(out + ".tmp", "v1.parquet"))
+    _pq.write_table(pa.table({
+        "event_id": t2.column("event_id"),
+        "user_id": t2.column("user_id"),
+        "event_type": t2.column("event_type"),
+        "cents": pc.cast(pc.round(pc.multiply(t2.column("value"), 100.0)),
+                         pa.int64()),
+    }), os.path.join(out + ".tmp", "v2.parquet"))
+    open(os.path.join(out + ".tmp", "_SUCCESS"), "w").close()
+    try:
+        os.rename(out + ".tmp", out)
+    except OSError:
+        pass
+    return out
+
+
+def q_schema_evolved_union(sf_dir: str):
+    """Schema-evolution reader (sources/evolve.py read_parquet_evolved
+    — the reader-side batch form of schemaprocessor): two parquet
+    generations (renamed columns, int32->int64 widening, a dead legacy
+    column, a field that did not exist yet) normalize onto ONE target
+    schema at the read (column pruning pushed into each generation's
+    read via the inverse rename map) and union.  Row-level oracle:
+    DuckDB reads the same two fixture files and replays the per-group
+    SELECT + UNION ALL."""
+    from ..sources.evolve import read_parquet_evolved
+
+    d = _evolve_fixture(sf_dir)
+    target = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("cents", pa.int64())])
+    ds = read_parquet_evolved(
+        [(os.path.join(d, "v1.parquet"),
+          {"eid": "event_id", "uid": "user_id", "etype": "event_type"}),
+         (os.path.join(d, "v2.parquet"), None)], target)
+    return ds.sort("event_id")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8244,6 +8306,7 @@ def queries():
         "counter_rate_by_user": q_counter_rate_by_user,
         "otlpjson_connector_split": q_otlpjson_connector_split,
         "incremental_dedup_events": q_incremental_dedup_events,
+        "schema_evolved_union": q_schema_evolved_union,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8694,6 +8757,15 @@ def oracle_sql():
                   AND e.user_id = o.user_id
                   AND e.event_type = o.event_type)
             ORDER BY o.event_id""",
+        "schema_evolved_union": """
+            SELECT CAST(eid AS BIGINT) AS event_id,
+                   uid AS user_id, etype AS event_type,
+                   CAST(NULL AS BIGINT) AS cents
+            FROM read_parquet('/tmp/graft_evolve/sf0.01/v1.parquet')
+            UNION ALL
+            SELECT event_id, user_id, event_type, cents
+            FROM read_parquet('/tmp/graft_evolve/sf0.01/v2.parquet')
+            ORDER BY event_id""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
