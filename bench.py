@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "otlpjson_connector_split",
     "incremental_dedup_events",
     "schema_evolved_union",
+    "late_event_depth",
 ]
 
 

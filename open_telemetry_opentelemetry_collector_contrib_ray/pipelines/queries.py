@@ -559,6 +559,27 @@ def q_schema_evolved_union(sf_dir: str):
     return ds.sort("event_id")
 
 
+def q_late_event_depth(sf_dir: str):
+    """Late-data / ingest-reordering audit (stages/intervals.py
+    out_of_order_depth — the batch form of streaming watermark
+    lateness): per user in event_id ARRIVAL order, how far each
+    record's event time sits behind the key's running event-time
+    high-water mark; this is the statistic that sizes an
+    allowed-lateness window.  Int64-exact; row-level oracle via
+    running-max window + lag."""
+    from ..stages.intervals import out_of_order_depth
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def us(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("ts")
+        return t.set_column(i, "ts", pc.cast(t.column("ts"), pa.int64()))
+
+    out = out_of_order_depth(ds.map_batches(us, batch_format="pyarrow"),
+                             ["user_id"], ts_col="ts")
+    return out.sort(["user_id", "event_id"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8307,6 +8328,7 @@ def queries():
         "otlpjson_connector_split": q_otlpjson_connector_split,
         "incremental_dedup_events": q_incremental_dedup_events,
         "schema_evolved_union": q_schema_evolved_union,
+        "late_event_depth": q_late_event_depth,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8766,6 +8788,19 @@ def oracle_sql():
             SELECT event_id, user_id, event_type, cents
             FROM read_parquet('/tmp/graft_evolve/sf0.01/v2.parquet')
             ORDER BY event_id""",
+        "late_event_depth": """
+            WITH w AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts,
+                     max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_max
+              FROM events)
+            SELECT user_id, event_id, ts,
+                   CAST(greatest(coalesce(prev_max - ts, 0), 0) AS BIGINT)
+                     AS depth_us,
+                   greatest(coalesce(prev_max - ts, 0), 0) > 0 AS late
+            FROM w ORDER BY user_id, event_id""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -126,3 +126,38 @@ def distinct_until_changed(ds, keys: Sequence[str],
 
     return bucketed_group_transform(ds, keys, compress,
                                     n_buckets=n_buckets)
+
+
+def out_of_order_depth(ds, key_cols: Sequence[str], ts_col: str = "ts",
+                       arrival_col: str = "event_id",
+                       n_buckets: int = 64):
+    """Late-data / ingest-order audit — the batch form of streaming
+    WATERMARK lateness: per key in ARRIVAL order (``arrival_col``, the
+    ingest sequence, distinct from event time), each record's
+    ``depth_us`` is how far its event time sits behind the key's
+    event-time high-water mark among earlier arrivals
+    (``max(0, prev_running_max_ts - ts)``; a key's first arrival and
+    every new high-water mark read 0), plus a ``late`` flag.  This is
+    what sizes a streaming pipeline's allowed-lateness window and
+    quantifies ingest reordering at 100 TB.  Int64-exact; ONE bucketed
+    co-partition, grouped cummax/shift vectorized across keys."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+
+    def depth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [arrival_col], kind="mergesort") \
+             .reset_index(drop=True)
+        gb = g.groupby(keys, sort=False, dropna=False)
+        ts = g[ts_col].astype("int64")
+        prev_max = ts.groupby([g[k] for k in keys],
+                              sort=False).cummax().groupby(
+            [g[k] for k in keys], sort=False).shift(1)
+        d = (prev_max - ts).clip(lower=0).fillna(0).astype("int64")
+        g["depth_us"] = d
+        g["late"] = d > 0
+        return g
+
+    return bucketed_group_transform(ds, keys, depth, n_buckets=n_buckets)

@@ -81,3 +81,29 @@ def test_distinct_until_changed_multi_column():
     out = distinct_until_changed(rd.from_arrow(t), ["k"], "o", ["a", "b"],
                                  n_buckets=2)
     assert sorted(r["o"] for r in out.take_all()) == [1, 3]
+
+
+def test_out_of_order_depth_basics():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.intervals import (
+        out_of_order_depth,
+    )
+
+    # arrival order 1..5; event times: 100, 50 (late by 50), 200,
+    # 150 (late by 50), 300
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"], pa.string()),
+        "event_id": pa.array([1, 2, 3, 4, 5, 1], pa.int64()),
+        "ts": pa.array([100, 50, 200, 150, 300, 10], pa.int64()),
+    })
+    out = {(r["k"], r["event_id"]): (r["depth_us"], r["late"])
+           for r in out_of_order_depth(
+               rd.from_arrow(t), ["k"], ts_col="ts").take_all()}
+    assert out[("a", 1)] == (0, False)   # first arrival
+    assert out[("a", 2)] == (50, True)   # behind hwm=100
+    assert out[("a", 3)] == (0, False)   # new hwm
+    assert out[("a", 4)] == (50, True)   # behind hwm=200
+    assert out[("a", 5)] == (0, False)
+    assert out[("b", 1)] == (0, False)   # per-key isolation
