@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "incremental_dedup_events",
     "schema_evolved_union",
     "late_event_depth",
+    "ohlc_event_bars",
 ]
 
 

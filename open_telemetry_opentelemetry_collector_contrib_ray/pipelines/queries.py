@@ -580,6 +580,33 @@ def q_late_event_depth(sf_dir: str):
     return out.sort(["user_id", "event_id"])
 
 
+def q_ohlc_event_bars(sf_dir: str):
+    """OHLC downsampling (stages/resample.py ohlc_downsample — the
+    Gorilla/M3-style TSDB rollup shape): per (event_type, 1-day
+    window), open/close = first/last cents in (ts, event_id) order,
+    high/low = max/min, n — a 100 TB raw series compacts to four
+    points per key-window with extremes preserved.  Integer-exact;
+    oracle = first_value/last_value windows + min/max/count."""
+    from ..stages.resample import ohlc_downsample
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_type", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "event_id": t.column("event_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64())})
+
+    out = ohlc_downsample(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type"], ts_col="ts", value_col="cents",
+                          tie_cols=["event_id"],
+                          window_us=86_400_000_000)
+    return out.sort(["event_type", "window_start"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8329,6 +8356,7 @@ def queries():
         "incremental_dedup_events": q_incremental_dedup_events,
         "schema_evolved_union": q_schema_evolved_union,
         "late_event_depth": q_late_event_depth,
+        "ohlc_event_bars": q_ohlc_event_bars,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8801,6 +8829,33 @@ def oracle_sql():
                      AS depth_us,
                    greatest(coalesce(prev_max - ts, 0), 0) > 0 AS late
             FROM w ORDER BY user_id, event_id""",
+        "ohlc_event_bars": """
+            WITH d AS (
+              SELECT event_type, event_id, epoch_us(ts) AS ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     (epoch_us(ts) // 86400000000) * 86400000000
+                       AS window_start
+              FROM events),
+            w AS (
+              SELECT event_type, window_start, cents,
+                     first_value(cents) OVER (
+                       PARTITION BY event_type, window_start
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS open,
+                     last_value(cents) OVER (
+                       PARTITION BY event_type, window_start
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS close
+              FROM d)
+            SELECT event_type, window_start,
+                   CAST(any_value(open) AS BIGINT) AS open,
+                   CAST(max(cents) AS BIGINT) AS high,
+                   CAST(min(cents) AS BIGINT) AS low,
+                   CAST(any_value(close) AS BIGINT) AS close,
+                   count(*) AS n
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

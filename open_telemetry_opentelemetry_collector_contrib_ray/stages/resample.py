@@ -278,3 +278,40 @@ def ewma_smooth(ds, by: Sequence[str] | str, value_col: str,
         return g
 
     return bucketed_group_transform(ds, keys, smooth, n_buckets=n_buckets)
+
+
+def ohlc_downsample(ds, key_cols, ts_col: str = "ts",
+                    value_col: str = "value",
+                    tie_cols=(), window_us: int = 3_600_000_000,
+                    n_buckets: int = 64):
+    """OHLC bar downsampling — the lossy-but-shape-preserving metric
+    compaction step (what a Gorilla/M3-style TSDB rollup emits): per
+    (key, tumbling window) the first (open) and last (close) value in
+    (ts, ties...) order plus min (low), max (high) and count.  A 100 TB
+    raw series becomes four points per key-hour while alert rules on
+    extremes stay answerable.  Values pass through untouched (int
+    cents stay int64-exact); ONE bucketed co-partition, vectorized
+    groupby head/tail per bucket."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+
+    def bars(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64")
+        g = g.assign(window_start=(ts // window_us) * window_us)
+        g = g.sort_values(keys + ["window_start", ts_col] + ties,
+                          kind="mergesort")
+        part = keys + ["window_start"]
+        gb = g.groupby(part, sort=False)
+        out = gb.agg(n=(value_col, "size"),
+                     low=(value_col, "min"),
+                     high=(value_col, "max")).reset_index()
+        opens = gb[value_col].first().rename("open").reset_index()
+        closes = gb[value_col].last().rename("close").reset_index()
+        out = out.merge(opens, on=part).merge(closes, on=part)
+        return out[part + ["open", "high", "low", "close", "n"]]
+
+    return bucketed_group_transform(ds, keys, bars, n_buckets=n_buckets)

@@ -110,3 +110,50 @@ def test_resample_lerp_ties_reduce_to_max():
     got = {int(r["grid_ts"].timestamp() * 1e6): r["value"]
            for r in out.take_all()}
     assert got[0] == 9.0 and got[100] == 9.0 and got[200] == 9.0
+
+
+def test_ohlc_downsample_bars():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        ohlc_downsample,
+    )
+
+    # window 100us; key a window 0: ts 10,20,30 values 5,9,2 ->
+    # open 5 high 9 low 2 close 2; window 100: single point
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"], pa.string()),
+        "event_id": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        "ts": pa.array([10, 20, 30, 120, 50], pa.int64()),
+        "value": pa.array([5, 9, 2, 7, 1], pa.int64()),
+    })
+    out = {(r["k"], r["window_start"]):
+           (r["open"], r["high"], r["low"], r["close"], r["n"])
+           for r in ohlc_downsample(
+               rd.from_arrow(t), ["k"], ts_col="ts",
+               tie_cols=["event_id"], window_us=100).take_all()}
+    assert out[("a", 0)] == (5, 9, 2, 2, 3)
+    assert out[("a", 100)] == (7, 7, 7, 7, 1)
+    assert out[("b", 0)] == (1, 1, 1, 1, 1)
+
+
+def test_ohlc_tie_break_deterministic():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        ohlc_downsample,
+    )
+
+    # equal ts: open/close decided by the tie column
+    t = pa.table({
+        "k": pa.array(["a", "a"], pa.string()),
+        "event_id": pa.array([2, 1], pa.int64()),
+        "ts": pa.array([10, 10], pa.int64()),
+        "value": pa.array([100, 7], pa.int64()),
+    })
+    r = ohlc_downsample(rd.from_arrow(t), ["k"], ts_col="ts",
+                        tie_cols=["event_id"],
+                        window_us=100).take_all()[0]
+    assert (r["open"], r["close"]) == (7, 100)
