@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "schema_evolved_union",
     "late_event_depth",
     "ohlc_event_bars",
+    "slo_burn_alerts",
 ]
 
 

@@ -607,6 +607,36 @@ def q_ohlc_event_bars(sf_dir: str):
     return out.sort(["event_type", "window_start"])
 
 
+def q_slo_burn_alerts(sf_dir: str):
+    """Multiwindow multi-burn-rate SLO alerting (stages/alerting.py
+    burn_rate_alerts, the SRE-workbook rule): services = user_id % 4,
+    bad = error events, minute buckets, 1h short / 6h long trailing
+    windows against a 90% SLO; alert when BOTH windows burn > 2x
+    budget.  Window sums are int64-exact via one composite-key
+    searchsorted per window (sparse series stays sparse — no dense
+    bucket fill); the oracle replays with RANGE windows and the
+    identical fixed-order float expressions."""
+    from ..stages.alerting import burn_rate_alerts
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        svc = pc.bit_wise_and(t.column("user_id"),
+                              pa.scalar(3, pa.int64()))
+        bad = pc.cast(pc.equal(t.column("event_type"), "error"),
+                      pa.int64())
+        return pa.table({"svc": svc,
+                         "ts": pc.cast(t.column("ts"), pa.int64()),
+                         "bad": bad})
+
+    out = burn_rate_alerts(ds.map_batches(prep, batch_format="pyarrow"),
+                           ["svc"], slo_target=0.9,
+                           short_us=3_600_000_000,
+                           long_us=21_600_000_000,
+                           bucket_us=60_000_000, burn_threshold=2.0)
+    return out.sort(["svc", "bucket"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8357,6 +8387,7 @@ def queries():
         "schema_evolved_union": q_schema_evolved_union,
         "late_event_depth": q_late_event_depth,
         "ohlc_event_bars": q_ohlc_event_bars,
+        "slo_burn_alerts": q_slo_burn_alerts,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8856,6 +8887,38 @@ def oracle_sql():
                    CAST(any_value(close) AS BIGINT) AS close,
                    count(*) AS n
             FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+        "slo_burn_alerts": """
+            WITH d AS (
+              SELECT user_id % 4 AS svc,
+                     epoch_us(ts) // 60000000 AS bucket,
+                     CAST(event_type = 'error' AS BIGINT) AS bad
+              FROM events),
+            agg AS (
+              SELECT svc, bucket, count(*) AS n,
+                     CAST(sum(bad) AS BIGINT) AS bad
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT svc, bucket,
+                     CAST(sum(n) OVER ws AS BIGINT) AS n_short,
+                     CAST(sum(bad) OVER ws AS BIGINT) AS bad_short,
+                     CAST(sum(n) OVER wl AS BIGINT) AS n_long,
+                     CAST(sum(bad) OVER wl AS BIGINT) AS bad_long
+              FROM agg
+              WINDOW ws AS (PARTITION BY svc ORDER BY bucket
+                            RANGE BETWEEN 59 PRECEDING AND CURRENT ROW),
+                     wl AS (PARTITION BY svc ORDER BY bucket
+                            RANGE BETWEEN 359 PRECEDING AND CURRENT ROW))
+            SELECT svc, bucket, n_short, bad_short, n_long, bad_long,
+                   (CAST(bad_short AS DOUBLE) / CAST(n_short AS DOUBLE))
+                     / (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) AS burn_short,
+                   (CAST(bad_long AS DOUBLE) / CAST(n_long AS DOUBLE))
+                     / (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) AS burn_long,
+                   ((CAST(bad_short AS DOUBLE) / CAST(n_short AS DOUBLE))
+                     / (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))) > 2.0
+                   AND ((CAST(bad_long AS DOUBLE) / CAST(n_long AS DOUBLE))
+                     / (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))) > 2.0
+                     AS alert
+            FROM w ORDER BY svc, bucket""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -103,3 +103,79 @@ def cusum_changes(ds, by: Sequence[str] | str, value_col: str,
                         .astype(np.int64))
 
     return bucketed_group_transform(ds, keys, run, n_buckets=n_buckets)
+
+
+def burn_rate_alerts(ds, key_cols, ts_col: str = "ts",
+                     bad_col: str = "bad", slo_target: float = 0.99,
+                     short_us: int = 3_600_000_000,
+                     long_us: int = 21_600_000_000,
+                     bucket_us: int = 60_000_000,
+                     burn_threshold: float = 2.0, n_buckets: int = 64):
+    """Multiwindow, multi-burn-rate SLO alerting (the Google SRE
+    workbook ch.5 rule): per key, bucket events to ``bucket_us``
+    minutes, evaluate at every OBSERVED bucket the trailing error
+    ratio over a SHORT and a LONG window, normalize by the error
+    budget — burn = (bad_W / n_W) / (1 - slo_target) — and alert when
+    BOTH windows exceed ``burn_threshold`` (the long window gates
+    noise, the short window ends the alert quickly once the burn
+    stops).
+
+    Exactness: window sums are int64 via the composite-key prefix-sum
+    trick (ONE searchsorted per window over (key_code * STRIDE +
+    bucket) — no per-key Python, no dense bucket materialization, so a
+    sparse 100 TB series stays sparse); the two float expressions are
+    fixed-order and mirrored by the SQL oracle's RANGE-window replay.
+    Returns keys + bucket + n/bad short/long sums + burn rates +
+    alert."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+    wb_s = short_us // bucket_us
+    wb_l = long_us // bucket_us
+    if wb_s <= 0 or wb_l <= 0 or wb_s > wb_l:
+        raise ValueError("need 0 < short_us <= long_us, both >= bucket_us")
+    budget = 1.0 - slo_target
+    if budget <= 0:
+        raise ValueError(f"slo_target must be < 1: {slo_target}")
+
+    def evaluate(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64")
+        g = g.assign(bucket=ts // bucket_us)
+        agg = g.groupby(keys + ["bucket"], sort=False).agg(
+            n=(bad_col, "size"), bad=(bad_col, "sum")).reset_index()
+        agg = agg.sort_values(keys + ["bucket"],
+                              kind="mergesort").reset_index(drop=True)
+        if len(keys) > 1:
+            code = pd.factorize(pd.Series(
+                list(zip(*(agg[k] for k in keys)))), sort=False)[0]
+        else:
+            code = pd.factorize(agg[keys[0]], sort=False)[0]
+        b = agg["bucket"].to_numpy(dtype=np.int64)
+        b0 = b.min() if len(b) else 0
+        br = b - b0
+        stride = (br.max() if len(br) else 0) + wb_l + 2
+        comp = code.astype(np.int64) * stride + br
+        n = agg["n"].to_numpy(dtype=np.int64)
+        bad = agg["bad"].to_numpy(dtype=np.int64)
+        cn, cb = np.cumsum(n), np.cumsum(bad)
+
+        def window(wb):
+            j = np.searchsorted(comp, comp - (wb - 1), side="left")
+            wn = cn - np.where(j > 0, cn[np.maximum(j - 1, 0)], 0)
+            wbad = cb - np.where(j > 0, cb[np.maximum(j - 1, 0)], 0)
+            return wn, wbad
+
+        ns, bs = window(wb_s)
+        nl, bl = window(wb_l)
+        burn_s = (bs.astype(np.float64) / ns.astype(np.float64)) / budget
+        burn_l = (bl.astype(np.float64) / nl.astype(np.float64)) / budget
+        agg["n_short"], agg["bad_short"] = ns, bs
+        agg["n_long"], agg["bad_long"] = nl, bl
+        agg["burn_short"], agg["burn_long"] = burn_s, burn_l
+        agg["alert"] = (burn_s > burn_threshold) & (burn_l > burn_threshold)
+        return agg.drop(columns=["n", "bad"])
+
+    return bucketed_group_transform(ds, keys, evaluate,
+                                    n_buckets=n_buckets)
