@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "late_event_depth",
     "ohlc_event_bars",
     "slo_burn_alerts",
+    "seasonal_residual_events",
 ]
 
 

@@ -637,6 +637,30 @@ def q_slo_burn_alerts(sf_dir: str):
     return out.sort(["svc", "bucket"])
 
 
+def q_seasonal_residual_events(sf_dir: str):
+    """Seasonal-naive anomaly baseline (stages/resample.py
+    seasonal_residuals): per (event_type, hour) cents-sum vs the same
+    hour ONE DAY earlier, residual typed-null when no baseline bucket
+    exists.  Int64-exact; row-level oracle via self LEFT JOIN on
+    bucket - 24."""
+    from ..stages.resample import seasonal_residuals
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64())})
+
+    out = seasonal_residuals(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["event_type"], value_col="cents",
+                             period_us=86_400_000_000,
+                             bucket_us=3_600_000_000)
+    return out.sort(["event_type", "bucket"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8388,6 +8412,7 @@ def queries():
         "late_event_depth": q_late_event_depth,
         "ohlc_event_bars": q_ohlc_event_bars,
         "slo_burn_alerts": q_slo_burn_alerts,
+        "seasonal_residual_events": q_seasonal_residual_events,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8919,6 +8944,20 @@ def oracle_sql():
                      / (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))) > 2.0
                      AS alert
             FROM w ORDER BY svc, bucket""",
+        "seasonal_residual_events": """
+            WITH agg AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 AS bucket,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS total
+              FROM events GROUP BY 1, 2)
+            SELECT a.event_type, a.bucket, a.total,
+                   b.total AS baseline,
+                   a.total - b.total AS residual
+            FROM agg a LEFT JOIN agg b
+              ON b.event_type = a.event_type
+             AND b.bucket = a.bucket - 24
+            ORDER BY a.event_type, a.bucket""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

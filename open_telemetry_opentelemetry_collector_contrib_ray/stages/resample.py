@@ -315,3 +315,58 @@ def ohlc_downsample(ds, key_cols, ts_col: str = "ts",
         return out[part + ["open", "high", "low", "close", "n"]]
 
     return bucketed_group_transform(ds, keys, bars, n_buckets=n_buckets)
+
+
+def seasonal_residuals(ds, key_cols, ts_col: str = "ts",
+                       value_col: str = "value",
+                       period_us: int = 604_800_000_000,
+                       bucket_us: int = 3_600_000_000,
+                       n_buckets: int = 64):
+    """Seasonal-naive anomaly baseline: per (key, ``bucket_us`` bucket)
+    the value SUM is compared against the same bucket one ``period_us``
+    earlier (same-hour-last-week by default) — residual = current −
+    baseline, typed-null when no prior-period bucket exists (never
+    fabricates a baseline).  The standard first-line seasonal detector
+    before anything model-shaped.  Integer values stay int64-exact;
+    ONE bucketed co-partition, baseline lookup is a vectorized
+    searchsorted into the key's own sorted bucket array (sparse series
+    stays sparse)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+    if period_us % bucket_us:
+        raise ValueError("period_us must be a multiple of bucket_us")
+    lag = period_us // bucket_us
+
+    def resid(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64")
+        g = g.assign(bucket=ts // bucket_us)
+        agg = g.groupby(keys + ["bucket"], sort=False) \
+            .agg(total=(value_col, "sum")).reset_index() \
+            .sort_values(keys + ["bucket"], kind="mergesort") \
+            .reset_index(drop=True)
+        if len(keys) > 1:
+            code = pd.factorize(pd.Series(
+                list(zip(*(agg[k] for k in keys)))), sort=False)[0]
+        else:
+            code = pd.factorize(agg[keys[0]], sort=False)[0]
+        b = agg["bucket"].to_numpy(dtype=np.int64)
+        b0 = b.min() if len(b) else 0
+        br = b - b0
+        stride = (br.max() if len(br) else 0) + lag + 2
+        comp = code.astype(np.int64) * stride + br
+        target = comp - lag
+        j = np.searchsorted(comp, target)
+        hit = (j < len(comp)) & (comp[np.minimum(j, len(comp) - 1)]
+                                 == target)
+        total = agg["total"].to_numpy()
+        base = pd.array(np.where(hit, total[np.minimum(j, len(comp) - 1)],
+                                 0), dtype="Int64")
+        base[~hit] = pd.NA
+        agg["baseline"] = base
+        agg["residual"] = pd.array(total, dtype="Int64") - base
+        return agg
+
+    return bucketed_group_transform(ds, keys, resid, n_buckets=n_buckets)

@@ -157,3 +157,39 @@ def test_ohlc_tie_break_deterministic():
                         tie_cols=["event_id"],
                         window_us=100).take_all()[0]
     assert (r["open"], r["close"]) == (7, 100)
+
+
+def test_seasonal_residuals_same_bucket_last_period():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        seasonal_residuals,
+    )
+
+    # bucket=10, period=30 (lag 3 buckets): bucket 0 sum 5 -> baseline
+    # for bucket 3 (sum 9, residual 4); bucket 4 has no bucket-1 ->
+    # null; other key isolated
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"], pa.string()),
+        "ts": pa.array([1, 5, 31, 35, 1], pa.int64()),
+        "v": pa.array([2, 3, 9, 0, 7], pa.int64()),
+    })
+    out = {(r["k"], r["bucket"]): (r["baseline"], r["residual"])
+           for r in seasonal_residuals(
+               rd.from_arrow(t), ["k"], value_col="v",
+               period_us=30, bucket_us=10).take_all()}
+    assert out[("a", 0)] == (None, None)
+    assert out[("a", 3)] == (5, 4)
+    assert out[("b", 0)] == (None, None)
+
+
+def test_seasonal_residuals_validation():
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        seasonal_residuals,
+    )
+
+    with pytest.raises(ValueError, match="multiple"):
+        seasonal_residuals(None, ["k"], period_us=25, bucket_us=10)
