@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "ohlc_event_bars",
     "slo_burn_alerts",
     "seasonal_residual_events",
+    "twa_event_value",
 ]
 
 

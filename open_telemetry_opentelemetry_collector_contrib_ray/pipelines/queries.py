@@ -661,6 +661,34 @@ def q_seasonal_residual_events(sf_dir: str):
     return out.sort(["event_type", "bucket"])
 
 
+def q_twa_event_value(sf_dir: str):
+    """Time-weighted average gauge (stages/resample.py
+    time_weighted_average): per (event_type, day) the step-function
+    integral of cents between consecutive samples divided by the
+    covered span — the irregular-sampling-correct mean.  Exact int64
+    numerator (cents x microsecond segments), one mirrored float
+    division; windows with < 2 samples yield typed-null twa.  Oracle:
+    lead() window + conditional sum, row-level."""
+    from ..stages.resample import time_weighted_average
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "event_id", "ts",
+                                        "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "event_id": t.column("event_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64())})
+
+    out = time_weighted_average(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], value_col="cents", tie_cols=["event_id"],
+        window_us=86_400_000_000)
+    return out.sort(["event_type", "window_start"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8413,6 +8441,7 @@ def queries():
         "ohlc_event_bars": q_ohlc_event_bars,
         "slo_burn_alerts": q_slo_burn_alerts,
         "seasonal_residual_events": q_seasonal_residual_events,
+        "twa_event_value": q_twa_event_value,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -8958,6 +8987,28 @@ def oracle_sql():
               ON b.event_type = a.event_type
              AND b.bucket = a.bucket - 24
             ORDER BY a.event_type, a.bucket""",
+        "twa_event_value": """
+            WITH d AS (
+              SELECT event_type, event_id, epoch_us(ts) AS ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     (epoch_us(ts) // 86400000000) * 86400000000
+                       AS window_start
+              FROM events),
+            s AS (
+              SELECT event_type, window_start, ts, cents,
+                     lead(ts) OVER (PARTITION BY event_type, window_start
+                                    ORDER BY ts, event_id) AS nxt
+              FROM d)
+            SELECT event_type, window_start,
+                   count(*) AS n,
+                   CAST(max(ts) - min(ts) AS BIGINT) AS span_us,
+                   CASE WHEN max(ts) > min(ts)
+                        THEN CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                                      ELSE cents * (nxt - ts) END)
+                                  AS DOUBLE)
+                             / CAST(max(ts) - min(ts) AS DOUBLE)
+                   END AS twa
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

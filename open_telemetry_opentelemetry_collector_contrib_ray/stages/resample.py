@@ -370,3 +370,51 @@ def seasonal_residuals(ds, key_cols, ts_col: str = "ts",
         return agg
 
     return bucketed_group_transform(ds, keys, resid, n_buckets=n_buckets)
+
+
+def time_weighted_average(ds, key_cols, ts_col: str = "ts",
+                          value_col: str = "value",
+                          window_us: int = 3_600_000_000,
+                          tie_cols=(), n_buckets: int = 64):
+    """Time-weighted average of a sampled gauge per (key, tumbling
+    window): the step-function integral between consecutive samples
+    INSIDE the window, divided by the covered span —
+    sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first) — the right mean
+    for irregularly-sampled gauges where the arithmetic mean
+    over-weights bursts of samples.  No cross-window carry and no
+    extrapolation: a window with fewer than two samples yields a
+    typed-null ``twa`` (its ``n``/``span_us`` still report).  The
+    integer numerator is EXACT int64 (value x microsecond products);
+    the single closing division is the only float.  ONE bucketed
+    co-partition, grouped shifts vectorized across keys."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64")
+        g = g.assign(window_start=(ts // window_us) * window_us,
+                     __ts=ts)
+        part = keys + ["window_start"]
+        g = g.sort_values(part + [ts_col] + ties, kind="mergesort")
+        gb = g.groupby(part, sort=False)
+        nxt = gb["__ts"].shift(-1)
+        seg = (nxt - g["__ts"]).fillna(0).astype("int64")
+        g["__area"] = g[value_col].astype("int64") * seg
+        out = gb.agg(n=(value_col, "size")).reset_index()
+        area = g.groupby(part, sort=False)["__area"].sum().reset_index()
+        span = gb["__ts"].agg(lambda s: s.iloc[-1] - s.iloc[0]) \
+            .rename("span_us").reset_index()
+        out = out.merge(area, on=part).merge(span, on=part)
+        out["span_us"] = out["span_us"].astype("int64")
+        a = out["__area"].to_numpy(dtype=np.float64)
+        sp = out["span_us"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = a / sp
+        out["twa"] = np.where(sp > 0, v, np.nan)
+        return out.drop(columns="__area")
+
+    return bucketed_group_transform(ds, keys, twa, n_buckets=n_buckets)

@@ -193,3 +193,28 @@ def test_seasonal_residuals_validation():
 
     with pytest.raises(ValueError, match="multiple"):
         seasonal_residuals(None, ["k"], period_us=25, bucket_us=10)
+
+
+def test_time_weighted_average_step_integral():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        time_weighted_average,
+    )
+
+    # window 100: key a samples (ts,v) = (0,10),(60,40),(80,100):
+    # integral 10*60 + 40*20 = 1400 over span 80 -> 17.5; single-sample
+    # window -> null twa
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["a"], pa.string()),
+        "ts": pa.array([0, 60, 80, 150], pa.int64()),
+        "v": pa.array([10, 40, 100, 5], pa.int64()),
+    })
+    out = {r["window_start"]: r for r in time_weighted_average(
+        rd.from_arrow(t), ["k"], value_col="v", window_us=100).take_all()}
+    assert out[0]["twa"] == 1400.0 / 80.0
+    assert out[0]["span_us"] == 80 and out[0]["n"] == 3
+    assert out[100]["twa"] is None or out[100]["twa"] != out[100]["twa"]
+    # burst robustness: arithmetic mean of (10,40,100) is 50, TWA 17.5
+    assert out[0]["twa"] < 50
