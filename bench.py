@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "slo_burn_alerts",
     "seasonal_residual_events",
     "twa_event_value",
+    "rolling_weekly_actives",
 ]
 
 

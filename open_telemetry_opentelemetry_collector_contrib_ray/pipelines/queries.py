@@ -689,6 +689,21 @@ def q_twa_event_value(sf_dir: str):
     return out.sort(["event_type", "window_start"])
 
 
+def q_rolling_weekly_actives(sf_dir: str):
+    """Rolling 7-day distinct actives per day (stages/aggregate.py
+    rolling_distinct — the WAU shape): each event explodes map-side to
+    the 7 window-end days that include it, collapses to distinct
+    (day, user) pairs per batch, one bucketed exchange dedups
+    globally, a count closes.  Raw rows never shuffle — only distinct
+    pairs.  Oracle: day spine x 7-day range join + COUNT(DISTINCT)."""
+    from ..stages.aggregate import rolling_distinct
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "ts"])
+    return rolling_distinct(ds, "user_id", ts_col="ts",
+                            window_buckets=7,
+                            bucket_us=86_400_000_000).sort("bucket")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8442,6 +8457,7 @@ def queries():
         "slo_burn_alerts": q_slo_burn_alerts,
         "seasonal_residual_events": q_seasonal_residual_events,
         "twa_event_value": q_twa_event_value,
+        "rolling_weekly_actives": q_rolling_weekly_actives,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9009,6 +9025,18 @@ def oracle_sql():
                              / CAST(max(ts) - min(ts) AS DOUBLE)
                    END AS twa
             FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        "rolling_weekly_actives": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            ends AS (
+              SELECT DISTINCT day + k.k AS bucket
+              FROM d CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) k)
+            SELECT e.bucket,
+                   CAST(count(DISTINCT dd.user_id) AS BIGINT) AS n_distinct
+            FROM ends e JOIN d dd
+              ON dd.day BETWEEN e.bucket - 6 AND e.bucket
+            GROUP BY 1 ORDER BY 1""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -1507,3 +1507,53 @@ def counter_increase(ds, key_cols: Sequence[str], value_col: str,
         return out
 
     return bucketed_group_transform(ds, keys, agg, n_buckets)
+
+
+def rolling_distinct(ds, id_col: str, ts_col: str = "ts",
+                     window_buckets: int = 7,
+                     bucket_us: int = 86_400_000_000,
+                     key_cols: Sequence[str] = (),
+                     n_buckets: int = 64):
+    """Rolling distinct-entity count (the WAU/rolling-actives shape):
+    for every bucket, how many distinct ``id_col`` values appeared in
+    the trailing ``window_buckets`` buckets ending there.  Map-side
+    each row EXPLODES to the ``window_buckets`` window-end buckets that
+    include it (constant fan-out), collapses to DISTINCT (window, id)
+    pairs per batch, then one bucketed exchange counts distinct pairs —
+    the id column itself never shuffles raw rows, only distinct pairs.
+    Windows are labeled by their END bucket; buckets with no activity
+    anywhere in their window do not emit (sparse stays sparse).
+    Output: [keys...,] ``bucket`` (window end), ``n_distinct``."""
+    keys = list(key_cols)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({**{k: t.column(k).slice(0, 0) for k in keys},
+                             "bucket": pa.array([], pa.int64()),
+                             id_col: t.column(id_col).slice(0, 0)})
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = ts // bucket_us
+        n = len(b)
+        reps = np.repeat(np.arange(n, dtype=np.int64), window_buckets)
+        ends = np.repeat(b, window_buckets) + np.tile(
+            np.arange(window_buckets, dtype=np.int64), n)
+        out = pa.table({
+            **{k: t.column(k).take(pa.array(reps)) for k in keys},
+            "bucket": pa.array(ends),
+            id_col: t.column(id_col).take(pa.array(reps))})
+        # per-batch distinct collapse before the exchange
+        g = out.group_by(keys + ["bucket", id_col]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    # the distinct_users_by_type idiom: one bucketed exchange dedups
+    # (window, id) pairs globally, then a count over the pair keys
+    distinct_pairs = grouped_agg(pairs, keys + ["bucket", id_col],
+                                 [("count", None, "_n")],
+                                 combine="bucket", n_buckets=n_buckets)
+    return grouped_count(
+        distinct_pairs.map_batches(
+            lambda t: t.select(keys + ["bucket"]),
+            batch_format="pyarrow"),
+        keys + ["bucket"], alias="n_distinct", combine="bucket")

@@ -319,3 +319,45 @@ def test_exp_histogram_agg_scales(ray_session):
            for r in exp_histogram_agg(rd.from_arrow(t), ["k"], "v",
                                       scale=-1).take_all()}
     assert out == {-1: 1, 0: 3, 1: 1, None: 1}
+
+
+def test_rolling_distinct_wau_shape():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        rolling_distinct,
+    )
+
+    # bucket=10us, window=3 buckets; user u1 active buckets 0 and 2,
+    # u2 bucket 1.  Window END b covers buckets [b-2, b]:
+    # end 0: {u1}=1; end 1: {u1,u2}=2; end 2: {u1,u2}=2;
+    # end 3: {u2,u1}=2 (u2@1, u1@2); end 4: {u1}=1 (u1@2)
+    t = pa.table({
+        "uid": pa.array([1, 1, 2, 1], pa.int64()),
+        "ts": pa.array([1, 5, 15, 25], pa.int64()),
+    })
+    out = {r["bucket"]: r["n_distinct"] for r in rolling_distinct(
+        rd.from_arrow(t), "uid", ts_col="ts", window_buckets=3,
+        bucket_us=10).take_all()}
+    assert out == {0: 1, 1: 2, 2: 2, 3: 2, 4: 1}
+
+
+def test_rolling_distinct_with_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        rolling_distinct,
+    )
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "uid": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([1, 11, 1], pa.int64()),
+    })
+    out = {(r["k"], r["bucket"]): r["n_distinct"] for r in rolling_distinct(
+        rd.from_arrow(t), "uid", ts_col="ts", window_buckets=2,
+        bucket_us=10, key_cols=["k"]).take_all()}
+    assert out[("a", 1)] == 1 and out[("a", 2)] == 1
+    assert out[("b", 0)] == 1 and ("b", 2) not in out
