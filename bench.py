@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "seasonal_residual_events",
     "twa_event_value",
     "rolling_weekly_actives",
+    "fs_customer_links",
 ]
 
 

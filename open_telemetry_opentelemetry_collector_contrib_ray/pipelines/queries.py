@@ -704,6 +704,75 @@ def q_rolling_weekly_actives(sf_dir: str):
                             bucket_us=86_400_000_000).sort("bucket")
 
 
+_FS_PARAMS = {"cent_d": (0.9, 0.3), "seg": (0.85, 0.2),
+              "bal_b": (0.7, 0.05)}
+_FS_THRESHOLD = 1.5
+
+
+def _fs_weights_sql() -> str:
+    from ..stages.linkage import fellegi_sunter_weights
+
+    ws = fellegi_sunter_weights(_FS_PARAMS)
+    terms = []
+    for f, (wa, wd) in ws.items():
+        # STRING-cast the literals: a bare float literal parses as
+        # DECIMAL in DuckDB and even CAST(literal AS DOUBLE) routes
+        # through the decimal (losing the exact bits for 17-digit
+        # values); CAST('<repr>' AS DOUBLE) uses strtod — exact
+        terms.append(f"(CASE WHEN a.{f} = b.{f} "
+                     f"THEN CAST('{wa!r}' AS DOUBLE) "
+                     f"ELSE CAST('{wd!r}' AS DOUBLE) END)")
+    return " + ".join(terms)
+
+
+def q_fs_customer_links(sf_dir: str):
+    """Fellegi-Sunter record linkage (stages/linkage.py
+    fellegi_sunter_scores, the 1969 decision model): customers split
+    into two "sources" by custkey parity, candidate pairs blocked by
+    nation (one co-partition, within-block vectorized cross merge),
+    scored by the sum of per-field log-likelihood weights (balance
+    cent digit, market segment, $1000 balance bucket) with fixed m/u
+    parameters; match = score >= threshold.  The weights are computed
+    ONCE and embedded as literals in the SQL oracle (single source of
+    truth), summed in the same field order — bit-stable floats."""
+    import pandas as pd
+
+    from ..stages.aggregate import bucketed_group_transform
+    from ..stages.linkage import fellegi_sunter_scores
+
+    ds = _rd(sf_dir, "customer",
+             columns=["c_custkey", "c_nationkey",
+                      "c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"),
+                                             100.0)), pa.int64())
+        bal_b = pc.cast(pc.floor(pc.divide(
+            pc.cast(cents, pa.float64()), 100_000.0)), pa.int64())
+        return pa.table({
+            "custkey": t.column("c_custkey"),
+            "nation": t.column("c_nationkey"),
+            "cent_d": pa.array(
+                np.abs(cents.to_numpy(zero_copy_only=False)) % 10,
+                pa.int64()),
+            "seg": t.column("c_mktsegment"),
+            "bal_b": bal_b})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["custkey"] % 2 == 0]
+        b = g[g["custkey"] % 2 == 1]
+        m = a.merge(b, on="nation", suffixes=("_a", "_b"))
+        return m[["custkey_a", "custkey_b", "cent_d_a", "cent_d_b",
+                  "seg_a", "seg_b", "bal_b_a", "bal_b_b"]]
+
+    cand = bucketed_group_transform(
+        ds.map_batches(prep, batch_format="pyarrow"), ["nation"], pairs)
+    scored = fellegi_sunter_scores(cand, _FS_PARAMS, _FS_THRESHOLD)
+    return scored.map_batches(
+        lambda t: t.select(["custkey_a", "custkey_b", "score", "match"]),
+        batch_format="pyarrow").sort(["custkey_a", "custkey_b"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8458,6 +8527,7 @@ def queries():
         "seasonal_residual_events": q_seasonal_residual_events,
         "twa_event_value": q_twa_event_value,
         "rolling_weekly_actives": q_rolling_weekly_actives,
+        "fs_customer_links": q_fs_customer_links,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9037,6 +9107,23 @@ def oracle_sql():
             FROM ends e JOIN d dd
               ON dd.day BETWEEN e.bucket - 6 AND e.bucket
             GROUP BY 1 ORDER BY 1""",
+        "fs_customer_links": f"""
+            WITH c AS (
+              SELECT c_custkey AS custkey, c_nationkey AS nation,
+                     abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 10
+                       AS cent_d,
+                     c_mktsegment AS seg,
+                     CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                                     AS DOUBLE) / 100000.0) AS BIGINT)
+                       AS bal_b
+              FROM customer)
+            SELECT a.custkey AS custkey_a, b.custkey AS custkey_b,
+                   {_fs_weights_sql()} AS score,
+                   ({_fs_weights_sql()}) >= {_FS_THRESHOLD!r} AS match
+            FROM c a JOIN c b
+              ON a.nation = b.nation
+             AND a.custkey % 2 = 0 AND b.custkey % 2 = 1
+            ORDER BY 1, 2""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -155,3 +155,54 @@ def blocked_levenshtein_pairs(ds, id_col: str = "doc_id",
         lambda df: _verify_block_pairs(df, id_col, max_dist, max_block,
                                        unit),
         n_buckets=n_buckets)
+
+
+def fellegi_sunter_weights(params: dict) -> dict:
+    """Per-field (agree_weight, disagree_weight) = (ln(m/u),
+    ln((1-m)/(1-u))) from the Fellegi-Sunter m/u probabilities
+    (Fellegi & Sunter 1969; the classical record-linkage decision
+    model).  Computed ONCE here so both the engine and a SQL oracle
+    embed the identical float64 constants — no per-row libm, no
+    cross-engine ln() drift."""
+    import math
+
+    out = {}
+    for f, (m, u) in params.items():
+        if not (0 < u < m < 1):
+            raise ValueError(f"need 0 < u < m < 1 for field {f!r}: "
+                             f"m={m}, u={u}")
+        out[f] = (math.log(m / u), math.log((1 - m) / (1 - u)))
+    return out
+
+
+def fellegi_sunter_scores(pairs_ds, params: dict, threshold: float,
+                          suffix_a: str = "_a", suffix_b: str = "_b"):
+    """Score candidate record pairs with the Fellegi-Sunter sum of
+    log-likelihood weights: per field f (columns ``f{suffix_a}`` /
+    ``f{suffix_b}``), agreement adds ln(m/u), disagreement adds
+    ln((1-m)/(1-u)), and a NULL on either side adds 0 (missing data is
+    no evidence).  ``match`` = score >= threshold.  Map-only zero
+    shuffle — candidate generation (blocking) is upstream
+    (blocked_levenshtein_pairs or any join).  Weights are precomputed
+    constants summed in FIXED field order, so the score replays
+    bit-for-bit in SQL with the same embedded literals."""
+    ws = fellegi_sunter_weights(params)
+    fields = list(params)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = np.zeros(n, dtype=np.float64)
+        for f in fields:
+            a = t.column(f + suffix_a)
+            b = t.column(f + suffix_b)
+            both = pc.and_(pc.is_valid(a), pc.is_valid(b)) \
+                .to_numpy(zero_copy_only=False)
+            agree = pc.fill_null(pc.equal(a, b), False) \
+                .to_numpy(zero_copy_only=False)
+            wa, wd = ws[f]
+            s = s + np.where(both, np.where(agree, wa, wd), 0.0)
+        t = t.append_column("score", pa.array(s, pa.float64()))
+        return t.append_column("match",
+                               pa.array(s >= threshold, pa.bool_()))
+
+    return pairs_ds.map_batches(score, batch_format="pyarrow")
