@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "twa_event_value",
     "rolling_weekly_actives",
     "fs_customer_links",
+    "value_hour_correlation",
 ]
 
 

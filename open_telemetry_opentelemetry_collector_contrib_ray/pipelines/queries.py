@@ -773,6 +773,32 @@ def q_fs_customer_links(sf_dir: str):
         batch_format="pyarrow").sort(["custkey_a", "custkey_b"])
 
 
+def q_value_hour_correlation(sf_dir: str):
+    """Grouped Pearson correlation (stages/robust.py grouped_pearson):
+    per event_type, r between event cents and hour-of-day — the
+    canonical one-pass distributed statistic from exact int64 moment
+    partials (n, Σx, Σy, Σxy, Σx², Σy² per key per batch; kilobytes
+    shuffle).  The closing float expression is fixed-order with IEEE
+    sqrt and a [-1,1] clamp, mirrored exactly by the oracle."""
+    from ..stages.robust import grouped_pearson
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64())
+        # hour of day from microseconds
+        h = (ts.to_numpy(zero_copy_only=False) // 3_600_000_000) % 24
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64()),
+            "hour": pa.array(h, pa.int64())})
+
+    out = grouped_pearson(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type"], "cents", "hour")
+    return out.sort("event_type")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8528,6 +8554,7 @@ def queries():
         "twa_event_value": q_twa_event_value,
         "rolling_weekly_actives": q_rolling_weekly_actives,
         "fs_customer_links": q_fs_customer_links,
+        "value_hour_correlation": q_value_hour_correlation,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9124,6 +9151,37 @@ def oracle_sql():
               ON a.nation = b.nation
              AND a.custkey % 2 = 0 AND b.custkey % 2 = 1
             ORDER BY 1, 2""",
+        "value_hour_correlation": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS x,
+                     (epoch_us(ts) // 3600000000) % 24 AS y
+              FROM events),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM d GROUP BY 1)
+            SELECT event_type, n, sx, sy, sxy, sxx, syy,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN least(greatest(
+                          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE))),
+                          -1.0), 1.0)
+                   END AS r
+            FROM s ORDER BY event_type""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

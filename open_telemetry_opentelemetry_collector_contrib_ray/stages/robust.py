@@ -150,3 +150,67 @@ def grouped_diversity(ds, keys: Sequence[str], value_col: str,
 
     return bucketed_group_transform(partial, keys, reduce,
                                     n_buckets=n_buckets)
+
+
+def grouped_pearson(ds, key_cols, x_col: str, y_col: str,
+                    n_buckets: int = 64):
+    """Grouped Pearson correlation via EXACT integer moment partials —
+    the canonical one-pass distributed statistic: each batch reduces to
+    per-key (n, Σx, Σy, Σxy, Σx², Σy²) int64 rows (six numbers per key
+    per batch — kilobytes), one bucketed combine sums them, and the
+    closing float64 expression
+
+        r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx·Σx) · sqrt(n·Σy² − Σy·Σy))
+
+    runs on exact integers cast to double in a FIXED operation order
+    (mirrored by the SQL oracle; sqrt is IEEE-correctly-rounded, so the
+    result is bit-stable).  Degenerate groups (zero variance in either
+    column) yield typed-null r.  Inputs must be int64; callers scale
+    floats to integers first (the cents idiom) — that is what makes
+    the moments exact and combine-order-independent."""
+    import pandas as pd
+
+    from .aggregate import grouped_agg
+
+    keys = list(key_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({**{k: t.column(k).slice(0, 0) for k in keys},
+                             **{c: pa.array([], pa.int64())
+                                for c in ("n", "sx", "sy", "sxy",
+                                          "sxx", "syy")}})
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({**{k: t.column(k).to_numpy(zero_copy_only=False)
+                              for k in keys},
+                           "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                           "sxx": x * x, "syy": y * y})
+        g = df.groupby(keys, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       keys,
+                       [("sum", c, c) for c in
+                        ("n", "sx", "sy", "sxy", "sxx", "syy")],
+                       combine="bucket", n_buckets=n_buckets)
+
+    def close(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c).to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        num = cols["n"] * cols["sxy"] - cols["sx"] * cols["sy"]
+        vx = cols["n"] * cols["sxx"] - cols["sx"] * cols["sx"]
+        vy = cols["n"] * cols["syy"] - cols["sy"] * cols["sy"]
+        ok = (vx > 0) & (vy > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = num / (np.sqrt(vx) * np.sqrt(vy))
+        # float rounding can land an ulp outside [-1, 1]; clamp (the
+        # SQL twin is least(greatest(r, -1), 1) — identical semantics)
+        r = np.minimum(np.maximum(r, -1.0), 1.0)
+        vals = np.where(ok, r, np.nan)
+        arr = pa.array([float(v) if o else None
+                        for v, o in zip(vals, ok)], pa.float64())
+        return t.append_column("r", arr)
+
+    return sums.map_batches(close, batch_format="pyarrow")

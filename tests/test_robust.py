@@ -119,3 +119,34 @@ def test_grouped_diversity_partials_merge_across_blocks():
     exp_h = math.log(6) - (5 * math.log(5)) / 6
     assert abs(r["entropy"] - exp_h) < 1e-12
     assert abs(r["gini"] - (1 - (25 + 1) / 36)) < 1e-12
+
+
+def test_grouped_pearson_exact_and_degenerate():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+        grouped_pearson,
+    )
+
+    # key a: perfectly correlated; key b: anti; key c: zero variance
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 3 + ["c"] * 2, pa.string()),
+        "x": pa.array([1, 2, 3, 1, 2, 3, 5, 5], pa.int64()),
+        "y": pa.array([10, 20, 30, 9, 6, 3, 1, 2], pa.int64()),
+    })
+    out = {r["k"]: r["r"] for r in grouped_pearson(
+        rd.from_arrow(t), ["k"], "x", "y").take_all()}
+    assert out["a"] == 1.0
+    assert out["b"] == -1.0
+    assert out["c"] is None
+    # parity with np.corrcoef on a noisy group
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 1000, 200)
+    y = x * 3 + rng.randint(0, 500, 200)
+    t2 = pa.table({"k": pa.array(["z"] * 200), "x": pa.array(x, pa.int64()),
+                   "y": pa.array(y, pa.int64())})
+    got = grouped_pearson(rd.from_arrow(t2), ["k"], "x", "y") \
+        .take_all()[0]["r"]
+    assert abs(got - np.corrcoef(x, y)[0, 1]) < 1e-12
