@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "rolling_weekly_actives",
     "fs_customer_links",
     "value_hour_correlation",
+    "user_spend_gini",
 ]
 
 

@@ -799,6 +799,40 @@ def q_value_hour_correlation(sf_dir: str):
     return out.sort("event_type")
 
 
+def q_user_spend_gini(sf_dir: str):
+    """Lorenz-curve Gini coefficient of per-user total cents within
+    each event_type (stages/robust.py grouped_gini_coefficient — the
+    concentration audit): exact int64 rank-weighted sums, two
+    fixed-order float divisions mirrored by a row_number SQL replay.
+    Two stages: per-(type,user) cents totals (one bucketed combine),
+    then the grouped Gini over those totals."""
+    from ..stages.aggregate import grouped_agg
+    from ..stages.robust import grouped_gini_coefficient
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "user_id": t.column("user_id"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64())})
+
+    totals = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["event_type", "user_id"],
+                         [("sum", "cents", "cents")], combine="bucket")
+    # cents can be negative in theory; the corpus is non-negative —
+    # clamp to keep the Gini identity's precondition explicit
+    totals = totals.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("cents"), "cents",
+            pc.max_element_wise(t.column("cents"),
+                                pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow")
+    return grouped_gini_coefficient(totals, ["event_type"],
+                                    "cents").sort("event_type")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8555,6 +8589,7 @@ def queries():
         "rolling_weekly_actives": q_rolling_weekly_actives,
         "fs_customer_links": q_fs_customer_links,
         "value_hour_correlation": q_value_hour_correlation,
+        "user_spend_gini": q_user_spend_gini,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9181,6 +9216,30 @@ def oracle_sql():
                                       * CAST(sy AS DOUBLE))),
                           -1.0), 1.0)
                    END AS r
+            FROM s ORDER BY event_type""",
+        "user_spend_gini": """
+            WITH totals AS (
+              SELECT event_type, user_id,
+                     greatest(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT), 0) AS cents
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, user_id) AS i
+              FROM totals),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS total,
+                     CAST(sum(i * cents) AS BIGINT) AS six
+              FROM ranked GROUP BY 1)
+            SELECT event_type, n, total,
+                   CASE WHEN total > 0 THEN
+                     (2.0 * CAST(six AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+                   END AS gini
             FROM s ORDER BY event_type""",
         "exp_histogram": f"""
             WITH parsed AS (

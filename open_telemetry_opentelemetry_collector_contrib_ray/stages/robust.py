@@ -214,3 +214,51 @@ def grouped_pearson(ds, key_cols, x_col: str, y_col: str,
         return t.append_column("r", arr)
 
     return sums.map_batches(close, batch_format="pyarrow")
+
+
+def grouped_gini_coefficient(ds, key_cols, value_col: str,
+                             n_buckets: int = 64):
+    """Grouped Gini COEFFICIENT of a non-negative integer value column
+    (inequality/concentration audit — "do 1% of users produce 99% of
+    volume?"): the exact sorted-rank identity
+
+        G = (2 · Σ i·x_(i)) / (n · Σ x) − (n + 1) / n
+
+    with x_(i) ascending, i = 1..n.  Σ i·x and Σ x are EXACT int64
+    (one lexsort per bucket, vectorized across keys); the close is two
+    fixed-order float divisions mirrored by SQL (row_number replay).
+    Groups with Σx = 0 yield typed-null.  Distinct from
+    grouped_diversity's Gini IMPURITY (categorical); this is the
+    Lorenz-curve coefficient over magnitudes."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [value_col],
+                          kind="mergesort").reset_index(drop=True)
+        gb = g.groupby(keys, sort=False)
+        i = gb.cumcount().to_numpy() + 1
+        x = g[value_col].to_numpy(dtype=np.int64)
+        if (x < 0).any():
+            raise ValueError("gini requires non-negative values")
+        df = pd.DataFrame({**{k: g[k] for k in keys},
+                           "ix": i * x, "x": x, "one": 1})
+        s = df.groupby(keys, sort=False, as_index=False).sum()
+        n = s["one"].to_numpy(dtype=np.float64)
+        sx = s["x"].to_numpy(dtype=np.float64)
+        six = s["ix"].to_numpy(dtype=np.float64)
+        ok = sx > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gval = (2.0 * six) / (n * sx) - (n + 1.0) / n
+        out = s[keys].copy()
+        out["n"] = s["one"].astype("int64")
+        out["total"] = s["x"].astype("int64")
+        out["gini"] = pd.array(
+            [float(v) if o else None for v, o in zip(gval, ok)],
+            dtype="Float64")
+        return out
+
+    return bucketed_group_transform(ds, keys, gini, n_buckets=n_buckets)

@@ -150,3 +150,24 @@ def test_grouped_pearson_exact_and_degenerate():
     got = grouped_pearson(rd.from_arrow(t2), ["k"], "x", "y") \
         .take_all()[0]["r"]
     assert abs(got - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+
+def test_grouped_gini_coefficient():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+        grouped_gini_coefficient,
+    )
+
+    t = pa.table({
+        "k": pa.array(["eq"] * 4 + ["conc"] * 4 + ["zero"] * 2,
+                      pa.string()),
+        "v": pa.array([5, 5, 5, 5, 0, 0, 0, 100, 0, 0], pa.int64()),
+    })
+    out = {r["k"]: r for r in grouped_gini_coefficient(
+        rd.from_arrow(t), ["k"], "v").take_all()}
+    assert out["eq"]["gini"] == 0.0                      # perfect equality
+    assert out["conc"]["gini"] == 0.75                   # (n-1)/n
+    assert out["zero"]["gini"] is None                   # undefined
+    assert out["conc"]["total"] == 100 and out["conc"]["n"] == 4
