@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "fs_customer_links",
     "value_hour_correlation",
     "user_spend_gini",
+    "route_prefix_rollup",
 ]
 
 

@@ -833,6 +833,34 @@ def q_user_spend_gini(sf_dir: str):
                                     "cents").sort("event_type")
 
 
+def q_route_prefix_rollup(sf_dir: str):
+    """Hierarchical route rollup (stages/aggregate.py prefix_rollup):
+    synthetic request paths /<event_type>/u<user_id%10>/<event_id%5>
+    counted at every prefix depth <= 2 in ONE pass — the URL analytics
+    shape.  Pure-Arrow split/slice/join fan-out (bounded by depth),
+    partial counts, one combine.  Oracle: per-depth UNION ALL replay
+    with the same string construction."""
+    from ..stages.aggregate import prefix_rollup
+
+    ds = _rd(sf_dir, "events",
+             columns=["event_type", "user_id", "event_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        u = pc.cast(pc.bit_wise_and(t.column("user_id"),
+                                    pa.scalar(7, pa.int64())), pa.string())
+        e = pc.cast(pc.bit_wise_and(t.column("event_id"),
+                                    pa.scalar(3, pa.int64())), pa.string())
+        path = pc.binary_join_element_wise(
+            pa.array(["/"] * t.num_rows), t.column("event_type"),
+            pa.array(["/u"] * t.num_rows), u,
+            pa.array(["/p"] * t.num_rows), e, pa.scalar(""))
+        return pa.table({"path": path})
+
+    out = prefix_rollup(ds.map_batches(mk, batch_format="pyarrow"),
+                        "path", max_depth=2)
+    return out.sort(["depth", "prefix"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8590,6 +8618,7 @@ def queries():
         "fs_customer_links": q_fs_customer_links,
         "value_hour_correlation": q_value_hour_correlation,
         "user_spend_gini": q_user_spend_gini,
+        "route_prefix_rollup": q_route_prefix_rollup,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9241,6 +9270,23 @@ def oracle_sql():
                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
                    END AS gini
             FROM s ORDER BY event_type""",
+        "route_prefix_rollup": """
+            WITH p AS (
+              SELECT '/' || event_type || '/u' || (user_id & 7)
+                     || '/p' || (event_id & 3) AS path
+              FROM events),
+            seg AS (
+              SELECT string_split(trim(path, '/'), '/') AS parts FROM p),
+            pre AS (
+              SELECT '/' || array_to_string(parts[1:1], '/') AS prefix,
+                     CAST(1 AS BIGINT) AS depth
+              FROM seg WHERE len(parts) >= 1
+              UNION ALL
+              SELECT '/' || array_to_string(parts[1:2], '/') AS prefix,
+                     CAST(2 AS BIGINT) AS depth
+              FROM seg WHERE len(parts) >= 2)
+            SELECT prefix, depth, count(*) AS n
+            FROM pre GROUP BY 1, 2 ORDER BY depth, prefix""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

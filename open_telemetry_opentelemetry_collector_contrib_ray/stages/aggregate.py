@@ -1557,3 +1557,57 @@ def rolling_distinct(ds, id_col: str, ts_col: str = "ts",
             lambda t: t.select(keys + ["bucket"]),
             batch_format="pyarrow"),
         keys + ["bucket"], alias="n_distinct", combine="bucket")
+
+
+def prefix_rollup(ds, path_col: str, sep: str = "/", max_depth: int = 3,
+                  alias: str = "n", n_buckets: int = 64):
+    """Hierarchical path-prefix rollup (the URL/route analytics shape:
+    request counts at /api, /api/v2, /api/v2/users, ... in ONE pass):
+    each path emits its prefixes up to ``max_depth`` segments map-side
+    (pure Arrow: split + list_slice + binary_join — no per-row
+    Python), per-batch partial counts collapse before one bucketed
+    combine.  Output: ``prefix`` (sep-prefixed), ``depth``, count.
+    Fan-out is bounded by max_depth (constant), so a 100 TB access log
+    rolls up in a single exchange of (prefix, depth) partials."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1: {max_depth}")
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"prefix": pa.array([], pa.string()),
+                          "depth": pa.array([], pa.int64()),
+                          "__p_cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = pc.fill_null(pc.cast(t.column(path_col), pa.string()), "")
+        trimmed = pc.utf8_trim(s, sep)
+        parts = pc.split_pattern(trimmed, sep)
+        lens = pc.list_value_length(parts)
+        outs = []
+        for k in range(1, max_depth + 1):
+            m = pc.and_(pc.greater_equal(lens, k),
+                        pc.greater(pc.utf8_length(trimmed), 0))
+            sel = parts.filter(m)
+            if len(sel) == 0:
+                continue
+            joined = pc.binary_join(
+                pc.list_slice(sel, 0, k), pa.scalar(sep))
+            prefix = pc.binary_join_element_wise(
+                pa.array([sep] * len(joined)), joined, pa.scalar(""))
+            outs.append(pa.table({
+                "prefix": prefix,
+                "depth": pa.array(np.full(len(joined), k, np.int64))}))
+        if not outs:
+            return empty
+        all_p = pa.concat_tables(outs)
+        g = all_p.group_by(["prefix", "depth"]).aggregate([([], "count_all")])
+        return pa.table({"prefix": g.column("prefix"),
+                         "depth": g.column("depth"),
+                         "__p_cnt": g.column("count_all").cast(pa.int64())})
+
+    partial = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_agg(
+        partial.map_batches(
+            lambda t: t.rename_columns(["prefix", "depth", "c"]),
+            batch_format="pyarrow"),
+        ["prefix", "depth"], [("sum", "c", alias)],
+        combine="bucket", n_buckets=n_buckets)

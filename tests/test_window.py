@@ -361,3 +361,35 @@ def test_rolling_distinct_with_keys():
         bucket_us=10, key_cols=["k"]).take_all()}
     assert out[("a", 1)] == 1 and out[("a", 2)] == 1
     assert out[("b", 0)] == 1 and ("b", 2) not in out
+
+
+def test_prefix_rollup_hierarchy():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        prefix_rollup,
+    )
+
+    t = pa.table({"path": pa.array(
+        ["/api/v2/users", "/api/v2/items", "/api/v1", "/health",
+         None, ""], pa.string())})
+    out = {(r["prefix"], r["depth"]): r["n"] for r in prefix_rollup(
+        rd.from_arrow(t), "path", max_depth=2).take_all()}
+    assert out[("/api", 1)] == 3
+    assert out[("/api/v2", 2)] == 2
+    assert out[("/api/v1", 2)] == 1
+    assert out[("/health", 1)] == 1
+    # null/empty paths emit nothing; depth never exceeds max_depth
+    assert all(d <= 2 for (_, d) in out)
+
+
+def test_prefix_rollup_validation():
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        prefix_rollup,
+    )
+
+    with pytest.raises(ValueError, match="max_depth"):
+        prefix_rollup(None, "p", max_depth=0)
