@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "value_hour_correlation",
     "user_spend_gini",
     "route_prefix_rollup",
+    "trending_event_types",
 ]
 
 

@@ -861,6 +861,49 @@ def q_route_prefix_rollup(sf_dir: str):
     return out.sort(["depth", "prefix"])
 
 
+def q_trending_event_types(sf_dir: str):
+    """Trending ranking (the "what is spiking today" shape): per (day,
+    event_type) counts, delta vs the SAME type's previous observed
+    day, then rank types per day by delta descending (count then type
+    as deterministic tie-breaks).  Pure composition of existing
+    primitives: grouped_count partials -> one co-partition by type for
+    the lag -> one co-partition by day for the rank.  Oracle: lag +
+    row_number windows, row-level."""
+    import pandas as pd
+
+    from ..stages.aggregate import bucketed_group_transform, grouped_count
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"event_type": t.column("event_type"), "day": d})
+
+    counts = grouped_count(ds.map_batches(day, batch_format="pyarrow"),
+                           ["event_type", "day"], alias="n",
+                           combine="driver")
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day"], kind="mergesort")
+        prev = g.groupby("event_type", sort=False)["n"].shift(1)
+        g["delta"] = (g["n"] - prev.fillna(0)).astype("int64")
+        return g
+
+    lagged = bucketed_group_transform(counts, ["event_type"], lag,
+                                      n_buckets=8)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "delta", "n", "event_type"],
+                          ascending=[True, False, False, True],
+                          kind="mergesort")
+        g["rank"] = g.groupby("day", sort=False).cumcount() + 1
+        return g
+
+    out = bucketed_group_transform(lagged, ["day"], rank, n_buckets=8)
+    return out.sort(["day", "rank"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8619,6 +8662,7 @@ def queries():
         "value_hour_correlation": q_value_hour_correlation,
         "user_spend_gini": q_user_spend_gini,
         "route_prefix_rollup": q_route_prefix_rollup,
+        "trending_event_types": q_trending_event_types,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9287,6 +9331,23 @@ def oracle_sql():
               FROM seg WHERE len(parts) >= 2)
             SELECT prefix, depth, count(*) AS n
             FROM pre GROUP BY 1, 2 ORDER BY depth, prefix""",
+        "trending_event_types": """
+            WITH c AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            l AS (
+              SELECT event_type, day, CAST(n AS BIGINT) AS n,
+                     CAST(n - coalesce(lag(n) OVER (
+                       PARTITION BY event_type ORDER BY day), 0)
+                       AS BIGINT) AS delta
+              FROM c)
+            SELECT event_type, day, n, delta,
+                   CAST(row_number() OVER (
+                     PARTITION BY day
+                     ORDER BY delta DESC, n DESC, event_type)
+                     AS BIGINT) AS rank
+            FROM l ORDER BY day, rank""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
