@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "user_spend_gini",
     "route_prefix_rollup",
     "trending_event_types",
+    "view_purchase_overlaps",
 ]
 
 

@@ -904,6 +904,42 @@ def q_trending_event_types(sf_dir: str):
     return out.sort(["day", "rank"])
 
 
+def q_view_purchase_overlaps(sf_dir: str):
+    """Interval x interval overlap join (stages/join.py
+    interval_overlap_join — the grid-replication range join Ray Data
+    lacks natively): per user, 30-minute view-activity intervals
+    overlapping 45-minute purchase intervals (half-open).  Each
+    interval replicates to its hour-grid buckets; one co-partition
+    joins per (user, grid); the canonical-bucket rule (emit only where
+    the bucket contains max of the two starts) dedups multi-bucket
+    pairs WITHOUT a second shuffle.  Row-level SQL range-join oracle."""
+    from ..stages.join import interval_overlap_join
+
+    ev = _rd(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "ts"])
+
+    def side(kind, dur_us):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            s = pc.cast(t.column("ts"), pa.int64())
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "id": t.column("event_id"),
+                "s": s,
+                "e": pc.add(s, pa.scalar(dur_us, pa.int64()))})
+        return f
+
+    views = ev.map_batches(side("view", 1_800_000_000),
+                           batch_format="pyarrow")
+    buys = ev.map_batches(side("purchase", 2_700_000_000),
+                          batch_format="pyarrow")
+    out = interval_overlap_join(views, buys, key_cols=["user_id"],
+                                bucket_us=3_600_000_000)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "id_a", "id_b"]),
+        batch_format="pyarrow").sort(["user_id", "id_a", "id_b"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8663,6 +8699,7 @@ def queries():
         "user_spend_gini": q_user_spend_gini,
         "route_prefix_rollup": q_route_prefix_rollup,
         "trending_event_types": q_trending_event_types,
+        "view_purchase_overlaps": q_view_purchase_overlaps,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9348,6 +9385,20 @@ def oracle_sql():
                      ORDER BY delta DESC, n DESC, event_type)
                      AS BIGINT) AS rank
             FROM l ORDER BY day, rank""",
+        "view_purchase_overlaps": """
+            WITH v AS (
+              SELECT user_id, event_id AS id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events WHERE event_type = 'view'),
+            p AS (
+              SELECT user_id, event_id AS id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 2700000000 AS e
+              FROM events WHERE event_type = 'purchase')
+            SELECT v.user_id, v.id AS id_a, p.id AS id_b
+            FROM v JOIN p
+              ON v.user_id = p.user_id
+             AND v.s < p.e AND p.s < v.e
+            ORDER BY v.user_id, id_a, id_b""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -571,3 +571,139 @@ def bloom_prefilter(big, keys_ds, on: Sequence[str],
         return t.filter(pa.array(keep))
 
     return big.map_batches(prune, batch_format="pyarrow")
+
+
+def interval_overlap_join(left, right, start_col: str = "s",
+                          end_col: str = "e",
+                          key_cols: Sequence[str] = (),
+                          bucket_us: int = 3_600_000_000,
+                          n_buckets: int = 64,
+                          suffixes: tuple = ("_a", "_b"),
+                          max_span_buckets: int = 10_000):
+    """Interval x interval OVERLAP join (calendar/genomics shape): all
+    pairs (l, r) sharing ``key_cols`` with half-open overlap
+    ``l.s < r.e AND r.s < l.e``.  Ray Data has no native range join;
+    the scale shape is the GRID trick: each interval replicates
+    map-side to the time-grid buckets it covers (fan-out = span /
+    bucket_us + 1 — size ``bucket_us`` to the median span), ONE
+    bucketed co-partition joins within (keys, grid bucket), and the
+    duplicate hits an overlapping pair would produce across shared
+    buckets are eliminated WITHOUT a dedup shuffle by the canonical-
+    bucket rule: a pair is emitted only from the bucket containing
+    max(l.s, r.s) — exactly one bucket qualifies per true overlap.
+    ``max_span_buckets`` guards degenerate month-long intervals on an
+    hour grid (raise bucket_us instead).  Output: left columns
+    suffixed ``_a``, right suffixed ``_b`` (keys unsuffixed, once)."""
+    import pandas as pd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+    sa, sb = suffixes
+
+    def replicate(tag):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                out = {k: t.column(k).slice(0, 0) for k in keys}
+                for c in t.column_names:
+                    if c not in keys:
+                        out[c + tag] = t.column(c).slice(0, 0)
+                out["__grid"] = pa.array([], pa.int64())
+                return pa.table(out)
+            s = t.column(start_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            e = t.column(end_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            b0 = s // bucket_us
+            # half-open end: an interval ending exactly on a grid line
+            # does not cover the next bucket
+            b1 = np.maximum(b0, (e - 1) // bucket_us)
+            span = b1 - b0 + 1
+            if int(span.max()) > max_span_buckets:
+                raise ValueError(
+                    f"interval spans {int(span.max())} grid buckets "
+                    f"(> max_span_buckets={max_span_buckets}); raise "
+                    "bucket_us")
+            reps = np.repeat(np.arange(len(s), dtype=np.int64), span)
+            offs = np.arange(int(span.sum()), dtype=np.int64) \
+                - np.repeat(np.cumsum(span) - span, span)
+            grid = np.repeat(b0, span) + offs
+            out = {}
+            for k in keys:
+                out[k] = t.column(k).take(pa.array(reps))
+            for c in t.column_names:
+                if c not in keys:
+                    out[c + tag] = t.column(c).take(pa.array(reps))
+            out["__grid"] = pa.array(grid)
+            return pa.table(out)
+
+        return f
+
+    la = left.map_batches(replicate(sa), batch_format="pyarrow")
+    rb = right.map_batches(replicate(sb), batch_format="pyarrow")
+    tagged = la.map_batches(
+        lambda t: t.append_column("__side",
+                                  pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow").union(rb.map_batches(
+            lambda t: t.append_column("__side",
+                                      pa.array([1] * t.num_rows,
+                                               pa.int8())),
+            batch_format="pyarrow"))
+
+    # the union's schema is the column UNION (each side null-fills the
+    # other's suffixed columns, int64 -> float64 in pandas): select
+    # each side's own columns explicitly and restore integer dtypes
+    l_schema = left.schema()
+    r_schema = right.schema()
+    lcols = [(f.name + sa, f.type) for f in
+             (l_schema.base_schema if hasattr(l_schema, "base_schema")
+              else l_schema) if f.name not in keys]
+    rcols = [(f.name + sb, f.type) for f in
+             (r_schema.base_schema if hasattr(r_schema, "base_schema")
+              else r_schema) if f.name not in keys]
+
+    out_cols = keys + ["__grid"] + [c for c, _ in lcols] \
+        + [c for c, _ in rcols]
+
+    def pick(g, side, cols):
+        want = [c for c, _ in cols]
+        if any(c not in g.columns for c in want):
+            # a bucket fed only by the OTHER side's blocks lacks these
+            # columns entirely (Ray union does not unify schemas)
+            return None
+        sub = g.loc[g["__side"] == side, keys + ["__grid"] + want]
+        for c, typ in cols:
+            if pa.types.is_integer(typ):
+                sub[c] = sub[c].astype("int64")
+        return sub
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = pick(g, 0, lcols)
+        b = pick(g, 1, rcols)
+        if a is None or b is None or a.empty or b.empty:
+            def dt(c):
+                if c == "__grid":
+                    return "int64"
+                for cc, t in lcols + rcols:
+                    if cc == c:
+                        return "int64" if pa.types.is_integer(t) \
+                            else "object"
+                return "object"  # key columns
+            return pd.DataFrame({c: pd.Series([], dtype=dt(c))
+                                 for c in out_cols})
+        m = a.merge(b, on=keys + ["__grid"])
+        if m.empty:
+            return m
+        ls, le = m[start_col + sa], m[end_col + sa]
+        rs, re_ = m[start_col + sb], m[end_col + sb]
+        overlap = (ls < re_) & (rs < le)
+        canonical = (np.maximum(ls, rs) // bucket_us) == m["__grid"]
+        return m[overlap & canonical]
+
+    out = bucketed_group_transform(tagged, keys + ["__grid"], join_bucket,
+                                   n_buckets=n_buckets)
+    return out.map_batches(lambda t: t.drop_columns(["__grid"]),
+                           batch_format="pyarrow")
