@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "route_prefix_rollup",
     "trending_event_types",
     "view_purchase_overlaps",
+    "value_ks_drift",
 ]
 
 

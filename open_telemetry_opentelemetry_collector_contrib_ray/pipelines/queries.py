@@ -940,6 +940,33 @@ def q_view_purchase_overlaps(sf_dir: str):
         batch_format="pyarrow").sort(["user_id", "id_a", "id_b"])
 
 
+def q_value_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov drift per event_type
+    (stages/drift.py grouped_ks_statistic — the sup-distance companion
+    to PSI's binned score): cents of the first half-month vs the rest;
+    the KS numerator max|c0*n1 - c1*n0| and sizes are exact int64, the
+    single division is the only float.  Oracle: cumulative-count
+    window replay over distinct values, row-level."""
+    from ..stages.drift import grouped_ks_statistic
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        side = pc.cast(pc.greater_equal(day, pa.scalar(19738, pa.int64())),
+                       pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64()),
+            "side": side})
+
+    out = grouped_ks_statistic(ds.map_batches(prep, batch_format="pyarrow"),
+                               ["event_type"], "cents", "side")
+    return out.sort("event_type")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8700,6 +8727,7 @@ def queries():
         "route_prefix_rollup": q_route_prefix_rollup,
         "trending_event_types": q_trending_event_types,
         "view_purchase_overlaps": q_view_purchase_overlaps,
+        "value_ks_drift": q_value_ks_drift,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9399,6 +9427,36 @@ def oracle_sql():
               ON v.user_id = p.user_id
              AND v.s < p.e AND p.s < v.e
             ORDER BY v.user_id, id_a, id_b""",
+        "value_ks_drift": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                          THEN 1 ELSE 0 END AS side
+              FROM events),
+            c AS (
+              SELECT event_type, cents,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a0,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS a1
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, cents,
+                     sum(a0) OVER (PARTITION BY event_type ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) AS c0,
+                     sum(a1) OVER (PARTITION BY event_type ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) AS c1,
+                     sum(a0) OVER (PARTITION BY event_type) AS n0,
+                     sum(a1) OVER (PARTITION BY event_type) AS n1
+              FROM c)
+            SELECT event_type,
+                   CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS ks_numer,
+                   CAST(any_value(n0) AS BIGINT) AS n0,
+                   CAST(any_value(n1) AS BIGINT) AS n1,
+                   CASE WHEN any_value(n0) * any_value(n1) > 0 THEN
+                     CAST(max(abs(c0 * n1 - c1 * n0)) AS DOUBLE)
+                     / CAST(any_value(n0) * any_value(n1) AS DOUBLE)
+                   END AS ks
+            FROM w GROUP BY 1 ORDER BY 1""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

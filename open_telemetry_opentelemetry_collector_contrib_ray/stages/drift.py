@@ -167,3 +167,59 @@ def two_proportion_ztest(ds, variant_col: str, flag_col: str):
     else:
         cols["z"] = pa.array([None], pa.float64())
     return pa.table(cols)
+
+
+def grouped_ks_statistic(ds, key_cols, value_col: str, side_col: str,
+                         n_buckets: int = 64):
+    """Two-sample Kolmogorov-Smirnov statistic per key, EXACT: with
+    samples of sizes n0/n1 (``side_col`` in {0,1}), the KS sup-distance
+    evaluated at the pooled distinct values is
+
+        KS = max over v of |c0(v)·n1 − c1(v)·n0| / (n0·n1)
+
+    where c_s(v) = #{side-s samples ≤ v} — the numerator and sizes are
+    int64 (ties handled correctly by evaluating AFTER each distinct
+    value), so the max is exact and the single closing division is the
+    only float.  The standard exact drift test beside PSI's binned
+    score.  Keys with an empty side yield typed-null ks.  ONE bucketed
+    co-partition; cumulative sums vectorized across keys."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+
+    def ks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [value_col], kind="mergesort") \
+             .reset_index(drop=True)
+        gb = g.groupby(keys, sort=False)
+        side = g[side_col].astype("int64")
+        is1 = (side == 1).astype("int64")
+        is0 = 1 - is1
+        c0 = is0.groupby([g[k] for k in keys], sort=False).cumsum()
+        c1 = is1.groupby([g[k] for k in keys], sort=False).cumsum()
+        n0 = is0.groupby([g[k] for k in keys], sort=False) \
+            .transform("sum")
+        n1 = is1.groupby([g[k] for k in keys], sort=False) \
+            .transform("sum")
+        # evaluate only at the LAST row of each distinct value run
+        # (ties: the ECDF steps after all equal values)
+        nxt_val = gb[value_col].shift(-1)
+        last = nxt_val.isna() | (nxt_val != g[value_col])
+        d = (c0 * n1 - c1 * n0).abs()
+        d = d.where(last, 0)
+        df = pd.DataFrame({**{k: g[k] for k in keys},
+                           "numer": d, "n0": n0, "n1": n1})
+        out = df.groupby(keys, sort=False, as_index=False) \
+            .agg(ks_numer=("numer", "max"), n0=("n0", "max"),
+                 n1=("n1", "max"))
+        num = out["ks_numer"].to_numpy(dtype=np.float64)
+        den = (out["n0"] * out["n1"]).to_numpy(dtype=np.float64)
+        ok = den > 0
+        out["ks"] = pd.array(
+            [float(a / b) if o else None
+             for a, b, o in zip(num, den, ok)], dtype="Float64")
+        out["ks_numer"] = out["ks_numer"].astype("int64")
+        return out
+
+    return bucketed_group_transform(ds, keys, ks, n_buckets=n_buckets)

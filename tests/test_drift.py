@@ -97,3 +97,53 @@ def test_two_proportion_ztest_degenerate_null():
                     "f": pa.array([0, 0], pa.int64())})
     out = two_proportion_ztest(rd.from_arrow(tbl), "w", "f")
     assert out.to_pylist()[0]["z"] is None
+
+
+def test_grouped_ks_statistic_exact():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        grouped_ks_statistic,
+    )
+
+    # key a: side0={1,2,3}, side1={4,5,6} -> disjoint, KS=1
+    # key b: identical samples -> KS=0
+    # key c: side0={1,2}, side1={2,3}: at v=1 |1*2-0*2|=2; v=2
+    # |2*2-1*2|=2; v=3 |4-4|=0 -> numer 2, ks=2/4=0.5
+    # key d: one side empty -> null
+    rows = []
+    for v in (1, 2, 3):
+        rows.append(("a", v, 0))
+    for v in (4, 5, 6):
+        rows.append(("a", v, 1))
+    for v in (7, 8):
+        rows += [("b", v, 0), ("b", v, 1)]
+    rows += [("c", 1, 0), ("c", 2, 0), ("c", 2, 1), ("c", 3, 1)]
+    rows += [("d", 9, 0)]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.string()),
+                  "v": pa.array([r[1] for r in rows], pa.int64()),
+                  "side": pa.array([r[2] for r in rows], pa.int64())})
+    out = {r["k"]: r for r in grouped_ks_statistic(
+        rd.from_arrow(t), ["k"], "v", "side").take_all()}
+    assert out["a"]["ks"] == 1.0
+    assert out["b"]["ks"] == 0.0
+    assert out["c"]["ks"] == 0.5 and out["c"]["ks_numer"] == 2
+    assert out["d"]["ks"] is None
+    # scipy-style sanity on a random pair
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 50, 80)
+    y = rng.randint(10, 60, 60)
+    rows2 = [("z", int(v), 0) for v in x] + [("z", int(v), 1) for v in y]
+    t2 = pa.table({"k": pa.array([r[0] for r in rows2]),
+                   "v": pa.array([r[1] for r in rows2], pa.int64()),
+                   "side": pa.array([r[2] for r in rows2], pa.int64())})
+    got = grouped_ks_statistic(rd.from_arrow(t2), ["k"], "v",
+                               "side").take_all()[0]["ks"]
+    # brute force ECDF sup over pooled values
+    vals = np.unique(np.concatenate([x, y]))
+    f0 = np.searchsorted(np.sort(x), vals, side="right") / len(x)
+    f1 = np.searchsorted(np.sort(y), vals, side="right") / len(y)
+    assert abs(got - np.abs(f0 - f1).max()) < 1e-12
