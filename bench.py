@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "trending_event_types",
     "view_purchase_overlaps",
     "value_ks_drift",
+    "value_auc_shift",
 ]
 
 

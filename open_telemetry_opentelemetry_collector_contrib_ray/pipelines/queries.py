@@ -967,6 +967,34 @@ def q_value_ks_drift(sf_dir: str):
     return out.sort("event_type")
 
 
+def q_value_auc_shift(sf_dir: str):
+    """Mann-Whitney U / probability-of-superiority per event_type
+    (stages/drift.py grouped_mannwhitney): AUC that a random
+    second-half-month cents value exceeds a first-half one (+ half
+    ties) — the rank-sum effect size beside KS's sup-distance.
+    Doubled-integer midranks keep u2 = 2*U1 exact; the single AUC
+    division is the only float.  Oracle: cumulative-count midrank
+    replay (rank2 = 2*c_before + cnt + 1), row-level."""
+    from ..stages.drift import grouped_mannwhitney
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        side = pc.cast(pc.greater_equal(day, pa.scalar(19738, pa.int64())),
+                       pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64()),
+            "side": side})
+
+    out = grouped_mannwhitney(ds.map_batches(prep, batch_format="pyarrow"),
+                              ["event_type"], "cents", "side")
+    return out.sort("event_type")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8728,6 +8756,7 @@ def queries():
         "trending_event_types": q_trending_event_types,
         "view_purchase_overlaps": q_view_purchase_overlaps,
         "value_ks_drift": q_value_ks_drift,
+        "value_auc_shift": q_value_auc_shift,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9457,6 +9486,38 @@ def oracle_sql():
                      / CAST(any_value(n0) * any_value(n1) AS DOUBLE)
                    END AS ks
             FROM w GROUP BY 1 ORDER BY 1""",
+        "value_auc_shift": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                          THEN 1 ELSE 0 END AS side
+              FROM events),
+            c AS (
+              SELECT event_type, cents,
+                     count(*) AS cnt,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS a1
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, cents, cnt, a1,
+                     coalesce(sum(cnt) OVER (
+                       PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS c_before
+              FROM c),
+            s AS (
+              SELECT event_type,
+                     sum((2 * c_before + cnt + 1) * a1) AS r1_2,
+                     sum(a1) AS n1, sum(cnt - a1) AS n0
+              FROM w GROUP BY 1)
+            SELECT event_type,
+                   CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                   CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+                   CASE WHEN n0 * n1 > 0 THEN
+                     CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 * n0 * n1 AS DOUBLE)
+                   END AS auc
+            FROM s ORDER BY event_type""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -223,3 +223,55 @@ def grouped_ks_statistic(ds, key_cols, value_col: str, side_col: str,
         return out
 
     return bucketed_group_transform(ds, keys, ks, n_buckets=n_buckets)
+
+
+def grouped_mannwhitney(ds, key_cols, value_col: str, side_col: str,
+                        n_buckets: int = 64):
+    """Mann-Whitney U / AUC per key, EXACT (the rank-sum companion to
+    grouped_ks_statistic; AUC = P(random side-1 value > random side-0
+    value) + half-ties — the probability-of-superiority effect size):
+    midranks are computed as DOUBLED integers (a tie run at pooled
+    1-based positions [i, j] has midrank (i+j)/2, so rank2 = i+j is
+    int64-exact — the mad_outliers doubled-int idiom), giving
+
+        R1_2 = Σ rank2 over side-1,   u2 = R1_2 − n1·(n1+1) = 2·U1
+        auc  = u2 / (2·n0·n1)
+
+    with ONE float division at the close.  Also emits the exact-int
+    ``u2`` and the invariant-friendly sizes.  Keys with an empty side
+    yield typed-null auc.  ONE bucketed co-partition; tie runs found
+    with vectorized grouped min/max of pooled positions."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+
+    def mw(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [value_col], kind="mergesort") \
+             .reset_index(drop=True)
+        pos = g.groupby(keys, sort=False).cumcount() + 1
+        first = pos.groupby([g[k] for k in keys] + [g[value_col]],
+                            sort=False).transform("min")
+        last = pos.groupby([g[k] for k in keys] + [g[value_col]],
+                           sort=False).transform("max")
+        rank2 = (first + last).astype("int64")
+        is1 = (g[side_col].astype("int64") == 1).astype("int64")
+        df = pd.DataFrame({**{k: g[k] for k in keys},
+                           "r1_2": rank2 * is1, "n1": is1,
+                           "n0": 1 - is1})
+        s = df.groupby(keys, sort=False, as_index=False).sum()
+        n0 = s["n0"].astype("int64")
+        n1 = s["n1"].astype("int64")
+        u2 = (s["r1_2"] - n1 * (n1 + 1)).astype("int64")
+        s["u2"] = u2
+        den = (2 * n0 * n1).to_numpy(dtype=np.float64)
+        ok = den > 0
+        s["auc"] = pd.array(
+            [float(a) / b if o else None
+             for a, b, o in zip(u2.to_numpy(dtype=np.float64), den, ok)],
+            dtype="Float64")
+        s["n0"], s["n1"] = n0, n1
+        return s.drop(columns=["r1_2"])
+
+    return bucketed_group_transform(ds, keys, mw, n_buckets=n_buckets)

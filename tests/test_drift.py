@@ -147,3 +147,43 @@ def test_grouped_ks_statistic_exact():
     f0 = np.searchsorted(np.sort(x), vals, side="right") / len(x)
     f1 = np.searchsorted(np.sort(y), vals, side="right") / len(y)
     assert abs(got - np.abs(f0 - f1).max()) < 1e-12
+
+
+def test_grouped_mannwhitney_auc():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        grouped_mannwhitney,
+    )
+
+    # a: side1 strictly above side0 -> AUC 1; b: identical -> 0.5 via
+    # ties; c: hand case side0={1,3}, side1={2,3}: pairs (1<2)=1,
+    # (1<3)=1, (3,2)=0, (3,3)=tie 0.5 -> U1=2.5, AUC=2.5/4
+    rows = [("a", 1, 0), ("a", 2, 0), ("a", 5, 1), ("a", 6, 1),
+            ("b", 4, 0), ("b", 4, 1),
+            ("c", 1, 0), ("c", 3, 0), ("c", 2, 1), ("c", 3, 1),
+            ("d", 9, 0)]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.string()),
+                  "v": pa.array([r[1] for r in rows], pa.int64()),
+                  "side": pa.array([r[2] for r in rows], pa.int64())})
+    out = {r["k"]: r for r in grouped_mannwhitney(
+        rd.from_arrow(t), ["k"], "v", "side").take_all()}
+    assert out["a"]["auc"] == 1.0 and out["a"]["u2"] == 8
+    assert out["b"]["auc"] == 0.5
+    assert out["c"]["auc"] == 2.5 / 4 and out["c"]["u2"] == 5
+    assert out["d"]["auc"] is None
+    # scipy-formula parity on random data (U via pair counting)
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 30, 40)
+    y = rng.randint(5, 35, 50)
+    rows2 = [("z", int(v), 0) for v in x] + [("z", int(v), 1) for v in y]
+    t2 = pa.table({"k": pa.array([r[0] for r in rows2]),
+                   "v": pa.array([r[1] for r in rows2], pa.int64()),
+                   "side": pa.array([r[2] for r in rows2], pa.int64())})
+    got = grouped_mannwhitney(rd.from_arrow(t2), ["k"], "v",
+                              "side").take_all()[0]
+    u1 = sum((yy > xx) + 0.5 * (yy == xx) for xx in x for yy in y)
+    assert got["u2"] == int(2 * u1)
+    assert got["auc"] == u1 / (len(x) * len(y))
