@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "view_purchase_overlaps",
     "value_ks_drift",
     "value_auc_shift",
+    "value_acf_hourly",
 ]
 
 

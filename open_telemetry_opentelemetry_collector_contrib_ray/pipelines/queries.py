@@ -995,6 +995,32 @@ def q_value_auc_shift(sf_dir: str):
     return out.sort("event_type")
 
 
+def q_value_acf_hourly(sf_dir: str):
+    """Autocorrelation at lag 1 hour per event_type: lag_align
+    (stages/resample.py — composite-searchsorted self-alignment of the
+    hourly cents-sum series, inner on both buckets existing) feeding
+    grouped_pearson's exact-moment close — ACF is just Pearson on the
+    aligned pairs.  Oracle: bucket-sum CTE + self-join on bucket-1 +
+    the identical moment expression."""
+    from ..stages.resample import lag_align
+    from ..stages.robust import grouped_pearson
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64())})
+
+    aligned = lag_align(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type"], value_col="cents",
+                        lag_buckets=1, bucket_us=3_600_000_000)
+    out = grouped_pearson(aligned, ["event_type"], "v", "v_lag")
+    return out.sort("event_type")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8757,6 +8783,7 @@ def queries():
         "view_purchase_overlaps": q_view_purchase_overlaps,
         "value_ks_drift": q_value_ks_drift,
         "value_auc_shift": q_value_auc_shift,
+        "value_acf_hourly": q_value_acf_hourly,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9517,6 +9544,42 @@ def oracle_sql():
                      CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n0 * n1 AS DOUBLE)
                    END AS auc
+            FROM s ORDER BY event_type""",
+        "value_acf_hourly": """
+            WITH agg AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            pairs AS (
+              SELECT a.event_type, a.v AS x, b.v AS y
+              FROM agg a JOIN agg b
+                ON b.event_type = a.event_type
+               AND b.bucket = a.bucket - 1),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM pairs GROUP BY 1)
+            SELECT event_type, n, sx, sy, sxy, sxx, syy,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN least(greatest(
+                          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE))),
+                          -1.0), 1.0)
+                   END AS r
             FROM s ORDER BY event_type""",
         "exp_histogram": f"""
             WITH parsed AS (

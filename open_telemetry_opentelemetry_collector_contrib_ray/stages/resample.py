@@ -418,3 +418,48 @@ def time_weighted_average(ds, key_cols, ts_col: str = "ts",
         return out.drop(columns="__area")
 
     return bucketed_group_transform(ds, keys, twa, n_buckets=n_buckets)
+
+
+def lag_align(ds, key_cols, ts_col: str = "ts", value_col: str = "value",
+              lag_buckets: int = 1, bucket_us: int = 3_600_000_000,
+              n_buckets: int = 64):
+    """Self-alignment for autocorrelation: per (key, bucket) the value
+    SUM is paired with the same key's bucket ``lag_buckets`` earlier
+    (inner — only buckets where BOTH exist emit), via the composite-key
+    searchsorted (sparse series stays sparse).  Feed the result to
+    ``grouped_pearson(keys, "v", "v_lag")`` for the exact-moment
+    ACF(lag) — autocorrelation is just Pearson on the aligned pairs."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+
+    def align(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64")
+        g = g.assign(bucket=ts // bucket_us)
+        agg = g.groupby(keys + ["bucket"], sort=False) \
+            .agg(v=(value_col, "sum")).reset_index() \
+            .sort_values(keys + ["bucket"], kind="mergesort") \
+            .reset_index(drop=True)
+        if len(keys) > 1:
+            code = pd.factorize(pd.Series(
+                list(zip(*(agg[k] for k in keys)))), sort=False)[0]
+        else:
+            code = pd.factorize(agg[keys[0]], sort=False)[0]
+        b = agg["bucket"].to_numpy(dtype=np.int64)
+        b0 = b.min() if len(b) else 0
+        br = b - b0
+        stride = (br.max() if len(br) else 0) + lag_buckets + 2
+        comp = code.astype(np.int64) * stride + br
+        j = np.searchsorted(comp, comp - lag_buckets)
+        hit = (j < len(comp)) & (comp[np.minimum(j, len(comp) - 1)]
+                                 == comp - lag_buckets)
+        v = agg["v"].to_numpy(dtype=np.int64)
+        out = agg[hit].copy()
+        out["v_lag"] = v[np.minimum(j, len(comp) - 1)][hit]
+        out["v"] = out["v"].astype("int64")
+        out["v_lag"] = out["v_lag"].astype("int64")
+        return out
+
+    return bucketed_group_transform(ds, keys, align, n_buckets=n_buckets)

@@ -218,3 +218,35 @@ def test_time_weighted_average_step_integral():
     assert out[100]["twa"] is None or out[100]["twa"] != out[100]["twa"]
     # burst robustness: arithmetic mean of (10,40,100) is 50, TWA 17.5
     assert out[0]["twa"] < 50
+
+
+def test_lag_align_pairs_and_acf():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.resample import (
+        lag_align,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+        grouped_pearson,
+    )
+
+    # bucket=10: key a sums per bucket: b0=3, b1=6, b2=9, b4=1 (gap b3)
+    t = pa.table({
+        "k": pa.array(["a"] * 5, pa.string()),
+        "ts": pa.array([1, 11, 15, 21, 41], pa.int64()),
+        "v": pa.array([3, 2, 4, 9, 1], pa.int64()),
+    })
+    pairs = {r["bucket"]: (r["v"], r["v_lag"]) for r in lag_align(
+        rd.from_arrow(t), ["k"], value_col="v", lag_buckets=1,
+        bucket_us=10).take_all()}
+    # b1 pairs with b0, b2 with b1; b4 has no b3 -> absent
+    assert pairs == {1: (6, 3), 2: (9, 6)}
+    # ACF over a perfectly linear series = 1
+    t2 = pa.table({"k": pa.array(["z"] * 6),
+                   "ts": pa.array([0, 10, 20, 30, 40, 50], pa.int64()),
+                   "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64())})
+    aligned = lag_align(rd.from_arrow(t2), ["k"], value_col="v",
+                        lag_buckets=1, bucket_us=10)
+    r = grouped_pearson(aligned, ["k"], "v", "v_lag").take_all()[0]["r"]
+    assert abs(r - 1.0) < 1e-12
