@@ -268,14 +268,25 @@ def read_tcp_log(host: str, port: int, max_records: int | None = None,
 
 
 def send_lines_udp(lines: Sequence[str], port: int, batch: int = 100,
-                   host: str = "127.0.0.1") -> None:
+                   host: str = "127.0.0.1",
+                   pace_us: int = 1000) -> None:
     """Replay sender (the testbed TCPUDPWriter udp side): one datagram
-    per ``batch`` newline-joined lines."""
+    per ``batch`` newline-joined lines.  ``pace_us`` sleeps between
+    datagrams (default 1 ms): an unpaced burst overruns the kernel's
+    default ~212 KB receive buffer while the in-process receiver
+    contends for the GIL, and UDP silently drops the overflow — pacing
+    keeps the backlog at ~one datagram so a bounded replay is
+    lossless in practice (UDP still guarantees nothing; the reference
+    testbed tolerates loss, a correctness fixture must avoid it)."""
+    import time
+
     s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     try:
         for i in range(0, len(lines), batch):
             s.sendto(("\n".join(lines[i:i + batch]) + "\n").encode("utf-8"),
                      (host, port))
+            if pace_us:
+                time.sleep(pace_us / 1e6)
     finally:
         s.close()
 
@@ -297,6 +308,13 @@ def read_udp_log(max_records: int, port: int | None = None,
     import ray.data as rd
 
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    # as large a receive buffer as the kernel allows (clamped by
+    # net.core.rmem_max): datagrams queue in the kernel while the
+    # receiver loop runs, so buffer size bounds the lossless burst
+    try:
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+    except OSError:
+        pass
     sock.settimeout(timeout)
     sock.bind((host, port or 0))
     bound_port = sock.getsockname()[1]
