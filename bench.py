@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "value_ks_drift",
     "value_auc_shift",
     "value_acf_hourly",
+    "weighted_latency_quantiles",
 ]
 
 

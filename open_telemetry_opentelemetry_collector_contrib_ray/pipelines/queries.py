@@ -1021,6 +1021,31 @@ def q_value_acf_hourly(sf_dir: str):
     return out.sort("event_type")
 
 
+def q_weighted_latency_quantiles(sf_dir: str):
+    """Weighted latency quantiles per tool (stages/robust.py
+    grouped_weighted_quantile): each tool call weighted by its latency
+    (duration-weighted percentiles — "the p50 of time spent", not of
+    call count), selected EXACTLY by integer cross-multiplication over
+    cumulative weights (q as exact rationals, no interpolation, no
+    floats in the selection).  Oracle: cumulative-weight window + the
+    identical integer predicate, row-level."""
+    from ..stages.robust import grouped_weighted_quantile
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(KeepStage('role == "tool" and not (parse_failure == true)'),
+                        batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        lat = pc.cast(t.column("attr_latency_ms"), pa.int64())
+        return pa.table({"tool_name": t.column("attr_tool_name"),
+                         "latency_ms": lat, "w": lat})
+
+    out = grouped_weighted_quantile(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["tool_name"], "latency_ms", "w", [(1, 2), (9, 10), (99, 100)])
+    return out.sort(["tool_name", "q"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8784,6 +8809,7 @@ def queries():
         "value_ks_drift": q_value_ks_drift,
         "value_auc_shift": q_value_auc_shift,
         "value_acf_hourly": q_value_acf_hourly,
+        "weighted_latency_quantiles": q_weighted_latency_quantiles,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9581,6 +9607,24 @@ def oracle_sql():
                           -1.0), 1.0)
                    END AS r
             FROM s ORDER BY event_type""",
+        "weighted_latency_quantiles": f"""
+            WITH parsed AS (
+              SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
+                     CAST(regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 5) AS BIGINT) AS lat
+              FROM {_T}
+              WHERE role = 'tool' AND regexp_matches(text, '{TOOL_LINE_SQL_PAT}')),
+            w AS (
+              SELECT tool_name, lat,
+                     sum(lat) OVER (PARTITION BY tool_name ORDER BY lat
+                                    ROWS UNBOUNDED PRECEDING) AS cumw,
+                     sum(lat) OVER (PARTITION BY tool_name) AS tot
+              FROM parsed),
+            qs AS (SELECT * FROM (VALUES (1, 2, 0.5), (9, 10, 0.9),
+                                         (99, 100, 0.99)) q(num, den, qf))
+            SELECT tool_name, qs.qf AS q,
+                   CAST(min(lat) AS BIGINT) AS value
+            FROM w JOIN qs ON w.cumw * qs.den >= qs.num * w.tot
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

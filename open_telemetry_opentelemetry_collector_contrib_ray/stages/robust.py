@@ -262,3 +262,60 @@ def grouped_gini_coefficient(ds, key_cols, value_col: str,
         return out
 
     return bucketed_group_transform(ds, keys, gini, n_buckets=n_buckets)
+
+
+def grouped_weighted_quantile(ds, key_cols, value_col: str,
+                              weight_col: str, qs,
+                              n_buckets: int = 64):
+    """Weighted quantiles per key, EXACT (inverse-CDF definition, no
+    interpolation): the q-quantile is the smallest value whose
+    cumulative weight reaches q of the total — selected by the integer
+    cross-multiplication ``cumw * q_den >= q_num * total`` (q given as
+    a (num, den) pair or a float converted exactly via
+    ``float.as_integer_ratio``), so no float ever touches the
+    selection.  The weighted median of a corpus by token count, the
+    size-weighted latency percentile — the shapes plain quantiles get
+    wrong.  Weights must be positive int64.  ONE bucketed
+    co-partition; cumulative sums vectorized across keys."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+    q_pairs = []
+    for q in qs:
+        if isinstance(q, tuple):
+            num, den = q
+        else:
+            num, den = float(q).as_integer_ratio()
+        if not (0 < num <= den):
+            raise ValueError(f"quantile must be in (0, 1]: {q}")
+        q_pairs.append((int(num), int(den), float(num) / float(den)))
+
+    def wq(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[weight_col].astype("int64")
+        if (w <= 0).any():
+            raise ValueError("weights must be positive")
+        g = g.sort_values(keys + [value_col],
+                          kind="mergesort").reset_index(drop=True)
+        gk = [g[k] for k in keys]
+        cumw = g[weight_col].astype("int64").groupby(gk,
+                                                     sort=False).cumsum()
+        tot = g[weight_col].astype("int64").groupby(gk, sort=False) \
+            .transform("sum")
+        pos = g.groupby(keys, sort=False).cumcount()
+        outs = []
+        for num, den, qf in q_pairs:
+            # smallest row with cumw*den >= num*tot: rows after it have
+            # prev_cumw*den >= num*tot too
+            prev = cumw - g[weight_col].astype("int64")
+            hit = (cumw * den >= num * tot) & (prev * den < num * tot)
+            r = g.loc[hit, keys + [value_col]].copy()
+            r = r.rename(columns={value_col: "value"})
+            r["q"] = qf
+            outs.append(r)
+        return pd.concat(outs, ignore_index=True) \
+            .sort_values(keys + ["q"], kind="mergesort") \
+            .reset_index(drop=True)
+
+    return bucketed_group_transform(ds, keys, wq, n_buckets=n_buckets)

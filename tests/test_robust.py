@@ -171,3 +171,47 @@ def test_grouped_gini_coefficient():
     assert out["conc"]["gini"] == 0.75                   # (n-1)/n
     assert out["zero"]["gini"] is None                   # undefined
     assert out["conc"]["total"] == 100 and out["conc"]["n"] == 4
+
+
+def test_grouped_weighted_quantile_exact():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+        grouped_weighted_quantile,
+    )
+
+    # key a: values 1,2,3 weights 1,1,98 -> p50 = 3 (cum 1,2,100);
+    # p01 = 1; key b: equal weights -> p50 = 2nd of [5,6,7] = 6
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 3, pa.string()),
+        "v": pa.array([1, 2, 3, 5, 6, 7], pa.int64()),
+        "w": pa.array([1, 1, 98, 1, 1, 1], pa.int64()),
+    })
+    # note (1, 100) not 0.01: the float 0.01 is exactly
+    # 0.010000000000000000208.. > 1/100, and the selection is faithful
+    # to the given rational — pass exact tuples at boundaries
+    out = {(r["k"], r["q"]): r["value"] for r in grouped_weighted_quantile(
+        rd.from_arrow(t), ["k"], "v", "w",
+        [(1, 100), 0.5, 1.0]).take_all()}
+    assert out[("a", 0.01)] == 1
+    assert out[("a", 0.5)] == 3
+    assert out[("a", 1.0)] == 3
+    assert out[("b", 0.5)] == 6
+    assert out[("b", 1.0)] == 7
+    # boundary exactness: q = 1/3 with total weight 3 -> first value
+    out2 = {r["q"]: r["value"] for r in grouped_weighted_quantile(
+        rd.from_arrow(t.filter(pa.compute.equal(t.column("k"), "b"))),
+        ["k"], "v", "w", [(1, 3)]).take_all()}
+    assert out2[1 / 3] == 5
+
+
+def test_grouped_weighted_quantile_validation():
+    import pytest
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.robust import (
+        grouped_weighted_quantile,
+    )
+
+    with pytest.raises(ValueError, match="quantile"):
+        grouped_weighted_quantile(None, ["k"], "v", "w", [0.0])
