@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "value_auc_shift",
     "value_acf_hourly",
     "weighted_latency_quantiles",
+    "value_qq_shift",
 ]
 
 

@@ -1046,6 +1046,57 @@ def q_weighted_latency_quantiles(sf_dir: str):
     return out.sort(["tool_name", "q"])
 
 
+def q_value_qq_shift(sf_dir: str):
+    """Per-decile QQ shift table (completing the drift family: PSI =
+    binned score, KS = sup distance, AUC = rank effect — this is WHERE
+    the distribution moved): exact inverse-CDF deciles of cents for
+    the first half-month vs the rest (grouped_weighted_quantile with
+    unit weights — integer cross-multiplied selection, zero floats),
+    joined per (event_type, decile) with the shift delta.  Oracle:
+    cumulative-count window replay per side + join."""
+    from ..stages.join import bucketed_hash_join
+    from ..stages.robust import grouped_weighted_quantile
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        side = pc.cast(pc.greater_equal(day, pa.scalar(19738, pa.int64())),
+                       pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"), "side": side,
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64()),
+            "w": pa.array(np.ones(t.num_rows, np.int64))})
+
+    deciles = [(d, 10) for d in range(1, 10)]
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def one_side(s):
+        sub = prepped.map_batches(
+            lambda t, s=s: t.filter(pc.equal(t.column("side"),
+                                             pa.scalar(s, pa.int64()))),
+            batch_format="pyarrow")
+        return grouped_weighted_quantile(sub, ["event_type"], "cents",
+                                         "w", deciles)
+
+    base = one_side(0).map_batches(
+        lambda t: t.rename_columns(["event_type", "base", "q"]),
+        batch_format="pyarrow")
+    cur = one_side(1).map_batches(
+        lambda t: t.rename_columns(["event_type", "cur", "q"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(base, cur, on=["event_type", "q"],
+                                how="inner", n_buckets=8)
+
+    def delta(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shift", pc.subtract(t.column("cur"), t.column("base")))
+
+    return joined.map_batches(delta, batch_format="pyarrow")         .sort(["event_type", "q"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8810,6 +8861,7 @@ def queries():
         "value_auc_shift": q_value_auc_shift,
         "value_acf_hourly": q_value_acf_hourly,
         "weighted_latency_quantiles": q_weighted_latency_quantiles,
+        "value_qq_shift": q_value_qq_shift,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9625,6 +9677,33 @@ def oracle_sql():
                    CAST(min(lat) AS BIGINT) AS value
             FROM w JOIN qs ON w.cumw * qs.den >= qs.num * w.tot
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "value_qq_shift": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                          THEN 1 ELSE 0 END AS side
+              FROM events),
+            w AS (
+              SELECT event_type, side, cents,
+                     sum(1) OVER (PARTITION BY event_type, side
+                                  ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cumw,
+                     count(*) OVER (PARTITION BY event_type, side) AS tot
+              FROM d),
+            qs AS (SELECT unnest(generate_series(1, 9)) AS num),
+            sel AS (
+              SELECT event_type, side, qs.num,
+                     min(cents) AS value
+              FROM w JOIN qs ON w.cumw * 10 >= qs.num * w.tot
+              GROUP BY 1, 2, 3)
+            SELECT b.event_type, CAST(b.num AS DOUBLE) / 10.0 AS q,
+                   b.value AS base, c.value AS cur,
+                   c.value - b.value AS shift
+            FROM sel b JOIN sel c
+              ON c.event_type = b.event_type AND c.num = b.num
+             AND b.side = 0 AND c.side = 1
+            ORDER BY b.event_type, q""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,
