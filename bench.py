@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "value_acf_hourly",
     "weighted_latency_quantiles",
     "value_qq_shift",
+    "top_session_paths",
 ]
 
 

@@ -1097,6 +1097,29 @@ def q_value_qq_shift(sf_dir: str):
     return joined.map_batches(delta, batch_format="pyarrow")         .sort(["event_type", "q"])
 
 
+def q_top_session_paths(sf_dir: str):
+    """User-journey mining (stages/aggregate.py session_paths): 30-min
+    sessions per user, each session's first 5 event types joined into
+    a path string, counted corpus-wide with min_count=2.  One
+    co-partition by user builds sessions+paths; only (path, count)
+    partials reach the combine.  Oracle replays the session rule
+    (lag-gap running sum), the step cap (row_number <= 5) and the
+    ordered string_agg."""
+    from ..stages.aggregate import session_paths
+
+    ds = _rd(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "event_type"])
+
+    def us(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("ts")
+        return t.set_column(i, "ts", pc.cast(t.column("ts"), pa.int64()))
+
+    out = session_paths(ds.map_batches(us, batch_format="pyarrow"),
+                        "user_id", "event_type", tie_cols=["event_id"],
+                        gap_us=1_800_000_000, max_steps=5, min_count=2)
+    return out.sort("path")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8862,6 +8885,7 @@ def queries():
         "value_acf_hourly": q_value_acf_hourly,
         "weighted_latency_quantiles": q_weighted_latency_quantiles,
         "value_qq_shift": q_value_qq_shift,
+        "top_session_paths": q_top_session_paths,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9704,6 +9728,34 @@ def oracle_sql():
               ON c.event_type = b.event_type AND c.num = b.num
              AND b.side = 0 AND c.side = 1
             ORDER BY b.event_type, q""",
+        "top_session_paths": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts, event_type
+              FROM events),
+            gaps AS (
+              SELECT *, CASE WHEN ts - lag(ts) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM gaps),
+            capped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id, sid
+                  ORDER BY ts, event_id) AS step
+                FROM sess) WHERE step <= 5),
+            p AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM capped GROUP BY 1, 2)
+            SELECT path, count(*) AS n_sessions
+            FROM p GROUP BY 1 HAVING count(*) >= 2
+            ORDER BY path""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -1611,3 +1611,48 @@ def prefix_rollup(ds, path_col: str, sep: str = "/", max_depth: int = 3,
             batch_format="pyarrow"),
         ["prefix", "depth"], [("sum", "c", alias)],
         combine="bucket", n_buckets=n_buckets)
+
+
+def session_paths(ds, key_col: str, type_col: str, ts_col: str = "ts",
+                  tie_cols: Sequence[str] = (), gap_us: int = 1_800_000_000,
+                  max_steps: int = 5, min_count: int = 1,
+                  n_buckets: int = 64):
+    """Top user-journey mining: sessionize per key (new session when
+    the gap since the previous event exceeds ``gap_us`` — the
+    sessionize() rule), take each session's FIRST ``max_steps`` event
+    types in (ts, ties) order, join them into a ``path`` string
+    ("view>click>purchase"), and count sessions per path.  The cap
+    bounds path cardinality (and replays in SQL as a row_number
+    filter before string_agg).  ONE co-partition by key builds
+    sessions + paths vectorized; only (path, count) partials reach the
+    final combine."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform  # self-import ok
+
+    ties = list(tie_cols)
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col] + ties, kind="mergesort")
+        ts = g[ts_col].astype("int64")
+        new = (ts.groupby(g[key_col], sort=False).diff() > gap_us)
+        sid = new.groupby(g[key_col], sort=False).cumsum().astype("int64")
+        g = g.assign(__sid=sid)
+        step = g.groupby([key_col, "__sid"], sort=False).cumcount()
+        g = g[step < max_steps]
+        p = g.groupby([key_col, "__sid"], sort=False)[type_col] \
+            .agg(">".join).rename("path").reset_index()
+        c = p.groupby("path", as_index=False).agg(c=("path", "size"))
+        return c
+
+    partials = bucketed_group_transform(ds, [key_col], paths,
+                                        n_buckets=n_buckets)
+    out = grouped_agg(partials, ["path"], [("sum", "c", "n_sessions")],
+                      combine="bucket", n_buckets=n_buckets)
+    if min_count > 1:
+        out = out.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("n_sessions"),
+                pa.scalar(min_count, pa.int64()))),
+            batch_format="pyarrow")
+    return out

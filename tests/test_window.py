@@ -393,3 +393,45 @@ def test_prefix_rollup_validation():
 
     with pytest.raises(ValueError, match="max_depth"):
         prefix_rollup(None, "p", max_depth=0)
+
+
+def test_session_paths_journeys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        session_paths,
+    )
+
+    # user 1: [a,b] then (gap) [a,b]; user 2: [a,b]; user 3: single [c]
+    rows = [(1, 0, "a"), (1, 10, "b"), (1, 1_900_000_000, "a"),
+            (1, 1_900_000_010, "b"), (2, 0, "a"), (2, 5, "b"),
+            (3, 0, "c")]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[2] for r in rows],
+                                         pa.string())})
+    out = {r["path"]: r["n_sessions"] for r in session_paths(
+        rd.from_arrow(t), "user_id", "event_type").take_all()}
+    assert out == {"a>b": 3, "c": 1}
+
+
+def test_session_paths_step_cap_and_min_count():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        session_paths,
+    )
+
+    rows = [(1, i, t) for i, t in enumerate("abcdefg")]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[2] for r in rows],
+                                         pa.string())})
+    out = [r["path"] for r in session_paths(
+        rd.from_arrow(t), "user_id", "event_type",
+        max_steps=3).take_all()]
+    assert out == ["a>b>c"]  # capped at the first 3 steps
+    assert session_paths(rd.from_arrow(t), "user_id", "event_type",
+                         max_steps=3, min_count=2).count() == 0
