@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "weighted_latency_quantiles",
     "value_qq_shift",
     "top_session_paths",
+    "value_welch_ttest",
 ]
 
 

@@ -1120,6 +1120,33 @@ def q_top_session_paths(sf_dir: str):
     return out.sort("path")
 
 
+def q_value_welch_ttest(sf_dir: str):
+    """Welch's t-test per event_type (stages/drift.py
+    grouped_welch_ttest): did the MEAN cents move between the first
+    half-month and the rest (the mean-shift companion to the
+    proportion z-test / KS / AUC family)?  Exact int64 moment
+    partials, fixed-order float close mirrored by the oracle with
+    explicit double casts, t/df floor-rounded at 1e9."""
+    from ..stages.drift import grouped_welch_ttest
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        side = pc.cast(pc.greater_equal(day, pa.scalar(19738, pa.int64())),
+                       pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64()),
+            "side": side})
+
+    out = grouped_welch_ttest(ds.map_batches(prep, batch_format="pyarrow"),
+                              ["event_type"], "cents", "side")
+    return out.sort("event_type")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8886,6 +8913,7 @@ def queries():
         "weighted_latency_quantiles": q_weighted_latency_quantiles,
         "value_qq_shift": q_value_qq_shift,
         "top_session_paths": q_top_session_paths,
+        "value_welch_ttest": q_value_welch_ttest,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9756,6 +9784,49 @@ def oracle_sql():
             SELECT path, count(*) AS n_sessions
             FROM p GROUP BY 1 HAVING count(*) >= 2
             ORDER BY path""",
+        "value_welch_ttest": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS x,
+                     CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                          THEN 1 ELSE 0 END AS side
+              FROM events),
+            s AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN side = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+                     CAST(sum(CASE WHEN side = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx0,
+                     CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN side = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+                     CAST(sum(CASE WHEN side = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx1
+              FROM d GROUP BY 1),
+            f AS (
+              SELECT event_type, n0, sx0, sxx0, n1, sx1, sxx1,
+                     CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+                     CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                     (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                        * CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+                     (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                        * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+              FROM s),
+            g AS (
+              SELECT *, v0 / CAST(n0 AS DOUBLE)
+                        + v1 / CAST(n1 AS DOUBLE) AS se2
+              FROM f)
+            SELECT event_type, n0, sx0, sxx0, n1, sx1, sxx1,
+                   CASE WHEN n0 >= 2 AND n1 >= 2 AND se2 > 0 THEN
+                     floor((m1 - m0) / sqrt(se2) * 1000000000.0 + 0.5)
+                       / 1000000000.0 END AS t,
+                   CASE WHEN n0 >= 2 AND n1 >= 2 AND se2 > 0 THEN
+                     floor(se2 * se2 / (
+                       (v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE))
+                         / (CAST(n0 AS DOUBLE) - 1.0)
+                       + (v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) - 1.0))
+                       * 1000000000.0 + 0.5) / 1000000000.0 END AS df
+            FROM g ORDER BY event_type""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -275,3 +275,84 @@ def grouped_mannwhitney(ds, key_cols, value_col: str, side_col: str,
         return s.drop(columns=["r1_2"])
 
     return bucketed_group_transform(ds, keys, mw, n_buckets=n_buckets)
+
+
+def grouped_welch_ttest(ds, key_cols, value_col: str, side_col: str,
+                        n_buckets: int = 64):
+    """Welch's unequal-variance t-test per key (the MEAN-shift
+    companion to two_proportion_ztest's rates): from exact int64
+    per-side moment partials (n, Σx, Σx²),
+
+        m_s  = Σx_s / n_s
+        v_s  = (Σx²_s − Σx_s·Σx_s / n_s) / (n_s − 1)
+        se2  = v_0/n_0 + v_1/n_1
+        t    = (m_1 − m_0) / sqrt(se2)
+        df   = se2² / ((v_0/n_0)²/(n_0−1) + (v_1/n_1)²/(n_1−1))
+
+    every float op in this FIXED order (mirrored by the SQL oracle
+    with explicit double casts), and t/df floor-rounded at 1e9 for
+    hash stability.  Sides with n < 2, or zero pooled variance, yield
+    typed-null t/df.  Kilobyte partials only."""
+    import pandas as pd
+
+    from .aggregate import grouped_agg
+
+    keys = list(key_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({**{k: t.column(k).slice(0, 0) for k in keys},
+                             **{c: pa.array([], pa.int64())
+                                for c in ("n0", "sx0", "sxx0",
+                                          "n1", "sx1", "sxx1")}})
+        x = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t.column(side_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({**{k: t.column(k).to_numpy(zero_copy_only=False)
+                              for k in keys},
+                           "n0": (s == 0).astype(np.int64),
+                           "sx0": np.where(s == 0, x, 0),
+                           "sxx0": np.where(s == 0, x * x, 0),
+                           "n1": (s == 1).astype(np.int64),
+                           "sx1": np.where(s == 1, x, 0),
+                           "sxx1": np.where(s == 1, x * x, 0)})
+        return pa.Table.from_pandas(
+            df.groupby(keys, sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    sums = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       keys,
+                       [("sum", c, c) for c in
+                        ("n0", "sx0", "sxx0", "n1", "sx1", "sxx1")],
+                       combine="bucket", n_buckets=n_buckets)
+
+    def close(t: pa.Table) -> pa.Table:
+        c = {k: t.column(k).to_numpy(zero_copy_only=False)
+             .astype(np.float64)
+             for k in ("n0", "sx0", "sxx0", "n1", "sx1", "sxx1")}
+        ok = (c["n0"] >= 2) & (c["n1"] >= 2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m0 = c["sx0"] / c["n0"]
+            m1 = c["sx1"] / c["n1"]
+            v0 = (c["sxx0"] - c["sx0"] * c["sx0"] / c["n0"]) \
+                / (c["n0"] - 1.0)
+            v1 = (c["sxx1"] - c["sx1"] * c["sx1"] / c["n1"]) \
+                / (c["n1"] - 1.0)
+            se2 = v0 / c["n0"] + v1 / c["n1"]
+            tt = (m1 - m0) / np.sqrt(se2)
+            dfr = se2 * se2 / (
+                (v0 / c["n0"]) * (v0 / c["n0"]) / (c["n0"] - 1.0)
+                + (v1 / c["n1"]) * (v1 / c["n1"]) / (c["n1"] - 1.0))
+        ok = ok & (se2 > 0)
+        tt = np.floor(tt * 1e9 + 0.5) / 1e9
+        dfr = np.floor(dfr * 1e9 + 0.5) / 1e9
+        out = t
+        out = out.append_column("t", pa.array(
+            [float(v) if o else None for v, o in zip(tt, ok)],
+            pa.float64()))
+        return out.append_column("df", pa.array(
+            [float(v) if o else None for v, o in zip(dfr, ok)],
+            pa.float64()))
+
+    return sums.map_batches(close, batch_format="pyarrow")

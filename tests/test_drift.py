@@ -187,3 +187,43 @@ def test_grouped_mannwhitney_auc():
     u1 = sum((yy > xx) + 0.5 * (yy == xx) for xx in x for yy in y)
     assert got["u2"] == int(2 * u1)
     assert got["auc"] == u1 / (len(x) * len(y))
+
+
+def test_grouped_welch_ttest():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        grouped_welch_ttest,
+    )
+
+    # hand case: side0 = [1,2,3] (m=2, v=1), side1 = [4,6,8] (m=6, v=4)
+    # se2 = 1/3 + 4/3 = 5/3; t = 4/sqrt(5/3); df per Welch formula
+    rows = [("a", v, 0) for v in (1, 2, 3)] + \
+           [("a", v, 1) for v in (4, 6, 8)] + \
+           [("b", 5, 0), ("b", 6, 1)]  # n<2 per side -> null
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.string()),
+                  "v": pa.array([r[1] for r in rows], pa.int64()),
+                  "side": pa.array([r[2] for r in rows], pa.int64())})
+    out = {r["k"]: r for r in grouped_welch_ttest(
+        rd.from_arrow(t), ["k"], "v", "side").take_all()}
+    se2 = 1.0 / 3 + 4.0 / 3
+    exp_t = 4.0 / np.sqrt(se2)
+    exp_df = se2 * se2 / ((1 / 3) ** 2 / 2 + (4 / 3) ** 2 / 2)
+    assert abs(out["a"]["t"] - exp_t) < 1e-9
+    assert abs(out["a"]["df"] - exp_df) < 1e-9
+    assert out["b"]["t"] is None and out["b"]["df"] is None
+    # scipy-formula parity on random data
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 100, 30)
+    y = rng.randint(20, 120, 40)
+    rows2 = [("z", int(v), 0) for v in x] + [("z", int(v), 1) for v in y]
+    t2 = pa.table({"k": pa.array([r[0] for r in rows2]),
+                   "v": pa.array([r[1] for r in rows2], pa.int64()),
+                   "side": pa.array([r[2] for r in rows2], pa.int64())})
+    got = grouped_welch_ttest(rd.from_arrow(t2), ["k"], "v",
+                              "side").take_all()[0]
+    v0, v1 = x.var(ddof=1), y.var(ddof=1)
+    se2 = v0 / len(x) + v1 / len(y)
+    assert abs(got["t"] - (y.mean() - x.mean()) / np.sqrt(se2)) < 1e-8
