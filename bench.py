@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "value_qq_shift",
     "top_session_paths",
     "value_welch_ttest",
+    "user_credit_balance",
 ]
 
 

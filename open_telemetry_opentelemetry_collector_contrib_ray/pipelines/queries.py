@@ -1147,6 +1147,35 @@ def q_value_welch_ttest(sf_dir: str):
     return out.sort("event_type")
 
 
+def q_user_credit_balance(sf_dir: str):
+    """Floor-at-zero running balance per user (stages/aggregate.py
+    clamped_running_sum — prepaid-credit semantics: signup/purchase
+    events credit cents, other events debit them, and debits cannot
+    drive the balance negative): the nonlinear max-recurrence
+    telescoped to cumsum − min(0, running-min(cumsum)), int64-exact.
+    Row-level oracle: two window functions."""
+    from ..stages.aggregate import clamped_running_sum
+
+    ds = _rd(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        credit = pc.is_in(t.column("event_type"),
+                          value_set=pa.array(["signup", "purchase"]))
+        delta = pc.if_else(credit, cents, pc.negate_checked(cents))
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": pc.cast(t.column("ts"), pa.int64()),
+                         "delta": delta})
+
+    out = clamped_running_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                              ["user_id"], "delta",
+                              order_cols=["ts", "event_id"])
+    return out.sort(["user_id", "ts", "event_id"])
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8914,6 +8943,7 @@ def queries():
         "value_qq_shift": q_value_qq_shift,
         "top_session_paths": q_top_session_paths,
         "value_welch_ttest": q_value_welch_ttest,
+        "user_credit_balance": q_user_credit_balance,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9827,6 +9857,27 @@ def oracle_sql():
                          / (CAST(n1 AS DOUBLE) - 1.0))
                        * 1000000000.0 + 0.5) / 1000000000.0 END AS df
             FROM g ORDER BY event_type""",
+        "user_credit_balance": """
+            WITH d AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts,
+                     CASE WHEN event_type IN ('signup', 'purchase')
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE -CAST(round(value * 100) AS BIGINT)
+                     END AS delta
+              FROM events),
+            s AS (
+              SELECT *, sum(delta) OVER w AS run
+              FROM d WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)),
+            m AS (
+              SELECT *, least(0, min(run) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)) AS floor_off
+              FROM s)
+            SELECT user_id, event_id, ts, delta,
+                   CAST(run - floor_off AS BIGINT) AS balance
+            FROM m ORDER BY user_id, ts, event_id""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

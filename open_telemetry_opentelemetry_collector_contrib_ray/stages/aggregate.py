@@ -1656,3 +1656,34 @@ def session_paths(ds, key_col: str, type_col: str, ts_col: str = "ts",
                 pa.scalar(min_count, pa.int64()))),
             batch_format="pyarrow")
     return out
+
+
+def clamped_running_sum(ds, key_cols: Sequence[str], delta_col: str,
+                        order_cols: Sequence[str] = ("ts",),
+                        out_col: str = "balance",
+                        n_buckets: int = 64):
+    """Running balance floored at ZERO per key (inventory on-hand,
+    prepaid credit, token buckets: withdrawals cannot drive the
+    balance negative): the nonlinear recurrence
+    ``b_i = max(b_{i-1} + d_i, 0)`` telescopes to the closed form
+
+        b_i = S_i − min(0, min_{j<=i} S_j)
+
+    over plain prefix sums S — two grouped scans (cumsum + running
+    min), no sequential loop, int64-exact (the cusum_flags
+    max-recursion telescoping idiom applied to the floor side).  SQL
+    replays with two window functions."""
+    import pandas as pd
+
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def bal(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order, kind="mergesort")
+        gk = [g[k] for k in keys]
+        s = g[delta_col].astype("int64").groupby(gk, sort=False).cumsum()
+        m = s.groupby(gk, sort=False).cummin().clip(upper=0)
+        g[out_col] = (s - m).astype("int64")
+        return g
+
+    return bucketed_group_transform(ds, keys, bal, n_buckets=n_buckets)

@@ -54,3 +54,38 @@ def test_plain_diff_vs_reset_semantics():
     assert list(ctd["delta"].fillna(0)) == [0, -7]
     ci = counter_increase(_ds(rows), ["k"], "v").take_all()[0]
     assert ci["increase"] == 3
+
+
+def test_clamped_running_sum_floor_zero():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.aggregate import (
+        clamped_running_sum,
+    )
+
+    # a: +5, -10 (clamps to 0), +3 -> [5, 0, 3]; sequential replay check
+    rows = [("a", 1, 5), ("a", 2, -10), ("a", 3, 3),
+            ("b", 1, -4), ("b", 2, 2)]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.string()),
+                  "ts": pa.array([r[1] for r in rows], pa.int64()),
+                  "d": pa.array([r[2] for r in rows], pa.int64())})
+    out = {(r["k"], r["ts"]): r["balance"] for r in clamped_running_sum(
+        rd.from_arrow(t), ["k"], "d").take_all()}
+    assert [out[("a", i)] for i in (1, 2, 3)] == [5, 0, 3]
+    assert [out[("b", i)] for i in (1, 2)] == [0, 2]
+    # randomized parity vs the sequential recurrence
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    d = rng.randint(-5, 6, 200)
+    t2 = pa.table({"k": pa.array(["z"] * 200),
+                   "ts": pa.array(range(200), pa.int64()),
+                   "d": pa.array(d, pa.int64())})
+    got = [r["balance"] for r in clamped_running_sum(
+        rd.from_arrow(t2), ["k"], "d").take_all()]
+    b, exp = 0, []
+    for x in d:
+        b = max(b + int(x), 0)
+        exp.append(b)
+    assert got == exp
