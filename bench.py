@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "top_session_paths",
     "value_welch_ttest",
     "user_credit_balance",
+    "user_burstiness",
 ]
 
 

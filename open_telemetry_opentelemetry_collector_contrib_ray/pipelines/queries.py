@@ -1176,6 +1176,26 @@ def q_user_credit_balance(sf_dir: str):
     return out.sort(["user_id", "ts", "event_id"])
 
 
+def q_user_burstiness(sf_dir: str):
+    """Burstiness audit (stages/drift.py grouped_fano_factor): Fano
+    factor of per-hour event counts per user over each user's observed
+    span (empty buckets contribute arithmetically, never
+    materialized) — F~1 Poisson-like, F>>1 bursty.  Int64 sums, two
+    fixed-order divisions floor-rounded at 1e9.  Oracle: occupied
+    bucket counts + the identical closed form."""
+    from ..stages.drift import grouped_fano_factor
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "ts"])
+
+    def us(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("ts")
+        return t.set_column(i, "ts", pc.cast(t.column("ts"), pa.int64()))
+
+    out = grouped_fano_factor(ds.map_batches(us, batch_format="pyarrow"),
+                              ["user_id"], bucket_us=3_600_000_000)
+    return out.sort("user_id")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8944,6 +8964,7 @@ def queries():
         "top_session_paths": q_top_session_paths,
         "value_welch_ttest": q_value_welch_ttest,
         "user_credit_balance": q_user_credit_balance,
+        "user_burstiness": q_user_burstiness,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9878,6 +9899,26 @@ def oracle_sql():
             SELECT user_id, event_id, ts, delta,
                    CAST(run - floor_off AS BIGINT) AS balance
             FROM m ORDER BY user_id, ts, event_id""",
+        "user_burstiness": """
+            WITH c AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT user_id,
+                     CAST(max(bucket) - min(bucket) + 1 AS BIGINT) AS B,
+                     CAST(sum(n) AS BIGINT) AS N,
+                     CAST(sum(n * n) AS BIGINT) AS sq
+              FROM c GROUP BY 1)
+            SELECT user_id, B AS n_buckets_span, N AS n_events,
+                   CASE WHEN B >= 1 AND N > 0 THEN
+                     floor(((CAST(sq AS DOUBLE) - CAST(N AS DOUBLE)
+                              * CAST(N AS DOUBLE) / CAST(B AS DOUBLE))
+                            / CAST(B AS DOUBLE))
+                           / (CAST(N AS DOUBLE) / CAST(B AS DOUBLE))
+                           * 1000000000.0 + 0.5) / 1000000000.0
+                   END AS fano
+            FROM s ORDER BY user_id""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

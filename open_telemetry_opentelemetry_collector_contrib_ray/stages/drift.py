@@ -356,3 +356,57 @@ def grouped_welch_ttest(ds, key_cols, value_col: str, side_col: str,
             pa.float64()))
 
     return sums.map_batches(close, batch_format="pyarrow")
+
+
+def grouped_fano_factor(ds, key_cols, ts_col: str = "ts",
+                        bucket_us: int = 3_600_000_000,
+                        n_buckets: int = 64):
+    """Burstiness / overdispersion audit: the Fano factor
+    var(per-bucket counts) / mean(per-bucket counts) per key over the
+    key's OBSERVED span (empty buckets inside the span count as zero —
+    computed arithmetically from the span length, never materialized).
+    F ~ 1 is Poisson-like arrival, F >> 1 is bursty.  With B buckets in
+    the span, n_i the occupied-bucket counts and N = Σn_i:
+
+        mean = N / B,   var = (Σn_i² − N²/B) / B   (population)
+
+    — Σn_i² from occupied buckets only is EXACT because empty buckets
+    contribute zero.  Int64 sums; two fixed-order float divisions,
+    floor-rounded at 1e9.  Keys with B < 1 yield typed-null."""
+    import pandas as pd
+
+    from .aggregate import bucketed_group_transform
+
+    keys = list(key_cols)
+
+    def fano(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64")
+        g = g.assign(bucket=ts // bucket_us)
+        agg = g.groupby(keys + ["bucket"], sort=False) \
+            .agg(n=("bucket", "size")).reset_index()
+        gk = [agg[k] for k in keys]
+        stats = agg.groupby(keys, as_index=False, sort=False).agg(
+            total=("n", "sum"),
+            sq=("n", lambda s: int((s.astype("int64") ** 2).sum())),
+            bmin=("bucket", "min"), bmax=("bucket", "max"))
+        B = (stats["bmax"] - stats["bmin"] + 1).astype("int64")
+        N = stats["total"].astype("int64")
+        sq = stats["sq"].astype("int64")
+        Bf = B.to_numpy(dtype=np.float64)
+        Nf = N.to_numpy(dtype=np.float64)
+        sqf = sq.to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = Nf / Bf
+            var = (sqf - Nf * Nf / Bf) / Bf
+            f = var / mean
+        f = np.floor(f * 1e9 + 0.5) / 1e9
+        ok = (Bf >= 1) & (Nf > 0)
+        out = stats[keys].copy()
+        out["n_buckets_span"] = B
+        out["n_events"] = N
+        out["fano"] = pd.array(
+            [float(v) if o else None for v, o in zip(f, ok)],
+            dtype="Float64")
+        return out
+
+    return bucketed_group_transform(ds, keys, fano, n_buckets=n_buckets)

@@ -227,3 +227,28 @@ def test_grouped_welch_ttest():
     v0, v1 = x.var(ddof=1), y.var(ddof=1)
     se2 = v0 / len(x) + v1 / len(y)
     assert abs(got["t"] - (y.mean() - x.mean()) / np.sqrt(se2)) < 1e-8
+
+
+def test_grouped_fano_factor():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        grouped_fano_factor,
+    )
+
+    # bursty: all 8 events in one bucket of a 4-bucket span
+    # counts = [8,0,0,0]: mean 2, var = (64 - 64/4)/4 = 12, F = 6
+    # uniform: one event per bucket: var 0 -> F 0
+    rows = [("burst", 0)] * 8 + [("burst", 35)] + \
+           [("flat", i * 10) for i in range(4)]
+    # the lone ts=35 event makes the span 4 buckets; recompute:
+    # counts [8,0,0,1]: N=9, sq=65, B=4 -> mean 2.25,
+    # var = (65 - 81/4)/4 = 11.1875, F = 4.9722..
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.string()),
+                  "ts": pa.array([r[1] for r in rows], pa.int64())})
+    out = {r["k"]: r for r in grouped_fano_factor(
+        rd.from_arrow(t), ["k"], bucket_us=10).take_all()}
+    assert out["burst"]["n_buckets_span"] == 4
+    assert abs(out["burst"]["fano"] - (65 - 81 / 4) / 4 / 2.25) < 1e-9
+    assert out["flat"]["fano"] == 0.0
