@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "value_welch_ttest",
     "user_credit_balance",
     "user_burstiness",
+    "type_hour_independence",
 ]
 
 

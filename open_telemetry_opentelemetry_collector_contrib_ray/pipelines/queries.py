@@ -1196,6 +1196,28 @@ def q_user_burstiness(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_type_hour_independence(sf_dir: str):
+    """Chi-square independence table: event_type x hour-of-day
+    (stages/drift.py chi_square_contingency) — per-cell observed,
+    expected and chi2 contribution (order-free per-cell float
+    expressions; a single chi2 total would need an ordered float sum
+    no SQL aggregate can mirror).  Dense cross incl. zero cells.
+    Oracle replays marginals + the identical expressions."""
+    from ..stages.drift import chi_square_contingency
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = (pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False) // 3_600_000_000) % 24
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour": pa.array(h, pa.int64())})
+
+    return chi_square_contingency(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "hour")
+
+
 def q_exp_histogram(sf_dir: str):
     """spanmetrics EXPONENTIAL-bucket histogram mode (base-2, scale=0):
     bucket k holds latencies in (2^k, 2^(k+1)]
@@ -8965,6 +8987,7 @@ def queries():
         "value_welch_ttest": q_value_welch_ttest,
         "user_credit_balance": q_user_credit_balance,
         "user_burstiness": q_user_burstiness,
+        "type_hour_independence": q_type_hour_independence,
         "cumulative_value_by_user": q_cumulative_value_by_user,
         "json_props_sum": q_json_props_sum,
         "filter_events": q_filter_events,
@@ -9919,6 +9942,37 @@ def oracle_sql():
                            * 1000000000.0 + 0.5) / 1000000000.0
                    END AS fano
             FROM s ORDER BY user_id""",
+        "type_hour_independence": """
+            WITH d AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000) % 24 AS hour
+              FROM events),
+            cells AS (
+              SELECT event_type, hour, count(*) AS obs
+              FROM d GROUP BY 1, 2),
+            rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT)
+                     AS row_total FROM cells GROUP BY 1),
+            ct AS (SELECT hour, CAST(sum(obs) AS BIGINT)
+                     AS col_total FROM cells GROUP BY 1),
+            g AS (SELECT CAST(sum(obs) AS DOUBLE) AS grand FROM cells)
+            SELECT rt.event_type, ct.hour,
+                   rt.row_total, ct.col_total,
+                   CAST(coalesce(c.obs, 0) AS BIGINT) AS obs,
+                   CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+                     / g.grand AS expected,
+                   (CAST(coalesce(c.obs, 0) AS DOUBLE)
+                    - CAST(rt.row_total AS DOUBLE)
+                      * CAST(ct.col_total AS DOUBLE) / g.grand)
+                   * (CAST(coalesce(c.obs, 0) AS DOUBLE)
+                      - CAST(rt.row_total AS DOUBLE)
+                        * CAST(ct.col_total AS DOUBLE) / g.grand)
+                   / (CAST(rt.row_total AS DOUBLE)
+                      * CAST(ct.col_total AS DOUBLE) / g.grand)
+                     AS chi2_contrib
+            FROM rt CROSS JOIN ct CROSS JOIN g
+            LEFT JOIN cells c ON c.event_type = rt.event_type
+                             AND c.hour = ct.hour
+            ORDER BY rt.event_type, ct.hour""",
         "exp_histogram": f"""
             WITH parsed AS (
               SELECT regexp_extract(text, '{TOOL_LINE_SQL_PAT}', 3) AS tool_name,

@@ -410,3 +410,54 @@ def grouped_fano_factor(ds, key_cols, ts_col: str = "ts",
         return out
 
     return bucketed_group_transform(ds, keys, fano, n_buckets=n_buckets)
+
+
+def chi_square_contingency(ds, row_col: str, col_col: str,
+                           n_buckets: int = 32):
+    """Chi-square test of independence over a contingency table (are
+    event type and hour-of-day independent? tool and status?): one
+    pass of (row, col) count partials, marginals reduced from the cell
+    table, and PER-CELL output — observed, expected =
+    row_total·col_total/grand (one fixed-order float expression) and
+    the chi² contribution (obs−exp)²/exp — so every float is an
+    order-free per-cell expression a SQL oracle replays exactly (a
+    single chi² TOTAL would need an ordered float sum, which SQL
+    aggregates cannot mirror; callers sum the column knowing the
+    caveat).  Cells absent from the data are emitted with observed 0
+    (the dense row x col cross — the table is marginal-sized)."""
+    import pandas as pd
+
+    import ray
+
+    from .aggregate import grouped_agg
+
+    cells = grouped_agg(
+        ds.map_batches(lambda t: t.select([row_col, col_col]),
+                       batch_format="pyarrow"),
+        [row_col, col_col], [("count", None, "obs")],
+        combine="driver")
+    tbl = pa.concat_tables(ray.get(cells.materialize().to_arrow_refs()))
+    df = tbl.to_pandas()
+    rows = df.groupby(row_col, as_index=False)["obs"].sum() \
+        .rename(columns={"obs": "row_total"})
+    colsm = df.groupby(col_col, as_index=False)["obs"].sum() \
+        .rename(columns={"obs": "col_total"})
+    grand = int(df["obs"].sum())
+    dense = rows.merge(colsm, how="cross")
+    dense = dense.merge(df, on=[row_col, col_col], how="left")
+    dense["obs"] = dense["obs"].fillna(0).astype("int64")
+    rt = dense["row_total"].to_numpy(dtype=np.float64)
+    ct = dense["col_total"].to_numpy(dtype=np.float64)
+    ob = dense["obs"].to_numpy(dtype=np.float64)
+    exp = rt * ct / float(grand)
+    contrib = (ob - exp) * (ob - exp) / exp
+    dense["row_total"] = dense["row_total"].astype("int64")
+    dense["col_total"] = dense["col_total"].astype("int64")
+    dense["expected"] = exp
+    dense["chi2_contrib"] = contrib
+    dense = dense.sort_values([row_col, col_col],
+                              kind="mergesort").reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(dense,
+                                              preserve_index=False))

@@ -252,3 +252,31 @@ def test_grouped_fano_factor():
     assert out["burst"]["n_buckets_span"] == 4
     assert abs(out["burst"]["fano"] - (65 - 81 / 4) / 4 / 2.25) < 1e-9
     assert out["flat"]["fano"] == 0.0
+
+
+def test_chi_square_contingency_cells():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_telemetry_opentelemetry_collector_contrib_ray.stages.drift import (
+        chi_square_contingency,
+    )
+
+    # 2x2: [[10, 20], [30, 40]]
+    rows = [("a", "x")] * 10 + [("a", "y")] * 20 + \
+           [("b", "x")] * 30 + [("b", "y")] * 40
+    t = pa.table({"r": pa.array([p[0] for p in rows], pa.string()),
+                  "c": pa.array([p[1] for p in rows], pa.string())})
+    out = {(r["r"], r["c"]): r for r in chi_square_contingency(
+        rd.from_arrow(t), "r", "c").take_all()}
+    cell = out[("a", "x")]
+    assert cell["obs"] == 10 and cell["row_total"] == 30
+    assert cell["expected"] == 30.0 * 40.0 / 100.0
+    assert cell["chi2_contrib"] == (10 - 12.0) ** 2 / 12.0
+    # absent cell emitted with obs 0
+    rows2 = [("a", "x"), ("b", "y")]
+    t2 = pa.table({"r": pa.array([p[0] for p in rows2], pa.string()),
+                   "c": pa.array([p[1] for p in rows2], pa.string())})
+    out2 = {(r["r"], r["c"]): r["obs"] for r in chi_square_contingency(
+        rd.from_arrow(t2), "r", "c").take_all()}
+    assert out2[("a", "y")] == 0 and len(out2) == 4
